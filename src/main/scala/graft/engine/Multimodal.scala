@@ -1,0 +1,75 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media payloads as opaque `binary` columns
+  * with typed metadata, processed per-partition in bounded batches.
+  *
+  * The container ships no image/audio codecs, so `decodeStub` is a
+  * clearly-marked deterministic fake — but everything Spark-side is real
+  * and tested: the schema, the binary column handling, the mapPartitions
+  * batch shape, and the partitioning. Swapping `decodeStub` for a JNI/codec
+  * call is the only change needed in production.
+  *
+  * Scale notes (100 TB): decode is map-only (no shuffle); payloads never
+  * pass through the driver; `spark.sql.files.maxPartitionBytes` bounds the
+  * bytes per task, so executor memory needs are O(batch), not O(file).
+  */
+object Multimodal {
+  import Tables._
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Typed media record: opaque payload + metadata. */
+  case class MediaRecord(media_id: Long, payload: Array[Byte], kind: String)
+
+  /** Extracted features — what a real decoder would emit. */
+  case class MediaFeatures(
+      media_id: Long,
+      kind: String,
+      n_bytes: Long,
+      checksum: Long,      // stub for a content hash
+      width: Int,          // stub for decoded dimensions
+      height: Int,
+      n_frames: Int)       // stub for frame sampling
+
+  /** STUB: deterministic fake decode. A real build replaces the body with
+    * the actual codec (e.g. libjpeg/ffmpeg via JNI); the signature — bytes
+    * in, typed features out, pure function, no IO — is the contract.
+    */
+  def decodeStub(r: MediaRecord): MediaFeatures = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < r.payload.length) { h ^= r.payload(i) & 0xffL; h *= 0x100000001b3L; i += 1 }
+    val w = 64 + (math.abs(h) % 1920).toInt
+    MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, h,
+      w, 64 + (math.abs(h >>> 11) % 1080).toInt, 1 + (math.abs(h >>> 23) % 240).toInt)
+  }
+
+  /** Feature extraction over a media Dataset: per-partition, batched —
+    * the Scala analogue of a pandas UDF over mapInPandas.
+    */
+  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(decodeStub))
+  }
+
+  /** Documents-as-blobs: treats `text` bytes as an opaque payload to drive
+    * the binary path end-to-end against a real fixture. Only
+    * oracle-expressible outputs (byte length, head preview) are emitted;
+    * the stubbed decode features are covered by MultimodalSpec instead.
+    */
+  val qMultimodalFeatures: Q = (s, d) =>
+    documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("blob"), col("lang"))
+      .select(
+        col("doc_id"),
+        length(col("blob")).cast("long").as("blob_len"),
+        substring(col("blob"), 1, 16).cast("string").as("head_preview"),
+        col("lang"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, Q] = Map(
+    "q_multimodal_features" -> qMultimodalFeatures
+  )
+}

@@ -1,0 +1,417 @@
+package graft.engine
+
+/** DuckDB-dialect oracle SQL, one entry per oracle-checkable key in
+  * SparkEntry.queries. Written natively for DuckDB 1.0.0 (SURVEY.md G5) and
+  * executed against views named after the fixture tables. Column aliases,
+  * rounding, casts (BIGINT for integer-valued computed columns — DuckDB
+  * sum(int) is HUGEINT), and ORDER BY (incl. NULLS placement; DuckDB
+  * defaults to NULLS LAST on ASC, Spark to NULLS FIRST) mirror the Spark
+  * queries exactly.
+  *
+  * Note: DuckDB reads the events.ts TIMESTAMP(NANOS) parquet column as
+  * microsecond TIMESTAMP (truncating), which matches the engine's
+  * `timestamp_micros(ts div 1000)` conversion bit-for-bit (FIXTURES.md).
+  */
+object Oracle {
+
+  val sql: Map[String, String] = Map(
+    "q_scan_project" -> """
+      SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber, l_quantity, l_shipdate
+      FROM lineitem
+      WHERE l_quantity >= 45 AND l_shipdate >= TIMESTAMP '2000-06-01'
+      ORDER BY l_orderkey, l_linenumber""",
+
+    "q_filter_predicates" -> """
+      SELECT p_partkey, p_name, p_brand, p_type, p_size::BIGINT AS p_size,
+        CASE WHEN p_retailprice > 1500 THEN 'premium'
+             WHEN p_retailprice > 800 THEN 'mid' ELSE 'budget' END AS price_band
+      FROM part
+      WHERE p_type IN ('STANDARD','ECONOMY','PROMO') AND p_size BETWEEN 10 AND 40
+        AND p_name LIKE '%a%' AND NOT (p_brand = 'Brand#99') AND p_retailprice IS NOT NULL
+      ORDER BY p_partkey""",
+
+    "q_project_expr" -> """
+      SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber,
+        round(l_extendedprice * (1 - l_discount), 4) AS net_price,
+        round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS charged,
+        CAST(trunc(l_quantity) AS BIGINT) AS qty_int,
+        l_returnflag || '/' || l_linestatus AS flag_status
+      FROM lineitem WHERE l_orderkey % 100 = 0
+      ORDER BY l_orderkey, l_linenumber""",
+
+    "q3_join_topk" -> """
+      SELECT l_orderkey, o_orderdate, o_orderpriority,
+        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+      GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+
+    "q5_5way_join" -> """
+      SELECT r_name, n_name,
+        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        count(*) AS n_lines
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+
+    "q_join_outer" -> """
+      WITH c95 AS (SELECT o_custkey k, count(*) cnt95 FROM orders
+                   WHERE year(o_orderdate) = 1995 GROUP BY 1),
+           c96 AS (SELECT o_custkey k, count(*) cnt96 FROM orders
+                   WHERE year(o_orderdate) = 1996 GROUP BY 1),
+           f AS (SELECT coalesce(c95.k, c96.k) custkey, cnt95, cnt96
+                 FROM c95 FULL OUTER JOIN c96 ON c95.k = c96.k)
+      SELECT c_custkey, coalesce(cnt95, 0)::BIGINT AS orders_1995,
+             coalesce(cnt96, 0)::BIGINT AS orders_1996
+      FROM customer LEFT JOIN f ON c_custkey = custkey
+      WHERE c_custkey <= 500 ORDER BY c_custkey""",
+
+    "q_join_semi" -> """
+      SELECT c_custkey, c_name, c_mktsegment FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+      ORDER BY c_custkey""",
+
+    "q_join_anti" -> """
+      SELECT c_custkey, c_name, c_nationkey::BIGINT AS c_nationkey FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY c_custkey""",
+
+    "q_join_range" -> """
+      SELECT bucket, count(*) AS n_suppliers, round(avg(s_acctbal), 2) AS avg_bal
+      FROM supplier
+      JOIN (VALUES ('negative', -100000.0, 0.0), ('low', 0.0, 2500.0),
+                   ('mid', 2500.0, 5000.0), ('high', 5000.0, 7500.0),
+                   ('top', 7500.0, 100000.0)) t(bucket, lo, hi)
+        ON s_acctbal >= lo AND s_acctbal < hi
+      GROUP BY bucket ORDER BY bucket""",
+
+    "q_join_asof" -> """
+      WITH p AS (SELECT event_id p_id, user_id p_user, ts p_ts FROM events
+                 WHERE event_type = 'purchase'),
+           c AS (SELECT event_id c_id, user_id c_user, ts c_ts FROM events
+                 WHERE event_type = 'click'),
+           j AS (SELECT p_id, p_user, p_ts, c_id, c_ts,
+                   row_number() OVER (PARTITION BY p_id ORDER BY c_ts DESC, c_id DESC) rn
+                 FROM p JOIN c ON p_user = c_user AND c_ts <= p_ts)
+      SELECT p_id, p_user, p_ts, c_id AS asof_click_id, c_ts AS asof_click_ts
+      FROM j WHERE rn = 1 ORDER BY p_id""",
+
+    "q_join_cross" -> """
+      SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name""",
+
+    "q1_pricing_summary" -> """
+      SELECT l_returnflag, l_linestatus,
+        round(sum(l_quantity), 2) AS sum_qty,
+        round(sum(l_extendedprice), 2) AS sum_base_price,
+        round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        round(avg(l_quantity), 2) AS avg_qty,
+        round(avg(l_extendedprice), 2) AS avg_price,
+        round(avg(l_discount), 4) AS avg_disc,
+        count(*) AS count_order
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+      GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+
+    "q_agg_distinct" -> """
+      SELECT l_returnflag,
+        count(DISTINCT l_partkey) AS distinct_parts,
+        count(DISTINCT l_suppkey) AS distinct_supps,
+        round(sum(DISTINCT l_quantity), 2) AS sum_distinct_qty,
+        count(*) AS n_rows
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q_agg_stats" -> """
+      SELECT l_returnflag,
+        round(stddev_samp(l_extendedprice), 2) AS sd_price,
+        round(var_samp(l_quantity), 4) AS var_qty,
+        round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+        round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+        round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q_agg_rollup" -> """
+      SELECT r_name, n_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS sum_bal
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP (r_name, n_name)
+      ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""",
+
+    "q_agg_cube" -> """
+      SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+      FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+
+    "q_agg_grouping_sets" -> """
+      SELECT o_orderstatus, o_orderpriority,
+        CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+        count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority))
+      ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+
+    "q_agg_collect" -> """
+      SELECT r_name, array_to_string(list_sort(list(n_name)), ',') AS nations,
+        count(*) AS n_nations
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name ORDER BY r_name""",
+
+    "q_agg_udaf" -> """
+      SELECT l_returnflag,
+        round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 2) AS wavg_price,
+        count(*) AS n_rows
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q_window_rank" -> """
+      WITH w AS (SELECT o_custkey, o_orderkey, o_totalprice,
+          row_number() OVER win AS rn, rank() OVER win AS rk,
+          dense_rank() OVER win AS drk, ntile(4) OVER win AS quartile
+        FROM orders
+        WINDOW win AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey))
+      SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+        rn, rk, drk, quartile
+      FROM w WHERE rn <= 3 AND o_custkey <= 200 ORDER BY o_custkey, rn""",
+
+    "q_window_analytic" -> """
+      WITH w AS (SELECT user_id, event_id, value,
+          lag(value, 1) OVER win AS prev_value,
+          lead(value, 1) OVER win AS next_value,
+          first_value(value) OVER winf AS fv, last_value(value) OVER winf AS lv
+        FROM events
+        WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id),
+          winf AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+      SELECT user_id, event_id, round(value, 2) AS value,
+        round(coalesce(prev_value, 0), 2) AS prev_value,
+        round(coalesce(next_value, 0), 2) AS next_value,
+        round(fv, 2) AS first_value, round(lv, 2) AS last_value
+      FROM w WHERE user_id <= 20 ORDER BY user_id, event_id""",
+
+    "q_window_frame" -> """
+      WITH w AS (SELECT o_custkey, o_orderkey, o_totalprice,
+          sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend,
+          avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg3
+        FROM orders)
+      SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+        round(running_spend, 2) AS running_spend, round(moving_avg3, 2) AS moving_avg3
+      FROM w WHERE o_custkey <= 50 ORDER BY o_custkey, o_orderkey""",
+
+    "q_sort_multi" -> """
+      SELECT o_orderkey, o_custkey, nullif(o_orderstatus, 'P') AS status_or_null,
+        round(o_totalprice, 2) AS total_price
+      FROM orders WHERE o_orderkey <= 2000
+      ORDER BY status_or_null NULLS FIRST, total_price DESC, o_orderkey""",
+
+    "q_topk" -> """
+      SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber,
+        round(l_extendedprice, 2) AS price
+      FROM lineitem ORDER BY price DESC, l_orderkey, l_linenumber LIMIT 10""",
+
+    "q_union" -> """
+      SELECT user_id AS active_user FROM events WHERE event_type = 'click'
+      UNION
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+      ORDER BY active_user""",
+
+    "q_intersect" -> """
+      SELECT user_id FROM events WHERE event_type = 'click'
+      INTERSECT
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+      ORDER BY user_id""",
+
+    "q_except" -> """
+      SELECT user_id FROM events WHERE event_type = 'click'
+      EXCEPT
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+      ORDER BY user_id""",
+
+    "q_string_funcs" -> """
+      SELECT p_partkey, upper(p_name) AS name_upper, length(p_name)::BIGINT AS name_len,
+        substr(p_name, 1, 5) AS name_pre,
+        regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+        replace(p_name, ' ', '_') AS name_snake,
+        p_brand || '-' || p_type AS brand_type,
+        trim('  ' || p_name || '  ') AS name_trim,
+        len(string_split(p_name, ' '))::BIGINT AS n_words
+      FROM part ORDER BY p_partkey""",
+
+    "q_date_funcs" -> """
+      SELECT o_orderkey, year(o_orderdate)::BIGINT AS y, month(o_orderdate)::BIGINT AS m,
+        day(o_orderdate)::BIGINT AS dom,
+        date_trunc('month', o_orderdate) AS month_start,
+        date_diff('day', o_orderdate::DATE, DATE '2002-01-01')::BIGINT AS days_to_2002,
+        o_orderdate + INTERVAL 90 DAY AS due_ts
+      FROM orders WHERE o_orderkey <= 3000 ORDER BY o_orderkey""",
+
+    "q_math_funcs" -> """
+      SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber,
+        round(sqrt(l_extendedprice), 6) AS sqrt_price,
+        round(ln(l_extendedprice), 6) AS ln_price,
+        round(pow(1 + l_discount, 2), 6) AS pow_disc,
+        ceil(l_extendedprice)::BIGINT AS ceil_price,
+        floor(l_extendedprice)::BIGINT AS floor_price,
+        round(abs(l_discount - 0.05), 4) AS abs_disc_diff,
+        l_orderkey % 7 AS mod7
+      FROM lineitem WHERE l_orderkey <= 500 ORDER BY l_orderkey, l_linenumber""",
+
+    "q_array_funcs" -> """
+      SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens,
+        list_contains(string_split(text, ' '), 'spark') AS has_spark,
+        array_to_string(list_sort(string_split(text, ' '))[1:3], ' ') AS first3_sorted,
+        len(list_filter(string_split(text, ' '), t -> strlen(t) > 4))::BIGINT AS n_long_tokens,
+        list_sum(list_transform(string_split(text, ' '), t -> strlen(t)))::BIGINT AS total_token_chars
+      FROM documents ORDER BY doc_id""",
+
+    "q_map_json" -> """
+      SELECT event_type,
+        sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+        count(CASE WHEN json_extract_string(props, '$.k')::BIGINT > 50 THEN 1 END) AS n_k_gt_50,
+        min(json_extract_string(props, '$.k')::BIGINT) AS min_k,
+        max(json_extract_string(props, '$.k')::BIGINT) AS max_k
+      FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q_null_case" -> """
+      SELECT o_orderkey,
+        coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status2,
+        CASE WHEN o_totalprice > 300000 THEN 'big'
+             WHEN o_totalprice > 100000 THEN 'mid' ELSE 'small' END AS price_band,
+        CASE WHEN o_orderpriority LIKE '1%' THEN 'urgent' ELSE 'normal' END AS urgency
+      FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""",
+
+    "q_dedup_exact" -> """
+      SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type""",
+
+    "q_dedup_first_wins" -> """
+      WITH w AS (SELECT user_id, event_type, event_id, ts, value,
+          row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) rn
+        FROM events)
+      SELECT user_id, event_type, event_id AS first_event_id, ts AS first_ts,
+        round(value, 2) AS first_value
+      FROM w WHERE rn = 1 ORDER BY user_id, event_type""",
+
+    "q_dedup_windowed" -> """
+      WITH w AS (SELECT event_type, user_id,
+          row_number() OVER (PARTITION BY user_id, event_type, date_trunc('hour', ts)
+                             ORDER BY ts, event_id) rn
+        FROM events)
+      SELECT event_type, count(*) AS n_survivors, count(DISTINCT user_id) AS n_users
+      FROM w WHERE rn = 1 GROUP BY event_type ORDER BY event_type""",
+
+    "q_dedup_docs" -> """
+      SELECT lang, count(*) AS n_docs, count(DISTINCT text) AS n_distinct_texts,
+        (count(*) - count(DISTINCT text))::BIGINT AS n_dup_docs
+      FROM documents GROUP BY lang ORDER BY lang""",
+
+    "q_neardup_pairs" -> """
+      WITH docs AS (SELECT doc_id, lang, CAST(n_chars // 64 AS BIGINT) lb,
+          list_distinct(string_split(text, ' ')) toks FROM documents),
+        pairs AS (SELECT a.doc_id doc_a, b.doc_id doc_b,
+          round(len(list_intersect(a.toks, b.toks)) * 1.0 /
+                len(list_distinct(list_concat(a.toks, b.toks))), 6) jaccard
+        FROM docs a JOIN docs b
+          ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.9
+      ORDER BY doc_a, doc_b""",
+
+    "q_cosine_topk" -> """
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        sims AS (SELECT vec_id,
+          round(list_dot_product(v, qv) /
+                (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
+        FROM e, q WHERE vec_id <> 0)
+      SELECT vec_id, cos_sim FROM sims ORDER BY cos_sim DESC, vec_id LIMIT 10""",
+
+    "q_similarity_join" -> """
+      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
+        pairs AS (SELECT a.vec_id vec_a, b.vec_id vec_b, CAST(a.label AS BIGINT) AS label,
+          round(list_dot_product(a.v, b.v) /
+                (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) cos_sim
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+      SELECT vec_a, vec_b, label, cos_sim FROM pairs WHERE cos_sim >= 0.4
+      ORDER BY vec_a, vec_b""",
+
+    "q_vector_norm" -> """
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        n AS (SELECT vec_id, sqrt(list_dot_product(v, v)) l2, v[1] f FROM e)
+      SELECT vec_id, round(l2, 6) AS l2_norm, round(f / l2, 6) AS first_component
+      FROM n ORDER BY vec_id""",
+
+    "q_text_stats" -> """
+      SELECT lang, count(*) AS n_docs, round(avg(n_chars), 2) AS avg_chars,
+        round(avg(len(string_split(text, ' '))), 2) AS avg_tokens
+      FROM documents GROUP BY lang ORDER BY lang""",
+
+    "q_token_topk" -> """
+      SELECT token, count(*) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      GROUP BY token ORDER BY cnt DESC, token LIMIT 20""",
+
+    "q_text_quality" -> """
+      WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') toks FROM documents),
+        q AS (SELECT doc_id, n_chars, len(toks)::DOUBLE n_tokens,
+          len(list_filter(toks, x -> x IN ('the','a','of','and')))::DOUBLE n_stop,
+          len(list_distinct(toks))::DOUBLE n_uniq FROM t)
+      SELECT doc_id, n_tokens::BIGINT AS n_tokens,
+        round(n_chars / n_tokens, 4) AS avg_token_len,
+        round(n_stop / n_tokens, 4) AS stopword_ratio,
+        round(n_uniq / n_tokens, 4) AS lexical_diversity,
+        round(least(n_tokens / 100.0, 1.0) * (1.0 - n_stop / n_tokens), 4) AS quality_score
+      FROM q ORDER BY doc_id""",
+
+    "q_lang_id" -> """
+      WITH g AS (SELECT lang,
+          CASE WHEN contains(' ' || text || ' ', ' der ') OR contains(' ' || text || ' ', ' und ')
+                 OR contains(' ' || text || ' ', ' die ') THEN 'de'
+               WHEN contains(' ' || text || ' ', ' le ') OR contains(' ' || text || ' ', ' et ')
+                 OR contains(' ' || text || ' ', ' la ') THEN 'fr'
+               WHEN contains(' ' || text || ' ', ' el ') OR contains(' ' || text || ' ', ' los ')
+                 OR contains(' ' || text || ' ', ' es ') THEN 'es'
+               ELSE 'en' END guess
+        FROM documents)
+      SELECT lang, guess, count(*) AS n FROM g GROUP BY lang, guess ORDER BY lang, guess""",
+
+    "q_multimodal_features" -> """
+      SELECT doc_id, octet_length(encode(text))::BIGINT AS blob_len,
+        substr(text, 1, 16) AS head_preview, lang
+      FROM documents ORDER BY doc_id""",
+
+    "q_tumbling_window" -> """
+      SELECT date_trunc('hour', ts) AS window_start, event_type,
+        count(*) AS n, round(sum(value), 2) AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
+
+    "q_sliding_window" -> """
+      WITH ex AS (SELECT time_bucket(INTERVAL '15 minutes', ts) - INTERVAL (k * 15) MINUTE AS window_start,
+          event_type, value
+        FROM events, range(4) t(k))
+      SELECT window_start, event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+      FROM ex GROUP BY 1, 2 ORDER BY window_start, event_type""",
+
+    "q_sessionize" -> """
+      WITH l AS (SELECT user_id, event_id, ts, value,
+          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) prev_ts
+        FROM events),
+        f AS (SELECT user_id, event_id, ts, value,
+          CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL '30 minutes' THEN 1 ELSE 0 END new_session
+        FROM l),
+        s AS (SELECT user_id, ts, value,
+          sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) session_id
+        FROM f)
+      SELECT user_id, session_id::BIGINT AS session_id, min(ts) AS session_start,
+        max(ts) AS session_end, count(*) AS n_events, round(sum(value), 2) AS sum_value
+      FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id"""
+  )
+}

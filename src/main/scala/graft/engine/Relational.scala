@@ -1,0 +1,423 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational core: scans, filters, projections, aggregation (SURVEY.md
+  * §2.B P1). Every query is a deterministic function of the data: floating
+  * aggregates are rounded (G2), outputs carry a total order (G4), and
+  * column aliases match the DuckDB oracle exactly.
+  */
+object Relational {
+  import Tables._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Parquet scan + column pruning + pushdown filter. At 100 TB the WHERE
+    * and SELECT both reach the parquet reader (PushedFilters / ReadSchema)
+    * so only 4 columns and matching row groups are read.
+    */
+  val qScanProject: Q = (s, d) =>
+    lineitem(s, d)
+      .where(col("l_quantity") >= 45 && col("l_shipdate") >= lit("2000-06-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_quantity"), col("l_shipdate"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Compound predicates: AND/OR/NOT, IN, BETWEEN, LIKE, IS NULL, CASE. */
+  val qFilterPredicates: Q = (s, d) =>
+    part(s, d)
+      .where(
+        col("p_type").isin("STANDARD", "ECONOMY", "PROMO") &&
+        col("p_size").between(10, 40) &&
+        col("p_name").like("%a%") &&
+        !(col("p_brand") === "Brand#99") &&
+        col("p_retailprice").isNotNull)
+      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"),
+        col("p_size").cast("long").as("p_size"),
+        when(col("p_retailprice") > 1500, "premium")
+          .when(col("p_retailprice") > 800, "mid")
+          .otherwise("budget").as("price_band"))
+      .orderBy("p_partkey")
+
+  /** Computed columns, aliasing, casts. */
+  val qProjectExpr: Q = (s, d) =>
+    lineitem(s, d)
+      .where(col("l_orderkey") % 100 === 0)
+      .select(
+        col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        // exact decimal width of the product (2dp × 2dp → 4dp; × 2dp → 6dp):
+        // rounding at full precision is an identity in both engines, so no
+        // cross-engine tie-breaking can disagree (SURVEY.md G2).
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("net_price"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 6).as("charged"),
+        col("l_quantity").cast("long").as("qty_int"),
+        concat(col("l_returnflag"), lit("/"), col("l_linestatus")).as("flag_status"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  // ---------------------------------------------------------------- joins
+
+  /** TPC-H Q3 shape: 3-way equi join + agg + top-10. customer is a dim
+    * (broadcast naturally under the 10 MB threshold); orders⋈lineitem is the
+    * fact-fact sort-merge at scale. Top-k via orderBy+limit plans as
+    * TakeOrderedAndProject — no global sort of the full result.
+    */
+  val q3JoinTopk: Q = (s, d) => {
+    val c = customer(s, d).where(col("c_mktsegment") === "BUILDING")
+    val o = orders(s, d).where(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val l = lineitem(s, d)
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(desc("revenue"), asc("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape: 5-way star join (c⋈o⋈l⋈s⋈n⋈r) with the compound
+    * c_nationkey = s_nationkey condition. All dims broadcast; lineitem is
+    * the only shuffled side at scale.
+    */
+  val q5FiveWayJoin: Q = (s, d) => {
+    val c = customer(s, d); val o = orders(s, d); val l = lineitem(s, d)
+    val su = supplier(s, d); val n = nation(s, d); val r = region(s, d)
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .join(su, col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(n, col("s_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** Left + full outer join with null-extension: per-customer 1995 vs 1996
+    * order counts (full outer), re-attached to customer (left outer).
+    */
+  val qJoinOuter: Q = (s, d) => {
+    val o = orders(s, d)
+    def yearCnt(y: Int, alias: String) =
+      o.where(year(col("o_orderdate")) === y)
+        .groupBy(col("o_custkey").as(s"k$y"))
+        .agg(count(lit(1)).as(alias))
+    val full = yearCnt(1995, "cnt95").join(yearCnt(1996, "cnt96"),
+      col("k1995") === col("k1996"), "full")
+      .select(coalesce(col("k1995"), col("k1996")).as("custkey"),
+        col("cnt95"), col("cnt96"))
+    customer(s, d)
+      .join(full, col("c_custkey") === col("custkey"), "left")
+      .select(col("c_custkey"),
+        coalesce(col("cnt95"), lit(0L)).as("orders_1995"),
+        coalesce(col("cnt96"), lit(0L)).as("orders_1996"))
+      .where(col("c_custkey") <= 500)
+      .orderBy("c_custkey")
+  }
+
+  /** Semi join (EXISTS): customers having at least one big order. */
+  val qJoinSemi: Q = (s, d) => {
+    val big = orders(s, d).where(col("o_totalprice") > 100000)
+    customer(s, d)
+      .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+  }
+
+  /** Anti join (NOT EXISTS): customers with no orders at all. */
+  val qJoinAnti: Q = (s, d) =>
+    customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey").cast("long").as("c_nationkey"))
+      .orderBy("c_custkey")
+
+  /** Theta/range join (non-equi): suppliers bucketed by account balance
+    * against an inline bucket table. Plans as broadcast-nested-loop with the
+    * 5-row side broadcast — the right shape for a bounded dim at any scale.
+    */
+  val qJoinRange: Q = (s, d) => {
+    val buckets = s.createDataFrame(Seq(
+      ("negative", -100000.0, 0.0),
+      ("low", 0.0, 2500.0),
+      ("mid", 2500.0, 5000.0),
+      ("high", 5000.0, 7500.0),
+      ("top", 7500.0, 100000.0)
+    )).toDF("bucket", "lo", "hi")
+    supplier(s, d)
+      .join(broadcast(buckets), col("s_acctbal") >= col("lo") && col("s_acctbal") < col("hi"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_suppliers"), round(avg(col("s_acctbal")), 2).as("avg_bal"))
+      .orderBy("bucket")
+  }
+
+  /** As-of join: for each purchase event, the user's latest prior-or-equal
+    * click. Expressed as candidate range join + row_number()=1 — the
+    * relational form that both engines share. At 100 TB: repartition both
+    * sides by user_id and sort within partitions; candidates stay per-key.
+    */
+  val qJoinAsof: Q = (s, d) => {
+    val e = events(s, d)
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val clicks = e.where(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("p_id")).orderBy(desc("c_ts"), desc("c_id"))
+    purchases
+      .join(clicks, col("p_user") === col("c_user") && col("c_ts") <= col("p_ts"), "inner")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("p_id"), col("p_user"), col("p_ts"),
+        col("c_id").as("asof_click_id"), col("c_ts").as("asof_click_ts"))
+      .orderBy("p_id")
+  }
+
+  /** Cartesian product (tiny dims only): region × nation. */
+  val qJoinCross: Q = (s, d) =>
+    region(s, d).select(col("r_name"))
+      .crossJoin(nation(s, d).select(col("n_name")))
+      .orderBy("r_name", "n_name")
+
+  // ---------------------------------------------------------- aggregation
+
+  /** TPC-H Q1 — the flagship: two-phase hash aggregation with partial
+    * (map-side) combine; group-by keys are low-cardinality so the shuffle
+    * moves only #groups × #partitions rows at any scale.
+    */
+  val q1PricingSummary: Q = (s, d) =>
+    lineitem(s, d)
+      .where(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 2).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 2).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** COUNT(DISTINCT) + SUM(DISTINCT): expand + two-phase aggregate. */
+  val qAggDistinct: Q = (s, d) =>
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("distinct_parts"),
+        countDistinct(col("l_suppkey")).as("distinct_supps"),
+        round(sum_distinct(col("l_quantity")), 2).as("sum_distinct_qty"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  /** Statistical aggregates: stddev/variance/corr/covar + exact percentile. */
+  val qAggStats: Q = (s, d) =>
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(stddev_samp(col("l_extendedprice")), 2).as("sd_price"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("covar_qty_price"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"))
+      .orderBy("l_returnflag")
+
+  /** ROLLUP hierarchy totals: region → nation customer counts. */
+  val qAggRollup: Q = (s, d) =>
+    customer(s, d)
+      .join(nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .join(region(s, d), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"), round(sum(col("c_acctbal")), 2).as("sum_bal"))
+      .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+
+  /** CUBE over two dims. */
+  val qAggCube: Q = (s, d) =>
+    lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  /** Explicit GROUPING SETS + grouping() marker. */
+  val qAggGroupingSets: Q = (s, d) => {
+    orders(s, d).createOrReplaceTempView("orders_gs")
+    s.sql("""
+      SELECT o_orderstatus, o_orderpriority,
+             CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+             COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS sum_price
+      FROM orders_gs
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority))
+      ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """)
+  }
+
+  /** Ordered collect per group, emitted as a joined string (deterministic
+    * and hash-stable across engines; the array form is `array_sort(
+    * collect_list(...))`).
+    */
+  val qAggCollect: Q = (s, d) =>
+    nation(s, d)
+      .join(region(s, d), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"),
+        count(lit(1)).as("n_nations"))
+      .orderBy("r_name")
+
+  /** Approximate distinct (HLL++). No oracle — sketch values are
+    * engine-specific; the spec asserts ±5% of exact instead.
+    */
+  val qAggApprox: Q = (s, d) =>
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+      .orderBy("l_returnflag")
+
+  /** Custom typed aggregation (Aggregator[IN,BUF,OUT] via udaf):
+    * quantity-weighted average price. Two-phase like native aggregates.
+    */
+  val qAggUdaf: Q = (s, d) => {
+    val wavg = udaf(graft.functions.WeightedAvg)
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(wavg(col("l_extendedprice"), col("l_quantity")), 2).as("wavg_price"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+  }
+
+  // -------------------------------------------------------------- windows
+
+  /** Ranking window functions: top-3 orders per customer. */
+  val qWindowRank: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey")).orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("rk", rank().over(w))
+      .withColumn("drk", dense_rank().over(w))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .where(col("rn") <= 3 && col("o_custkey") <= 200)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"),
+        col("rn").cast("long").as("rn"), col("rk").cast("long").as("rk"),
+        col("drk").cast("long").as("drk"), col("quartile"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Analytic window functions: lag/lead/first/last per user over time. */
+  val qWindowAnalytic: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(asc("ts"), asc("event_id"))
+    val wf = w.rowsBetween(Long.MinValue, Long.MaxValue)
+    events(s, d)
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .withColumn("next_value", lead(col("value"), 1).over(w))
+      .withColumn("first_value", first(col("value")).over(wf))
+      .withColumn("last_value", last(col("value")).over(wf))
+      .where(col("user_id") <= 20)
+      .select(col("user_id"), col("event_id"),
+        round(col("value"), 2).as("value"),
+        round(coalesce(col("prev_value"), lit(0.0)), 2).as("prev_value"),
+        round(coalesce(col("next_value"), lit(0.0)), 2).as("next_value"),
+        round(col("first_value"), 2).as("first_value"),
+        round(col("last_value"), 2).as("last_value"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Frame specs: running sum (unbounded→current) and 3-row moving average. */
+  val qWindowFrame: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey")).orderBy(asc("o_orderdate"), asc("o_orderkey"))
+    orders(s, d)
+      .withColumn("running_spend", sum(col("o_totalprice")).over(w.rowsBetween(Long.MinValue, 0)))
+      .withColumn("moving_avg3", avg(col("o_totalprice")).over(w.rowsBetween(-2, 0)))
+      .where(col("o_custkey") <= 50)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"),
+        round(col("running_spend"), 2).as("running_spend"),
+        round(col("moving_avg3"), 2).as("moving_avg3"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  // --------------------------------------------------------- sort / limit
+
+  /** Multi-column sort with mixed direction and explicit nulls ordering
+    * (nulls manufactured via nullif — fixtures are null-free).
+    */
+  val qSortMulti: Q = (s, d) =>
+    orders(s, d)
+      .where(col("o_orderkey") <= 2000)
+      .select(col("o_orderkey"), col("o_custkey"),
+        nullif(col("o_orderstatus"), lit("P")).as("status_or_null"),
+        round(col("o_totalprice"), 2).as("total_price"))
+      .orderBy(asc_nulls_first("status_or_null"), desc("total_price"), asc("o_orderkey"))
+
+  /** Global top-k → TakeOrderedAndProject (no full sort at scale). */
+  val qTopk: Q = (s, d) =>
+    lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        round(col("l_extendedprice"), 2).as("price"))
+      .orderBy(desc("price"), asc("l_orderkey"), asc("l_linenumber"))
+      .limit(10)
+
+  // ------------------------------------------------------------- set ops
+
+  /** UNION ALL + UNION DISTINCT of two event slices. */
+  val qUnion: Q = (s, d) => {
+    val e = events(s, d)
+    val a = e.where(col("event_type") === "click").select(col("user_id"))
+    val b = e.where(col("event_type") === "purchase").select(col("user_id"))
+    a.union(b).distinct()
+      .withColumnRenamed("user_id", "active_user")
+      .orderBy("active_user")
+  }
+
+  /** INTERSECT: users who both clicked and purchased. */
+  val qIntersect: Q = (s, d) => {
+    val e = events(s, d)
+    e.where(col("event_type") === "click").select(col("user_id"))
+      .intersect(e.where(col("event_type") === "purchase").select(col("user_id")))
+      .orderBy("user_id")
+  }
+
+  /** EXCEPT: users who clicked but never purchased. */
+  val qExcept: Q = (s, d) => {
+    val e = events(s, d)
+    e.where(col("event_type") === "click").select(col("user_id"))
+      .except(e.where(col("event_type") === "purchase").select(col("user_id")))
+      .orderBy("user_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_scan_project" -> qScanProject,
+    "q_filter_predicates" -> qFilterPredicates,
+    "q_project_expr" -> qProjectExpr,
+    "q3_join_topk" -> q3JoinTopk,
+    "q5_5way_join" -> q5FiveWayJoin,
+    "q_join_outer" -> qJoinOuter,
+    "q_join_semi" -> qJoinSemi,
+    "q_join_anti" -> qJoinAnti,
+    "q_join_range" -> qJoinRange,
+    "q_join_asof" -> qJoinAsof,
+    "q_join_cross" -> qJoinCross,
+    "q1_pricing_summary" -> q1PricingSummary,
+    "q_agg_distinct" -> qAggDistinct,
+    "q_agg_stats" -> qAggStats,
+    "q_agg_rollup" -> qAggRollup,
+    "q_agg_cube" -> qAggCube,
+    "q_agg_grouping_sets" -> qAggGroupingSets,
+    "q_agg_collect" -> qAggCollect,
+    "q_agg_approx" -> qAggApprox,
+    "q_agg_udaf" -> qAggUdaf,
+    "q_window_rank" -> qWindowRank,
+    "q_window_analytic" -> qWindowAnalytic,
+    "q_window_frame" -> qWindowFrame,
+    "q_sort_multi" -> qSortMulti,
+    "q_topk" -> qTopk,
+    "q_union" -> qUnion,
+    "q_intersect" -> qIntersect,
+    "q_except" -> qExcept
+  )
+}

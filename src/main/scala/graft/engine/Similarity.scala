@@ -1,0 +1,74 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Vector similarity over the embeddings table (LLM-pipeline closure).
+  *
+  * The dot product is expressed with higher-order functions
+  * (`zip_with` + `aggregate`), which fold left-to-right — the same
+  * sequential order DuckDB's list functions use, so double arithmetic is
+  * bit-identical across engines before rounding.
+  *
+  * Scale notes (100 TB): brute-force top-k broadcasts the single query
+  * vector — a map-only scan, no shuffle, embarrassingly parallel. The
+  * all-pairs join is blocked by `label` (stand-in for an IVF/LSH bucket):
+  * pair space is Σ bucket² instead of n², and the join shuffles on the
+  * bucket key only.
+  */
+object Similarity {
+  import Tables._
+  type Q = (SparkSession, String) => DataFrame
+
+  /** embedding (float) → double array (G3). */
+  private def vec(c: Column): Column = transform(c, x => x.cast("double"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Exact brute-force cosine top-10 neighbors of vec_id=0. */
+  val qCosineTopk: Q = (s, d) => {
+    val e = embeddings(s, d).select(col("vec_id"), vec(col("embedding")).as("v"))
+    val q = e.where(col("vec_id") === 0).select(col("v").as("qv"))
+    e.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= 0)
+      .select(col("vec_id"), round(cosine(col("v"), col("qv")), 6).as("cos_sim"))
+      .orderBy(desc("cos_sim"), asc("vec_id"))
+      .limit(10)
+  }
+
+  /** All-pairs similarity join (cos ≥ τ) within label blocks. */
+  val qSimilarityJoin: Q = (s, d) => {
+    val e = embeddings(s, d)
+      .select(col("vec_id"), col("label"), vec(col("embedding")).as("v"))
+    val a = e.select(col("vec_id").as("vec_a"), col("label").as("label_a"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("vec_b"), col("label").as("label_b"), col("v").as("vb"))
+    a.join(b, col("label_a") === col("label_b") && col("vec_a") < col("vec_b"))
+      .withColumn("cos_sim", round(cosine(col("va"), col("vb")), 6))
+      .where(col("cos_sim") >= 0.4)
+      .select(col("vec_a"), col("vec_b"),
+        col("label_a").cast("long").as("label"), col("cos_sim"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** L2 normalization of the embedding column. Emits the norm and the first
+    * normalized component (scalars hash-match more robustly than arrays).
+    */
+  val qVectorNorm: Q = (s, d) =>
+    embeddings(s, d)
+      .select(col("vec_id"), vec(col("embedding")).as("v"))
+      .withColumn("l2_norm", sqrt(dot(col("v"), col("v"))))
+      .select(col("vec_id"),
+        round(col("l2_norm"), 6).as("l2_norm"),
+        round(element_at(col("v"), 1) / col("l2_norm"), 6).as("first_component"))
+      .orderBy("vec_id")
+
+  val queries: Map[String, Q] = Map(
+    "q_cosine_topk" -> qCosineTopk,
+    "q_similarity_join" -> qSimilarityJoin,
+    "q_vector_norm" -> qVectorNorm
+  )
+}

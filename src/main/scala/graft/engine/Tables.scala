@@ -1,0 +1,54 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Fixture-table loaders for the TPC-H-ish star schema plus the
+  * events/documents/embeddings tables (TESTDATA.md, FIXTURES.md).
+  *
+  * Scale notes (100 TB): every loader is a plain parquet scan — column
+  * pruning and predicate pushdown are applied by Catalyst at the scan, so
+  * callers should select/filter as early as possible and let the optimizer
+  * collapse it into the `FileScan`. No caching, no collect here.
+  *
+  * Reference provenance: the reference checkout is empty (SURVEY.md §0), so
+  * semantics are reconstructed from the Kafka Streams dedup pattern; the
+  * source/sink surface here corresponds to reference ops R1/R4 (SURVEY.md
+  * §2.A).
+  */
+object Tables {
+
+  /** Session confs the engine needs regardless of which harness built the
+    * session. Safe to call repeatedly (runtime-settable SQL confs).
+    */
+  def configure(spark: SparkSession): SparkSession = {
+    // events.ts is parquet TIMESTAMP(NANOS) which Spark rejects by default
+    // (SURVEY.md §7 G1) — read the raw int64 nanos instead.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Deterministic timestamp bytes for the driver's hash compare.
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark
+  }
+
+  /** Load one fixture table. `events.ts` arrives as int64 nanoseconds and is
+    * converted to a microsecond timestamp with integer division (exact; a
+    * double route could round — SURVEY.md G1).
+    */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = configure(spark).read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
+
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame    = table(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}

@@ -1,0 +1,166 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: stats, term
+  * frequency, quality scoring, language-ID heuristic, and 64-bit
+  * fingerprints (SimHash + winnowing rolling hash).
+  *
+  * The fingerprint UDFs are deliberately plain Scala UDFs over a single
+  * string column — one serialization hop, no driver involvement; at 100 TB
+  * they run map-only inside the scan stage. (A codegen'd Catalyst
+  * Expression would shave the hop; see graft.functions.)
+  */
+object TextAnalysis {
+  import Tables._
+  type Q = (SparkSession, String) => DataFrame
+
+  // ------------------------------------------------------------ pure Scala
+
+  /** FNV-1a 64-bit — stable, dependency-free token hash. */
+  def fnv1a64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** SimHash-64 over whitespace tokens: per bit, sum +1/-1 across token
+    * hashes; sign becomes the bit. Near-identical token multisets give
+    * hamming-close signatures.
+    */
+  def simhash64(text: String): Long = {
+    val counts = new Array[Int](64)
+    var start = 0
+    val n = text.length
+    var i = 0
+    while (i <= n) {
+      if (i == n || text.charAt(i) == ' ') {
+        if (i > start) {
+          val h = fnv1a64(text.substring(start, i))
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+            b += 1
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  /** Winnowing-style fingerprint: min polynomial rolling hash over all
+    * k-char windows (k=16). Equal texts ⇒ equal fingerprints; shared long
+    * substrings ⇒ likely-equal fingerprints.
+    */
+  def rollingFingerprint(text: String, k: Int = 16): Long = {
+    if (text.length < k) return fnv1a64(text)
+    val p = 1000000007L
+    var pow = 1L
+    var i = 0
+    while (i < k - 1) { pow *= p; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * p + text.charAt(i); i += 1 }
+    var min = h
+    i = k
+    while (i < text.length) {
+      h = (h - text.charAt(i - k) * pow) * p + text.charAt(i)
+      if (h < min) min = h
+      i += 1
+    }
+    min
+  }
+
+  // -------------------------------------------------------------- queries
+
+  /** Per-language corpus stats. */
+  val qTextStats: Q = (s, d) =>
+    documents(s, d)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("n_chars")), 2).as("avg_chars"),
+        round(avg(col("n_tokens")), 2).as("avg_tokens"))
+      .orderBy("lang")
+
+  /** Term frequency: explode tokens (Spark's Generator), global top-20. */
+  val qTokenTopk: Q = (s, d) =>
+    documents(s, d)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("token"))
+      .limit(20)
+
+  /** Quality scoring: length/token/stopword/diversity ratios + composite. */
+  val qTextQuality: Q = (s, d) => {
+    val toks = split(col("text"), " ")
+    val stop = array(lit("the"), lit("a"), lit("of"), lit("and"))
+    documents(s, d)
+      .withColumn("n_tokens", size(toks).cast("double"))
+      .withColumn("n_stop", size(filter(toks, t => array_contains(stop, t))).cast("double"))
+      .withColumn("n_uniq", size(array_distinct(toks)).cast("double"))
+      .select(
+        col("doc_id"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        round(col("n_chars") / col("n_tokens"), 4).as("avg_token_len"),
+        round(col("n_stop") / col("n_tokens"), 4).as("stopword_ratio"),
+        round(col("n_uniq") / col("n_tokens"), 4).as("lexical_diversity"),
+        round(least(col("n_tokens") / 100.0, lit(1.0)) * (lit(1.0) - col("n_stop") / col("n_tokens")), 4)
+          .as("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  /** Language-ID heuristic: marker-token votes with deterministic
+    * tie-break. (Deliberately SQL-expressible so the oracle can mirror it;
+    * a production n-gram model would be a Catalyst Expression.)
+    */
+  val qLangId: Q = (s, d) => {
+    val t = concat(lit(" "), col("text"), lit(" "))
+    def has(w: String) = t.contains(s" $w ")
+    documents(s, d)
+      .withColumn("guess",
+        when(has("der") || has("und") || has("die"), "de")
+          .when(has("le") || has("et") || has("la"), "fr")
+          .when(has("el") || has("los") || has("es"), "es")
+          .otherwise("en"))
+      .groupBy(col("lang"), col("guess"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "guess")
+  }
+
+  /** Scala UDF surface: simhash64 + rolling fingerprint (no oracle —
+    * hash values are engine-specific; property-tested instead).
+    */
+  val qUdfScalar: Q = (s, d) => {
+    val sim = udf(simhash64 _)
+    documents(s, d)
+      .select(col("doc_id"), sim(col("text")).as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  /** Rolling-hash document fingerprint (no oracle). */
+  val qDocFingerprint: Q = (s, d) => {
+    val fp = udf((t: String) => rollingFingerprint(t))
+    documents(s, d)
+      .select(col("doc_id"), fp(col("text")).as("fingerprint"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_text_stats" -> qTextStats,
+    "q_token_topk" -> qTokenTopk,
+    "q_text_quality" -> qTextQuality,
+    "q_lang_id" -> qLangId,
+    "q_udf_scalar" -> qUdfScalar,
+    "q_doc_fingerprint" -> qDocFingerprint
+  )
+}
