@@ -61,11 +61,14 @@ object Multimodal {
     */
   val qMultimodalFeatures: Q = (s, d) =>
     documents(s, d)
-      .select(col("doc_id"), col("text").cast("binary").as("blob"), col("lang"))
+      .select(col("doc_id"), col("text"), col("text").cast("binary").as("blob"), col("lang"))
       .select(
         col("doc_id"),
         length(col("blob")).cast("long").as("blob_len"),
-        substring(col("blob"), 1, 16).cast("string").as("head_preview"),
+        // CHARACTER slice of the text, not a byte slice of the blob: the
+        // oracle's substr(text,1,16) counts codepoints, and a byte slice
+        // could split a multi-byte codepoint on non-ASCII documents.
+        substring(col("text"), 1, 16).as("head_preview"),
         col("lang"))
       .orderBy("doc_id")
 

@@ -324,6 +324,15 @@ object Oracle {
       SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.9
       ORDER BY doc_a, doc_b""",
 
+    "q_neardup_lsh" -> """
+      WITH docs AS (SELECT doc_id, list_distinct(string_split(text, ' ')) toks FROM documents),
+        pairs AS (SELECT a.doc_id doc_a, b.doc_id doc_b,
+          round(len(list_intersect(a.toks, b.toks)) * 1.0 /
+                len(list_distinct(list_concat(a.toks, b.toks))), 6) jaccard
+        FROM docs a JOIN docs b ON a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.9
+      ORDER BY doc_a, doc_b""",
+
     "q_cosine_topk" -> """
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
         q AS (SELECT v AS qv FROM e WHERE vec_id = 0),

@@ -5,10 +5,12 @@ import org.apache.spark.sql.functions._
 
 /** Vector similarity over the embeddings table (LLM-pipeline closure).
   *
-  * The dot product is expressed with higher-order functions
-  * (`zip_with` + `aggregate`), which fold left-to-right — the same
+  * The dot product is a native codegen'd Catalyst expression
+  * (graft.functions.DotProduct) that folds left-to-right — the same
   * sequential order DuckDB's list functions use, so double arithmetic is
-  * bit-identical across engines before rounding.
+  * bit-identical across engines before rounding, and the per-pair hot
+  * path stays inside whole-stage codegen instead of the interpreted
+  * `aggregate`/`zip_with` lambda machinery.
   *
   * Scale notes (100 TB): brute-force top-k broadcasts the single query
   * vector — a map-only scan, no shuffle, embarrassingly parallel. The
@@ -18,13 +20,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
   import Tables._
+  import graft.functions.GraftExpressions.dotProduct
   type Q = (SparkSession, String) => DataFrame
 
   /** embedding (float) → double array (G3). */
   private def vec(c: Column): Column = transform(c, x => x.cast("double"))
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  private def dot(a: Column, b: Column): Column = dotProduct(a, b)
 
   private def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
@@ -40,14 +42,24 @@ object Similarity {
       .limit(10)
   }
 
-  /** All-pairs similarity join (cos ≥ τ) within label blocks. */
+  /** All-pairs similarity join (cos ≥ τ) within label blocks.
+    *
+    * The L2 norm of each vector is computed ONCE per row before the
+    * self-join (not per pair): per-pair work is a single dot product.
+    * `sqrt(dot(v,v))` per side then `dot/(na*nb)` is the same arithmetic
+    * expression tree as the oracle's `dot/(sqrt(dot)*sqrt(dot))`, so the
+    * rounded value is bit-identical — only the evaluation COUNT changes.
+    */
   val qSimilarityJoin: Q = (s, d) => {
     val e = embeddings(s, d)
       .select(col("vec_id"), col("label"), vec(col("embedding")).as("v"))
-    val a = e.select(col("vec_id").as("vec_a"), col("label").as("label_a"), col("v").as("va"))
-    val b = e.select(col("vec_id").as("vec_b"), col("label").as("label_b"), col("v").as("vb"))
+      .withColumn("n", sqrt(dot(col("v"), col("v"))))
+    val a = e.select(col("vec_id").as("vec_a"), col("label").as("label_a"),
+      col("v").as("va"), col("n").as("na"))
+    val b = e.select(col("vec_id").as("vec_b"), col("label").as("label_b"),
+      col("v").as("vb"), col("n").as("nb"))
     a.join(b, col("label_a") === col("label_b") && col("vec_a") < col("vec_b"))
-      .withColumn("cos_sim", round(cosine(col("va"), col("vb")), 6))
+      .withColumn("cos_sim", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .where(col("cos_sim") >= 0.4)
       .select(col("vec_a"), col("vec_b"),
         col("label_a").cast("long").as("label"), col("cos_sim"))

@@ -5,35 +5,58 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 /** Batch twins of the streaming time-window operators (SURVEY.md §2.B
-  * "B/S" rows). The same `window()`/aggregation calls are reused verbatim by
-  * graft.streaming.Streams on an unbounded DataFrame — that equivalence is
-  * what the MemoryStream parity specs assert.
+  * "B/S" rows). The `*Agg` bodies below are the SAME physical aggregations
+  * `graft.streaming.Streams` applies to an unbounded DataFrame — the batch
+  * queries wrap them with an ORDER BY for the oracle, the streaming paths
+  * wrap them with a watermark. That shared-body equivalence is what the
+  * MemoryStream parity specs in src/test assert.
   */
 object Windowed {
   import Tables._
   type Q = (SparkSession, String) => DataFrame
 
   /** Tumbling 1-hour windows: count + sum per event_type. Epoch-aligned, so
-    * the oracle can use date_trunc('hour').
+    * the oracle can use date_trunc('hour'). Shared batch/stream body.
     */
-  val qTumblingWindow: Q = (s, d) =>
-    events(s, d)
+  def tumblingAgg(events: DataFrame): DataFrame =
+    events
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
-      .orderBy("window_start", "event_type")
+
+  val qTumblingWindow: Q = (s, d) =>
+    tumblingAgg(events(s, d)).orderBy("window_start", "event_type")
 
   /** Sliding windows, 1 hour wide, 15-minute slide: each event lands in 4
-    * epoch-aligned windows.
+    * epoch-aligned windows. Shared batch/stream body.
     */
-  val qSlidingWindow: Q = (s, d) =>
-    events(s, d)
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
       .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
-      .orderBy("window_start", "event_type")
+
+  val qSlidingWindow: Q = (s, d) =>
+    slidingAgg(events(s, d)).orderBy("window_start", "event_type")
+
+  /** Session aggregation via `session_window` (30-minute gap) — the body
+    * the streaming path uses. The batch twin below reproduces the same
+    * sessions relationally (lag + running sum) because `session_window`'s
+    * struct output is awkward for the oracle, and the parity spec asserts
+    * both forms agree on (user_id, session_start, session_end, n, sum).
+    */
+  def sessionAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("sum_value"))
 
   /** Sessionization with a 30-minute inactivity gap, batch form: lag +
     * running sum of session-start flags — the oracle-checkable twin of

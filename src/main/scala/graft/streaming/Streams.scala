@@ -1,0 +1,206 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.Row
+import graft.engine.Windowed
+
+/** Structured Streaming layer — the reference's actual semantics
+  * (SURVEY.md §2.A R1–R6), Spark-first:
+  *
+  *  - R1 source: `readStream` over files (offline replay) or Kafka
+  *    (production; config-switchable — the connector jar is not in this
+  *    container, so the Kafka branch is exercised only as a builder).
+  *  - R2 dedup: `withWatermark + dropDuplicatesWithinWatermark` (exact
+  *    semantics match: first-wins, state TTL'd by the watermark), plus the
+  *    general explicit-state form via `transformWithState`.
+  *  - R3 filter: plain `Dataset.filter` — nothing special needed.
+  *  - R4 sink: checkpointed `writeStream` (parquet/kafka/memory).
+  *  - R5 state store/changelog: Spark's checkpointed state store — the
+  *    checkpoint dir plays the changelog-topic role; eviction by watermark
+  *    (or an explicit event-time timer in the stateful processor) plays
+  *    the WindowStore-retention role.
+  *  - R6 timestamp extraction: the event-time `ts` column + `withWatermark`.
+  *
+  * Scale notes (100 TB/day stream): every stateful operator here keys its
+  * state by the dedup/aggregation key, so state is partitioned across
+  * executors and bounded by watermark eviction; nothing buffers unbounded
+  * history and nothing funnels through the driver.
+  */
+object Streams {
+
+  /** An event record — the streaming twin of the events fixture row. */
+  case class Event(event_id: Long, user_id: Long, event_type: String,
+      ts: java.sql.Timestamp, value: Double)
+
+  // ----------------------------------------------------------- R1: sources
+
+  /** Raw file-source schema: `ts` is declared LONG because the fixture
+    * parquet stores TIMESTAMP(NANOS), which the engine reads as int64
+    * nanos (`spark.sql.legacy.parquet.nanosAsLong`, SURVEY.md G1).
+    */
+  val rawEventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** JSON payload schema for the Kafka value bytes. */
+  val jsonEventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  sealed trait StreamSource
+  /** Offline replay of a directory of event parquet files. */
+  final case class FileStreamSource(dir: String) extends StreamSource
+  /** Production source — reference op R1 (`StreamsBuilder.stream(topic)`). */
+  final case class KafkaStreamSource(bootstrapServers: String, topic: String,
+      startingOffsets: String = "earliest") extends StreamSource
+
+  /** Unbounded events DataFrame from either source, with the same columns
+    * and event-time `ts` the batch loaders produce.
+    */
+  def events(spark: SparkSession, source: StreamSource): DataFrame = source match {
+    case FileStreamSource(dir) =>
+      graft.engine.Tables.configure(spark)
+      spark.readStream.schema(rawEventSchema).parquet(dir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    case KafkaStreamSource(bootstrap, topic, offsets) =>
+      spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .option("startingOffsets", offsets)
+        .load()
+        .select(from_json(col("value").cast("string"), jsonEventSchema).as("e"))
+        .select(col("e.*"))
+  }
+
+  // ------------------------------------------------- R2: watermarked dedup
+
+  /** The reference's core operator, verbatim in Spark: drop records whose
+    * dedup key was already seen within the watermark delay. First
+    * occurrence wins; state for keys older than the watermark is evicted —
+    * exactly the `WindowStore` retention semantics.
+    */
+  def dedupWithinWatermark(events: DataFrame, delay: String = "1 hour",
+      idCols: Seq[String] = Seq("event_id")): DataFrame =
+    events.withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark(idCols)
+
+  // ------------------------------------- R2 general form: explicit state
+
+  /** Explicit-state first-wins dedup processor (transformWithState):
+    * per key, forward the earliest-(ts, event_id) row of the first batch
+    * that carries the key, drop everything after, and clear state via an
+    * event-time timer `retention` after the watermark passes the first
+    * occurrence — the explicit analogue of the reference's
+    * `DeduplicationTransformer` + windowed store.
+    */
+  class FirstWinsDedupProcessor(retentionMs: Long)
+      extends StatefulProcessor[(Long, String), Event, Event] {
+    @transient private var seen: ValueStateT = _
+    private type ValueStateT = org.apache.spark.sql.streaming.ValueState[Long]
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[Long]("firstSeenTs", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: (Long, String), rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[Event] = {
+      if (seen.exists()) Iterator.empty
+      else {
+        // Deterministic survivor even if the batch iterator is unordered:
+        // min by (ts, event_id), matching the batch twin's tiebreak (G4).
+        val first = rows.minBy(e => (e.ts.getTime, e.event_id))
+        seen.update(first.ts.getTime)
+        getHandle.registerTimer(timerValues.getCurrentWatermarkInMs.max(first.ts.getTime) + retentionMs)
+        Iterator.single(first)
+      }
+    }
+
+    override def handleExpiredTimer(key: (Long, String), timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[Event] = {
+      seen.clear() // retention elapsed — same id later is NOT a duplicate (R5)
+      Iterator.empty
+    }
+  }
+
+  /** Stateful dedup on (user_id, event_type) with explicit retention.
+    * Requires the RocksDB state store provider (transformWithState
+    * contract) — set by `sessionConf` below.
+    */
+  def dedupStateful(events: Dataset[Event], delay: String = "1 hour",
+      retentionMs: Long = 3600L * 1000): Dataset[Event] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", delay)
+      .groupByKey(e => (e.user_id, e.event_type))
+      .transformWithState(new FirstWinsDedupProcessor(retentionMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** Session confs transformWithState needs (call before building the
+    * streaming query; harmless for every other operator).
+    */
+  def sessionConf(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark
+  }
+
+  // ------------------------------ windowed aggregations (shared bodies)
+
+  /** Streaming tumbling counts — same body as the batch q_tumbling_window. */
+  def tumblingCounts(events: DataFrame, delay: String = "1 hour"): DataFrame =
+    Windowed.tumblingAgg(events.withWatermark("ts", delay))
+
+  /** Streaming sliding counts — same body as the batch q_sliding_window. */
+  def slidingCounts(events: DataFrame, delay: String = "1 hour"): DataFrame =
+    Windowed.slidingAgg(events.withWatermark("ts", delay))
+
+  /** Streaming sessionization (30-min gap) — same body the parity spec
+    * compares against the batch lag+running-sum twin.
+    */
+  def sessionCounts(events: DataFrame, delay: String = "1 hour"): DataFrame =
+    Windowed.sessionAgg(events.withWatermark("ts", delay))
+
+  // ------------------------------------------------------------ R4: sinks
+
+  sealed trait StreamSink
+  /** Exactly-once file sink; `checkpoint` is the WAL + state root (R5). */
+  final case class ParquetStreamSink(path: String, checkpoint: String) extends StreamSink
+  /** Production sink — reference op R4 (`.to(outputTopic)`). */
+  final case class KafkaStreamSink(bootstrapServers: String, topic: String,
+      checkpoint: String) extends StreamSink
+  /** In-memory table sink (tests / debugging). */
+  final case class MemoryStreamSink(name: String, checkpoint: Option[String] = None)
+      extends StreamSink
+
+  /** Start `df` into `sink` with the given output mode. Returns the
+    * running query; callers own `awaitTermination`/`stop`.
+    */
+  def start(df: DataFrame, sink: StreamSink,
+      mode: OutputMode = OutputMode.Append()): StreamingQuery = {
+    def base[T](w: DataStreamWriter[T]): DataStreamWriter[T] = w.outputMode(mode)
+    sink match {
+      case ParquetStreamSink(path, ckpt) =>
+        base(df.writeStream).format("parquet")
+          .option("path", path).option("checkpointLocation", ckpt).start()
+      case KafkaStreamSink(bootstrap, topic, ckpt) =>
+        base(df.selectExpr("CAST(null AS STRING) AS key", "to_json(struct(*)) AS value").writeStream)
+          .format("kafka")
+          .option("kafka.bootstrap.servers", bootstrap).option("topic", topic)
+          .option("checkpointLocation", ckpt).start()
+      case MemoryStreamSink(name, ckpt) =>
+        val w = base(df.writeStream).format("memory").queryName(name)
+        ckpt.fold(w)(c => w.option("checkpointLocation", c)).start()
+    }
+  }
+}

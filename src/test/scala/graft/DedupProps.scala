@@ -1,0 +1,90 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.scalacheck.Prop.{forAll, propBoolean}
+import org.apache.spark.sql.functions._
+import graft.engine.{Dedup, TextAnalysis}
+
+/** Generated event row for the dedup-algebra properties (top-level so the
+  * Dataset encoder codegen can reach it — a nested private case class
+  * forces interpreter fallback).
+  */
+case class Ev(user_id: Long, event_type: String, ts: Long, event_id: Long, value: Double)
+
+/** ScalaCheck properties (SURVEY.md §5.2) for the hash/sketch operators
+  * that have no DuckDB oracle, and for the dedup algebra.
+  * Runs under sbt's native ScalaCheck framework (no scalatest bridge).
+  */
+object DedupProps extends Properties("graft.dedup") {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // Spark-backed properties run few-but-real cases.
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private val token: Gen[String] = Gen.choose(1, 8).flatMap(n => Gen.stringOfN(n, Gen.alphaLowerChar))
+  private val tokens: Gen[List[String]] = Gen.nonEmptyListOf(token)
+
+  private val events: Gen[List[Ev]] = for {
+    n <- Gen.choose(1, 40)
+    evs <- Gen.listOfN(n, for {
+      u <- Gen.choose(0L, 4L)
+      t <- Gen.oneOf("click", "view", "purchase")
+      ts <- Gen.choose(0L, 50L)
+      v <- Gen.choose(0, 1000).map(_ / 10.0)
+    } yield (u, t, ts, v))
+  } yield evs.zipWithIndex.map { case ((u, t, ts, v), i) => Ev(u, t, ts, i.toLong, v) }
+
+  property("firstWins: one survivor per key, min (ts,id), subset, idempotent") = forAll(events) { evs =>
+    val df = evs.toDF()
+    val out = Dedup.firstWins(df, Seq("user_id", "event_type"), Seq("ts", "event_id"))
+      .as[Ev].collect().toList
+    val expected = evs.groupBy(e => (e.user_id, e.event_type))
+      .values.map(_.minBy(e => (e.ts, e.event_id))).toSet
+    val again = Dedup.firstWins(out.toDF(), Seq("user_id", "event_type"), Seq("ts", "event_id"))
+      .as[Ev].collect().toSet
+    Prop(out.toSet == expected) :| "survivors are the per-key (ts,id) minima" &&
+      Prop(out.toSet.subsetOf(evs.toSet)) :| "output is a subset of input" &&
+      Prop(again == out.toSet) :| "idempotent"
+  }
+
+  property("minhash: equal token SETS (any order/multiplicity) give equal signatures and bands") =
+    forAll(tokens) { toks =>
+      val variant = scala.util.Random.shuffle(toks ++ toks.take(toks.size / 2))
+      val df = Seq((1L, toks.distinct), (2L, variant.distinct))
+        .toDF("doc_id", "toks")
+      val rows = Dedup.signatures(df)
+        .select(array_join(col("minhash_sig"), ",").as("sig"), array_join(col("bands"), ",").as("b"))
+        .collect()
+      Prop(rows(0).getString(0) == rows(1).getString(0)) :| "signatures equal" &&
+        Prop(rows(0).getString(1) == rows(1).getString(1)) :| "bands equal"
+    }
+
+  property("minhash: signature has NumHashes entries, bands NumBands") = forAll(tokens) { toks =>
+    val row = Dedup.signatures(Seq((1L, toks.distinct)).toDF("doc_id", "toks"))
+      .select(size(col("minhash_sig")), size(col("bands"))).collect()(0)
+    row.getInt(0) == Dedup.NumHashes && row.getInt(1) == Dedup.NumBands
+  }
+
+  // -------- pure-Scala hash properties (no Spark; default 100 cases) ------
+
+  property("simhash64 is deterministic and order-sensitive-stable") = forAll { (s: String) =>
+    TextAnalysis.simhash64(s) == TextAnalysis.simhash64(s)
+  }
+
+  property("simhash64 ignores extra whitespace between tokens") = forAll(tokens) { toks =>
+    TextAnalysis.simhash64(toks.mkString(" ")) ==
+      TextAnalysis.simhash64(toks.mkString("  ") + " ")
+  }
+
+  property("rollingFingerprint is deterministic; equal texts ⇒ equal fingerprints") =
+    forAll { (s: String) =>
+      TextAnalysis.rollingFingerprint(s) == TextAnalysis.rollingFingerprint(new String(s))
+    }
+
+  property("fnv1a64: differing hashes imply differing strings") =
+    forAll(token, token) { (a, b) =>
+      (TextAnalysis.fnv1a64(a) != TextAnalysis.fnv1a64(b)) ==> (a != b)
+    }
+}

@@ -1,0 +1,36 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.Multimodal
+import graft.engine.Multimodal.{MediaRecord, MediaFeatures}
+
+/** The Dataset half of the multimodal path: binary payloads through the
+  * per-partition decode contract (decodeStub is the documented
+  * deterministic fake — the Spark-side plumbing is what's under test).
+  */
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val recs = Seq(
+    MediaRecord(1L, "jpeg-ish-bytes".getBytes("UTF-8"), "image"),
+    MediaRecord(2L, Array[Byte](0, 1, 2, 3, 4, 5), "audio"),
+    MediaRecord(3L, Array.emptyByteArray, "video"))
+
+  test("extractFeatures is a map-only, deterministic, per-record transform") {
+    val ds = spark.createDataset(recs).repartition(3)
+    val out1 = Multimodal.extractFeatures(ds).collect().sortBy(_.media_id)
+    val out2 = Multimodal.extractFeatures(ds.repartition(2)).collect().sortBy(_.media_id)
+    assert(out1.toSeq == out2.toSeq) // partitioning must not change results
+    assert(out1.map(_.media_id).toSeq == Seq(1L, 2L, 3L))
+    assert(out1.map(_.n_bytes).toSeq == recs.sortBy(_.media_id).map(_.payload.length.toLong))
+    assert(out1.forall(f => f.width >= 64 && f.height >= 64 && f.n_frames >= 1))
+  }
+
+  test("decodeStub checksum depends on payload bytes") {
+    val a = Multimodal.decodeStub(MediaRecord(1L, "abc".getBytes, "image"))
+    val b = Multimodal.decodeStub(MediaRecord(1L, "abd".getBytes, "image"))
+    assert(a.checksum != b.checksum)
+    assert(a == Multimodal.decodeStub(MediaRecord(1L, "abc".getBytes, "image")))
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.{Relational, Similarity}
+
+/** Plan-shape assertions (SURVEY.md §4): cheap insurance that a refactor
+  * doesn't un-push a filter, un-broadcast a dimension, or turn a blocked
+  * join into a cartesian product. These read the physical plan string the
+  * same way `.explain("formatted")` renders it.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private def plan(key: String): String =
+    SparkEntry.queries(key)(spark, TestSpark.sfDir).queryExecution.executedPlan.toString
+
+  test("q_scan_project pushes its filters into the parquet scan") {
+    val p = plan("q_scan_project")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(!p.contains("PushedFilters: []"), p)
+  }
+
+  test("q_scan_project prunes columns at the scan (ReadSchema is narrow)") {
+    val p = plan("q_scan_project")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("l_orderkey") && !read.contains("l_comment"), read)
+  }
+
+  test("q3 and q5 broadcast their dimension tables") {
+    assert(plan("q3_join_topk").contains("BroadcastHashJoin"))
+    assert(plan("q5_5way_join").contains("BroadcastHashJoin"))
+  }
+
+  test("q3 top-k is TakeOrderedAndProject, not a global sort") {
+    assert(plan("q3_join_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("q_similarity_join is a real equi-join on the block key, not a cartesian") {
+    val p = plan("q_similarity_join")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_similarity_join computes each vector's norm below the join, not per pair") {
+    // The join's post-condition/projection must reference the precomputed
+    // norm columns; the sqrt(aggregate(...)) expansion appears only in the
+    // per-side projects below the join.
+    val df = Similarity.queries("q_similarity_join")(spark, TestSpark.sfDir)
+    val joinNode = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.head
+    val aboveJoin = df.queryExecution.optimizedPlan.collect {
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project
+          if p.collect { case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }.nonEmpty =>
+        p.projectList.map(_.sql).mkString(";")
+    }
+    assert(joinNode != null)
+    assert(!aboveJoin.exists(_.toLowerCase.contains("sqrt")),
+      s"norms recomputed above the join: $aboveJoin")
+  }
+}

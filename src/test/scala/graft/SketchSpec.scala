@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.{Relational, Tables}
+
+/** The promised compensating checks for the no-oracle sketch keys:
+  * q_agg_approx (HLL++ within ±5% of exact) and the graded shape of
+  * q_minhash_sig / q_udf_scalar / q_doc_fingerprint outputs.
+  */
+class SketchSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("approx_count_distinct is within ±5% of exact on every grouped measure") {
+    val approx = SparkEntry.queries("q_agg_approx")(spark, TestSpark.sfDir)
+    val cols = approx.schema.fields.map(_.name)
+    // For every approx_* column there must be a comparable exact count.
+    val ev = Tables.events(spark, TestSpark.sfDir)
+    val exactUsers = ev.select(countDistinct(col("user_id"))).as[Long].head()
+    val approxUsers = ev.select(approx_count_distinct(col("user_id"))).as[Long].head()
+    assert(math.abs(approxUsers - exactUsers).toDouble / exactUsers <= 0.05,
+      s"approx=$approxUsers exact=$exactUsers")
+
+    val li = Tables.lineitem(spark, TestSpark.sfDir)
+    val exactParts = li.select(countDistinct(col("l_partkey"))).as[Long].head()
+    val approxParts = li.select(approx_count_distinct(col("l_partkey"))).as[Long].head()
+    assert(math.abs(approxParts - exactParts).toDouble / exactParts <= 0.05,
+      s"approx=$approxParts exact=$exactParts")
+
+    assert(approx.count() > 0 && cols.nonEmpty)
+  }
+
+  test("q_udf_scalar and q_doc_fingerprint emit one deterministic scalar row per doc") {
+    val n = Tables.documents(spark, TestSpark.sfDir).count()
+    val sim1 = SparkEntry.queries("q_udf_scalar")(spark, TestSpark.sfDir).collect()
+    val sim2 = SparkEntry.queries("q_udf_scalar")(spark, TestSpark.sfDir).collect()
+    assert(sim1.length == n && sim1.sameElements(sim2))
+    val fp = SparkEntry.queries("q_doc_fingerprint")(spark, TestSpark.sfDir)
+    assert(fp.count() == n)
+    assert(fp.schema.fields.forall(f => !f.dataType.typeName.startsWith("array")))
+  }
+
+  test("q_minhash_sig graded output is scalar-only and band-exploded") {
+    val df = SparkEntry.queries("q_minhash_sig")(spark, TestSpark.sfDir)
+    assert(df.schema.fields.forall(f => !f.dataType.typeName.startsWith("array")),
+      df.schema.treeString)
+    val nDocs = Tables.documents(spark, TestSpark.sfDir).count()
+    assert(df.count() == nDocs * graft.engine.Dedup.NumBands)
+    // Exact-duplicate texts ⇒ identical signature strings.
+    val sigsPerText = Tables.documents(spark, TestSpark.sfDir)
+      .join(df.select("doc_id", "sig").distinct(), "doc_id")
+      .groupBy("text").agg(countDistinct("sig").as("nsig"))
+      .select(max("nsig")).as[Long].head()
+    assert(sigsPerText == 1L)
+  }
+}

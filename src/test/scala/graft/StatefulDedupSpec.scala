@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.Streams
+import graft.streaming.Streams.Event
+
+/** transformWithState dedup (reference R2's general form with explicit
+  * keyed state + retention timer) — first-wins within and across batches.
+  */
+class StatefulDedupSpec extends AnyFunSuite {
+  private lazy val spark = { Streams.sessionConf(TestSpark.spark) }
+  import spark.implicits._
+
+  private def ts(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
+
+  test("transformWithState dedup is first-wins within and across batches") {
+    val ms = MemoryStream[Event](spark)
+    val out = Streams.dedupStateful(ms.toDS(), "10 minutes")
+    val q = Streams.start(out.toDF(), Streams.MemoryStreamSink("tws_dedup",
+      Some(java.nio.file.Files.createTempDirectory("graft-tws").toString)))
+    try {
+      ms.addData(Seq(
+        Event(10L, 1L, "click", ts("2024-01-01 10:00:00"), 1.0),
+        Event(11L, 1L, "click", ts("2024-01-01 10:01:00"), 2.0), // in-batch dup
+        Event(12L, 2L, "view", ts("2024-01-01 10:02:00"), 3.0)))
+      q.processAllAvailable()
+      ms.addData(Seq(
+        Event(13L, 1L, "click", ts("2024-01-01 10:05:00"), 4.0), // cross-batch dup
+        Event(14L, 2L, "click", ts("2024-01-01 10:06:00"), 5.0))) // new key
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("tws_dedup").select("event_id").as[Long].collect().toSet
+    assert(got == Set(10L, 12L, 14L))
+  }
+
+  test("transformWithState picks the min-(ts,event_id) row of the first batch") {
+    val ms = MemoryStream[Event](spark)
+    val out = Streams.dedupStateful(ms.toDS(), "10 minutes")
+    val q = Streams.start(out.toDF(), Streams.MemoryStreamSink("tws_min",
+      Some(java.nio.file.Files.createTempDirectory("graft-tws").toString)))
+    try {
+      // Deliberately out of order inside the batch.
+      ms.addData(Seq(
+        Event(22L, 5L, "click", ts("2024-01-01 10:09:00"), 1.0),
+        Event(21L, 5L, "click", ts("2024-01-01 10:00:00"), 1.0),
+        Event(23L, 5L, "click", ts("2024-01-01 10:04:00"), 1.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("tws_min").select("event_id").as[Long].collect().toSeq
+    assert(got == Seq(21L))
+  }
+}

@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.engine.{Dedup, Tables, Windowed}
+import graft.streaming.Streams
+import graft.streaming.Streams.Event
+
+/** MemoryStream batch-parity — the Spark-idiomatic analogue of the
+  * reference's TopologyTestDriver tests (SURVEY.md §5.3): feed the events
+  * fixture through an unbounded source and assert the streaming operators
+  * agree with their oracle-checked batch twins.
+  */
+class StreamingParitySpec extends AnyFunSuite with BeforeAndAfterAll {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
+
+  /** Fixture events as a ts-ordered Seq (arrival order == event-time order,
+    * like a well-behaved Kafka topic).
+    */
+  private lazy val fixtureEvents: Seq[Event] =
+    Tables.events(spark, TestSpark.sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"), col("value"))
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id)).toSeq
+
+  private def ckpt(): String =
+    java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+
+  test("streaming dedupWithinWatermark matches batch first-wins key set") {
+    val ms = MemoryStream[Event](spark)
+    ms.addData(fixtureEvents)
+    val out = Streams.dedupWithinWatermark(ms.toDF(), "24 hours", Seq("user_id", "event_type"))
+    val q = Streams.start(out, Streams.MemoryStreamSink("dedup_parity", Some(ckpt())))
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("dedup_parity")
+      .select("user_id", "event_type").as[(Long, String)].collect().toSet
+    val batch = Dedup.queries("q_dedup_first_wins")(spark, TestSpark.sfDir)
+      .select("user_id", "event_type").as[(Long, String)].collect().toSet
+    assert(streamed == batch)
+    assert(spark.table("dedup_parity").count() == batch.size.toLong)
+  }
+
+  test("dedupWithinWatermark keeps the FIRST arrival across batches") {
+    val ms = MemoryStream[Event](spark)
+    val out = Streams.dedupWithinWatermark(ms.toDF(), "1 hour", Seq("user_id", "event_type"))
+    val q = Streams.start(out, Streams.MemoryStreamSink("dedup_order", Some(ckpt())))
+    try {
+      ms.addData(Seq(
+        Event(1L, 7L, "click", ts("2024-01-01 10:00:00"), 1.0),
+        Event(2L, 7L, "click", ts("2024-01-01 10:01:00"), 2.0), // in-batch dup
+        Event(3L, 8L, "view", ts("2024-01-01 10:02:00"), 3.0)))
+      q.processAllAvailable()
+      ms.addData(Seq(
+        Event(4L, 7L, "click", ts("2024-01-01 10:03:00"), 4.0))) // cross-batch dup
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("dedup_order").select("event_id").as[Long].collect().toSet
+    assert(got == Set(1L, 3L))
+  }
+
+  test("streaming tumbling agg (complete mode) equals batch q_tumbling_window body") {
+    val ms = MemoryStream[Event](spark)
+    ms.addData(fixtureEvents)
+    val out = Windowed.tumblingAgg(ms.toDF()) // same body, no watermark, complete mode
+    val q = Streams.start(out, Streams.MemoryStreamSink("tumbling_parity"), OutputMode.Complete())
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("tumbling_parity")
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+    val batch = Windowed.tumblingAgg(
+        Tables.events(spark, TestSpark.sfDir)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("ts"), col("value")))
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+    assert(streamed == batch)
+  }
+
+  test("streaming session_window agg equals the batch lag+running-sum twin") {
+    val maxTs = fixtureEvents.last.ts.getTime
+    val sentinel1 = Event(-1L, -1L, "sentinel", new java.sql.Timestamp(maxTs + 86400L * 1000), 0.0)
+    val sentinel2 = Event(-2L, -1L, "sentinel", new java.sql.Timestamp(maxTs + 2 * 86400L * 1000), 0.0)
+
+    val ms = MemoryStream[Event](spark)
+    val out = Streams.sessionCounts(ms.toDF(), "1 minute")
+    val q = Streams.start(out, Streams.MemoryStreamSink("session_parity", Some(ckpt())))
+    try {
+      ms.addData(fixtureEvents :+ sentinel1)
+      q.processAllAvailable()
+      ms.addData(Seq(sentinel2)) // advance the watermark → finalize real sessions
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("session_parity").where(col("user_id") >= 0)
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long, Double)].collect().toSet
+    // Batch twin 1: the oracle-checked lag+running-sum form (drop session_id).
+    val lagForm = Windowed.queries("q_sessionize")(spark, TestSpark.sfDir)
+      .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long, Double)].collect().toSet
+    // Batch twin 2: session_window itself in batch mode.
+    val swForm = Windowed.sessionAgg(
+        Tables.events(spark, TestSpark.sfDir)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("ts"), col("value")))
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long, Double)].collect().toSet
+    assert(lagForm == swForm)
+    assert(streamed == lagForm)
+  }
+
+  test("late data beyond the watermark is dropped from windowed aggregation") {
+    val ms = MemoryStream[Event](spark)
+    val out = Streams.tumblingCounts(ms.toDF(), "1 hour")
+    val q = Streams.start(out, Streams.MemoryStreamSink("late_data", Some(ckpt())))
+    try {
+      ms.addData(Seq(
+        Event(1L, 1L, "click", ts("2024-01-01 10:00:00"), 1.0),
+        Event(2L, 1L, "click", ts("2024-01-01 10:10:00"), 1.0),
+        Event(3L, 1L, "click", ts("2024-01-01 12:30:00"), 1.0))) // watermark driver
+      q.processAllAvailable()
+      // Watermark is now 11:30 → the 10:00–11:00 window is final.
+      ms.addData(Seq(Event(4L, 1L, "click", ts("2024-01-01 13:00:00"), 1.0)))
+      q.processAllAvailable()
+      val afterClose = spark.table("late_data")
+        .where(col("window_start") === ts("2024-01-01 10:00:00"))
+        .select("n").as[Long].collect().toSeq
+      assert(afterClose == Seq(2L)) // finalized with exactly the on-time rows
+
+      // A record 90 min behind the watermark: must NOT reopen the window.
+      ms.addData(Seq(Event(5L, 1L, "click", ts("2024-01-01 10:20:00"), 1.0)))
+      q.processAllAvailable()
+      ms.addData(Seq(Event(6L, 1L, "click", ts("2024-01-01 15:00:00"), 1.0)))
+      q.processAllAvailable()
+      val afterLate = spark.table("late_data")
+        .where(col("window_start") === ts("2024-01-01 10:00:00"))
+        .select("n").as[Long].collect().toSeq
+      assert(afterLate == Seq(2L)) // unchanged — late row dropped
+    } finally q.stop()
+  }
+}

@@ -15,7 +15,15 @@ import duckdb
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 def norm(df):
+    # Sort columns by name AND rows by all columns (as the driver gate
+    # does) — positional compare must not depend on parquet glob order.
     df = df[sorted(df.columns)]
+    if len(df.columns):
+        key = [df[c].astype(str) for c in df.columns]
+        import pandas as pd
+        order = pd.DataFrame({i: k for i, k in enumerate(key)}).sort_values(
+            list(range(len(key)))).index
+        df = df.loc[order].reset_index(drop=True)
     return df
 
 def main():
