@@ -94,9 +94,13 @@ object Dedup {
     val docs = documents(s, d).select(
       col("doc_id"), col("lang"),
       (col("n_chars") / 64).cast("long").as("len_bucket"),
-      array_distinct(split(col("text"), " ")).as("toks"))
-    val a = docs.select(col("doc_id").as("doc_a"), col("lang").as("lang_a"),
-      col("len_bucket").as("lb_a"), col("toks").as("toks_a"), size(col("toks")).as("n_a"))
+      array_sort(array_distinct(split(col("text"), " "))).as("toks"))
+    // Round-robin repartition of the pair-generating side: a single-file
+    // scan is one partition, and with the other side broadcast the whole
+    // O(pairs) stage would otherwise run in one task.
+    val a = docs.repartition(s.sessionState.conf.numShufflePartitions)
+      .select(col("doc_id").as("doc_a"), col("lang").as("lang_a"),
+        col("len_bucket").as("lb_a"), col("toks").as("toks_a"), size(col("toks")).as("n_a"))
     val b = docs.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
       col("len_bucket").as("lb_b"), col("toks").as("toks_b"), size(col("toks")).as("n_b"))
     a.join(b, col("lang_a") === col("lang_b") && col("lb_a") === col("lb_b") &&
@@ -140,7 +144,8 @@ object Dedup {
   /** (doc_id, toks, minhash_sig, bands) for the documents fixture. */
   private[graft] def minhashBands(s: SparkSession, d: String): DataFrame =
     signatures(documents(s, d)
-      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks")))
+      .select(col("doc_id"),
+        array_sort(array_distinct(split(col("text"), " "))).as("toks")))
 
   /** Graded surface: one row per (doc, band) with scalar columns only —
     * the harness's rows-check sorts columns and cannot hash arrays, so the
@@ -168,20 +173,41 @@ object Dedup {
     */
   val qNeardupLsh: Q = (s, d) => {
     val sigs = minhashBands(s, d)
-    val banded = sigs.select(col("doc_id"), posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
-    val cands = banded.alias("a")
-      .join(banded.alias("b"),
+    def explodeBands(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), col("bands"),
+        posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+    // Broadcast-hash on the band key with a ROUND-ROBIN-partitioned
+    // stream side: a band bucket of near-identical docs is a single hot
+    // join KEY (measured: 3675-doc bucket ⇒ 6.7M pairs), which a
+    // sort-merge join — and AQE skew split, whose trigger is input bytes
+    // — would grind through in ONE task. Probing a broadcast map spreads
+    // the bucket's rows (and so its pair fan-out and the per-pair confirm
+    // below) uniformly across the stream partitions. Beyond broadcast
+    // scale: salt the bucket id on one side and replicate the other.
+    val bandedA = explodeBands(sigs.repartition(s.sessionState.conf.numShufflePartitions))
+    val bandedB = explodeBands(sigs)
+    // Each colliding pair is emitted from its FIRST shared band only —
+    // exact-once without a distinct over every (pair × shared band) row
+    // (measured 85M collision rows → 12M pairs at sf0.1; the distinct
+    // was a 30 s shuffle this filter replaces with a per-row loop).
+    val cands = bandedA.alias("a")
+      .join(broadcast(bandedB.alias("b")),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") < col("b.doc_id"))
+      .where(graft.functions.GraftExpressions.firstMatchIndex(
+        col("a.bands"), col("b.bands")) === col("a.band_idx"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    // Confirm joins broadcast the per-doc token dictionary, so the
+    // candidate stream never shuffles token arrays. (Beyond broadcast
+    // scale, swap for a join co-partitioned on doc id — the candidate
+    // side is already keyed by it.)
     val toks = sigs.select(col("doc_id"), col("toks"), size(col("toks")).as("n_toks"))
     cands
-      .join(toks.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"),
-        col("n_toks").as("n_a")), "doc_a")
-      .join(toks.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"),
-        col("n_toks").as("n_b")), "doc_b")
+      .join(broadcast(toks.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"),
+        col("n_toks").as("n_a"))), "doc_a")
+      .join(broadcast(toks.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"),
+        col("n_toks").as("n_b"))), "doc_b")
       .withColumn("inter", intersectSize(col("toks_a"), col("toks_b")))
       .withColumn("jaccard", round(col("inter").cast("double") /
         (col("n_a") + col("n_b") - col("inter")).cast("double"), 6))

@@ -151,24 +151,30 @@ object Relational {
   }
 
   /** As-of join: for each purchase event, the user's latest prior-or-equal
-    * click. Expressed as candidate range join + row_number()=1 — the
-    * relational form that both engines share. At 100 TB: repartition both
-    * sides by user_id and sort within partitions; candidates stay per-key.
+    * click. Union-tag form: merge both streams, one per-user window pass
+    * carrying the last click `(ts, event_id)` forward — O(n log n) per
+    * user, never the candidate blow-up of the equi+range join (which
+    * materializes EVERY prior click per purchase: quadratic per hot user
+    * at 100 TB). Clicks sort before purchases at equal ts (`kind`), and
+    * ties on click ts resolve to the highest event_id — exactly the
+    * oracle's `row_number() OVER (ORDER BY c_ts DESC, c_id DESC) = 1`.
     */
   val qJoinAsof: Q = (s, d) => {
     val e = events(s, d)
-    val purchases = e.where(col("event_type") === "purchase")
-      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
-    val clicks = e.where(col("event_type") === "click")
-      .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val tagged = e.where(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === "click", 0).otherwise(1).as("kind"))
+      .withColumn("click_info",
+        when(col("kind") === 0, struct(col("ts"), col("event_id"))))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("p_id")).orderBy(desc("c_ts"), desc("c_id"))
-    purchases
-      .join(clicks, col("p_user") === col("c_user") && col("c_ts") <= col("p_ts"), "inner")
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select(col("p_id"), col("p_user"), col("p_ts"),
-        col("c_id").as("asof_click_id"), col("c_ts").as("asof_click_ts"))
+      .partitionBy(col("user_id")).orderBy(asc("ts"), asc("kind"), asc("event_id"))
+      .rowsBetween(Long.MinValue, 0)
+    tagged
+      .withColumn("last_click", last(col("click_info"), ignoreNulls = true).over(w))
+      .where(col("kind") === 1 && col("last_click").isNotNull)
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("last_click.event_id").as("asof_click_id"),
+        col("last_click.ts").as("asof_click_ts"))
       .orderBy("p_id")
   }
 

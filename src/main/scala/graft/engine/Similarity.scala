@@ -35,7 +35,8 @@ object Similarity {
   val qCosineTopk: Q = (s, d) => {
     val e = embeddings(s, d).select(col("vec_id"), vec(col("embedding")).as("v"))
     val q = e.where(col("vec_id") === 0).select(col("v").as("qv"))
-    e.crossJoin(broadcast(q))
+    e.repartition(s.sessionState.conf.numShufflePartitions)
+      .crossJoin(broadcast(q))
       .where(col("vec_id") =!= 0)
       .select(col("vec_id"), round(cosine(col("v"), col("qv")), 6).as("cos_sim"))
       .orderBy(desc("cos_sim"), asc("vec_id"))
@@ -54,8 +55,12 @@ object Similarity {
     val e = embeddings(s, d)
       .select(col("vec_id"), col("label"), vec(col("embedding")).as("v"))
       .withColumn("n", sqrt(dot(col("v"), col("v"))))
-    val a = e.select(col("vec_id").as("vec_a"), col("label").as("label_a"),
-      col("v").as("va"), col("n").as("na"))
+    // Round-robin repartition of the pair-generating side: single-file
+    // scans are one partition, and the O(pairs) dot products execute in
+    // this side's tasks when the other side broadcasts.
+    val a = e.repartition(s.sessionState.conf.numShufflePartitions)
+      .select(col("vec_id").as("vec_a"), col("label").as("label_a"),
+        col("v").as("va"), col("n").as("na"))
     val b = e.select(col("vec_id").as("vec_b"), col("label").as("label_b"),
       col("v").as("vb"), col("n").as("nb"))
     a.join(b, col("label_a") === col("label_b") && col("vec_a") < col("vec_b"))

