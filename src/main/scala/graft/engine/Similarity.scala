@@ -71,6 +71,26 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** IVF-style approximate nearest neighbors: probe ONLY the query
+    * vector's coarse cell (`label` = quantizer assignment) and re-rank
+    * exactly inside it — scan cost divided by the cell count, the
+    * standard ANN scale path next to qCosineTopk's exact full scan. The
+    * oracle applies the same cell restriction, so results hash-match.
+    */
+  val qAnnIvf: Q = (s, d) => {
+    val e = embeddings(s, d)
+      .select(col("vec_id"), col("label"), vec(col("embedding")).as("v"))
+    val q = e.where(col("vec_id") === 0)
+      .select(col("label").as("q_label"), col("v").as("qv"))
+    e.repartition(s.sessionState.conf.numShufflePartitions)
+      .join(broadcast(q), col("label") === col("q_label"))
+      .where(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        round(cosine(col("v"), col("qv")), 6).as("cos_sim"))
+      .orderBy(desc("cos_sim"), asc("vec_id"))
+      .limit(10)
+  }
+
   /** L2 normalization of the embedding column. Emits the norm and the first
     * normalized component (scalars hash-match more robustly than arrays).
     */
@@ -85,6 +105,7 @@ object Similarity {
 
   val queries: Map[String, Q] = Map(
     "q_cosine_topk" -> qCosineTopk,
+    "q_ann_ivf" -> qAnnIvf,
     "q_similarity_join" -> qSimilarityJoin,
     "q_vector_norm" -> qVectorNorm
   )

@@ -28,6 +28,13 @@ object Tables {
     // Deterministic timestamp bytes for the driver's hash compare.
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // Keep AQE (partition coalescing, skew split) but stop its RUNTIME
+    // broadcast-join conversion: with the pair-generating pipelines the
+    // materialized stats of a tiny upstream stage tempt AQE into
+    // broadcasting a side that CONTAINS the heavy fan-out, executing the
+    // whole pipeline twice (observed on q_neardup_lsh: two 32-task heavy
+    // stages, one a broadcast build). Static broadcast() hints still apply.
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     spark
   }
 

@@ -95,6 +95,15 @@ case class ArrayIntersectSize(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = IntegerType
 
+  /** Pure function, deliberately flagged non-deterministic as an
+    * optimizer barrier: predicate pushdown otherwise inlines the Jaccard
+    * filter into the join residual and the projection, re-running this
+    * merge scan 3× per pair (visible in the sf0.1 plan). The flag only
+    * stops Catalyst from DUPLICATING/moving the call — the value is
+    * stable, so results are unchanged.
+    */
+  override lazy val deterministic: Boolean = false
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -150,6 +159,14 @@ case class ArrayFirstMatchIndex(left: Expression, right: Expression)
 case class MinHashBands(child: Expression, numHashes: Int, numBands: Int)
     extends UnaryExpression with CodegenFallback {
   require(numHashes % numBands == 0, "numBands must divide numHashes")
+
+  /** Pure, but flagged non-deterministic as an optimizer barrier (see
+    * ArrayIntersectSize): otherwise CollapseProject inlines the struct
+    * fields (2× full recompute) and InferFiltersFromGenerate clones the
+    * whole signature computation into posexplode null-guards that are
+    * pushed below the repartition — 3 more single-partition recomputes.
+    */
+  override lazy val deterministic: Boolean = false
 
   override def dataType: DataType = StructType(Seq(
     StructField("sig", ArrayType(LongType, containsNull = false)),
