@@ -117,6 +117,36 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Character-3-gram (shingle) Jaccard near-dup — the n-gram variant of
+    * qNeardupPairs: catches near-duplicates that word tokenization misses
+    * (reordered words, punctuation edits) at the cost of larger element
+    * sets. Same block/prune/merge-intersect shape; threshold 0.8
+    * (shingle Jaccard dilutes faster than token Jaccard). Both engines
+    * derive shingles positionally (substr over 1..len−2), so sets match.
+    */
+  val qNgramJaccard: Q = (s, d) => {
+    val docs = documents(s, d)
+      .where(length(col("text")) >= 3)
+      .select(col("doc_id"), col("lang"),
+        (col("n_chars") / 64).cast("long").as("len_bucket"),
+        graft.functions.GraftExpressions.charShingles(col("text"), 3).as("grams"))
+    val a = docs.repartition(s.sessionState.conf.numShufflePartitions)
+      .select(col("doc_id").as("doc_a"), col("lang").as("lang_a"),
+        col("len_bucket").as("lb_a"), col("grams").as("grams_a"), size(col("grams")).as("n_a"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
+      col("len_bucket").as("lb_b"), col("grams").as("grams_b"), size(col("grams")).as("n_b"))
+    a.join(broadcast(b), col("lang_a") === col("lang_b") && col("lb_a") === col("lb_b") &&
+        col("doc_a") < col("doc_b"))
+      // J ≥ 0.8 needs 5·min(|A|,|B|) ≥ 4·max(|A|,|B|) — lossless prune.
+      .where(least(col("n_a"), col("n_b")) * 5 >= greatest(col("n_a"), col("n_b")) * 4)
+      .withColumn("inter", intersectSize(col("grams_a"), col("grams_b")))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")).cast("double"), 6))
+      .where(col("jaccard") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** MinHash signature + LSH bands per document — all map-side, no UDF:
     * 32 hash functions h_i(t) = xxhash64(i, t); signature_i = min over the
     * doc's distinct tokens; 16 bands of 2 hashes each, band hash =
@@ -229,6 +259,7 @@ object Dedup {
     "q_dedup_windowed" -> qDedupWindowed,
     "q_dedup_docs" -> qDedupDocs,
     "q_neardup_pairs" -> qNeardupPairs,
+    "q_ngram_jaccard" -> qNgramJaccard,
     "q_neardup_lsh" -> qNeardupLsh,
     "q_minhash_sig" -> qMinhashSig
   )

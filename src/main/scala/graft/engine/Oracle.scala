@@ -324,6 +324,26 @@ object Oracle {
       SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.9
       ORDER BY doc_a, doc_b""",
 
+    "q_ngram_jaccard" -> """
+      WITH docs AS (SELECT doc_id, lang, CAST(n_chars // 64 AS BIGINT) lb,
+          list_distinct(list_transform(range(1, len(text) - 1), i -> substr(text, i, 3))) grams
+        FROM documents WHERE len(text) >= 3),
+        pairs AS (SELECT a.doc_id doc_a, b.doc_id doc_b,
+          round(len(list_intersect(a.grams, b.grams)) * 1.0 /
+                len(list_distinct(list_concat(a.grams, b.grams))), 6) jaccard
+        FROM docs a JOIN docs b
+          ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.8
+      ORDER BY doc_a, doc_b""",
+
+    "q_token_count" -> """
+      SELECT doc_id,
+        len(string_split(text, ' '))::BIGINT AS n_ws_tokens,
+        len(regexp_extract_all(text, '[A-Za-z]+'))::BIGINT AS n_alpha_runs,
+        len(regexp_extract_all(text, '[0-9]+'))::BIGINT AS n_digit_runs,
+        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))::BIGINT AS n_bpe_pieces
+      FROM documents ORDER BY doc_id""",
+
     "q_neardup_lsh" -> """
       WITH docs AS (SELECT doc_id, list_distinct(string_split(text, ' ')) toks FROM documents),
         pairs AS (SELECT a.doc_id doc_a, b.doc_id doc_b,

@@ -100,6 +100,23 @@ object TextAnalysis {
       .orderBy(desc("cnt"), asc("token"))
       .limit(20)
 
+  /** Token counting, whitespace AND regex flavors: alpha runs, digit
+    * runs, and BPE-ish "pieces" (alpha run | digit run | single other
+    * non-space char) — the pre-tokenizer split most BPE vocabularies
+    * assume. Patterns use only portable character-class syntax so Java
+    * regex (Spark) and RE2 (DuckDB) produce identical matches.
+    */
+  val qTokenCount: Q = (s, d) =>
+    documents(s, d)
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
+        size(expr("regexp_extract_all(text, '[A-Za-z]+', 0)")).cast("long").as("n_alpha_runs"),
+        size(expr("regexp_extract_all(text, '[0-9]+', 0)")).cast("long").as("n_digit_runs"),
+        size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)"))
+          .cast("long").as("n_bpe_pieces"))
+      .orderBy("doc_id")
+
   /** Quality scoring: length/token/stopword/diversity ratios + composite. */
   val qTextQuality: Q = (s, d) => {
     val toks = split(col("text"), " ")
@@ -157,6 +174,7 @@ object TextAnalysis {
 
   val queries: Map[String, Q] = Map(
     "q_text_stats" -> qTextStats,
+    "q_token_count" -> qTokenCount,
     "q_token_topk" -> qTokenTopk,
     "q_text_quality" -> qTextQuality,
     "q_lang_id" -> qLangId,

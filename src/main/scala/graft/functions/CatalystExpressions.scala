@@ -46,6 +46,12 @@ object GraftExpressions {
     */
   def firstMatchIndex(a: Column, b: Column): Column =
     ExpressionUtils.column(ArrayFirstMatchIndex(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Sorted distinct character k-gram shingles of a string — one pass,
+    * feeding ArrayIntersectSize's sorted-merge contract directly.
+    */
+  def charShingles(text: Column, k: Int): Column =
+    ExpressionUtils.column(CharShingles(ExpressionUtils.expression(text), k))
 }
 
 /** dot(a, b) = Σ a_i * b_i, folded left-to-right (see GraftExpressions).
@@ -123,6 +129,34 @@ case class ArrayIntersectSize(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** Sorted distinct character k-gram shingles, one pass over the string —
+  * replaces `array_sort(array_distinct(transform(sequence(...),
+  * substring)))`, whose interpreted lambdas and CollapseProject
+  * duplication dominate shingle-based near-dup. TreeSet ordering is
+  * UTF8String binary order — identical to `array_sort`, as
+  * ArrayIntersectSize's merge requires. Char (codepoint) indexing matches
+  * SQL `substr` semantics on both engines.
+  */
+case class CharShingles(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  /** Pure; flagged as an optimizer barrier (see ArrayIntersectSize). */
+  override lazy val deterministic: Boolean = false
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String]
+    val n = text.numChars()
+    val set = new java.util.TreeSet[UTF8String]()
+    var i = 0
+    while (i + k <= n) { set.add(text.substring(i, i + k)); i += 1 }
+    new GenericArrayData(set.toArray())
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** First position where two long arrays agree, -1 if none — evaluated per
