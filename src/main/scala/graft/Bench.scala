@@ -25,6 +25,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: JVM/codegen/parquet-footer startup otherwise lands
+    // entirely on the alphabetically-first query (BASELINE.md's Spark
+    // numbers are warm-session numbers).
+    try {
+      import org.apache.spark.sql.functions.sum
+      spark.range(1000000).agg(sum("id")).write.format("noop").mode("overwrite").save()
+      graft.engine.Tables.lineitem(spark, sfDir).limit(1000)
+        .write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
     val times = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // Optional comma-separated subset for local iteration, e.g.

@@ -54,6 +54,41 @@ object Multimodal {
     media.mapPartitions(_.map(decodeStub))
   }
 
+  /** One sampled frame of a media payload. `payload` would hold the
+    * decoded frame bytes in production; the stub derives a deterministic
+    * slice so the plumbing (fan-out row shape, ordering, partitioning) is
+    * real and testable without codecs.
+    */
+  case class Frame(media_id: Long, frame_idx: Int, width: Int, height: Int,
+      payload: Array[Byte])
+
+  /** Frame sampling: every `everyN`-th frame of each record — a
+    * one-to-many mapPartitions (the Generator-style fan-out a video
+    * pipeline needs). Map-only: no shuffle, no driver involvement;
+    * output size is bounded by n_frames/everyN per record.
+    */
+  def sampleFrames(media: Dataset[MediaRecord], everyN: Int): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    require(everyN > 0, "everyN must be positive")
+    media.mapPartitions(_.flatMap { r =>
+      val f = decodeStub(r)
+      (0 until f.n_frames by everyN).iterator.map { idx =>
+        // STUB: a real decoder emits the idx-th frame's pixels; the fake
+        // slices the source bytes deterministically per (id, idx).
+        val off = if (r.payload.isEmpty) 0 else idx % r.payload.length
+        Frame(r.media_id, idx, f.width, f.height, r.payload.drop(off).take(16))
+      }
+    })
+  }
+
+  /** Resize contract: pure per-frame transform (STUB keeps the payload,
+    * production swaps in the scaler). Dimensions propagate exactly.
+    */
+  def resizeFrames(frames: Dataset[Frame], w: Int, h: Int): Dataset[Frame] = {
+    import frames.sparkSession.implicits._
+    frames.mapPartitions(_.map(f => f.copy(width = w, height = h)))
+  }
+
   /** Documents-as-blobs: treats `text` bytes as an opaque payload to drive
     * the binary path end-to-end against a real fixture. Only
     * oracle-expressible outputs (byte length, head preview) are emitted;

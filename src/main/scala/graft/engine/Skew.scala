@@ -1,0 +1,48 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation utilities for hot keys at 100 TB.
+  *
+  * Note on scope: plain `sum`/`count` aggregations rarely need salting —
+  * Spark's partial (map-side) aggregation already collapses hot keys
+  * before the shuffle. Salting earns its keep where per-key REDUCER state
+  * is large (`collect_list` of a hot key can OOM one task) and in
+  * shuffle joins where one key's rows all land on one reducer.
+  */
+object Skew {
+
+  /** Deterministic per-row salt in [0, salts): hash of a unique column —
+    * stable across task retries (a `rand()` salt is not, and can
+    * double-count rows under speculative execution).
+    */
+  def salt(idCol: Column, salts: Int): Column = pmod(xxhash64(idCol), lit(salts))
+
+  /** Two-phase salted collect: per key, the sorted array of values, with
+    * no reducer ever holding more than ~1/salts of a hot key's rows in
+    * one aggregation state. Phase 1 collects per (key, salt); phase 2
+    * flattens the ≤`salts` partial arrays. `array_sort` makes the result
+    * a deterministic function of the data (G4).
+    */
+  def saltedCollectList(df: DataFrame, keyCols: Seq[String], idCol: String,
+      valueCol: String, salts: Int = 16): DataFrame =
+    df.withColumn("__salt", salt(col(idCol), salts))
+      .groupBy((keyCols.map(col) :+ col("__salt")): _*)
+      .agg(collect_list(col(valueCol)).as("__part"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(array_sort(flatten(collect_list(col("__part")))).as(s"${valueCol}_list"))
+
+  /** Salted equi-join for a skewed large side: the large side's rows fan
+    * out over `salts` sub-keys; the small side is replicated `salts`
+    * times (explode) so every sub-key still finds its match. Use when
+    * the small side is too big to broadcast but a handful of large-side
+    * keys dominate a sort-merge join.
+    */
+  def saltedJoin(large: DataFrame, small: DataFrame, key: String, idCol: String,
+      salts: Int = 16): DataFrame = {
+    val l = large.withColumn("__salt", salt(col(idCol), salts))
+    val s = small.withColumn("__salt", explode(sequence(lit(0), lit(salts - 1)).cast("array<long>")))
+    l.join(s, Seq(key, "__salt")).drop("__salt")
+  }
+}

@@ -27,6 +27,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out1.forall(f => f.width >= 64 && f.height >= 64 && f.n_frames >= 1))
   }
 
+  test("sampleFrames fans out every Nth frame, deterministically across partitionings") {
+    val ds = spark.createDataset(recs)
+    val frames = Multimodal.sampleFrames(ds, 7).collect().sortBy(f => (f.media_id, f.frame_idx))
+    val expectedCounts = recs.map(r => (r.media_id,
+      (0 until Multimodal.decodeStub(r).n_frames by 7).size)).toMap
+    assert(frames.groupBy(_.media_id).view.mapValues(_.length).toMap == expectedCounts)
+    assert(frames.forall(f => f.frame_idx % 7 == 0))
+    val again = Multimodal.sampleFrames(ds.repartition(3), 7).collect()
+      .sortBy(f => (f.media_id, f.frame_idx))
+    assert(frames.map(f => (f.media_id, f.frame_idx, f.payload.toSeq)).toSeq ==
+      again.map(f => (f.media_id, f.frame_idx, f.payload.toSeq)).toSeq)
+  }
+
+  test("resizeFrames rewrites dimensions and keeps the frame identity") {
+    val ds = spark.createDataset(recs)
+    val resized = Multimodal.resizeFrames(Multimodal.sampleFrames(ds, 11), 224, 224).collect()
+    assert(resized.nonEmpty)
+    assert(resized.forall(f => f.width == 224 && f.height == 224))
+  }
+
   test("decodeStub checksum depends on payload bytes") {
     val a = Multimodal.decodeStub(MediaRecord(1L, "abc".getBytes, "image"))
     val b = Multimodal.decodeStub(MediaRecord(1L, "abd".getBytes, "image"))
