@@ -208,7 +208,7 @@ object Dedup {
   val qNeardupLsh: Q = (s, d) => {
     val sigs = minhashBands(s, d)
     def explodeBands(df: DataFrame): DataFrame =
-      df.select(col("doc_id"), col("bands"),
+      df.select(col("doc_id"), col("bands"), size(col("toks")).as("nt"),
         posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
     // Broadcast-hash on the band key with a ROUND-ROBIN-partitioned
     // stream side: a band bucket of near-identical docs is a single hot
@@ -229,8 +229,12 @@ object Dedup {
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") < col("b.doc_id"))
-      .where(graft.functions.GraftExpressions.firstMatchIndex(
-        col("a.bands"), col("b.bands")) === col("a.band_idx"))
+      // Size-ratio prune FIRST (cheap integer compare, lossless for
+      // J ≥ 0.9 — see qNeardupPairs) so ~70% of collisions short-circuit
+      // before the first-match band scan.
+      .where(least(col("a.nt"), col("b.nt")) * 10 >= greatest(col("a.nt"), col("b.nt")) * 9 &&
+        graft.functions.GraftExpressions.firstMatchIndex(
+          col("a.bands"), col("b.bands")) === col("a.band_idx"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
     // Confirm joins broadcast the per-doc token dictionary, so the
     // candidate stream never shuffles token arrays. (Beyond broadcast
