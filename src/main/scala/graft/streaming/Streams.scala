@@ -49,6 +49,12 @@ object Streams {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Timestamp format for the Kafka JSON codec: to_json's default
+    * truncates to milliseconds — micro precision keeps the codec an exact
+    * round trip of the engine's event-time values.
+    */
+  val jsonTimestampFormat = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
   /** JSON payload schema for the Kafka value bytes. */
   val jsonEventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -79,7 +85,8 @@ object Streams {
         .option("subscribe", topic)
         .option("startingOffsets", offsets)
         .load()
-        .select(from_json(col("value").cast("string"), jsonEventSchema).as("e"))
+        .select(from_json(col("value").cast("string"), jsonEventSchema,
+          Map("timestampFormat" -> jsonTimestampFormat)).as("e"))
         .select(col("e.*"))
   }
 
@@ -194,7 +201,9 @@ object Streams {
         base(df.writeStream).format("parquet")
           .option("path", path).option("checkpointLocation", ckpt).start()
       case KafkaStreamSink(bootstrap, topic, ckpt) =>
-        base(df.selectExpr("CAST(null AS STRING) AS key", "to_json(struct(*)) AS value").writeStream)
+        val value = to_json(struct(df.columns.map(col).toIndexedSeq: _*),
+          Map("timestampFormat" -> jsonTimestampFormat))
+        base(df.select(lit(null).cast("string").as("key"), value.as("value")).writeStream)
           .format("kafka")
           .option("kafka.bootstrap.servers", bootstrap).option("topic", topic)
           .option("checkpointLocation", ckpt).start()

@@ -40,6 +40,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q_neardup_lsh keeps the hot-bucket band join broadcast-hash, never sort-merge") {
+    val p = plan("q_neardup_lsh")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p) // bands + 2 confirm dictionaries
+    assert(p.contains("RoundRobinPartitioning"), p) // pair fan-out parallelized
+  }
+
+  test("q_ngram_jaccard broadcasts its shingle dictionary side") {
+    val p = plan("q_ngram_jaccard")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_similarity_join computes each vector's norm below the join, not per pair") {
     // The join's post-condition/projection must reference the precomputed
     // norm columns; the sqrt(aggregate(...)) expansion appears only in the

@@ -51,6 +51,22 @@ class SourceSinkSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/out").count() == 100L)
   }
 
+  test("Kafka value codec round-trips: to_json(struct(*)) then from_json is identity") {
+    // The sink writes to_json(struct(*)); the source parses with
+    // jsonEventSchema — prove codec symmetry in batch (no broker needed).
+    val original = Tables.events(spark, TestSpark.sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .limit(500)
+    val tsOpt = Map("timestampFormat" -> Streams.jsonTimestampFormat)
+    val roundTripped = original
+      .select(to_json(struct(original.columns.map(col).toIndexedSeq: _*), tsOpt).as("value"))
+      .select(from_json(col("value"), Streams.jsonEventSchema, tsOpt).as("e"))
+      .select(col("e.*"))
+    val a = original.orderBy("event_id").collect().toSeq
+    val b = roundTripped.orderBy("event_id").collect().toSeq
+    assert(a == b)
+  }
+
   test("events() builder dispatches on source config") {
     val emptyDir = java.nio.file.Files.createTempDirectory("graft-empty").toString
     val file = Streams.events(spark, Streams.FileStreamSource(emptyDir))
