@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.streaming.Streams
 import graft.streaming.Streams.Event
@@ -33,6 +34,29 @@ class StatefulDedupSpec extends AnyFunSuite {
 
     val got = spark.table("tws_dedup").select("event_id").as[Long].collect().toSet
     assert(got == Set(10L, 12L, 14L))
+  }
+
+  test("transformWithState retention timer clears state: same key re-emitted after expiry") {
+    // R5: the explicit-state analogue of the WindowStore retention — the
+    // event-time timer fires once the watermark passes firstSeen +
+    // retention, clears the 'seen' state, and a later occurrence of the
+    // key is forwarded again.
+    val ms = MemoryStream[Event](spark)
+    val out = Streams.dedupStateful(ms.toDS(), "1 minute", retentionMs = 60L * 1000)
+    val q = Streams.start(out.toDF(), Streams.MemoryStreamSink("tws_evict",
+      Some(java.nio.file.Files.createTempDirectory("graft-tws").toString)))
+    try {
+      ms.addData(Seq(Event(31L, 9L, "click", ts("2024-01-01 10:00:00"), 1.0)))
+      q.processAllAvailable()
+      // Watermark → ~11:59; timer at ~10:01 fires and clears the key.
+      ms.addData(Seq(Event(32L, 42L, "other", ts("2024-01-01 12:00:00"), 1.0)))
+      q.processAllAvailable()
+      ms.addData(Seq(Event(33L, 9L, "click", ts("2024-01-01 12:30:00"), 1.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("tws_evict").where(col("user_id") === 9)
+      .select("event_id").as[Long].collect().toSet
+    assert(got == Set(31L, 33L))
   }
 
   test("transformWithState picks the min-(ts,event_id) row of the first batch") {

@@ -64,6 +64,44 @@ class StreamingParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Set(1L, 3L))
   }
 
+  test("dropDuplicatesWithinWatermark EVICTS state: the same id after retention is NOT a duplicate") {
+    // Reference semantic R2+R5: duplicates are suppressed only within the
+    // dedup window; once the watermark passes ts+delay the id is
+    // forgotten and may legitimately reappear (q_dedup_windowed's batch
+    // analogue).
+    val ms = MemoryStream[Event](spark)
+    val out = Streams.dedupWithinWatermark(ms.toDF(), "1 hour", Seq("user_id", "event_type"))
+    val q = Streams.start(out, Streams.MemoryStreamSink("dedup_evict", Some(ckpt())))
+    try {
+      ms.addData(Seq(Event(1L, 7L, "click", ts("2024-01-01 10:00:00"), 1.0)))
+      q.processAllAvailable()
+      // Advance the watermark far past 10:00 + 1h.
+      ms.addData(Seq(Event(2L, 99L, "other", ts("2024-01-01 14:00:00"), 1.0)))
+      q.processAllAvailable()
+      // Same dedup key, after eviction → must be emitted again.
+      ms.addData(Seq(Event(3L, 7L, "click", ts("2024-01-01 14:30:00"), 1.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("dedup_evict").where(col("user_id") === 7)
+      .select("event_id").as[Long].collect().toSet
+    assert(got == Set(1L, 3L))
+  }
+
+  test("streaming sliding agg (complete mode) equals batch q_sliding_window body") {
+    val ms = MemoryStream[Event](spark)
+    ms.addData(fixtureEvents)
+    val out = Windowed.slidingAgg(ms.toDF())
+    val q = Streams.start(out, Streams.MemoryStreamSink("sliding_parity"), OutputMode.Complete())
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("sliding_parity")
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+    val batch = Windowed.slidingAgg(
+        Tables.events(spark, TestSpark.sfDir)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("ts"), col("value")))
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+    assert(streamed == batch)
+  }
+
   test("streaming tumbling agg (complete mode) equals batch q_tumbling_window body") {
     val ms = MemoryStream[Event](spark)
     ms.addData(fixtureEvents)
