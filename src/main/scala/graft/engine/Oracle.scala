@@ -204,7 +204,7 @@ object Oracle {
             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg3
         FROM orders)
       SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
-        round(running_spend, 2) AS running_spend, round(moving_avg3, 2) AS moving_avg3
+        round(running_spend, 2) AS running_spend, round(moving_avg3, 4) AS moving_avg3
       FROM w WHERE o_custkey <= 50 ORDER BY o_custkey, o_orderkey""",
 
     "q_sort_multi" -> """

@@ -343,7 +343,7 @@ object Relational {
       .select(col("o_custkey"), col("o_orderkey"),
         round(col("o_totalprice"), 2).as("o_totalprice"),
         round(col("running_spend"), 2).as("running_spend"),
-        round(col("moving_avg3"), 2).as("moving_avg3"))
+        round(col("moving_avg3"), 4).as("moving_avg3"))
       .orderBy("o_custkey", "o_orderkey")
   }
 
