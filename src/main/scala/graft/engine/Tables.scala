@@ -48,6 +48,19 @@ object Tables {
     else df
   }
 
+  /** Persist `df` as a bucketed+sorted table: co-locates future equi-joins
+    * and aggregations on `keys` — both sides pre-partitioned by bucket id,
+    * so the join plans with NO shuffle exchange (asserted in
+    * BucketedJoinSpec). At 100 TB this is how repeatedly-joined fact
+    * tables amortize their shuffle once at write time.
+    */
+  def writeBucketed(df: DataFrame, tableName: String, buckets: Int, keys: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(tableName)
+
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
   def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
