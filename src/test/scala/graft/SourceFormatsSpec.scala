@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.Tables
+
+/** Alternate batch source formats and layout features beyond the parquet
+  * fixtures: JSON-lines and CSV round trips (schema-explicit, the
+  * zero-inference discipline of SURVEY §1.B), and date-partitioned
+  * layout with static partition pruning visible in the scan.
+  */
+class SourceFormatsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val events = Tables.events(spark, TestSpark.sfDir)
+    .select("event_id", "user_id", "event_type", "ts", "value")
+
+  test("JSON-lines round trip preserves rows exactly (explicit schema, micro timestamps)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-json").toString
+    events.write.mode("overwrite")
+      .option("timestampFormat", graft.streaming.Streams.jsonTimestampFormat)
+      .json(dir)
+    val back = spark.read.schema(events.schema)
+      .option("timestampFormat", graft.streaming.Streams.jsonTimestampFormat)
+      .json(dir)
+    assert(back.orderBy("event_id").collect().toSeq ==
+      events.orderBy("event_id").collect().toSeq)
+  }
+
+  test("CSV round trip preserves rows exactly (explicit schema, micro timestamps)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv").toString
+    val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    events.write.mode("overwrite")
+      .option("header", "true").option("timestampFormat", fmt)
+      .csv(dir)
+    val back = spark.read.schema(events.schema)
+      .option("header", "true").option("timestampFormat", fmt)
+      .csv(dir)
+    assert(back.orderBy("event_id").collect().toSeq ==
+      events.orderBy("event_id").collect().toSeq)
+  }
+
+  test("date-partitioned layout prunes partitions at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    events.withColumn("event_date", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("event_date").parquet(dir)
+    val oneDay = spark.read.parquet(dir)
+      .where(col("event_date") === "2024-01-02")
+    val plan = oneDay.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.contains("event_date"), plan)
+    val expected = events.where(to_date(col("ts")) === "2024-01-02").count()
+    assert(oneDay.count() == expected && expected > 0)
+  }
+}
