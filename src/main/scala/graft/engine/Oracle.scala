@@ -218,6 +218,26 @@ object Oracle {
         round(l_extendedprice, 2) AS price
       FROM lineitem ORDER BY price DESC, l_orderkey, l_linenumber LIMIT 10""",
 
+    "q_pivot" -> """
+      SELECT user_id,
+        count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+        count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+        count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+        count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+        count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error
+      FROM events GROUP BY user_id ORDER BY user_id""",
+
+    "q_unpivot" -> """
+      SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber, measure, value
+      FROM (
+        SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)
+      WHERE l_orderkey <= 500
+      ORDER BY l_orderkey, l_linenumber, measure""",
+
     "q_union" -> """
       SELECT user_id AS active_user FROM events WHERE event_type = 'click'
       UNION

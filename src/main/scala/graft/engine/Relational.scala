@@ -368,6 +368,32 @@ object Relational {
       .orderBy(desc("price"), asc("l_orderkey"), asc("l_linenumber"))
       .limit(10)
 
+  // -------------------------------------------------------- pivot/unpivot
+
+  /** Pivot: per-user event counts, one column per event type. The value
+    * list is given explicitly, so no extra distinct-values job runs and
+    * the plan is a single hash aggregation (the 100 TB shape — an
+    * unlisted pivot first scans for distinct keys).
+    */
+  val qPivot: Q = (s, d) =>
+    events(s, d)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "purchase", "view", "signup", "error"))
+      .agg(count(lit(1)))
+      .select(col("user_id") +: Seq("click", "purchase", "view", "signup", "error")
+        .map(c => coalesce(col(c), lit(0L)).as(s"n_$c")): _*)
+      .orderBy("user_id")
+
+  /** Unpivot/melt: lineitem measures to long form (id, measure, value). */
+  val qUnpivot: Q = (s, d) =>
+    lineitem(s, d)
+      .where(col("l_orderkey") <= 500)
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber")),
+        Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+        "measure", "value")
+      .orderBy("l_orderkey", "l_linenumber", "measure")
+
   // ------------------------------------------------------------- set ops
 
   /** UNION ALL + UNION DISTINCT of two event slices. */
@@ -422,6 +448,8 @@ object Relational {
     "q_window_frame" -> qWindowFrame,
     "q_sort_multi" -> qSortMulti,
     "q_topk" -> qTopk,
+    "q_pivot" -> qPivot,
+    "q_unpivot" -> qUnpivot,
     "q_union" -> qUnion,
     "q_intersect" -> qIntersect,
     "q_except" -> qExcept
