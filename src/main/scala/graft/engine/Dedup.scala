@@ -14,8 +14,13 @@ import org.apache.spark.sql.expressions.Window
   *  - time-bucketed dedup bounds state exactly like the reference's
   *    WindowStore retention: the partition key includes the bucket, so state
   *    per key is O(buckets retained), not O(history).
-  *  - near-dup avoids the O(n²) pair space by blocking (lang, length
-  *    bucket); swap in MinHash-LSH band buckets for the general case.
+  *  - near-dup avoids the O(n²) pair space by MinHash-LSH band buckets
+  *    (or (lang, length-bucket) blocking for the simple variants). The LSH
+  *    candidate machinery has TWO physical shapes sharing one logical form:
+  *    `Broadcast` (fastest while the banded corpus fits an executor;
+  *    measured at sf0.1) and `Salted` (no broadcasts anywhere — salted
+  *    sort-merge band join + doc-id co-partitioned confirm joins — the
+  *    shape that survives a corpus 1000× past broadcast limits).
   */
 object Dedup {
   import Tables._
@@ -103,13 +108,13 @@ object Dedup {
         col("len_bucket").as("lb_a"), col("toks").as("toks_a"), size(col("toks")).as("n_a"))
     val b = docs.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
       col("len_bucket").as("lb_b"), col("toks").as("toks_b"), size(col("toks")).as("n_b"))
-    a.join(b, col("lang_a") === col("lang_b") && col("lb_a") === col("lb_b") &&
+    a.join(broadcast(b), col("lang_a") === col("lang_b") && col("lb_a") === col("lb_b") &&
         col("doc_a") < col("doc_b"))
       // Lossless size-ratio prune before the merge scan: J ≥ 0.9 needs
       // 10·min(|A|,|B|) ≥ 9·max(|A|,|B|) (exact integer arithmetic) —
       // keeps ~30% of pairs on this corpus.
       .where(least(col("n_a"), col("n_b")) * 10 >= greatest(col("n_a"), col("n_b")) * 9)
-      .withColumn("inter", intersectSize(col("toks_a"), col("toks_b")))
+      .withColumn("inter", intersectSize(col("toks_a"), col("toks_b"), barrier = true))
       .withColumn("jaccard", round(col("inter").cast("double") /
         (col("n_a") + col("n_b") - col("inter")).cast("double"), 6))
       .where(col("jaccard") >= 0.9)
@@ -117,60 +122,36 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Character-3-gram (shingle) Jaccard near-dup — the n-gram variant of
-    * qNeardupPairs: catches near-duplicates that word tokenization misses
-    * (reordered words, punctuation edits) at the cost of larger element
-    * sets. Same block/prune/merge-intersect shape; threshold 0.8
-    * (shingle Jaccard dilutes faster than token Jaccard). Both engines
-    * derive shingles positionally (substr over 1..len−2), so sets match.
-    */
-  val qNgramJaccard: Q = (s, d) => {
-    val docs = documents(s, d)
-      .where(length(col("text")) >= 3)
-      .select(col("doc_id"), col("lang"),
-        (col("n_chars") / 64).cast("long").as("len_bucket"),
-        graft.functions.GraftExpressions.charShingles(col("text"), 3).as("grams"))
-    val a = docs.repartition(s.sessionState.conf.numShufflePartitions)
-      .select(col("doc_id").as("doc_a"), col("lang").as("lang_a"),
-        col("len_bucket").as("lb_a"), col("grams").as("grams_a"), size(col("grams")).as("n_a"))
-    val b = docs.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
-      col("len_bucket").as("lb_b"), col("grams").as("grams_b"), size(col("grams")).as("n_b"))
-    a.join(broadcast(b), col("lang_a") === col("lang_b") && col("lb_a") === col("lb_b") &&
-        col("doc_a") < col("doc_b"))
-      // J ≥ 0.8 needs 5·min(|A|,|B|) ≥ 4·max(|A|,|B|) — lossless prune.
-      .where(least(col("n_a"), col("n_b")) * 5 >= greatest(col("n_a"), col("n_b")) * 4)
-      .withColumn("inter", intersectSize(col("grams_a"), col("grams_b")))
-      .withColumn("jaccard", round(col("inter").cast("double") /
-        (col("n_a") + col("n_b") - col("inter")).cast("double"), 6))
-      .where(col("jaccard") >= 0.8)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .orderBy("doc_a", "doc_b")
-  }
+  // ---------------------------------------------------------------- LSH core
 
-  /** MinHash signature + LSH bands per document — all map-side, no UDF:
-    * 32 hash functions h_i(t) = xxhash64(i, t); signature_i = min over the
-    * doc's distinct tokens; 16 bands of 2 hashes each, band hash =
-    * xxhash64(band slice). Identical token sets ⇒ identical signatures
-    * (property-tested in src/test — hash values are engine-specific, so no
-    * oracle). 16×2 banding gives P[candidate] = 1−(1−J²)¹⁶ — ≥0.9-Jaccard
-    * pairs are caught with probability 1−(0.19)¹⁶ ≈ 1−3e-12, which is what
-    * lets qNeardupLsh confirm against an exact oracle.
+  /** MinHash signature + LSH bands — all map-side, no UDF:
+    * 32 hash functions h_i(t) = xxhash64 of element t with SEED i (NOT SQL
+    * `xxhash64(i, t)`, which chains seed 42 over both args); signature_i =
+    * min over the doc's distinct set elements; 16 bands of 2 hashes each,
+    * band hash = xxhash64 chained over the band's slice with seed = band
+    * index. Identical element sets ⇒ identical signatures (property-tested
+    * in src/test — hash values are engine-specific, so no oracle). 16×2
+    * banding gives P[candidate] = 1−(1−J²)¹⁶ — ≥0.9-Jaccard pairs are
+    * caught with probability 1−(0.19)¹⁶ ≈ 1−3e-12 (and ≥0.8 pairs with
+    * 1−(0.36)¹⁶ ≈ 1−8e-8), which is what lets the LSH queries confirm
+    * against an EXACT all-pairs oracle.
     */
   private[graft] val NumHashes = 32
   private[graft] val NumBands = 16
   private[graft] val RowsPerBand = NumHashes / NumBands
 
   /** Adds (minhash_sig: array<long>, bands: array<long>) to any frame with
-    * a `toks` array column, via the one-pass native expression
+    * a `setCol` array column, via the one-pass native expression
     * (graft.functions.MinHashBands — the equivalent built-in
     * `transform(sequence(...), ...)` chain re-evaluates the whole
     * signature per band after CollapseProject: measured 16× recompute).
     * Applicable to arbitrary inputs (property-tested on generated token
     * sets in src/test).
     */
-  private[graft] def signatures(docs: DataFrame): DataFrame =
+  private[graft] def signatures(docs: DataFrame, setCol: String = "toks"): DataFrame =
     docs
-      .withColumn("__mb", graft.functions.GraftExpressions.minhashBands(col("toks"), NumHashes, NumBands))
+      .withColumn("__mb",
+        graft.functions.GraftExpressions.minhashBands(col(setCol), NumHashes, NumBands, barrier = true))
       .withColumn("minhash_sig", col("__mb.sig"))
       .withColumn("bands", col("__mb.bands"))
       .drop("__mb")
@@ -194,67 +175,205 @@ object Dedup {
         col("pos").cast("long").as("band_idx"), col("col").as("band_hash"))
       .orderBy("doc_id", "band_idx")
 
-  /** LSH-driven near-dup: the banded signatures ARE the candidate
-    * generator — explode band hashes, self-join on (band_idx, band_hash),
-    * dedup candidate pairs, then confirm with EXACT Jaccard via the
-    * native intersect-count (same arithmetic as qNeardupPairs). At 100 TB
-    * this replaces the length-bucket block: the shuffle key is the band
-    * hash (high cardinality, skew-free), pair space is only hash-colliding
-    * docs, and the confirm join touches candidates — not all pairs.
-    * Oracle: global exact all-pairs Jaccard ≥ 0.9 (no blocking) — sound
-    * because the confirm step removes false positives and 16×2 banding
-    * makes false negatives ~3e-12 per pair.
+  /** Physical shape of the LSH candidate/confirm joins — same logical
+    * result either way (equivalence-tested in LshSaltedSpec).
     */
-  val qNeardupLsh: Q = (s, d) => {
-    val sigs = minhashBands(s, d)
+  sealed trait LshShape
+  /** Broadcast the banded side + per-doc set dictionaries: fastest while
+    * they fit executor memory (single hot band buckets are single join
+    * KEYS, which a sort-merge join — and AQE skew split, whose trigger is
+    * input bytes, not join fan-out — would grind through in ONE task;
+    * probing a broadcast map spreads the fan-out across the stream
+    * partitions).
+    */
+  case object Broadcast extends LshShape
+  /** No broadcasts anywhere — the shape past broadcast limits: the band
+    * join salts the (band_idx, band_hash) key with hash(doc_id) % salts on
+    * the stream side and replicates the build side `salts`× (the
+    * Skew.saltedJoin pattern), so a hot band bucket's O(|bucket|²) pair
+    * fan-out is split across `salts` sort-merge tasks instead of one; the
+    * confirm joins are doc-id co-partitioned sort-merge (`merge` hint —
+    * sort-based, spillable, no in-memory build side at any scale).
+    */
+  final case class Salted(salts: Int = 16) extends LshShape
+
+  /** LSH-driven near-dup pairs: banded signatures ARE the candidate
+    * generator — explode band hashes, self-join on (band_idx, band_hash),
+    * emit each colliding pair from its FIRST shared band only (exact-once
+    * without a distinct over every (pair × shared band) row — measured 85M
+    * collision rows → 12M pairs at sf0.1; the distinct was a 30 s shuffle
+    * this filter replaces with a per-row loop), then confirm with EXACT
+    * Jaccard via the native merge intersect-count.
+    *
+    * `sigsIn` must carry (doc_id, `setCol`, bands); it is localCheckpointed
+    * so the signature computation runs ONCE even though three plan branches
+    * consume it (signatures are write-once artifacts in a real pipeline —
+    * at 100 TB they'd be a persisted table).
+    *
+    * The size-ratio prune is lossless for the threshold τ = tauNum/tauDen
+    * (an exact-integer rendering of `threshold`): J(A,B) ≤ min/max, so
+    * J ≥ τ requires tauDen·min(|A|,|B|) ≥ tauNum·max(|A|,|B|).
+    */
+  private[graft] def lshNearDupPairs(s: SparkSession, sigsIn: DataFrame, setCol: String,
+      tauNum: Int, tauDen: Int, threshold: Double, shape: LshShape): DataFrame = {
+    val sigs = sigsIn.localCheckpoint()
     def explodeBands(df: DataFrame): DataFrame =
-      df.select(col("doc_id"), col("bands"), size(col("toks")).as("nt"),
+      df.select(col("doc_id"), col("bands"), size(col(setCol)).as("nt"),
         posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
-    // Broadcast-hash on the band key with a ROUND-ROBIN-partitioned
-    // stream side: a band bucket of near-identical docs is a single hot
-    // join KEY (measured: 3675-doc bucket ⇒ 6.7M pairs), which a
-    // sort-merge join — and AQE skew split, whose trigger is input bytes
-    // — would grind through in ONE task. Probing a broadcast map spreads
-    // the bucket's rows (and so its pair fan-out and the per-pair confirm
-    // below) uniformly across the stream partitions. Beyond broadcast
-    // scale: salt the bucket id on one side and replicate the other.
-    val bandedA = explodeBands(sigs.repartition(s.sessionState.conf.numShufflePartitions))
-    val bandedB = explodeBands(sigs)
-    // Each colliding pair is emitted from its FIRST shared band only —
-    // exact-once without a distinct over every (pair × shared band) row
-    // (measured 85M collision rows → 12M pairs at sf0.1; the distinct
-    // was a 30 s shuffle this filter replaces with a per-row loop).
-    val cands = bandedA.alias("a")
-      .join(broadcast(bandedB.alias("b")),
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_hash") === col("b.band_hash") &&
-          col("a.doc_id") < col("b.doc_id"))
-      // Size-ratio prune FIRST (cheap integer compare, lossless for
-      // J ≥ 0.9 — see qNeardupPairs) so ~70% of collisions short-circuit
-      // before the first-match band scan.
-      .where(least(col("a.nt"), col("b.nt")) * 10 >= greatest(col("a.nt"), col("b.nt")) * 9 &&
+    val cands = shape match {
+      case Broadcast =>
+        // Round-robin stream side: a checkpointed single-partition source
+        // would otherwise run the whole O(pairs) probe in one task.
+        val bandedA = explodeBands(sigs.repartition(s.sessionState.conf.numShufflePartitions))
+        val bandedB = explodeBands(sigs)
+        bandedA.alias("a")
+          .join(broadcast(bandedB.alias("b")),
+            col("a.band_idx") === col("b.band_idx") &&
+              col("a.band_hash") === col("b.band_hash") &&
+              col("a.doc_id") < col("b.doc_id"))
+      case Salted(salts) =>
+        // Salt splits each (band_idx, band_hash) bucket into `salts`
+        // sub-keys: the stream side keeps one deterministic salt per doc
+        // (stable under task retry), the build side replicates every row
+        // across all salts so no pair is lost. Pair (a, b) joins exactly
+        // once — in sub-key salt(a). `merge` hint: sort-merge is the
+        // join that needs no in-memory build side at 100 TB.
+        val bandedA = explodeBands(sigs)
+          .withColumn("__salt", Skew.salt(col("doc_id"), salts))
+        val bandedB = explodeBands(sigs)
+          .withColumn("__salt", explode(sequence(lit(0L), lit(salts - 1L))))
+        bandedA.alias("a")
+          .join(bandedB.alias("b").hint("merge"),
+            col("a.band_idx") === col("b.band_idx") &&
+              col("a.band_hash") === col("b.band_hash") &&
+              col("a.__salt") === col("b.__salt") &&
+              col("a.doc_id") < col("b.doc_id"))
+    }
+    val pairs = cands
+      // Size-ratio prune FIRST (cheap integer compare, lossless) so most
+      // collisions short-circuit before the first-match band scan.
+      .where(least(col("a.nt"), col("b.nt")) * tauDen >= greatest(col("a.nt"), col("b.nt")) * tauNum &&
         graft.functions.GraftExpressions.firstMatchIndex(
           col("a.bands"), col("b.bands")) === col("a.band_idx"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-    // Confirm joins broadcast the per-doc token dictionary, so the
-    // candidate stream never shuffles token arrays. (Beyond broadcast
-    // scale, swap for a join co-partitioned on doc id — the candidate
-    // side is already keyed by it.)
-    val toks = sigs.select(col("doc_id"), col("toks"), size(col("toks")).as("n_toks"))
-    cands
-      .join(broadcast(toks.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"),
-        col("n_toks").as("n_a"))), "doc_a")
-      .join(broadcast(toks.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"),
-        col("n_toks").as("n_b"))), "doc_b")
-      // Lossless size-ratio prune (see qNeardupPairs): drops ~70% of LSH
-      // candidates before the merge scan on this corpus.
-      .where(least(col("n_a"), col("n_b")) * 10 >= greatest(col("n_a"), col("n_b")) * 9)
-      .withColumn("inter", intersectSize(col("toks_a"), col("toks_b")))
+    confirmExact(pairs, sigs, setCol, tauNum, tauDen, threshold, shape)
+  }
+
+  /** Exact-Jaccard confirm of an (doc_a, doc_b) candidate stream: attach
+    * each side's set array from `sigs`, size-ratio prune, merge-count the
+    * intersection. The candidate join never ships arrays — only the
+    * confirm joins do, once per candidate side.
+    */
+  private def confirmExact(pairs: DataFrame, sigs: DataFrame, setCol: String,
+      tauNum: Int, tauDen: Int, threshold: Double, shape: LshShape): DataFrame = {
+    val dict = sigs.select(col("doc_id"), col(setCol), size(col(setCol)).as("n_set"))
+    val dictA = dict.select(col("doc_id").as("doc_a"), col(setCol).as("set_a"), col("n_set").as("n_a"))
+    val dictB = dict.select(col("doc_id").as("doc_b"), col(setCol).as("set_b"), col("n_set").as("n_b"))
+    val confirmed = shape match {
+      case Broadcast =>
+        // Confirm joins broadcast the per-doc set dictionary, so the
+        // candidate stream never shuffles the arrays.
+        pairs.join(broadcast(dictA), "doc_a").join(broadcast(dictB), "doc_b")
+      case Salted(_) =>
+        // Doc-id co-partitioned sort-merge confirms: the candidate side
+        // shuffles on doc_a then doc_b (both low-skew high-cardinality
+        // keys); the dictionary ships each doc's set once per side.
+        pairs.hint("merge").join(dictA.hint("merge"), "doc_a")
+          .hint("merge").join(dictB.hint("merge"), "doc_b")
+    }
+    confirmed
+      .where(least(col("n_a"), col("n_b")) * tauDen >= greatest(col("n_a"), col("n_b")) * tauNum)
+      .withColumn("inter", intersectSize(col("set_a"), col("set_b"), barrier = true))
       .withColumn("jaccard", round(col("inter").cast("double") /
         (col("n_a") + col("n_b") - col("inter")).cast("double"), 6))
-      .where(col("jaccard") >= 0.9)
+      .where(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Blocked near-dup pairs for sets where LSH banding alone is NOT
+    * selective (measured on 3-gram shingles at sf0.1: background trigram
+    * overlap between unrelated same-language docs puts 10.9M of 12.5M
+    * possible pairs in some shared band — banding discriminates τ from
+    * background only when background J² is small). Candidates come from an
+    * explicit block key instead; the MinHash bands still earn their keep
+    * as a 16-long quick-reject BEFORE each exact merge scan (a J ≥ τ pair
+    * shares no band with probability (1−τ²)^16 ≤ 8.5e-8 at τ = 0.8 —
+    * negligible vs the exact oracle; a background pair is rejected with
+    * ~80%+ probability at the cost of comparing 16 longs, not merging two
+    * shingle arrays).
+    *
+    * The block join ships ONLY (doc_id, block key, set size, 16 band
+    * longs) — never the arrays; the confirm attaches arrays by doc id.
+    * Shapes as in lshNearDupPairs: Broadcast probes the block metadata
+    * from a broadcast map; Salted replicates metadata `salts`× through a
+    * sort-merge join so one hot block splits across `salts` tasks.
+    */
+  private[graft] def blockedNearDupPairs(s: SparkSession, sigsIn: DataFrame, setCol: String,
+      blockCols: Seq[String], tauNum: Int, tauDen: Int, threshold: Double,
+      shape: LshShape): DataFrame = {
+    val sigs = sigsIn.localCheckpoint()
+    val meta = sigs.select(
+      (col("doc_id") +: blockCols.map(col)) :+ size(col(setCol)).as("nt") :+ col("bands"): _*)
+    def blockCond(a: String, b: String) =
+      blockCols.map(c => col(s"$a.$c") === col(s"$b.$c")).reduce(_ && _) &&
+        col(s"$a.doc_id") < col(s"$b.doc_id")
+    val cands = shape match {
+      case Broadcast =>
+        val metaA = meta.repartition(s.sessionState.conf.numShufflePartitions)
+        metaA.alias("a").join(broadcast(meta.alias("b")), blockCond("a", "b"))
+      case Salted(salts) =>
+        val metaA = meta.withColumn("__salt", Skew.salt(col("doc_id"), salts))
+        val metaB = meta.withColumn("__salt", explode(sequence(lit(0L), lit(salts - 1L))))
+        metaA.alias("a").join(metaB.alias("b").hint("merge"),
+          blockCond("a", "b") && col("a.__salt") === col("b.__salt"))
+    }
+    val pairs = cands
+      .where(least(col("a.nt"), col("b.nt")) * tauDen >= greatest(col("a.nt"), col("b.nt")) * tauNum &&
+        graft.functions.GraftExpressions.firstMatchIndex(
+          col("a.bands"), col("b.bands")) >= 0)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    confirmExact(pairs, sigs, setCol, tauNum, tauDen, threshold, shape)
+  }
+
+  /** LSH near-dup, broadcast shape (see LshShape scaladocs). Oracle:
+    * global exact all-pairs Jaccard ≥ 0.9 (no blocking) — sound because
+    * the confirm step removes false positives and 16×2 banding makes
+    * false negatives ~3e-12 per pair.
+    */
+  val qNeardupLsh: Q = (s, d) =>
+    lshNearDupPairs(s, minhashBands(s, d), "toks", 9, 10, 0.9, Broadcast)
+
+  /** LSH near-dup, salted no-broadcast shape — identical output to
+    * qNeardupLsh (same oracle; equivalence also spec-asserted), physical
+    * plan contains no broadcast exchange at all: the form that runs when
+    * the corpus is 1000× past broadcast limits.
+    */
+  val qNeardupLshSalted: Q = (s, d) =>
+    lshNearDupPairs(s, minhashBands(s, d), "toks", 9, 10, 0.9, Salted())
+
+  /** Character-3-gram (shingle) Jaccard near-dup — catches near-duplicates
+    * that word tokenization misses (reordered words, punctuation edits).
+    * The operator semantic is BLOCKED (lang, length-bucket) near-dup: pure
+    * LSH banding cannot carry this query, because background trigram
+    * overlap between unrelated same-language docs makes the band buckets
+    * non-selective at τ = 0.8 (see blockedNearDupPairs — measured 87% of
+    * ALL pairs colliding at sf0.1, i.e. banded "candidates" ≈ the full
+    * quadratic pair space). Runs the SALTED shape: ids+bands-only block
+    * join, band quick-reject, co-partitioned exact confirm — no
+    * corpus-derived broadcast anywhere (the r2 form broadcast the entire
+    * shingled corpus). Threshold 0.8 (shingle Jaccard dilutes faster than
+    * token Jaccard); J ≥ 0.8 ⇔ 5·min ≥ 4·max prune. Oracle: exact Jaccard
+    * over the same blocks.
+    */
+  val qNgramJaccard: Q = (s, d) => {
+    val base = documents(s, d)
+      .where(length(col("text")) >= 3)
+      .select(col("doc_id"), col("lang"),
+        (col("n_chars") / 64).cast("long").as("len_bucket"),
+        graft.functions.GraftExpressions.charShingles(col("text"), 3, barrier = true).as("grams"))
+    blockedNearDupPairs(s, signatures(base, "grams"), "grams",
+      Seq("lang", "len_bucket"), 4, 5, 0.8, Salted())
   }
 
   val queries: Map[String, Q] = Map(
@@ -265,6 +384,7 @@ object Dedup {
     "q_neardup_pairs" -> qNeardupPairs,
     "q_ngram_jaccard" -> qNgramJaccard,
     "q_neardup_lsh" -> qNeardupLsh,
+    "q_neardup_lsh_salted" -> qNeardupLshSalted,
     "q_minhash_sig" -> qMinhashSig
   )
 }

@@ -344,6 +344,11 @@ object Oracle {
       SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.9
       ORDER BY doc_a, doc_b""",
 
+    // Blocked semantic (lang, len-bucket) — LSH banding is non-selective
+    // on trigram sets (see Dedup.qNgramJaccard), so blocking IS the
+    // operator definition and the oracle blocks identically. The band
+    // quick-reject inside the implementation misses a qualifying pair
+    // with probability ≤ 8.5e-8 (documented, accepted vs this oracle).
     "q_ngram_jaccard" -> """
       WITH docs AS (SELECT doc_id, lang, CAST(n_chars // 64 AS BIGINT) lb,
           list_distinct(list_transform(range(1, len(text) - 1), i -> substr(text, i, 3))) grams
@@ -365,6 +370,18 @@ object Oracle {
       FROM documents ORDER BY doc_id""",
 
     "q_neardup_lsh" -> """
+      WITH docs AS (SELECT doc_id, list_distinct(string_split(text, ' ')) toks FROM documents),
+        pairs AS (SELECT a.doc_id doc_a, b.doc_id doc_b,
+          round(len(list_intersect(a.toks, b.toks)) * 1.0 /
+                len(list_distinct(list_concat(a.toks, b.toks))), 6) jaccard
+        FROM docs a JOIN docs b ON a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.9
+      ORDER BY doc_a, doc_b""",
+
+    // Same logical result as q_neardup_lsh — only the physical shape
+    // differs (salted sort-merge band join + co-partitioned confirms,
+    // zero broadcasts), so the oracle is identical.
+    "q_neardup_lsh_salted" -> """
       WITH docs AS (SELECT doc_id, list_distinct(string_split(text, ' ')) toks FROM documents),
         pairs AS (SELECT a.doc_id doc_a, b.doc_id doc_b,
           round(len(list_intersect(a.toks, b.toks)) * 1.0 /

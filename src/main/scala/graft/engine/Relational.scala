@@ -216,18 +216,55 @@ object Relational {
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
 
-  /** Statistical aggregates: stddev/variance/corr/covar + exact percentile. */
-  val qAggStats: Q = (s, d) =>
-    lineitem(s, d)
-      .groupBy(col("l_returnflag"))
+  /** Statistical aggregates: stddev/variance/corr/covar + EXACT
+    * interpolated percentiles computed rank-based in two passes — NOT the
+    * built-in `percentile`, which buffers every value of a group in one
+    * ObjectHashAggregate state (a hot group at 100 TB OOMs its task, and
+    * it was 8× the suite's aggregate median at sf0.1). Here per-group
+    * state is O(1): pass 1 is a key-partitioned window sort (sort-based,
+    * spillable) assigning ranks; pass 2 keeps only the ≤2 boundary rows
+    * per percentile and interpolates v_lo + frac·(v_hi − v_lo) — the same
+    * expression both Spark's `percentile` and DuckDB's `quantile_cont`
+    * evaluate, so values stay bit-identical to the oracle.
+    */
+  val qAggStats: Q = (s, d) => {
+    val li = lineitem(s, d).select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+    val stats = li.groupBy(col("l_returnflag"))
       .agg(
         round(stddev_samp(col("l_extendedprice")), 2).as("sd_price"),
         round(var_samp(col("l_quantity")), 4).as("var_qty"),
         round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
         round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("covar_qty_price"),
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"),
-        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"))
+        count(lit(1)).as("__n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
+    // 1-based rank; for percentile p the 0-based position is p·(n−1), so
+    // the boundary ranks are floor/ceil of p·(n−1)+1.
+    val ranked = li.select(col("l_returnflag"), col("l_extendedprice"))
+      .withColumn("__rn", row_number().over(w))
+      .join(broadcast(stats.select(col("l_returnflag"), col("__n"))), "l_returnflag")
+    // 0-based position p·(n−1), exactly as both `percentile` and
+    // `quantile_cont` define it; boundary ranks are its floor/ceil + 1.
+    def pos(p: Double) = lit(p) * (col("__n") - 1)
+    def boundary(p: Double) =
+      col("__rn") === floor(pos(p)) + 1 || col("__rn") === ceil(pos(p)) + 1
+    def vAt(rank: org.apache.spark.sql.Column) =
+      min(when(col("__rn") === rank, col("l_extendedprice")))
+    val pcts = ranked
+      .where(boundary(0.5) || boundary(0.9))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        vAt(floor(pos(0.5)) + 1).as("__m_lo"), vAt(ceil(pos(0.5)) + 1).as("__m_hi"),
+        vAt(floor(pos(0.9)) + 1).as("__p_lo"), vAt(ceil(pos(0.9)) + 1).as("__p_hi"))
+    def interp(lo: String, hi: String, p: Double) =
+      col(lo) + (pos(p) - floor(pos(p))) * (col(hi) - col(lo))
+    stats.join(broadcast(pcts), "l_returnflag")
+      .select(col("l_returnflag"), col("sd_price"), col("var_qty"),
+        col("corr_qty_price"), col("covar_qty_price"),
+        round(interp("__m_lo", "__m_hi", 0.5), 4).as("median_price"),
+        round(interp("__p_lo", "__p_hi", 0.9), 4).as("p90_price"))
       .orderBy("l_returnflag")
+  }
 
   /** ROLLUP hierarchy totals: region → nation customer counts. */
   val qAggRollup: Q = (s, d) =>

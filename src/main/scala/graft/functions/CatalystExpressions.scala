@@ -4,7 +4,6 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.{GraftColumnBridge => ExpressionUtils}
 import org.apache.spark.sql.types._
@@ -15,13 +14,35 @@ import org.apache.spark.unsafe.types.UTF8String
   * `transform`) are interpreted per lambda call and dominate the bench
   * (SURVEY.md §4: "custom Expression … is a bench upgrade").
   *
-  * Numeric note: `DotProduct` folds left-to-right exactly like
-  * `aggregate(zip_with(a,b,(x,y)=>x*y), 0d, _+_)` and DuckDB's
-  * `list_dot_product`, so query results stay bit-identical to the oracle.
+  * All expressions implement `doGenCode`: children evaluate inside
+  * whole-stage codegen and the leaf computation is a single static call
+  * into [[GraftOps]] (no per-row boxing, no interpreted expression-tree
+  * walk — the CodegenFallback hop these replaced re-extracted every child
+  * column through the interpreted path on each call).
+  *
+  * == The `barrier` flag ==
+  * Catalyst freely DUPLICATES deterministic expressions: CollapseProject
+  * inlines a projected column into every use, InferFiltersFromGenerate
+  * clones generator children into scan-level null guards, and predicate
+  * pushdown copies filtered projections into join residuals (measured 16×
+  * recompute of a MinHash signature at sf0.1). Passing `barrier = true`
+  * marks the expression non-deterministic, which stops Catalyst from
+  * duplicating or moving the call — the VALUE is still a pure function of
+  * the input, so results are unchanged.
+  *
+  * RESTRICTION: analysis (`CheckAnalysis`) only allows non-deterministic
+  * expressions in Project / Filter / Aggregate / Window. A `barrier =
+  * true` column must therefore not be used in a join condition, grouping
+  * key, or sort order — build it in a projection first (as the engine
+  * queries do), or pass `barrier = false` (the default). Queries that rely
+  * on the single-evaluation plan shape pin it in PlanSpec.
   */
 object GraftExpressions {
   /** Sequential-fold dot product over two double arrays (whole-stage
-    * codegen; the per-pair path of the similarity joins).
+    * codegen; the per-pair path of the similarity joins). Throws on
+    * mismatched array lengths — the oracle (DuckDB `list_dot_product`)
+    * errors there too, so corrupt fixtures fail loudly on both engines
+    * instead of drifting.
     */
   def dotProduct(a: Column, b: Column): Column =
     ExpressionUtils.column(DotProduct(
@@ -32,87 +53,41 @@ object GraftExpressions {
     * caller (once per row, upstream of the pair join) — merge-counts
     * without materializing the intersection array.
     */
-  def intersectSize(a: Column, b: Column): Column =
-    ExpressionUtils.column(ArrayIntersectSize(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+  def intersectSize(a: Column, b: Column, barrier: Boolean = false): Column =
+    ExpressionUtils.column(ArrayIntersectSize(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b), barrier))
 
   /** One-pass MinHash: struct(sig: array<long>, bands: array<long>) from a
     * token array — numHashes hash functions, banded into numBands buckets.
     */
-  def minhashBands(toks: Column, numHashes: Int, numBands: Int): Column =
-    ExpressionUtils.column(MinHashBands(ExpressionUtils.expression(toks), numHashes, numBands))
+  def minhashBands(toks: Column, numHashes: Int, numBands: Int,
+      barrier: Boolean = false): Column =
+    ExpressionUtils.column(MinHashBands(
+      ExpressionUtils.expression(toks), numHashes, numBands, barrier))
 
   /** First index i where a(i) == b(i), else -1 (LSH first-matching-band
     * dedup: emit a colliding pair only from its first shared band).
     */
   def firstMatchIndex(a: Column, b: Column): Column =
-    ExpressionUtils.column(ArrayFirstMatchIndex(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+    ExpressionUtils.column(ArrayFirstMatchIndex(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
   /** Sorted distinct character k-gram shingles of a string — one pass,
     * feeding ArrayIntersectSize's sorted-merge contract directly.
     */
-  def charShingles(text: Column, k: Int): Column =
-    ExpressionUtils.column(CharShingles(ExpressionUtils.expression(text), k))
+  def charShingles(text: Column, k: Int, barrier: Boolean = false): Column =
+    ExpressionUtils.column(CharShingles(ExpressionUtils.expression(text), k, barrier))
 }
 
-/** dot(a, b) = Σ a_i * b_i, folded left-to-right (see GraftExpressions).
-  * Inputs must be equal-length arrays of non-null doubles (the embeddings
-  * fixture guarantees both; extra elements on the longer side are ignored).
+/** Static leaf kernels shared by the interpreted (`nullSafeEval`) and
+  * generated (`doGenCode`) paths — top-level object, so Scala emits
+  * static forwarders the generated Java can call directly.
   */
-case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression {
-  // Input typing is enforced by GraftExpressions.dotProduct's casts
-  // (ExpectsInputTypes would need the package-private AbstractDataType).
-  override def dataType: DataType = DoubleType
-
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var sum = 0.0
-    var i = 0
-    while (i < n) { sum += x.getDouble(i) * y.getDouble(i); i += 1 }
-    sum
-  }
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => {
-      val i = ctx.freshName("i")
-      val n = ctx.freshName("n")
-      s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double ${ev.value}Sum = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  ${ev.value}Sum += $a.getDouble($i) * $b.getDouble($i);
-         |}
-         |${ev.value} = ${ev.value}Sum;
-       """.stripMargin
-    })
-
-  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
-    copy(left = newLeft, right = newRight)
-}
-
-/** Count of shared elements between two SORTED arrays of distinct
-  * non-null strings (`array_sort(array_distinct(...))` upstream, applied
-  * once per document, not per pair) — a merge scan with zero per-pair
-  * allocation, ~10× cheaper than a per-pair hash set on 200-token docs.
-  */
-case class ArrayIntersectSize(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
-  override def dataType: DataType = IntegerType
-
-  /** Pure function, deliberately flagged non-deterministic as an
-    * optimizer barrier: predicate pushdown otherwise inlines the Jaccard
-    * filter into the join residual and the projection, re-running this
-    * merge scan 3× per pair (visible in the sf0.1 plan). The flag only
-    * stops Catalyst from DUPLICATING/moving the call — the value is
-    * stable, so results are unchanged.
+object GraftOps {
+  /** Merge-count of shared elements between two sorted distinct string
+    * arrays — zero per-pair allocation.
     */
-  override lazy val deterministic: Boolean = false
-
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
+  def intersectSize(x: ArrayData, y: ArrayData): Int = {
     val nx = x.numElements()
     val ny = y.numElements()
     var i = 0
@@ -127,49 +102,8 @@ case class ArrayIntersectSize(left: Expression, right: Expression)
     c
   }
 
-  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
-    copy(left = newLeft, right = newRight)
-}
-
-/** Sorted distinct character k-gram shingles, one pass over the string —
-  * replaces `array_sort(array_distinct(transform(sequence(...),
-  * substring)))`, whose interpreted lambdas and CollapseProject
-  * duplication dominate shingle-based near-dup. TreeSet ordering is
-  * UTF8String binary order — identical to `array_sort`, as
-  * ArrayIntersectSize's merge requires. Char (codepoint) indexing matches
-  * SQL `substr` semantics on both engines.
-  */
-case class CharShingles(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
-
-  /** Pure; flagged as an optimizer barrier (see ArrayIntersectSize). */
-  override lazy val deterministic: Boolean = false
-
-  override protected def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String]
-    val n = text.numChars()
-    val set = new java.util.TreeSet[UTF8String]()
-    var i = 0
-    while (i + k <= n) { set.add(text.substring(i, i + k)); i += 1 }
-    new GenericArrayData(set.toArray())
-  }
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
-
-/** First position where two long arrays agree, -1 if none — evaluated per
-  * band-collision row, so a tight loop instead of an interpreted
-  * zip_with/exists chain.
-  */
-case class ArrayFirstMatchIndex(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
-  override def dataType: DataType = IntegerType
-
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
+  /** First position where two long arrays agree, -1 if none. */
+  def firstMatchIndex(x: ArrayData, y: ArrayData): Int = {
     val n = math.min(x.numElements(), y.numElements())
     var i = 0
     while (i < n) {
@@ -179,35 +113,19 @@ case class ArrayFirstMatchIndex(left: Expression, right: Expression)
     -1
   }
 
-  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
-    copy(left = newLeft, right = newRight)
-}
-
-/** MinHash signature + LSH band hashes in ONE pass over the token array:
-  * sig_i = min over tokens of xxhash64(token, seed=i); band_b chains the
-  * xxhash64 of its signature slice with seed b. The built-in
-  * `transform(sequence(...), ...)` form re-evaluates the whole signature
-  * per band through CollapseProject (measured 16× recompute at sf0.1);
-  * this expression computes everything once per row.
-  */
-case class MinHashBands(child: Expression, numHashes: Int, numBands: Int)
-    extends UnaryExpression with CodegenFallback {
-  require(numHashes % numBands == 0, "numBands must divide numHashes")
-
-  /** Pure, but flagged non-deterministic as an optimizer barrier (see
-    * ArrayIntersectSize): otherwise CollapseProject inlines the struct
-    * fields (2× full recompute) and InferFiltersFromGenerate clones the
-    * whole signature computation into posexplode null-guards that are
-    * pushed below the repartition — 3 more single-partition recomputes.
+  /** Sorted distinct char k-grams. TreeSet ordering is UTF8String binary
+    * order — identical to `array_sort`, as intersectSize's merge requires.
     */
-  override lazy val deterministic: Boolean = false
+  def charShingles(text: UTF8String, k: Int): ArrayData = {
+    val n = text.numChars()
+    val set = new java.util.TreeSet[UTF8String]()
+    var i = 0
+    while (i + k <= n) { set.add(text.substring(i, i + k)); i += 1 }
+    new GenericArrayData(set.toArray())
+  }
 
-  override def dataType: DataType = StructType(Seq(
-    StructField("sig", ArrayType(LongType, containsNull = false)),
-    StructField("bands", ArrayType(LongType, containsNull = false))))
-
-  override protected def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[ArrayData]
+  /** MinHash signature + band hashes in one pass (see MinHashBands). */
+  def minhashBands(toks: ArrayData, numHashes: Int, numBands: Int): InternalRow = {
     val sig = Array.fill(numHashes)(Long.MaxValue)
     var t = 0
     while (t < toks.numElements()) {
@@ -235,6 +153,147 @@ case class MinHashBands(child: Expression, numHashes: Int, numBands: Int)
     }
     InternalRow(new GenericArrayData(sig), new GenericArrayData(bands))
   }
+}
+
+/** dot(a, b) = Σ a_i * b_i, folded left-to-right (see GraftExpressions).
+  * Inputs must be equal-length arrays of non-null doubles — a length
+  * mismatch throws (matching the DuckDB oracle's failure mode) rather
+  * than silently truncating to a plausible-but-wrong similarity.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+  // Input typing is enforced by GraftExpressions.dotProduct's casts
+  // (ExpectsInputTypes would need the package-private AbstractDataType).
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements()
+    val ny = y.numElements()
+    if (nx != ny) throw new IllegalArgumentException(
+      s"DotProduct: array length mismatch ($nx vs $ny)")
+    var sum = 0.0
+    var i = 0
+    while (i < nx) { sum += x.getDouble(i) * y.getDouble(i); i += 1 }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "DotProduct: array length mismatch (" + $n + " vs " + $b.numElements() + ")");
+         |}
+         |double ${ev.value}Sum = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  ${ev.value}Sum += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = ${ev.value}Sum;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Count of shared elements between two SORTED arrays of distinct
+  * non-null strings (`array_sort(array_distinct(...))` upstream, applied
+  * once per document, not per pair) — a merge scan with zero per-pair
+  * allocation, ~10× cheaper than a per-pair hash set on 200-token docs.
+  * `barrier`: see GraftExpressions.
+  */
+case class ArrayIntersectSize(left: Expression, right: Expression,
+    barrier: Boolean = false) extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+
+  /** Value is pure; `barrier = true` only stops Catalyst duplicating the
+    * call (see GraftExpressions scaladoc for the analysis restriction).
+    */
+  override lazy val deterministic: Boolean = !barrier && children.forall(_.deterministic)
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GraftOps.intersectSize(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.GraftOps.intersectSize($a, $b);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Sorted distinct character k-gram shingles, one pass over the string —
+  * replaces `array_sort(array_distinct(transform(sequence(...),
+  * substring)))`, whose interpreted lambdas and CollapseProject
+  * duplication dominate shingle-based near-dup. Char (codepoint) indexing
+  * matches SQL `substr` semantics on both engines. `barrier`: see
+  * GraftExpressions.
+  */
+case class CharShingles(child: Expression, k: Int, barrier: Boolean = false)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override lazy val deterministic: Boolean = !barrier && child.deterministic
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftOps.charShingles(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GraftOps.charShingles($c, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** First position where two long arrays agree, -1 if none — evaluated per
+  * band-collision row, so a tight static loop instead of an interpreted
+  * zip_with/exists chain.
+  */
+case class ArrayFirstMatchIndex(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GraftOps.firstMatchIndex(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.GraftOps.firstMatchIndex($a, $b);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** MinHash signature + LSH band hashes in ONE pass over the token array:
+  * sig_i = min over tokens of xxhash64(token) seeded with i; band_b
+  * chains xxhash64 over its signature slice with seed b. The built-in
+  * `transform(sequence(...), ...)` form re-evaluates the whole signature
+  * per band through CollapseProject (measured 16× recompute at sf0.1);
+  * this expression computes everything once per row. `barrier`: see
+  * GraftExpressions.
+  */
+case class MinHashBands(child: Expression, numHashes: Int, numBands: Int,
+    barrier: Boolean = false) extends UnaryExpression {
+  require(numHashes % numBands == 0, "numBands must divide numHashes")
+
+  override lazy val deterministic: Boolean = !barrier && child.deterministic
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("sig", ArrayType(LongType, containsNull = false)),
+    StructField("bands", ArrayType(LongType, containsNull = false))))
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftOps.minhashBands(input.asInstanceOf[ArrayData], numHashes, numBands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GraftOps.minhashBands($c, $numHashes, $numBands);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -110,6 +110,15 @@ object Streams {
     * event-time timer `retention` after the watermark passes the first
     * occurrence — the explicit analogue of the reference's
     * `DeduplicationTransformer` + windowed store.
+    *
+    * Determinism scope: the min-(ts, event_id) tiebreak holds WITHIN one
+    * micro-batch; across batches the semantics are first-ARRIVAL-wins
+    * (an earlier-ts record landing in a later batch is dropped even while
+    * inside the watermark) — which is what the Kafka Streams reference
+    * does, since it processes one record at a time. Parity with the batch
+    * twin `Dedup.qDedupFirstWins` (a pure function of the data) therefore
+    * requires arrival order ~ event-time order, which is how
+    * StreamingParitySpec stages its input.
     */
   class FirstWinsDedupProcessor(retentionMs: Long)
       extends StatefulProcessor[(Long, String), Event, Event] {

@@ -1,4 +1,6 @@
-package graft
+package graft.tools
+
+import graft.SparkEntry
 
 import org.apache.spark.sql.SparkSession
 

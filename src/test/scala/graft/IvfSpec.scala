@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.engine.{Ivf, Similarity, Tables}
+
+/** Trained-IVF properties: the index is BUILT (kmeans quantizer), probing
+  * all cells is exactly the brute-force scan, and partial probing keeps
+  * recall@10 above threshold on the clustered embeddings fixture.
+  */
+class IvfSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val K = 8
+  // sf0.001 has too few vectors for the quantizer to carve meaningful
+  // cells; sf0.01's 500 label-clustered vectors are the training fixture.
+  private val sfDir = "/root/testdata/sf0.01"
+  private lazy val embs = Tables.embeddings(spark, sfDir)
+  private lazy val centroids = Ivf.train(embs, k = K, iters = 4).localCheckpoint()
+
+  private def exactTop10: Seq[Long] =
+    Similarity.queries("q_cosine_topk")(spark, sfDir)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+
+  test("training is deterministic and produces k non-degenerate centroids") {
+    val c = centroids.collect()
+    assert(c.length == K)
+    val again = Ivf.train(embs, k = K, iters = 4).collect()
+    assert(c.map(_.getSeq[Double](1)).toSeq.sortBy(_.head) ==
+      again.map(_.getSeq[Double](1)).toSeq.sortBy(_.head))
+    // centroids differ from each other (kmeans actually moved them apart)
+    assert(c.map(_.getSeq[Double](1).head).distinct.length > 1)
+  }
+
+  test("every vector is assigned to exactly one of the k cells") {
+    val a = Ivf.assign(embs, centroids)
+    assert(a.count() == embs.count())
+    val cells = a.select("cell").distinct().collect().map(_.getInt(0)).toSet
+    assert(cells.subsetOf((0 until K).toSet))
+    assert(cells.size > 1, "quantizer collapsed to a single cell")
+  }
+
+  test("nprobe = k probes everything: result ≡ exact brute-force top-10") {
+    val full = Ivf.search(embs, centroids, queryVecId = 0, nprobe = K, topK = 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(full == exactTop10)
+  }
+
+  test("nprobe = 2 of 8 keeps recall@10 >= 0.5 on the clustered fixture") {
+    val approx = Ivf.search(embs, centroids, queryVecId = 0, nprobe = 2, topK = 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = exactTop10.count(approx.contains) / 10.0
+    assert(recall >= 0.5, s"recall@10 = $recall")
+  }
+}

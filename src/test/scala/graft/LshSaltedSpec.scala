@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.engine.Dedup
+
+/** The salted (no-broadcast) LSH shape must be a pure execution detail:
+  * identical logical output to the broadcast shape on every input.
+  */
+class LshSaltedSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  // sf0.001's documents carry no pairs above the Jaccard thresholds —
+  // the equivalence tests need a corpus where near-dups actually exist.
+  private val sfDir = "/root/testdata/sf0.01"
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double)] = {
+    import spark.implicits._
+    df.as[(Long, Long, Double)].collect().toSeq.sorted
+  }
+
+  test("q_neardup_lsh_salted ≡ q_neardup_lsh (token MinHash-LSH)") {
+    val broad = rows(Dedup.qNeardupLsh(spark, sfDir))
+    val salted = rows(Dedup.qNeardupLshSalted(spark, sfDir))
+    assert(broad.nonEmpty, "fixture produced no near-dup pairs — vacuous test")
+    assert(salted == broad)
+  }
+
+  test("blocked shingle near-dup: salted shape ≡ broadcast shape") {
+    val base = graft.engine.Tables.documents(spark, sfDir)
+      .where(length(col("text")) >= 3)
+      .select(col("doc_id"), col("lang"),
+        (col("n_chars") / 64).cast("long").as("len_bucket"),
+        graft.functions.GraftExpressions.charShingles(col("text"), 3, barrier = true).as("grams"))
+    val sigs = Dedup.signatures(base, "grams")
+    val blocks = Seq("lang", "len_bucket")
+    val broad = rows(Dedup.blockedNearDupPairs(spark, sigs, "grams", blocks, 4, 5, 0.8, Dedup.Broadcast))
+    val salted = rows(Dedup.blockedNearDupPairs(spark, sigs, "grams", blocks, 4, 5, 0.8, Dedup.Salted()))
+    assert(broad.nonEmpty, "fixture produced no shingle near-dup pairs — vacuous test")
+    assert(salted == broad)
+  }
+
+  test("salted shape is insensitive to the salt count") {
+    val one = rows(Dedup.lshNearDupPairs(spark, Dedup.minhashBands(spark, TestSpark.sfDir),
+      "toks", 9, 10, 0.9, Dedup.Salted(salts = 1)))
+    val many = rows(Dedup.lshNearDupPairs(spark, Dedup.minhashBands(spark, TestSpark.sfDir),
+      "toks", 9, 10, 0.9, Dedup.Salted(salts = 7)))
+    assert(one == many)
+  }
+}

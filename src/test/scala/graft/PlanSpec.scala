@@ -47,10 +47,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("RoundRobinPartitioning"), p) // pair fan-out parallelized
   }
 
-  test("q_ngram_jaccard broadcasts its shingle dictionary side") {
-    val p = plan("q_ngram_jaccard")
-    assert(p.contains("BroadcastHashJoin"), p)
+  test("q_neardup_lsh_salted has NO broadcast anywhere — the beyond-broadcast-scale shape") {
+    val p = plan("q_neardup_lsh_salted")
+    assert(!p.contains("Broadcast"), p)         // no exchange, no bhj, no bnlj
     assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin"), p)      // salted band join + confirms
+  }
+
+  test("q_ngram_jaccard runs the salted LSH shape: no corpus broadcast, no cartesian") {
+    val p = plan("q_ngram_jaccard")
+    assert(!p.contains("Broadcast"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin"), p)
   }
 
   test("q_similarity_join computes each vector's norm below the join, not per pair") {

@@ -19,6 +19,41 @@ class SkewSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("a genuinely hot key is split across multiple aggregation states and tasks") {
+    // One key carries 50% of all rows — the shape where an unsalted
+    // collect_list concentrates the whole key in ONE reducer state.
+    val n = 10000
+    val df = spark.range(n).select(
+      when(col("id") % 2 === 0, lit("hot")).otherwise(concat(lit("k"), col("id") % 97)).as("k"),
+      col("id"))
+    // Phase-1 sub-aggregation: the hot key must fan out over >1 salt
+    // sub-key (bounded state) and >1 shuffle partition (parallel tasks).
+    // AQE's post-shuffle coalescing would fold this test-sized shuffle
+    // back into one partition (it wouldn't at production volume), hiding
+    // exactly the property under test — off for this query only.
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    val phase1 = try {
+      df.withColumn("__salt", Skew.salt(col("id"), 16))
+        .groupBy(col("k"), col("__salt"))
+        .agg(count(lit(1)).as("c"), collect_list(col("id")).as("part"))
+        .withColumn("pid", spark_partition_id())
+        .where(col("k") === "hot")
+        .select(col("__salt"), col("c"), col("pid"))
+        .collect()
+    } finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    assert(phase1.length > 1, s"hot key stayed in one aggregation state: ${phase1.toSeq}")
+    assert(phase1.map(_.getInt(2)).distinct.length > 1,
+      s"hot key's sub-aggregations all ran in one task: ${phase1.toSeq}")
+    val maxState = phase1.map(_.getLong(1)).max
+    assert(maxState < n / 2, s"one sub-state still holds the whole hot key ($maxState rows)")
+    // And the end-to-end salted result is still exactly the unsalted one.
+    val salted = Skew.saltedCollectList(df, Seq("k"), "id", "id")
+      .as[(String, Seq[Long])].collect().toMap
+    val plain = df.groupBy("k").agg(array_sort(collect_list(col("id"))).as("id_list"))
+      .as[(String, Seq[Long])].collect().toMap
+    assert(salted == plain)
+  }
+
   test("saltedJoin equals the plain equi-join") {
     val ev = Tables.events(spark, TestSpark.sfDir)
       .select("event_id", "user_id", "event_type")
