@@ -54,11 +54,34 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("SortMergeJoin"), p)      // salted band join + confirms
   }
 
-  test("q_ngram_jaccard runs the salted LSH shape: no corpus broadcast, no cartesian") {
+  test("q_ngram_jaccard runs the salted blocked shape: no corpus broadcast, no cartesian") {
     val p = plan("q_ngram_jaccard")
     assert(!p.contains("Broadcast"), p)
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("SortMergeJoin"), p)
+  }
+
+  test("the per-pair graft expressions execute inside whole-stage codegen") {
+    // ArrayIntersectSize / MinHashBands / ArrayFirstMatchIndex /
+    // CharShingles implement doGenCode via static kernels; a fallback to
+    // interpreted eval would strip the `*(n)` codegen marker from the
+    // operator that evaluates them. AQE only inserts WholeStageCodegen
+    // when each stage materializes, so run the query before reading the
+    // final plan.
+    val hot = Seq("arrayintersectsize", "minhashbands", "arrayfirstmatchindex", "charshingles")
+    for (key <- Seq("q_neardup_pairs", "q_neardup_lsh", "q_ngram_jaccard")) {
+      val df = SparkEntry.queries(key)(spark, TestSpark.sfDir)
+      df.collect()
+      // The adaptive plan string carries BOTH the final and the initial
+      // plan; only the final section reflects what actually executed.
+      val lines = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head.linesIterator.toSeq
+      val hotLines = lines.filter(l => hot.exists(l.toLowerCase.contains))
+      assert(hotLines.nonEmpty, s"$key: no graft expression found in the final plan")
+      hotLines.foreach { l =>
+        assert(l.contains("*("), s"$key: graft expression evaluated outside codegen: $l")
+      }
+    }
   }
 
   test("q_similarity_join computes each vector's norm below the join, not per pair") {
