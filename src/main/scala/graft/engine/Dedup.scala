@@ -150,6 +150,11 @@ object Dedup {
     */
   private[graft] def signatures(docs: DataFrame, setCol: String = "toks"): DataFrame =
     docs
+      // Round-robin BEFORE hashing: the fixture tables scan as a single
+      // partition (one row group), and a downstream localCheckpoint would
+      // otherwise materialize the whole set-build + 32-hash computation in
+      // ONE task. The raw docs ship once; the signature work fans out.
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
       .withColumn("__mb",
         graft.functions.GraftExpressions.minhashBands(col(setCol), NumHashes, NumBands, barrier = true))
       .withColumn("minhash_sig", col("__mb.sig"))
@@ -213,24 +218,36 @@ object Dedup {
     * The size-ratio prune is lossless for the threshold τ = tauNum/tauDen
     * (an exact-integer rendering of `threshold`): J(A,B) ≤ min/max, so
     * J ≥ τ requires tauDen·min(|A|,|B|) ≥ tauNum·max(|A|,|B|).
+    *
+    * `blockCols` (optional) ANDs explicit block keys into the candidate
+    * join: candidates must share the block AND a band. Use when banding
+    * alone is non-selective (high background Jaccard — shingle sets) or
+    * when blocking is part of the operator semantic; the resulting
+    * candidate set is the INTERSECTION, which also shrinks every
+    * (band, block) join bucket.
     */
   private[graft] def lshNearDupPairs(s: SparkSession, sigsIn: DataFrame, setCol: String,
-      tauNum: Int, tauDen: Int, threshold: Double, shape: LshShape): DataFrame = {
+      tauNum: Int, tauDen: Int, threshold: Double, shape: LshShape,
+      blockCols: Seq[String] = Nil): DataFrame = {
     val sigs = sigsIn.localCheckpoint()
     def explodeBands(df: DataFrame): DataFrame =
-      df.select(col("doc_id"), col("bands"), size(col(setCol)).as("nt"),
-        posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+      df.select((col("doc_id") +: blockCols.map(col)) :+ col("bands") :+
+        size(col(setCol)).as("nt") :+
+        posexplode(col("bands")).as(Seq("band_idx", "band_hash")): _*)
+    def joinKey(a: String, b: String) =
+      (Seq(col(s"$a.band_idx") === col(s"$b.band_idx"),
+        col(s"$a.band_hash") === col(s"$b.band_hash")) ++
+        blockCols.map(c => col(s"$a.$c") === col(s"$b.$c")))
+        .reduce(_ && _) && col(s"$a.doc_id") < col(s"$b.doc_id")
     val cands = shape match {
       case Broadcast =>
-        // Round-robin stream side: a checkpointed single-partition source
-        // would otherwise run the whole O(pairs) probe in one task.
-        val bandedA = explodeBands(sigs.repartition(s.sessionState.conf.numShufflePartitions))
+        // The checkpointed sigs are already round-robin partitioned (see
+        // signatures()), so the O(pairs) probe fans out over the stream
+        // side's partitions with no further shuffle.
+        val bandedA = explodeBands(sigs)
         val bandedB = explodeBands(sigs)
         bandedA.alias("a")
-          .join(broadcast(bandedB.alias("b")),
-            col("a.band_idx") === col("b.band_idx") &&
-              col("a.band_hash") === col("b.band_hash") &&
-              col("a.doc_id") < col("b.doc_id"))
+          .join(broadcast(bandedB.alias("b")), joinKey("a", "b"))
       case Salted(salts) =>
         // Salt splits each (band_idx, band_hash) bucket into `salts`
         // sub-keys: the stream side keeps one deterministic salt per doc
@@ -244,10 +261,7 @@ object Dedup {
           .withColumn("__salt", explode(sequence(lit(0L), lit(salts - 1L))))
         bandedA.alias("a")
           .join(bandedB.alias("b").hint("merge"),
-            col("a.band_idx") === col("b.band_idx") &&
-              col("a.band_hash") === col("b.band_hash") &&
-              col("a.__salt") === col("b.__salt") &&
-              col("a.doc_id") < col("b.doc_id"))
+            joinKey("a", "b") && col("a.__salt") === col("b.__salt"))
     }
     val pairs = cands
       // Size-ratio prune FIRST (cheap integer compare, lossless) so most
@@ -291,50 +305,6 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Blocked near-dup pairs for sets where LSH banding alone is NOT
-    * selective (measured on 3-gram shingles at sf0.1: background trigram
-    * overlap between unrelated same-language docs puts 10.9M of 12.5M
-    * possible pairs in some shared band — banding discriminates τ from
-    * background only when background J² is small). Candidates come from an
-    * explicit block key instead; the MinHash bands still earn their keep
-    * as a 16-long quick-reject BEFORE each exact merge scan (a J ≥ τ pair
-    * shares no band with probability (1−τ²)^16 ≤ 8.5e-8 at τ = 0.8 —
-    * negligible vs the exact oracle; a background pair is rejected with
-    * ~80%+ probability at the cost of comparing 16 longs, not merging two
-    * shingle arrays).
-    *
-    * The block join ships ONLY (doc_id, block key, set size, 16 band
-    * longs) — never the arrays; the confirm attaches arrays by doc id.
-    * Shapes as in lshNearDupPairs: Broadcast probes the block metadata
-    * from a broadcast map; Salted replicates metadata `salts`× through a
-    * sort-merge join so one hot block splits across `salts` tasks.
-    */
-  private[graft] def blockedNearDupPairs(s: SparkSession, sigsIn: DataFrame, setCol: String,
-      blockCols: Seq[String], tauNum: Int, tauDen: Int, threshold: Double,
-      shape: LshShape): DataFrame = {
-    val sigs = sigsIn.localCheckpoint()
-    val meta = sigs.select(
-      (col("doc_id") +: blockCols.map(col)) :+ size(col(setCol)).as("nt") :+ col("bands"): _*)
-    def blockCond(a: String, b: String) =
-      blockCols.map(c => col(s"$a.$c") === col(s"$b.$c")).reduce(_ && _) &&
-        col(s"$a.doc_id") < col(s"$b.doc_id")
-    val cands = shape match {
-      case Broadcast =>
-        val metaA = meta.repartition(s.sessionState.conf.numShufflePartitions)
-        metaA.alias("a").join(broadcast(meta.alias("b")), blockCond("a", "b"))
-      case Salted(salts) =>
-        val metaA = meta.withColumn("__salt", Skew.salt(col("doc_id"), salts))
-        val metaB = meta.withColumn("__salt", explode(sequence(lit(0L), lit(salts - 1L))))
-        metaA.alias("a").join(metaB.alias("b").hint("merge"),
-          blockCond("a", "b") && col("a.__salt") === col("b.__salt"))
-    }
-    val pairs = cands
-      .where(least(col("a.nt"), col("b.nt")) * tauDen >= greatest(col("a.nt"), col("b.nt")) * tauNum &&
-        graft.functions.GraftExpressions.firstMatchIndex(
-          col("a.bands"), col("b.bands")) >= 0)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-    confirmExact(pairs, sigs, setCol, tauNum, tauDen, threshold, shape)
-  }
 
   /** LSH near-dup, broadcast shape (see LshShape scaladocs). Oracle:
     * global exact all-pairs Jaccard ≥ 0.9 (no blocking) — sound because
@@ -355,16 +325,19 @@ object Dedup {
   /** Character-3-gram (shingle) Jaccard near-dup — catches near-duplicates
     * that word tokenization misses (reordered words, punctuation edits).
     * The operator semantic is BLOCKED (lang, length-bucket) near-dup: pure
-    * LSH banding cannot carry this query, because background trigram
+    * LSH banding cannot carry this query alone, because background trigram
     * overlap between unrelated same-language docs makes the band buckets
-    * non-selective at τ = 0.8 (see blockedNearDupPairs — measured 87% of
-    * ALL pairs colliding at sf0.1, i.e. banded "candidates" ≈ the full
-    * quadratic pair space). Runs the SALTED shape: ids+bands-only block
-    * join, band quick-reject, co-partitioned exact confirm — no
-    * corpus-derived broadcast anywhere (the r2 form broadcast the entire
-    * shingled corpus). Threshold 0.8 (shingle Jaccard dilutes faster than
-    * token Jaccard); J ≥ 0.8 ⇔ 5·min ≥ 4·max prune. Oracle: exact Jaccard
-    * over the same blocks.
+    * non-selective at τ = 0.8 (measured 87% of ALL pairs colliding in some
+    * band at sf0.1, i.e. banded "candidates" ≈ the full quadratic pair
+    * space). The candidate join therefore keys on block AND band: only
+    * pairs sharing (lang, len-bucket) and ≥1 band materialize — a J ≥ 0.8
+    * pair shares no band with probability (1−0.8²)¹⁶ ≈ 8.5e-8 (accepted
+    * vs the exact blocked oracle), while ~80% of background block pairs
+    * never even reach the size prune. Runs the SALTED shape: ids+bands-only
+    * candidate join, co-partitioned exact confirm — no corpus-derived
+    * broadcast anywhere (the r2 form broadcast the entire shingled
+    * corpus). Threshold 0.8 (shingle Jaccard dilutes faster than token
+    * Jaccard); J ≥ 0.8 ⇔ 5·min ≥ 4·max prune.
     */
   val qNgramJaccard: Q = (s, d) => {
     val base = documents(s, d)
@@ -372,8 +345,8 @@ object Dedup {
       .select(col("doc_id"), col("lang"),
         (col("n_chars") / 64).cast("long").as("len_bucket"),
         graft.functions.GraftExpressions.charShingles(col("text"), 3, barrier = true).as("grams"))
-    blockedNearDupPairs(s, signatures(base, "grams"), "grams",
-      Seq("lang", "len_bucket"), 4, 5, 0.8, Salted())
+    lshNearDupPairs(s, signatures(base, "grams"), "grams", 4, 5, 0.8, Salted(),
+      blockCols = Seq("lang", "len_bucket"))
   }
 
   val queries: Map[String, Q] = Map(

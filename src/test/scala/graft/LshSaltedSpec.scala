@@ -33,8 +33,8 @@ class LshSaltedSpec extends AnyFunSuite {
         graft.functions.GraftExpressions.charShingles(col("text"), 3, barrier = true).as("grams"))
     val sigs = Dedup.signatures(base, "grams")
     val blocks = Seq("lang", "len_bucket")
-    val broad = rows(Dedup.blockedNearDupPairs(spark, sigs, "grams", blocks, 4, 5, 0.8, Dedup.Broadcast))
-    val salted = rows(Dedup.blockedNearDupPairs(spark, sigs, "grams", blocks, 4, 5, 0.8, Dedup.Salted()))
+    val broad = rows(Dedup.lshNearDupPairs(spark, sigs, "grams", 4, 5, 0.8, Dedup.Broadcast, blocks))
+    val salted = rows(Dedup.lshNearDupPairs(spark, sigs, "grams", 4, 5, 0.8, Dedup.Salted(), blocks))
     assert(broad.nonEmpty, "fixture produced no shingle near-dup pairs — vacuous test")
     assert(salted == broad)
   }

@@ -44,7 +44,14 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q_neardup_lsh")
     assert(!p.contains("SortMergeJoin"), p)
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p) // bands + 2 confirm dictionaries
-    assert(p.contains("RoundRobinPartitioning"), p) // pair fan-out parallelized
+  }
+
+  test("signatures are computed and checkpointed over multiple partitions (pair fan-out parallelized)") {
+    // The fixture parquet scans as ONE partition; signatures() must
+    // round-robin before hashing or the checkpoint (and every probe task
+    // feeding off it) serializes on a single task.
+    val parts = graft.engine.Dedup.minhashBands(spark, TestSpark.sfDir).rdd.getNumPartitions
+    assert(parts == spark.sessionState.conf.numShufflePartitions, s"parts = $parts")
   }
 
   test("q_neardup_lsh_salted has NO broadcast anywhere — the beyond-broadcast-scale shape") {
