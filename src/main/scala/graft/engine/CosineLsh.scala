@@ -1,0 +1,98 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Random-hyperplane (SimHash) LSH for embedding-cosine near-duplicates —
+  * the label-free scale path next to `Similarity.qSimilarityJoin` (which
+  * blocks on the fixture's precomputed `label`): when no cluster column
+  * exists, candidates come from sign-pattern collisions instead.
+  *
+  * Charikar's scheme: bit (t, b) of a vector v is sign(v · h_{t,b}) for a
+  * fixed random hyperplane h; P[bit agrees for u, v] = 1 − θ(u,v)/π. A
+  * table's signature packs `bits` such bits into a long; two vectors
+  * collide in a table iff ALL bits agree (p^bits), and become a candidate
+  * if they collide in ≥1 of `nTables` tables: recall = 1 − (1 − p^bits)^T
+  * — 99.9% at cos ≥ 0.95 with 8 bits × 12 tables, while a random pair
+  * (cos ≈ 0, p = 0.5) collides with probability ~4%/table. Discriminates
+  * only HIGH thresholds (θ small); for τ ≤ ~0.7 use IVF cells or labels.
+  *
+  * Everything is declarative DataFrame ops — hyperplanes are a
+  * deterministic Rademacher (±1) family derived from xxhash64(t, b, i),
+  * so signatures are reproducible across runs/retries with no RNG state.
+  * Candidate generation reuses the MinHash-LSH shape: per-table sigs as
+  * an array column, posexplode + equi-join on (table, sig),
+  * first-matching-table exact-once emission, exact cosine confirm — so
+  * precision is exact; only recall is probabilistic.
+  *
+  * Scale notes (100 TB): the hyperplane frame is O(T·bits·dim) — always
+  * broadcastable. Signature computation is one crossJoin (map-side, no
+  * shuffle) + two bounded-state aggregations keyed by (vec_id, table).
+  * The candidate join keys on (table, sig) — high cardinality, skew-free
+  * for spread-out corpora; a degenerate corpus (everything identical)
+  * concentrates keys exactly like a hot MinHash band, and the same
+  * salting treatment applies (Dedup.Salted).
+  */
+object CosineLsh {
+  import graft.functions.GraftExpressions.dotProduct
+
+  /** Deterministic ±1 hyperplanes: (table, bit, hvec: array<double>). */
+  def hyperplanes(spark: SparkSession, dim: Int, nTables: Int, bits: Int): DataFrame =
+    spark.range(nTables).select(col("id").cast("int").as("table"))
+      .select(col("table"), explode(sequence(lit(0), lit(bits - 1))).as("bit"))
+      .select(col("table"), col("bit"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => when(pmod(xxhash64(col("table"), col("bit"), i), lit(2)) === 0, lit(1.0))
+            .otherwise(lit(-1.0))).as("hvec"))
+
+  /** (vec_id, v, n, sigs) — per-table packed sign signatures, table-ordered. */
+  private def withSignatures(e: DataFrame, planes: DataFrame): DataFrame = {
+    val sigs = e.select(col("vec_id"), col("v"))
+      .crossJoin(broadcast(planes))
+      .withColumn("__dot", dotProduct(col("v"), col("hvec")))
+      .select(col("vec_id"), col("table"),
+        when(col("__dot") >= 0, expr("shiftleft(CAST(1 AS BIGINT), bit)"))
+          .otherwise(lit(0L)).as("bitval"))
+      .groupBy(col("vec_id"), col("table"))
+      .agg(sum(col("bitval")).as("sig"))
+      .groupBy(col("vec_id"))
+      .agg(transform(array_sort(collect_list(struct(col("table"), col("sig")))),
+        s => s.getField("sig")).as("sigs"))
+    e.join(sigs, "vec_id")
+  }
+
+  /** All pairs with cosine ≥ `threshold` (exact-confirmed; recall
+    * 1 − (1 − p^bits)^nTables with p = 1 − arccos(threshold)/π).
+    * `embs` must carry (vec_id, embedding).
+    */
+  def nearDup(embs: DataFrame, dim: Int, threshold: Double,
+      nTables: Int = 12, bits: Int = 8): DataFrame = {
+    val spark = embs.sparkSession
+    val e = embs
+      // Fixture scans are one partition; fan the signature + probe work out.
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("n", sqrt(dotProduct(col("v"), col("v"))))
+    val sigs = withSignatures(e, hyperplanes(spark, dim, nTables, bits))
+      .localCheckpoint() // three consumers below; signatures compute once
+    def banded(df: DataFrame): DataFrame =
+      df.select(col("vec_id"), col("sigs"),
+        posexplode(col("sigs")).as(Seq("table", "sig")))
+    val cands = banded(sigs).alias("a")
+      .join(broadcast(banded(sigs).alias("b")),
+        col("a.table") === col("b.table") && col("a.sig") === col("b.sig") &&
+          col("a.vec_id") < col("b.vec_id"))
+      // Exact-once: emit a colliding pair from its first shared table only.
+      .where(graft.functions.GraftExpressions.firstMatchIndex(
+        col("a.sigs"), col("b.sigs")) === col("a.table"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+    val dict = sigs.select(col("vec_id"), col("v"), col("n"))
+    cands
+      .join(broadcast(dict.select(col("vec_id").as("vec_a"), col("v").as("va"), col("n").as("na"))), "vec_a")
+      .join(broadcast(dict.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("n").as("nb"))), "vec_b")
+      .withColumn("cos_sim", round(dotProduct(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .where(col("cos_sim") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cos_sim"))
+      .orderBy("vec_a", "vec_b")
+  }
+}
