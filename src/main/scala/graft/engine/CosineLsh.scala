@@ -29,9 +29,13 @@ import org.apache.spark.sql.functions._
   * broadcastable. Signature computation is one crossJoin (map-side, no
   * shuffle) + two bounded-state aggregations keyed by (vec_id, table).
   * The candidate join keys on (table, sig) — high cardinality, skew-free
-  * for spread-out corpora; a degenerate corpus (everything identical)
-  * concentrates keys exactly like a hot MinHash band, and the same
-  * salting treatment applies (Dedup.Salted).
+  * for spread-out corpora. Like the MinHash family, the physical shape is
+  * a parameter (Dedup.LshShape): `Broadcast` probes banded signatures and
+  * vector dictionaries from broadcast maps (fastest while they fit
+  * executor memory), `Salted` runs the no-broadcast form — salted
+  * sort-merge signature join plus vec-id co-partitioned confirms — for
+  * corpora past broadcast limits. Zero vectors have no direction (cosine
+  * would be 0/0) and are excluded up front.
   */
 object CosineLsh {
   import graft.functions.GraftExpressions.dotProduct
@@ -66,30 +70,50 @@ object CosineLsh {
     * `embs` must carry (vec_id, embedding).
     */
   def nearDup(embs: DataFrame, dim: Int, threshold: Double,
-      nTables: Int = 12, bits: Int = 8): DataFrame = {
+      nTables: Int = 12, bits: Int = 8,
+      shape: Dedup.LshShape = Dedup.Broadcast): DataFrame = {
     val spark = embs.sparkSession
     val e = embs
       // Fixture scans are one partition; fan the signature + probe work out.
       .repartition(spark.sessionState.conf.numShufflePartitions)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("n", sqrt(dotProduct(col("v"), col("v"))))
+      .where(col("n") > 0) // zero vectors: no direction, cosine undefined
     val sigs = withSignatures(e, hyperplanes(spark, dim, nTables, bits))
       .localCheckpoint() // three consumers below; signatures compute once
     def banded(df: DataFrame): DataFrame =
       df.select(col("vec_id"), col("sigs"),
         posexplode(col("sigs")).as(Seq("table", "sig")))
-    val cands = banded(sigs).alias("a")
-      .join(broadcast(banded(sigs).alias("b")),
-        col("a.table") === col("b.table") && col("a.sig") === col("b.sig") &&
-          col("a.vec_id") < col("b.vec_id"))
-      // Exact-once: emit a colliding pair from its first shared table only.
+    val sigKey = (a: String, b: String) =>
+      col(s"$a.table") === col(s"$b.table") && col(s"$a.sig") === col(s"$b.sig") &&
+        col(s"$a.vec_id") < col(s"$b.vec_id")
+    val collided = shape match {
+      case Dedup.Broadcast =>
+        banded(sigs).alias("a").join(broadcast(banded(sigs).alias("b")), sigKey("a", "b"))
+      case Dedup.Salted(salts) =>
+        // Same salt-and-replicate sort-merge form as Dedup.lshNearDupPairs:
+        // no broadcast, hot signature buckets split across `salts` tasks.
+        val bandedA = banded(sigs).withColumn("__salt", Skew.salt(col("vec_id"), salts))
+        val bandedB = banded(sigs).withColumn("__salt", explode(sequence(lit(0L), lit(salts - 1L))))
+        bandedA.alias("a").join(bandedB.alias("b").hint("merge"),
+          sigKey("a", "b") && col("a.__salt") === col("b.__salt"))
+    }
+    // Exact-once: emit a colliding pair from its first shared table only.
+    val cands = collided
       .where(graft.functions.GraftExpressions.firstMatchIndex(
         col("a.sigs"), col("b.sigs")) === col("a.table"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
     val dict = sigs.select(col("vec_id"), col("v"), col("n"))
-    cands
-      .join(broadcast(dict.select(col("vec_id").as("vec_a"), col("v").as("va"), col("n").as("na"))), "vec_a")
-      .join(broadcast(dict.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("n").as("nb"))), "vec_b")
+    val dictA = dict.select(col("vec_id").as("vec_a"), col("v").as("va"), col("n").as("na"))
+    val dictB = dict.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("n").as("nb"))
+    val confirmed = shape match {
+      case Dedup.Broadcast =>
+        cands.join(broadcast(dictA), "vec_a").join(broadcast(dictB), "vec_b")
+      case Dedup.Salted(_) =>
+        cands.hint("merge").join(dictA.hint("merge"), "vec_a")
+          .hint("merge").join(dictB.hint("merge"), "vec_b")
+    }
+    confirmed
       .withColumn("cos_sim", round(dotProduct(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .where(col("cos_sim") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cos_sim"))

@@ -57,7 +57,7 @@ object Ivf {
         .groupBy(col("vec_id"), col("v"))
         .agg(min_by(col("cell"), struct(col("d2"), col("cell"))).as("cell"))
         .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"), count(lit(1)).as("n"))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"))
         .groupBy(col("cell"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("cv"))
@@ -95,9 +95,15 @@ object Ivf {
   /** ANN query: probe the `nprobe` cells nearest the query vector, exact
     * cosine re-rank inside them. `nprobe = k` degenerates to the exact
     * full scan (spec-asserted), trading recall for scan cost linearly.
+    *
+    * `cellsIn`: pass the persisted `assign` output to amortize the
+    * assignment across queries (the index artifact); omitted, it is
+    * recomputed — fine for a one-off, wasteful for a query workload.
+    * Zero vectors have no direction and are excluded from candidates
+    * (their cosine is 0/0; the oracle engine errors there too).
     */
   def search(embs: DataFrame, centroids: DataFrame, queryVecId: Long,
-      nprobe: Int, topK: Int): DataFrame = {
+      nprobe: Int, topK: Int, cellsIn: Option[DataFrame] = None): DataFrame = {
     val e = embs.select(col("vec_id"), vec(col("embedding")).as("v"))
       .withColumn("nv2", dotProduct(col("v"), col("v")))
     val q = e.where(col("vec_id") === queryVecId)
@@ -108,8 +114,9 @@ object Ivf {
       .withColumn("d2", dist2(col("qv"), col("nq2"), col("cv"), col("nc2")))
       .orderBy(col("d2"), col("cell")).limit(nprobe)
       .select(col("cell"))
-    val cells = assign(embs, centroids)
-    e.join(cells, "vec_id")
+    val cells = cellsIn.getOrElse(assign(embs, centroids))
+    e.where(col("nv2") > 0)
+      .join(cells, "vec_id")
       .join(broadcast(probed), "cell") // candidate cells only
       .where(col("vec_id") =!= queryVecId)
       .crossJoin(broadcast(q))

@@ -14,6 +14,20 @@ package graft.engine
   */
 object Oracle {
 
+  /** Shared by q_neardup_lsh and q_neardup_lsh_salted: the two keys are
+    * the SAME logical operator in different physical shapes, so binding
+    * one string makes the oracle identity structural — a threshold or
+    * tokenization tweak cannot diverge them silently.
+    */
+  private val NeardupLshSql = """
+      WITH docs AS (SELECT doc_id, list_distinct(string_split(text, ' ')) toks FROM documents),
+        pairs AS (SELECT a.doc_id doc_a, b.doc_id doc_b,
+          round(len(list_intersect(a.toks, b.toks)) * 1.0 /
+                len(list_distinct(list_concat(a.toks, b.toks))), 6) jaccard
+        FROM docs a JOIN docs b ON a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.9
+      ORDER BY doc_a, doc_b"""
+
   val sql: Map[String, String] = Map(
     "q_scan_project" -> """
       SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber, l_quantity, l_shipdate
@@ -369,26 +383,12 @@ object Oracle {
         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))::BIGINT AS n_bpe_pieces
       FROM documents ORDER BY doc_id""",
 
-    "q_neardup_lsh" -> """
-      WITH docs AS (SELECT doc_id, list_distinct(string_split(text, ' ')) toks FROM documents),
-        pairs AS (SELECT a.doc_id doc_a, b.doc_id doc_b,
-          round(len(list_intersect(a.toks, b.toks)) * 1.0 /
-                len(list_distinct(list_concat(a.toks, b.toks))), 6) jaccard
-        FROM docs a JOIN docs b ON a.doc_id < b.doc_id)
-      SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.9
-      ORDER BY doc_a, doc_b""",
+    "q_neardup_lsh" -> NeardupLshSql,
 
     // Same logical result as q_neardup_lsh — only the physical shape
     // differs (salted sort-merge band join + co-partitioned confirms,
-    // zero broadcasts), so the oracle is identical.
-    "q_neardup_lsh_salted" -> """
-      WITH docs AS (SELECT doc_id, list_distinct(string_split(text, ' ')) toks FROM documents),
-        pairs AS (SELECT a.doc_id doc_a, b.doc_id doc_b,
-          round(len(list_intersect(a.toks, b.toks)) * 1.0 /
-                len(list_distinct(list_concat(a.toks, b.toks))), 6) jaccard
-        FROM docs a JOIN docs b ON a.doc_id < b.doc_id)
-      SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.9
-      ORDER BY doc_a, doc_b""",
+    // zero broadcasts), so the oracle IS the same string.
+    "q_neardup_lsh_salted" -> NeardupLshSql,
 
     "q_cosine_topk" -> """
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),

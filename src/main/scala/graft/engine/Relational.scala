@@ -235,12 +235,15 @@ object Relational {
         round(var_samp(col("l_quantity")), 4).as("var_qty"),
         round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
         round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("covar_qty_price"),
-        count(lit(1)).as("__n"))
+        // Non-null count and null-excluded ranks: percentile/quantile_cont
+        // ignore NULLs (lineitem has none, but the form stays generic).
+        count(col("l_extendedprice")).as("__n"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
     // 1-based rank; for percentile p the 0-based position is p·(n−1), so
     // the boundary ranks are floor/ceil of p·(n−1)+1.
     val ranked = li.select(col("l_returnflag"), col("l_extendedprice"))
+      .where(col("l_extendedprice").isNotNull)
       .withColumn("__rn", row_number().over(w))
       .join(broadcast(stats.select(col("l_returnflag"), col("__n"))), "l_returnflag")
     // 0-based position p·(n−1), exactly as both `percentile` and

@@ -36,6 +36,28 @@ class BucketedJoinSpec extends AnyFunSuite {
     assert(bucketed == plain)
   }
 
+  test("a persisted signature store confirms candidates with no store-side shuffle") {
+    // Signatures are write-once artifacts (Dedup.lshNearDupPairs scaladoc):
+    // at 100 TB they live in a bucketed table so every near-dup run's
+    // confirm joins shuffle ONLY the (small) candidate stream — the huge
+    // per-doc set dictionary is already bucket-partitioned on doc_id.
+    val sigs = graft.engine.Dedup.minhashBands(spark, TestSpark.sfDir)
+      .select(col("doc_id"), col("toks"), col("minhash_sig"))
+    Tables.writeBucketed(sigs, "sig_store", 8, Seq("doc_id"))
+    val store = spark.table("sig_store")
+    val cands = sigs.select(col("doc_id")).where(col("doc_id") % 3 === 0)
+    val confirmed = cands.join(store.hint("merge"), "doc_id")
+    val plan = confirmed.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("Bucketed: true"), plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"expected exactly one exchange (candidate side only): $plan")
+    val got = confirmed.select("doc_id").as[Long].collect().sorted.toSeq
+    val expected = sigs.where(col("doc_id") % 3 === 0)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got == expected)
+  }
+
   test("aggregation on the bucket key also skips the shuffle") {
     val byUser = spark.table("events_bkt").groupBy("user_id")
       .agg(round(sum(col("value")), 2).as("sum_value"))

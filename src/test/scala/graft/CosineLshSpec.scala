@@ -52,6 +52,20 @@ class CosineLshSpec extends AnyFunSuite {
     assert(found.subsetOf(truth), s"false positives: ${found.diff(truth).take(5)}")
   }
 
+  test("salted no-broadcast shape ≡ broadcast shape, and its plan has no broadcast") {
+    val broad = CosineLsh.nearDup(corpus, Dim, Tau).collect().toSeq
+    val saltedDf = CosineLsh.nearDup(corpus, Dim, Tau, shape = graft.engine.Dedup.Salted())
+    assert(broad.nonEmpty)
+    assert(saltedDf.collect().toSeq == broad)
+    val plan = saltedDf.queryExecution.executedPlan.toString
+    // The hyperplane frame (O(T·bits·dim) model state) is legitimately
+    // broadcast even in the salted shape; it hides inside the checkpointed
+    // signature job, so the visible candidate/confirm plan must be free of
+    // broadcasts entirely.
+    assert(!plan.contains("Broadcast"), plan)
+    assert(plan.contains("SortMergeJoin"), plan)
+  }
+
   test("signatures and results are deterministic across runs") {
     val r1 = CosineLsh.nearDup(corpus, Dim, Tau).collect().toSeq
     val r2 = CosineLsh.nearDup(corpus, Dim, Tau).collect().toSeq

@@ -40,10 +40,11 @@ class LshSaltedSpec extends AnyFunSuite {
   }
 
   test("salted shape is insensitive to the salt count") {
-    val one = rows(Dedup.lshNearDupPairs(spark, Dedup.minhashBands(spark, TestSpark.sfDir),
+    val one = rows(Dedup.lshNearDupPairs(spark, Dedup.minhashBands(spark, sfDir),
       "toks", 9, 10, 0.9, Dedup.Salted(salts = 1)))
-    val many = rows(Dedup.lshNearDupPairs(spark, Dedup.minhashBands(spark, TestSpark.sfDir),
+    val many = rows(Dedup.lshNearDupPairs(spark, Dedup.minhashBands(spark, sfDir),
       "toks", 9, 10, 0.9, Dedup.Salted(salts = 7)))
+    assert(one.nonEmpty, "no pairs at sf0.01 — vacuous test")
     assert(one == many)
   }
 }

@@ -76,19 +76,29 @@ class PlanSpec extends AnyFunSuite {
     // when each stage materializes, so run the query before reading the
     // final plan.
     val hot = Seq("arrayintersectsize", "minhashbands", "arrayfirstmatchindex", "charshingles")
-    for (key <- Seq("q_neardup_pairs", "q_neardup_lsh", "q_ngram_jaccard")) {
-      val df = SparkEntry.queries(key)(spark, TestSpark.sfDir)
+    def assertStarred(df: org.apache.spark.sql.DataFrame, what: String): Unit = {
       df.collect()
       // The adaptive plan string carries BOTH the final and the initial
       // plan; only the final section reflects what actually executed.
       val lines = df.queryExecution.executedPlan.toString
         .split("== Initial Plan ==").head.linesIterator.toSeq
       val hotLines = lines.filter(l => hot.exists(l.toLowerCase.contains))
-      assert(hotLines.nonEmpty, s"$key: no graft expression found in the final plan")
+      assert(hotLines.nonEmpty, s"$what: no graft expression found in the final plan")
       hotLines.foreach { l =>
-        assert(l.contains("*("), s"$key: graft expression evaluated outside codegen: $l")
+        assert(l.contains("*("), s"$what: graft expression evaluated outside codegen: $l")
       }
     }
+    for (key <- Seq("q_neardup_pairs", "q_neardup_lsh", "q_ngram_jaccard"))
+      assertStarred(SparkEntry.queries(key)(spark, TestSpark.sfDir), key)
+    // MinHashBands/CharShingles live INSIDE the queries' eager
+    // localCheckpoint job, whose plan the assertions above never see —
+    // cover them on an un-checkpointed signature plan directly.
+    import org.apache.spark.sql.functions._
+    val shingled = graft.engine.Tables.documents(spark, TestSpark.sfDir)
+      .where(length(col("text")) >= 3)
+      .select(col("doc_id"),
+        graft.functions.GraftExpressions.charShingles(col("text"), 3, barrier = true).as("grams"))
+    assertStarred(graft.engine.Dedup.signatures(shingled, "grams"), "signatures(grams)")
   }
 
   test("q_similarity_join computes each vector's norm below the join, not per pair") {

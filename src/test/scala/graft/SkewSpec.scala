@@ -31,6 +31,7 @@ class SkewSpec extends AnyFunSuite {
     // AQE's post-shuffle coalescing would fold this test-sized shuffle
     // back into one partition (it wouldn't at production volume), hiding
     // exactly the property under test — off for this query only.
+    val coalescePrior = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     val phase1 = try {
       df.withColumn("__salt", Skew.salt(col("id"), 16))
@@ -40,7 +41,7 @@ class SkewSpec extends AnyFunSuite {
         .where(col("k") === "hot")
         .select(col("__salt"), col("c"), col("pid"))
         .collect()
-    } finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    } finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", coalescePrior)
     assert(phase1.length > 1, s"hot key stayed in one aggregation state: ${phase1.toSeq}")
     assert(phase1.map(_.getInt(2)).distinct.length > 1,
       s"hot key's sub-aggregations all ran in one task: ${phase1.toSeq}")
