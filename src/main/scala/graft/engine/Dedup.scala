@@ -96,14 +96,17 @@ object Dedup {
     * qNeardupLsh below is the form whose blocking survives 100 TB.)
     */
   val qNeardupPairs: Q = (s, d) => {
-    val docs = documents(s, d).select(
-      col("doc_id"), col("lang"),
-      (col("n_chars") / 64).cast("long").as("len_bucket"),
-      array_sort(array_distinct(split(col("text"), " "))).as("toks"))
-    // Round-robin repartition of the pair-generating side: a single-file
-    // scan is one partition, and with the other side broadcast the whole
-    // O(pairs) stage would otherwise run in one task.
-    val a = docs.repartition(s.sessionState.conf.numShufflePartitions)
+    // Round-robin BEFORE the tokenize projection: the single-file scan is
+    // one partition, so both the token computation and (with the other
+    // side broadcast) the whole O(pairs) stage would otherwise run in one
+    // task.
+    val docs = documents(s, d)
+      .repartition(s.sessionState.conf.numShufflePartitions)
+      .select(
+        col("doc_id"), col("lang"),
+        (col("n_chars") / 64).cast("long").as("len_bucket"),
+        array_sort(array_distinct(split(col("text"), " "))).as("toks"))
+    val a = docs
       .select(col("doc_id").as("doc_a"), col("lang").as("lang_a"),
         col("len_bucket").as("lb_a"), col("toks").as("toks_a"), size(col("toks")).as("n_a"))
     val b = docs.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),

@@ -33,10 +33,13 @@ object Similarity {
 
   /** Exact brute-force cosine top-10 neighbors of vec_id=0. */
   val qCosineTopk: Q = (s, d) => {
-    val e = embeddings(s, d).select(col("vec_id"), vec(col("embedding")).as("v"))
+    // Round-robin BEFORE the cast projection: the single-file scan is one
+    // partition, so the per-row vector work would otherwise be serial.
+    val e = embeddings(s, d)
+      .repartition(s.sessionState.conf.numShufflePartitions)
+      .select(col("vec_id"), vec(col("embedding")).as("v"))
     val q = e.where(col("vec_id") === 0).select(col("v").as("qv"))
-    e.repartition(s.sessionState.conf.numShufflePartitions)
-      .crossJoin(broadcast(q))
+    e.crossJoin(broadcast(q))
       .where(col("vec_id") =!= 0)
       .select(col("vec_id"), round(cosine(col("v"), col("qv")), 6).as("cos_sim"))
       .orderBy(desc("cos_sim"), asc("vec_id"))
@@ -52,13 +55,14 @@ object Similarity {
     * rounded value is bit-identical — only the evaluation COUNT changes.
     */
   val qSimilarityJoin: Q = (s, d) => {
+    // Round-robin BEFORE the vector cast + norm projection (single-file
+    // scans are one partition): both per-row norm work and the O(pairs)
+    // dot products then spread across the shuffle partitions.
     val e = embeddings(s, d)
+      .repartition(s.sessionState.conf.numShufflePartitions)
       .select(col("vec_id"), col("label"), vec(col("embedding")).as("v"))
       .withColumn("n", sqrt(dot(col("v"), col("v"))))
-    // Round-robin repartition of the pair-generating side: single-file
-    // scans are one partition, and the O(pairs) dot products execute in
-    // this side's tasks when the other side broadcasts.
-    val a = e.repartition(s.sessionState.conf.numShufflePartitions)
+    val a = e
       .select(col("vec_id").as("vec_a"), col("label").as("label_a"),
         col("v").as("va"), col("n").as("na"))
     val b = e.select(col("vec_id").as("vec_b"), col("label").as("label_b"),
@@ -79,11 +83,11 @@ object Similarity {
     */
   val qAnnIvf: Q = (s, d) => {
     val e = embeddings(s, d)
+      .repartition(s.sessionState.conf.numShufflePartitions)
       .select(col("vec_id"), col("label"), vec(col("embedding")).as("v"))
     val q = e.where(col("vec_id") === 0)
       .select(col("label").as("q_label"), col("v").as("qv"))
-    e.repartition(s.sessionState.conf.numShufflePartitions)
-      .join(broadcast(q), col("label") === col("q_label"))
+    e.join(broadcast(q), col("label") === col("q_label"))
       .where(col("vec_id") =!= 0)
       .select(col("vec_id"), col("label").cast("long").as("label"),
         round(cosine(col("v"), col("qv")), 6).as("cos_sim"))
