@@ -14,7 +14,15 @@ import graft.streaming.Streams.Event
   * fixture through an unbounded source and assert the streaming operators
   * agree with their oracle-checked batch twins.
   */
+object StreamingParitySpec {
+  /** Streaming twin of a documents-fixture row (encoder derivation needs
+    * a top-level case class).
+    */
+  case class Doc(doc_id: Long, text: String, ts: java.sql.Timestamp)
+}
+
 class StreamingParitySpec extends AnyFunSuite with BeforeAndAfterAll {
+  import StreamingParitySpec.Doc
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
@@ -62,6 +70,47 @@ class StreamingParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
     val got = spark.table("dedup_order").select("event_id").as[Long].collect().toSet
     assert(got == Set(1L, 3L))
+  }
+
+  test("streaming doc dedup is set-normalized: reordered/repeated tokens are duplicates") {
+    val ms = MemoryStream[Doc](spark)
+    val out = Streams.dedupDocsWithinWatermark(ms.toDF(), "24 hours")
+    val q = Streams.start(out, Streams.MemoryStreamSink("docdedup_parity", Some(ckpt())))
+    try {
+      ms.addData(Seq(
+        Doc(1L, "the quick brown fox", ts("2024-01-01 10:00:00")),
+        Doc(2L, "quick the fox brown", ts("2024-01-01 10:01:00")), // reorder dup
+        Doc(3L, "entirely different text", ts("2024-01-01 10:02:00"))))
+      q.processAllAvailable()
+      ms.addData(Seq(
+        Doc(4L, "the the quick brown fox fox", ts("2024-01-01 10:03:00")), // repeat dup, later batch
+        Doc(5L, "the quick brown foxes", ts("2024-01-01 10:04:00")))) // NOT a dup
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("docdedup_parity").select("doc_id").as[Long].collect().toSet
+    assert(got == Set(1L, 3L, 5L))
+  }
+
+  test("streaming doc dedup survivors match the batch set-normalized first-wins twin") {
+    val fixture = Tables.documents(spark, TestSpark.sfDir)
+      .select(col("doc_id"),
+        col("text"),
+        // synthesize arrival order from doc_id (documents carry no ts)
+        expr("timestamp_micros(CAST(1700000000000000 + doc_id * 1000000 AS BIGINT))").as("ts"))
+      .as[Doc].collect().sortBy(_.doc_id).toSeq
+    val ms = MemoryStream[Doc](spark)
+    ms.addData(fixture)
+    val out = Streams.dedupDocsWithinWatermark(ms.toDF(), "24 hours")
+    val q = Streams.start(out, Streams.MemoryStreamSink("docdedup_fixture", Some(ckpt())))
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("docdedup_fixture").select("doc_id").as[Long].collect().toSet
+    val batch = Dedup.firstWins(
+      Tables.documents(spark, TestSpark.sfDir).withColumn("__fp",
+        xxhash64(array_join(array_sort(array_distinct(split(col("text"), " "))), " "))),
+      Seq("__fp"), Seq("doc_id"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.size < fixture.size, "fixture carries no duplicate docs — parity is vacuous")
   }
 
   test("dropDuplicatesWithinWatermark EVICTS state: the same id after retention is NOT a duplicate") {
