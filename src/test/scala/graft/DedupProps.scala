@@ -67,6 +67,43 @@ object DedupProps extends Properties("graft.dedup") {
     row.getInt(0) == Dedup.NumHashes && row.getInt(1) == Dedup.NumBands
   }
 
+  /** Generated corpora with PLANTED near-dups: both physical LSH shapes
+    * must equal brute-force exact Jaccard ≥ 0.9 on arbitrary data, not
+    * just the fixture. (A planted dup drops ~5% of tokens → J ≈ 0.95,
+    * clear of both the threshold and the banding's 3e-12 miss odds.)
+    */
+  private val corpus: Gen[List[(Long, Seq[String])]] = for {
+    nDocs <- Gen.choose(4, 10)
+    bases <- Gen.listOfN(nDocs, Gen.listOfN(40, token).map(_.distinct.sorted)
+      .suchThat(_.size >= 20))
+    dupMask <- Gen.listOfN(nDocs, Gen.prob(0.5))
+  } yield {
+    val base = bases.zipWithIndex.map { case (t, i) => (i.toLong, t: Seq[String]) }
+    val dups = base.zip(dupMask).collect { case ((id, t), true) =>
+      (id + 1000L, t.drop(t.size / 20): Seq[String]) // J = (n-k)/n ≥ 0.9
+    }
+    base ++ dups
+  }
+
+  property("lshNearDupPairs, both shapes == brute-force exact Jaccard on generated corpora") =
+    forAll(corpus) { docs =>
+      val sigs = Dedup.signatures(docs.toDF("doc_id", "toks"))
+      def run(shape: Dedup.LshShape): Set[(Long, Long)] =
+        Dedup.lshNearDupPairs(spark, sigs, "toks", 9, 10, 0.9, shape)
+          .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      val brute = (for {
+        (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+        inter = ta.toSet.intersect(tb.toSet).size
+        j = BigDecimal(inter.toDouble / (ta.size + tb.size - inter))
+          .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+        if j >= 0.9
+      } yield (ia, ib)).toSet
+      val broad = run(Dedup.Broadcast)
+      val salted = run(Dedup.Salted(salts = 4))
+      Prop(broad == brute) :| s"broadcast shape: got $broad want $brute" &&
+        Prop(salted == brute) :| s"salted shape: got $salted want $brute"
+    }
+
   // -------- pure-Scala hash properties (no Spark; default 100 cases) ------
 
   property("simhash64 is deterministic and order-sensitive-stable") = forAll { (s: String) =>

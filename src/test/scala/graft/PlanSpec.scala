@@ -87,6 +87,13 @@ class PlanSpec extends AnyFunSuite {
       hotLines.foreach { l =>
         assert(l.contains("*("), s"$what: graft expression evaluated outside codegen: $l")
       }
+      // Single evaluation: the barrier flag exists so Catalyst cannot
+      // clone these calls into residuals/guards (measured 16× recompute
+      // without it) — each hot expression may appear at most once.
+      hot.foreach { h =>
+        val n = lines.count(_.toLowerCase.contains(h))
+        assert(n <= 1, s"$what: $h appears $n times in the final plan (duplicated evaluation)")
+      }
     }
     for (key <- Seq("q_neardup_pairs", "q_neardup_lsh", "q_ngram_jaccard"))
       assertStarred(SparkEntry.queries(key)(spark, TestSpark.sfDir), key)
