@@ -26,7 +26,12 @@ object PlanAudit {
           "BHJ" -> n("BroadcastHashJoin"),
           "SHJ" -> n("ShuffledHashJoin"),
           "Exchange" -> n("Exchange "),
-          "UnpushedScan" -> (if (p.contains("PushedFilters: []") && p.contains("Filter ")) 1 else 0)
+          // A data filter sitting DIRECTLY on a scan that pushed nothing —
+          // post-window/post-join filters and filter-free scans don't count.
+          "UnpushedScan" -> p.linesIterator.sliding(2).count { w =>
+            w.head.contains("Filter ") && !w.head.contains("isnotnull") &&
+              w.last.contains("FileScan") && w.last.contains("PushedFilters: []")
+          }
         ).collect { case (k, v) if v > 0 => s"$k=$v" }.mkString(" ")
         println(f"[audit] $name%-24s $flags")
       } catch { case e: Throwable => println(s"[audit] $name ERROR ${e.getMessage.take(80)}") }
