@@ -71,6 +71,23 @@ object Dedup {
       .orderBy("event_type")
   }
 
+  /** Set-normalized dedup groups (batch twin of
+    * `Streams.dedupDocsWithinWatermark`): documents are duplicates when
+    * their DISTINCT token sets match — invariant to word order and
+    * repetition. One hash-aggregate shuffle on the normalized key; the
+    * survivor is min(doc_id), a pure function of the data (G4). The key
+    * is the normalized token STRING (not an engine hash) so the oracle
+    * computes the identical grouping.
+    */
+  val qDedupNormalized: Q = (s, d) =>
+    documents(s, d)
+      .select(col("doc_id"),
+        array_join(array_sort(array_distinct(split(col("text"), " "))), " ").as("norm"))
+      .groupBy(col("norm"))
+      .agg(min(col("doc_id")).as("first_doc_id"), count(lit(1)).as("n_docs"))
+      .select(col("first_doc_id"), col("n_docs"), length(col("norm")).as("n_norm_chars"))
+      .orderBy("first_doc_id")
+
   /** Exact text dedup over documents (LLM-pipeline op). */
   val qDedupDocs: Q = (s, d) =>
     documents(s, d)
@@ -354,6 +371,7 @@ object Dedup {
 
   val queries: Map[String, Q] = Map(
     "q_dedup_exact" -> qDedupExact,
+    "q_dedup_normalized" -> qDedupNormalized,
     "q_dedup_first_wins" -> qDedupFirstWins,
     "q_dedup_windowed" -> qDedupWindowed,
     "q_dedup_docs" -> qDedupDocs,

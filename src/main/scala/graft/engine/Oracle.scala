@@ -326,6 +326,16 @@ object Oracle {
     "q_dedup_exact" -> """
       SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type""",
 
+    // Set-normalized dedup groups: the key is the sorted-distinct token
+    // STRING (computable in both engines), not an engine hash.
+    "q_dedup_normalized" -> """
+      WITH n AS (SELECT doc_id,
+          list_aggr(list_sort(list_distinct(string_split(text, ' '))), 'string_agg', ' ') AS norm
+        FROM documents)
+      SELECT min(doc_id) AS first_doc_id, count(*) AS n_docs,
+        CAST(len(any_value(norm)) AS INTEGER) AS n_norm_chars
+      FROM n GROUP BY norm ORDER BY first_doc_id""",
+
     "q_dedup_first_wins" -> """
       WITH w AS (SELECT user_id, event_type, event_id, ts, value,
           row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) rn
