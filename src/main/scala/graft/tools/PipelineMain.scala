@@ -1,0 +1,75 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.engine.{Dedup, Tables}
+
+/** Runnable end-to-end batch corpus-curation pipeline composed ONLY of
+  * library operators — the batch counterpart of `StreamMain` and the
+  * "switch from the reference" usage artifact:
+  *
+  *   documents
+  *     → quality scoring (length/stopword/diversity)      [filter]
+  *     → set-normalized exact dedup (min doc_id survives)
+  *     → MinHash-LSH near-dup, SALTED no-broadcast shape  [canonical wins]
+  *     → curated corpus + run report, written as parquet
+  *
+  * Usage: runMain graft.tools.PipelineMain [sfDir] [outDir]
+  * Every stage is a shuffle-bounded DataFrame op; nothing passes through
+  * the driver except the final printed counts.
+  */
+object PipelineMain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val outDir = args.drop(1).headOption.getOrElse("/tmp/graft_pipeline")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Tables.configure(spark)
+
+    val docs = Tables.documents(spark, sfDir)
+    val total = docs.count()
+
+    // 1. Quality gate: drop ultra-short and stopword-saturated docs.
+    val toks = split(col("text"), " ")
+    val stop = array(lit("the"), lit("a"), lit("of"), lit("and"))
+    val scored = docs
+      .withColumn("n_tokens", size(toks).cast("double"))
+      .withColumn("stop_ratio",
+        size(filter(toks, t => array_contains(stop, t))).cast("double") / col("n_tokens"))
+      .withColumn("quality",
+        least(col("n_tokens") / 100.0, lit(1.0)) * (lit(1.0) - col("stop_ratio")))
+    val quality = scored.where(col("n_tokens") >= 5 && col("quality") >= 0.05)
+
+    // 2. Set-normalized exact dedup: first (min doc_id) per token set wins.
+    val deduped = Dedup.firstWins(
+      quality.withColumn("__norm",
+        array_join(array_sort(array_distinct(toks)), " ")),
+      Seq("__norm"), Seq("doc_id")).drop("__norm")
+
+    // 3. Near-dup removal at Jaccard >= 0.9, salted (no-broadcast) shape:
+    //    of each near-dup pair the LOWER doc_id is canonical; drop the rest.
+    val sigs = Dedup.signatures(deduped
+      .select(col("doc_id"), array_sort(array_distinct(split(col("text"), " "))).as("toks")))
+    val nearDupLosers = Dedup.lshNearDupPairs(spark, sigs, "toks", 9, 10, 0.9, Dedup.Salted())
+      .select(col("doc_b").as("doc_id")).distinct()
+    val curated = deduped.join(nearDupLosers.hint("merge"), Seq("doc_id"), "left_anti")
+
+    curated.write.mode("overwrite").parquet(s"$outDir/corpus")
+    val kept = spark.read.parquet(s"$outDir/corpus").count()
+    val report = Seq(
+      ("input_docs", total),
+      ("after_quality", quality.count()),
+      ("after_exact_dedup", deduped.count()),
+      ("after_neardup", kept)).toString
+    import spark.implicits._
+    Seq((total, quality.count(), deduped.count(), kept))
+      .toDF("input_docs", "after_quality", "after_exact_dedup", "after_neardup")
+      .write.mode("overwrite").parquet(s"$outDir/report")
+    println(s"[pipeline] $report -> $outDir")
+    spark.stop()
+  }
+}
