@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -26,6 +26,16 @@ object Dedup {
   import Tables._
   import graft.functions.GraftExpressions.intersectSize
   type Q = (SparkSession, String) => DataFrame
+
+  /** Whitespace tokenization → sorted distinct tokens: THE normalization
+    * every token-based dedup surface shares (batch queries, the streaming
+    * twin, the pipeline demo). One definition, so a tokenization tweak
+    * changes all of them together — the parity contracts depend on it.
+    */
+  def normTokens(text: Column): Column = array_sort(array_distinct(split(text, " ")))
+
+  /** String form of [[normTokens]] — the engine-neutral set-equality key. */
+  def normKey(text: Column): Column = array_join(normTokens(text), " ")
 
   /** Exact dedup: DISTINCT over a projection. */
   val qDedupExact: Q = (s, d) =>
@@ -82,7 +92,7 @@ object Dedup {
   val qDedupNormalized: Q = (s, d) =>
     documents(s, d)
       .select(col("doc_id"),
-        array_join(array_sort(array_distinct(split(col("text"), " "))), " ").as("norm"))
+        normKey(col("text")).as("norm"))
       .groupBy(col("norm"))
       .agg(min(col("doc_id")).as("first_doc_id"), count(lit(1)).as("n_docs"))
       .select(col("first_doc_id"), col("n_docs"), length(col("norm")).as("n_norm_chars"))
@@ -122,7 +132,7 @@ object Dedup {
       .select(
         col("doc_id"), col("lang"),
         (col("n_chars") / 64).cast("long").as("len_bucket"),
-        array_sort(array_distinct(split(col("text"), " "))).as("toks"))
+        normTokens(col("text")).as("toks"))
     val a = docs
       .select(col("doc_id").as("doc_a"), col("lang").as("lang_a"),
         col("len_bucket").as("lb_a"), col("toks").as("toks_a"), size(col("toks")).as("n_a"))
@@ -184,8 +194,7 @@ object Dedup {
   /** (doc_id, toks, minhash_sig, bands) for the documents fixture. */
   private[graft] def minhashBands(s: SparkSession, d: String): DataFrame =
     signatures(documents(s, d)
-      .select(col("doc_id"),
-        array_sort(array_distinct(split(col("text"), " "))).as("toks")))
+      .select(col("doc_id"), normTokens(col("text")).as("toks")))
 
   /** Graded surface: one row per (doc, band) with scalar columns only —
     * the harness's rows-check sorts columns and cannot hash arrays, so the
@@ -246,7 +255,7 @@ object Dedup {
     * candidate set is the INTERSECTION, which also shrinks every
     * (band, block) join bucket.
     */
-  private[graft] def lshNearDupPairs(s: SparkSession, sigsIn: DataFrame, setCol: String,
+  private[graft] def lshNearDupPairs(sigsIn: DataFrame, setCol: String,
       tauNum: Int, tauDen: Int, threshold: Double, shape: LshShape,
       blockCols: Seq[String] = Nil): DataFrame = {
     val sigs = sigsIn.localCheckpoint()
@@ -332,7 +341,7 @@ object Dedup {
     * false negatives ~3e-12 per pair.
     */
   val qNeardupLsh: Q = (s, d) =>
-    lshNearDupPairs(s, minhashBands(s, d), "toks", 9, 10, 0.9, Broadcast)
+    lshNearDupPairs(minhashBands(s, d), "toks", 9, 10, 0.9, Broadcast)
 
   /** LSH near-dup, salted no-broadcast shape — identical output to
     * qNeardupLsh (same oracle; equivalence also spec-asserted), physical
@@ -340,7 +349,7 @@ object Dedup {
     * the corpus is 1000× past broadcast limits.
     */
   val qNeardupLshSalted: Q = (s, d) =>
-    lshNearDupPairs(s, minhashBands(s, d), "toks", 9, 10, 0.9, Salted())
+    lshNearDupPairs(minhashBands(s, d), "toks", 9, 10, 0.9, Salted())
 
   /** Character-3-gram (shingle) Jaccard near-dup — catches near-duplicates
     * that word tokenization misses (reordered words, punctuation edits).
@@ -365,7 +374,7 @@ object Dedup {
       .select(col("doc_id"), col("lang"),
         (col("n_chars") / 64).cast("long").as("len_bucket"),
         graft.functions.GraftExpressions.charShingles(col("text"), 3, barrier = true).as("grams"))
-    lshNearDupPairs(s, signatures(base, "grams"), "grams", 4, 5, 0.8, Salted(),
+    lshNearDupPairs(signatures(base, "grams"), "grams", 4, 5, 0.8, Salted(),
       blockCols = Seq("lang", "len_bucket"))
   }
 

@@ -41,9 +41,10 @@ object Multimodal {
     var h = 0xcbf29ce484222325L
     var i = 0
     while (i < r.payload.length) { h ^= r.payload(i) & 0xffL; h *= 0x100000001b3L; i += 1 }
-    val w = 64 + (math.abs(h) % 1920).toInt
+    // floorMod, not abs: math.abs(Long.MinValue) is negative.
+    val w = 64 + Math.floorMod(h, 1920L).toInt
     MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, h,
-      w, 64 + (math.abs(h >>> 11) % 1080).toInt, 1 + (math.abs(h >>> 23) % 240).toInt)
+      w, 64 + Math.floorMod(h >>> 11, 1080L).toInt, 1 + Math.floorMod(h >>> 23, 240L).toInt)
   }
 
   /** Feature extraction over a media Dataset: per-partition, batched —

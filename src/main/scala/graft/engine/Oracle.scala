@@ -303,8 +303,8 @@ object Oracle {
       SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens,
         list_contains(string_split(text, ' '), 'spark') AS has_spark,
         array_to_string(list_sort(string_split(text, ' '))[1:3], ' ') AS first3_sorted,
-        len(list_filter(string_split(text, ' '), t -> strlen(t) > 4))::BIGINT AS n_long_tokens,
-        list_sum(list_transform(string_split(text, ' '), t -> strlen(t)))::BIGINT AS total_token_chars
+        len(list_filter(string_split(text, ' '), t -> length(t) > 4))::BIGINT AS n_long_tokens,
+        list_sum(list_transform(string_split(text, ' '), t -> length(t)))::BIGINT AS total_token_chars
       FROM documents ORDER BY doc_id""",
 
     "q_map_json" -> """

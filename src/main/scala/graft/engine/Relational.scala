@@ -285,18 +285,19 @@ object Relational {
       .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
 
-  /** Explicit GROUPING SETS + grouping() marker. */
-  val qAggGroupingSets: Q = (s, d) => {
-    orders(s, d).createOrReplaceTempView("orders_gs")
-    s.sql("""
-      SELECT o_orderstatus, o_orderpriority,
-             CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
-             COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS sum_price
-      FROM orders_gs
-      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority))
-      ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
-    """)
-  }
+  /** Explicit GROUPING SETS + grouping() marker — the native Dataset API
+    * (no temp view: a session-global view name would race when two
+    * threads run this query against different directories on one session).
+    */
+  val qAggGroupingSets: Q = (s, d) =>
+    orders(s, d)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")),
+          Seq(col("o_orderstatus"), col("o_orderpriority"))),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping(col("o_orderstatus")).cast("long").as("g_status"),
+        count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
 
   /** Ordered collect per group, emitted as a joined string (deterministic
     * and hash-stable across engines; the array form is `array_sort(

@@ -19,11 +19,16 @@ object Skew {
     */
   def salt(idCol: Column, salts: Int): Column = pmod(xxhash64(idCol), lit(salts))
 
-  /** Two-phase salted collect: per key, the sorted array of values, with
-    * no reducer ever holding more than ~1/salts of a hot key's rows in
-    * one aggregation state. Phase 1 collects per (key, salt); phase 2
-    * flattens the ≤`salts` partial arrays. `array_sort` makes the result
-    * a deterministic function of the data (G4).
+  /** Two-phase salted collect: per key, the sorted array of values.
+    * Phase 1 collects per (key, salt) — so no single aggregation state
+    * INGESTS more than ~1/salts of a hot key's rows one at a time, and
+    * the hot key's collection work parallelizes across `salts` tasks.
+    * Phase 2 flattens the ≤`salts` prebuilt partial arrays; note the
+    * final per-key array is still inherently O(key rows) — ANY operator
+    * that materializes the full list must hold it somewhere, so if the
+    * result array itself exceeds task memory the answer is a different
+    * operator (top-N, sampling, a sketch), not more salt. `array_sort`
+    * makes the result a deterministic function of the data (G4).
     */
   def saltedCollectList(df: DataFrame, keyCols: Seq[String], idCol: String,
       valueCol: String, salts: Int = 16): DataFrame =

@@ -46,15 +46,14 @@ object PipelineMain {
 
     // 2. Set-normalized exact dedup: first (min doc_id) per token set wins.
     val deduped = Dedup.firstWins(
-      quality.withColumn("__norm",
-        array_join(array_sort(array_distinct(toks)), " ")),
+      quality.withColumn("__norm", Dedup.normKey(col("text"))),
       Seq("__norm"), Seq("doc_id")).drop("__norm")
 
     // 3. Near-dup removal at Jaccard >= 0.9, salted (no-broadcast) shape:
     //    of each near-dup pair the LOWER doc_id is canonical; drop the rest.
     val sigs = Dedup.signatures(deduped
-      .select(col("doc_id"), array_sort(array_distinct(split(col("text"), " "))).as("toks")))
-    val nearDupLosers = Dedup.lshNearDupPairs(spark, sigs, "toks", 9, 10, 0.9, Dedup.Salted())
+      .select(col("doc_id"), Dedup.normTokens(col("text")).as("toks")))
+    val nearDupLosers = Dedup.lshNearDupPairs(sigs, "toks", 9, 10, 0.9, Dedup.Salted())
       .select(col("doc_b").as("doc_id")).distinct()
     val curated = deduped.join(nearDupLosers.hint("merge"), Seq("doc_id"), "left_anti")
 

@@ -89,7 +89,7 @@ object DedupProps extends Properties("graft.dedup") {
     forAll(corpus) { docs =>
       val sigs = Dedup.signatures(docs.toDF("doc_id", "toks"))
       def run(shape: Dedup.LshShape): Set[(Long, Long)] =
-        Dedup.lshNearDupPairs(spark, sigs, "toks", 9, 10, 0.9, shape)
+        Dedup.lshNearDupPairs(sigs, "toks", 9, 10, 0.9, shape)
           .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
       val brute = (for {
         (ia, ta) <- docs; (ib, tb) <- docs if ia < ib

@@ -33,16 +33,16 @@ class LshSaltedSpec extends AnyFunSuite {
         graft.functions.GraftExpressions.charShingles(col("text"), 3, barrier = true).as("grams"))
     val sigs = Dedup.signatures(base, "grams")
     val blocks = Seq("lang", "len_bucket")
-    val broad = rows(Dedup.lshNearDupPairs(spark, sigs, "grams", 4, 5, 0.8, Dedup.Broadcast, blocks))
-    val salted = rows(Dedup.lshNearDupPairs(spark, sigs, "grams", 4, 5, 0.8, Dedup.Salted(), blocks))
+    val broad = rows(Dedup.lshNearDupPairs(sigs, "grams", 4, 5, 0.8, Dedup.Broadcast, blocks))
+    val salted = rows(Dedup.lshNearDupPairs(sigs, "grams", 4, 5, 0.8, Dedup.Salted(), blocks))
     assert(broad.nonEmpty, "fixture produced no shingle near-dup pairs — vacuous test")
     assert(salted == broad)
   }
 
   test("salted shape is insensitive to the salt count") {
-    val one = rows(Dedup.lshNearDupPairs(spark, Dedup.minhashBands(spark, sfDir),
+    val one = rows(Dedup.lshNearDupPairs(Dedup.minhashBands(spark, sfDir),
       "toks", 9, 10, 0.9, Dedup.Salted(salts = 1)))
-    val many = rows(Dedup.lshNearDupPairs(spark, Dedup.minhashBands(spark, sfDir),
+    val many = rows(Dedup.lshNearDupPairs(Dedup.minhashBands(spark, sfDir),
       "toks", 9, 10, 0.9, Dedup.Salted(salts = 7)))
     assert(one.nonEmpty, "no pairs at sf0.01 — vacuous test")
     assert(one == many)
