@@ -378,6 +378,52 @@ object Dedup {
       blockCols = Seq("lang", "len_bucket"))
   }
 
+  /** Near-dup CLUSTERS from a pair list: connected components by
+    * iterative min-label propagation, entirely in DataFrame ops. Dropping
+    * `doc_b` of every pair over-drops transitive chains (b dup-of a,
+    * c dup-of b, c NOT directly dup-of a ⇒ c loses its only surviving
+    * near-dup); the principled pipeline keeps min(doc_id) PER COMPONENT.
+    *
+    * Each iteration is one shuffle join + one aggregation; labels
+    * converge in O(component diameter) rounds and the loop exits as soon
+    * as no label moves — near-dup clusters are shallow, so typical runs
+    * stop after 2-3 rounds; `maxIter` only bounds pathological chains.
+    * Returns (doc_id, component) for every doc that appears in `pairs`;
+    * docs in no pair are their own component by definition.
+    *
+    * 100 TB shape: this is the standard large-star/small-star-lite loop —
+    * state per round is one (doc_id, label) frame partitioned by doc_id,
+    * never driver-side.
+    */
+  def nearDupComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    // Undirected edge list, both directions.
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("component", col("doc_id"))
+      .localCheckpoint()
+    var it = 0
+    var converged = false
+    while (it < maxIter && !converged) {
+      // Every doc adopts the min of its own label and its neighbors'.
+      val neighborMin = edges
+        .join(labels.select(col("doc_id").as("dst"), col("component").as("nc")), "dst")
+        .groupBy(col("src").as("doc_id")).agg(min(col("nc")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
+        .localCheckpoint()
+      val moved = next.alias("n")
+        .join(labels.alias("o"), col("n.doc_id") === col("o.doc_id"))
+        .where(col("n.component") =!= col("o.component")).limit(1).count()
+      labels = next
+      converged = moved == 0
+      it += 1
+    }
+    labels
+  }
+
   val queries: Map[String, Q] = Map(
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_normalized" -> qDedupNormalized,

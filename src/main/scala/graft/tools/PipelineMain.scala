@@ -11,7 +11,7 @@ import graft.engine.{Dedup, Tables}
   *   documents
   *     → quality scoring (length/stopword/diversity)      [filter]
   *     → set-normalized exact dedup (min doc_id survives)
-  *     → MinHash-LSH near-dup, SALTED no-broadcast shape  [canonical wins]
+  *     → MinHash-LSH near-dup (salted) → component clustering [canonical wins]
   *     → curated corpus + run report, written as parquet
   *
   * Usage: runMain graft.tools.PipelineMain [sfDir] [outDir]
@@ -50,11 +50,14 @@ object PipelineMain {
       Seq("__norm"), Seq("doc_id")).drop("__norm")
 
     // 3. Near-dup removal at Jaccard >= 0.9, salted (no-broadcast) shape:
-    //    of each near-dup pair the LOWER doc_id is canonical; drop the rest.
+    //    cluster the pairs into connected components and keep each
+    //    component's min doc_id (dropping doc_b per pair would over-drop
+    //    transitive chains — see Dedup.nearDupComponents).
     val sigs = Dedup.signatures(deduped
       .select(col("doc_id"), Dedup.normTokens(col("text")).as("toks")))
-    val nearDupLosers = Dedup.lshNearDupPairs(sigs, "toks", 9, 10, 0.9, Dedup.Salted())
-      .select(col("doc_b").as("doc_id")).distinct()
+    val pairs = Dedup.lshNearDupPairs(sigs, "toks", 9, 10, 0.9, Dedup.Salted())
+    val nearDupLosers = Dedup.nearDupComponents(pairs)
+      .where(col("doc_id") =!= col("component")).select(col("doc_id"))
     val curated = deduped.join(nearDupLosers.hint("merge"), Seq("doc_id"), "left_anti")
 
     curated.write.mode("overwrite").parquet(s"$outDir/corpus")

@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.engine.Dedup
+
+/** nearDupComponents: connected components over a pair list — the
+  * cluster-then-keep-canonical step a principled dedup pipeline needs
+  * (pairwise doc_b-dropping over-drops transitive chains).
+  */
+class ComponentsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def components(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    Dedup.nearDupComponents(pairs.toDF("doc_a", "doc_b"))
+      .as[(Long, Long)].collect().toMap
+
+  test("a transitive chain collapses to one component labeled by its min id") {
+    // 1-2, 2-3, 3-4 (no direct 1-4): all one cluster.
+    val got = components(Seq((1L, 2L), (2L, 3L), (3L, 4L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("disjoint clusters keep separate labels") {
+    val got = components(Seq((1L, 2L), (10L, 11L), (11L, 12L), (20L, 21L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("matches a reference union-find on a generated pair soup") {
+    // Deterministic pseudo-random edges over 60 nodes.
+    val pairs = (1 to 80).map { i =>
+      val h = i * 2654435761L
+      val a = math.floorMod(h, 60L); val b = math.floorMod(h >> 7, 60L)
+      (math.min(a, b), math.max(a, b) + 1) // +1 avoids self-loops
+    }.distinct
+    // Reference: tiny union-find.
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = { val p = parent.getOrElseUpdate(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    pairs.foreach { case (a, b) => val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    val want = pairs.flatMap(p => Seq(p._1, p._2)).distinct.map(x => x -> find(x)).toMap
+    val got = components(pairs)
+    assert(got == want)
+  }
+
+  test("end-to-end: components over q_neardup_lsh pairs cover every paired doc") {
+    val pairs = graft.engine.Dedup.qNeardupLsh(spark, "/root/testdata/sf0.01")
+      .select("doc_a", "doc_b")
+    val comp = Dedup.nearDupComponents(pairs)
+    val docs = pairs.select(col("doc_a").as("d")).union(pairs.select(col("doc_b").as("d")))
+      .distinct().count()
+    assert(comp.count() == docs)
+    // Every component label is a member of its own component (canonical id).
+    val selfLabeled = comp.as[(Long, Long)].collect().groupBy(_._2)
+      .forall { case (label, members) => members.exists(_._1 == label) }
+    assert(selfLabeled)
+  }
+}

@@ -39,6 +39,15 @@ class LshSaltedSpec extends AnyFunSuite {
     assert(salted == broad)
   }
 
+  test("degenerate corpora: empty and single-doc inputs yield empty pair sets, no errors") {
+    import spark.implicits._
+    for (docs <- Seq(Seq.empty[(Long, Seq[String])], Seq((1L, Seq("only", "doc"))));
+         shape <- Seq[Dedup.LshShape](Dedup.Broadcast, Dedup.Salted())) {
+      val sigs = Dedup.signatures(docs.toDF("doc_id", "toks"))
+      assert(Dedup.lshNearDupPairs(sigs, "toks", 9, 10, 0.9, shape).count() == 0L)
+    }
+  }
+
   test("salted shape is insensitive to the salt count") {
     val one = rows(Dedup.lshNearDupPairs(Dedup.minhashBands(spark, sfDir),
       "toks", 9, 10, 0.9, Dedup.Salted(salts = 1)))
