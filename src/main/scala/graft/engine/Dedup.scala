@@ -379,24 +379,30 @@ object Dedup {
   }
 
   /** Near-dup CLUSTERS from a pair list: connected components by
-    * iterative min-label propagation, entirely in DataFrame ops. Dropping
-    * `doc_b` of every pair over-drops transitive chains (b dup-of a,
-    * c dup-of b, c NOT directly dup-of a ⇒ c loses its only surviving
-    * near-dup); the principled pipeline keeps min(doc_id) PER COMPONENT.
+    * iterative min-label propagation + pointer jumping, entirely in
+    * DataFrame ops. Per-pair `doc_b`-dropping leaves MULTIPLE
+    * representatives per transitive cluster — every doc that is a local
+    * minimum among its direct neighbors survives (pairs (5,10), (1,10):
+    * both 1 and 5 survive though they share cluster {1,5,10}); component
+    * clustering keeps exactly ONE canonical doc (the component min) per
+    * cluster, the standard corpus-dedup policy.
     *
-    * Each iteration is one shuffle join + one aggregation; labels
-    * converge in O(component diameter) rounds and the loop exits as soon
-    * as no label moves — near-dup clusters are shallow, so typical runs
-    * stop after 2-3 rounds; `maxIter` only bounds pathological chains.
-    * Returns (doc_id, component) for every doc that appears in `pairs`;
+    * Each round: every doc adopts min(own, neighbors') label, then jumps
+    * to its label's label — so labels converge in O(log diameter) rounds
+    * (maxIter 30 covers diameter ~2³⁰) and the loop exits as soon as the
+    * propagation step moves nothing (a propagate-fixed-point means labels
+    * are constant per component, making the jump an identity). A
+    * non-converged exit THROWS rather than silently returning split
+    * components. Returns (doc_id, component) for every doc in `pairs`;
     * docs in no pair are their own component by definition.
     *
-    * 100 TB shape: this is the standard large-star/small-star-lite loop —
-    * state per round is one (doc_id, label) frame partitioned by doc_id,
-    * never driver-side.
+    * 100 TB shape: state per round is one (doc_id, label) frame
+    * partitioned by doc_id, never driver-side; movement detection is a
+    * flag computed inside the propagate projection, not an extra join.
     */
   def nearDupComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
-    // Undirected edge list, both directions.
+    // Undirected edge list, both directions — so every doc appears as
+    // `src`, which is what lets the joins below be inner joins.
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
@@ -406,21 +412,24 @@ object Dedup {
     var it = 0
     var converged = false
     while (it < maxIter && !converged) {
-      // Every doc adopts the min of its own label and its neighbors'.
       val neighborMin = edges
         .join(labels.select(col("doc_id").as("dst"), col("component").as("nc")), "dst")
         .groupBy(col("src").as("doc_id")).agg(min(col("nc")).as("nmin"))
-      val next = labels.join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
+      val propagated = labels.join(neighborMin, "doc_id")
+        .select(col("doc_id"), least(col("component"), col("nmin")).as("component"),
+          (col("nmin") < col("component")).as("__moved"))
+      // Pointer jump: component := label(component). Labels are always
+      // member doc ids, so the lookup join is total.
+      val lookup = propagated.select(col("doc_id").as("component"), col("component").as("__cc"))
+      val next = propagated.join(lookup, "component")
+        .select(col("doc_id"), col("__cc").as("component"), col("__moved"))
         .localCheckpoint()
-      val moved = next.alias("n")
-        .join(labels.alias("o"), col("n.doc_id") === col("o.doc_id"))
-        .where(col("n.component") =!= col("o.component")).limit(1).count()
-      labels = next
-      converged = moved == 0
+      converged = next.where(col("__moved")).limit(1).count() == 0
+      labels = next.drop("__moved")
       it += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"nearDupComponents did not converge within $maxIter rounds")
     labels
   }
 

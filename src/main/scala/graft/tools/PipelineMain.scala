@@ -51,8 +51,9 @@ object PipelineMain {
 
     // 3. Near-dup removal at Jaccard >= 0.9, salted (no-broadcast) shape:
     //    cluster the pairs into connected components and keep each
-    //    component's min doc_id (dropping doc_b per pair would over-drop
-    //    transitive chains — see Dedup.nearDupComponents).
+    //    component's min doc_id — per-pair doc_b-dropping would leave
+    //    every locally-minimal doc as an extra representative of its
+    //    cluster (see Dedup.nearDupComponents).
     val sigs = Dedup.signatures(deduped
       .select(col("doc_id"), Dedup.normTokens(col("text")).as("toks")))
     val pairs = Dedup.lshNearDupPairs(sigs, "toks", 9, 10, 0.9, Dedup.Salted())

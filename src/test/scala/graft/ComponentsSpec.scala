@@ -6,15 +6,20 @@ import graft.engine.Dedup
 
 /** nearDupComponents: connected components over a pair list — the
   * cluster-then-keep-canonical step a principled dedup pipeline needs
-  * (pairwise doc_b-dropping over-drops transitive chains).
+  * (pairwise doc_b-dropping keeps every locally-minimal doc, i.e.
+  * multiple representatives per transitive cluster).
   */
 class ComponentsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  private def components(pairs: Seq[(Long, Long)]): Map[Long, Long] =
-    Dedup.nearDupComponents(pairs.toDF("doc_a", "doc_b"))
-      .as[(Long, Long)].collect().toMap
+  private def components(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val rows = Dedup.nearDupComponents(pairs.toDF("doc_a", "doc_b"))
+      .as[(Long, Long)].collect()
+    assert(rows.map(_._1).distinct.length == rows.length,
+      s"duplicate doc_id rows emitted: ${rows.toSeq.sorted}")
+    rows.toMap
+  }
 
   test("a transitive chain collapses to one component labeled by its min id") {
     // 1-2, 2-3, 3-4 (no direct 1-4): all one cluster.
