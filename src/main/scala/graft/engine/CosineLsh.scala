@@ -71,7 +71,7 @@ object CosineLsh {
     */
   def nearDup(embs: DataFrame, dim: Int, threshold: Double,
       nTables: Int = 12, bits: Int = 8,
-      shape: Dedup.LshShape = Dedup.Broadcast): DataFrame = {
+      shapeIn: Dedup.LshShape = Dedup.Broadcast): DataFrame = {
     val spark = embs.sparkSession
     val e = embs
       // Fixture scans are one partition; fan the signature + probe work out.
@@ -81,6 +81,7 @@ object CosineLsh {
       .where(col("n") > 0) // zero vectors: no direction, cosine undefined
     val sigs = withSignatures(e, hyperplanes(spark, dim, nTables, bits))
       .localCheckpoint() // three consumers below; signatures compute once
+    val shape = Dedup.resolveShape(shapeIn, sigs)
     def banded(df: DataFrame): DataFrame =
       df.select(col("vec_id"), col("sigs"),
         posexplode(col("sigs")).as(Seq("table", "sig")))
@@ -97,6 +98,7 @@ object CosineLsh {
         val bandedB = banded(sigs).withColumn("__salt", explode(sequence(lit(0L), lit(salts - 1L))))
         bandedA.alias("a").join(bandedB.alias("b").hint("merge"),
           sigKey("a", "b") && col("a.__salt") === col("b.__salt"))
+      case _: Dedup.Auto => throw new IllegalStateException("Auto resolved above")
     }
     // Exact-once: emit a colliding pair from its first shared table only.
     val cands = collided
@@ -112,6 +114,7 @@ object CosineLsh {
       case Dedup.Salted(_) =>
         cands.hint("merge").join(dictA.hint("merge"), "vec_a")
           .hint("merge").join(dictB.hint("merge"), "vec_b")
+      case _: Dedup.Auto => throw new IllegalStateException("Auto resolved above")
     }
     confirmed
       .withColumn("cos_sim", round(dotProduct(col("va"), col("vb")) / (col("na") * col("nb")), 6))

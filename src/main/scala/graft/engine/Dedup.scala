@@ -230,6 +230,13 @@ object Dedup {
     * sort-based, spillable, no in-memory build side at any scale).
     */
   final case class Salted(salts: Int = 16) extends LshShape
+  /** Size-dispatched: Broadcast while the signature corpus is small
+    * enough to broadcast safely, Salted beyond. The decisive broadcast is
+    * the per-doc SET dictionary (~KB/doc for token arrays), so the
+    * default caps well under executor broadcast limits; the count is free
+    * because the signatures are localCheckpointed before dispatch.
+    */
+  final case class Auto(maxBroadcastDocs: Long = 500000L) extends LshShape
 
   /** LSH-driven near-dup pairs: banded signatures ARE the candidate
     * generator — explode band hashes, self-join on (band_idx, band_hash),
@@ -256,9 +263,10 @@ object Dedup {
     * (band, block) join bucket.
     */
   private[graft] def lshNearDupPairs(sigsIn: DataFrame, setCol: String,
-      tauNum: Int, tauDen: Int, threshold: Double, shape: LshShape,
+      tauNum: Int, tauDen: Int, threshold: Double, shapeIn: LshShape,
       blockCols: Seq[String] = Nil): DataFrame = {
     val sigs = sigsIn.localCheckpoint()
+    val shape = resolveShape(shapeIn, sigs)
     def explodeBands(df: DataFrame): DataFrame =
       df.select((col("doc_id") +: blockCols.map(col)) :+ col("bands") :+
         size(col(setCol)).as("nt") :+
@@ -291,6 +299,7 @@ object Dedup {
         bandedA.alias("a")
           .join(bandedB.alias("b").hint("merge"),
             joinKey("a", "b") && col("a.__salt") === col("b.__salt"))
+      case _: Auto => throw new IllegalStateException("Auto resolved above")
     }
     val pairs = cands
       // Size-ratio prune FIRST (cheap integer compare, lossless) so most
@@ -301,6 +310,16 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
     confirmExact(pairs, sigs, setCol, tauNum, tauDen, threshold, shape)
   }
+
+  /** Auto → Broadcast or Salted by counting the (already materialized)
+    * checkpointed corpus; concrete shapes pass through.
+    */
+  private[graft] def resolveShape(shape: LshShape, checkpointedSigs: DataFrame): LshShape =
+    shape match {
+      case Auto(maxDocs) =>
+        if (checkpointedSigs.count() <= maxDocs) Broadcast else Salted()
+      case s => s
+    }
 
   /** Exact-Jaccard confirm of an (doc_a, doc_b) candidate stream: attach
     * each side's set array from `sigs`, size-ratio prune, merge-count the
@@ -323,6 +342,7 @@ object Dedup {
         // keys); the dictionary ships each doc's set once per side.
         pairs.hint("merge").join(dictA.hint("merge"), "doc_a")
           .hint("merge").join(dictB.hint("merge"), "doc_b")
+      case _: Auto => throw new IllegalStateException("confirmExact requires a resolved shape")
     }
     confirmed
       .where(least(col("n_a"), col("n_b")) * tauDen >= greatest(col("n_a"), col("n_b")) * tauNum)

@@ -54,7 +54,7 @@ class CosineLshSpec extends AnyFunSuite {
 
   test("salted no-broadcast shape ≡ broadcast shape, and its plan has no broadcast") {
     val broad = CosineLsh.nearDup(corpus, Dim, Tau).collect().toSeq
-    val saltedDf = CosineLsh.nearDup(corpus, Dim, Tau, shape = graft.engine.Dedup.Salted())
+    val saltedDf = CosineLsh.nearDup(corpus, Dim, Tau, shapeIn = graft.engine.Dedup.Salted())
     assert(broad.nonEmpty)
     assert(saltedDf.collect().toSeq == broad)
     val plan = saltedDf.queryExecution.executedPlan.toString

@@ -39,6 +39,17 @@ class LshSaltedSpec extends AnyFunSuite {
     assert(salted == broad)
   }
 
+  test("Auto shape dispatches on corpus size and matches both concrete shapes") {
+    val sigs = Dedup.minhashBands(spark, sfDir)
+    val broad = rows(Dedup.lshNearDupPairs(sigs, "toks", 9, 10, 0.9, Dedup.Broadcast))
+    // 500 docs ≤ default cap → Broadcast branch.
+    assert(rows(Dedup.lshNearDupPairs(sigs, "toks", 9, 10, 0.9, Dedup.Auto())) == broad)
+    // cap 0 forces the Salted branch: same rows, no broadcast in the plan.
+    val forced = Dedup.lshNearDupPairs(sigs, "toks", 9, 10, 0.9, Dedup.Auto(maxBroadcastDocs = 0))
+    assert(!forced.queryExecution.executedPlan.toString.contains("Broadcast"))
+    assert(rows(forced) == broad)
+  }
+
   test("degenerate corpora: empty and single-doc inputs yield empty pair sets, no errors") {
     import spark.implicits._
     for (docs <- Seq(Seq.empty[(Long, Seq[String])], Seq((1L, Seq("only", "doc"))));
