@@ -56,7 +56,9 @@ object PipelineMain {
     //    cluster (see Dedup.nearDupComponents).
     val sigs = Dedup.signatures(deduped
       .select(col("doc_id"), Dedup.normTokens(col("text")).as("toks")))
-    val pairs = Dedup.lshNearDupPairs(sigs, "toks", 9, 10, 0.9, Dedup.Salted())
+    // Auto: Broadcast under the doc cap, the no-broadcast Salted shape
+    // beyond — the dispatch a standing pipeline wants as corpora grow.
+    val pairs = Dedup.lshNearDupPairs(sigs, "toks", 9, 10, 0.9, Dedup.Auto())
     val nearDupLosers = Dedup.nearDupComponents(pairs)
       .where(col("doc_id") =!= col("component")).select(col("doc_id"))
     val curated = deduped.join(nearDupLosers.hint("merge"), Seq("doc_id"), "left_anti")

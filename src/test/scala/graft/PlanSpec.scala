@@ -25,6 +25,11 @@ class PlanSpec extends AnyFunSuite {
     assert(read.contains("l_orderkey") && !read.contains("l_comment"), read)
   }
 
+  test("q_filter_predicates pushes its scan predicates") {
+    val p = plan("q_filter_predicates")
+    assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"), p)
+  }
+
   test("q3 and q5 broadcast their dimension tables") {
     assert(plan("q3_join_topk").contains("BroadcastHashJoin"))
     assert(plan("q5_5way_join").contains("BroadcastHashJoin"))
