@@ -453,6 +453,16 @@ object Dedup {
     labels
   }
 
+  /** Graded surface for nearDupComponents: components of the ≥0.9-Jaccard
+    * near-dup graph. Oracle: DuckDB recursive CTE computing the transitive
+    * closure's per-doc min label over the exact all-pairs edge list — so
+    * the iterative DataFrame loop is checked against an independent
+    * fixpoint formulation.
+    */
+  val qNeardupComponents: Q = (s, d) =>
+    nearDupComponents(qNeardupLsh(s, d).select(col("doc_a"), col("doc_b")))
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_normalized" -> qDedupNormalized,
@@ -463,6 +473,7 @@ object Dedup {
     "q_ngram_jaccard" -> qNgramJaccard,
     "q_neardup_lsh" -> qNeardupLsh,
     "q_neardup_lsh_salted" -> qNeardupLshSalted,
+    "q_neardup_components" -> qNeardupComponents,
     "q_minhash_sig" -> qMinhashSig
   )
 }

@@ -400,6 +400,23 @@ object Oracle {
     // zero broadcasts), so the oracle IS the same string.
     "q_neardup_lsh_salted" -> NeardupLshSql,
 
+    // Connected components of the near-dup graph: per-doc min label over
+    // the transitive closure (recursive CTE) — an independent fixpoint
+    // formulation of the engine's iterative min-label propagation.
+    "q_neardup_components" -> """
+      WITH RECURSIVE docs AS (SELECT doc_id, list_distinct(string_split(text, ' ')) toks FROM documents),
+        p AS (SELECT a.doc_id doc_a, b.doc_id doc_b
+          FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+          WHERE round(len(list_intersect(a.toks, b.toks)) * 1.0 /
+                len(list_distinct(list_concat(a.toks, b.toks))), 6) >= 0.9),
+        e AS (SELECT doc_a s, doc_b d FROM p UNION ALL SELECT doc_b, doc_a FROM p),
+        reach(doc, lbl) AS (
+          SELECT s, s FROM e
+          UNION
+          SELECT e.s, reach.lbl FROM e JOIN reach ON reach.doc = e.d)
+      SELECT doc AS doc_id, min(lbl) AS component
+      FROM reach GROUP BY doc ORDER BY doc_id""",
+
     "q_cosine_topk" -> """
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
         q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
