@@ -45,6 +45,15 @@ class IvfSpec extends AnyFunSuite {
     assert(full == exactTop10)
   }
 
+  test("search with a precomputed (persisted) cell assignment matches on-the-fly assignment") {
+    val cells = Ivf.assign(embs, centroids).localCheckpoint()
+    val precomputed = Ivf.search(embs, centroids, queryVecId = 0, nprobe = 2, topK = 10,
+      cellsIn = Some(cells)).collect().toSeq
+    val onTheFly = Ivf.search(embs, centroids, queryVecId = 0, nprobe = 2, topK = 10)
+      .collect().toSeq
+    assert(precomputed == onTheFly)
+  }
+
   test("nprobe = 2 of 8 keeps recall@10 >= 0.5 on the clustered fixture") {
     val approx = Ivf.search(embs, centroids, queryVecId = 0, nprobe = 2, topK = 10)
       .select("vec_id").collect().map(_.getLong(0)).toSet
