@@ -32,7 +32,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     (Relational.queries ++ Scalars.queries ++ Dedup.queries ++
-      Similarity.queries ++ TextAnalysis.queries ++ Windowed.queries ++
+      Similarity.queries ++ CosineLsh.queries ++ Ivf.queries ++
+      TextAnalysis.queries ++ Windowed.queries ++
       Multimodal.queries).map { case (k, fn) =>
       k -> ((s: SparkSession, d: String) => ntz(fn(s, d)))
     }

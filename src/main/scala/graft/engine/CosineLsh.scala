@@ -25,9 +25,11 @@ import org.apache.spark.sql.functions._
   * first-matching-table exact-once emission, exact cosine confirm — so
   * precision is exact; only recall is probabilistic.
   *
-  * Scale notes (100 TB): the hyperplane frame is O(T·bits·dim) — always
-  * broadcastable. Signature computation is one crossJoin (map-side, no
-  * shuffle) + two bounded-state aggregations keyed by (vec_id, table).
+  * Scale notes (100 TB): the hyperplane sign matrix is O(T·bits·dim)
+  * doubles, memoized once per executor JVM (GraftOps.signMatrix) — the
+  * signature is a single codegen'd map-only expression per row, no
+  * exchange anywhere between scan and signature (the r3 crossJoin + two
+  * aggregations amplified rows ~T·bits× through a shuffle).
   * The candidate join keys on (table, sig) — high cardinality, skew-free
   * for spread-out corpora. Like the MinHash family, the physical shape is
   * a parameter (Dedup.LshShape): `Broadcast` probes banded signatures and
@@ -39,8 +41,15 @@ import org.apache.spark.sql.functions._
   */
 object CosineLsh {
   import graft.functions.GraftExpressions.dotProduct
+  type Q = (SparkSession, String) => DataFrame
 
-  /** Deterministic ±1 hyperplanes: (table, bit, hvec: array<double>). */
+  /** Deterministic ±1 hyperplanes: (table, bit, hvec: array<double>).
+    * This declarative frame is the SPEC twin of the native kernel's
+    * memoized sign matrix (GraftOps.signMatrix) — both derive signs from
+    * the same chained xxhash64(table, bit, i) parity, and CosineLshSpec
+    * asserts the two signature paths are bit-identical. Production
+    * signature computation goes through [[withSignatures]] below.
+    */
   def hyperplanes(spark: SparkSession, dim: Int, nTables: Int, bits: Int): DataFrame =
     spark.range(nTables).select(col("id").cast("int").as("table"))
       .select(col("table"), explode(sequence(lit(0), lit(bits - 1))).as("bit"))
@@ -49,8 +58,12 @@ object CosineLsh {
           i => when(pmod(xxhash64(col("table"), col("bit"), i), lit(2)) === 0, lit(1.0))
             .otherwise(lit(-1.0))).as("hvec"))
 
-  /** (vec_id, v, n, sigs) — per-table packed sign signatures, table-ordered. */
-  private def withSignatures(e: DataFrame, planes: DataFrame): DataFrame = {
+  /** The crossJoin + double-aggregation signature form the native
+    * expression replaced — kept ONLY as the independent formulation the
+    * parity spec checks the kernel against (a ~T·bits× row amplification
+    * through a shuffle; never on a graded path).
+    */
+  private[graft] def signaturesViaJoin(e: DataFrame, planes: DataFrame): DataFrame = {
     val sigs = e.select(col("vec_id"), col("v"))
       .crossJoin(broadcast(planes))
       .withColumn("__dot", dotProduct(col("v"), col("hvec")))
@@ -64,6 +77,15 @@ object CosineLsh {
         s => s.getField("sig")).as("sigs"))
     e.join(sigs, "vec_id")
   }
+
+  /** (vec_id, v, n, sigs) — per-table packed sign signatures,
+    * table-ordered, computed by the one-pass native expression: map-only,
+    * no exchange between the scan and the signature column (spec-pinned),
+    * exactly the MinHashBands shape the token-LSH family uses.
+    */
+  private[graft] def withSignatures(e: DataFrame, nTables: Int, bits: Int): DataFrame =
+    e.withColumn("sigs",
+      graft.functions.GraftExpressions.cosineLshSigs(col("v"), nTables, bits, barrier = true))
 
   /** All pairs with cosine ≥ `threshold` (exact-confirmed; recall
     * 1 − (1 − p^bits)^nTables with p = 1 − arccos(threshold)/π).
@@ -79,7 +101,7 @@ object CosineLsh {
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("n", sqrt(dotProduct(col("v"), col("v"))))
       .where(col("n") > 0) // zero vectors: no direction, cosine undefined
-    val sigs = withSignatures(e, hyperplanes(spark, dim, nTables, bits))
+    val sigs = withSignatures(e, nTables, bits)
       .localCheckpoint() // three consumers below; signatures compute once
     val shape = Dedup.resolveShape(shapeIn, sigs)
     def banded(df: DataFrame): DataFrame =
@@ -122,4 +144,32 @@ object CosineLsh {
       .select(col("vec_a"), col("vec_b"), col("cos_sim"))
       .orderBy("vec_a", "vec_b")
   }
+
+  /** Graded surface for [[nearDup]]. The raw fixture's max pairwise
+    * cosine is 0.60 (measured at sf0.1) — far below what sign-LSH
+    * discriminates — so the key PLANTS deterministic near-duplicates
+    * inside the query: every 10th vector gets a copy (vec_id + 1000000)
+    * with its first component scaled ×1.1, giving cos(v, v') ≈ 0.99998.
+    * The construction is plain double arithmetic, so the DuckDB oracle
+    * builds the identical corpus and confirms with EXACT all-pairs
+    * cosine. At τ = 0.99 a planted pair's per-table collision rate is
+    * p⁸ ≈ 0.986, so the 12-table miss probability is (1−p⁸)¹² ≈ 1e-22 —
+    * the LSH recall loss is far below the oracle's resolution, which is
+    * what makes an exact-match gate sound for a probabilistic operator.
+    */
+  val qCosineNeardup: Q = (s, d) => {
+    val base = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val planted = base.where(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, x * lit(1.1)).otherwise(x)).as("embedding"))
+    nearDup(base.unionByName(planted), dim = 64, threshold = 0.99,
+      shapeIn = Dedup.Auto())
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_cosine_neardup" -> qCosineNeardup
+  )
 }

@@ -112,44 +112,26 @@ object Dedup {
     * Blocking key = (lang, n_chars div 64): near-identical docs have
     * near-identical length, so candidates stay within one block.
     *
-    * Per-pair work is one native intersect-count over the two distinct
-    * token arrays (graft.functions.ArrayIntersectSize; no intersection
-    * array materialized), with Jaccard from precomputed per-doc set sizes:
-    * |A∪B| = |A|+|B|−|A∩B| — identical integers to the
-    * array_intersect/array_union form, so the oracle is unchanged.
-    * (An exploded inverted-index variant was measured 2.5× SLOWER on this
-    * corpus: its shuffle volume is Σ pairs×|shared toks| rows, which for a
-    * near-dup-heavy corpus dwarfs shipping each ~200-token array once.
-    * qNeardupLsh below is the form whose blocking survives 100 TB.)
+    * Runs on the shared LSH core with the blocks ANDed into the
+    * candidate join (block ∧ band ∧ size-prune; `lshNearDupPairs`
+    * scaladoc) — so like every other graded near-dup key it has a
+    * no-corpus-broadcast physical form and `Auto` picks it past the doc
+    * cap. A J ≥ 0.9 pair shares no band with probability (1−0.81)¹⁶ ≈
+    * 3e-12 (accepted vs the exact blocked oracle). The r3 form
+    * broadcast the entire tokenized corpus as the build side — a
+    * measured local fast path, but a scale-killer with no alternative
+    * shape; the band-AND-block candidate join ships ids+sizes+bands
+    * only, and the exact confirm attaches each token array once per
+    * side.
     */
   val qNeardupPairs: Q = (s, d) => {
-    // Round-robin BEFORE the tokenize projection: the single-file scan is
-    // one partition, so both the token computation and (with the other
-    // side broadcast) the whole O(pairs) stage would otherwise run in one
-    // task.
-    val docs = documents(s, d)
-      .repartition(s.sessionState.conf.numShufflePartitions)
+    val base = documents(s, d)
       .select(
         col("doc_id"), col("lang"),
         (col("n_chars") / 64).cast("long").as("len_bucket"),
         normTokens(col("text")).as("toks"))
-    val a = docs
-      .select(col("doc_id").as("doc_a"), col("lang").as("lang_a"),
-        col("len_bucket").as("lb_a"), col("toks").as("toks_a"), size(col("toks")).as("n_a"))
-    val b = docs.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
-      col("len_bucket").as("lb_b"), col("toks").as("toks_b"), size(col("toks")).as("n_b"))
-    a.join(broadcast(b), col("lang_a") === col("lang_b") && col("lb_a") === col("lb_b") &&
-        col("doc_a") < col("doc_b"))
-      // Lossless size-ratio prune before the merge scan: J ≥ 0.9 needs
-      // 10·min(|A|,|B|) ≥ 9·max(|A|,|B|) (exact integer arithmetic) —
-      // keeps ~30% of pairs on this corpus.
-      .where(least(col("n_a"), col("n_b")) * 10 >= greatest(col("n_a"), col("n_b")) * 9)
-      .withColumn("inter", intersectSize(col("toks_a"), col("toks_b"), barrier = true))
-      .withColumn("jaccard", round(col("inter").cast("double") /
-        (col("n_a") + col("n_b") - col("inter")).cast("double"), 6))
-      .where(col("jaccard") >= 0.9)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .orderBy("doc_a", "doc_b")
+    lshNearDupPairs(signatures(base), "toks", 9, 10, 0.9, Auto(),
+      blockCols = Seq("lang", "len_bucket"))
   }
 
   // ---------------------------------------------------------------- LSH core
@@ -382,11 +364,14 @@ object Dedup {
     * pairs sharing (lang, len-bucket) and ≥1 band materialize — a J ≥ 0.8
     * pair shares no band with probability (1−0.8²)¹⁶ ≈ 8.5e-8 (accepted
     * vs the exact blocked oracle), while ~80% of background block pairs
-    * never even reach the size prune. Runs the SALTED shape: ids+bands-only
-    * candidate join, co-partitioned exact confirm — no corpus-derived
-    * broadcast anywhere (the r2 form broadcast the entire shingled
-    * corpus). Threshold 0.8 (shingle Jaccard dilutes faster than token
-    * Jaccard); J ≥ 0.8 ⇔ 5·min ≥ 4·max prune.
+    * never even reach the size prune. Runs `Auto` shape dispatch: the
+    * Broadcast branch at fixture scale (the r3 forced-Salted choice was
+    * the round's one bench regression, 6.5 → 10.2 s — paying ~2 extra
+    * sort-merge shuffles at a scale where the banded corpus trivially
+    * fits executor memory), the Salted ids+bands-only no-broadcast form
+    * past the doc cap; the Salted plan shape stays spec-pinned in
+    * LshSaltedSpec either way. Threshold 0.8 (shingle Jaccard dilutes
+    * faster than token Jaccard); J ≥ 0.8 ⇔ 5·min ≥ 4·max prune.
     */
   val qNgramJaccard: Q = (s, d) => {
     val base = documents(s, d)
@@ -394,7 +379,7 @@ object Dedup {
       .select(col("doc_id"), col("lang"),
         (col("n_chars") / 64).cast("long").as("len_bucket"),
         graft.functions.GraftExpressions.charShingles(col("text"), 3, barrier = true).as("grams"))
-    lshNearDupPairs(signatures(base, "grams"), "grams", 4, 5, 0.8, Salted(),
+    lshNearDupPairs(signatures(base, "grams"), "grams", 4, 5, 0.8, Auto(),
       blockCols = Seq("lang", "len_bucket"))
   }
 
@@ -419,16 +404,31 @@ object Dedup {
     * 100 TB shape: state per round is one (doc_id, label) frame
     * partitioned by doc_id, never driver-side; movement detection is a
     * flag computed inside the propagate projection, not an extra join.
+    *
+    * `checkpointDir`: by default each round truncates lineage with
+    * `localCheckpoint` (executor-local blocks — fast, but lost if an
+    * executor dies, which on a cluster forces a job restart). Passing a
+    * reliable directory (HDFS/object store) switches every round to
+    * `df.checkpoint()` there, so a lost executor recovers from the last
+    * round's files instead — the fault-tolerance contract a multi-hour
+    * 100 TB clustering run needs. Same results either way (spec'd).
     */
-  def nearDupComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+  def nearDupComponents(pairs: DataFrame, maxIter: Int = 30,
+      checkpointDir: Option[String] = None): DataFrame = {
+    def persistRound(df: DataFrame): DataFrame = checkpointDir match {
+      case Some(dir) =>
+        df.sparkSession.sparkContext.setCheckpointDir(dir)
+        df.checkpoint()
+      case None => df.localCheckpoint()
+    }
     // Undirected edge list, both directions — so every doc appears as
     // `src`, which is what lets the joins below be inner joins.
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("component", col("doc_id"))
-      .localCheckpoint()
+    val edges = persistRound(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+    var labels = persistRound(
+      edges.select(col("src").as("doc_id")).distinct()
+        .withColumn("component", col("doc_id")))
     var it = 0
     var converged = false
     while (it < maxIter && !converged) {
@@ -441,9 +441,8 @@ object Dedup {
       // Pointer jump: component := label(component). Labels are always
       // member doc ids, so the lookup join is total.
       val lookup = propagated.select(col("doc_id").as("component"), col("component").as("__cc"))
-      val next = propagated.join(lookup, "component")
-        .select(col("doc_id"), col("__cc").as("component"), col("__moved"))
-        .localCheckpoint()
+      val next = persistRound(propagated.join(lookup, "component")
+        .select(col("doc_id"), col("__cc").as("component"), col("__moved")))
       converged = next.where(col("__moved")).limit(1).count() == 0
       labels = next.drop("__moved")
       it += 1

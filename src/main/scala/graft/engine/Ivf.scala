@@ -27,6 +27,7 @@ import org.apache.spark.sql.functions._
   */
 object Ivf {
   import graft.functions.GraftExpressions.dotProduct
+  type Q = (SparkSession, String) => DataFrame
 
   private def vec(c: Column): Column = transform(c, x => x.cast("double"))
 
@@ -36,14 +37,25 @@ object Ivf {
 
   /** Train a k-cell coarse quantizer; returns (cell: int, cv: array<double>).
     * `embs` must carry (vec_id, embedding).
+    *
+    * `checkpointDir`: the training corpus is materialized once and
+    * re-scanned every Lloyd iteration — `localCheckpoint` by default
+    * (executor-local, lost on executor death), a reliable
+    * `df.checkpoint()` under the given directory when provided, so a
+    * long cluster training run survives executor loss (same contract as
+    * Dedup.nearDupComponents).
     */
   def train(embs: DataFrame, k: Int, iters: Int = 5,
-      sampleFraction: Double = 1.0): DataFrame = {
+      sampleFraction: Double = 1.0, checkpointDir: Option[String] = None): DataFrame = {
     val spark = embs.sparkSession
-    val corpus = embs.select(col("vec_id"), vec(col("embedding")).as("v"))
+    val staged = embs.select(col("vec_id"), vec(col("embedding")).as("v"))
       .where(pmod(xxhash64(col("vec_id")), lit(10000)) < lit((sampleFraction * 10000).toLong))
       .withColumn("nv2", dotProduct(col("v"), col("v")))
-      .localCheckpoint() // scanned once per Lloyd iteration
+    // Scanned once per Lloyd iteration.
+    val corpus = checkpointDir match {
+      case Some(dir) => spark.sparkContext.setCheckpointDir(dir); staged.checkpoint()
+      case None => staged.localCheckpoint()
+    }
     // Hash-ordered deterministic seed sample.
     var centroids: Array[Array[Double]] = corpus
       .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(k)
@@ -126,4 +138,36 @@ object Ivf {
       .orderBy(desc("cos_sim"), asc("vec_id"))
       .limit(topK)
   }
+
+  /** Graded end-to-end TRAINED-IVF key (unlike `q_ann_ivf`, which probes
+    * the fixture's precomputed `label`): train an 8-cell quantizer with
+    * Lloyd iterations, persist the distributed cell assignment, probe
+    * `nprobe` cells for the query vector, exact cosine re-rank inside.
+    * The whole path is deterministic (hash-ordered seeding, min_by cell
+    * tiebreak), so the result is a pure function of the data.
+    *
+    * The oracle is exact global cosine top-k: sound because the probed
+    * cells provably contain the global top-k here — nprobe = k makes
+    * `search` scan every cell (the spec-pinned `nprobe=k ≡ brute force`
+    * contract), so grading checks the trained pipeline's plumbing
+    * (train → assign → probe-join → re-rank) returns exactly the right
+    * vectors, not merely approximately. Partial-probe recall bounds are
+    * IvfSpec's job (no oracle can re-derive kmeans cells in SQL). The
+    * `cell` column is dropped from the graded output for the same
+    * reason: cell IDs are engine-derived model state.
+    */
+  val qAnnIvfTrained: Q = (s, d) => {
+    val embs = Tables.embeddings(s, d)
+      .repartition(s.sessionState.conf.numShufflePartitions)
+      .select(col("vec_id"), col("embedding"))
+    val k = 8
+    val centroids = train(embs, k = k, iters = 3)
+    val cells = assign(embs, centroids).localCheckpoint() // the persisted index artifact
+    search(embs, centroids, queryVecId = 7L, nprobe = k, topK = 15, cellsIn = Some(cells))
+      .select(col("vec_id"), col("cos_sim"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_ann_ivf_trained" -> qAnnIvfTrained
+  )
 }

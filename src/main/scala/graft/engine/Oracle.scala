@@ -435,6 +435,38 @@ object Oracle {
       FROM e, q WHERE e.label = q.q_label AND e.vec_id <> 0
       ORDER BY cos_sim DESC, vec_id LIMIT 10""",
 
+    // Exact global cosine top-15: the trained-IVF query probes ALL k
+    // cells (nprobe = k ≡ brute force, spec-pinned), so the end-to-end
+    // train → assign → probe → re-rank path must reproduce the global
+    // answer exactly; cell ids themselves are engine model state and are
+    // not part of the graded output.
+    "q_ann_ivf_trained" -> """
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 7),
+        sims AS (SELECT vec_id,
+            round(list_dot_product(v, qv) /
+                  (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
+          FROM e, q WHERE vec_id <> 7)
+      SELECT vec_id, cos_sim FROM sims ORDER BY cos_sim DESC, vec_id LIMIT 15""",
+
+    // Exact all-pairs cosine over the SAME planted-near-dup corpus the
+    // engine query constructs (every 10th vector duplicated with its
+    // first component ×1.1) — the LSH path's band-miss probability is
+    // ~1e-22 per qualifying pair at this threshold (CosineLsh scaladoc),
+    // so exact comparison is sound.
+    "q_cosine_neardup" -> """
+      WITH base AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        planted AS (SELECT vec_id + 1000000 AS vec_id,
+            list_transform(range(1, 65), i -> CASE WHEN i = 1 THEN v[i] * 1.1 ELSE v[i] END) AS v
+          FROM base WHERE vec_id % 10 = 0),
+        corpus AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+        pairs AS (SELECT a.vec_id vec_a, b.vec_id vec_b,
+            round(list_dot_product(a.v, b.v) /
+                  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) cos_sim
+          FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
+      SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= 0.99
+      ORDER BY vec_a, vec_b""",
+
     "q_similarity_join" -> """
       WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
         pairs AS (SELECT a.vec_id vec_a, b.vec_id vec_b, CAST(a.label AS BIGINT) AS label,

@@ -261,7 +261,10 @@ object Relational {
         vAt(floor(pos(0.9)) + 1).as("__p_lo"), vAt(ceil(pos(0.9)) + 1).as("__p_hi"))
     def interp(lo: String, hi: String, p: Double) =
       col(lo) + (pos(p) - floor(pos(p))) * (col(hi) - col(lo))
-    stats.join(broadcast(pcts), "l_returnflag")
+    // LEFT join: a group whose values are all NULL has n=0 → no ranked
+    // rows → no pcts row; it must still appear with NULL percentiles,
+    // matching the built-in `percentile`'s semantics.
+    stats.join(broadcast(pcts), Seq("l_returnflag"), "left")
       .select(col("l_returnflag"), col("sd_price"), col("var_qty"),
         col("corr_qty_price"), col("covar_qty_price"),
         round(interp("__m_lo", "__m_hi", 0.5), 4).as("median_price"),

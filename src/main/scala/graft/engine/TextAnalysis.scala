@@ -18,13 +18,10 @@ object TextAnalysis {
 
   // ------------------------------------------------------------ pure Scala
 
-  /** FNV-1a 64-bit — stable, dependency-free token hash. */
-  def fnv1a64(s: String): Long = {
-    var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
-    h
-  }
+  /** FNV-1a 64-bit — stable, dependency-free token hash (single shared
+    * definition in the kernel object the Catalyst expressions also use).
+    */
+  def fnv1a64(s: String): Long = graft.functions.GraftOps.fnv1a64(s)
 
   /** SimHash-64 over whitespace tokens: per bit, sum +1/-1 across token
     * hashes; sign becomes the bit. Near-identical token multisets give
@@ -57,26 +54,12 @@ object TextAnalysis {
 
   /** Winnowing-style fingerprint: min polynomial rolling hash over all
     * k-char windows (k=16). Equal texts ⇒ equal fingerprints; shared long
-    * substrings ⇒ likely-equal fingerprints.
+    * substrings ⇒ likely-equal fingerprints. Delegates to the kernel the
+    * codegen'd RollingFingerprint expression evaluates — one definition
+    * for the plain-Scala surface, the property tests, and the hot path.
     */
-  def rollingFingerprint(text: String, k: Int = 16): Long = {
-    if (text.length < k) return fnv1a64(text)
-    val p = 1000000007L
-    var pow = 1L
-    var i = 0
-    while (i < k - 1) { pow *= p; i += 1 }
-    var h = 0L
-    i = 0
-    while (i < k) { h = h * p + text.charAt(i); i += 1 }
-    var min = h
-    i = k
-    while (i < text.length) {
-      h = (h - text.charAt(i - k) * pow) * p + text.charAt(i)
-      if (h < min) min = h
-      i += 1
-    }
-    min
-  }
+  def rollingFingerprint(text: String, k: Int = 16): Long =
+    graft.functions.GraftOps.rollingFingerprint(text, k)
 
   // -------------------------------------------------------------- queries
 
@@ -164,13 +147,17 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  /** Rolling-hash document fingerprint (no oracle). */
-  val qDocFingerprint: Q = (s, d) => {
-    val fp = udf((t: String) => rollingFingerprint(t))
+  /** Rolling-hash document fingerprint (no oracle — hash values are
+    * engine-specific; property-tested). Promoted from a Scala UDF to the
+    * codegen'd RollingFingerprint expression: no serialization hop, the
+    * row stays inside whole-stage codegen (the UDF showcase remains
+    * q_udf_scalar, where the UDF surface IS the point).
+    */
+  val qDocFingerprint: Q = (s, d) =>
     documents(s, d)
-      .select(col("doc_id"), fp(col("text")).as("fingerprint"))
+      .select(col("doc_id"),
+        graft.functions.GraftExpressions.rollingFingerprint(col("text")).as("fingerprint"))
       .orderBy("doc_id")
-  }
 
   val queries: Map[String, Q] = Map(
     "q_text_stats" -> qTextStats,

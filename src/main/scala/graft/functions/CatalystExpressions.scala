@@ -77,6 +77,24 @@ object GraftExpressions {
     */
   def charShingles(text: Column, k: Int, barrier: Boolean = false): Column =
     ExpressionUtils.column(CharShingles(ExpressionUtils.expression(text), k, barrier))
+
+  /** Per-table packed hyperplane-sign (SimHash) signatures of a double
+    * vector — array<long>, one long per table. Map-only replacement for
+    * CosineLsh's crossJoin(hyperplanes) + two aggregations (a ~T·bits×
+    * row amplification through a shuffle at scale); bit-identical to that
+    * form (parity-spec'd in CosineLshSpec).
+    */
+  def cosineLshSigs(v: Column, nTables: Int, bits: Int,
+      barrier: Boolean = false): Column =
+    ExpressionUtils.column(CosineLshSignatures(
+      ExpressionUtils.expression(v), nTables, bits, barrier))
+
+  /** Winnowing-style rolling-hash fingerprint of a string (min polynomial
+    * hash over all k-char windows) — the codegen form of
+    * TextAnalysis.rollingFingerprint (which delegates to the same kernel).
+    */
+  def rollingFingerprint(text: Column, k: Int = 16): Column =
+    ExpressionUtils.column(RollingFingerprint(ExpressionUtils.expression(text), k))
 }
 
 /** Static leaf kernels shared by the interpreted (`nullSafeEval`) and
@@ -123,6 +141,107 @@ object GraftOps {
     while (i + k <= n) { set.add(text.substring(i, i + k)); i += 1 }
     new GenericArrayData(set.toArray())
   }
+
+  /** Sign matrix for [[cosineLshSigs]], memoized per (nTables, bits, dim):
+    * entry (t, b, i) is +1.0/−1.0 by parity of the chained
+    * xxhash64(t, b, i) — EXACTLY Spark's `xxhash64` over three int
+    * columns (seed 42, fold left), so the kernel is bit-compatible with
+    * the declarative `CosineLsh.hyperplanes` frame the spec compares
+    * against. The matrix is tiny (T·bits·dim doubles ≈ 48 KB at
+    * 12×8×512) and shared across threads.
+    */
+  private val signMatrixCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Double]]()
+
+  private def signMatrix(nTables: Int, bits: Int, dim: Int): Array[Double] =
+    signMatrixCache.computeIfAbsent((nTables, bits, dim), { key =>
+      val (t0, b0, d0) = key
+      val m = new Array[Double](t0 * b0 * d0)
+      var t = 0
+      while (t < t0) {
+        var b = 0
+        while (b < b0) {
+          var i = 0
+          while (i < d0) {
+            var h = XxHash64Function.hash(t, IntegerType, 42L)
+            h = XxHash64Function.hash(b, IntegerType, h)
+            h = XxHash64Function.hash(i, IntegerType, h)
+            // pmod(h, 2) == 0 → +1 (matches CosineLsh.hyperplanes)
+            m(t * b0 * d0 + b * d0 + i) = if (((h % 2) + 2) % 2 == 0) 1.0 else -1.0
+            i += 1
+          }
+          b += 1
+        }
+        t += 1
+      }
+      m
+    })
+
+  /** Per-table packed hyperplane signatures in one pass (see
+    * CosineLshSignatures): bit b of table t is set iff v · h_{t,b} ≥ 0.
+    */
+  def cosineLshSigs(v: ArrayData, nTables: Int, bits: Int): ArrayData = {
+    val dim = v.numElements()
+    val m = signMatrix(nTables, bits, dim)
+    val vec = new Array[Double](dim)
+    var i = 0
+    while (i < dim) { vec(i) = v.getDouble(i); i += 1 }
+    val sigs = new Array[Long](nTables)
+    var t = 0
+    while (t < nTables) {
+      var sig = 0L
+      var b = 0
+      while (b < bits) {
+        val off = t * bits * dim + b * dim
+        var dot = 0.0
+        i = 0
+        while (i < dim) { dot += vec(i) * m(off + i); i += 1 }
+        if (dot >= 0) sig |= (1L << b)
+        b += 1
+      }
+      sigs(t) = sig
+      t += 1
+    }
+    new GenericArrayData(sigs)
+  }
+
+  /** FNV-1a 64-bit over UTF-16 code units — the token/short-text hash the
+    * fingerprint family shares (kept in the kernel object so the Catalyst
+    * expression and the plain-Scala surface are ONE definition).
+    */
+  def fnv1a64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** Winnowing-style fingerprint: min polynomial rolling hash over all
+    * k-char (UTF-16 code unit) windows; texts shorter than k fall back to
+    * fnv1a64. Equal texts ⇒ equal fingerprints.
+    */
+  def rollingFingerprint(text: String, k: Int): Long = {
+    if (text.length < k) return fnv1a64(text)
+    val p = 1000000007L
+    var pow = 1L
+    var i = 0
+    while (i < k - 1) { pow *= p; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * p + text.charAt(i); i += 1 }
+    var min = h
+    i = k
+    while (i < text.length) {
+      h = (h - text.charAt(i - k) * pow) * p + text.charAt(i)
+      if (h < min) min = h
+      i += 1
+    }
+    min
+  }
+
+  /** UTF8String entry point for [[rollingFingerprint]] (codegen path). */
+  def rollingFingerprint(text: UTF8String, k: Int): Long =
+    rollingFingerprint(text.toString, k)
 
   /** MinHash signature + band hashes in one pass (see MinHashBands). */
   def minhashBands(toks: ArrayData, numHashes: Int, numBands: Int): InternalRow = {
@@ -294,6 +413,55 @@ case class MinHashBands(child: Expression, numHashes: Int, numBands: Int,
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.GraftOps.minhashBands($c, $numHashes, $numBands);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Per-table packed hyperplane-sign signatures (Charikar SimHash) of a
+  * double vector, ONE pass per row — sig_t packs `bits` sign bits of
+  * v · h_{t,b} over the memoized deterministic ±1 hyperplane matrix (see
+  * GraftOps.signMatrix). Replaces a crossJoin with T·bits hyperplane rows
+  * followed by two shuffled aggregations: at 100 TB that was a ~96× row
+  * amplification through an exchange; this is map-only inside whole-stage
+  * codegen. `barrier`: see GraftExpressions.
+  */
+case class CosineLshSignatures(child: Expression, nTables: Int, bits: Int,
+    barrier: Boolean = false) extends UnaryExpression {
+  require(bits > 0 && bits <= 63, "bits must fit a long with sign headroom")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override lazy val deterministic: Boolean = !barrier && child.deterministic
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftOps.cosineLshSigs(input.asInstanceOf[ArrayData], nTables, bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GraftOps.cosineLshSigs($c, $nTables, $bits);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Winnowing rolling-hash fingerprint of a string (GraftOps
+  * .rollingFingerprint) — the codegen'd form of the q_doc_fingerprint
+  * hash; the UDF showcase stays on q_udf_scalar, where the UDF IS the
+  * point of the key.
+  */
+case class RollingFingerprint(child: Expression, k: Int)
+    extends UnaryExpression {
+  require(k >= 1, "window must be at least 1 char")
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftOps.rollingFingerprint(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GraftOps.rollingFingerprint($c, $k);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -42,12 +42,18 @@ object PipelineMain {
         size(filter(toks, t => array_contains(stop, t))).cast("double") / col("n_tokens"))
       .withColumn("quality",
         least(col("n_tokens") / 100.0, lit(1.0)) * (lit(1.0) - col("stop_ratio")))
+    // localCheckpoint: quality feeds BOTH the dedup stage and the report
+    // count; without it each consumer re-runs the scoring from the scan.
     val quality = scored.where(col("n_tokens") >= 5 && col("quality") >= 0.05)
+      .localCheckpoint()
 
     // 2. Set-normalized exact dedup: first (min doc_id) per token set wins.
+    // localCheckpoint: consumed by signature building, the anti-join, and
+    // the report count — three executions of the window dedup otherwise.
     val deduped = Dedup.firstWins(
       quality.withColumn("__norm", Dedup.normKey(col("text"))),
       Seq("__norm"), Seq("doc_id")).drop("__norm")
+      .localCheckpoint()
 
     // 3. Near-dup removal at Jaccard >= 0.9, salted (no-broadcast) shape:
     //    cluster the pairs into connected components and keep each
@@ -64,17 +70,17 @@ object PipelineMain {
     val curated = deduped.join(nearDupLosers.hint("merge"), Seq("doc_id"), "left_anti")
 
     curated.write.mode("overwrite").parquet(s"$outDir/corpus")
+    // Each stage count exactly once: quality/deduped are localCheckpointed
+    // above (so counting them is a cached scan, not a pipeline re-run) and
+    // the curated count reads back the parquet just written.
     val kept = spark.read.parquet(s"$outDir/corpus").count()
-    val report = Seq(
-      ("input_docs", total),
-      ("after_quality", quality.count()),
-      ("after_exact_dedup", deduped.count()),
-      ("after_neardup", kept)).toString
+    val nQuality = quality.count()
+    val nDeduped = deduped.count()
     import spark.implicits._
-    Seq((total, quality.count(), deduped.count(), kept))
+    Seq((total, nQuality, nDeduped, kept))
       .toDF("input_docs", "after_quality", "after_exact_dedup", "after_neardup")
       .write.mode("overwrite").parquet(s"$outDir/report")
-    println(s"[pipeline] $report -> $outDir")
+    println(s"[pipeline] input=$total quality=$nQuality deduped=$nDeduped curated=$kept -> $outDir")
     spark.stop()
   }
 }

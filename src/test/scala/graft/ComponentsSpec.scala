@@ -49,6 +49,20 @@ class ComponentsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("reliable checkpoint dir: same components, checkpoint files actually written") {
+    // The cluster fault-tolerance path: every round materializes to the
+    // reliable dir via df.checkpoint() instead of executor-local blocks.
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+    val got = Dedup.nearDupComponents(pairs.toDF("doc_a", "doc_b"),
+        checkpointDir = Some(dir))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    val written = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(java.nio.file.Files.isRegularFile(_)).count()
+    assert(written > 0, s"no checkpoint files under $dir")
+  }
+
   test("end-to-end: components over q_neardup_lsh pairs cover every paired doc") {
     val pairs = graft.engine.Dedup.qNeardupLsh(spark, "/root/testdata/sf0.01")
       .select("doc_a", "doc_b")

@@ -30,9 +30,9 @@ class CosineLshSpec extends AnyFunSuite {
     base.union(planted)
   }
 
-  private def exactPairs(threshold: Double): Set[(Long, Long)] = {
+  private def exactPairsOf(in: DataFrame, threshold: Double): Set[(Long, Long)] = {
     import graft.functions.GraftExpressions.dotProduct
-    val e = corpus.select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val e = in.select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("n", sqrt(dotProduct(col("v"), col("v"))))
     val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("n").as("na"))
     val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("n").as("nb"))
@@ -40,6 +40,8 @@ class CosineLshSpec extends AnyFunSuite {
       .where(dotProduct(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
       .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
   }
+
+  private def exactPairs(threshold: Double): Set[(Long, Long)] = exactPairsOf(corpus, threshold)
 
   test("planted near-duplicates are recovered: recall >= 0.9, precision exact") {
     val truth = exactPairs(Tau)
@@ -76,5 +78,44 @@ class CosineLshSpec extends AnyFunSuite {
     val base = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
     val found = CosineLsh.nearDup(base, Dim, Tau).count()
     assert(found == 0L)
+  }
+
+  test("native signature kernel ≡ declarative hyperplane crossJoin form") {
+    // Same chained xxhash64(table, bit, i) parity on both paths — the
+    // memoized sign matrix must reproduce the SQL-built hyperplane frame
+    // bit for bit, or the two formulations drift silently.
+    val e = corpus
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    def sigMap(df: DataFrame): Map[Long, Seq[Long]] =
+      df.select(col("vec_id"), col("sigs")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    val viaKernel = sigMap(CosineLsh.withSignatures(e, 12, 8))
+    val viaJoin = sigMap(CosineLsh.signaturesViaJoin(e, CosineLsh.hyperplanes(spark, Dim, 12, 8)))
+    assert(viaKernel.nonEmpty)
+    assert(viaKernel == viaJoin)
+  }
+
+  test("signature computation is map-only: no exchange between scan and sigs") {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val p = CosineLsh.withSignatures(e, 12, 8).queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("graded q_cosine_neardup recovers EXACTLY the planted pair set (oracle precondition)") {
+    // The driver's oracle is exact all-pairs cosine on the same planted
+    // corpus; at τ = 0.99 the per-pair LSH miss probability is ~1e-22
+    // (CosineLsh scaladoc), so set equality — not just recall ≥ x — is
+    // the contract this key is graded on.
+    val graded = CosineLsh.queries("q_cosine_neardup")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val base = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val planted = base.where(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), (x, i) => when(i === 0, x * lit(1.1)).otherwise(x)).as("embedding"))
+    val truth = exactPairsOf(base.unionByName(planted), 0.99)
+    assert(truth.nonEmpty, "no planted pairs above threshold — vacuous key")
+    assert(graded == truth)
   }
 }

@@ -60,4 +60,33 @@ class IvfSpec extends AnyFunSuite {
     val recall = exactTop10.count(approx.contains) / 10.0
     assert(recall >= 0.5, s"recall@10 = $recall")
   }
+
+  test("training under a reliable checkpoint dir yields identical centroids") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_ckpt_").toString
+    val ckpt = Ivf.train(embs, k = K, iters = 4, checkpointDir = Some(dir))
+      .select("cell", "cv").collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    val local = centroids
+      .select("cell", "cv").collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(ckpt == local)
+  }
+
+  test("graded q_ann_ivf_trained: full-probe trained path ≡ exact global top-15") {
+    // The key's oracle is exact global cosine top-15 for vec 7; the
+    // trained pipeline (train → assign → probe ALL cells → re-rank) must
+    // reproduce it exactly — this is the driver-gate precondition.
+    val graded = Ivf.queries("q_ann_ivf_trained")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    import graft.functions.GraftExpressions.dotProduct
+    import org.apache.spark.sql.functions._
+    val e = embs.select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val q = e.where(col("vec_id") === 7).select(col("v").as("qv"))
+    val exact = e.crossJoin(q).where(col("vec_id") =!= 7)
+      .select(col("vec_id"),
+        round(dotProduct(col("v"), col("qv")) /
+          (sqrt(dotProduct(col("v"), col("v"))) * sqrt(dotProduct(col("qv"), col("qv")))), 6)
+          .as("cos_sim"))
+      .orderBy(desc("cos_sim"), asc("vec_id")).limit(15)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(graded == exact)
+  }
 }

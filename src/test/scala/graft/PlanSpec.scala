@@ -66,11 +66,48 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("SortMergeJoin"), p)      // salted band join + confirms
   }
 
-  test("q_ngram_jaccard runs the salted blocked shape: no corpus broadcast, no cartesian") {
-    val p = plan("q_ngram_jaccard")
-    assert(!p.contains("Broadcast"), p)
-    assert(!p.contains("CartesianProduct"), p)
-    assert(p.contains("SortMergeJoin"), p)
+  test("q_ngram_jaccard and q_neardup_pairs Auto-dispatch to the broadcast fast path at fixture scale") {
+    // Auto counts the checkpointed signature corpus: under the doc cap it
+    // picks the measured-faster Broadcast branch (the r3 forced-Salted
+    // q_ngram_jaccard was the round's one bench regression). Never a
+    // cartesian either way.
+    for (key <- Seq("q_ngram_jaccard", "q_neardup_pairs")) {
+      val p = plan(key)
+      assert(!p.contains("CartesianProduct"), s"$key: $p")
+      assert(p.contains("BroadcastHashJoin"), s"$key: $p")
+      assert(!p.contains("SortMergeJoin"), s"$key: $p")
+    }
+  }
+
+  test("every graded near-dup key forced past the doc cap runs broadcast-free (the 100 TB twin)") {
+    // Auto(maxBroadcastDocs = 0) forces the Salted branch regardless of
+    // corpus size — the plan every one of these keys would run on a
+    // corpus past executor broadcast limits must contain no broadcast of
+    // any corpus-derived frame.
+    import org.apache.spark.sql.functions._
+    import graft.engine.{Dedup, Tables}
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+    val blocks = Seq("lang", "len_bucket")
+    val tokBase = docs.select(col("doc_id"), col("lang"),
+      (col("n_chars") / 64).cast("long").as("len_bucket"),
+      Dedup.normTokens(col("text")).as("toks"))
+    val gramBase = docs.where(length(col("text")) >= 3)
+      .select(col("doc_id"), col("lang"),
+        (col("n_chars") / 64).cast("long").as("len_bucket"),
+        graft.functions.GraftExpressions.charShingles(col("text"), 3, barrier = true).as("grams"))
+    val forced = Seq(
+      "q_neardup_pairs(salted)" ->
+        Dedup.lshNearDupPairs(Dedup.signatures(tokBase), "toks", 9, 10, 0.9,
+          Dedup.Auto(maxBroadcastDocs = 0), blocks),
+      "q_ngram_jaccard(salted)" ->
+        Dedup.lshNearDupPairs(Dedup.signatures(gramBase, "grams"), "grams", 4, 5, 0.8,
+          Dedup.Auto(maxBroadcastDocs = 0), blocks))
+    for ((what, df) <- forced) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Broadcast"), s"$what: $p")
+      assert(!p.contains("CartesianProduct"), s"$what: $p")
+      assert(p.contains("SortMergeJoin"), s"$what: $p")
+    }
   }
 
   test("the per-pair graft expressions execute inside whole-stage codegen") {

@@ -41,6 +41,28 @@ class SketchSpec extends AnyFunSuite {
     assert(fp.schema.fields.forall(f => !f.dataType.typeName.startsWith("array")))
   }
 
+  test("codegen RollingFingerprint expression ≡ the plain-Scala fingerprint") {
+    // q_doc_fingerprint moved from a UDF to the native expression; both
+    // must stay one definition — evaluate the expression over the fixture
+    // and replay the Scala function on the collected texts.
+    val rows = Tables.documents(spark, TestSpark.sfDir)
+      .select(col("text"),
+        graft.functions.GraftExpressions.rollingFingerprint(col("text")).as("fp"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) == graft.engine.TextAnalysis.rollingFingerprint(r.getString(0)),
+        s"mismatch on: ${r.getString(0).take(40)}")
+    }
+    // Short-text fallback + empty string hold too.
+    val edge = Seq("", "a", "exactly16charss!", "x" * 15).toDF("t")
+      .select(col("t"), graft.functions.GraftExpressions.rollingFingerprint(col("t")).as("fp"))
+      .collect()
+    edge.foreach { r =>
+      assert(r.getLong(1) == graft.engine.TextAnalysis.rollingFingerprint(r.getString(0)))
+    }
+  }
+
   test("q_minhash_sig graded output is scalar-only and band-exploded") {
     val df = SparkEntry.queries("q_minhash_sig")(spark, TestSpark.sfDir)
     assert(df.schema.fields.forall(f => !f.dataType.typeName.startsWith("array")),

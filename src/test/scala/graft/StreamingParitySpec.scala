@@ -106,7 +106,7 @@ class StreamingParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     val streamed = spark.table("docdedup_fixture").select("doc_id").as[Long].collect().toSet
     val batch = Dedup.firstWins(
       Tables.documents(spark, TestSpark.sfDir).withColumn("__fp",
-        xxhash64(array_join(array_sort(array_distinct(split(col("text"), " "))), " "))),
+        xxhash64(Dedup.normKey(col("text")))),
       Seq("__fp"), Seq("doc_id"))
       .select("doc_id").as[Long].collect().toSet
     assert(streamed == batch)
