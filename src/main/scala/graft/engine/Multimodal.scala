@@ -108,7 +108,44 @@ object Multimodal {
         col("lang"))
       .orderBy("doc_id")
 
+  /** Documents-as-blobs MediaRecord source shared by the two stub-decode
+    * graded keys: payload = utf8 text bytes, kind = lang. Round-robin
+    * first — the single-file scan is one partition, and the whole point
+    * of the mapPartitions path is that decode work fans out.
+    */
+  private def mediaFromDocs(s: SparkSession, d: String): Dataset[MediaRecord] = {
+    import s.implicits._
+    documents(s, d)
+      .repartition(s.sessionState.conf.numShufflePartitions)
+      .select(col("doc_id").as("media_id"), col("text").cast("binary").as("payload"),
+        col("lang").as("kind"))
+      .as[MediaRecord]
+  }
+
+  /** Graded (rows-only — the checksum/dimension values are the stub
+    * decoder's own hash, not SQL-derivable) surface for extractFeatures:
+    * one decoded-features row per payload through the real mapPartitions
+    * batch path. Deterministic: pure decode of fixed bytes.
+    */
+  val qMultimodalDecode: Q = (s, d) =>
+    extractFeatures(mediaFromDocs(s, d)).toDF()
+      .orderBy("media_id")
+
+  /** Graded (rows-only) surface for the one-to-many frame fan-out: every
+    * 30th stub-decoded frame of each payload as a scalar row (payload
+    * head hex-encoded — the driver gate hashes scalars, not binary).
+    * Deterministic row count: Σ ceil(n_frames/30) over the corpus.
+    */
+  val qMultimodalFrames: Q = (s, d) =>
+    sampleFrames(mediaFromDocs(s, d), everyN = 30).toDF()
+      .select(col("media_id"), col("frame_idx"), col("width"), col("height"),
+        length(col("payload")).cast("long").as("frame_bytes"),
+        hex(col("payload")).as("frame_head_hex"))
+      .orderBy("media_id", "frame_idx")
+
   val queries: Map[String, Q] = Map(
-    "q_multimodal_features" -> qMultimodalFeatures
+    "q_multimodal_features" -> qMultimodalFeatures,
+    "q_multimodal_decode" -> qMultimodalDecode,
+    "q_multimodal_frames" -> qMultimodalFrames
   )
 }

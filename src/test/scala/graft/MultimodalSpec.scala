@@ -47,6 +47,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(resized.forall(f => f.width == 224 && f.height == 224))
   }
 
+  test("graded q_multimodal_decode: one row per doc, deterministic, all-scalar schema") {
+    val df1 = Multimodal.queries("q_multimodal_decode")(spark, TestSpark.sfDir)
+    val nDocs = graft.engine.Tables.documents(spark, TestSpark.sfDir).count()
+    assert(df1.count() == nDocs)
+    assert(df1.schema.fields.forall(f => !f.dataType.typeName.startsWith("array") &&
+      f.dataType.typeName != "binary"), df1.schema.treeString)
+    val r1 = df1.collect().map(_.toSeq).toSeq
+    val r2 = Multimodal.queries("q_multimodal_decode")(spark, TestSpark.sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(r1 == r2)
+  }
+
+  test("graded q_multimodal_frames: fan-out count is sum of ceil(n_frames/30) over docs") {
+    val frames = Multimodal.queries("q_multimodal_frames")(spark, TestSpark.sfDir)
+    val docs = graft.engine.Tables.documents(spark, TestSpark.sfDir)
+      .select("doc_id", "text", "lang").collect()
+    val want = docs.map { r =>
+      val f = Multimodal.decodeStub(MediaRecord(r.getLong(0),
+        r.getString(1).getBytes("UTF-8"), r.getString(2)))
+      (0 until f.n_frames by 30).size.toLong
+    }.sum
+    assert(frames.count() == want)
+    assert(frames.schema.fields.forall(f => f.dataType.typeName != "binary"),
+      frames.schema.treeString)
+  }
+
   test("decodeStub checksum depends on payload bytes") {
     val a = Multimodal.decodeStub(MediaRecord(1L, "abc".getBytes, "image"))
     val b = Multimodal.decodeStub(MediaRecord(1L, "abd".getBytes, "image"))
