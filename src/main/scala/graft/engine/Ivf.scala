@@ -11,9 +11,12 @@ import org.apache.spark.sql.functions._
   *   - deterministic seeding: the k vectors with the smallest
   *     xxhash64(vec_id) — a hash-ordered sample (spread like a random
   *     sample, stable across runs and task retries);
-  *   - assignment: corpus × broadcast(centroids) with a codegen'd native
-  *     dot product, argmin of squared L2 via min_by with a (dist, cell)
-  *     struct tiebreak — fully distributed, shuffle-free below the agg;
+  *   - assignment: a MAP-ONLY codegen'd argmin projection
+  *     (graft.functions.NearestCell) over the k×dim centroid matrix
+  *     carried as model state in the expression — no join, no shuffle,
+  *     at any corpus size (the r3 form crossJoined corpus × centroids
+  *     and re-aggregated by (vec_id, v), shuffling corpus×k rows with
+  *     the full VECTOR as a grouping key);
   *   - update: element-wise centroid mean via posexplode → (cell, pos)
   *     partial-aggregated avg — the map-side-combine shape that scales.
   *
@@ -62,12 +65,9 @@ object Ivf {
       .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
     var it = 0
     while (it < iters) {
-      val centDf = centroidFrame(spark, centroids)
       val updated = corpus
-        .crossJoin(broadcast(centDf))
-        .withColumn("d2", dist2(col("v"), col("nv2"), col("cv"), col("nc2")))
-        .groupBy(col("vec_id"), col("v"))
-        .agg(min_by(col("cell"), struct(col("d2"), col("cell"))).as("cell"))
+        .withColumn("cell",
+          graft.functions.GraftExpressions.nearestCell(col("v"), centroids))
         .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"))
         .groupBy(col("cell"))
@@ -95,14 +95,28 @@ object Ivf {
       .withColumn("nc2", dotProduct(col("cv"), col("cv")))
   }
 
-  /** Distributed cell assignment: (vec_id, cell) for every corpus vector. */
-  def assign(embs: DataFrame, centroids: DataFrame): DataFrame =
+  /** Distributed cell assignment: (vec_id, cell) for every corpus vector.
+    * Map-only — the centroid frame (k×dim model state, the only thing
+    * ever collected) folds into a NearestCell argmin projection, so the
+    * full-corpus assignment pass is a scan with zero shuffles.
+    */
+  def assign(embs: DataFrame, centroids: DataFrame): DataFrame = {
+    val cents = collectCentroids(centroids)
     embs.select(col("vec_id"), vec(col("embedding")).as("v"))
-      .withColumn("nv2", dotProduct(col("v"), col("v")))
-      .crossJoin(broadcast(centroids))
-      .withColumn("d2", dist2(col("v"), col("nv2"), col("cv"), col("nc2")))
-      .groupBy(col("vec_id"))
-      .agg(min_by(col("cell"), struct(col("d2"), col("cell"))).as("cell"))
+      .select(col("vec_id"),
+        graft.functions.GraftExpressions.nearestCell(col("v"), cents).as("cell"))
+  }
+
+  /** centroid DataFrame → dense k×dim matrix, cell-ordered and validated
+    * contiguous (model state; O(k·dim) on the driver by contract).
+    */
+  private def collectCentroids(centroids: DataFrame): Array[Array[Double]] = {
+    val rows = centroids.select(col("cell"), col("cv")).orderBy("cell").collect()
+    rows.zipWithIndex.foreach { case (r, i) =>
+      require(r.getInt(0) == i, s"non-contiguous centroid cells at $i: ${r.getInt(0)}")
+    }
+    rows.map(_.getSeq[Double](1).toArray)
+  }
 
   /** ANN query: probe the `nprobe` cells nearest the query vector, exact
     * cosine re-rank inside them. `nprobe = k` degenerates to the exact

@@ -95,6 +95,19 @@ object GraftExpressions {
     */
   def rollingFingerprint(text: Column, k: Int = 16): Column =
     ExpressionUtils.column(RollingFingerprint(ExpressionUtils.expression(text), k))
+
+  /** Index of the nearest centroid (squared-L2 argmin, ties to the lowest
+    * cell) for a double vector — centroids ride along as a flattened
+    * k×dim model-state array, so cell assignment is a map-only projection
+    * with no join and no shuffle (the kmeans-assign hot path).
+    */
+  def nearestCell(v: Column, centroids: Array[Array[Double]]): Column = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    val dim = centroids.head.length
+    require(centroids.forall(_.length == dim), "ragged centroid matrix")
+    ExpressionUtils.column(NearestCell(
+      ExpressionUtils.expression(v), centroids.flatten, centroids.length))
+  }
 }
 
 /** Static leaf kernels shared by the interpreted (`nullSafeEval`) and
@@ -242,6 +255,31 @@ object GraftOps {
   /** UTF8String entry point for [[rollingFingerprint]] (codegen path). */
   def rollingFingerprint(text: UTF8String, k: Int): Long =
     rollingFingerprint(text.toString, k)
+
+  /** Squared-L2 argmin over a flattened k×dim centroid matrix; strict <
+    * keeps the FIRST minimal cell, i.e. ties break to the lowest id.
+    */
+  def nearestCell(v: ArrayData, cents: Array[Double], k: Int): Int = {
+    val dim = cents.length / k
+    require(v.numElements() == dim,
+      s"NearestCell: vector dim ${v.numElements()} != centroid dim $dim")
+    var best = 0
+    var bestD = Double.PositiveInfinity
+    var c = 0
+    while (c < k) {
+      val off = c * dim
+      var d = 0.0
+      var i = 0
+      while (i < dim) {
+        val diff = v.getDouble(i) - cents(off + i)
+        d += diff * diff
+        i += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
 
   /** MinHash signature + band hashes in one pass (see MinHashBands). */
   def minhashBands(toks: ArrayData, numHashes: Int, numBands: Int): InternalRow = {
@@ -440,6 +478,32 @@ case class CosineLshSignatures(child: Expression, nTables: Int, bits: Int,
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.GraftOps.cosineLshSigs($c, $nTables, $bits);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Map-only kmeans cell assignment: argmin over a flattened k×dim
+  * centroid matrix carried as model state inside the expression (shipped
+  * to executors with the serialized plan — O(k·dim), the same contract as
+  * a broadcast model). Replaces the corpus × centroids crossJoin + a
+  * groupBy(vec_id) min_by aggregation, which shuffled corpus×k rows —
+  * per-row argmin needs no join and no shuffle at any corpus size.
+  */
+case class NearestCell(child: Expression, cents: Array[Double], k: Int)
+    extends UnaryExpression {
+  require(k > 0 && cents.length % k == 0, "flattened matrix must be k×dim")
+
+  override def dataType: DataType = IntegerType
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftOps.nearestCell(input.asInstanceOf[ArrayData], cents, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("cents", cents, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GraftOps.nearestCell($c, $centsRef, $k);")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

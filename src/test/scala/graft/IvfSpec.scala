@@ -61,6 +61,28 @@ class IvfSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall@10 = $recall")
   }
 
+  test("cell assignment is map-only: no join, no exchange, and matches a driver-side argmin") {
+    val cellsDf = Ivf.assign(embs, centroids)
+    val p = cellsDf.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+    // Kernel parity: replay squared-L2 argmin (ties to lowest cell) on
+    // the collected data.
+    val cents = centroids.select("cell", "cv").orderBy("cell").collect()
+      .map(r => r.getSeq[Double](1).toArray)
+    val got = cellsDf.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val vecs = embs.select(org.apache.spark.sql.functions.col("vec_id"),
+      org.apache.spark.sql.functions.transform(
+        org.apache.spark.sql.functions.col("embedding"), x => x.cast("double")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    vecs.foreach { case (id, v) =>
+      val want = cents.zipWithIndex.minBy { case (c, i) =>
+        (v.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum, i)
+      }._2
+      assert(got(id) == want, s"vec $id: got ${got(id)} want $want")
+    }
+  }
+
   test("training under a reliable checkpoint dir yields identical centroids") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_ckpt_").toString
     val ckpt = Ivf.train(embs, k = K, iters = 4, checkpointDir = Some(dir))
