@@ -221,6 +221,21 @@ object Oracle {
         round(running_spend, 2) AS running_spend, round(moving_avg3, 4) AS moving_avg3
       FROM w WHERE o_custkey <= 50 ORDER BY o_custkey, o_orderkey""",
 
+    "q_window_dist" -> """
+      WITH w AS (SELECT o_orderkey, o_orderpriority, o_totalprice,
+          percent_rank() OVER win AS pr, cume_dist() OVER win AS cd
+        FROM orders WHERE o_orderkey <= 1000
+        WINDOW win AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey))
+      SELECT o_orderkey, o_orderpriority, round(o_totalprice, 2) AS o_totalprice,
+        round(pr, 6) AS pct_rank, round(cd, 6) AS cume
+      FROM w ORDER BY o_orderkey""",
+
+    "q_scalar_subquery" -> """
+      SELECT c_custkey, c_name,
+        (SELECT round(max(o_totalprice), 2) FROM orders o
+         WHERE o.o_custkey = c.c_custkey) AS max_order
+      FROM customer c WHERE c_custkey <= 300 ORDER BY c_custkey""",
+
     "q_sort_multi" -> """
       SELECT o_orderkey, o_custkey, nullif(o_orderstatus, 'P') AS status_or_null,
         round(o_totalprice, 2) AS total_price

@@ -391,6 +391,37 @@ object Relational {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Distribution window functions — percent_rank/cume_dist per priority
+    * band (the ranking family's remaining members next to q_window_rank's
+    * row_number/rank/dense_rank/ntile). The key filter sits BELOW the
+    * window so both engines rank the identical partition contents.
+    */
+  val qWindowDist: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderpriority")).orderBy(asc("o_totalprice"), asc("o_orderkey"))
+    orders(s, d)
+      .where(col("o_orderkey") <= 1000)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        round(col("o_totalprice"), 2).as("o_totalprice"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Correlated scalar subquery — each customer's max order value.
+    * Deliberately SQL (reading parquet paths directly, no temp views —
+    * a session-global view name would race across threads): the point is
+    * Catalyst's RewriteCorrelatedScalarSubquery decorrelation, which the
+    * DataFrame API can't reach. Customers with no orders surface NULL.
+    */
+  val qScalarSubquery: Q = (s, d) =>
+    s.sql(
+      s"""SELECT c_custkey, c_name,
+         |  (SELECT round(max(o_totalprice), 2) FROM parquet.`$d/orders.parquet` o
+         |   WHERE o.o_custkey = c.c_custkey) AS max_order
+         |FROM parquet.`$d/customer.parquet` c
+         |WHERE c_custkey <= 300 ORDER BY c_custkey""".stripMargin)
+
   // --------------------------------------------------------- sort / limit
 
   /** Multi-column sort with mixed direction and explicit nulls ordering
@@ -490,6 +521,8 @@ object Relational {
     "q_window_rank" -> qWindowRank,
     "q_window_analytic" -> qWindowAnalytic,
     "q_window_frame" -> qWindowFrame,
+    "q_window_dist" -> qWindowDist,
+    "q_scalar_subquery" -> qScalarSubquery,
     "q_sort_multi" -> qSortMulti,
     "q_topk" -> qTopk,
     "q_pivot" -> qPivot,
