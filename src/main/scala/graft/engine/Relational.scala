@@ -179,6 +179,25 @@ object Relational {
   }
 
   /** Cartesian product (tiny dims only): region × nation. */
+  /** Interval join: purchases matched to ALL same-user clicks in the
+    * preceding 30 minutes (the batch twin of `Streams.intervalJoin`, the
+    * KStream⋈KStream windowed-join analogue — where q_join_asof keeps
+    * only the latest match, this keeps every in-window match). Equi key
+    * + range condition ⇒ a hash/sort-merge join on user_id with the
+    * interval as a residual, never a cartesian.
+    */
+  val qJoinInterval: Q = (s, d) => {
+    val ev = events(s, d)
+    ev.where(col("event_type") === "purchase").alias("l")
+      .join(ev.where(col("event_type") === "click").alias("r"),
+        col("l.user_id") === col("r.user_id") &&
+          col("r.ts") >= col("l.ts") - expr("INTERVAL 30 minutes") &&
+          col("r.ts") <= col("l.ts"))
+      .select(col("l.event_id").as("p_id"), col("l.user_id").as("user_id"),
+        col("l.ts").as("p_ts"), col("r.event_id").as("c_id"), col("r.ts").as("c_ts"))
+      .orderBy("p_id", "c_id")
+  }
+
   val qJoinCross: Q = (s, d) =>
     region(s, d).select(col("r_name"))
       .crossJoin(nation(s, d).select(col("n_name")))
@@ -508,6 +527,7 @@ object Relational {
     "q_join_anti" -> qJoinAnti,
     "q_join_range" -> qJoinRange,
     "q_join_asof" -> qJoinAsof,
+    "q_join_interval" -> qJoinInterval,
     "q_join_cross" -> qJoinCross,
     "q1_pricing_summary" -> q1PricingSummary,
     "q_agg_distinct" -> qAggDistinct,

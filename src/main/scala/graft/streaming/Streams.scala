@@ -207,6 +207,30 @@ object Streams {
   def sessionCounts(events: DataFrame, delay: String = "1 hour"): DataFrame =
     Windowed.sessionAgg(events.withWatermark("ts", delay))
 
+  // --------------------------------------- stream-stream interval join
+
+  /** Windowed stream-stream join — the Spark rendering of Kafka Streams'
+    * `KStream.join(KStream, JoinWindows.of(...))` (the DSL operator next
+    * to the reference's dedup transform): for every left event, matching
+    * right events with the same key whose timestamp falls in
+    * [l.ts − before, l.ts]. Both sides are watermarked, so each side's
+    * join state is bounded and evicted exactly like the dedup store —
+    * Spark requires the interval condition + both watermarks for state
+    * cleanup in stream-stream inner joins.
+    *
+    * `left`/`right` must carry (`keyCol`, ts). Output: key, l_ts, r_ts
+    * plus the caller's projected columns via `select` downstream.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      before: String = "30 minutes", delay: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", delay).alias("l")
+    val r = right.withWatermark("ts", delay).alias("r")
+    l.join(r,
+      col(s"l.$keyCol") === col(s"r.$keyCol") &&
+        col("r.ts") >= col("l.ts") - expr(s"INTERVAL $before") &&
+        col("r.ts") <= col("l.ts"))
+  }
+
   // ------------------------------------------------------------ R4: sinks
 
   sealed trait StreamSink

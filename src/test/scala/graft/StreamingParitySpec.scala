@@ -113,6 +113,34 @@ class StreamingParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.size < fixture.size, "fixture carries no duplicate docs — parity is vacuous")
   }
 
+  test("stream-stream interval join matches the batch twin on the fixture") {
+    // Purchases joined to same-user clicks within the preceding 30
+    // minutes — the KStream⋈KStream windowed-join analogue. One source
+    // stream, self-joined (both sides watermarked; Spark evicts each
+    // side's state past watermark+interval).
+    val ms = MemoryStream[Event](spark)
+    ms.addData(fixtureEvents)
+    val evs = ms.toDF()
+    val out = Streams.intervalJoin(
+      evs.where(col("event_type") === "purchase"),
+      evs.where(col("event_type") === "click"),
+      "user_id", before = "30 minutes", delay = "24 hours")
+      .select(col("l.event_id").as("p_id"), col("r.event_id").as("c_id"))
+    val q = Streams.start(out, Streams.MemoryStreamSink("ssjoin_parity", Some(ckpt())))
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("ssjoin_parity").as[(Long, Long)].collect().toSet
+
+    val ev = Tables.events(spark, TestSpark.sfDir)
+    val batch = ev.where(col("event_type") === "purchase").alias("l")
+      .join(ev.where(col("event_type") === "click").alias("r"),
+        col("l.user_id") === col("r.user_id") &&
+          col("r.ts") >= col("l.ts") - expr("INTERVAL 30 minutes") &&
+          col("r.ts") <= col("l.ts"))
+      .select(col("l.event_id"), col("r.event_id")).as[(Long, Long)].collect().toSet
+    assert(batch.nonEmpty, "fixture has no purchase←click matches — vacuous test")
+    assert(streamed == batch)
+  }
+
   test("dropDuplicatesWithinWatermark EVICTS state: the same id after retention is NOT a duplicate") {
     // Reference semantic R2+R5: duplicates are suppressed only within the
     // dedup window; once the watermark passes ts+delay the id is
