@@ -343,6 +343,22 @@ object Relational {
         approx_count_distinct(col("l_orderkey")).as("approx_orders"))
       .orderBy("l_returnflag")
 
+  /** Approximate percentiles (approx_percentile's mergeable quantile
+    * sketch) — the quantile member of the sketch family next to HLL
+    * distinct: O(accuracy) state per group instead of q_agg_stats'
+    * rank-based two-pass, the trade a 100 TB profile query makes. No
+    * oracle — sketch internals are engine-specific; the spec bounds the
+    * error against the exact interpolated percentiles.
+    */
+  val qAggApproxQuantile: Q = (s, d) =>
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_median"),
+        percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000)).as("approx_p90"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
   /** Custom typed aggregation (Aggregator[IN,BUF,OUT] via udaf):
     * quantity-weighted average price. Two-phase like native aggregates.
     */
@@ -537,6 +553,7 @@ object Relational {
     "q_agg_grouping_sets" -> qAggGroupingSets,
     "q_agg_collect" -> qAggCollect,
     "q_agg_approx" -> qAggApprox,
+    "q_agg_approx_quantile" -> qAggApproxQuantile,
     "q_agg_udaf" -> qAggUdaf,
     "q_window_rank" -> qWindowRank,
     "q_window_analytic" -> qWindowAnalytic,

@@ -31,6 +31,22 @@ class SketchSpec extends AnyFunSuite {
     assert(approx.count() > 0 && cols.nonEmpty)
   }
 
+  test("approx_percentile stays within 1% of the exact interpolated percentile") {
+    val approx = SparkEntry.queries("q_agg_approx_quantile")(spark, TestSpark.sfDir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = Tables.lineitem(spark, TestSpark.sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("m"),
+        expr("percentile(l_extendedprice, 0.9)").as("p"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(approx.keySet == exact.keySet && approx.nonEmpty)
+    approx.foreach { case (k, (am, ap)) =>
+      val (em, ep) = exact(k)
+      assert(math.abs(am - em) / em <= 0.01, s"$k median: approx=$am exact=$em")
+      assert(math.abs(ap - ep) / ep <= 0.01, s"$k p90: approx=$ap exact=$ep")
+    }
+  }
+
   test("q_udf_scalar and q_doc_fingerprint emit one deterministic scalar row per doc") {
     val n = Tables.documents(spark, TestSpark.sfDir).count()
     val sim1 = SparkEntry.queries("q_udf_scalar")(spark, TestSpark.sfDir).collect()
