@@ -426,9 +426,15 @@ object Dedup {
     val edges = persistRound(
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+    // Fused round 0: against identity labels the first propagation is just
+    // min(self, direct neighbors) — one aggregation over edges instead of
+    // a full join round (labels stay ids of member docs: every neighbor
+    // also appears as `src` in the undirected list, preserving the
+    // pointer-jump lookup's totality).
     var labels = persistRound(
-      edges.select(col("src").as("doc_id")).distinct()
-        .withColumn("component", col("doc_id")))
+      edges.groupBy(col("src"))
+        .agg(least(col("src"), min(col("dst"))).as("component"))
+        .select(col("src").as("doc_id"), col("component")))
     var it = 0
     var converged = false
     while (it < maxIter && !converged) {
