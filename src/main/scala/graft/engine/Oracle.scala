@@ -194,6 +194,35 @@ object Oracle {
         count(*) AS n_rows
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
+    // Ordering value mirrors the engine's exact-integer composite — see
+    // Relational.qAggMinmaxBy for why neither the raw double nor a
+    // struct key is portable.
+    "q_agg_minmax_by" -> """
+      SELECT n_name,
+        arg_max(s_name, CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) * 100000 + s_suppkey)
+          AS richest_supplier,
+        round(max(s_acctbal), 2) AS max_bal,
+        arg_min(s_name, CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) * 100000 + s_suppkey)
+          AS poorest_supplier,
+        round(min(s_acctbal), 2) AS min_bal,
+        count(*) AS n_suppliers
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY n_name ORDER BY n_name""",
+
+    "q_resample" -> """
+      WITH ev AS (SELECT user_id, ts, value FROM events WHERE user_id <= 20),
+        b AS (SELECT user_id, date_trunc('hour', min(ts)) AS h0,
+                date_trunc('hour', max(ts)) AS h1 FROM ev GROUP BY user_id),
+        grid AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM b),
+        hourly AS (SELECT user_id, date_trunc('hour', ts) AS hour,
+                count(*) AS n_events, round(sum(value), 2) AS sum_value
+              FROM ev GROUP BY user_id, hour)
+      SELECT g.user_id, g.hour,
+        coalesce(h.n_events, 0) AS n_events,
+        coalesce(h.sum_value, 0) AS sum_value
+      FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour
+      ORDER BY g.user_id, g.hour""",
+
     "q_window_rank" -> """
       WITH w AS (SELECT o_custkey, o_orderkey, o_totalprice,
           row_number() OVER win AS rn, rank() OVER win AS rk,

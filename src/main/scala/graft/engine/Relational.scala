@@ -359,6 +359,54 @@ object Relational {
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
 
+  /** min_by/max_by: each nation's richest and poorest supplier. The
+    * ordering value is an exact-integer composite (floor(bal·100 + ½) ·
+    * 10⁵ + suppkey) rather than the raw double or a struct: DuckDB 1.0's
+    * arg_max takes scalar ordering keys only, float FORMATTING and
+    * double→int CASTS round differently across engines (Java HALF_UP vs
+    * C round-half-even; Spark cast truncates, DuckDB rounds), and a
+    * suppkey tiebreak keeps the survivor a pure function of the data
+    * even under acctbal ties (G4).
+    */
+  val qAggMinmaxBy: Q = (s, d) => {
+    val tie = floor(col("s_acctbal") * 100 + lit(0.5)).cast("long") * 100000L +
+      col("s_suppkey")
+    supplier(s, d)
+      .join(nation(s, d), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        max_by(col("s_name"), tie).as("richest_supplier"),
+        round(max(col("s_acctbal")), 2).as("max_bal"),
+        min_by(col("s_name"), tie).as("poorest_supplier"),
+        round(min(col("s_acctbal")), 2).as("min_bal"),
+        count(lit(1)).as("n_suppliers"))
+      .orderBy("n_name")
+  }
+
+  /** Time-series resample with gap fill: per user, a dense hourly grid
+    * from first to last activity (sequence + explode — Spark's
+    * generate_series), left-joined to hourly aggregates, empty hours
+    * zero-filled. The densification step every time-series feature
+    * pipeline needs; grid size is bounded per key, so the explode is a
+    * bounded fan-out, not a cross join.
+    */
+  val qResample: Q = (s, d) => {
+    val ev = events(s, d).where(col("user_id") <= 20)
+    val grid = ev.groupBy(col("user_id"))
+      .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+        date_trunc("hour", max(col("ts"))).as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hour"))
+    val hourly = ev
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+    grid.join(hourly, Seq("user_id", "hour"), "left")
+      .select(col("user_id"), col("hour"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+      .orderBy("user_id", "hour")
+  }
+
   /** Custom typed aggregation (Aggregator[IN,BUF,OUT] via udaf):
     * quantity-weighted average price. Two-phase like native aggregates.
     */
@@ -554,6 +602,8 @@ object Relational {
     "q_agg_collect" -> qAggCollect,
     "q_agg_approx" -> qAggApprox,
     "q_agg_approx_quantile" -> qAggApproxQuantile,
+    "q_agg_minmax_by" -> qAggMinmaxBy,
+    "q_resample" -> qResample,
     "q_agg_udaf" -> qAggUdaf,
     "q_window_rank" -> qWindowRank,
     "q_window_analytic" -> qWindowAnalytic,
