@@ -87,7 +87,7 @@ object GraftExpressions {
   def cosineLshSigs(v: Column, nTables: Int, bits: Int,
       barrier: Boolean = false): Column =
     ExpressionUtils.column(CosineLshSignatures(
-      ExpressionUtils.expression(v), nTables, bits, barrier))
+      ExpressionUtils.expression(v.cast("array<double>")), nTables, bits, barrier))
 
   /** Winnowing-style rolling-hash fingerprint of a string (min polynomial
     * hash over all k-char windows) — the codegen form of
@@ -106,7 +106,7 @@ object GraftExpressions {
     val dim = centroids.head.length
     require(centroids.forall(_.length == dim), "ragged centroid matrix")
     ExpressionUtils.column(NearestCell(
-      ExpressionUtils.expression(v), centroids.flatten, centroids.length))
+      ExpressionUtils.expression(v.cast("array<double>")), centroids.flatten, centroids.length))
   }
 }
 
