@@ -81,11 +81,14 @@ object CosineLsh {
   /** (vec_id, v, n, sigs) — per-table packed sign signatures,
     * table-ordered, computed by the one-pass native expression: map-only,
     * no exchange between the scan and the signature column (spec-pinned),
-    * exactly the MinHashBands shape the token-LSH family uses.
+    * exactly the MinHashBands shape the token-LSH family uses. `dim` is
+    * enforced per row inside the kernel — a ragged corpus fails loudly
+    * instead of silently hashing against per-length sign matrices.
     */
-  private[graft] def withSignatures(e: DataFrame, nTables: Int, bits: Int): DataFrame =
+  private[graft] def withSignatures(e: DataFrame, nTables: Int, bits: Int,
+      dim: Int): DataFrame =
     e.withColumn("sigs",
-      graft.functions.GraftExpressions.cosineLshSigs(col("v"), nTables, bits, barrier = true))
+      graft.functions.GraftExpressions.cosineLshSigs(col("v"), nTables, bits, dim, barrier = true))
 
   /** All pairs with cosine ≥ `threshold` (exact-confirmed; recall
     * 1 − (1 − p^bits)^nTables with p = 1 − arccos(threshold)/π).
@@ -101,7 +104,7 @@ object CosineLsh {
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("n", sqrt(dotProduct(col("v"), col("v"))))
       .where(col("n") > 0) // zero vectors: no direction, cosine undefined
-    val sigs = withSignatures(e, nTables, bits)
+    val sigs = withSignatures(e, nTables, bits, dim)
       .localCheckpoint() // three consumers below; signatures compute once
     val shape = Dedup.resolveShape(shapeIn, sigs)
     def banded(df: DataFrame): DataFrame =

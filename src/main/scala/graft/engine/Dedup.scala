@@ -125,7 +125,7 @@ object Dedup {
     * side.
     */
   val qNeardupPairs: Q = (s, d) => {
-    val base = documents(s, d)
+    val base = fanOut(documents(s, d))
       .select(
         col("doc_id"), col("lang"),
         (col("n_chars") / 64).cast("long").as("len_bucket"),
@@ -152,21 +152,30 @@ object Dedup {
   private[graft] val NumBands = 16
   private[graft] val RowsPerBand = NumHashes / NumBands
 
+  /** Round-robin fan-out to the session's shuffle parallelism — the
+    * fixture tables scan as a SINGLE partition (one row group), so any
+    * per-row work written below the scan runs in one task unless the
+    * frame is spread first. Apply BEFORE the tokenize/shingle
+    * projection: the exchange then ships raw text once and the set
+    * build + hashing parallelize (r4 review catch — projecting first
+    * serialized the set build AND shipped the bigger token arrays).
+    */
+  private[graft] def fanOut(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+
   /** Adds (minhash_sig: array<long>, bands: array<long>) to any frame with
     * a `setCol` array column, via the one-pass native expression
     * (graft.functions.MinHashBands — the equivalent built-in
     * `transform(sequence(...), ...)` chain re-evaluates the whole
     * signature per band after CollapseProject: measured 16× recompute).
     * Applicable to arbitrary inputs (property-tested on generated token
-    * sets in src/test).
+    * sets in src/test). CALLER CONTRACT: single-partition inputs (fixture
+    * scans) must be [[fanOut]]-spread BEFORE the set projection feeding
+    * this — a downstream localCheckpoint otherwise materializes the whole
+    * set-build + 32-hash computation in one task.
     */
   private[graft] def signatures(docs: DataFrame, setCol: String = "toks"): DataFrame =
     docs
-      // Round-robin BEFORE hashing: the fixture tables scan as a single
-      // partition (one row group), and a downstream localCheckpoint would
-      // otherwise materialize the whole set-build + 32-hash computation in
-      // ONE task. The raw docs ship once; the signature work fans out.
-      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
       .withColumn("__mb",
         graft.functions.GraftExpressions.minhashBands(col(setCol), NumHashes, NumBands, barrier = true))
       .withColumn("minhash_sig", col("__mb.sig"))
@@ -175,7 +184,7 @@ object Dedup {
 
   /** (doc_id, toks, minhash_sig, bands) for the documents fixture. */
   private[graft] def minhashBands(s: SparkSession, d: String): DataFrame =
-    signatures(documents(s, d)
+    signatures(fanOut(documents(s, d))
       .select(col("doc_id"), normTokens(col("text")).as("toks")))
 
   /** Graded surface: one row per (doc, band) with scalar columns only —
@@ -374,8 +383,7 @@ object Dedup {
     * faster than token Jaccard); J ≥ 0.8 ⇔ 5·min ≥ 4·max prune.
     */
   val qNgramJaccard: Q = (s, d) => {
-    val base = documents(s, d)
-      .where(length(col("text")) >= 3)
+    val base = fanOut(documents(s, d).where(length(col("text")) >= 3))
       .select(col("doc_id"), col("lang"),
         (col("n_chars") / 64).cast("long").as("len_bucket"),
         graft.functions.GraftExpressions.charShingles(col("text"), 3, barrier = true).as("grams"))
@@ -415,12 +423,11 @@ object Dedup {
     */
   def nearDupComponents(pairs: DataFrame, maxIter: Int = 30,
       checkpointDir: Option[String] = None): DataFrame = {
-    def persistRound(df: DataFrame): DataFrame = checkpointDir match {
-      case Some(dir) =>
-        df.sparkSession.sparkContext.setCheckpointDir(dir)
-        df.checkpoint()
-      case None => df.localCheckpoint()
-    }
+    // Session-global mutation ONCE, before the loop — per-round re-sets
+    // would race with a concurrent caller using a different directory.
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    def persistRound(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     // Undirected edge list, both directions — so every doc appears as
     // `src`, which is what lets the joins below be inner joins.
     val edges = persistRound(

@@ -54,11 +54,11 @@ object Ivf {
     val staged = embs.select(col("vec_id"), vec(col("embedding")).as("v"))
       .where(pmod(xxhash64(col("vec_id")), lit(10000)) < lit((sampleFraction * 10000).toLong))
       .withColumn("nv2", dotProduct(col("v"), col("v")))
-    // Scanned once per Lloyd iteration.
-    val corpus = checkpointDir match {
-      case Some(dir) => spark.sparkContext.setCheckpointDir(dir); staged.checkpoint()
-      case None => staged.localCheckpoint()
-    }
+    // Scanned once per Lloyd iteration. (setCheckpointDir is a
+    // session-global mutation — done once, up front.)
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    val corpus =
+      if (checkpointDir.isDefined) staged.checkpoint() else staged.localCheckpoint()
     // Hash-ordered deterministic seed sample.
     var centroids: Array[Array[Double]] = corpus
       .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(k)

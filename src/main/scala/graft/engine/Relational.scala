@@ -178,7 +178,6 @@ object Relational {
       .orderBy("p_id")
   }
 
-  /** Cartesian product (tiny dims only): region × nation. */
   /** Interval join: purchases matched to ALL same-user clicks in the
     * preceding 30 minutes (the batch twin of `Streams.intervalJoin`, the
     * KStream⋈KStream windowed-join analogue — where q_join_asof keeps
@@ -198,6 +197,7 @@ object Relational {
       .orderBy("p_id", "c_id")
   }
 
+  /** Cartesian product (tiny dims only): region × nation. */
   val qJoinCross: Q = (s, d) =>
     region(s, d).select(col("r_name"))
       .crossJoin(nation(s, d).select(col("n_name")))

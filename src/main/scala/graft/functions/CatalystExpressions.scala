@@ -82,12 +82,14 @@ object GraftExpressions {
     * vector — array<long>, one long per table. Map-only replacement for
     * CosineLsh's crossJoin(hyperplanes) + two aggregations (a ~T·bits×
     * row amplification through a shuffle at scale); bit-identical to that
-    * form (parity-spec'd in CosineLshSpec).
+    * form (parity-spec'd in CosineLshSpec). `dim` is enforced per row —
+    * a ragged corpus would otherwise silently hash against a different
+    * sign matrix per length.
     */
-  def cosineLshSigs(v: Column, nTables: Int, bits: Int,
+  def cosineLshSigs(v: Column, nTables: Int, bits: Int, dim: Int,
       barrier: Boolean = false): Column =
     ExpressionUtils.column(CosineLshSignatures(
-      ExpressionUtils.expression(v.cast("array<double>")), nTables, bits, barrier))
+      ExpressionUtils.expression(v.cast("array<double>")), nTables, bits, dim, barrier))
 
   /** Winnowing-style rolling-hash fingerprint of a string (min polynomial
     * hash over all k-char windows) — the codegen form of
@@ -106,7 +108,8 @@ object GraftExpressions {
     val dim = centroids.head.length
     require(centroids.forall(_.length == dim), "ragged centroid matrix")
     ExpressionUtils.column(NearestCell(
-      ExpressionUtils.expression(v.cast("array<double>")), centroids.flatten, centroids.length))
+      ExpressionUtils.expression(v.cast("array<double>")),
+      centroids.flatten.toIndexedSeq, centroids.length))
   }
 }
 
@@ -193,8 +196,9 @@ object GraftOps {
   /** Per-table packed hyperplane signatures in one pass (see
     * CosineLshSignatures): bit b of table t is set iff v · h_{t,b} ≥ 0.
     */
-  def cosineLshSigs(v: ArrayData, nTables: Int, bits: Int): ArrayData = {
-    val dim = v.numElements()
+  def cosineLshSigs(v: ArrayData, nTables: Int, bits: Int, dim: Int): ArrayData = {
+    require(v.numElements() == dim,
+      s"CosineLshSignatures: vector dim ${v.numElements()} != declared dim $dim")
     val m = signMatrix(nTables, bits, dim)
     val vec = new Array[Double](dim)
     var i = 0
@@ -465,19 +469,20 @@ case class MinHashBands(child: Expression, numHashes: Int, numBands: Int,
   * codegen. `barrier`: see GraftExpressions.
   */
 case class CosineLshSignatures(child: Expression, nTables: Int, bits: Int,
-    barrier: Boolean = false) extends UnaryExpression {
+    dim: Int, barrier: Boolean = false) extends UnaryExpression {
   require(bits > 0 && bits <= 63, "bits must fit a long with sign headroom")
+  require(dim > 0, "dim must be positive")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override lazy val deterministic: Boolean = !barrier && child.deterministic
 
   override protected def nullSafeEval(input: Any): Any =
-    GraftOps.cosineLshSigs(input.asInstanceOf[ArrayData], nTables, bits)
+    GraftOps.cosineLshSigs(input.asInstanceOf[ArrayData], nTables, bits, dim)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.GraftOps.cosineLshSigs($c, $nTables, $bits);")
+      s"${ev.value} = graft.functions.GraftOps.cosineLshSigs($c, $nTables, $bits, $dim);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -490,17 +495,22 @@ case class CosineLshSignatures(child: Expression, nTables: Int, bits: Int,
   * groupBy(vec_id) min_by aggregation, which shuffled corpus×k rows —
   * per-row argmin needs no join and no shuffle at any corpus size.
   */
-case class NearestCell(child: Expression, cents: Array[Double], k: Int)
+case class NearestCell(child: Expression, cents: IndexedSeq[Double], k: Int)
     extends UnaryExpression {
   require(k > 0 && cents.length % k == 0, "flattened matrix must be k×dim")
+
+  // Seq field (not Array) so case-class equality is structural —
+  // otherwise two NearestCell expressions over identical centroids never
+  // compare semanticEquals and canonicalization/plan-reuse silently miss.
+  @transient private lazy val centsArr: Array[Double] = cents.toArray
 
   override def dataType: DataType = IntegerType
 
   override protected def nullSafeEval(input: Any): Any =
-    GraftOps.nearestCell(input.asInstanceOf[ArrayData], cents, k)
+    GraftOps.nearestCell(input.asInstanceOf[ArrayData], centsArr, k)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val centsRef = ctx.addReferenceObj("cents", cents, "double[]")
+    val centsRef = ctx.addReferenceObj("cents", centsArr, "double[]")
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.GraftOps.nearestCell($c, $centsRef, $k);")
   }

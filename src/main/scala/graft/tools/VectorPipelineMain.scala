@@ -48,12 +48,12 @@ object VectorPipelineMain {
 
     // 1. Zero vectors have no direction; exact-dup vectors carry no new
     //    information — keep the first (min vec_id) of each identical
-    //    vector. The hash key is over the exact double array.
+    //    vector, keyed on the embedding ARRAY itself (Spark partitions on
+    //    array columns fine; a 64-bit hash key would silently merge
+    //    distinct vectors on collision).
     val nonZero = raw.where(
       graft.functions.GraftExpressions.dotProduct(col("embedding"), col("embedding")) > 0)
-    val deduped = Dedup.firstWins(
-      nonZero.withColumn("__vh", xxhash64(col("embedding"))),
-      Seq("__vh"), Seq("vec_id")).drop("__vh")
+    val deduped = Dedup.firstWins(nonZero, Seq("embedding"), Seq("vec_id"))
       .localCheckpoint() // consumed by near-dup, anti-join, and the report
 
     // 2. Near-identical vectors (cos >= 0.98): cluster and keep each

@@ -89,7 +89,7 @@ class CosineLshSpec extends AnyFunSuite {
     def sigMap(df: DataFrame): Map[Long, Seq[Long]] =
       df.select(col("vec_id"), col("sigs")).collect()
         .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
-    val viaKernel = sigMap(CosineLsh.withSignatures(e, 12, 8))
+    val viaKernel = sigMap(CosineLsh.withSignatures(e, 12, 8, Dim))
     val viaJoin = sigMap(CosineLsh.signaturesViaJoin(e, CosineLsh.hyperplanes(spark, Dim, 12, 8)))
     assert(viaKernel.nonEmpty)
     assert(viaKernel == viaJoin)
@@ -98,7 +98,7 @@ class CosineLshSpec extends AnyFunSuite {
   test("signature computation is map-only: no exchange between scan and sigs") {
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
-    val p = CosineLsh.withSignatures(e, 12, 8).queryExecution.executedPlan.toString
+    val p = CosineLsh.withSignatures(e, 12, 8, Dim).queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"), p)
   }
 

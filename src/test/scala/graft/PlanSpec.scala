@@ -52,9 +52,10 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("signatures are computed and checkpointed over multiple partitions (pair fan-out parallelized)") {
-    // The fixture parquet scans as ONE partition; signatures() must
-    // round-robin before hashing or the checkpoint (and every probe task
-    // feeding off it) serializes on a single task.
+    // The fixture parquet scans as ONE partition; the call sites must
+    // fanOut BEFORE the tokenize projection (Dedup.fanOut contract) or
+    // the set build, the hashing, and every probe task feeding off the
+    // checkpoint serialize on a single task.
     val parts = graft.engine.Dedup.minhashBands(spark, TestSpark.sfDir).rdd.getNumPartitions
     assert(parts == spark.sessionState.conf.numShufflePartitions, s"parts = $parts")
   }
