@@ -47,8 +47,11 @@ object CosineLsh {
     * This declarative frame is the SPEC twin of the native kernel's
     * memoized sign matrix (GraftOps.signMatrix) — both derive signs from
     * the same chained xxhash64(table, bit, i) parity, and CosineLshSpec
-    * asserts the two signature paths are bit-identical. Production
-    * signature computation goes through [[withSignatures]] below.
+    * asserts the two signature paths are bit-identical. Parity holds for
+    * FINITE inputs only: on a NaN dot the kernel's Java `>= 0` clears
+    * the bit while Spark SQL's NaN-is-greatest ordering would set it —
+    * nearDup excludes non-finite vectors before either path runs.
+    * Production signature computation goes through [[withSignatures]].
     */
   def hyperplanes(spark: SparkSession, dim: Int, nTables: Int, bits: Int): DataFrame =
     spark.range(nTables).select(col("id").cast("int").as("table"))
@@ -90,20 +93,28 @@ object CosineLsh {
     e.withColumn("sigs",
       graft.functions.GraftExpressions.cosineLshSigs(col("v"), nTables, bits, dim, barrier = true))
 
-  /** All pairs with cosine ≥ `threshold` (exact-confirmed; recall
+  /** All pairs whose cosine, rounded to 6 decimals, is ≥ `threshold`
+    * (exact-confirmed; round-then-compare is the cross-engine-stable
+    * filter policy — see the confirm step. Recall
     * 1 − (1 − p^bits)^nTables with p = 1 − arccos(threshold)/π).
-    * `embs` must carry (vec_id, embedding).
+    * `embs` must carry (vec_id, embedding); vectors with zero, NaN, or
+    * infinite norms are excluded up front. The candidate/confirm join
+    * machinery deliberately mirrors Dedup.lshNearDupPairs/confirmExact
+    * with different key columns (table, sig) and confirm metric — a
+    * shared parameterized core is a candidate refactor, tracked in
+    * SURVEY §10.
     */
   def nearDup(embs: DataFrame, dim: Int, threshold: Double,
       nTables: Int = 12, bits: Int = 8,
       shapeIn: Dedup.LshShape = Dedup.Broadcast): DataFrame = {
-    val spark = embs.sparkSession
-    val e = embs
-      // Fixture scans are one partition; fan the signature + probe work out.
-      .repartition(spark.sessionState.conf.numShufflePartitions)
+    val e = Dedup.fanOut(embs) // fixture scans are ONE partition (Dedup.fanOut contract)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("n", sqrt(dotProduct(col("v"), col("v"))))
-      .where(col("n") > 0) // zero vectors: no direction, cosine undefined
+      // Zero vectors have no direction (cosine 0/0) and NaN/Inf
+      // components poison every downstream comparison — note Spark
+      // orders NaN ABOVE all doubles, so a bare `n > 0` would fail OPEN
+      // for NaN norms; the upper bound closes both NaN and Inf.
+      .where(col("n") > 0 && col("n") < lit(Double.PositiveInfinity))
     val sigs = withSignatures(e, nTables, bits, dim)
       .localCheckpoint() // three consumers below; signatures compute once
     val shape = Dedup.resolveShape(shapeIn, sigs)
@@ -142,7 +153,14 @@ object CosineLsh {
       case _: Dedup.Auto => throw new IllegalStateException("Auto resolved above")
     }
     confirmed
-      .withColumn("cos_sim", round(dotProduct(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      // Threshold compares the ROUNDED cosine — deliberately: both
+      // engines compute bit-identical doubles and round identically, so
+      // the filter decision is cross-engine stable; filtering on the raw
+      // value would reintroduce the ulp-drift trap (G2) right at τ.
+      // barrier: the filter above would otherwise be pushed below this
+      // projection with the dot product inlined — twice the per-pair work.
+      .withColumn("cos_sim", round(
+        dotProduct(col("va"), col("vb"), barrier = true) / (col("na") * col("nb")), 6))
       .where(col("cos_sim") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cos_sim"))
       .orderBy("vec_a", "vec_b")

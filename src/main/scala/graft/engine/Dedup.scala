@@ -256,7 +256,11 @@ object Dedup {
   private[graft] def lshNearDupPairs(sigsIn: DataFrame, setCol: String,
       tauNum: Int, tauDen: Int, threshold: Double, shapeIn: LshShape,
       blockCols: Seq[String] = Nil): DataFrame = {
-    val sigs = sigsIn.localCheckpoint()
+    // Empty sets are excluded up front: J(∅, ∅) = 0/0 is NaN, which
+    // Spark's NaN-is-greatest ordering would pass through a `>= τ`
+    // filter as a bogus pair (and all-empty docs share the degenerate
+    // all-MaxValue signature, so they WOULD collide).
+    val sigs = sigsIn.where(size(col(setCol)) > 0).localCheckpoint()
     val shape = resolveShape(shapeIn, sigs)
     def explodeBands(df: DataFrame): DataFrame =
       df.select((col("doc_id") +: blockCols.map(col)) :+ col("bands") :+
@@ -313,9 +317,12 @@ object Dedup {
     }
 
   /** Exact-Jaccard confirm of an (doc_a, doc_b) candidate stream: attach
-    * each side's set array from `sigs`, size-ratio prune, merge-count the
-    * intersection. The candidate join never ships arrays — only the
-    * confirm joins do, once per candidate side.
+    * each side's set array from `sigs`, merge-count the intersection.
+    * The candidate join never ships arrays — only the confirm joins do,
+    * once per candidate side. The size-ratio prune happens ONCE, on the
+    * candidate side (lshNearDupPairs) where it short-circuits before any
+    * array is shipped — re-pruning here would filter values that already
+    * passed the identical predicate.
     */
   private def confirmExact(pairs: DataFrame, sigs: DataFrame, setCol: String,
       tauNum: Int, tauDen: Int, threshold: Double, shape: LshShape): DataFrame = {
@@ -336,7 +343,6 @@ object Dedup {
       case _: Auto => throw new IllegalStateException("confirmExact requires a resolved shape")
     }
     confirmed
-      .where(least(col("n_a"), col("n_b")) * tauDen >= greatest(col("n_a"), col("n_b")) * tauNum)
       .withColumn("inter", intersectSize(col("set_a"), col("set_b"), barrier = true))
       .withColumn("jaccard", round(col("inter").cast("double") /
         (col("n_a") + col("n_b") - col("inter")).cast("double"), 6))

@@ -68,7 +68,12 @@ object Similarity {
     val b = e.select(col("vec_id").as("vec_b"), col("label").as("label_b"),
       col("v").as("vb"), col("n").as("nb"))
     a.join(b, col("label_a") === col("label_b") && col("vec_a") < col("vec_b"))
-      .withColumn("cos_sim", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      // barrier: the threshold filter above would otherwise be pushed
+      // below this projection with the dot product inlined — Catalyst
+      // would evaluate the per-pair dot TWICE (once in the pushed
+      // filter, once in the output projection).
+      .withColumn("cos_sim",
+        round(dotProduct(col("va"), col("vb"), barrier = true) / (col("na") * col("nb")), 6))
       .where(col("cos_sim") >= 0.4)
       .select(col("vec_a"), col("vec_b"),
         col("label_a").cast("long").as("label"), col("cos_sim"))

@@ -42,12 +42,15 @@ object GraftExpressions {
     * codegen; the per-pair path of the similarity joins). Throws on
     * mismatched array lengths — the oracle (DuckDB `list_dot_product`)
     * errors there too, so corrupt fixtures fail loudly on both engines
-    * instead of drifting.
+    * instead of drifting. `barrier`: set on per-PAIR projections that a
+    * threshold filter sits above — predicate pushdown otherwise inlines
+    * the aliased expression into the pushed filter and the dot product
+    * runs twice per surviving pair (see the object scaladoc).
     */
-  def dotProduct(a: Column, b: Column): Column =
+  def dotProduct(a: Column, b: Column, barrier: Boolean = false): Column =
     ExpressionUtils.column(DotProduct(
       ExpressionUtils.expression(a.cast("array<double>")),
-      ExpressionUtils.expression(b.cast("array<double>"))))
+      ExpressionUtils.expression(b.cast("array<double>")), barrier))
 
   /** |A ∩ B| for two string arrays each sorted + deduplicated by the
     * caller (once per row, upstream of the pair join) — merge-counts
@@ -321,11 +324,13 @@ object GraftOps {
   * mismatch throws (matching the DuckDB oracle's failure mode) rather
   * than silently truncating to a plausible-but-wrong similarity.
   */
-case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression {
+case class DotProduct(left: Expression, right: Expression,
+    barrier: Boolean = false) extends BinaryExpression {
   // Input typing is enforced by GraftExpressions.dotProduct's casts
   // (ExpectsInputTypes would need the package-private AbstractDataType).
   override def dataType: DataType = DoubleType
+
+  override lazy val deterministic: Boolean = !barrier && children.forall(_.deterministic)
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
