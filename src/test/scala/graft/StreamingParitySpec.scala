@@ -141,6 +141,39 @@ class StreamingParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed == batch)
   }
 
+  test("interval join EVICTS watermark-expired state: late probes find nothing") {
+    val ms = MemoryStream[Event](spark)
+    val evs = ms.toDF()
+    val out = Streams.intervalJoin(
+      evs.where(col("event_type") === "purchase"),
+      evs.where(col("event_type") === "click"),
+      "user_id", before = "30 minutes", delay = "1 hour")
+      .select(col("l.event_id").as("p_id"), col("r.event_id").as("c_id"))
+    val q = Streams.start(out, Streams.MemoryStreamSink("ssjoin_evict", Some(ckpt())))
+    try {
+      ms.addData(Seq(
+        Event(1L, 7L, "click", ts("2024-01-01 10:00:00"), 1.0),
+        Event(2L, 7L, "purchase", ts("2024-01-01 10:10:00"), 1.0)))
+      q.processAllAvailable()
+      // Advance BOTH sides' watermarks far past 10:00 + delay + interval so
+      // the click's join state is evicted (the WindowStore-retention
+      // analogue). Each side's watermark node sits above its event_type
+      // filter, so one 20:00 event per type is needed — the global watermark
+      // is the MIN across nodes, and a side that never sees fresh rows pins
+      // it in the past. Non-matching user ids keep these rows join-inert.
+      ms.addData(Seq(
+        Event(3L, 99L, "click", ts("2024-01-01 20:00:00"), 1.0),
+        Event(5L, 98L, "purchase", ts("2024-01-01 20:00:00"), 1.0)))
+      q.processAllAvailable()
+      // Late purchase with event-time below the watermark: its matching
+      // click is gone from state and the row itself is late — no output.
+      ms.addData(Seq(Event(4L, 7L, "purchase", ts("2024-01-01 10:20:00"), 1.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ssjoin_evict").as[(Long, Long)].collect().toSet
+    assert(got == Set((2L, 1L)))
+  }
+
   test("dropDuplicatesWithinWatermark EVICTS state: the same id after retention is NOT a duplicate") {
     // Reference semantic R2+R5: duplicates are suppressed only within the
     // dedup window; once the watermark passes ts+delay the id is
