@@ -97,12 +97,16 @@ object CosineLsh {
     * (exact-confirmed; round-then-compare is the cross-engine-stable
     * filter policy — see the confirm step. Recall
     * 1 − (1 − p^bits)^nTables with p = 1 − arccos(threshold)/π).
-    * `embs` must carry (vec_id, embedding); vectors with zero, NaN, or
-    * infinite norms are excluded up front. The candidate/confirm join
-    * machinery deliberately mirrors Dedup.lshNearDupPairs/confirmExact
-    * with different key columns (table, sig) and confirm metric — a
-    * shared parameterized core is a candidate refactor, tracked in
-    * SURVEY §10.
+    * `embs` must carry (vec_id, embedding).
+    *
+    * Candidate generation and confirm attach run on the SHARED banded-LSH
+    * core (`Dedup.bandedCandidates` / `Dedup.attachPairSides`): the
+    * per-table packed signatures play the band-array role (position =
+    * table, hash = packed sign long), so shape dispatch and exact-once
+    * first-match emission have exactly one implementation across the
+    * MinHash and hyperplane families. Only this family's pieces live
+    * here: the norm guard, the signature expression, and the cosine
+    * confirm metric.
     */
   def nearDup(embs: DataFrame, dim: Int, threshold: Double,
       nTables: Int = 12, bits: Int = 8,
@@ -110,49 +114,19 @@ object CosineLsh {
     val e = Dedup.fanOut(embs) // fixture scans are ONE partition (Dedup.fanOut contract)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("n", sqrt(dotProduct(col("v"), col("v"))))
-      // Zero vectors have no direction (cosine 0/0) and NaN/Inf
-      // components poison every downstream comparison — note Spark
-      // orders NaN ABOVE all doubles, so a bare `n > 0` would fail OPEN
-      // for NaN norms; the upper bound closes both NaN and Inf.
+      // Degenerate-row guard (this family's NaN fail-open hazard; the
+      // MinHash family's counterpart is lshNearDupPairs' empty-set
+      // exclusion): zero vectors have no direction (cosine 0/0) and
+      // NaN/Inf components poison every downstream comparison — note
+      // Spark orders NaN ABOVE all doubles, so a bare `n > 0` would fail
+      // OPEN for NaN norms; the upper bound closes both NaN and Inf.
       .where(col("n") > 0 && col("n") < lit(Double.PositiveInfinity))
     val sigs = withSignatures(e, nTables, bits, dim)
       .localCheckpoint() // three consumers below; signatures compute once
     val shape = Dedup.resolveShape(shapeIn, sigs)
-    def banded(df: DataFrame): DataFrame =
-      df.select(col("vec_id"), col("sigs"),
-        posexplode(col("sigs")).as(Seq("table", "sig")))
-    val sigKey = (a: String, b: String) =>
-      col(s"$a.table") === col(s"$b.table") && col(s"$a.sig") === col(s"$b.sig") &&
-        col(s"$a.vec_id") < col(s"$b.vec_id")
-    val collided = shape match {
-      case Dedup.Broadcast =>
-        banded(sigs).alias("a").join(broadcast(banded(sigs).alias("b")), sigKey("a", "b"))
-      case Dedup.Salted(salts) =>
-        // Same salt-and-replicate sort-merge form as Dedup.lshNearDupPairs:
-        // no broadcast, hot signature buckets split across `salts` tasks.
-        val bandedA = banded(sigs).withColumn("__salt", Skew.salt(col("vec_id"), salts))
-        val bandedB = banded(sigs).withColumn("__salt", explode(sequence(lit(0L), lit(salts - 1L))))
-        bandedA.alias("a").join(bandedB.alias("b").hint("merge"),
-          sigKey("a", "b") && col("a.__salt") === col("b.__salt"))
-      case _: Dedup.Auto => throw new IllegalStateException("Auto resolved above")
-    }
-    // Exact-once: emit a colliding pair from its first shared table only.
-    val cands = collided
-      .where(graft.functions.GraftExpressions.firstMatchIndex(
-        col("a.sigs"), col("b.sigs")) === col("a.table"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+    val pairs = Dedup.bandedCandidates(sigs, "vec_id", "sigs", shape)
     val dict = sigs.select(col("vec_id"), col("v"), col("n"))
-    val dictA = dict.select(col("vec_id").as("vec_a"), col("v").as("va"), col("n").as("na"))
-    val dictB = dict.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("n").as("nb"))
-    val confirmed = shape match {
-      case Dedup.Broadcast =>
-        cands.join(broadcast(dictA), "vec_a").join(broadcast(dictB), "vec_b")
-      case Dedup.Salted(_) =>
-        cands.hint("merge").join(dictA.hint("merge"), "vec_a")
-          .hint("merge").join(dictB.hint("merge"), "vec_b")
-      case _: Dedup.Auto => throw new IllegalStateException("Auto resolved above")
-    }
-    confirmed
+    Dedup.attachPairSides(pairs, dict, "vec_id", shape)
       // Threshold compares the ROUNDED cosine — deliberately: both
       // engines compute bit-identical doubles and round identically, so
       // the filter decision is cross-engine stable; filtering on the raw
@@ -160,9 +134,9 @@ object CosineLsh {
       // barrier: the filter above would otherwise be pushed below this
       // projection with the dot product inlined — twice the per-pair work.
       .withColumn("cos_sim", round(
-        dotProduct(col("va"), col("vb"), barrier = true) / (col("na") * col("nb")), 6))
+        dotProduct(col("v_a"), col("v_b"), barrier = true) / (col("n_a") * col("n_b")), 6))
       .where(col("cos_sim") >= threshold)
-      .select(col("vec_a"), col("vec_b"), col("cos_sim"))
+      .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"), col("cos_sim"))
       .orderBy("vec_a", "vec_b")
   }
 

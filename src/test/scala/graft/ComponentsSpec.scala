@@ -63,6 +63,17 @@ class ComponentsSpec extends AnyFunSuite {
     assert(written > 0, s"no checkpoint files under $dir")
   }
 
+  test("merge (no-broadcast) rounds produce identical components") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L), (21L, 22L))
+    val plain = Dedup.nearDupComponents(pairs.toDF("doc_a", "doc_b"))
+      .as[(Long, Long)].collect().toMap
+    val merged = Dedup.nearDupComponents(pairs.toDF("doc_a", "doc_b"), merge = true)
+      .as[(Long, Long)].collect().toMap
+    assert(merged == plain)
+    assert(plain == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("end-to-end: components over q_neardup_lsh pairs cover every paired doc") {
     val pairs = graft.engine.Dedup.qNeardupLsh(spark, "/root/testdata/sf0.01")
       .select("doc_a", "doc_b")

@@ -111,6 +111,32 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("forced-salted dedup→components composition is broadcast-free end to end") {
+    // The graded q_neardup_components path = Auto-shaped LSH pairs + the
+    // clustering rounds. Past the doc cap, the pair stage must run the
+    // salted no-broadcast shape AND every per-round join must avoid
+    // building O(docs) label/edge frames in executor memory (merge=true).
+    import org.apache.spark.sql.functions._
+    import graft.engine.Dedup
+    val pairs = Dedup.lshNearDupPairs(Dedup.minhashBands(spark, TestSpark.sfDir),
+      "toks", 9, 10, 0.9, Dedup.Auto(maxBroadcastDocs = 0))
+      .select(col("doc_a"), col("doc_b"))
+    val pairsPlan = pairs.queryExecution.executedPlan.toString
+    assert(!pairsPlan.contains("Broadcast"), pairsPlan)
+    // Checkpointed edge/label inputs mirror the loop's persistRound state —
+    // exactly the small-stats case where the planner would broadcast
+    // without the merge hints.
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))).localCheckpoint()
+    val labels = edges.groupBy(col("src"))
+      .agg(least(col("src"), min(col("dst"))).as("component"))
+      .select(col("src").as("doc_id"), col("component")).localCheckpoint()
+    val round = Dedup.componentsRound(edges, labels, merge = true)
+    val p = round.queryExecution.executedPlan.toString
+    assert(!p.contains("Broadcast"), p)
+    assert(p.contains("SortMergeJoin"), p)
+  }
+
   test("the per-pair graft expressions execute inside whole-stage codegen") {
     // ArrayIntersectSize / MinHashBands / ArrayFirstMatchIndex /
     // CharShingles implement doGenCode via static kernels; a fallback to
