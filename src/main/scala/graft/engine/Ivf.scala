@@ -181,7 +181,42 @@ object Ivf {
       .select(col("vec_id"), col("cos_sim"))
   }
 
+  /** Graded PARTIAL-probe ANN — the approximate path a real ANN user
+    * actually runs (`q_ann_ivf_trained` grades nprobe = k ≡ exact; this
+    * key grades nprobe = 2 < k = 8). An under-probed search is only
+    * oracle-checkable when the probed cells provably contain the global
+    * top-k, so the key PLANTS them (the q_cosine_neardup construction):
+    * 20 near-copies of query vector 7 — copy j bumps component (j mod 64)
+    * by ×1.05 + 0.01 — giving cos(v₇, copy) ≈ 0.999⁺ while the raw
+    * fixture's max pairwise cosine is 0.60. The true global top-15 is
+    * therefore 15 of the 20 copies; all copies sit within a tiny L2 ball
+    * around v₇, so every trained quantizer assigns them the cell whose
+    * centroid is nearest v₇ — exactly probe cell #1 (cell #2 is slack).
+    * The whole path is deterministic (hash seeding, fixed fixture), so
+    * the containment is a checked property of this corpus — IvfSpec pins
+    * graded-output ≡ exact brute force — not a per-run gamble. Oracle:
+    * exact global cosine top-15 over the identically-constructed corpus.
+    */
+  val qAnnIvfPartial: Q = (s, d) => {
+    val base = Tables.embeddings(s, d)
+      .repartition(s.sessionState.conf.numShufflePartitions)
+      .select(col("vec_id"), vec(col("embedding")).as("embedding"))
+    val planted = base.where(col("vec_id") === 7L)
+      .crossJoin(s.range(1, 21).select(col("id").as("j")))
+      .select((lit(2000000L) + col("j")).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === pmod(col("j"), lit(64)).cast("int"), x * lit(1.05) + lit(0.01))
+            .otherwise(x)).as("embedding"))
+    val corpus = base.unionByName(planted)
+    val k = 8
+    val centroids = train(corpus, k = k, iters = 3)
+    val cells = assign(corpus, centroids).localCheckpoint()
+    search(corpus, centroids, queryVecId = 7L, nprobe = 2, topK = 15, cellsIn = Some(cells))
+      .select(col("vec_id"), col("cos_sim"))
+  }
+
   val queries: Map[String, Q] = Map(
-    "q_ann_ivf_trained" -> qAnnIvfTrained
+    "q_ann_ivf_trained" -> qAnnIvfTrained,
+    "q_ann_ivf_partial" -> qAnnIvfPartial
   )
 }

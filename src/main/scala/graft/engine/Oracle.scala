@@ -502,6 +502,25 @@ object Oracle {
           FROM e, q WHERE vec_id <> 7)
       SELECT vec_id, cos_sim FROM sims ORDER BY cos_sim DESC, vec_id LIMIT 15""",
 
+    // Exact global cosine top-15 over the planted corpus (20 near-copies
+    // of query vector 7): the engine probes only nprobe=2 of 8 trained
+    // cells, but the copies provably share the query's cell (they sit in
+    // a tiny L2 ball around it), so the under-probed search must still
+    // reproduce the exact global answer — grading the APPROXIMATE path.
+    "q_ann_ivf_partial" -> """
+      WITH base AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        q AS (SELECT v AS qv FROM base WHERE vec_id = 7),
+        planted AS (SELECT 2000000 + j AS vec_id,
+            list_transform(range(1, 65),
+              i -> CASE WHEN i = (j % 64) + 1 THEN qv[i] * 1.05 + 0.01 ELSE qv[i] END) AS v
+          FROM q, generate_series(1, 20) AS t(j)),
+        corpus AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+        sims AS (SELECT vec_id,
+            round(list_dot_product(v, qv) /
+                  (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
+          FROM corpus, q WHERE vec_id <> 7)
+      SELECT vec_id, cos_sim FROM sims ORDER BY cos_sim DESC, vec_id LIMIT 15""",
+
     // Exact all-pairs cosine over the SAME planted-near-dup corpus the
     // engine query constructs (every 10th vector duplicated with its
     // first component ×1.1) — the LSH path's band-miss probability is
@@ -599,6 +618,36 @@ object Oracle {
         FROM f)
       SELECT user_id, session_id::BIGINT AS session_id, min(ts) AS session_start,
         max(ts) AS session_end, count(*) AS n_events, round(sum(value), 2) AS sum_value
-      FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id"""
+      FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+
+    // Deterministic hash-mod stratified sampling: membership is pure
+    // integer arithmetic (Knuth multiplicative bucket vs quota×2^20 —
+    // scaling by a power of two is EXACT double math), so both engines
+    // make the identical keep/drop decision per row. Rates cast to
+    // DOUBLE because DuckDB types bare 0.5 literals DECIMAL.
+    "q_sample_stratified" -> """
+      WITH rates(event_type, rate) AS (VALUES
+          ('purchase', 1.0::DOUBLE), ('click', 0.5::DOUBLE), ('view', 0.25::DOUBLE),
+          ('signup', 0.1::DOUBLE), ('error', 0.05::DOUBLE))
+      SELECT e.event_id, e.user_id, e.event_type
+      FROM events e JOIN rates r USING (event_type)
+      WHERE (e.event_id * 2654435761) % 1048576 < r.rate * 1048576
+      ORDER BY event_id""",
+
+    // The CSV/JSON round-trip keys aggregate a re-read text copy of the
+    // events slice; the oracle aggregates the parquet original — equal
+    // iff the text round trip is lossless (timestamps at micro
+    // precision, shortest-repr doubles).
+    "q_source_csv" -> """
+      SELECT event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+        min(event_id) AS min_event_id, max(event_id) AS max_event_id,
+        round(sum(value), 2) AS sum_value, max(ts) AS max_ts
+      FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q_source_json" -> """
+      SELECT event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+        min(event_id) AS min_event_id, max(event_id) AS max_event_id,
+        round(sum(value), 2) AS sum_value, max(ts) AS max_ts
+      FROM events GROUP BY event_type ORDER BY event_type"""
   )
 }

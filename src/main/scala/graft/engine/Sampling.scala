@@ -1,0 +1,80 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Stratified (per-group quota) sampling — the data-mixing primitive a
+  * training-data pipeline runs last: each source/stratum contributes a
+  * configured fraction of its rows ("50% of click events, 5% of error
+  * events"), so corpus composition is a declared policy, not an accident
+  * of ingest order.
+  *
+  * Determinism is the whole design (SURVEY G4): membership is a pure
+  * function of the row's id — a multiplicative-hash bucket compared
+  * against the stratum's quota — NOT engine RNG (`Dataset.sample` /
+  * `sampleBy` draw from a seeded stream whose values depend on partition
+  * layout, are irreproducible across engines, and change under AQE
+  * re-partitioning). Hash-mod sampling gives: reproducible across runs,
+  * retries, engines (the DuckDB oracle applies the identical arithmetic),
+  * and stable under repartitioning; adjusting a quota upward strictly
+  * GROWS the sample (bucket < threshold is monotone in the threshold),
+  * which is what incremental corpus re-mixes want.
+  *
+  * Scale notes (100 TB): membership is a map-only filter — no shuffle,
+  * no state; the quota table is O(strata) rows broadcast to every
+  * executor. The filter sits directly above the scan, so column pruning
+  * and partition pruning pass through untouched.
+  */
+object Sampling {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Bucket resolution: quotas are granular to 1/2²⁰ ≈ 1e-6. A power of
+    * two, so `rate * Resolution` is EXACT double arithmetic (scaling by
+    * 2²⁰ only shifts the exponent) — both engines compute the identical
+    * threshold and the identical keep/drop decision per row.
+    */
+  val Resolution: Long = 1L << 20
+
+  /** Knuth multiplicative hash bucket in [0, Resolution): spreads
+    * sequential ids uniformly (golden-ratio multiplier), expressible as
+    * plain integer arithmetic in ANY engine — the cross-engine
+    * determinism contract. Caller contract: `id` must be a non-negative
+    * integer below ~3.5e9 so the product stays inside int64 (the fixture
+    * ids are row numbers); for wider id spaces hash the id first
+    * (e.g. xxhash64) and accept engine-specific buckets.
+    */
+  def bucket(id: Column): Column = pmod(id * lit(2654435761L), lit(Resolution))
+
+  /** Keep each row of stratum `keyCol` with its stratum's quota from
+    * `rates` (absent strata keep `defaultRate`). The quota dim is
+    * broadcast — membership is evaluated map-side with zero shuffles.
+    */
+  def stratifiedSample(df: DataFrame, keyCol: String, idCol: String,
+      rates: Map[String, Double], defaultRate: Double = 0.0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val quota = rates.toSeq.toDF("__stratum", "__rate")
+    df.join(broadcast(quota), df(keyCol) === col("__stratum"), "left")
+      .withColumn("__rate", coalesce(col("__rate"), lit(defaultRate)))
+      .where(bucket(col(idCol)) < col("__rate") * lit(Resolution))
+      .drop("__stratum", "__rate")
+  }
+
+  /** Graded surface: quota-sample the events stream by event_type —
+    * 100% of purchases, 50% of clicks, 25% of views, 10% of signups,
+    * 5% of errors — and emit the surviving rows. The oracle applies the
+    * identical integer arithmetic, so the graded contract is EXACT row
+    * membership, not just per-group counts.
+    */
+  val qSampleStratified: Q = (s, d) => {
+    val rates = Map("purchase" -> 1.0, "click" -> 0.5, "view" -> 0.25,
+      "signup" -> 0.1, "error" -> 0.05)
+    stratifiedSample(Tables.events(s, d), "event_type", "event_id", rates)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .orderBy("event_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_sample_stratified" -> qSampleStratified
+  )
+}

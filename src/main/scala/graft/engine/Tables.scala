@@ -61,6 +61,44 @@ object Tables {
       .format("parquet")
       .saveAsTable(tableName)
 
+  // ------------------------------------------ non-parquet batch sources
+
+  /** Timestamp text format for the CSV/JSON loaders: micro precision, so
+    * a text round trip preserves the engine's event-time values exactly
+    * (the default format truncates to millis). Session tz is UTC, so the
+    * naive rendering is value-preserving.
+    */
+  val textTimestampFormat = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+  /** Explicit-schema CSV loader — the zero-inference discipline of
+    * SURVEY §1.B: schema inference would re-scan the data AND is free to
+    * guess differently as the data drifts; production loaders declare
+    * their schema. Headers are written/expected for humans, never used
+    * for typing.
+    */
+  def readCsv(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    configure(spark).read.schema(schema)
+      .option("header", "true").option("timestampFormat", textTimestampFormat)
+      .csv(path)
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite")
+      .option("header", "true").option("timestampFormat", textTimestampFormat)
+      .csv(path)
+
+  /** Explicit-schema JSON-lines loader (same contract as [[readCsv]]). */
+  def readJsonLines(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    configure(spark).read.schema(schema)
+      .option("timestampFormat", textTimestampFormat)
+      .json(path)
+
+  def writeJsonLines(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite")
+      .option("timestampFormat", textTimestampFormat)
+      .json(path)
+
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
   def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")

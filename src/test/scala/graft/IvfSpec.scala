@@ -111,4 +111,34 @@ class IvfSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(graded == exact)
   }
+
+  test("graded q_ann_ivf_partial: nprobe=2 of 8 on the planted corpus ≡ exact global top-15") {
+    // The oracle-soundness precondition for the PARTIAL-probe key: the 20
+    // planted near-copies of vec 7 must (a) be the true global top-15 and
+    // (b) land inside the 2 probed cells, so the approximate path
+    // reproduces the exact answer on this corpus.
+    val graded = Ivf.queries("q_ann_ivf_partial")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    import graft.functions.GraftExpressions.dotProduct
+    import org.apache.spark.sql.functions._
+    val base = embs.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val planted = base.where(col("vec_id") === 7L)
+      .crossJoin(spark.range(1, 21).select(col("id").as("j")))
+      .select((lit(2000000L) + col("j")).as("vec_id"),
+        transform(col("v"), (x, i) =>
+          when(i === pmod(col("j"), lit(64)).cast("int"), x * lit(1.05) + lit(0.01))
+            .otherwise(x)).as("v"))
+    val corpus = base.unionByName(planted)
+    val q = corpus.where(col("vec_id") === 7).select(col("v").as("qv"))
+    val exact = corpus.crossJoin(q).where(col("vec_id") =!= 7)
+      .select(col("vec_id"),
+        round(dotProduct(col("v"), col("qv")) /
+          (sqrt(dotProduct(col("v"), col("v"))) * sqrt(dotProduct(col("qv"), col("qv")))), 6)
+          .as("cos_sim"))
+      .orderBy(desc("cos_sim"), asc("vec_id")).limit(15)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(exact.forall(_._1 >= 2000000L), s"planted copies are not the global top-15: $exact")
+    assert(graded == exact)
+  }
 }

@@ -1,0 +1,88 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.engine.{Sampling, Tables}
+
+/** Deterministic stratified sampling: exact-membership determinism, quota
+  * convergence, monotonicity under quota growth — the contracts that make
+  * hash-mod sampling the right data-mixing primitive (vs engine RNG,
+  * which is irreproducible across engines/partitionings).
+  */
+class SamplingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def sampleIds(rates: Map[String, Double], defaultRate: Double = 0.0): Set[Long] =
+    Sampling.stratifiedSample(Tables.events(spark, TestSpark.sfDir),
+        "event_type", "event_id", rates, defaultRate)
+      .select("event_id").as[Long].collect().toSet
+
+  test("membership is deterministic: identical sample across runs") {
+    val rates = Map("click" -> 0.5, "view" -> 0.25)
+    assert(sampleIds(rates) == sampleIds(rates))
+  }
+
+  test("rate 1.0 keeps every row of the stratum; rate/default 0.0 keeps none") {
+    val all = Tables.events(spark, TestSpark.sfDir)
+    val clicks = all.where(col("event_type") === "click").count()
+    val kept = Sampling.stratifiedSample(all, "event_type", "event_id",
+      Map("click" -> 1.0)).count()
+    assert(kept == clicks, s"kept $kept of $clicks clicks; other strata must default to 0")
+  }
+
+  test("per-group achieved rates converge to the quotas (±0.04 at ~2000 rows/stratum)") {
+    val rates = Map("purchase" -> 1.0, "click" -> 0.5, "view" -> 0.25,
+      "signup" -> 0.1, "error" -> 0.05)
+    // sf0.01: ~2000 rows per stratum (sf0.001's ~200 puts 3σ past the bound)
+    val sfDir = "/root/testdata/sf0.01"
+    val totals = Tables.events(spark, sfDir)
+      .groupBy("event_type").count().as[(String, Long)].collect().toMap
+    val sampled = Sampling.stratifiedSample(Tables.events(spark, sfDir),
+        "event_type", "event_id", rates)
+      .groupBy("event_type").count().as[(String, Long)].collect().toMap
+    rates.foreach { case (t, r) =>
+      val achieved = sampled.getOrElse(t, 0L).toDouble / totals(t)
+      assert(math.abs(achieved - r) <= 0.04,
+        s"$t: achieved $achieved vs quota $r over ${totals(t)} rows")
+    }
+  }
+
+  test("rates converge on synthetic sequential AND sparse id spaces (multiplier mixes)") {
+    // The bucket must spread ids uniformly whatever their shape — row
+    // numbers or sparse surrogate keys.
+    for ((ids, what) <- Seq(
+        (0L until 50000L).toSeq -> "sequential",
+        (0L until 50000L).map(_ * 977L + 13L) -> "sparse")) {
+      val df = ids.toDF("id").withColumn("g", lit("x"))
+      val kept = Sampling.stratifiedSample(df, "g", "id", Map("x" -> 0.3)).count()
+      val achieved = kept.toDouble / ids.size
+      assert(math.abs(achieved - 0.3) <= 0.02, s"$what ids: achieved $achieved vs 0.3")
+    }
+  }
+
+  test("growing a quota strictly grows the sample (incremental re-mix contract)") {
+    val small = sampleIds(Map("click" -> 0.2))
+    val big = sampleIds(Map("click" -> 0.6))
+    assert(small.subsetOf(big), s"${small.diff(big).take(5)} left the sample as the quota grew")
+    assert(big.size > small.size)
+  }
+
+  test("absent strata fall back to defaultRate") {
+    val withDefault = sampleIds(Map("click" -> 0.5), defaultRate = 1.0)
+    val total = Tables.events(spark, TestSpark.sfDir).count()
+    val clicks = Tables.events(spark, TestSpark.sfDir)
+      .where(col("event_type") === "click").count()
+    // every non-click row survives, about half the clicks do
+    assert(withDefault.size > (total - clicks))
+    assert(withDefault.size < total)
+  }
+
+  test("the sampling filter is map-side: no shuffle exchange in the plan") {
+    val df = Sampling.stratifiedSample(Tables.events(spark, TestSpark.sfDir),
+      "event_type", "event_id", Map("click" -> 0.5))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("ShuffleExchange"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+}
