@@ -242,6 +242,16 @@ object Streams {
   /** In-memory table sink (tests / debugging). */
   final case class MemoryStreamSink(name: String, checkpoint: Option[String] = None)
       extends StreamSink
+  /** Programmatic sink: `fn(batchDf, batchId)` per micro-batch — the
+    * escape hatch for destinations without a native connector (JDBC
+    * upserts, external indexes, multi-table fan-out). The batch ids are
+    * the replay contract: after a restart a batch may be re-delivered
+    * with the SAME id, so `fn` must be idempotent per (destination,
+    * batchId) — exactly-once end to end is `fn`'s responsibility, the
+    * checkpoint only guarantees at-least-once with stable ids.
+    */
+  final case class ForeachBatchSink(fn: (DataFrame, Long) => Unit,
+      checkpoint: Option[String] = None) extends StreamSink
 
   /** Start `df` into `sink` with the given output mode. Returns the
     * running query; callers own `awaitTermination`/`stop`.
@@ -263,6 +273,54 @@ object Streams {
       case MemoryStreamSink(name, ckpt) =>
         val w = base(df.writeStream).format("memory").queryName(name)
         ckpt.fold(w)(c => w.option("checkpointLocation", c)).start()
+      case ForeachBatchSink(fn, ckpt) =>
+        val w = base(df.writeStream)
+          .foreachBatch((batch: DataFrame, id: Long) => fn(batch, id))
+        ckpt.fold(w)(c => w.option("checkpointLocation", c)).start()
     }
   }
+
+  // ---------------------------------------- operational metrics (R5 ops)
+
+  /** One micro-batch's operational snapshot — the numbers a production
+    * dedup-stream operator watches: throughput, batch latency, state-store
+    * size (keys held within the watermark = the WindowStore analogue),
+    * eviction progress, and the current watermark.
+    */
+  final case class QueryMetrics(
+      batchId: Long,
+      numInputRows: Long,
+      inputRowsPerSecond: Double,
+      processedRowsPerSecond: Double,
+      batchDurationMs: Long,
+      stateRows: Long,
+      stateRowsUpdated: Long,
+      stateRowsRemoved: Long,
+      stateMemoryBytes: Long,
+      watermark: Option[String])
+
+  private def toMetrics(p: org.apache.spark.sql.streaming.StreamingQueryProgress): QueryMetrics = {
+    val ops = p.stateOperators.toIndexedSeq
+    QueryMetrics(
+      batchId = p.batchId,
+      numInputRows = p.numInputRows,
+      inputRowsPerSecond = p.inputRowsPerSecond,
+      processedRowsPerSecond = p.processedRowsPerSecond,
+      batchDurationMs = p.batchDuration,
+      stateRows = ops.map(_.numRowsTotal).sum,
+      stateRowsUpdated = ops.map(_.numRowsUpdated).sum,
+      stateRowsRemoved = ops.map(_.numRowsRemoved).sum,
+      stateMemoryBytes = ops.map(_.memoryUsedBytes).sum,
+      watermark = Option(p.eventTime.get("watermark")))
+  }
+
+  /** Latest completed micro-batch's metrics (None before the first batch
+    * completes).
+    */
+  def lastMetrics(q: StreamingQuery): Option[QueryMetrics] =
+    Option(q.lastProgress).map(toMetrics)
+
+  /** Metrics for the retained recent progress window, oldest first. */
+  def recentMetrics(q: StreamingQuery): Seq[QueryMetrics] =
+    q.recentProgress.toIndexedSeq.map(toMetrics)
 }

@@ -67,6 +67,57 @@ class SourceSinkSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("foreachBatch sink delivers every batch with stable ids") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-feb").toString
+    Tables.events(spark, TestSpark.sfDir).limit(200).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/in")
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val streamed = spark.readStream
+      .schema(Tables.events(spark, TestSpark.sfDir).schema)
+      .parquet(s"$dir/in")
+    val sink = Streams.ForeachBatchSink(
+      (batch, id) => seen.add(id -> batch.count()),
+      checkpoint = Some(s"$dir/ckpt"))
+    val q = Streams.start(streamed, sink)
+    try { q.processAllAvailable() } finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val batches = seen.asScala.toSeq
+    assert(batches.map(_._2).sum == 200L, s"rows delivered: $batches")
+    assert(batches.map(_._1) == batches.map(_._1).sorted, s"batch ids not monotone: $batches")
+    // Restart from the same checkpoint: no batch re-delivered, no new rows.
+    seen.clear()
+    val q2 = Streams.start(spark.readStream
+      .schema(Tables.events(spark, TestSpark.sfDir).schema).parquet(s"$dir/in"), sink)
+    try { q2.processAllAvailable() } finally q2.stop()
+    assert(seen.asScala.toSeq.map(_._2).sum == 0L, s"restart re-delivered: ${seen.asScala.toSeq}")
+  }
+
+  test("lastMetrics exposes throughput and dedup state-store size") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-met").toString
+    Tables.events(spark, TestSpark.sfDir).limit(300).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/in")
+    val streamed = spark.readStream
+      .schema(Tables.events(spark, TestSpark.sfDir).schema)
+      .parquet(s"$dir/in")
+    val deduped = Streams.dedupWithinWatermark(streamed, delay = "1 hour",
+      idCols = Seq("user_id", "event_type"))
+    val q = Streams.start(deduped, Streams.MemoryStreamSink("met_sink"))
+    try {
+      q.processAllAvailable()
+      val m = Streams.lastMetrics(q).getOrElse(
+        Streams.recentMetrics(q).lastOption.getOrElse(fail("no progress recorded")))
+      // 300 input rows crossed the batch(es); the dedup operator holds
+      // one state row per distinct (user_id, event_type) seen.
+      val all = Streams.recentMetrics(q)
+      assert(all.map(_.numInputRows).sum == 300L, s"inputs: $all")
+      val distinctKeys = Tables.events(spark, TestSpark.sfDir).limit(300)
+        .select("user_id", "event_type").distinct().count()
+      assert(all.map(_.stateRows).max == distinctKeys,
+        s"state rows ${all.map(_.stateRows).max} vs $distinctKeys keys")
+      assert(m.batchDurationMs >= 0 && m.stateMemoryBytes > 0)
+    } finally q.stop()
+  }
+
   test("events() builder dispatches on source config") {
     val emptyDir = java.nio.file.Files.createTempDirectory("graft-empty").toString
     val file = Streams.events(spark, Streams.FileStreamSource(emptyDir))
