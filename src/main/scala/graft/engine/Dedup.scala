@@ -124,17 +124,34 @@ object Dedup {
     * only, and the exact confirm attaches each token array once per
     * side.
     */
-  val qNeardupPairs: Q = (s, d) => {
-    val base = fanOut(documents(s, d))
-      .select(
-        col("doc_id"), col("lang"),
-        (col("n_chars") / 64).cast("long").as("len_bucket"),
-        normTokens(col("text")).as("toks"))
-    lshNearDupPairs(signatures(base), "toks", 9, 10, 0.9, Auto(),
-      blockCols = Seq("lang", "len_bucket"))
-  }
+  val qNeardupPairs: Q = (s, d) =>
+    lshNearDupPairs(signatures(blockedDocSets(documents(s, d), normTokens(col("text")), "toks")),
+      "toks", 9, 10, 0.9, Auto(), blockCols = DocBlockCols)
 
   // ---------------------------------------------------------------- LSH core
+
+  /** The blocking key of the blocked near-dup keys: same language, same
+    * 64-char length bucket (near-identical docs have near-identical
+    * length, so candidates stay within one block).
+    */
+  private[graft] val DocBlockCols = Seq("lang", "len_bucket")
+
+  /** Blocked-corpus preamble shared by `q_neardup_pairs`,
+    * `q_ngram_jaccard`, and their PlanSpec forced-salted twins — ONE
+    * definition so the graded keys and the plan-pinned twins cannot
+    * drift: fan the single-partition fixture scan out FIRST (the
+    * [[fanOut]] contract — the exchange ships raw text once and the
+    * set build parallelizes), then project (doc_id, lang, len_bucket,
+    * `setCol`). `minChars` drops docs too short to carry the set
+    * expression (shingling needs ≥ n chars).
+    */
+  private[graft] def blockedDocSets(docs: DataFrame, setExpr: Column,
+      setCol: String, minChars: Int = 0): DataFrame = {
+    val base = if (minChars > 0) docs.where(length(col("text")) >= minChars) else docs
+    fanOut(base).select(col("doc_id"), col("lang"),
+      (col("n_chars") / 64).cast("long").as("len_bucket"),
+      setExpr.as(setCol))
+  }
 
   /** MinHash signature + LSH bands — all map-side, no UDF:
     * 32 hash functions h_i(t) = xxhash64 of element t with SEED i (NOT SQL
@@ -413,14 +430,12 @@ object Dedup {
     * LshSaltedSpec either way. Threshold 0.8 (shingle Jaccard dilutes
     * faster than token Jaccard); J ≥ 0.8 ⇔ 5·min ≥ 4·max prune.
     */
-  val qNgramJaccard: Q = (s, d) => {
-    val base = fanOut(documents(s, d).where(length(col("text")) >= 3))
-      .select(col("doc_id"), col("lang"),
-        (col("n_chars") / 64).cast("long").as("len_bucket"),
-        graft.functions.GraftExpressions.charShingles(col("text"), 3, barrier = true).as("grams"))
-    lshNearDupPairs(signatures(base, "grams"), "grams", 4, 5, 0.8, Auto(),
-      blockCols = Seq("lang", "len_bucket"))
-  }
+  val qNgramJaccard: Q = (s, d) =>
+    lshNearDupPairs(
+      signatures(blockedDocSets(documents(s, d),
+        graft.functions.GraftExpressions.charShingles(col("text"), 3, barrier = true),
+        "grams", minChars = 3), "grams"),
+      "grams", 4, 5, 0.8, Auto(), blockCols = DocBlockCols)
 
   /** Near-dup CLUSTERS from a pair list: connected components by
     * iterative min-label propagation + pointer jumping, entirely in

@@ -26,13 +26,11 @@ class LshSaltedSpec extends AnyFunSuite {
   }
 
   test("blocked shingle near-dup: salted shape ≡ broadcast shape") {
-    val base = graft.engine.Tables.documents(spark, sfDir)
-      .where(length(col("text")) >= 3)
-      .select(col("doc_id"), col("lang"),
-        (col("n_chars") / 64).cast("long").as("len_bucket"),
-        graft.functions.GraftExpressions.charShingles(col("text"), 3, barrier = true).as("grams"))
+    val base = Dedup.blockedDocSets(graft.engine.Tables.documents(spark, sfDir),
+      graft.functions.GraftExpressions.charShingles(col("text"), 3, barrier = true),
+      "grams", minChars = 3)
     val sigs = Dedup.signatures(base, "grams")
-    val blocks = Seq("lang", "len_bucket")
+    val blocks = Dedup.DocBlockCols
     val broad = rows(Dedup.lshNearDupPairs(sigs, "grams", 4, 5, 0.8, Dedup.Broadcast, blocks))
     val salted = rows(Dedup.lshNearDupPairs(sigs, "grams", 4, 5, 0.8, Dedup.Salted(), blocks))
     assert(broad.nonEmpty, "fixture produced no shingle near-dup pairs — vacuous test")

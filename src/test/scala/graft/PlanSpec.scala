@@ -87,22 +87,20 @@ class PlanSpec extends AnyFunSuite {
     // any corpus-derived frame.
     import org.apache.spark.sql.functions._
     import graft.engine.{Dedup, Tables}
+    // The twins build on the SAME blockedDocSets preamble the graded keys
+    // use, so a preamble change re-runs through these assertions.
     val docs = Tables.documents(spark, TestSpark.sfDir)
-    val blocks = Seq("lang", "len_bucket")
-    val tokBase = docs.select(col("doc_id"), col("lang"),
-      (col("n_chars") / 64).cast("long").as("len_bucket"),
-      Dedup.normTokens(col("text")).as("toks"))
-    val gramBase = docs.where(length(col("text")) >= 3)
-      .select(col("doc_id"), col("lang"),
-        (col("n_chars") / 64).cast("long").as("len_bucket"),
-        graft.functions.GraftExpressions.charShingles(col("text"), 3, barrier = true).as("grams"))
+    val tokBase = Dedup.blockedDocSets(docs, Dedup.normTokens(col("text")), "toks")
+    val gramBase = Dedup.blockedDocSets(docs,
+      graft.functions.GraftExpressions.charShingles(col("text"), 3, barrier = true),
+      "grams", minChars = 3)
     val forced = Seq(
       "q_neardup_pairs(salted)" ->
         Dedup.lshNearDupPairs(Dedup.signatures(tokBase), "toks", 9, 10, 0.9,
-          Dedup.Auto(maxBroadcastDocs = 0), blocks),
+          Dedup.Auto(maxBroadcastDocs = 0), Dedup.DocBlockCols),
       "q_ngram_jaccard(salted)" ->
         Dedup.lshNearDupPairs(Dedup.signatures(gramBase, "grams"), "grams", 4, 5, 0.8,
-          Dedup.Auto(maxBroadcastDocs = 0), blocks))
+          Dedup.Auto(maxBroadcastDocs = 0), Dedup.DocBlockCols))
     for ((what, df) <- forced) {
       val p = df.queryExecution.executedPlan.toString
       assert(!p.contains("Broadcast"), s"$what: $p")
