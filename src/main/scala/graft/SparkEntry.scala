@@ -34,7 +34,8 @@ object SparkEntry {
     (Relational.queries ++ Scalars.queries ++ Dedup.queries ++
       Similarity.queries ++ CosineLsh.queries ++ Ivf.queries ++
       TextAnalysis.queries ++ Windowed.queries ++
-      Multimodal.queries ++ Sampling.queries ++ Sources.queries).map { case (k, fn) =>
+      Multimodal.queries ++ Sampling.queries ++ Sources.queries ++
+      Quantize.queries).map { case (k, fn) =>
       k -> ((s: SparkSession, d: String) => ntz(fn(s, d)))
     }
 

@@ -648,6 +648,54 @@ object Oracle {
       SELECT event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
         min(event_id) AS min_event_id, max(event_id) AS max_event_id,
         round(sum(value), 2) AS sum_value, max(ts) AS max_ts
-      FROM events GROUP BY event_type ORDER BY event_type"""
+      FROM events GROUP BY event_type ORDER BY event_type""",
+
+    // Int8 scalar quantization: codes via FLOOR (round() is half-up in
+    // Spark/Java but half-even in DuckDB — a .5-boundary trap), cast
+    // AFTER floor (DuckDB's double→int cast rounds, Spark's truncates).
+    // The code expression repeats inside errs so both engines evaluate
+    // the identical double op sequence.
+    "q_embed_quantize" -> """
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        m AS (SELECT vec_id, v, list_min(v) mn, list_max(v) mx FROM e),
+        c AS (SELECT vec_id, mn, mx,
+            list_transform(v, x -> CAST(CASE WHEN mx = mn THEN 0.0
+              ELSE least(floor((x - mn) * 255.0 / (mx - mn)), 255.0) END AS BIGINT)) AS codes,
+            list_transform(v, x -> x - (mn + (CASE WHEN mx = mn THEN 0.0
+              ELSE least(floor((x - mn) * 255.0 / (mx - mn)), 255.0) END + 0.5)
+              * (mx - mn) / 255.0)) AS errs
+          FROM m)
+      SELECT vec_id, array_to_string(codes, ',') AS codes,
+        round(mn, 6) AS qmin, round(mx, 6) AS qmax,
+        round(sqrt(list_dot_product(errs, errs)), 6) AS recon_err
+      FROM c ORDER BY vec_id""",
+
+    // Same hash-bucket arithmetic as q_sample_stratified; cumulative
+    // thresholds 0.8/0.9 of 2^20 (exact double scaling).
+    "q_train_test_split" -> """
+      WITH s AS (SELECT lang, n_chars, doc_id,
+          CASE WHEN (doc_id * 2654435761) % 1048576 < 0.8 * 1048576 THEN 'train'
+               WHEN (doc_id * 2654435761) % 1048576 < 0.9 * 1048576 THEN 'valid'
+               ELSE 'test' END AS split
+        FROM documents)
+      SELECT lang, split, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
+        min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+      FROM s GROUP BY lang, split ORDER BY lang, split""",
+
+    // Curation composition: integer-only quality gate (>=5 tokens,
+    // 10*n_uniq >= 3*n_tokens), then distinct normalized-token-string
+    // counting among survivors — the same normKey q_dedup_normalized
+    // grades.
+    "q_curation_pipeline" -> """
+      WITH t AS (SELECT lang, doc_id,
+          len(string_split(text, ' ')) AS n_tokens,
+          len(list_distinct(string_split(text, ' '))) AS n_uniq,
+          list_aggr(list_sort(list_distinct(string_split(text, ' '))), 'string_agg', ' ') AS norm
+        FROM documents),
+        f AS (SELECT lang, n_tokens >= 5 AND 10 * n_uniq >= 3 * n_tokens AS ok, norm FROM t)
+      SELECT lang, count(*) AS n_raw,
+        count(CASE WHEN ok THEN 1 END) AS n_quality,
+        count(DISTINCT CASE WHEN ok THEN norm END) AS n_unique
+      FROM f GROUP BY lang ORDER BY lang"""
   )
 }

@@ -74,7 +74,40 @@ object Sampling {
       .orderBy("event_id")
   }
 
+  /** Deterministic dataset split: the id's hash bucket is compared
+    * against cumulative weight thresholds, so every row's split is a pure
+    * function of its id — stable across runs, engines, repartitioning,
+    * and (critically) ACROSS SNAPSHOTS: a document keeps its split as
+    * the corpus grows, so later training runs never see yesterday's
+    * held-out data. Weights are (name, fraction) in order; fractions
+    * should sum to 1 (the last band absorbs any remainder).
+    */
+  def splitColumn(id: Column, weights: Seq[(String, Double)]): Column = {
+    require(weights.nonEmpty, "at least one split band required")
+    val cum = weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w }.tail
+    val b = bucket(id)
+    weights.init.zip(cum.init).foldRight(lit(weights.last._1): Column) {
+      case (((name, _), hi), rest) => when(b < lit(hi) * lit(Resolution), name).otherwise(rest)
+    }
+  }
+
+  /** Graded surface: 80/10/10 train/valid/test split of the documents
+    * corpus by doc_id, summarized per (lang, split). Integer outputs
+    * only — the graded contract is exact per-band membership.
+    */
+  val qTrainTestSplit: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("split",
+        splitColumn(col("doc_id"), Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"))
+      .orderBy("lang", "split")
+
   val queries: Map[String, Q] = Map(
-    "q_sample_stratified" -> qSampleStratified
+    "q_sample_stratified" -> qSampleStratified,
+    "q_train_test_split" -> qTrainTestSplit
   )
 }

@@ -159,8 +159,38 @@ object TextAnalysis {
         graft.functions.GraftExpressions.rollingFingerprint(col("text")).as("fingerprint"))
       .orderBy("doc_id")
 
+  /** Graded end-to-end curation composition — the PipelineMain core as a
+    * single oracled key: per language, how many documents survive (a) the
+    * quality gate and (b) set-normalized dedup among the survivors. The
+    * quality gate uses INTEGER cross-multiplication only (≥5 tokens and
+    * ≥30% lexical diversity as `10·n_uniq ≥ 3·n_tokens`) — the
+    * size-ratio prune trick: no float thresholds, so no cross-engine
+    * rounding surface at the decision boundary. 30% sits inside the
+    * fixture's duplicate-doc diversity band (0.30–0.52 measured), so
+    * BOTH stages demonstrably fire at every SF (sf0.01:
+    * 500 → 492 → 439). Dedup counts distinct normalized
+    * token strings (Dedup.normKey — the ONE shared normalization), i.e.
+    * the number of canonical survivors the clustering stage would keep.
+    * One hash-aggregate shuffle on lang; the norm/quality columns are
+    * map-side projections.
+    */
+  val qCurationPipeline: Q = (s, d) => {
+    val ws = split(col("text"), " ")
+    documents(s, d)
+      .withColumn("n_tokens", size(ws).cast("long"))
+      .withColumn("n_uniq", size(array_distinct(ws)).cast("long"))
+      .withColumn("ok", col("n_tokens") >= 5 && col("n_uniq") * 10 >= col("n_tokens") * 3)
+      .withColumn("norm", Dedup.normKey(col("text")))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_raw"),
+        count(when(col("ok"), lit(1))).as("n_quality"),
+        countDistinct(when(col("ok"), col("norm"))).as("n_unique"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_text_stats" -> qTextStats,
+    "q_curation_pipeline" -> qCurationPipeline,
     "q_token_count" -> qTokenCount,
     "q_token_topk" -> qTokenTopk,
     "q_text_quality" -> qTextQuality,

@@ -78,6 +78,25 @@ class SamplingSpec extends AnyFunSuite {
     assert(withDefault.size < total)
   }
 
+  test("splitColumn: every row lands in exactly one band, fractions converge, ids are stable") {
+    val weights = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)
+    val ids = (0L until 20000L).toDF("id")
+    val split = ids.withColumn("s", Sampling.splitColumn(col("id"), weights))
+    val counts = split.groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(counts.values.sum == 20000L) // partition: no row dropped or doubled
+    weights.foreach { case (name, w) =>
+      val achieved = counts.getOrElse(name, 0L).toDouble / 20000L
+      assert(math.abs(achieved - w) <= 0.02, s"$name: $achieved vs $w")
+    }
+    // Snapshot stability: the assignment of an id does not depend on
+    // which other ids are present (pure function of the id).
+    val subset = (0L until 5000L).toDF("id")
+      .withColumn("s", Sampling.splitColumn(col("id"), weights))
+      .as[(Long, String)].collect().toMap
+    val full = split.as[(Long, String)].collect().toMap
+    subset.foreach { case (id, s) => assert(full(id) == s, s"id $id moved bands") }
+  }
+
   test("the sampling filter is map-side: no shuffle exchange in the plan") {
     val df = Sampling.stratifiedSample(Tables.events(spark, TestSpark.sfDir),
       "event_type", "event_id", Map("click" -> 0.5))
