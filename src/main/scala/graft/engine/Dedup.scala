@@ -437,6 +437,52 @@ object Dedup {
         "grams", minChars = 3), "grams"),
       "grams", 4, 5, 0.8, Auto(), blockCols = DocBlockCols)
 
+  /** SimHash near-duplicate pairs: doc pairs whose 64-bit token-multiset
+    * SimHash signatures differ in at most `maxHamming` bits — the
+    * constant-size-fingerprint member of the near-dup family (MinHash
+    * carries set overlap, shingles carry local edits, cosine carries
+    * embeddings; SimHash carries weighted token-multiset drift in 8
+    * bytes/doc, the cheapest signature to store and compare at 100 TB).
+    *
+    * THIRD family on the shared banded-LSH core: bands are the
+    * signature's 4 disjoint 16-bit chunks, so by pigeonhole any pair
+    * within hamming ≤ 3 leaves ≥ 1 band untouched — candidate recall is
+    * EXACT, not probabilistic (unlike MinHash/hyperplane banding), and
+    * the operator is a pure function of the data (spec'd ≡ brute-force
+    * hamming join). Confirm is the built-in codegen
+    * `bit_count(sig_a ^ sig_b)` — no custom kernel needed. Empty texts
+    * hash to signature 0 and pair with each other at hamming 0
+    * (empty ≡ empty — consistent, no NaN hazard anywhere: all-integer).
+    */
+  def simHashNearDup(docs: DataFrame, maxHamming: Int = 3,
+      shapeIn: LshShape = Broadcast): DataFrame = {
+    require(0 <= maxHamming && maxHamming <= 3,
+      s"4x16-bit banding guarantees recall only for hamming <= 3 (got $maxHamming)")
+    val sigs = fanOut(docs)
+      .select(col("doc_id"),
+        graft.functions.GraftExpressions.simhash64(col("text")).as("sig"))
+      .withColumn("bands", array((0 until 4).map(i =>
+        shiftrightunsigned(col("sig"), 16 * i).bitwiseAND(lit(0xFFFFL))): _*))
+      .localCheckpoint()
+    val shape = resolveShape(shapeIn, sigs)
+    val pairs = bandedCandidates(sigs, "doc_id", "bands", shape)
+    val dict = sigs.select(col("doc_id"), col("sig"))
+    attachPairSides(pairs, dict, "doc_id", shape)
+      .withColumn("hamming",
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Graded (rows-only) surface for [[simHashNearDup]]: signature values
+    * are engine-specific (FNV-1a), so no SQL oracle exists — the row set
+    * is deterministic and the operator is brute-force-equivalence-spec'd
+    * (SimHashSpec), the same grading contract as q_minhash_sig.
+    */
+  val qSimhashNeardup: Q = (s, d) =>
+    simHashNearDup(documents(s, d), maxHamming = 3, Auto())
+
   /** Near-dup CLUSTERS from a pair list: connected components by
     * iterative min-label propagation + pointer jumping, entirely in
     * DataFrame ops. Per-pair `doc_b`-dropping leaves MULTIPLE
@@ -558,6 +604,7 @@ object Dedup {
     "q_neardup_lsh" -> qNeardupLsh,
     "q_neardup_lsh_salted" -> qNeardupLshSalted,
     "q_neardup_components" -> qNeardupComponents,
+    "q_simhash_neardup" -> qSimhashNeardup,
     "q_minhash_sig" -> qMinhashSig
   )
 }

@@ -25,32 +25,11 @@ object TextAnalysis {
 
   /** SimHash-64 over whitespace tokens: per bit, sum +1/-1 across token
     * hashes; sign becomes the bit. Near-identical token multisets give
-    * hamming-close signatures.
+    * hamming-close signatures. Delegates to the kernel the SimHash64
+    * codegen expression evaluates — one definition for the plain-Scala
+    * surface, the UDF showcase, and the near-dup operator's hot path.
     */
-  def simhash64(text: String): Long = {
-    val counts = new Array[Int](64)
-    var start = 0
-    val n = text.length
-    var i = 0
-    while (i <= n) {
-      if (i == n || text.charAt(i) == ' ') {
-        if (i > start) {
-          val h = fnv1a64(text.substring(start, i))
-          var b = 0
-          while (b < 64) {
-            if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
-            b += 1
-          }
-        }
-        start = i + 1
-      }
-      i += 1
-    }
-    var sig = 0L
-    var b = 0
-    while (b < 64) { if (counts(b) > 0) sig |= (1L << b); b += 1 }
-    sig
-  }
+  def simhash64(text: String): Long = graft.functions.GraftOps.simhash64(text)
 
   /** Winnowing-style fingerprint: min polynomial rolling hash over all
     * k-char windows (k=16). Equal texts ⇒ equal fingerprints; shared long

@@ -101,6 +101,14 @@ object GraftExpressions {
   def rollingFingerprint(text: Column, k: Int = 16): Column =
     ExpressionUtils.column(RollingFingerprint(ExpressionUtils.expression(text), k))
 
+  /** SimHash-64 of a string over whitespace tokens — the codegen form of
+    * TextAnalysis.simhash64 (one shared kernel); the hot path of the
+    * simhash near-dup operator (q_udf_scalar keeps the UDF wrapper,
+    * where the UDF surface IS the point of the key).
+    */
+  def simhash64(text: Column): Column =
+    ExpressionUtils.column(SimHash64(ExpressionUtils.expression(text)))
+
   /** Index of the nearest centroid (squared-L2 argmin, ties to the lowest
     * cell) for a double vector — centroids ride along as a flattened
     * k×dim model-state array, so cell assignment is a map-only projection
@@ -262,6 +270,40 @@ object GraftOps {
   /** UTF8String entry point for [[rollingFingerprint]] (codegen path). */
   def rollingFingerprint(text: UTF8String, k: Int): Long =
     rollingFingerprint(text.toString, k)
+
+  /** SimHash-64 over whitespace tokens: per bit, sum +1/-1 across FNV-1a
+    * token hashes; the sign becomes the bit. Word-order-invariant (votes
+    * are a multiset sum) but repetition-SENSITIVE (each occurrence votes).
+    * ONE definition for the plain-Scala surface (TextAnalysis.simhash64),
+    * the q_udf_scalar UDF, and the SimHash64 codegen expression.
+    */
+  def simhash64(text: String): Long = {
+    val counts = new Array[Int](64)
+    var start = 0
+    val n = text.length
+    var i = 0
+    while (i <= n) {
+      if (i == n || text.charAt(i) == ' ') {
+        if (i > start) {
+          val h = fnv1a64(text.substring(start, i))
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+            b += 1
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  /** UTF8String entry point for [[simhash64]] (codegen path). */
+  def simhash64(text: UTF8String): Long = simhash64(text.toString)
 
   /** Squared-L2 argmin over a flattened k×dim centroid matrix; strict <
     * keeps the FIRST minimal cell, i.e. ties break to the lowest id.
@@ -541,6 +583,23 @@ case class RollingFingerprint(child: Expression, k: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.GraftOps.rollingFingerprint($c, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** SimHash-64 of a string (GraftOps.simhash64) — codegen'd form used by
+  * the simhash near-dup operator's signature pass.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftOps.simhash64(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GraftOps.simhash64($c);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

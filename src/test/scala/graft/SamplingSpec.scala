@@ -97,6 +97,27 @@ class SamplingSpec extends AnyFunSuite {
     subset.foreach { case (id, s) => assert(full(id) == s, s"id $id moved bands") }
   }
 
+  test("streaming stratified sample ≡ batch twin (map-side op works unchanged on streams)") {
+    // Membership is a pure per-row function + a broadcast stream-static
+    // join, so the SAME operator body runs on an unbounded frame.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = (0L until 2000L).map(i => (i, if (i % 2 == 0) "click" else "view"))
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(rows: _*)
+    val sampled = Sampling.stratifiedSample(
+      mem.toDF().toDF("id", "g"), "g", "id", Map("click" -> 0.5, "view" -> 0.25))
+    val q = sampled.writeStream.format("memory").queryName("strat_sink")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("strat_sink").select("id").as[Long].collect().toSet
+    val batch = Sampling.stratifiedSample(
+      rows.toDF("id", "g"), "g", "id", Map("click" -> 0.5, "view" -> 0.25))
+      .select("id").as[Long].collect().toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("the sampling filter is map-side: no shuffle exchange in the plan") {
     val df = Sampling.stratifiedSample(Tables.events(spark, TestSpark.sfDir),
       "event_type", "event_id", Map("click" -> 0.5))
