@@ -277,58 +277,17 @@ object Dedup {
     */
   private[graft] def bandedCandidates(sigs: DataFrame, idCol: String,
       bandsCol: String, shape: LshShape, blockCols: Seq[String] = Nil,
-      sizePrune: Option[(Column, Int, Int)] = None): DataFrame = {
-    def explodeBands(df: DataFrame): DataFrame = {
-      val keep = (col(idCol) +: blockCols.map(col)) :+ col(bandsCol)
-      val withN = sizePrune.map { case (e, _, _) => keep :+ e.as("__n") }.getOrElse(keep)
-      df.select(withN :+ posexplode(col(bandsCol)).as(Seq("__band_idx", "__band_hash")): _*)
-    }
-    def joinKey(a: String, b: String) =
-      (Seq(col(s"$a.__band_idx") === col(s"$b.__band_idx"),
-        col(s"$a.__band_hash") === col(s"$b.__band_hash")) ++
-        blockCols.map(c => col(s"$a.$c") === col(s"$b.$c")))
-        .reduce(_ && _) && col(s"$a.$idCol") < col(s"$b.$idCol")
-    val cands = shape match {
-      case Broadcast =>
-        // The checkpointed sigs are already round-robin partitioned (see
-        // signatures()/fanOut), so the O(pairs) probe fans out over the
-        // stream side's partitions with no further shuffle.
-        explodeBands(sigs).alias("a")
-          .join(broadcast(explodeBands(sigs).alias("b")), joinKey("a", "b"))
-      case Salted(salts) =>
-        // Salt splits each (band_idx, band_hash) bucket into `salts`
-        // sub-keys: the stream side keeps one deterministic salt per id
-        // (stable under task retry), the build side replicates every row
-        // across all salts so no pair is lost. Pair (a, b) joins exactly
-        // once — in sub-key salt(a). `merge` hint: sort-merge is the
-        // join that needs no in-memory build side at 100 TB.
-        val bandedA = explodeBands(sigs).withColumn("__salt", Skew.salt(col(idCol), salts))
-        val bandedB = explodeBands(sigs)
-          .withColumn("__salt", explode(sequence(lit(0L), lit(salts - 1L))))
-        bandedA.alias("a")
-          .join(bandedB.alias("b").hint("merge"),
-            joinKey("a", "b") && col("a.__salt") === col("b.__salt"))
-      case _: Auto => throw new IllegalStateException("resolve Auto via resolveShape first")
-    }
-    val keep = sizePrune match {
-      case Some((_, tauNum, tauDen)) =>
-        least(col("a.__n"), col("b.__n")) * tauDen >=
-          greatest(col("a.__n"), col("b.__n")) * tauNum &&
-          graft.functions.GraftExpressions.firstMatchIndex(
-            col(s"a.$bandsCol"), col(s"b.$bandsCol")) === col("a.__band_idx")
-      case None =>
-        graft.functions.GraftExpressions.firstMatchIndex(
-          col(s"a.$bandsCol"), col(s"b.$bandsCol")) === col("a.__band_idx")
-    }
-    cands.where(keep)
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
-  }
+      sizePrune: Option[(Column, Int, Int)] = None): DataFrame =
+    bandedCandidatesImpl(sigs, sigs, idCol, bandsCol, shape, blockCols,
+      sizePrune, selfPair = true)
 
-  /** Shape-dispatched confirm attach, shared by both LSH families: join
-    * each side of an (id_a, id_b) candidate stream to the per-id payload
-    * `dict` (idCol + payload columns; payloads come back suffixed
-    * `_a`/`_b`). Broadcast: the dictionaries broadcast, so the candidate
-    * stream never shuffles the payloads. Salted: doc-id co-partitioned
+  /** Shape-dispatched confirm attach, shared by all LSH families: join
+    * each side of an (id_a, id_b) candidate stream to its per-id payload
+    * dictionary (idCol + payload columns; payloads come back suffixed
+    * `_a`/`_b`). `dictA`/`dictB` are the same frame for self-join
+    * families and different frames for the cross-corpus variant.
+    * Broadcast: the dictionaries broadcast, so the candidate stream
+    * never shuffles the payloads. Salted: doc-id co-partitioned
     * sort-merge confirms (both low-skew high-cardinality keys) — the
     * payload ships once per side, no in-memory build side at any scale.
     * The caller computes the confirm metric on the attached columns;
@@ -336,20 +295,45 @@ object Dedup {
     * [[bandedCandidates]] — re-pruning here would filter values that
     * already passed the identical predicate.
     */
-  private[graft] def attachPairSides(pairs: DataFrame, dict: DataFrame,
-      idCol: String, shape: LshShape): DataFrame = {
-    val payload = dict.columns.filterNot(_ == idCol).toIndexedSeq
-    def side(sfx: String) = dict.select(
-      col(idCol).as(s"id_$sfx") +: payload.map(c => col(c).as(s"${c}_$sfx")): _*)
+  private[graft] def attachPairSides(pairs: DataFrame, dictA: DataFrame,
+      dictB: DataFrame, idCol: String, shape: LshShape): DataFrame = {
+    def side(dict: DataFrame, sfx: String) = {
+      val payload = dict.columns.filterNot(_ == idCol).toIndexedSeq
+      dict.select(
+        col(idCol).as(s"id_$sfx") +: payload.map(c => col(c).as(s"${c}_$sfx")): _*)
+    }
     shape match {
       case Broadcast =>
-        pairs.join(broadcast(side("a")), "id_a").join(broadcast(side("b")), "id_b")
+        pairs.join(broadcast(side(dictA, "a")), "id_a")
+          .join(broadcast(side(dictB, "b")), "id_b")
       case Salted(_) =>
-        pairs.hint("merge").join(side("a").hint("merge"), "id_a")
-          .hint("merge").join(side("b").hint("merge"), "id_b")
+        pairs.hint("merge").join(side(dictA, "a").hint("merge"), "id_a")
+          .hint("merge").join(side(dictB, "b").hint("merge"), "id_b")
       case _: Auto => throw new IllegalStateException("resolve Auto via resolveShape first")
     }
   }
+
+  /** Self-join convenience: both sides share one dictionary. */
+  private[graft] def attachPairSides(pairs: DataFrame, dict: DataFrame,
+      idCol: String, shape: LshShape): DataFrame =
+    attachPairSides(pairs, dict, dict, idCol, shape)
+
+  /** EXACT-Jaccard confirm shared by the self-join and cross-corpus
+    * MinHash paths: attach each side's set via [[attachPairSides]], count
+    * the intersection with the native merge kernel, keep rounded J ≥ τ.
+    */
+  private def confirmJaccard(pairs: DataFrame, dictA: DataFrame, dictB: DataFrame,
+      setCol: String, threshold: Double, shape: LshShape): DataFrame =
+    attachPairSides(pairs, dictA, dictB, "doc_id", shape)
+      .withColumn("inter", intersectSize(col(s"${setCol}_a"), col(s"${setCol}_b"), barrier = true))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("__ns_a") + col("__ns_b") - col("inter")).cast("double"), 6))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("jaccard"))
+      .orderBy("doc_a", "doc_b")
+
+  private def jaccardDict(sigs: DataFrame, setCol: String): DataFrame =
+    sigs.select(col("doc_id"), col(setCol), size(col(setCol)).as("__ns"))
 
   /** MinHash-LSH near-dup pairs on the shared core: candidates from
     * [[bandedCandidates]] over the `bands` column (with the lossless
@@ -374,14 +358,98 @@ object Dedup {
     val shape = resolveShape(shapeIn, sigs)
     val pairs = bandedCandidates(sigs, "doc_id", "bands", shape, blockCols,
       sizePrune = Some((size(col(setCol)), tauNum, tauDen)))
-    val dict = sigs.select(col("doc_id"), col(setCol), size(col(setCol)).as("__ns"))
-    attachPairSides(pairs, dict, "doc_id", shape)
-      .withColumn("inter", intersectSize(col(s"${setCol}_a"), col(s"${setCol}_b"), barrier = true))
-      .withColumn("jaccard", round(col("inter").cast("double") /
-        (col("__ns_a") + col("__ns_b") - col("inter")).cast("double"), 6))
-      .where(col("jaccard") >= threshold)
-      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("jaccard"))
-      .orderBy("doc_a", "doc_b")
+    val dict = jaccardDict(sigs, setCol)
+    confirmJaccard(pairs, dict, dict, setCol, threshold, shape)
+  }
+
+  /** Cross-corpus banded candidates: every (new, corpus) id pair sharing
+    * a band (and the block keys) — the asymmetric sibling of
+    * [[bandedCandidates]] for "dedup the NEW data against the EXISTING
+    * corpus" (no id ordering; sides are distinct frames, so no
+    * symmetric-duplicate problem; exact-once across shared bands via the
+    * same first-match filter). Both frames must carry idCol, bandsCol,
+    * blockCols, and be pre-filtered/checkpointed; `shape` resolved.
+    */
+  private[graft] def bandedCandidatesAcross(newSigs: DataFrame, corpusSigs: DataFrame,
+      idCol: String, bandsCol: String, shape: LshShape, blockCols: Seq[String] = Nil,
+      sizePrune: Option[(Column, Int, Int)] = None): DataFrame =
+    bandedCandidatesImpl(newSigs, corpusSigs, idCol, bandsCol, shape, blockCols,
+      sizePrune, selfPair = false)
+
+  /** The ONE banded-candidate join implementation behind the self and
+    * cross variants. `selfPair = true` adds the `id_a < id_b` ordering
+    * that dedups symmetric self-join pairs; distinct frames need no
+    * ordering. Broadcast broadcasts the RIGHT side (= the whole corpus
+    * for self joins, the persisted corpus index for ingest — the side a
+    * production deployment keeps built); Salted salts the left and
+    * replicates the right `salts`× under sort-merge (`merge` hint: the
+    * join with no in-memory build side at 100 TB) — each left id keeps
+    * one deterministic salt (stable under task retry), so every pair
+    * joins exactly once, in sub-key salt(a).
+    */
+  private def bandedCandidatesImpl(leftSigs: DataFrame, rightSigs: DataFrame,
+      idCol: String, bandsCol: String, shape: LshShape, blockCols: Seq[String],
+      sizePrune: Option[(Column, Int, Int)], selfPair: Boolean): DataFrame = {
+    def explodeBands(df: DataFrame): DataFrame = {
+      val keep = (col(idCol) +: blockCols.map(col)) :+ col(bandsCol)
+      val withN = sizePrune.map { case (e, _, _) => keep :+ e.as("__n") }.getOrElse(keep)
+      df.select(withN :+ posexplode(col(bandsCol)).as(Seq("__band_idx", "__band_hash")): _*)
+    }
+    def joinKey(a: String, b: String) = {
+      val key = (Seq(col(s"$a.__band_idx") === col(s"$b.__band_idx"),
+        col(s"$a.__band_hash") === col(s"$b.__band_hash")) ++
+        blockCols.map(c => col(s"$a.$c") === col(s"$b.$c")))
+        .reduce(_ && _)
+      if (selfPair) key && col(s"$a.$idCol") < col(s"$b.$idCol") else key
+    }
+    val cands = shape match {
+      case Broadcast =>
+        // The checkpointed left side is already round-robin partitioned
+        // (signatures()/fanOut contract), so the O(pairs) probe fans out
+        // over its partitions with no further shuffle.
+        explodeBands(leftSigs).alias("a")
+          .join(broadcast(explodeBands(rightSigs).alias("b")), joinKey("a", "b"))
+      case Salted(salts) =>
+        val bandedA = explodeBands(leftSigs).withColumn("__salt", Skew.salt(col(idCol), salts))
+        val bandedB = explodeBands(rightSigs)
+          .withColumn("__salt", explode(sequence(lit(0L), lit(salts - 1L))))
+        bandedA.alias("a")
+          .join(bandedB.alias("b").hint("merge"),
+            joinKey("a", "b") && col("a.__salt") === col("b.__salt"))
+      case _: Auto => throw new IllegalStateException("resolve Auto via resolveShape first")
+    }
+    val keep = sizePrune match {
+      case Some((_, tauNum, tauDen)) =>
+        least(col("a.__n"), col("b.__n")) * tauDen >=
+          greatest(col("a.__n"), col("b.__n")) * tauNum &&
+          graft.functions.GraftExpressions.firstMatchIndex(
+            col(s"a.$bandsCol"), col(s"b.$bandsCol")) === col("a.__band_idx")
+      case None =>
+        graft.functions.GraftExpressions.firstMatchIndex(
+          col(s"a.$bandsCol"), col(s"b.$bandsCol")) === col("a.__band_idx")
+    }
+    cands.where(keep)
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+  }
+
+  /** Which NEW docs near-duplicate the EXISTING corpus: (doc_a = new id,
+    * doc_b = corpus id, jaccard) for J ≥ τ — the incremental-ingest
+    * primitive (`Streams.incrementalNearDupIngest` drives it per
+    * micro-batch; batch users call it directly for delta-vs-snapshot
+    * dedup). Both inputs carry (doc_id, `setCol`, bands) — corpus sigs
+    * are a PERSISTED artifact (computed once at ingest, stored with the
+    * corpus), so only the new slice pays signature cost.
+    */
+  def nearDupAgainst(newSigsIn: DataFrame, corpusSigsIn: DataFrame, setCol: String,
+      tauNum: Int, tauDen: Int, threshold: Double,
+      shapeIn: LshShape = Auto()): DataFrame = {
+    val newSigs = newSigsIn.where(size(col(setCol)) > 0).localCheckpoint()
+    val corpusSigs = corpusSigsIn.where(size(col(setCol)) > 0).localCheckpoint()
+    val shape = resolveShape(shapeIn, corpusSigs) // the corpus is the broadcast-risk side
+    val pairs = bandedCandidatesAcross(newSigs, corpusSigs, "doc_id", "bands", shape,
+      sizePrune = Some((size(col(setCol)), tauNum, tauDen)))
+    confirmJaccard(pairs, jaccardDict(newSigs, setCol), jaccardDict(corpusSigs, setCol),
+      setCol, threshold, shape)
   }
 
   /** Auto → Broadcast or Salted by counting the (already materialized)

@@ -280,6 +280,77 @@ object Streams {
     }
   }
 
+  // ---------------------------- incremental near-dup ingest (foreachBatch)
+
+  /** One ingest step of [[incrementalNearDupIngest]] — public so batch
+    * users can drive the same dedup-delta-against-snapshot logic
+    * directly. `batch` must carry (doc_id, text, ...); survivors land in
+    * `corpusDir/batch_<id>` with their normalized token sets and LSH
+    * bands, so FUTURE batches probe a persisted, pre-banded corpus index
+    * and only the new slice ever pays signature cost.
+    *
+    * Idempotent per batchId (the foreachBatch replay contract): a replay
+    * of an already-ingested batch finds its output directory and returns
+    * without touching the corpus.
+    *
+    * Dedup policy, in order: (1) within the batch, locally-minimal docs
+    * survive (every doc that is the larger id of some ≥τ pair drops —
+    * the PipelineMain pair policy); (2) survivors that near-dup ANY
+    * corpus doc drop (the corpus, being earlier, always wins —
+    * first-arrival-wins across batches, exactly the streaming dedup
+    * semantic of `dropDuplicatesWithinWatermark` lifted to NEAR
+    * duplicates, with the persisted corpus as unbounded-retention state).
+    */
+  def ingestBatch(batch: DataFrame, corpusDir: String, batchId: Long,
+      tauNum: Int = 9, tauDen: Int = 10, threshold: Double = 0.9,
+      shape: graft.engine.Dedup.LshShape = graft.engine.Dedup.Auto()): Unit = {
+    import graft.engine.Dedup
+    val spark = batch.sparkSession
+    val root = new java.io.File(corpusDir)
+    root.mkdirs()
+    val target = new java.io.File(root, f"batch_$batchId%06d")
+    if (target.exists()) return // replayed batch — already ingested
+    val staged = Dedup.fanOut(batch).withColumn("toks", Dedup.normTokens(col("text")))
+    val sigs = Dedup.signatures(staged).where(size(col("toks")) > 0).localCheckpoint()
+    val within = Dedup.lshNearDupPairs(sigs, "toks", tauNum, tauDen, threshold, shape)
+    val afterWithin = sigs
+      .join(within.select(col("doc_b").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    val parts = Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.startsWith("batch_")).map(_.getPath).sorted
+    val survivors =
+      if (parts.isEmpty) afterWithin
+      else {
+        val corpus = spark.read.parquet(parts.toIndexedSeq: _*)
+          .select(col("doc_id"), col("toks"), col("bands"))
+        val vsCorpus = Dedup.nearDupAgainst(afterWithin, corpus, "toks",
+          tauNum, tauDen, threshold, shape)
+        afterWithin.join(vsCorpus.select(col("doc_a").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+      }
+    survivors.write.parquet(target.getPath)
+  }
+
+  /** Streaming corpus ingest with NEAR-duplicate suppression: each
+    * micro-batch is deduped within itself, then against every earlier
+    * survivor, and its survivors are appended to the persisted corpus —
+    * the reference's first-wins dedup semantic lifted from exact ids to
+    * ≥τ token-set Jaccard, with the corpus itself as the (restartable,
+    * parquet-backed) state store instead of opaque executor state.
+    *
+    * Scale notes: per batch the work is O(batch signatures) + one banded
+    * probe of the corpus index (Broadcast while it fits, `Salted` past
+    * that — `shape` is the standard LshShape dial); corpus signatures
+    * are computed once, at ingest, never recomputed. State recovery
+    * after a crash is reading a directory.
+    */
+  def incrementalNearDupIngest(docs: DataFrame, corpusDir: String, checkpoint: String,
+      tauNum: Int = 9, tauDen: Int = 10, threshold: Double = 0.9,
+      shape: graft.engine.Dedup.LshShape = graft.engine.Dedup.Auto()): StreamingQuery =
+    start(docs, ForeachBatchSink(
+      (b, id) => ingestBatch(b, corpusDir, id, tauNum, tauDen, threshold, shape),
+      Some(checkpoint)))
+
   // ---------------------------------------- operational metrics (R5 ops)
 
   /** One micro-batch's operational snapshot — the numbers a production

@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.Streams
+
+/** Incremental near-dup ingest: first-arrival-wins near-dedup across
+  * micro-batches with the persisted corpus as state — within-batch
+  * locally-minimal survivors, corpus-always-wins across batches,
+  * idempotent batch replay.
+  */
+class StreamingIngestSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+
+  private def corpusIds(dir: String): Set[Long] =
+    spark.read.parquet(dir + "/batch_*").select("doc_id").as[Long].collect().toSet
+
+  test("near-dups are suppressed within a batch and against earlier batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ingest").toString
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
+    val docs = mem.toDF().toDF("doc_id", "text", "ts")
+    val q = Streams.incrementalNearDupIngest(docs, s"$dir/corpus", s"$dir/ckpt")
+    try {
+      // Batch 0: doc 2 is an exact dup of doc 1 (J = 1) — within-batch drop.
+      mem.addData((1L, "alpha beta gamma delta epsilon", ts(0)),
+        (2L, "alpha beta gamma delta epsilon", ts(1)),
+        (3L, "totally unrelated words here now", ts(2)))
+      q.processAllAvailable()
+      assert(corpusIds(s"$dir/corpus") == Set(1L, 3L))
+      // Batch 1: doc 4 dups the batch-0 survivor (corpus wins); doc 5 is
+      // a NEAR dup below τ (J = 5/6 ≈ 0.83 < 0.9) and must survive;
+      // doc 6 is new.
+      mem.addData((4L, "alpha beta gamma delta epsilon", ts(10)),
+        (5L, "alpha beta gamma delta epsilon zeta", ts(11)),
+        (6L, "fresh content never seen before", ts(12)))
+      q.processAllAvailable()
+      assert(corpusIds(s"$dir/corpus") == Set(1L, 3L, 5L, 6L))
+    } finally q.stop()
+    // Replaying an already-ingested batch id is a no-op (foreachBatch
+    // at-least-once contract).
+    val replay = Seq((7L, "this replay must not land", ts(20)))
+      .toDF("doc_id", "text", "ts")
+    Streams.ingestBatch(replay, s"$dir/corpus", batchId = 0L)
+    assert(corpusIds(s"$dir/corpus") == Set(1L, 3L, 5L, 6L))
+  }
+
+  test("batch driver surface: ingestBatch dedups a delta against a snapshot") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-delta").toString
+    val snapshot = Seq((10L, "one two three four five", ts(0)))
+      .toDF("doc_id", "text", "ts")
+    Streams.ingestBatch(snapshot, s"$dir/corpus", batchId = 0L)
+    val delta = Seq(
+      (11L, "one two three four five", ts(5)), // dup of snapshot
+      (12L, "six seven eight nine ten", ts(6)))
+      .toDF("doc_id", "text", "ts")
+    Streams.ingestBatch(delta, s"$dir/corpus", batchId = 1L)
+    assert(corpusIds(s"$dir/corpus") == Set(10L, 12L))
+    // The corpus index carries the persisted bands (no recompute on probe).
+    val cols = spark.read.parquet(s"$dir/corpus/batch_*").columns.toSet
+    assert(Set("doc_id", "toks", "bands").subsetOf(cols), cols.toString)
+  }
+}
