@@ -111,18 +111,13 @@ object CosineLsh {
   def nearDup(embs: DataFrame, dim: Int, threshold: Double,
       nTables: Int = 12, bits: Int = 8,
       shapeIn: Dedup.LshShape = Dedup.Broadcast): DataFrame = {
-    val e = Dedup.fanOut(embs) // fixture scans are ONE partition (Dedup.fanOut contract)
-      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("n", sqrt(dotProduct(col("v"), col("v"))))
-      // Degenerate-row guard (this family's NaN fail-open hazard; the
-      // MinHash family's counterpart is lshNearDupPairs' empty-set
-      // exclusion): zero vectors have no direction (cosine 0/0) and
-      // NaN/Inf components poison every downstream comparison — note
-      // Spark orders NaN ABOVE all doubles, so a bare `n > 0` would fail
-      // OPEN for NaN norms; the upper bound closes both NaN and Inf.
-      .where(col("n") > 0 && col("n") < lit(Double.PositiveInfinity))
-    val sigs = withSignatures(e, nTables, bits, dim)
-      .localCheckpoint() // three consumers below; signatures compute once
+    // prepSigs applies this family's degenerate-row guard (the NaN
+    // fail-open hazard; the MinHash counterpart is lshNearDupPairs'
+    // empty-set exclusion): zero vectors have no direction (cosine 0/0)
+    // and NaN/Inf components poison every downstream comparison — Spark
+    // orders NaN ABOVE all doubles, so a bare `n > 0` would fail OPEN
+    // for NaN norms; the upper bound closes both NaN and Inf.
+    val sigs = prepSigs(embs, dim, nTables, bits)
     val shape = Dedup.resolveShape(shapeIn, sigs)
     val pairs = Dedup.bandedCandidates(sigs, "vec_id", "sigs", shape)
     val dict = sigs.select(col("vec_id"), col("v"), col("n"))
@@ -133,6 +128,41 @@ object CosineLsh {
       // value would reintroduce the ulp-drift trap (G2) right at τ.
       // barrier: the filter above would otherwise be pushed below this
       // projection with the dot product inlined — twice the per-pair work.
+      .withColumn("cos_sim", round(
+        dotProduct(col("v_a"), col("v_b"), barrier = true) / (col("n_a") * col("n_b")), 6))
+      .where(col("cos_sim") >= threshold)
+      .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"), col("cos_sim"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Shared preparation: cast to double, compute the norm, exclude
+    * degenerate vectors (the family's NaN fail-open guard), attach
+    * packed signatures, checkpoint.
+    */
+  private def prepSigs(embs: DataFrame, dim: Int, nTables: Int, bits: Int): DataFrame = {
+    val e = Dedup.fanOut(embs)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("n", sqrt(dotProduct(col("v"), col("v"))))
+      .where(col("n") > 0 && col("n") < lit(Double.PositiveInfinity))
+    withSignatures(e, nTables, bits, dim).localCheckpoint()
+  }
+
+  /** Which NEW vectors near-duplicate the EXISTING corpus: (vec_a = new
+    * id, vec_b = corpus id, cos_sim ≥ τ) — the embedding twin of
+    * `Dedup.nearDupAgainst` for incremental vector ingest (dedup a delta
+    * of embeddings against the indexed corpus before appending). Same
+    * cross-corpus banded core; the corpus side drives shape resolution
+    * (it is the broadcast-risk side).
+    */
+  def nearDupAgainst(newEmbs: DataFrame, corpusEmbs: DataFrame, dim: Int,
+      threshold: Double, nTables: Int = 12, bits: Int = 8,
+      shapeIn: Dedup.LshShape = Dedup.Auto()): DataFrame = {
+    val newSigs = prepSigs(newEmbs, dim, nTables, bits)
+    val corpusSigs = prepSigs(corpusEmbs, dim, nTables, bits)
+    val shape = Dedup.resolveShape(shapeIn, corpusSigs)
+    val pairs = Dedup.bandedCandidatesAcross(newSigs, corpusSigs, "vec_id", "sigs", shape)
+    def dict(df: DataFrame) = df.select(col("vec_id"), col("v"), col("n"))
+    Dedup.attachPairSides(pairs, dict(newSigs), dict(corpusSigs), "vec_id", shape)
       .withColumn("cos_sim", round(
         dotProduct(col("v_a"), col("v_b"), barrier = true) / (col("n_a") * col("n_b")), 6))
       .where(col("cos_sim") >= threshold)

@@ -650,6 +650,19 @@ object Oracle {
         round(sum(value), 2) AS sum_value, max(ts) AS max_ts
       FROM events GROUP BY event_type ORDER BY event_type""",
 
+    "q_bigram_topk" -> """
+      WITH t AS (SELECT string_split(text, ' ') l FROM documents),
+        b AS (SELECT unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS bigram
+          FROM t)
+      SELECT bigram, count(*) AS cnt FROM b
+      GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 20""",
+
+    "q_user_sequences" -> """
+      SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_events,
+        array_to_string(list(event_type ORDER BY ts, event_id), ' ') AS sequence
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+      ORDER BY user_id, day""",
+
     // Int8 scalar quantization: codes via FLOOR (round() is half-up in
     // Spark/Java but half-even in DuckDB — a .5-boundary trap), cast
     // AFTER floor (DuckDB's double→int cast rounds, Spark's truncates).

@@ -79,6 +79,42 @@ object TextAnalysis {
           .cast("long").as("n_bpe_pieces"))
       .orderBy("doc_id")
 
+  /** Bigram term frequency — the n-gram LM-prep sibling of q_token_topk:
+    * adjacent-token pairs via a 1-based index transform (docs under two
+    * tokens are filtered BEFORE the sequence expression — Spark's
+    * `sequence(1, 0)` counts DOWN, it is not empty), exploded and
+    * counted. Map-side explode + one hash aggregate; top-20 is
+    * TakeOrderedAndProject.
+    */
+  val qBigramTopk: Q = (s, d) => {
+    val toks = split(col("text"), " ")
+    documents(s, d)
+      .where(size(toks) >= 2)
+      .select(explode(transform(sequence(lit(1), size(toks) - 1),
+        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1)))).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("bigram"))
+      .limit(20)
+  }
+
+  /** Per-(user, day) ordered event-type sequences — the behavior-sequence
+    * construction step of a sequence-model training pipeline: events
+    * collected per key, deterministically ordered by (ts, event_id)
+    * via struct sort (collect_list order is partition-arbitrary — G4),
+    * rendered as a space-joined string. One shuffle on the group key;
+    * the sort is per-group.
+    */
+  val qUserSequences: Q = (s, d) =>
+    events(s, d)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+            x => x.getField("event_type")), " ").as("sequence"))
+      .orderBy("user_id", "day")
+
   /** Quality scoring: length/token/stopword/diversity ratios + composite. */
   val qTextQuality: Q = (s, d) => {
     val toks = split(col("text"), " ")
@@ -170,6 +206,8 @@ object TextAnalysis {
   val queries: Map[String, Q] = Map(
     "q_text_stats" -> qTextStats,
     "q_curation_pipeline" -> qCurationPipeline,
+    "q_bigram_topk" -> qBigramTopk,
+    "q_user_sequences" -> qUserSequences,
     "q_token_count" -> qTokenCount,
     "q_token_topk" -> qTokenTopk,
     "q_text_quality" -> qTextQuality,

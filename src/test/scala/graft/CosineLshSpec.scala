@@ -102,6 +102,28 @@ class CosineLshSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("nearDupAgainst finds exactly the delta vectors duplicating the corpus") {
+    // Corpus = fixture; delta = 10 perturbed copies (near-dups, must be
+    // flagged) + 10 NEGATED fixture vectors (cos −1 vs their original,
+    // ≤ 0.60 vs everything else — must survive at τ = 0.99).
+    val corpus = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val copies = corpus.where(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + 500000).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => (x * (lit(1.0) + when(i === 0, lit(0.02)).otherwise(lit(0.0)))).cast("float"))
+          .as("embedding"))
+    val fresh = corpus.where(col("vec_id") % 50 === 7)
+      .select((col("vec_id") + 600000).as("vec_id"),
+        transform(col("embedding"), x => (-x).cast("float")).as("embedding"))
+    val delta = copies.unionByName(fresh)
+    val flagged = CosineLsh.nearDupAgainst(delta, corpus, Dim, 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every planted copy pairs with its original, nothing else
+    val want = corpus.where(col("vec_id") % 50 === 0)
+      .select("vec_id").collect().map(_.getLong(0)).map(v => (v + 500000, v)).toSet
+    assert(flagged == want, s"flagged ${flagged.size}, want ${want.size}")
+  }
+
   test("graded q_cosine_neardup recovers EXACTLY the planted pair set (oracle precondition)") {
     // The driver's oracle is exact all-pairs cosine on the same planted
     // corpus; at τ = 0.99 the per-pair LSH miss probability is ~1e-22
