@@ -650,6 +650,31 @@ object Oracle {
         round(sum(value), 2) AS sum_value, max(ts) AS max_ts
       FROM events GROUP BY event_type ORDER BY event_type""",
 
+    // One UNION ALL arm per profiled column; values match the engine's
+    // single-pass Expand-aggregate because each statistic is the same
+    // scalar regardless of how many scans produce it.
+    "q_profile" -> """
+      WITH s AS (SELECT count(*) AS n_rows,
+          count(l_quantity) q_nn, count(DISTINCT l_quantity) q_nd,
+            round(min(l_quantity), 4) q_min, round(max(l_quantity), 4) q_max,
+            round(avg(l_quantity), 4) q_avg,
+          count(l_extendedprice) p_nn, count(DISTINCT l_extendedprice) p_nd,
+            round(min(l_extendedprice), 4) p_min, round(max(l_extendedprice), 4) p_max,
+            round(avg(l_extendedprice), 4) p_avg,
+          count(l_discount) d_nn, count(DISTINCT l_discount) d_nd,
+            round(min(l_discount), 4) d_min, round(max(l_discount), 4) d_max,
+            round(avg(l_discount), 4) d_avg,
+          count(l_tax) t_nn, count(DISTINCT l_tax) t_nd,
+            round(min(l_tax), 4) t_min, round(max(l_tax), 4) t_max,
+            round(avg(l_tax), 4) t_avg
+        FROM lineitem)
+      SELECT 'l_discount' AS "column", n_rows, d_nn AS n_nonnull, d_nd AS n_distinct,
+        d_min AS min_value, d_max AS max_value, d_avg AS avg_value FROM s
+      UNION ALL SELECT 'l_extendedprice', n_rows, p_nn, p_nd, p_min, p_max, p_avg FROM s
+      UNION ALL SELECT 'l_quantity', n_rows, q_nn, q_nd, q_min, q_max, q_avg FROM s
+      UNION ALL SELECT 'l_tax', n_rows, t_nn, t_nd, t_min, t_max, t_avg FROM s
+      ORDER BY "column"""",
+
     "q_bigram_topk" -> """
       WITH t AS (SELECT string_split(text, ' ') l FROM documents),
         b AS (SELECT unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS bigram

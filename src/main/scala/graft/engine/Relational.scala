@@ -580,7 +580,35 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** Single-pass column profiling — the data-quality census a pipeline
+    * runs before training: per profiled column, non-null count, distinct
+    * count, min/max/mean, all computed in ONE aggregate over one scan
+    * (the multi-distinct agg plans as one Expand + hash aggregate, not
+    * one scan per column) and unpivoted to a row per column via a
+    * map-side explode.
+    */
+  val qProfile: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+      count(col(c)).as(s"${c}__nn"),
+      countDistinct(col(c)).as(s"${c}__nd"),
+      round(min(col(c)), 4).as(s"${c}__min"),
+      round(max(col(c)), 4).as(s"${c}__max"),
+      round(avg(col(c)), 4).as(s"${c}__avg")))
+    li.agg(aggs.head, aggs.tail: _*)
+      .select(col("n_rows"), explode(array(cols.map(c =>
+        struct(lit(c).as("column"),
+          col(s"${c}__nn").as("n_nonnull"), col(s"${c}__nd").as("n_distinct"),
+          col(s"${c}__min").as("min_value"), col(s"${c}__max").as("max_value"),
+          col(s"${c}__avg").as("avg_value"))): _*)).as("p"))
+      .select(col("p.column"), col("n_rows"), col("p.n_nonnull"), col("p.n_distinct"),
+        col("p.min_value"), col("p.max_value"), col("p.avg_value"))
+      .orderBy("column")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_profile" -> qProfile,
     "q_scan_project" -> qScanProject,
     "q_filter_predicates" -> qFilterPredicates,
     "q_project_expr" -> qProjectExpr,

@@ -99,6 +99,24 @@ object Tables {
       .option("timestampFormat", textTimestampFormat)
       .json(path)
 
+  /** Small-files compaction — the housekeeping pass every long-running
+    * ingest needs (each micro-batch/task writes its own file; a 100 TB
+    * corpus accumulates millions of KB-sized files whose open/footer
+    * costs dominate scans). Rewrites `inputDir` as ~`targetFiles`
+    * similarly-sized parquet files via a round-robin repartition (a full
+    * shuffle — bounded by the data rewritten, which compaction must do
+    * anyway); `maxRecordsPerFile` additionally caps file size when row
+    * width varies.
+    */
+  def compact(spark: SparkSession, inputDir: String, outDir: String,
+      targetFiles: Int, maxRecordsPerFile: Long = 0L): Unit = {
+    val w = configure(spark).read.parquet(inputDir)
+      .repartition(targetFiles)
+      .write.mode("overwrite")
+    (if (maxRecordsPerFile > 0) w.option("maxRecordsPerFile", maxRecordsPerFile) else w)
+      .parquet(outDir)
+  }
+
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
   def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")

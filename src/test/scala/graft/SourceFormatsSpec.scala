@@ -44,6 +44,19 @@ class SourceFormatsSpec extends AnyFunSuite {
     assert(json == want)
   }
 
+  test("compact rewrites a many-small-files directory into the target file count, rows intact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    // 20 tiny files (one per partition).
+    events.repartition(20).write.mode("overwrite").parquet(s"$dir/small")
+    def parquetFiles(p: String) = new java.io.File(p).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(parquetFiles(s"$dir/small") == 20)
+    Tables.compact(spark, s"$dir/small", s"$dir/big", targetFiles = 2)
+    assert(parquetFiles(s"$dir/big") == 2)
+    assert(spark.read.parquet(s"$dir/big").orderBy("event_id").collect().toSeq ==
+      events.orderBy("event_id").collect().toSeq)
+  }
+
   test("date-partitioned layout prunes partitions at the scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
     events.withColumn("event_date", to_date(col("ts")))
