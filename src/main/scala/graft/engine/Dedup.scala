@@ -505,6 +505,28 @@ object Dedup {
         "grams", minChars = 3), "grams"),
       "grams", 4, 5, 0.8, Auto(), blockCols = DocBlockCols)
 
+  /** Graded surface for [[nearDupAgainst]] — delta-vs-snapshot dedup:
+    * the delta is 50 re-labeled copies of corpus docs (J = 1 with their
+    * originals — and with any corpus doc in the same normalized-dup
+    * group) plus 50 synthetic docs whose token sets are disjoint from
+    * the corpus vocabulary (must survive). Oracle: exact delta × corpus
+    * all-pairs Jaccard — sound for the same reason as q_neardup_lsh
+    * (per-pair band-miss ~3e-12 at J ≥ 0.9).
+    */
+  val qNeardupDelta: Q = (s, d) => {
+    val docs = fanOut(documents(s, d))
+    val dup = docs.where(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    val novel = docs.where(col("doc_id") % 10 === 3)
+      .select((col("doc_id") + 200000L).as("doc_id"),
+        concat(lit("zzz unique synthetic content "),
+          (col("doc_id") + 200000L).cast("string")).as("text"))
+    val delta = dup.unionByName(novel)
+      .select(col("doc_id"), normTokens(col("text")).as("toks"))
+    val corpus = docs.select(col("doc_id"), normTokens(col("text")).as("toks"))
+    nearDupAgainst(signatures(delta), signatures(corpus), "toks", 9, 10, 0.9)
+  }
+
   /** SimHash near-duplicate pairs: doc pairs whose 64-bit token-multiset
     * SimHash signatures differ in at most `maxHamming` bits — the
     * constant-size-fingerprint member of the near-dup family (MinHash
@@ -673,6 +695,7 @@ object Dedup {
     "q_neardup_lsh_salted" -> qNeardupLshSalted,
     "q_neardup_components" -> qNeardupComponents,
     "q_simhash_neardup" -> qSimhashNeardup,
+    "q_neardup_delta" -> qNeardupDelta,
     "q_minhash_sig" -> qMinhashSig
   )
 }

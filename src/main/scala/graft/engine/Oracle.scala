@@ -675,6 +675,26 @@ object Oracle {
       UNION ALL SELECT 'l_tax', n_rows, t_nn, t_nd, t_min, t_max, t_avg FROM s
       ORDER BY "column"""",
 
+    // Delta-vs-snapshot near-dup: exact delta × corpus all-pairs Jaccard
+    // over the identically-constructed delta (re-labeled copies + a
+    // synthetic disjoint-vocabulary slice).
+    "q_neardup_delta" -> """
+      WITH corpus AS (SELECT doc_id, list_distinct(string_split(text, ' ')) toks FROM documents),
+        delta AS (
+          SELECT doc_id + 100000 AS doc_id, list_distinct(string_split(text, ' ')) toks
+          FROM documents WHERE doc_id % 10 = 0
+          UNION ALL
+          SELECT doc_id + 200000 AS doc_id,
+            list_distinct(string_split(
+              'zzz unique synthetic content ' || CAST(doc_id + 200000 AS VARCHAR), ' ')) toks
+          FROM documents WHERE doc_id % 10 = 3),
+        pairs AS (SELECT a.doc_id doc_a, b.doc_id doc_b,
+            round(len(list_intersect(a.toks, b.toks)) * 1.0 /
+                  len(list_distinct(list_concat(a.toks, b.toks))), 6) jaccard
+          FROM delta a CROSS JOIN corpus b)
+      SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.9
+      ORDER BY doc_a, doc_b""",
+
     "q_bigram_topk" -> """
       WITH t AS (SELECT string_split(text, ' ') l FROM documents),
         b AS (SELECT unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS bigram
