@@ -588,7 +588,11 @@ object Relational {
     * map-side explode.
     */
   val qProfile: Q = (s, d) => {
-    val li = Tables.lineitem(s, d)
+    // fanOut: the multi-distinct agg plans as Expand ×(columns+1) rows
+    // BEFORE the partial aggregate — on the single-partition fixture
+    // scan (G10) that 5× row blow-up would run in one task.
+    val li = Dedup.fanOut(Tables.lineitem(s, d)
+      .select("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
     val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
       count(col(c)).as(s"${c}__nn"),

@@ -88,8 +88,9 @@ object TextAnalysis {
     */
   val qBigramTopk: Q = (s, d) => {
     val toks = split(col("text"), " ")
-    documents(s, d)
-      .where(size(toks) >= 2)
+    // fanOut first: the fixture scans as ONE partition (G10), and the
+    // per-doc bigram build + explode is the expensive part.
+    graft.engine.Dedup.fanOut(documents(s, d).where(size(toks) >= 2))
       .select(explode(transform(sequence(lit(1), size(toks) - 1),
         i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1)))).as("bigram"))
       .groupBy(col("bigram"))

@@ -53,4 +53,29 @@ object KernelProps extends Properties("graft.kernels") {
       GraftOps.rollingFingerprint(s, 16) == GraftOps.rollingFingerprint(s, 16) &&
         (s == flipped || GraftOps.fnv1a64(s) != GraftOps.fnv1a64(flipped))
     }
+
+  private val tokenGen: Gen[String] = Gen.choose(1, 8).flatMap(Gen.stringOfN(_, Gen.alphaLowerChar))
+  private val tokensGen: Gen[List[String]] = Gen.choose(1, 30).flatMap(Gen.listOfN(_, tokenGen))
+
+  property("simhash64 is invariant under token reordering (multiset hash)") =
+    forAll(tokensGen, Gen.long) { (toks, seed) =>
+      val rnd = new scala.util.Random(seed)
+      GraftOps.simhash64(toks.mkString(" ")) ==
+        GraftOps.simhash64(rnd.shuffle(toks).mkString(" "))
+    }
+
+  property("simhash64 hamming distance is a semi-metric (symmetric, self-zero)") =
+    forAll(tokensGen, tokensGen) { (a, b) =>
+      def h(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+      val (sa, sb) = (GraftOps.simhash64(a.mkString(" ")), GraftOps.simhash64(b.mkString(" ")))
+      h(sa, sa) == 0 && h(sa, sb) == h(sb, sa)
+    }
+
+  property("simhash64 of a single repeated token keeps the token's hash sign pattern") =
+    // One distinct token: every bit's vote has the same sign as the
+    // token hash's bit, so the signature IS the token hash — repetition
+    // count must not change it.
+    forAll(tokenGen, Gen.choose(1, 10)) { (t, n) =>
+      GraftOps.simhash64(List.fill(n)(t).mkString(" ")) == GraftOps.fnv1a64(t)
+    }
 }
