@@ -650,6 +650,19 @@ object Oracle {
         round(sum(value), 2) AS sum_value, max(ts) AS max_ts
       FROM events GROUP BY event_type ORDER BY event_type""",
 
+    // Spearman via per-value midranks (window over the tiny distinct
+    // dictionary, not the data) — mirrors the engine's no-global-sort
+    // formulation exactly.
+    "q_corr_spearman" -> """
+      WITH q AS (SELECT l_quantity v, count(*) n FROM lineitem GROUP BY 1),
+        qr AS (SELECT v, sum(n) OVER (ORDER BY v) - (n - 1) / 2.0 AS r FROM q),
+        dd AS (SELECT l_discount v, count(*) n FROM lineitem GROUP BY 1),
+        dr AS (SELECT v, sum(n) OVER (ORDER BY v) - (n - 1) / 2.0 AS r FROM dd)
+      SELECT round(corr(qr.r, dr.r), 6) AS spearman_qty_discount, count(*) AS n_rows
+      FROM lineitem l
+      JOIN qr ON l.l_quantity = qr.v
+      JOIN dr ON l.l_discount = dr.v""",
+
     // One UNION ALL arm per profiled column; values match the engine's
     // single-pass Expand-aggregate because each statistic is the same
     // scalar regardless of how many scans produce it.

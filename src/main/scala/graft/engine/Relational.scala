@@ -1,6 +1,7 @@
 package graft.engine
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Relational core: scans, filters, projections, aggregation (SURVEY.md
@@ -580,6 +581,28 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** Spearman rank correlation WITHOUT a global sort: ranking 600 K rows
+    * with a window over an empty partition spec is a single-task sort —
+    * the classic rank-correlation scale trap. Instead, per-VALUE midranks
+    * (midrank = cumrank − (ties−1)/2) are computed on the tiny distinct
+    * dictionaries (50 quantities, 11 discounts — the window runs over
+    * the dictionary, not the data) and broadcast-joined back, so the
+    * data path is two map-side joins + one aggregate. For continuous
+    * columns the dictionary approaches the row count — bin or sample
+    * first; the low-cardinality pair here is the honest use case.
+    */
+  val qCorrSpearman: Q = (s, d) => {
+    def midranks(df: DataFrame, c: String, out: String): DataFrame =
+      df.groupBy(col(c)).agg(count(lit(1)).as("__n"))
+        .withColumn("__cum", sum("__n").over(Window.orderBy(col(c))))
+        .select(col(c), (col("__cum") - (col("__n") - 1) / 2.0).as(out))
+    val li = Tables.lineitem(s, d).select("l_quantity", "l_discount")
+    li.join(broadcast(midranks(li, "l_quantity", "rank_q")), "l_quantity")
+      .join(broadcast(midranks(li, "l_discount", "rank_d")), "l_discount")
+      .agg(round(corr(col("rank_q"), col("rank_d")), 6).as("spearman_qty_discount"),
+        count(lit(1)).as("n_rows"))
+  }
+
   /** Single-pass column profiling — the data-quality census a pipeline
     * runs before training: per profiled column, non-null count, distinct
     * count, min/max/mean, all computed in ONE aggregate over one scan
@@ -613,6 +636,7 @@ object Relational {
 
   val queries: Map[String, Q] = Map(
     "q_profile" -> qProfile,
+    "q_corr_spearman" -> qCorrSpearman,
     "q_scan_project" -> qScanProject,
     "q_filter_predicates" -> qFilterPredicates,
     "q_project_expr" -> qProjectExpr,
