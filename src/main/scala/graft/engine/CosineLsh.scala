@@ -151,15 +151,16 @@ object CosineLsh {
     * id, vec_b = corpus id, cos_sim ≥ τ) — the embedding twin of
     * `Dedup.nearDupAgainst` for incremental vector ingest (dedup a delta
     * of embeddings against the indexed corpus before appending). Same
-    * cross-corpus banded core; the corpus side drives shape resolution
-    * (it is the broadcast-risk side).
+    * cross-corpus banded core; Auto dispatch considers BOTH sides (the
+    * Broadcast branch broadcasts both dictionaries —
+    * Dedup.resolveShapeBoth scaladoc).
     */
   def nearDupAgainst(newEmbs: DataFrame, corpusEmbs: DataFrame, dim: Int,
       threshold: Double, nTables: Int = 12, bits: Int = 8,
       shapeIn: Dedup.LshShape = Dedup.Auto()): DataFrame = {
     val newSigs = prepSigs(newEmbs, dim, nTables, bits)
     val corpusSigs = prepSigs(corpusEmbs, dim, nTables, bits)
-    val shape = Dedup.resolveShape(shapeIn, corpusSigs)
+    val shape = Dedup.resolveShapeBoth(shapeIn, newSigs, corpusSigs)
     val pairs = Dedup.bandedCandidatesAcross(newSigs, corpusSigs, "vec_id", "sigs", shape)
     def dict(df: DataFrame) = df.select(col("vec_id"), col("v"), col("n"))
     Dedup.attachPairSides(pairs, dict(newSigs), dict(corpusSigs), "vec_id", shape)

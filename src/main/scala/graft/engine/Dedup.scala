@@ -445,7 +445,7 @@ object Dedup {
       shapeIn: LshShape = Auto()): DataFrame = {
     val newSigs = newSigsIn.where(size(col(setCol)) > 0).localCheckpoint()
     val corpusSigs = corpusSigsIn.where(size(col(setCol)) > 0).localCheckpoint()
-    val shape = resolveShape(shapeIn, corpusSigs) // the corpus is the broadcast-risk side
+    val shape = resolveShapeBoth(shapeIn, newSigs, corpusSigs)
     val pairs = bandedCandidatesAcross(newSigs, corpusSigs, "doc_id", "bands", shape,
       sizePrune = Some((size(col(setCol)), tauNum, tauDen)))
     confirmJaccard(pairs, jaccardDict(newSigs, setCol), jaccardDict(corpusSigs, setCol),
@@ -459,6 +459,21 @@ object Dedup {
     shape match {
       case Auto(maxDocs) =>
         if (checkpointedSigs.count() <= maxDocs) Broadcast else Salted()
+      case s => s
+    }
+
+  /** Cross-corpus Auto resolution: the Broadcast branch broadcasts BOTH
+    * sides' payload dictionaries (attachPairSides) and the banded right
+    * side (bandedCandidatesImpl) — so the dispatch must consider the
+    * LARGER side, not just the corpus: a huge delta probed against a
+    * small corpus would otherwise pick Broadcast and ship the unbounded
+    * delta dictionary to every executor (r5 advice). Both frames must be
+    * checkpointed (counts are then metadata-cheap).
+    */
+  private[graft] def resolveShapeBoth(shape: LshShape, a: DataFrame, b: DataFrame): LshShape =
+    shape match {
+      case Auto(maxDocs) =>
+        if (math.max(a.count(), b.count()) <= maxDocs) Broadcast else Salted()
       case s => s
     }
 

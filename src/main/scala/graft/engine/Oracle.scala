@@ -631,7 +631,7 @@ object Oracle {
           ('signup', 0.1::DOUBLE), ('error', 0.05::DOUBLE))
       SELECT e.event_id, e.user_id, e.event_type
       FROM events e JOIN rates r USING (event_type)
-      WHERE (e.event_id * 2654435761) % 1048576 < r.rate * 1048576
+      WHERE ((e.event_id & 2147483647) * 2654435761) % 1048576 < r.rate * 1048576
       ORDER BY event_id""",
 
     // The CSV/JSON round-trip keys aggregate a re-read text copy of the
@@ -745,8 +745,8 @@ object Oracle {
     // thresholds 0.8/0.9 of 2^20 (exact double scaling).
     "q_train_test_split" -> """
       WITH s AS (SELECT lang, n_chars, doc_id,
-          CASE WHEN (doc_id * 2654435761) % 1048576 < 0.8 * 1048576 THEN 'train'
-               WHEN (doc_id * 2654435761) % 1048576 < 0.9 * 1048576 THEN 'valid'
+          CASE WHEN ((doc_id & 2147483647) * 2654435761) % 1048576 < 0.8 * 1048576 THEN 'train'
+               WHEN ((doc_id & 2147483647) * 2654435761) % 1048576 < 0.9 * 1048576 THEN 'valid'
                ELSE 'test' END AS split
         FROM documents)
       SELECT lang, split, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars,

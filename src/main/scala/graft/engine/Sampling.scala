@@ -38,12 +38,19 @@ object Sampling {
   /** Knuth multiplicative hash bucket in [0, Resolution): spreads
     * sequential ids uniformly (golden-ratio multiplier), expressible as
     * plain integer arithmetic in ANY engine — the cross-engine
-    * determinism contract. Caller contract: `id` must be a non-negative
-    * integer below ~3.5e9 so the product stays inside int64 (the fixture
-    * ids are row numbers); for wider id spaces hash the id first
-    * (e.g. xxhash64) and accept engine-specific buckets.
+    * determinism contract. The id is masked to its low 31 bits BEFORE the
+    * multiply so the product provably fits int64 ((2³¹−1)·2654435761 ≈
+    * 5.7e18 < 2⁶³−1) in EVERY engine: without the mask, ids ≳ 3.4e9
+    * silently wrap in Spark while DuckDB's BIGINT multiply raises — a
+    * silent cross-engine divergence. The mask is identity for ids < 2³¹
+    * (the fixture ids are row numbers), and the oracle applies the
+    * identical `(id & 2147483647)` expression; for id spaces wider than
+    * 31 bits the low-bits restriction still yields uniform buckets for
+    * sequential ids, but distinct ids 2³¹ apart share a bucket — hash
+    * first (e.g. xxhash64) if that matters.
     */
-  def bucket(id: Column): Column = pmod(id * lit(2654435761L), lit(Resolution))
+  def bucket(id: Column): Column =
+    pmod(id.bitwiseAND(lit(0x7FFFFFFFL)) * lit(2654435761L), lit(Resolution))
 
   /** Keep each row of stratum `keyCol` with its stratum's quota from
     * `rates` (absent strata keep `defaultRate`). The quota dim is

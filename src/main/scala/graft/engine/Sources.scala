@@ -35,24 +35,39 @@ object Sources {
         max(col("ts")).as("max_ts"))
       .orderBy("event_type")
 
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
+  }
+
+  /** Write → read-back → aggregate → eager localCheckpoint (the aggregate
+    * is O(event types) rows), then DELETE the round-trip directory — the
+    * returned frame no longer references the temp files, so repeated
+    * grading/bench runs leave no `graft_src_*` residue. NOTE (bench
+    * interpretation): these keys deliberately time the FULL round trip
+    * (text write + scan + aggregate), not just a read.
+    */
+  private def roundTrip(s: SparkSession, d: String, prefix: String,
+      write: (DataFrame, String) => Unit,
+      read: (String, org.apache.spark.sql.types.StructType) => DataFrame): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix).toString
+    try {
+      val ev = eventsSlice(s, d)
+      write(ev, dir)
+      aggregate(read(dir, ev.schema)).localCheckpoint()
+    } finally deleteRecursively(new java.io.File(dir))
+  }
+
   /** CSV round trip: events → CSV (header, micro timestamps) → explicit
     * schema read-back → aggregate. Oracle: identical aggregate over the
     * parquet fixture.
     */
-  val qSourceCsv: Q = (s, d) => {
-    val dir = java.nio.file.Files.createTempDirectory("graft_src_csv_").toString
-    val ev = eventsSlice(s, d)
-    Tables.writeCsv(ev, dir)
-    aggregate(Tables.readCsv(s, dir, ev.schema))
-  }
+  val qSourceCsv: Q = (s, d) =>
+    roundTrip(s, d, "graft_src_csv_", Tables.writeCsv, Tables.readCsv(s, _, _))
 
   /** JSON-lines round trip — same contract as [[qSourceCsv]]. */
-  val qSourceJson: Q = (s, d) => {
-    val dir = java.nio.file.Files.createTempDirectory("graft_src_json_").toString
-    val ev = eventsSlice(s, d)
-    Tables.writeJsonLines(ev, dir)
-    aggregate(Tables.readJsonLines(s, dir, ev.schema))
-  }
+  val qSourceJson: Q = (s, d) =>
+    roundTrip(s, d, "graft_src_json_", Tables.writeJsonLines, Tables.readJsonLines(s, _, _))
 
   val queries: Map[String, Q] = Map(
     "q_source_csv" -> qSourceCsv,

@@ -290,8 +290,18 @@ object Streams {
     * and only the new slice ever pays signature cost.
     *
     * Idempotent per batchId (the foreachBatch replay contract): a replay
-    * of an already-ingested batch finds its output directory and returns
-    * without touching the corpus.
+    * of an already-ingested batch finds its output directory's _SUCCESS
+    * marker and returns without touching the corpus. The marker — not
+    * mere directory existence — is the ingested test, because the
+    * parquet write is non-atomic: a crash mid-write leaves a partial
+    * `batch_<id>` directory, which the replay DELETES and rewrites
+    * (directory-existence gating would skip the batch — silent loss —
+    * and later batches would probe the partial files as corpus state).
+    * The corpus probe likewise reads only _SUCCESS-marked batches.
+    *
+    * All corpus-state IO goes through the Hadoop FileSystem API resolved
+    * from the path itself, so the persisted corpus index works unchanged
+    * on HDFS/S3A/local — where a 100 TB corpus actually lives.
     *
     * Dedup policy, in order: (1) within the batch, locally-minimal docs
     * survive (every doc that is the larger id of some ≥τ pair drops —
@@ -305,30 +315,37 @@ object Streams {
       tauNum: Int = 9, tauDen: Int = 10, threshold: Double = 0.9,
       shape: graft.engine.Dedup.LshShape = graft.engine.Dedup.Auto()): Unit = {
     import graft.engine.Dedup
+    import org.apache.hadoop.fs.Path
     val spark = batch.sparkSession
-    val root = new java.io.File(corpusDir)
-    root.mkdirs()
-    val target = new java.io.File(root, f"batch_$batchId%06d")
-    if (target.exists()) return // replayed batch — already ingested
+    val root = new Path(corpusDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(root)
+    val target = new Path(root, f"batch_$batchId%06d")
+    if (fs.exists(new Path(target, "_SUCCESS"))) return // replayed batch — already ingested
+    if (fs.exists(target)) fs.delete(target, true) // partial dir from a crashed write
     val staged = Dedup.fanOut(batch).withColumn("toks", Dedup.normTokens(col("text")))
     val sigs = Dedup.signatures(staged).where(size(col("toks")) > 0).localCheckpoint()
     val within = Dedup.lshNearDupPairs(sigs, "toks", tauNum, tauDen, threshold, shape)
     val afterWithin = sigs
       .join(within.select(col("doc_b").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
       .localCheckpoint()
-    val parts = Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
-      .filter(_.getName.startsWith("batch_")).map(_.getPath).sorted
+    val parts = fs.listStatus(root).toIndexedSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch_") &&
+        fs.exists(new Path(st.getPath, "_SUCCESS")))
+      .map(_.getPath.toString).sorted
     val survivors =
       if (parts.isEmpty) afterWithin
       else {
-        val corpus = spark.read.parquet(parts.toIndexedSeq: _*)
+        val corpus = spark.read.parquet(parts: _*)
           .select(col("doc_id"), col("toks"), col("bands"))
         val vsCorpus = Dedup.nearDupAgainst(afterWithin, corpus, "toks",
           tauNum, tauDen, threshold, shape)
         afterWithin.join(vsCorpus.select(col("doc_a").as("doc_id")).distinct(),
           Seq("doc_id"), "left_anti")
       }
-    survivors.write.parquet(target.getPath)
+    // The parquet committer drops the _SUCCESS marker only after every
+    // task commits — completing the marker-gated idempotency protocol.
+    survivors.write.parquet(target.toString)
   }
 
   /** Streaming corpus ingest with NEAR-duplicate suppression: each
