@@ -542,6 +542,47 @@ object Dedup {
     nearDupAgainst(signatures(delta), signatures(corpus), "toks", 9, 10, 0.9)
   }
 
+  /** Smallest power-of-two band count whose pigeonhole guarantee covers
+    * `maxHamming` (nBands ≥ maxHamming + 1), so callers dial the
+    * threshold and the banding follows: ≤3 → 4×16-bit, ≤7 → 8×8-bit,
+    * ≤15 → 16×4-bit. More bands = smaller band values = denser buckets
+    * (random 8-bit collisions at ~n²/256 per position), so the tightest
+    * sufficient banding is also the most selective one.
+    */
+  private[graft] def simHashBandCount(maxHamming: Int): Int = {
+    require(0 <= maxHamming && maxHamming <= 15,
+      s"banded SimHash supports hamming <= 15 (16x4-bit bands); got $maxHamming")
+    Seq(4, 8, 16).find(_ > maxHamming).get
+  }
+
+  /** (doc_id, sig, bands) — 64-bit SimHash signature split into `nBands`
+    * disjoint (64/nBands)-bit chunks (band identity = position in the
+    * array; the candidate join keys on (band_idx, band_hash)).
+    */
+  private def simHashSigs(docs: DataFrame, nBands: Int): DataFrame = {
+    val width = 64 / nBands
+    val mask = lit((1L << width) - 1)
+    fanOut(docs)
+      .select(col("doc_id"),
+        graft.functions.GraftExpressions.simhash64(col("text")).as("sig"))
+      .withColumn("bands", array((0 until nBands).map(i =>
+        shiftrightunsigned(col("sig"), width * i).bitwiseAND(mask)): _*))
+      .localCheckpoint()
+  }
+
+  /** Hamming confirm shared by the self and cross SimHash paths: attach
+    * each side's signature, keep `bit_count(sig_a ^ sig_b) <= maxHamming`
+    * (built-in codegen — no custom kernel needed).
+    */
+  private def confirmHamming(pairs: DataFrame, dictA: DataFrame, dictB: DataFrame,
+      maxHamming: Int, shape: LshShape): DataFrame =
+    attachPairSides(pairs, dictA, dictB, "doc_id", shape)
+      .withColumn("hamming",
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
+      .orderBy("doc_a", "doc_b")
+
   /** SimHash near-duplicate pairs: doc pairs whose 64-bit token-multiset
     * SimHash signatures differ in at most `maxHamming` bits — the
     * constant-size-fingerprint member of the near-dup family (MinHash
@@ -550,34 +591,42 @@ object Dedup {
     * bytes/doc, the cheapest signature to store and compare at 100 TB).
     *
     * THIRD family on the shared banded-LSH core: bands are the
-    * signature's 4 disjoint 16-bit chunks, so by pigeonhole any pair
-    * within hamming ≤ 3 leaves ≥ 1 band untouched — candidate recall is
-    * EXACT, not probabilistic (unlike MinHash/hyperplane banding), and
-    * the operator is a pure function of the data (spec'd ≡ brute-force
-    * hamming join). Confirm is the built-in codegen
-    * `bit_count(sig_a ^ sig_b)` — no custom kernel needed. Empty texts
-    * hash to signature 0 and pair with each other at hamming 0
-    * (empty ≡ empty — consistent, no NaN hazard anywhere: all-integer).
+    * signature's nBands disjoint (64/nBands)-bit chunks
+    * ([[simHashBandCount]] picks the tightest banding covering
+    * `maxHamming`), so by pigeonhole any pair within the threshold
+    * leaves ≥ 1 band untouched — candidate recall is EXACT, not
+    * probabilistic (unlike MinHash/hyperplane banding), and the operator
+    * is a pure function of the data (spec'd ≡ brute-force hamming join
+    * at hamming 3 AND 7). Empty texts hash to signature 0 and pair with
+    * each other at hamming 0 (empty ≡ empty — consistent, no NaN hazard
+    * anywhere: all-integer).
     */
   def simHashNearDup(docs: DataFrame, maxHamming: Int = 3,
       shapeIn: LshShape = Broadcast): DataFrame = {
-    require(0 <= maxHamming && maxHamming <= 3,
-      s"4x16-bit banding guarantees recall only for hamming <= 3 (got $maxHamming)")
-    val sigs = fanOut(docs)
-      .select(col("doc_id"),
-        graft.functions.GraftExpressions.simhash64(col("text")).as("sig"))
-      .withColumn("bands", array((0 until 4).map(i =>
-        shiftrightunsigned(col("sig"), 16 * i).bitwiseAND(lit(0xFFFFL))): _*))
-      .localCheckpoint()
+    val sigs = simHashSigs(docs, simHashBandCount(maxHamming))
     val shape = resolveShape(shapeIn, sigs)
     val pairs = bandedCandidates(sigs, "doc_id", "bands", shape)
     val dict = sigs.select(col("doc_id"), col("sig"))
-    attachPairSides(pairs, dict, "doc_id", shape)
-      .withColumn("hamming",
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
-      .where(col("hamming") <= maxHamming)
-      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
-      .orderBy("doc_a", "doc_b")
+    confirmHamming(pairs, dict, dict, maxHamming, shape)
+  }
+
+  /** Which NEW docs sit within `maxHamming` SimHash bits of the EXISTING
+    * corpus — the SimHash member of the delta-vs-snapshot family
+    * ([[nearDupAgainst]] is the MinHash twin, `CosineLsh.nearDupAgainst`
+    * the embedding twin): cheapest possible corpus index (8 bytes/doc +
+    * the band chunks, recomputable from the signature alone), exact
+    * recall by the same pigeonhole argument as the self join. Returns
+    * (doc_a = new id, doc_b = corpus id, hamming).
+    */
+  def simHashNearDupAgainst(newDocs: DataFrame, corpusDocs: DataFrame,
+      maxHamming: Int = 3, shapeIn: LshShape = Auto()): DataFrame = {
+    val nBands = simHashBandCount(maxHamming)
+    val newSigs = simHashSigs(newDocs, nBands)
+    val corpusSigs = simHashSigs(corpusDocs, nBands)
+    val shape = resolveShapeBoth(shapeIn, newSigs, corpusSigs)
+    val pairs = bandedCandidatesAcross(newSigs, corpusSigs, "doc_id", "bands", shape)
+    confirmHamming(pairs, newSigs.select(col("doc_id"), col("sig")),
+      corpusSigs.select(col("doc_id"), col("sig")), maxHamming, shape)
   }
 
   /** Graded (rows-only) surface for [[simHashNearDup]]: signature values
@@ -587,6 +636,26 @@ object Dedup {
     */
   val qSimhashNeardup: Q = (s, d) =>
     simHashNearDup(documents(s, d), maxHamming = 3, Auto())
+
+  /** Graded (rows-only) surface for [[simHashNearDupAgainst]] — the
+    * SimHash delta-vs-snapshot twin of [[qNeardupDelta]]: the delta is
+    * 50 re-labeled copies of corpus docs (hamming 0 with their
+    * originals) plus 50 synthetic docs with disjoint vocabulary.
+    * Signature values are engine-specific (FNV-1a), so no SQL oracle —
+    * deterministic row set; cross-corpus ≡ brute-force cross hamming
+    * join is spec'd in SimHashSpec (exact recall by pigeonhole).
+    */
+  val qSimhashDelta: Q = (s, d) => {
+    val docs = documents(s, d)
+    val dup = docs.where(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    val novel = docs.where(col("doc_id") % 10 === 3)
+      .select((col("doc_id") + 200000L).as("doc_id"),
+        concat(lit("zzz unique synthetic content "),
+          (col("doc_id") + 200000L).cast("string")).as("text"))
+    simHashNearDupAgainst(dup.unionByName(novel),
+      docs.select(col("doc_id"), col("text")), maxHamming = 3)
+  }
 
   /** Near-dup CLUSTERS from a pair list: connected components by
     * iterative min-label propagation + pointer jumping, entirely in
@@ -710,6 +779,7 @@ object Dedup {
     "q_neardup_lsh_salted" -> qNeardupLshSalted,
     "q_neardup_components" -> qNeardupComponents,
     "q_simhash_neardup" -> qSimhashNeardup,
+    "q_simhash_delta" -> qSimhashDelta,
     "q_neardup_delta" -> qNeardupDelta,
     "q_minhash_sig" -> qMinhashSig
   )

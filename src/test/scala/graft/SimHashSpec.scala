@@ -65,9 +65,42 @@ class SimHashSpec extends AnyFunSuite {
       d(base, "completely different words entirely here now"))
   }
 
-  test("maxHamming above the banding guarantee is rejected") {
+  test("multi-band: hamming 5 and 7 thresholds ≡ brute force (8×8-bit banding)") {
+    for (h <- Seq(5, 7)) {
+      val truth = bruteForce(h)
+      assert(truth.nonEmpty, s"no pairs at hamming <= $h — vacuous")
+      val got = Dedup.simHashNearDup(Tables.documents(spark, sfDir), maxHamming = h)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == truth, s"hamming $h mismatch")
+    }
+    // Tightest sufficient banding is selected per threshold.
+    assert(Dedup.simHashBandCount(3) == 4)
+    assert(Dedup.simHashBandCount(4) == 8)
+    assert(Dedup.simHashBandCount(7) == 8)
+    assert(Dedup.simHashBandCount(15) == 16)
+  }
+
+  test("cross-corpus delta ≡ brute-force cross hamming join") {
+    val docs = Tables.documents(spark, sfDir)
+    val delta = docs.where(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 500000L).as("doc_id"), col("text"))
+    val got = Dedup.simHashNearDupAgainst(delta, docs, maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    def sigs(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+      graft.functions.GraftExpressions.simhash64(col("text")).as("sig"))
+    val truth = sigs(delta).select(col("doc_id").as("doc_a"), col("sig").as("sa"))
+      .crossJoin(sigs(docs).select(col("doc_id").as("doc_b"), col("sig").as("sb")))
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long"))
+      .where(col("hamming") <= 3)
+      .select("doc_a", "doc_b", "hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(truth.nonEmpty, "no cross pairs — vacuous")
+    assert(got == truth)
+  }
+
+  test("maxHamming above the 16×4-bit banding guarantee is rejected") {
     intercept[IllegalArgumentException] {
-      Dedup.simHashNearDup(Tables.documents(spark, sfDir), maxHamming = 4)
+      Dedup.simHashNearDup(Tables.documents(spark, sfDir), maxHamming = 16)
     }
   }
 }
