@@ -650,6 +650,16 @@ object Oracle {
         round(sum(value), 2) AS sum_value, max(ts) AS max_ts
       FROM events GROUP BY event_type ORDER BY event_type""",
 
+    // Partitioned-layout round trip: the engine aggregates a pruned read
+    // of a lang-partitioned copy; the oracle aggregates the unpartitioned
+    // fixture with the same WHERE — equal iff the layout preserves rows
+    // and pruning sees exactly the filtered slice.
+    "q_partition_pruned" -> """
+      SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
+        min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+      FROM documents WHERE lang IN ('de', 'fr')
+      GROUP BY lang ORDER BY lang""",
+
     // Spearman via per-value midranks (window over the tiny distinct
     // dictionary, not the data) — mirrors the engine's no-global-sort
     // formulation exactly.

@@ -69,8 +69,45 @@ object Sources {
   val qSourceJson: Q = (s, d) =>
     roundTrip(s, d, "graft_src_json_", Tables.writeJsonLines, Tables.readJsonLines(s, _, _))
 
+  /** Write a lang-partitioned copy of (a projection of) documents and
+    * read it back filtered to `langs` — the scan over the returned frame
+    * prunes to the matching `lang=…` directories at planning time
+    * (PlanSpec executes it and asserts the scan's partition count and
+    * PartitionFilters). Shared by the graded key and the plan spec so
+    * the pinned plan IS the graded plan.
+    */
+  private[graft] def partitionedDocsScan(s: SparkSession, d: String, dir: String,
+      langs: Seq[String]): DataFrame = {
+    Tables.writePartitioned(
+      Tables.documents(s, d).select(col("doc_id"), col("n_chars"), col("lang")),
+      dir, Seq("lang"))
+    Tables.configure(s).read.parquet(dir).where(col("lang").isin(langs: _*))
+  }
+
+  /** Partitioned-layout round trip (the 100 TB scan-cost lever —
+    * Tables.writePartitioned scaladoc): documents partitioned by lang,
+    * read back with a partition filter, aggregated. Oracle: identical
+    * aggregate over the unpartitioned parquet fixture with the same
+    * WHERE — equal iff the partitioned layout preserves rows and the
+    * pruned read sees exactly the filtered slice.
+    */
+  val qPartitionPruned: Q = (s, d) => {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part_docs_").toString
+    try {
+      partitionedDocsScan(s, d, dir, Seq("de", "fr"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_doc_id"),
+          max(col("doc_id")).as("max_doc_id"))
+        .orderBy("lang")
+        .localCheckpoint()
+    } finally deleteRecursively(new java.io.File(dir))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_source_csv" -> qSourceCsv,
-    "q_source_json" -> qSourceJson
+    "q_source_json" -> qSourceJson,
+    "q_partition_pruned" -> qPartitionPruned
   )
 }

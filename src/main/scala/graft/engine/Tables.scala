@@ -61,6 +61,18 @@ object Tables {
       .format("parquet")
       .saveAsTable(tableName)
 
+  /** Persist `df` hive-style partitioned on `cols` (`path/col=value/…`
+    * directories): equality/IN filters on the partition columns then
+    * prune at PLANNING time — the scan never lists, opens, or reads
+    * non-matching directories. At 100 TB this is the #1 scan-cost lever:
+    * a date- or source-partitioned corpus turns "read everything" into
+    * "read one directory". Partition columns should be low-cardinality
+    * (each value is a directory; millions of tiny partitions invert the
+    * win — that's what [[writeBucketed]] is for).
+    */
+  def writePartitioned(df: DataFrame, path: String, cols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
+
   // ------------------------------------------ non-parquet batch sources
 
   /** Timestamp text format for the CSV/JSON loaders: micro precision, so

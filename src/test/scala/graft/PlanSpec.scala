@@ -175,6 +175,27 @@ class PlanSpec extends AnyFunSuite {
     assertStarred(graft.engine.Dedup.signatures(shingled, "grams"), "signatures(grams)")
   }
 
+  test("partitioned layout: the scan prunes to exactly the filtered lang directories") {
+    // q_partition_pruned's shared scan helper: 2 of the 5 lang partitions
+    // survive the filter — the scan must plan PartitionFilters (pruning
+    // happens at listing time, before any file is opened) and its
+    // runtime partition-read metric must be exactly 2.
+    val dir = java.nio.file.Files.createTempDirectory("graft_planspec_part_").toString
+    val df = graft.engine.Sources.partitionedDocsScan(spark, TestSpark.sfDir, dir,
+      Seq("de", "fr"))
+    df.collect()
+    val scan = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.getOrElse(fail("no FileSourceScanExec in the plan"))
+    assert(scan.partitionFilters.nonEmpty, scan.toString)
+    assert(scan.metrics("numPartitions").value == 2,
+      s"partitions read = ${scan.metrics("numPartitions").value}")
+    // And the full graded key sees only the pruned slice's rows.
+    val langs = df.select("lang").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(langs == Set("de", "fr"), langs.toString)
+  }
+
   test("q_similarity_join computes each vector's norm below the join, not per pair") {
     // The join's post-condition/projection must reference the precomputed
     // norm columns; the sqrt(aggregate(...)) expansion appears only in the
