@@ -127,6 +127,15 @@ object Oracle {
        AND r.ts >= l.ts - INTERVAL 30 MINUTE AND r.ts <= l.ts
       ORDER BY p_id, c_id""",
 
+    "q_join_interval_outer" -> """
+      SELECT l.event_id AS p_id, l.user_id, l.ts AS p_ts,
+        r.event_id AS c_id, r.ts AS c_ts
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+        ON l.user_id = r.user_id
+       AND r.ts >= l.ts - INTERVAL 30 MINUTE AND r.ts <= l.ts
+      ORDER BY p_id, c_id""",
+
     "q_join_cross" -> """
       SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name""",
 

@@ -198,6 +198,27 @@ object Relational {
       .orderBy("p_id", "c_id")
   }
 
+  /** Left-outer interval join — the batch twin of
+    * `Streams.intervalJoin(..., joinType = "left_outer")` (KStream
+    * `leftJoin`): every purchase appears exactly once per in-window
+    * click, or once null-padded when no same-user click precedes it
+    * within 30 minutes. Same equi-key + residual-range shape as
+    * [[qJoinInterval]]; the outer side only changes null handling, not
+    * the join strategy.
+    */
+  val qJoinIntervalOuter: Q = (s, d) => {
+    val ev = events(s, d)
+    ev.where(col("event_type") === "purchase").alias("l")
+      .join(ev.where(col("event_type") === "click").alias("r"),
+        col("l.user_id") === col("r.user_id") &&
+          col("r.ts") >= col("l.ts") - expr("INTERVAL 30 minutes") &&
+          col("r.ts") <= col("l.ts"),
+        "left_outer")
+      .select(col("l.event_id").as("p_id"), col("l.user_id").as("user_id"),
+        col("l.ts").as("p_ts"), col("r.event_id").as("c_id"), col("r.ts").as("c_ts"))
+      .orderBy("p_id", "c_id")
+  }
+
   /** Cartesian product (tiny dims only): region × nation. */
   val qJoinCross: Q = (s, d) =>
     region(s, d).select(col("r_name"))
@@ -648,6 +669,7 @@ object Relational {
     "q_join_range" -> qJoinRange,
     "q_join_asof" -> qJoinAsof,
     "q_join_interval" -> qJoinInterval,
+    "q_join_interval_outer" -> qJoinIntervalOuter,
     "q_join_cross" -> qJoinCross,
     "q1_pricing_summary" -> q1PricingSummary,
     "q_agg_distinct" -> qAggDistinct,

@@ -210,25 +210,35 @@ object Streams {
   // --------------------------------------- stream-stream interval join
 
   /** Windowed stream-stream join — the Spark rendering of Kafka Streams'
-    * `KStream.join(KStream, JoinWindows.of(...))` (the DSL operator next
-    * to the reference's dedup transform): for every left event, matching
-    * right events with the same key whose timestamp falls in
+    * `KStream.join(KStream, JoinWindows.of(...))` and its
+    * `leftJoin`/`outerJoin` siblings (the DSL operators next to the
+    * reference's dedup transform): for every left event, matching right
+    * events with the same key whose timestamp falls in
     * [l.ts − before, l.ts]. Both sides are watermarked, so each side's
     * join state is bounded and evicted exactly like the dedup store —
     * Spark requires the interval condition + both watermarks for state
-    * cleanup in stream-stream inner joins.
+    * cleanup in EVERY stream-stream join type, and for the outer types
+    * they additionally drive null emission: an unmatched outer-side row
+    * is held in state until the watermark proves no in-interval partner
+    * can still arrive, then emitted exactly once null-padded (the
+    * KStream leftJoin/outerJoin grace-expiry semantics; spec'd in
+    * StreamingParitySpec).
     *
-    * `left`/`right` must carry (`keyCol`, ts). Output: key, l_ts, r_ts
-    * plus the caller's projected columns via `select` downstream.
+    * `joinType`: "inner" (default), "left_outer", "right_outer", or
+    * "full_outer". `left`/`right` must carry (`keyCol`, ts). Output:
+    * key, l_ts, r_ts plus the caller's projected columns via `select`
+    * downstream.
     */
   def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
-      before: String = "30 minutes", delay: String = "1 hour"): DataFrame = {
+      before: String = "30 minutes", delay: String = "1 hour",
+      joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark("ts", delay).alias("l")
     val r = right.withWatermark("ts", delay).alias("r")
     l.join(r,
       col(s"l.$keyCol") === col(s"r.$keyCol") &&
         col("r.ts") >= col("l.ts") - expr(s"INTERVAL $before") &&
-        col("r.ts") <= col("l.ts"))
+        col("r.ts") <= col("l.ts"),
+      joinType)
   }
 
   // ------------------------------------------------------------ R4: sinks

@@ -141,6 +141,44 @@ class StreamingParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed == batch)
   }
 
+  test("left-outer interval join: unmatched left rows emit null-padded EXACTLY once after the watermark") {
+    val ms = MemoryStream[Event](spark)
+    val evs = ms.toDF()
+    val out = Streams.intervalJoin(
+      evs.where(col("event_type") === "purchase"),
+      evs.where(col("event_type") === "click"),
+      "user_id", before = "30 minutes", delay = "1 hour", joinType = "left_outer")
+      .select(col("l.event_id").as("p_id"), col("r.event_id").as("c_id"))
+    val q = Streams.start(out, Streams.MemoryStreamSink("ssjoin_louter", Some(ckpt())))
+    try {
+      ms.addData(Seq(
+        Event(1L, 7L, "click", ts("2024-01-01 10:00:00"), 1.0),
+        Event(2L, 7L, "purchase", ts("2024-01-01 10:10:00"), 1.0),
+        Event(3L, 8L, "purchase", ts("2024-01-01 10:15:00"), 1.0))) // user 8: no click
+      q.processAllAvailable()
+      // The matched pair emits promptly; the unmatched purchase is HELD —
+      // the watermark cannot yet rule out a late 09:45–10:15 click.
+      val early = spark.table("ssjoin_louter").as[(Long, Option[Long])].collect().toSet
+      assert(early == Set((2L, Some(1L))), early.toString)
+      // Advance BOTH sides' watermarks far past 10:15 + delay + interval
+      // (join-inert user ids), then once more — null emission happens on
+      // the state-eviction pass of a subsequent batch.
+      ms.addData(Seq(
+        Event(4L, 99L, "click", ts("2024-01-01 20:00:00"), 1.0),
+        Event(5L, 98L, "purchase", ts("2024-01-01 20:00:00"), 1.0)))
+      q.processAllAvailable()
+      ms.addData(Seq(
+        Event(6L, 97L, "click", ts("2024-01-01 20:30:00"), 1.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("ssjoin_louter").as[(Long, Option[Long])].collect().toSeq
+    assert(rows.count(_ == ((3L, None))) == 1,
+      s"unmatched row must appear exactly once: $rows")
+    // The 20:00 purchase (user 98) stays in state — the watermark never
+    // passes its eviction point before the query stops.
+    assert(rows.toSet == Set((2L, Some(1L)), (3L, None)), rows.toString)
+  }
+
   test("interval join EVICTS watermark-expired state: late probes find nothing") {
     val ms = MemoryStream[Event](spark)
     val evs = ms.toDF()
