@@ -1,0 +1,169 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) ANN — the billion-vector storage path next
+  * to [[Ivf]]: each vector is split into `m` disjoint subvectors; each
+  * subspace gets its own `ksub`-centroid codebook (trained with the same
+  * Lloyd machinery as the IVF coarse quantizer, one subspace at a time);
+  * a vector is then stored as `m` small codebook indices — m bytes/vector
+  * at ksub ≤ 256 versus 4·dim bytes of floats (32× smaller at dim 64),
+  * which is what makes exhaustive candidate scoring affordable at corpus
+  * sizes where even the VECTORS don't fit storage budgets.
+  *
+  * Query-time scoring is ADC (asymmetric distance computation): the
+  * query stays un-quantized; a per-query lookup table
+  * `lut[s][c] = q_s · codebook(s)(c)` (plus a query-independent norm
+  * table `n2[s][c] = ‖codebook(s)(c)‖²`) turns each candidate's
+  * approximate inner product / norm — and hence approximate cosine —
+  * into `m` array lookups over its codes. Top `topK × rerankFactor`
+  * ADC candidates are then re-ranked by EXACT cosine against the real
+  * vectors, so precision of the final top-k is exact; only recall (did
+  * a true neighbor survive the ADC cut?) is approximate.
+  *
+  * Scale notes (100 TB): training collects only O(m · ksub · dim/m)
+  * = O(ksub · dim) centroid doubles (model state, the [[Ivf]] contract);
+  * encoding is a single map-only projection of `m` codegen'd NearestCell
+  * argmins — no join, no shuffle, at any corpus size; the persisted
+  * index is (vec_id, codes). A query collects the one query vector,
+  * builds the O(m · ksub) LUT driver-side (per-query model state), and
+  * scores candidates map-only with a TakeOrdered top-N — never a global
+  * sort; the exact re-rank touches only topK × rerankFactor real
+  * vectors. Compose with [[Ivf]] cells to prune the candidate scan too
+  * (IVF-PQ); here the ADC scan is exhaustive over codes, the standard
+  * flat-PQ layout.
+  */
+object Pq {
+  import graft.functions.GraftExpressions.dotProduct
+  type Q = (SparkSession, String) => DataFrame
+
+  private def vec(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Per-subspace codebooks: `codebooks(s)(c)` is the (dim/m)-dim
+    * centroid `c` of subspace `s`. Driver-side model state, O(ksub·dim)
+    * doubles total.
+    */
+  final case class PqModel(dim: Int, m: Int, ksub: Int,
+      codebooks: IndexedSeq[Array[Array[Double]]]) {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val subDim: Int = dim / m
+  }
+
+  /** Train a PQ model: one Lloyd run per subspace over the sliced corpus
+    * (reuses [[Ivf.train]] — deterministic hash-ordered seeding, map-only
+    * NearestCell assignment, element-wise mean update). `ksub = 256` is
+    * the standard byte-code setting; use less when the training corpus is
+    * small (a codebook should not memorize the corpus).
+    */
+  def train(embs: DataFrame, dim: Int, m: Int, ksub: Int = 256,
+      iters: Int = 3, sampleFraction: Double = 1.0): PqModel = {
+    val subDim = dim / m
+    val staged = embs.select(col("vec_id"), vec(col("embedding")).as("v"))
+    val codebooks = (0 until m).map { s =>
+      val sliced = staged.select(col("vec_id"),
+        slice(col("v"), s * subDim + 1, subDim).as("embedding"))
+      Ivf.train(sliced, k = ksub, iters = iters, sampleFraction = sampleFraction)
+        .select(col("cell"), col("cv")).orderBy("cell").collect()
+        .map(_.getSeq[Double](1).toArray)
+    }
+    PqModel(dim, m, ksub, codebooks)
+  }
+
+  /** Encode the corpus: (vec_id, codes array<int> of length m) — ONE
+    * map-only projection of m codegen'd per-subspace argmins; this is
+    * the persisted PQ index artifact.
+    */
+  def encode(embs: DataFrame, model: PqModel): DataFrame = {
+    import graft.functions.GraftExpressions.nearestCell
+    embs.select(col("vec_id"), vec(col("embedding")).as("v"))
+      .select(col("vec_id"), array((0 until model.m).map(s =>
+        nearestCell(slice(col("v"), s * model.subDim + 1, model.subDim),
+          model.codebooks(s))): _*).as("codes"))
+  }
+
+  /** Sum of per-subspace LUT entries selected by this row's codes:
+    * `Σ_s lut(s)(codes(s))` — the ADC inner loop as a built-in codegen
+    * fold (no UDF). `lut` is an m × ksub literal (per-query model state).
+    */
+  private def adcSum(codes: Column, lut: Seq[Seq[Double]]): Column = {
+    val lutLit = typedLit(lut)
+    aggregate(sequence(lit(0), lit(lut.size - 1)), lit(0.0),
+      (acc, s) => acc +
+        element_at(element_at(lutLit, s + 1), element_at(codes, s + 1) + 1))
+  }
+
+  /** ANN query over the PQ index: ADC-approximate cosine over the codes,
+    * exact re-rank of the top `topK × rerankFactor` candidates. `codes`
+    * is the persisted [[encode]] output; `embs` supplies the query vector
+    * and the re-rank vectors. Deterministic: ADC ties cut by vec_id.
+    */
+  def search(embs: DataFrame, codes: DataFrame, model: PqModel, queryVecId: Long,
+      topK: Int, rerankFactor: Int = 4): DataFrame = {
+    val e = embs.select(col("vec_id"), vec(col("embedding")).as("v"))
+      .withColumn("nv2", dotProduct(col("v"), col("v")))
+    // The ONE query vector reaches the driver to build the O(m·ksub)
+    // ADC lookup tables — per-query model state, bounded by design
+    // (the corpus itself is never collected).
+    val qv = e.where(col("vec_id") === queryVecId)
+      .select(col("v")).head().getSeq[Double](0).toArray
+    val nq = math.sqrt(qv.map(x => x * x).sum)
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.iterator.zip(b.iterator).map { case (x, y) => x * y }.sum
+    val ipLut: Seq[Seq[Double]] = (0 until model.m).map { s =>
+      val qs = qv.slice(s * model.subDim, (s + 1) * model.subDim)
+      model.codebooks(s).toIndexedSeq.map(cv => dot(qs, cv))
+    }
+    val n2Lut: Seq[Seq[Double]] = (0 until model.m).map { s =>
+      model.codebooks(s).toIndexedSeq.map(cv => dot(cv, cv))
+    }
+    val cand = codes
+      .where(col("vec_id") =!= queryVecId)
+      .withColumn("__ip", adcSum(col("codes"), ipLut))
+      .withColumn("__n2", adcSum(col("codes"), n2Lut))
+      .where(col("__n2") > 0)
+      .withColumn("adc_cos", col("__ip") / (sqrt(col("__n2")) * lit(nq)))
+      .orderBy(desc("adc_cos"), asc("vec_id")).limit(topK * rerankFactor)
+      .select(col("vec_id"))
+    // Exact re-rank: only topK × rerankFactor real vectors are touched.
+    e.where(col("nv2") > 0)
+      .join(broadcast(cand), "vec_id")
+      .select(col("vec_id"),
+        round(dotProduct(col("v"), typedLit(qv.toSeq)) / (sqrt(col("nv2")) * lit(nq)), 6)
+          .as("cos_sim"))
+      .orderBy(desc("cos_sim"), asc("vec_id"))
+      .limit(topK)
+  }
+
+  /** Graded end-to-end PQ key: train per-subspace codebooks, encode the
+    * corpus to m-byte codes, ADC-score, exact re-rank — on the SAME
+    * planted corpus as `q_ann_ivf_partial` (20 near-copies of query
+    * vector 7 at cos ≈ 0.999⁺ vs a 0.60 background ceiling), so the
+    * approximate path is provably exact on the fixture: the true top-15
+    * lead the ADC ordering by a margin far beyond quantization error
+    * (PqSpec pins graded-output ≡ exact brute force), and the exact
+    * re-rank makes final precision exact regardless. Oracle: exact
+    * global cosine top-15 over the identically-constructed corpus.
+    * ksub = 16 (not the 256 standard): the fixture corpus is ~500
+    * vectors — a 256-centroid-per-subspace codebook would memorize it.
+    */
+  val qAnnPq: Q = (s, d) => {
+    val base = Tables.embeddings(s, d)
+      .repartition(s.sessionState.conf.numShufflePartitions)
+      .select(col("vec_id"), vec(col("embedding")).as("embedding"))
+    val planted = base.where(col("vec_id") === 7L)
+      .crossJoin(s.range(1, 21).select(col("id").as("j")))
+      .select((lit(2000000L) + col("j")).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === pmod(col("j"), lit(64)).cast("int"), x * lit(1.05) + lit(0.01))
+            .otherwise(x)).as("embedding"))
+    val corpus = base.unionByName(planted).localCheckpoint()
+    val model = train(corpus, dim = 64, m = 8, ksub = 16, iters = 2)
+    val codes = encode(corpus, model).localCheckpoint() // the persisted index
+    search(corpus, codes, model, queryVecId = 7L, topK = 15)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_ann_pq" -> qAnnPq
+  )
+}
