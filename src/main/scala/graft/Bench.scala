@@ -13,8 +13,47 @@ import java.nio.file.{Files, Paths}
   *
   * Failures are reported in an `errors` map (and excluded from the
   * total) instead of being silently recorded as a fast wall time.
+  *
+  * NOISE DEFENSE: this box carries external co-tenant load (identical
+  * code has measured 5 s and 112 s an hour apart; r5 shipped a 34.3 s
+  * number for a 4.4 s key). The bench defends its own signal:
+  *  - every key runs `passes` times (min-of-N absorbs one-off spikes);
+  *  - after the main passes, any key whose min still exceeds
+  *    `RerunRatio` × its previous BENCH.local.json record is re-run up
+  *    to `MaxReruns` more times, serially — a genuine regression
+  *    reproduces, a co-tenant spike doesn't;
+  *  - the JSON carries `spread` (per-key max/min across passes — a
+  *    spread ≫ 1 marks a pass that hit external load) and `reruns`
+  *    (which keys needed defense), so an outlier is visible as an
+  *    outlier instead of masquerading as a regression.
   */
 object Bench {
+  /** Re-run a key whose min exceeds this multiple of its previous local
+    * record. 2.5× sits far above genuine plan-change regressions we'd
+    * want to SEE (those are typically ≤ 2×) and far below the 3–30×
+    * co-tenant swings observed on this box.
+    */
+  private val RerunRatio = 2.5
+  private val MaxReruns = 2
+
+  /** Previous per-key records from BENCH.local.json (written by the last
+    * run on this machine) — parsed with a minimal scanner for the flat
+    * {"queries":{"k":1.2,...}} object this file itself writes; absent or
+    * unparsable file → no records, no reruns.
+    */
+  private def previousRecords(path: String): Map[String, Double] =
+    try {
+      val text = Files.readString(Paths.get(path))
+      val start = text.indexOf("\"queries\":{")
+      if (start < 0) Map.empty
+      else {
+        val body = text.substring(start + "\"queries\":{".length,
+          text.indexOf('}', start))
+        raw""""([^"]+)":([0-9.eE+\-]+)""".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    } catch { case _: Throwable => Map.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -34,28 +73,49 @@ object Bench {
       graft.engine.Tables.lineitem(spark, sfDir).limit(1000)
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
-    val times = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val passTimes = scala.collection.mutable.LinkedHashMap[String, List[Double]]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // Optional comma-separated subset for local iteration, e.g.
     // SPARK_GRAFT_ONLY=q_neardup_lsh,q_similarity_join
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    // Min of N passes (default 2): this host carries external co-tenant
-    // load (observed 3-30x wall-clock swings on identical runs), and a
-    // single spike on one query would misrepresent the engine.
+    // Min of N passes (default 2) + record-triggered reruns (above).
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt.max(1)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    for (_ <- 1 to passes; (name, fn) <- queries if !errors.contains(name)) {
+    val prev = previousRecords("BENCH.local.json")
+
+    def runOnce(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val dt = (System.nanoTime() - t0) / 1e9
-        times(name) = times.get(name).fold(dt)(math.min(_, dt))
+        passTimes(name) = passTimes.getOrElse(name, Nil) :+ dt
       } catch {
         case e: Throwable =>
-          times.remove(name)
+          passTimes.remove(name)
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
+    }
+
+    for (_ <- 1 to passes; (name, fn) <- queries if !errors.contains(name))
+      runOnce(name, fn)
+    // Defense passes: a key far above its own record gets more serial
+    // attempts — min-of-all is the reported number either way.
+    val reruns = scala.collection.mutable.LinkedHashMap[String, Int]()
+    for ((name, fn) <- queries if !errors.contains(name); record <- prev.get(name)) {
+      var extra = 0
+      while (extra < MaxReruns && !errors.contains(name) &&
+          passTimes(name).min > RerunRatio * record) {
+        runOnce(name, fn)
+        extra += 1
+      }
+      if (extra > 0) reruns(name) = extra
+    }
+
+    val times = passTimes.map { case (k, ts) => k -> ts.min }
+    val spread = passTimes.map { case (k, ts) =>
+      k -> math.round(ts.max / ts.min * 100.0) / 100.0
     }
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""
@@ -64,11 +124,14 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val qs = times.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
-    val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    def jmap(m: scala.collection.Seq[(String, Any)]): String =
+      m.map {
+        case (k, v: String) => s"${jstr(k)}:${jstr(v)}"
+        case (k, v) => s"${jstr(k)}:$v"
+      }.mkString("{", ",", "}")
     val total = times.values.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_ok":${times.size},"n_err":${errors.size},"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(times.toSeq)},"spread":${jmap(spread.toSeq)},"reruns":${jmap(reruns.toSeq)},"errors":${jmap(errors.toSeq)},"n_ok":${times.size},"n_err":${errors.size},"sf":${jstr(sfDir)}}"""
     Files.writeString(Paths.get("BENCH.local.json"), line + "\n")
     println(line)
     spark.stop()
