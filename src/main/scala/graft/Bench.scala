@@ -36,11 +36,15 @@ object Bench {
   private val RerunRatio = 2.5
   private val MaxReruns = 2
 
-  /** Previous per-key records from BENCH.local.json (written by the last
-    * run on this machine) — parsed with a minimal scanner for the flat
-    * {"queries":{"k":1.2,...}} object this file itself writes; absent or
-    * unparsable file → no records, no reruns.
+  /** Per-key best-known wall times, accumulated across runs in
+    * BENCH.records.json (min-merged on every run, so a SPARK_GRAFT_ONLY
+    * subset run cannot wipe the other keys' records) — parsed with a
+    * minimal scanner for the flat {"queries":{"k":1.2,...}} object this
+    * file itself writes; absent or unparsable file → no records, no
+    * reruns.
     */
+  private val RecordsPath = "BENCH.records.json"
+
   private def previousRecords(path: String): Map[String, Double] =
     try {
       val text = Files.readString(Paths.get(path))
@@ -82,7 +86,10 @@ object Bench {
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt.max(1)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val prev = previousRecords("BENCH.local.json")
+    // Records live in BENCH.records.json; fall back to the last run's
+    // output for machines that predate the records file.
+    val prevAll = previousRecords(RecordsPath)
+    val prev = if (prevAll.nonEmpty) prevAll else previousRecords("BENCH.local.json")
 
     def runOnce(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
@@ -133,6 +140,13 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(times.toSeq)},"spread":${jmap(spread.toSeq)},"reruns":${jmap(reruns.toSeq)},"errors":${jmap(errors.toSeq)},"n_ok":${times.size},"n_err":${errors.size},"sf":${jstr(sfDir)}}"""
     Files.writeString(Paths.get("BENCH.local.json"), line + "\n")
+    // Min-merge this run's numbers into the cross-run record store.
+    val merged = (prevAll.keySet ++ times.keySet).toSeq.sorted.map { k =>
+      k -> math.min(prevAll.getOrElse(k, Double.MaxValue),
+        times.getOrElse(k, Double.MaxValue))
+    }
+    Files.writeString(Paths.get(RecordsPath),
+      s"""{"queries":${jmap(merged)}}\n""")
     println(line)
     spark.stop()
     if (errors.nonEmpty) System.exit(1)

@@ -50,22 +50,58 @@ object Pq {
     val subDim: Int = dim / m
   }
 
-  /** Train a PQ model: one Lloyd run per subspace over the sliced corpus
-    * (reuses [[Ivf.train]] — deterministic hash-ordered seeding, map-only
-    * NearestCell assignment, element-wise mean update). `ksub = 256` is
-    * the standard byte-code setting; use less when the training corpus is
-    * small (a codebook should not memorize the corpus).
+  /** The m per-subspace argmins as ONE array column — shared by train's
+    * assignment step and [[encode]] (so training and the persisted index
+    * cannot disagree on assignment). Map-only codegen, no join/shuffle.
+    */
+  private def codesCol(v: Column, codebooks: IndexedSeq[Array[Array[Double]]],
+      subDim: Int): Column = {
+    import graft.functions.GraftExpressions.nearestCell
+    array(codebooks.indices.map(s =>
+      nearestCell(slice(v, s * subDim + 1, subDim), codebooks(s))): _*)
+  }
+
+  /** Train a PQ model: ALL m subspaces ride ONE Lloyd loop — per
+    * iteration, assignment is a single map-only projection of m
+    * codegen'd NearestCell argmins and the centroid update is one
+    * posexplode → (subspace, cell, component) partial-aggregated mean,
+    * so each iteration is ONE distributed pass + an O(ksub·dim) collect
+    * (the per-subspace-sequential form paid m× the job/driver round
+    * trips for identical results). Seeding is deterministic: the ksub
+    * smallest-xxhash64(vec_id) vectors, sliced per subspace — the
+    * [[Ivf.train]] contract. `ksub = 256` is the standard byte-code
+    * setting; use less when the training corpus is small (a codebook
+    * should not memorize the corpus).
     */
   def train(embs: DataFrame, dim: Int, m: Int, ksub: Int = 256,
       iters: Int = 3, sampleFraction: Double = 1.0): PqModel = {
     val subDim = dim / m
-    val staged = embs.select(col("vec_id"), vec(col("embedding")).as("v"))
-    val codebooks = (0 until m).map { s =>
-      val sliced = staged.select(col("vec_id"),
-        slice(col("v"), s * subDim + 1, subDim).as("embedding"))
-      Ivf.train(sliced, k = ksub, iters = iters, sampleFraction = sampleFraction)
-        .select(col("cell"), col("cv")).orderBy("cell").collect()
-        .map(_.getSeq[Double](1).toArray)
+    val corpus = embs.select(col("vec_id"), vec(col("embedding")).as("v"))
+      .where(pmod(xxhash64(col("vec_id")), lit(10000)) < lit((sampleFraction * 10000).toLong))
+      .localCheckpoint() // scanned once per Lloyd iteration
+    val seeds = corpus.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(ksub)
+      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+    require(seeds.length == ksub, s"need >= $ksub training vectors, got ${seeds.length}")
+    var codebooks: IndexedSeq[Array[Array[Double]]] =
+      (0 until m).map(s => seeds.map(_.slice(s * subDim, (s + 1) * subDim)))
+    var it = 0
+    while (it < iters) {
+      val updated = corpus
+        .select(codesCol(col("v"), codebooks, subDim).as("codes"),
+          posexplode(col("v")).as(Seq("pos", "x")))
+        .select((col("pos") / subDim).cast("int").as("s"),
+          pmod(col("pos"), lit(subDim)).cast("int").as("subpos"),
+          col("x"), col("codes"))
+        .withColumn("cell", element_at(col("codes"), col("s") + 1))
+        .groupBy(col("s"), col("cell"), col("subpos")).agg(avg(col("x")).as("m"))
+        .collect()
+      // Empty cells keep their previous centroid (standard Lloyd handling).
+      val next = codebooks.map(_.map(_.clone()))
+      updated.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
+      }
+      codebooks = next
+      it += 1
     }
     PqModel(dim, m, ksub, codebooks)
   }
@@ -74,13 +110,10 @@ object Pq {
     * map-only projection of m codegen'd per-subspace argmins; this is
     * the persisted PQ index artifact.
     */
-  def encode(embs: DataFrame, model: PqModel): DataFrame = {
-    import graft.functions.GraftExpressions.nearestCell
+  def encode(embs: DataFrame, model: PqModel): DataFrame =
     embs.select(col("vec_id"), vec(col("embedding")).as("v"))
-      .select(col("vec_id"), array((0 until model.m).map(s =>
-        nearestCell(slice(col("v"), s * model.subDim + 1, model.subDim),
-          model.codebooks(s))): _*).as("codes"))
-  }
+      .select(col("vec_id"),
+        codesCol(col("v"), model.codebooks, model.subDim).as("codes"))
 
   /** Sum of per-subspace LUT entries selected by this row's codes:
     * `Σ_s lut(s)(codes(s))` — the ADC inner loop as a built-in codegen
