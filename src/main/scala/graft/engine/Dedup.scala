@@ -657,6 +657,105 @@ object Dedup {
       docs.select(col("doc_id"), col("text")), maxHamming = 3)
   }
 
+  /** Directional CONTAINMENT pairs: (doc_a, doc_b) where
+    * |A∩B| / |A| ≥ τ — doc_a's token set is (near-)contained in doc_b's.
+    * The subset-duplicate detector the Jaccard family structurally
+    * misses: a paragraph quoted inside a 100× longer page has
+    * containment ≈ 1 but Jaccard ≈ 1%, shares no MinHash bands with
+    * useful probability, and sits in a different length-bucket block —
+    * yet it is exactly the boilerplate/quotation duplication a
+    * training-data pipeline must find.
+    *
+    * Candidates come from PREFIX FILTERING (the PPJoin family,
+    * public set-similarity-join literature), not banding: containment
+    * ≥ tauNum/tauDen forces |A∩B| ≥ ceil(tauNum·|A|/tauDen), so B must
+    * hold all but at most |A| − that many of A's tokens — meaning B
+    * shares at least one of ANY (|A| − ceil(tauNum·|A|/tauDen) + 1)
+    * tokens of A. The prefix takes exactly that many of A's GLOBALLY
+    * RAREST tokens (ascending document frequency, ties by token), so
+    * candidate recall is EXACT by pigeonhole while the prefix join
+    * touches the smallest possible posting lists. The prefix length is
+    * computed in pure integer arithmetic (ceil(a/b) = (a+b−1) div b) —
+    * a double `ceil(0.9·|A|)` rounds 9.000000000000002 up and silently
+    * shrinks the guarantee.
+    *
+    * Shapes, 100 TB: the df dictionary and prefix/index joins are plain
+    * shuffle joins on the token (never broadcast — the inverted index is
+    * corpus-sized); rare tokens mean small posting lists, so the
+    * candidate fan-out is bounded by prefix df, not corpus size. The
+    * confirm attach runs the standard [[attachPairSides]] shape dispatch
+    * and the native merge-intersect kernel. Candidates are deduped with
+    * one `distinct` over (id_a, id_b) — bounded by true candidate count,
+    * which prefix rarity keeps small.
+    *
+    * `docsWithToks` must carry (doc_id, `setCol` sorted-distinct tokens);
+    * empty sets are excluded (containment 0/0). Equal sets yield both
+    * directions — consistent with the oracle's formulation.
+    */
+  def containmentPairs(docsWithToks: DataFrame, setCol: String,
+      tauNum: Int, tauDen: Int, shapeIn: LshShape = Auto()): DataFrame = {
+    val docs = docsWithToks.where(size(col(setCol)) > 0)
+      .select(col("doc_id"), col(setCol), size(col(setCol)).as("__ns"))
+      .localCheckpoint()
+    val shape = resolveShape(shapeIn, docs)
+    // Salted = the no-broadcast twin: the df dictionary and the inverted
+    // index are corpus-sized frames the planner must not build in
+    // executor memory (its static estimates here are post-aggregate and
+    // optimistic) — hint every token join sort-merge. Broadcast keeps
+    // planner freedom: the fixture-scale fast path.
+    def h(df: DataFrame): DataFrame = shape match {
+      case Salted(_) => df.hint("merge")
+      case _ => df
+    }
+    val toks = docs.select(col("doc_id"), explode(col(setCol)).as("tok"))
+    val dfDict = toks.groupBy(col("tok")).agg(count(lit(1)).as("__df"))
+    val byRarity = Window.partitionBy(col("doc_id")).orderBy(asc("__df"), asc("tok"))
+    val perDoc = Window.partitionBy(col("doc_id"))
+    val prefix = h(toks).join(h(dfDict), "tok")
+      .withColumn("__rn", row_number().over(byRarity))
+      .withColumn("__n", count(lit(1)).over(perDoc))
+      // k = |A| − ceil(τ·|A|) + 1, integer-exact.
+      .where(col("__rn") <= col("__n") -
+        floor((col("__n") * tauNum + lit(tauDen - 1)) / tauDen) + 1)
+      .select(col("doc_id").as("id_a"), col("tok"))
+    val pairs = h(prefix)
+      .join(h(toks.select(col("doc_id").as("id_b"), col("tok"))), "tok")
+      .where(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    attachPairSides(pairs, docs, "doc_id", shape)
+      .withColumn("inter",
+        intersectSize(col(s"${setCol}_a"), col(s"${setCol}_b"), barrier = true))
+      .where(col("inter") * tauDen >= col("__ns_a") * tauNum)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        round(col("inter").cast("double") / col("__ns_a").cast("double"), 6)
+          .as("containment"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Graded surface for [[containmentPairs]]: τ = 0.9 directional
+    * containment over a 1/8 slice of documents PLUS a planted
+    * truncation of every slice doc (the sorted token set's first half,
+    * doc_id + 300000) — strict subsets, so the copy→original direction
+    * is containment 1.0 while the reverse (≈ 0.5) stays below τ: the
+    * asymmetric case Jaccard dedup structurally misses is guaranteed
+    * present at every SF. The slice keeps the key's TRUE output
+    * bounded: full-corpus containment is quadratic in the fixture's
+    * duplicate-group sizes (~80 k directional pairs at sf0.01 — the
+    * group-explosion cost is inherent to the semantic, not the plan;
+    * production corpus-dedup collapses groups via
+    * [[nearDupComponents]] instead of materializing all pairs).
+    * Oracle: exact all-pairs containment over the identically-built
+    * corpus — sound because prefix-filter recall is exact.
+    */
+  val qContainmentPairs: Q = (s, d) => {
+    val base = fanOut(documents(s, d)).where(col("doc_id") % 8 === 0)
+      .select(col("doc_id"), normTokens(col("text")).as("toks"))
+    val planted = base.select((col("doc_id") + 300000L).as("doc_id"),
+      slice(col("toks"), lit(1),
+        floor((size(col("toks")) + 1) / 2).cast("int")).as("toks"))
+    containmentPairs(base.unionByName(planted), "toks", 9, 10)
+  }
+
   /** Near-dup CLUSTERS from a pair list: connected components by
     * iterative min-label propagation + pointer jumping, entirely in
     * DataFrame ops. Per-pair `doc_b`-dropping leaves MULTIPLE
@@ -781,6 +880,7 @@ object Dedup {
     "q_simhash_neardup" -> qSimhashNeardup,
     "q_simhash_delta" -> qSimhashDelta,
     "q_neardup_delta" -> qNeardupDelta,
+    "q_containment_pairs" -> qContainmentPairs,
     "q_minhash_sig" -> qMinhashSig
   )
 }

@@ -678,6 +678,18 @@ object Oracle {
         round(sum(value), 2) AS sum_value, max(ts) AS max_ts
       FROM events GROUP BY event_type ORDER BY event_type""",
 
+    // Bucketed-layout round trip: the engine joins two bucketed tables
+    // shuffle-free and aggregates; the oracle runs the same join+agg
+    // over the parquet fixture.
+    "q_bucketed_join" -> """
+      WITH ev AS (SELECT event_id, user_id, event_type, value FROM events),
+        agg AS (SELECT user_id, count(*) AS n_events FROM ev GROUP BY user_id)
+      SELECT event_type, count(*) AS n_rows,
+        sum(a.n_events)::BIGINT AS sum_n_events,
+        round(sum(value), 2) AS sum_value
+      FROM ev e JOIN agg a USING (user_id)
+      GROUP BY event_type ORDER BY event_type""",
+
     // Partitioned-layout round trip: the engine aggregates a pruned read
     // of a lang-partitioned copy; the oracle aggregates the unpartitioned
     // fixture with the same WHERE — equal iff the layout preserves rows
@@ -744,6 +756,23 @@ object Oracle {
                   len(list_distinct(list_concat(a.toks, b.toks))), 6) jaccard
           FROM delta a CROSS JOIN corpus b)
       SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.9
+      ORDER BY doc_a, doc_b""",
+
+    // Directional containment |A∩B|/|A| >= 0.9: exact all-pairs — sound
+    // vs the engine's prefix-filtered candidates because prefix recall
+    // is exact by pigeonhole (Dedup.containmentPairs scaladoc).
+    "q_containment_pairs" -> """
+      WITH t AS (SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) toks
+                 FROM documents WHERE doc_id % 8 = 0),
+        planted AS (SELECT doc_id + 300000 AS doc_id,
+            toks[1:(len(toks) + 1) // 2] AS toks FROM t),
+        corpus AS (SELECT * FROM t UNION ALL SELECT * FROM planted),
+        nz AS (SELECT * FROM corpus WHERE len(toks) > 0),
+        pairs AS (SELECT a.doc_id doc_a, b.doc_id doc_b,
+            len(list_intersect(a.toks, b.toks)) inter, len(a.toks) na
+          FROM nz a JOIN nz b ON a.doc_id <> b.doc_id)
+      SELECT doc_a, doc_b, round(inter * 1.0 / na, 6) AS containment
+      FROM pairs WHERE inter * 10 >= na * 9
       ORDER BY doc_a, doc_b""",
 
     "q_bigram_topk" -> """

@@ -105,9 +105,47 @@ object Sources {
     } finally deleteRecursively(new java.io.File(dir))
   }
 
+  /** The shuffle-free bucketed join the graded key aggregates — shared
+    * with PlanSpec, which asserts the join plans with ZERO shuffle
+    * exchanges and `Bucketed: true` scans on both sides (the
+    * write-time-amortized-shuffle contract of Tables.writeBucketed).
+    * Writes both bucketed tables (mode overwrite — rerun-safe).
+    */
+  private[graft] def bucketedJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select("event_id", "user_id", "event_type", "value")
+    val agg = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+    Tables.writeBucketed(ev, "graft_events_bkt", 8, Seq("user_id"))
+    Tables.writeBucketed(agg, "graft_user_counts_bkt", 8, Seq("user_id"))
+    // merge hint: the per-user dim is small enough that the planner would
+    // broadcast (also shuffle-free, but then the bucketing is unexercised).
+    s.table("graft_events_bkt").hint("merge")
+      .join(s.table("graft_user_counts_bkt"), "user_id")
+  }
+
+  /** Bucketed-layout round trip — the join-side twin of
+    * [[qPartitionPruned]]'s scan-side layout lever: events and a
+    * per-user dim persisted bucketed+sorted on user_id, joined with no
+    * shuffle on either side, aggregated. Oracle: the same join+aggregate
+    * over the parquet fixture — equal iff the bucketed layout preserves
+    * rows and the co-located join matches the plain one.
+    */
+  val qBucketedJoin: Q = (s, d) => {
+    val out = bucketedJoin(s, d)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("n_events")).as("sum_n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .orderBy("event_type")
+      .localCheckpoint()
+    s.sql("DROP TABLE IF EXISTS graft_events_bkt")
+    s.sql("DROP TABLE IF EXISTS graft_user_counts_bkt")
+    out
+  }
+
   val queries: Map[String, Q] = Map(
     "q_source_csv" -> qSourceCsv,
     "q_source_json" -> qSourceJson,
-    "q_partition_pruned" -> qPartitionPruned
+    "q_partition_pruned" -> qPartitionPruned,
+    "q_bucketed_join" -> qBucketedJoin
   )
 }

@@ -196,6 +196,16 @@ class PlanSpec extends AnyFunSuite {
     assert(langs == Set("de", "fr"), langs.toString)
   }
 
+  test("q_bucketed_join's graded join is shuffle-free with bucketed scans on both sides") {
+    val df = graft.engine.Sources.bucketedJoin(spark, TestSpark.sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(p.contains("Bucketed: true"), p)
+    spark.sql("DROP TABLE IF EXISTS graft_events_bkt")
+    spark.sql("DROP TABLE IF EXISTS graft_user_counts_bkt")
+  }
+
   test("q_similarity_join computes each vector's norm below the join, not per pair") {
     // The join's post-condition/projection must reference the precomputed
     // norm columns; the sqrt(aggregate(...)) expansion appears only in the
