@@ -782,6 +782,12 @@ object Oracle {
       SELECT bigram, count(*) AS cnt FROM b
       GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 20""",
 
+    // Salted two-phase collect ≡ the plain ordered per-key list.
+    "q_skew_collect" -> """
+      SELECT event_type, count(*) AS n_events,
+        array_to_string(list(event_id ORDER BY event_id), ',') AS ids
+      FROM events GROUP BY event_type ORDER BY event_type""",
+
     "q_user_sequences" -> """
       SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_events,
         array_to_string(list(event_type ORDER BY ts, event_id), ' ') AS sequence

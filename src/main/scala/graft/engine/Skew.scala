@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Skew-mitigation utilities for hot keys at 100 TB.
@@ -50,4 +50,27 @@ object Skew {
     val s = small.withColumn("__salt", explode(sequence(lit(0), lit(salts - 1)).cast("array<long>")))
     l.join(s, Seq(key, "__salt")).drop("__salt")
   }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Graded surface for [[saltedCollectList]]: the events table is
+    * exactly the hot-key shape the operator exists for — 5 event_type
+    * keys each holding ~1/5 of ALL rows, so a plain collect_list funnels
+    * every row of a key through ONE aggregation state. The salted
+    * two-phase form builds ≤`salts` partial arrays per key in parallel
+    * and flattens them. Output arrays travel as joined strings (the
+    * harness hash cannot compare arrays); oracle = per-key ordered list
+    * over the fixture — equal iff the two-phase result is exactly the
+    * sorted single-phase list.
+    */
+  val qSkewCollect: Q = (s, d) =>
+    saltedCollectList(Tables.events(s, d), Seq("event_type"), "event_id", "event_id")
+      .select(col("event_type"),
+        size(col("event_id_list")).cast("long").as("n_events"),
+        array_join(col("event_id_list"), ",").as("ids"))
+      .orderBy("event_type")
+
+  val queries: Map[String, Q] = Map(
+    "q_skew_collect" -> qSkewCollect
+  )
 }
