@@ -549,6 +549,23 @@ object Oracle {
           FROM corpus, q WHERE vec_id <> 7)
       SELECT vec_id, cos_sim FROM sims ORDER BY cos_sim DESC, vec_id LIMIT 15""",
 
+    // IVF-PQ over the same planted corpus: probed cells provably hold
+    // the copies (q_ann_ivf_partial containment argument) and the exact
+    // re-rank + planted margin make the approximate path exact here.
+    "q_ann_ivfpq" -> """
+      WITH base AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        q AS (SELECT v AS qv FROM base WHERE vec_id = 7),
+        planted AS (SELECT 2000000 + j AS vec_id,
+            list_transform(range(1, 65),
+              i -> CASE WHEN i = (j % 64) + 1 THEN qv[i] * 1.05 + 0.01 ELSE qv[i] END) AS v
+          FROM q, generate_series(1, 20) AS t(j)),
+        corpus AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+        sims AS (SELECT vec_id,
+            round(list_dot_product(v, qv) /
+                  (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
+          FROM corpus, q WHERE vec_id <> 7)
+      SELECT vec_id, cos_sim FROM sims ORDER BY cos_sim DESC, vec_id LIMIT 15""",
+
     // Exact all-pairs cosine over the SAME planted-near-dup corpus the
     // engine query constructs (every 10th vector duplicated with its
     // first component ×1.1) — the LSH path's band-miss probability is

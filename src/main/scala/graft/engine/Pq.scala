@@ -159,6 +159,56 @@ object Pq {
       .orderBy(desc("adc_cos"), asc("vec_id")).limit(topK * rerankFactor)
       .select(col("vec_id"))
     // Exact re-rank: only topK × rerankFactor real vectors are touched.
+    exactRerank(e, cand, qv, nq, topK)
+  }
+
+  // ------------------------------------------------------------- IVF-PQ
+
+  /** (vec_id, cell, embedding = v − centroid(cell)): the residual frame
+    * IVF-PQ quantizes — residuals are centered near zero, so one shared
+    * codebook set spends its resolution on the within-cell structure
+    * instead of re-encoding coarse position (the standard IVF-PQ
+    * design). Map-only after the broadcast centroid attach.
+    */
+  private def residuals(embs: DataFrame, cells: DataFrame,
+      centroids: DataFrame): DataFrame =
+    embs.select(col("vec_id"), vec(col("embedding")).as("v"))
+      .join(cells, "vec_id")
+      .join(broadcast(centroids.select(col("cell"), col("cv"))), "cell")
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("v"), col("cv"), (x, c) => x - c).as("embedding"))
+
+  /** Train the shared residual codebooks (one [[train]] run over the
+    * residual frame). `cells`/`centroids` come from [[Ivf.train]] +
+    * [[Ivf.assign]].
+    */
+  def trainResiduals(embs: DataFrame, cells: DataFrame, centroids: DataFrame,
+      dim: Int, m: Int, ksub: Int = 256, iters: Int = 3): PqModel =
+    train(residuals(embs, cells, centroids), dim, m, ksub, iters)
+
+  /** The persisted IVF-PQ index: (vec_id, cell, codes) — coarse cell +
+    * m residual codebook indices per vector.
+    */
+  def encodeResiduals(embs: DataFrame, cells: DataFrame, centroids: DataFrame,
+      model: PqModel): DataFrame =
+    residuals(embs, cells, centroids)
+      .select(col("vec_id"), col("cell"),
+        codesCol(vec(col("embedding")), model.codebooks, model.subDim).as("codes"))
+
+  /** Σ_s lut(probeIdx)(s)(codes(s)) — the cell-dependent ADC fold
+    * (`lut` is nprobe × m × ksub; probeIdx is the row's 0-based probed
+    * cell index).
+    */
+  private def adcSum3(codes: Column, probeIdx: Column, lut: Seq[Seq[Seq[Double]]]): Column = {
+    val l = typedLit(lut)
+    aggregate(sequence(lit(0), lit(lut.head.size - 1)), lit(0.0),
+      (acc, s) => acc + element_at(
+        element_at(element_at(l, probeIdx + 1), s + 1),
+        element_at(codes, s + 1) + 1))
+  }
+
+  private def exactRerank(e: DataFrame, cand: DataFrame, qv: Array[Double],
+      nq: Double, topK: Int): DataFrame =
     e.where(col("nv2") > 0)
       .join(broadcast(cand), "vec_id")
       .select(col("vec_id"),
@@ -166,6 +216,59 @@ object Pq {
           .as("cos_sim"))
       .orderBy(desc("cos_sim"), asc("vec_id"))
       .limit(topK)
+
+  /** IVF-PQ ANN query — the standard billion-scale index: probe the
+    * `nprobe` cells nearest the query, ADC-score ONLY their members'
+    * residual codes (v̂ = c + r̂, so q·v̂ = q·c + Σ_s q_s·cb_s(code) and
+    * ‖v̂‖² = ‖c‖² + 2·Σ_s c_s·cb_s(code) + Σ_s ‖cb_s(code)‖² — three
+    * lookup tables, the cell-dependent one sized nprobe × m × ksub),
+    * then exact-rerank the top `topK × rerankFactor`. The scan is cut
+    * BOTH ways: nprobe/k of the corpus by the cell filter, m bytes per
+    * candidate by the codes. Per-query driver state: the query vector,
+    * the k×dim centroids, and the O(nprobe·m·ksub) LUTs — all bounded.
+    */
+  def searchIvfPq(embs: DataFrame, centroids: DataFrame, model: PqModel,
+      codes: DataFrame, queryVecId: Long, nprobe: Int, topK: Int,
+      rerankFactor: Int = 4): DataFrame = {
+    val e = embs.select(col("vec_id"), vec(col("embedding")).as("v"))
+      .withColumn("nv2", dotProduct(col("v"), col("v")))
+    val qv = e.where(col("vec_id") === queryVecId)
+      .select(col("v")).head().getSeq[Double](0).toArray
+    val nq = math.sqrt(qv.map(x => x * x).sum)
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.iterator.zip(b.iterator).map { case (x, y) => x * y }.sum
+    val cents: Map[Int, Array[Double]] = centroids.select(col("cell"), col("cv"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+    val probed: Seq[Int] = cents.toSeq
+      .sortBy { case (c, cv) =>
+        (dot(qv, qv) - 2 * dot(qv, cv) + dot(cv, cv), c)
+      }
+      .take(nprobe).map(_._1)
+    val probeIdx: Map[Int, Int] = probed.zipWithIndex.toMap
+    val qDotC: Map[Int, Double] = probed.map(c => c -> dot(qv, cents(c))).toMap
+    val c2: Map[Int, Double] = probed.map(c => c -> dot(cents(c), cents(c))).toMap
+    def sub(a: Array[Double], s: Int) = a.slice(s * model.subDim, (s + 1) * model.subDim)
+    val lutQ = (0 until model.m).map(s =>
+      model.codebooks(s).toIndexedSeq.map(cb => dot(sub(qv, s), cb)))
+    val lutN = (0 until model.m).map(s =>
+      model.codebooks(s).toIndexedSeq.map(cb => dot(cb, cb)))
+    val lutC: Seq[Seq[Seq[Double]]] = probed.map(c => (0 until model.m).map(s =>
+      model.codebooks(s).toIndexedSeq.map(cb => dot(sub(cents(c), s), cb))))
+    val cand = codes
+      .where(col("cell").isin(probed.map(Integer.valueOf): _*) &&
+        col("vec_id") =!= queryVecId)
+      .withColumn("__pi", element_at(typedLit(probeIdx), col("cell")))
+      .withColumn("__ip",
+        element_at(typedLit(qDotC), col("cell")) + adcSum(col("codes"), lutQ))
+      .withColumn("__n2",
+        element_at(typedLit(c2), col("cell")) +
+          lit(2.0) * adcSum3(col("codes"), col("__pi"), lutC) +
+          adcSum(col("codes"), lutN))
+      .where(col("__n2") > 0)
+      .withColumn("adc_cos", col("__ip") / (sqrt(col("__n2")) * lit(nq)))
+      .orderBy(desc("adc_cos"), asc("vec_id")).limit(topK * rerankFactor)
+      .select(col("vec_id"))
+    exactRerank(e, cand, qv, nq, topK)
   }
 
   /** Graded end-to-end PQ key: train per-subspace codebooks, encode the
@@ -180,7 +283,13 @@ object Pq {
     * ksub = 16 (not the 256 standard): the fixture corpus is ~500
     * vectors — a 256-centroid-per-subspace codebook would memorize it.
     */
-  val qAnnPq: Q = (s, d) => {
+  /** The shared planted ANN corpus (the q_ann_ivf_partial construction):
+    * 20 near-copies of query vector 7 at cos ≈ 0.999⁺ against a 0.60
+    * fixture background — what makes an exact-top-15 oracle sound for
+    * the approximate keys. Checkpointed: every consumer scans it
+    * several times (training, encoding, re-rank).
+    */
+  private[graft] def plantedCorpus(s: SparkSession, d: String): DataFrame = {
     val base = Tables.embeddings(s, d)
       .repartition(s.sessionState.conf.numShufflePartitions)
       .select(col("vec_id"), vec(col("embedding")).as("embedding"))
@@ -190,13 +299,38 @@ object Pq {
         transform(col("embedding"), (x, i) =>
           when(i === pmod(col("j"), lit(64)).cast("int"), x * lit(1.05) + lit(0.01))
             .otherwise(x)).as("embedding"))
-    val corpus = base.unionByName(planted).localCheckpoint()
+    base.unionByName(planted).localCheckpoint()
+  }
+
+  val qAnnPq: Q = (s, d) => {
+    val corpus = plantedCorpus(s, d)
     val model = train(corpus, dim = 64, m = 8, ksub = 16, iters = 2)
     val codes = encode(corpus, model).localCheckpoint() // the persisted index
     search(corpus, codes, model, queryVecId = 7L, topK = 15)
   }
 
+  /** Graded end-to-end IVF-PQ key — coarse quantizer + residual
+    * codebooks + ADC over 2 of 8 probed cells + exact re-rank, on the
+    * same planted corpus: all 20 copies sit in a tiny L2 ball around
+    * v₇, so every trained coarse quantizer co-locates them in the cell
+    * nearest v₇ — exactly probe #1 (the q_ann_ivf_partial containment
+    * argument) — and the ADC margin (cos 0.999⁺ vs 0.60) dwarfs
+    * residual quantization error, so the candidate cut provably keeps
+    * the true top-15 (PqSpec pins ≡ exact brute force). Oracle: exact
+    * global cosine top-15.
+    */
+  val qAnnIvfPq: Q = (s, d) => {
+    val corpus = plantedCorpus(s, d)
+    val k = 8
+    val centroids = Ivf.train(corpus, k = k, iters = 3)
+    val cells = Ivf.assign(corpus, centroids).localCheckpoint()
+    val model = trainResiduals(corpus, cells, centroids, dim = 64, m = 8, ksub = 16, iters = 2)
+    val codes = encodeResiduals(corpus, cells, centroids, model).localCheckpoint()
+    searchIvfPq(corpus, centroids, model, codes, queryVecId = 7L, nprobe = 2, topK = 15)
+  }
+
   val queries: Map[String, Q] = Map(
-    "q_ann_pq" -> qAnnPq
+    "q_ann_pq" -> qAnnPq,
+    "q_ann_ivfpq" -> qAnnIvfPq
   )
 }

@@ -63,6 +63,29 @@ class PqSpec extends AnyFunSuite {
     assert(got == (1 to 20).map(2000000L + _).toSet, got.toString)
   }
 
+  test("graded q_ann_ivfpq ≡ exact brute-force top-15 (the composed index stays exact here)") {
+    val got = Pq.queries("q_ann_ivfpq")(spark, sfDir).as[(Long, Double)].collect().toSeq
+    val truth = bruteForceTopK(plantedCorpus(), 15)
+    assert(got == truth)
+  }
+
+  test("IVF-PQ candidate scan touches only the probed cells") {
+    import graft.engine.Ivf
+    val corpus = plantedCorpus().localCheckpoint()
+    val centroids = Ivf.train(corpus, k = 8, iters = 3)
+    val cells = Ivf.assign(corpus, centroids).localCheckpoint()
+    val model = Pq.trainResiduals(corpus, cells, centroids, 64, 8, 16, 2)
+    val codes = Pq.encodeResiduals(corpus, cells, centroids, model).localCheckpoint()
+    // All 20 copies share v7's cell (the co-location the probe rides on).
+    val copyCells = codes.where(col("vec_id") >= 2000001L)
+      .select("cell").distinct().as[Int].collect().toSeq
+    val v7Cell = cells.where(col("vec_id") === 7L).select("cell").as[Int].head()
+    assert(copyCells == Seq(v7Cell), s"copies scattered: $copyCells vs v7 in $v7Cell")
+    val got = Pq.searchIvfPq(corpus, centroids, model, codes, 7L, nprobe = 2, topK = 20,
+      rerankFactor = 3).select("vec_id").as[Long].collect().toSet
+    assert(got == (1 to 20).map(2000000L + _).toSet, got.toString)
+  }
+
   test("encode is deterministic, map-only shaped, and emits m in-range codes") {
     val corpus = plantedCorpus().localCheckpoint()
     val model = Pq.train(corpus, dim = 64, m = 8, ksub = 16, iters = 2)
