@@ -792,6 +792,19 @@ object Oracle {
       FROM pairs WHERE inter * 10 >= na * 9
       ORDER BY doc_a, doc_b""",
 
+    // TF-IDF: tf * ln(N/df) rounded to 6 BEFORE ordering (G2 — libm ulp
+    // drift far below the rounding grain), ties cut by (doc_id, term).
+    "q_tfidf_topk" -> """
+      WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        tt AS (SELECT doc_id, term FROM t WHERE term <> ''),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM tt GROUP BY doc_id, term),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT count(*) AS n_docs FROM documents)
+      SELECT doc_id, term, tf, df,
+        round(tf * ln(n_docs * 1.0 / df), 6) AS tfidf
+      FROM tf JOIN df USING (term), n
+      ORDER BY tfidf DESC, doc_id, term LIMIT 20""",
+
     "q_bigram_topk" -> """
       WITH t AS (SELECT string_split(text, ' ') l FROM documents),
         b AS (SELECT unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS bigram

@@ -62,6 +62,32 @@ object TextAnalysis {
       .orderBy(desc("cnt"), asc("token"))
       .limit(20)
 
+  /** TF-IDF term scoring — the classic corpus-relevance weight next to
+    * the raw-frequency keys: score(doc, term) = tf · ln(N / df), global
+    * top-20 by (rounded score, doc_id, term). Two hash aggregates
+    * (per-doc term counts, then document frequency — both map-side
+    * partial) + a broadcast one-row N; the ln output is rounded to 6
+    * decimals BEFORE ordering so the filter/order decisions are
+    * cross-engine stable (libm ulp drift sits at ~1e-16, far below the
+    * rounding grain — the G2 policy).
+    */
+  val qTfidfTopk: Q = (s, d) => {
+    val docs = documents(s, d)
+    val terms = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .where(col("term") =!= "")
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val total = docs.select(count(lit(1)).as("n_docs"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(total))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df").cast("double")), 6))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"))
+      .orderBy(desc("tfidf"), asc("doc_id"), asc("term"))
+      .limit(20)
+  }
+
   /** Token counting, whitespace AND regex flavors: alpha runs, digit
     * runs, and BPE-ish "pieces" (alpha run | digit run | single other
     * non-space char) — the pre-tokenizer split most BPE vocabularies
@@ -211,6 +237,7 @@ object TextAnalysis {
     "q_user_sequences" -> qUserSequences,
     "q_token_count" -> qTokenCount,
     "q_token_topk" -> qTokenTopk,
+    "q_tfidf_topk" -> qTfidfTopk,
     "q_text_quality" -> qTextQuality,
     "q_lang_id" -> qLangId,
     "q_udf_scalar" -> qUdfScalar,
