@@ -717,10 +717,17 @@ object Dedup {
       // k = |A| − ceil(τ·|A|) + 1, integer-exact.
       .where(col("__rn") <= col("__n") -
         floor((col("__n") * tauNum + lit(tauDen - 1)) / tauDen) + 1)
-      .select(col("doc_id").as("id_a"), col("tok"))
+      .select(col("doc_id").as("id_a"), col("__n").as("__na"), col("tok"))
+    // Index side carries its set size so the prune below is join-free.
+    val index = docs.select(col("doc_id").as("id_b"), col("__ns").as("__nb"),
+      explode(col(setCol)).as("tok"))
     val pairs = h(prefix)
-      .join(h(toks.select(col("doc_id").as("id_b"), col("tok"))), "tok")
-      .where(col("id_a") =!= col("id_b"))
+      .join(h(index), "tok")
+      .where(col("id_a") =!= col("id_b") &&
+        // Lossless size prune BEFORE the distinct/confirm: |A∩B| ≥ τ|A|
+        // forces |B| ≥ τ|A| — kills e.g. the whole original→truncation
+        // direction without touching a token array.
+        col("__nb") * tauDen >= col("__na") * tauNum)
       .select(col("id_a"), col("id_b")).distinct()
     attachPairSides(pairs, docs, "doc_id", shape)
       .withColumn("inter",

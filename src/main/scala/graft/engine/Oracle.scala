@@ -805,6 +805,15 @@ object Oracle {
       FROM tf JOIN df USING (term), n
       ORDER BY tfidf DESC, doc_id, term LIMIT 20""",
 
+    // Shannon entropy via ln N − Σ c·ln c / N (single trailing division
+    // — identical op sequence in both engines, drift ≪ round-6).
+    "q_token_entropy" -> """
+      WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents),
+        c AS (SELECT lang, term, count(*) AS c FROM t WHERE term <> '' GROUP BY lang, term)
+      SELECT lang, sum(c)::BIGINT AS n_tokens, count(*) AS n_terms,
+        round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy
+      FROM c GROUP BY lang ORDER BY lang""",
+
     "q_bigram_topk" -> """
       WITH t AS (SELECT string_split(text, ' ') l FROM documents),
         b AS (SELECT unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS bigram

@@ -88,6 +88,28 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** Per-language token-distribution (Shannon) entropy — the vocabulary
+    * diversity score a corpus-quality dashboard tracks (collapsed or
+    * template-spam slices show up as low entropy). Computed as
+    * H = ln N − (Σ c·ln c)/N — one division at the end instead of a
+    * per-term p·ln p, so both engines evaluate the same op sequence and
+    * accumulated float drift stays far below the round-6 grain (G2).
+    * Shapes: two hash aggregates, both map-side partial.
+    */
+  val qTokenEntropy: Q = (s, d) => {
+    val counts = documents(s, d)
+      .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+      .where(col("term") =!= "")
+      .groupBy(col("lang"), col("term")).agg(count(lit(1)).as("c"))
+    counts.groupBy(col("lang"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_terms"),
+        sum(col("c") * log(col("c"))).as("__clnc"))
+      .select(col("lang"), col("n_tokens"), col("n_terms"),
+        round(log(col("n_tokens")) - col("__clnc") / col("n_tokens"), 6).as("entropy"))
+      .orderBy("lang")
+  }
+
   /** Token counting, whitespace AND regex flavors: alpha runs, digit
     * runs, and BPE-ish "pieces" (alpha run | digit run | single other
     * non-space char) — the pre-tokenizer split most BPE vocabularies
@@ -238,6 +260,7 @@ object TextAnalysis {
     "q_token_count" -> qTokenCount,
     "q_token_topk" -> qTokenTopk,
     "q_tfidf_topk" -> qTfidfTopk,
+    "q_token_entropy" -> qTokenEntropy,
     "q_text_quality" -> qTextQuality,
     "q_lang_id" -> qLangId,
     "q_udf_scalar" -> qUdfScalar,

@@ -179,6 +179,37 @@ class StreamingParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.toSet == Set((2L, Some(1L)), (3L, None)), rows.toString)
   }
 
+  test("full-outer interval join emits unmatched rows from BOTH sides after the watermark") {
+    val ms = MemoryStream[Event](spark)
+    val evs = ms.toDF()
+    val out = Streams.intervalJoin(
+      evs.where(col("event_type") === "purchase"),
+      evs.where(col("event_type") === "click"),
+      "user_id", before = "30 minutes", delay = "1 hour", joinType = "full_outer")
+      .select(col("l.event_id").as("p_id"), col("r.event_id").as("c_id"))
+    val q = Streams.start(out, Streams.MemoryStreamSink("ssjoin_fouter", Some(ckpt())))
+    try {
+      ms.addData(Seq(
+        Event(1L, 7L, "click", ts("2024-01-01 10:00:00"), 1.0),
+        Event(2L, 7L, "purchase", ts("2024-01-01 10:10:00"), 1.0),
+        Event(3L, 8L, "purchase", ts("2024-01-01 10:15:00"), 1.0), // no click for 8
+        Event(4L, 9L, "click", ts("2024-01-01 10:05:00"), 1.0)))   // no purchase for 9
+      q.processAllAvailable()
+      ms.addData(Seq(
+        Event(5L, 99L, "click", ts("2024-01-01 20:00:00"), 1.0),
+        Event(6L, 98L, "purchase", ts("2024-01-01 20:00:00"), 1.0)))
+      q.processAllAvailable()
+      ms.addData(Seq(Event(7L, 97L, "click", ts("2024-01-01 20:30:00"), 1.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("ssjoin_fouter")
+      .as[(Option[Long], Option[Long])].collect().toSeq
+    val expired = rows.filter(r => r == ((Some(3L), None)) || r == ((None, Some(4L))))
+    assert(expired.size == 2, s"each unmatched side must appear exactly once: $rows")
+    assert(rows.toSet == Set((Some(2L), Some(1L)), (Some(3L), None), (None, Some(4L))),
+      rows.toString)
+  }
+
   test("interval join EVICTS watermark-expired state: late probes find nothing") {
     val ms = MemoryStream[Event](spark)
     val evs = ms.toDF()
