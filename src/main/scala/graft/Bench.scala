@@ -40,16 +40,22 @@ object Bench {
     * BENCH.records.json (min-merged on every run, so a SPARK_GRAFT_ONLY
     * subset run cannot wipe the other keys' records) — parsed with a
     * minimal scanner for the flat {"queries":{"k":1.2,...}} object this
-    * file itself writes; absent or unparsable file → no records, no
-    * reruns.
+    * file itself writes. Records are scoped to the (sfDir, cpus) config
+    * that produced them: a record file from a DIFFERENT config is
+    * ignored (and overwritten on the next write) — otherwise one sf0.01
+    * run would min-merge ~0.1 s records that every later sf0.1 run
+    * "exceeds 2.5×", permanently triggering the defense passes for all
+    * keys. Absent/unparsable/mismatched file → no records, no reruns.
     */
   private val RecordsPath = "BENCH.records.json"
 
-  private def previousRecords(path: String): Map[String, Double] =
+  private def previousRecords(path: String, sfDir: String, cpus: String): Map[String, Double] =
     try {
       val text = Files.readString(Paths.get(path))
+      def fieldMismatch(name: String, want: String): Boolean =
+        raw""""$name":"([^"]*)"""".r.findFirstMatchIn(text).exists(_.group(1) != want)
       val start = text.indexOf("\"queries\":{")
-      if (start < 0) Map.empty
+      if (start < 0 || fieldMismatch("sf", sfDir) || fieldMismatch("cpus", cpus)) Map.empty
       else {
         val body = text.substring(start + "\"queries\":{".length,
           text.indexOf('}', start))
@@ -87,9 +93,11 @@ object Bench {
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     // Records live in BENCH.records.json; fall back to the last run's
-    // output for machines that predate the records file.
-    val prevAll = previousRecords(RecordsPath)
-    val prev = if (prevAll.nonEmpty) prevAll else previousRecords("BENCH.local.json")
+    // output for machines that predate the records file. Both reads are
+    // config-scoped (same sfDir + cpus) — see previousRecords.
+    val prevAll = previousRecords(RecordsPath, sfDir, cpus)
+    val prev = if (prevAll.nonEmpty) prevAll
+      else previousRecords("BENCH.local.json", sfDir, cpus)
 
     def runOnce(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
@@ -140,13 +148,14 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(times.toSeq)},"spread":${jmap(spread.toSeq)},"reruns":${jmap(reruns.toSeq)},"errors":${jmap(errors.toSeq)},"n_ok":${times.size},"n_err":${errors.size},"sf":${jstr(sfDir)}}"""
     Files.writeString(Paths.get("BENCH.local.json"), line + "\n")
-    // Min-merge this run's numbers into the cross-run record store.
+    // Min-merge this run's numbers into the cross-run record store
+    // (config fields FIRST so the queries-object scanner stays trivial).
     val merged = (prevAll.keySet ++ times.keySet).toSeq.sorted.map { k =>
       k -> math.min(prevAll.getOrElse(k, Double.MaxValue),
         times.getOrElse(k, Double.MaxValue))
     }
     Files.writeString(Paths.get(RecordsPath),
-      s"""{"queries":${jmap(merged)}}\n""")
+      s"""{"sf":${jstr(sfDir)},"cpus":${jstr(cpus)},"queries":${jmap(merged)}}\n""")
     println(line)
     spark.stop()
     if (errors.nonEmpty) System.exit(1)

@@ -707,20 +707,23 @@ object Dedup {
       case Salted(_) => df.hint("merge")
       case _ => df
     }
-    val toks = docs.select(col("doc_id"), explode(col(setCol)).as("tok"))
+    // One exploded frame; the set size rides along so neither the prefix
+    // cut nor the size prune needs a recount (a count-window over this
+    // corpus-sized frame would be a second aggregation pass for a value
+    // docs already carries).
+    val toks = docs.select(col("doc_id"), col("__ns"), explode(col(setCol)).as("tok"))
     val dfDict = toks.groupBy(col("tok")).agg(count(lit(1)).as("__df"))
     val byRarity = Window.partitionBy(col("doc_id")).orderBy(asc("__df"), asc("tok"))
-    val perDoc = Window.partitionBy(col("doc_id"))
     val prefix = h(toks).join(h(dfDict), "tok")
       .withColumn("__rn", row_number().over(byRarity))
-      .withColumn("__n", count(lit(1)).over(perDoc))
-      // k = |A| − ceil(τ·|A|) + 1, integer-exact.
-      .where(col("__rn") <= col("__n") -
-        floor((col("__n") * tauNum + lit(tauDen - 1)) / tauDen) + 1)
-      .select(col("doc_id").as("id_a"), col("__n").as("__na"), col("tok"))
-    // Index side carries its set size so the prune below is join-free.
-    val index = docs.select(col("doc_id").as("id_b"), col("__ns").as("__nb"),
-      explode(col(setCol)).as("tok"))
+      // k = |A| − ceil(τ·|A|) + 1 in true INTEGER division (`div`) —
+      // Column `/` is double division, and a double ceil can round
+      // 9.000000000000002 UP, silently shrinking the recall guarantee.
+      .where(col("__rn") <=
+        expr(s"__ns - ((__ns * $tauNum + ${tauDen - 1}) div $tauDen) + 1"))
+      .select(col("doc_id").as("id_a"), col("__ns").as("__na"), col("tok"))
+    // Index side: the same exploded frame, sides renamed.
+    val index = toks.select(col("doc_id").as("id_b"), col("__ns").as("__nb"), col("tok"))
     val pairs = h(prefix)
       .join(h(index), "tok")
       .where(col("id_a") =!= col("id_b") &&

@@ -198,16 +198,10 @@ object Ivf {
     * exact global cosine top-15 over the identically-constructed corpus.
     */
   val qAnnIvfPartial: Q = (s, d) => {
-    val base = Tables.embeddings(s, d)
-      .repartition(s.sessionState.conf.numShufflePartitions)
-      .select(col("vec_id"), vec(col("embedding")).as("embedding"))
-    val planted = base.where(col("vec_id") === 7L)
-      .crossJoin(s.range(1, 21).select(col("id").as("j")))
-      .select((lit(2000000L) + col("j")).as("vec_id"),
-        transform(col("embedding"), (x, i) =>
-          when(i === pmod(col("j"), lit(64)).cast("int"), x * lit(1.05) + lit(0.01))
-            .otherwise(x)).as("embedding"))
-    val corpus = base.unionByName(planted)
+    // ONE corpus-construction definition (Pq.plantedCorpus) across the
+    // three planted ANN keys — the shared exact-top-15 oracles rest on
+    // the corpora being identical.
+    val corpus = Pq.plantedCorpus(s, d)
     val k = 8
     val centroids = train(corpus, k = k, iters = 3)
     val cells = assign(corpus, centroids).localCheckpoint()

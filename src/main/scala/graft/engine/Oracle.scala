@@ -28,6 +28,25 @@ object Oracle {
       SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.9
       ORDER BY doc_a, doc_b"""
 
+  /** Exact global cosine top-15 over the shared planted ANN corpus
+    * (Pq.plantedCorpus: 20 near-copies of query vector 7) — ONE oracle
+    * definition for the three approximate-ANN keys whose soundness
+    * arguments all require the identical corpus construction.
+    */
+  private val PlantedAnnTopK = """
+      WITH base AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        q AS (SELECT v AS qv FROM base WHERE vec_id = 7),
+        planted AS (SELECT 2000000 + j AS vec_id,
+            list_transform(range(1, 65),
+              i -> CASE WHEN i = (j % 64) + 1 THEN qv[i] * 1.05 + 0.01 ELSE qv[i] END) AS v
+          FROM q, generate_series(1, 20) AS t(j)),
+        corpus AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+        sims AS (SELECT vec_id,
+            round(list_dot_product(v, qv) /
+                  (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
+          FROM corpus, q WHERE vec_id <> 7)
+      SELECT vec_id, cos_sim FROM sims ORDER BY cos_sim DESC, vec_id LIMIT 15"""
+
   val sql: Map[String, String] = Map(
     "q_scan_project" -> """
       SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber, l_quantity, l_shipdate
@@ -516,55 +535,19 @@ object Oracle {
     // cells, but the copies provably share the query's cell (they sit in
     // a tiny L2 ball around it), so the under-probed search must still
     // reproduce the exact global answer — grading the APPROXIMATE path.
-    "q_ann_ivf_partial" -> """
-      WITH base AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
-        q AS (SELECT v AS qv FROM base WHERE vec_id = 7),
-        planted AS (SELECT 2000000 + j AS vec_id,
-            list_transform(range(1, 65),
-              i -> CASE WHEN i = (j % 64) + 1 THEN qv[i] * 1.05 + 0.01 ELSE qv[i] END) AS v
-          FROM q, generate_series(1, 20) AS t(j)),
-        corpus AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
-        sims AS (SELECT vec_id,
-            round(list_dot_product(v, qv) /
-                  (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
-          FROM corpus, q WHERE vec_id <> 7)
-      SELECT vec_id, cos_sim FROM sims ORDER BY cos_sim DESC, vec_id LIMIT 15""",
+    "q_ann_ivf_partial" -> PlantedAnnTopK,
 
     // PQ ANN over the SAME planted corpus as q_ann_ivf_partial: the
     // exact re-rank + the planted margin (cos 0.999 copies vs 0.60
     // background, far beyond quantization error) make the approximate
     // path provably exact here, so the exact global top-15 is a sound
     // oracle (PqSpec additionally pins ADC recall of every copy).
-    "q_ann_pq" -> """
-      WITH base AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
-        q AS (SELECT v AS qv FROM base WHERE vec_id = 7),
-        planted AS (SELECT 2000000 + j AS vec_id,
-            list_transform(range(1, 65),
-              i -> CASE WHEN i = (j % 64) + 1 THEN qv[i] * 1.05 + 0.01 ELSE qv[i] END) AS v
-          FROM q, generate_series(1, 20) AS t(j)),
-        corpus AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
-        sims AS (SELECT vec_id,
-            round(list_dot_product(v, qv) /
-                  (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
-          FROM corpus, q WHERE vec_id <> 7)
-      SELECT vec_id, cos_sim FROM sims ORDER BY cos_sim DESC, vec_id LIMIT 15""",
+    "q_ann_pq" -> PlantedAnnTopK,
 
     // IVF-PQ over the same planted corpus: probed cells provably hold
     // the copies (q_ann_ivf_partial containment argument) and the exact
     // re-rank + planted margin make the approximate path exact here.
-    "q_ann_ivfpq" -> """
-      WITH base AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
-        q AS (SELECT v AS qv FROM base WHERE vec_id = 7),
-        planted AS (SELECT 2000000 + j AS vec_id,
-            list_transform(range(1, 65),
-              i -> CASE WHEN i = (j % 64) + 1 THEN qv[i] * 1.05 + 0.01 ELSE qv[i] END) AS v
-          FROM q, generate_series(1, 20) AS t(j)),
-        corpus AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
-        sims AS (SELECT vec_id,
-            round(list_dot_product(v, qv) /
-                  (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
-          FROM corpus, q WHERE vec_id <> 7)
-      SELECT vec_id, cos_sim FROM sims ORDER BY cos_sim DESC, vec_id LIMIT 15""",
+    "q_ann_ivfpq" -> PlantedAnnTopK,
 
     // Exact all-pairs cosine over the SAME planted-near-dup corpus the
     // engine query constructs (every 10th vector duplicated with its

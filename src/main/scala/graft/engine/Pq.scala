@@ -135,21 +135,9 @@ object Pq {
       topK: Int, rerankFactor: Int = 4): DataFrame = {
     val e = embs.select(col("vec_id"), vec(col("embedding")).as("v"))
       .withColumn("nv2", dotProduct(col("v"), col("v")))
-    // The ONE query vector reaches the driver to build the O(m·ksub)
-    // ADC lookup tables — per-query model state, bounded by design
-    // (the corpus itself is never collected).
-    val qv = e.where(col("vec_id") === queryVecId)
-      .select(col("v")).head().getSeq[Double](0).toArray
-    val nq = math.sqrt(qv.map(x => x * x).sum)
-    def dot(a: Array[Double], b: Array[Double]): Double =
-      a.iterator.zip(b.iterator).map { case (x, y) => x * y }.sum
-    val ipLut: Seq[Seq[Double]] = (0 until model.m).map { s =>
-      val qs = qv.slice(s * model.subDim, (s + 1) * model.subDim)
-      model.codebooks(s).toIndexedSeq.map(cv => dot(qs, cv))
-    }
-    val n2Lut: Seq[Seq[Double]] = (0 until model.m).map { s =>
-      model.codebooks(s).toIndexedSeq.map(cv => dot(cv, cv))
-    }
+    val (qv, nq) = queryVector(e, queryVecId)
+    val ipLut = queryLut(model, qv)
+    val n2Lut = normLut(model)
     val cand = codes
       .where(col("vec_id") =!= queryVecId)
       .withColumn("__ip", adcSum(col("codes"), ipLut))
@@ -195,6 +183,33 @@ object Pq {
       .select(col("vec_id"), col("cell"),
         codesCol(vec(col("embedding")), model.codebooks, model.subDim).as("codes"))
 
+  // --------------------------------------- shared per-query ADC pieces
+
+  private def dotA(a: Array[Double], b: Array[Double]): Double =
+    a.iterator.zip(b.iterator).map { case (x, y) => x * y }.sum
+
+  private def subv(v: Array[Double], s: Int, subDim: Int): Array[Double] =
+    v.slice(s * subDim, (s + 1) * subDim)
+
+  /** The ONE query vector reaches the driver to build the O(m·ksub)
+    * ADC lookup tables — per-query model state, bounded by design (the
+    * corpus is never collected). Returns (vector, its L2 norm).
+    */
+  private def queryVector(e: DataFrame, queryVecId: Long): (Array[Double], Double) = {
+    val qv = e.where(col("vec_id") === queryVecId)
+      .select(col("v")).head().getSeq[Double](0).toArray
+    (qv, math.sqrt(dotA(qv, qv)))
+  }
+
+  /** q_s · codebook entry — the query-side ADC LUT (m × ksub). */
+  private def queryLut(model: PqModel, qv: Array[Double]): Seq[Seq[Double]] =
+    (0 until model.m).map(s =>
+      model.codebooks(s).toIndexedSeq.map(cb => dotA(subv(qv, s, model.subDim), cb)))
+
+  /** ‖codebook entry‖² — the query-independent norm LUT (m × ksub). */
+  private def normLut(model: PqModel): Seq[Seq[Double]] =
+    (0 until model.m).map(s => model.codebooks(s).toIndexedSeq.map(cb => dotA(cb, cb)))
+
   /** Σ_s lut(probeIdx)(s)(codes(s)) — the cell-dependent ADC fold
     * (`lut` is nprobe × m × ksub; probeIdx is the row's 0-based probed
     * cell index).
@@ -232,28 +247,21 @@ object Pq {
       rerankFactor: Int = 4): DataFrame = {
     val e = embs.select(col("vec_id"), vec(col("embedding")).as("v"))
       .withColumn("nv2", dotProduct(col("v"), col("v")))
-    val qv = e.where(col("vec_id") === queryVecId)
-      .select(col("v")).head().getSeq[Double](0).toArray
-    val nq = math.sqrt(qv.map(x => x * x).sum)
-    def dot(a: Array[Double], b: Array[Double]): Double =
-      a.iterator.zip(b.iterator).map { case (x, y) => x * y }.sum
+    val (qv, nq) = queryVector(e, queryVecId)
     val cents: Map[Int, Array[Double]] = centroids.select(col("cell"), col("cv"))
       .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
     val probed: Seq[Int] = cents.toSeq
       .sortBy { case (c, cv) =>
-        (dot(qv, qv) - 2 * dot(qv, cv) + dot(cv, cv), c)
+        (dotA(qv, qv) - 2 * dotA(qv, cv) + dotA(cv, cv), c)
       }
       .take(nprobe).map(_._1)
     val probeIdx: Map[Int, Int] = probed.zipWithIndex.toMap
-    val qDotC: Map[Int, Double] = probed.map(c => c -> dot(qv, cents(c))).toMap
-    val c2: Map[Int, Double] = probed.map(c => c -> dot(cents(c), cents(c))).toMap
-    def sub(a: Array[Double], s: Int) = a.slice(s * model.subDim, (s + 1) * model.subDim)
-    val lutQ = (0 until model.m).map(s =>
-      model.codebooks(s).toIndexedSeq.map(cb => dot(sub(qv, s), cb)))
-    val lutN = (0 until model.m).map(s =>
-      model.codebooks(s).toIndexedSeq.map(cb => dot(cb, cb)))
+    val qDotC: Map[Int, Double] = probed.map(c => c -> dotA(qv, cents(c))).toMap
+    val c2: Map[Int, Double] = probed.map(c => c -> dotA(cents(c), cents(c))).toMap
+    val lutQ = queryLut(model, qv)
+    val lutN = normLut(model)
     val lutC: Seq[Seq[Seq[Double]]] = probed.map(c => (0 until model.m).map(s =>
-      model.codebooks(s).toIndexedSeq.map(cb => dot(sub(cents(c), s), cb))))
+      model.codebooks(s).toIndexedSeq.map(cb => dotA(subv(cents(c), s, model.subDim), cb))))
     val cand = codes
       .where(col("cell").isin(probed.map(Integer.valueOf): _*) &&
         col("vec_id") =!= queryVecId)

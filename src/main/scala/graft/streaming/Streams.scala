@@ -300,14 +300,19 @@ object Streams {
     * and only the new slice ever pays signature cost.
     *
     * Idempotent per batchId (the foreachBatch replay contract): a replay
-    * of an already-ingested batch finds its output directory's _SUCCESS
-    * marker and returns without touching the corpus. The marker — not
-    * mere directory existence — is the ingested test, because the
-    * parquet write is non-atomic: a crash mid-write leaves a partial
-    * `batch_<id>` directory, which the replay DELETES and rewrites
-    * (directory-existence gating would skip the batch — silent loss —
-    * and later batches would probe the partial files as corpus state).
-    * The corpus probe likewise reads only _SUCCESS-marked batches.
+    * of an already-ingested batch finds its output directory's
+    * `_GRAFT_COMMITTED` marker and returns without touching the corpus.
+    * A marker — not mere directory existence — is the ingested test,
+    * because the parquet write is non-atomic: a crash mid-write leaves
+    * a partial `batch_<id>` directory, which the replay DELETES and
+    * rewrites (directory-existence gating would skip the batch — silent
+    * loss — and later batches would probe the partial files as corpus
+    * state). The marker is written by THIS method after the parquet
+    * write returns (not the committer's `_SUCCESS`, which disappears
+    * when `mapreduce.fileoutputcommitter.marksuccessfuljobs=false` — a
+    * common object-store setting that would otherwise silently disable
+    * cross-batch dedup). The corpus probe likewise reads only
+    * marker-committed batches.
     *
     * All corpus-state IO goes through the Hadoop FileSystem API resolved
     * from the path itself, so the persisted corpus index works unchanged
@@ -331,7 +336,8 @@ object Streams {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(root)
     val target = new Path(root, f"batch_$batchId%06d")
-    if (fs.exists(new Path(target, "_SUCCESS"))) return // replayed batch — already ingested
+    val Marker = "_GRAFT_COMMITTED"
+    if (fs.exists(new Path(target, Marker))) return // replayed batch — already ingested
     if (fs.exists(target)) fs.delete(target, true) // partial dir from a crashed write
     val staged = Dedup.fanOut(batch).withColumn("toks", Dedup.normTokens(col("text")))
     val sigs = Dedup.signatures(staged).where(size(col("toks")) > 0).localCheckpoint()
@@ -341,7 +347,7 @@ object Streams {
       .localCheckpoint()
     val parts = fs.listStatus(root).toIndexedSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch_") &&
-        fs.exists(new Path(st.getPath, "_SUCCESS")))
+        fs.exists(new Path(st.getPath, Marker)))
       .map(_.getPath.toString).sorted
     val survivors =
       if (parts.isEmpty) afterWithin
@@ -353,9 +359,10 @@ object Streams {
         afterWithin.join(vsCorpus.select(col("doc_a").as("doc_id")).distinct(),
           Seq("doc_id"), "left_anti")
       }
-    // The parquet committer drops the _SUCCESS marker only after every
-    // task commits — completing the marker-gated idempotency protocol.
     survivors.write.parquet(target.toString)
+    // Marker AFTER the write returns — completing the marker-gated
+    // idempotency protocol independent of committer configuration.
+    fs.create(new Path(target, Marker), true).close()
   }
 
   /** Streaming corpus ingest with NEAR-duplicate suppression: each

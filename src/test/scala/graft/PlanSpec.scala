@@ -181,19 +181,26 @@ class PlanSpec extends AnyFunSuite {
     // happens at listing time, before any file is opened) and its
     // runtime partition-read metric must be exactly 2.
     val dir = java.nio.file.Files.createTempDirectory("graft_planspec_part_").toString
-    val df = graft.engine.Sources.partitionedDocsScan(spark, TestSpark.sfDir, dir,
-      Seq("de", "fr"))
-    df.collect()
-    val scan = df.queryExecution.executedPlan.collectLeaves().collectFirst {
-      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
-    }.getOrElse(fail("no FileSourceScanExec in the plan"))
-    assert(scan.partitionFilters.nonEmpty, scan.toString)
-    assert(scan.metrics("numPartitions").value == 2,
-      s"partitions read = ${scan.metrics("numPartitions").value}")
-    // And the full graded key sees only the pruned slice's rows.
-    val langs = df.select("lang").distinct()
-      .collect().map(_.getString(0)).toSet
-    assert(langs == Set("de", "fr"), langs.toString)
+    try {
+      val df = graft.engine.Sources.partitionedDocsScan(spark, TestSpark.sfDir, dir,
+        Seq("de", "fr"))
+      df.collect()
+      val scan = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.getOrElse(fail("no FileSourceScanExec in the plan"))
+      assert(scan.partitionFilters.nonEmpty, scan.toString)
+      assert(scan.metrics("numPartitions").value == 2,
+        s"partitions read = ${scan.metrics("numPartitions").value}")
+      // And the full graded key sees only the pruned slice's rows.
+      val langs = df.select("lang").distinct()
+        .collect().map(_.getString(0)).toSet
+      assert(langs == Set("de", "fr"), langs.toString)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
   }
 
   test("q_bucketed_join's graded join is shuffle-free with bucketed scans on both sides") {

@@ -48,10 +48,10 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(corpusIds(s"$dir/corpus") == Set(1L, 3L, 5L, 6L))
   }
 
-  test("a partial batch dir (no _SUCCESS) is rewritten on replay, not skipped") {
+  test("a partial batch dir (no commit marker) is rewritten on replay, not skipped") {
     val dir = java.nio.file.Files.createTempDirectory("graft-partial").toString
     // Fake a crashed write: batch_000000 exists with a stray data file but
-    // no _SUCCESS marker — the replay must delete and rewrite it.
+    // no commit marker — the replay must delete and rewrite it.
     val partial = new java.io.File(s"$dir/corpus/batch_000000")
     partial.mkdirs()
     java.nio.file.Files.writeString(partial.toPath.resolve("part-junk.parquet"), "not parquet")
@@ -59,7 +59,7 @@ class StreamingIngestSpec extends AnyFunSuite {
       .toDF("doc_id", "text", "ts")
     Streams.ingestBatch(batch, s"$dir/corpus", batchId = 0L)
     assert(corpusIds(s"$dir/corpus") == Set(1L))
-    assert(new java.io.File(partial, "_SUCCESS").exists())
+    assert(new java.io.File(partial, "_GRAFT_COMMITTED").exists())
     assert(!new java.io.File(partial, "part-junk.parquet").exists())
     // Second replay with the marker present is now a true no-op.
     val replay = Seq((9L, "must not land", ts(1))).toDF("doc_id", "text", "ts")
