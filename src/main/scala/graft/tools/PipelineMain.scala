@@ -12,7 +12,10 @@ import graft.engine.{Dedup, Tables}
   *     → quality scoring (length/stopword/diversity)      [filter]
   *     → set-normalized exact dedup (min doc_id survives)
   *     → MinHash-LSH near-dup (salted) → component clustering [canonical wins]
-  *     → curated corpus + run report, written as parquet
+  *     → containment pruning (docs ≥90% contained in a survivor drop —
+  *       the subset-duplicates Jaccard can't see)
+  *     → curated corpus written lang-PARTITIONED (pruned future scans)
+  *       + run report
   *
   * Usage: runMain graft.tools.PipelineMain [sfDir] [outDir]
   * Every stage is a shuffle-bounded DataFrame op; nothing passes through
@@ -68,19 +71,45 @@ object PipelineMain {
     val nearDupLosers = Dedup.nearDupComponents(pairs)
       .where(col("doc_id") =!= col("component")).select(col("doc_id"))
     val curated = deduped.join(nearDupLosers.hint("merge"), Seq("doc_id"), "left_anti")
+      .localCheckpoint() // feeds the containment stage AND the report count
 
-    curated.write.mode("overwrite").parquet(s"$outDir/corpus")
-    // Each stage count exactly once: quality/deduped are localCheckpointed
-    // above (so counting them is a cached scan, not a pipeline re-run) and
-    // the curated count reads back the parquet just written.
+    // 4. Containment pruning: a survivor drops when its token set is
+    //    ≥90% contained in another survivor AND it is at most HALF the
+    //    container's size — the quoted-paragraph/boilerplate shape
+    //    Jaccard ≥ 0.9 structurally misses. The size guard is the
+    //    policy: over a small shared vocabulary, bare τ-containment
+    //    flags nearly EVERY doc (measured 500/500 at sf0.01 — a
+    //    corpus-collapse, not curation); requiring the container to
+    //    dominate keeps only genuine subset-duplicates (54/500).
+    val curatedToks = curated
+      .select(col("doc_id"), Dedup.normTokens(col("text")).as("toks"))
+      .localCheckpoint() // feeds the pair stage AND the size dictionary
+    val sizes = curatedToks.select(col("doc_id"), size(col("toks")).as("__n"))
+    val containedLosers = Dedup.containmentPairs(curatedToks, "toks", 9, 10)
+      .join(sizes.select(col("doc_id").as("doc_a"), col("__n").as("__na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("__n").as("__nb")), "doc_b")
+      .where(col("__na") * 2 <= col("__nb"))
+      .select(col("doc_a").as("doc_id")).distinct()
+    val finalCorpus = curated.join(containedLosers.hint("merge"), Seq("doc_id"), "left_anti")
+
+    // 5. Layout: lang-partitioned at rest, so downstream per-language
+    //    reads prune whole directories (Tables.writePartitioned scaladoc).
+    Tables.writePartitioned(finalCorpus, s"$outDir/corpus", Seq("lang"))
+    // Each stage count exactly once: quality/deduped/curated are
+    // localCheckpointed above (so counting them is a cached scan, not a
+    // pipeline re-run) and the final count reads back the parquet just
+    // written.
     val kept = spark.read.parquet(s"$outDir/corpus").count()
     val nQuality = quality.count()
     val nDeduped = deduped.count()
+    val nCurated = curated.count()
     import spark.implicits._
-    Seq((total, nQuality, nDeduped, kept))
-      .toDF("input_docs", "after_quality", "after_exact_dedup", "after_neardup")
+    Seq((total, nQuality, nDeduped, nCurated, kept))
+      .toDF("input_docs", "after_quality", "after_exact_dedup", "after_neardup",
+        "after_containment")
       .write.mode("overwrite").parquet(s"$outDir/report")
-    println(s"[pipeline] input=$total quality=$nQuality deduped=$nDeduped curated=$kept -> $outDir")
+    println(s"[pipeline] input=$total quality=$nQuality deduped=$nDeduped " +
+      s"neardup=$nCurated curated=$kept -> $outDir")
     spark.stop()
   }
 }
