@@ -678,6 +678,12 @@ object Oracle {
         round(sum(value), 2) AS sum_value, max(ts) AS max_ts
       FROM events GROUP BY event_type ORDER BY event_type""",
 
+    "q_source_orc" -> """
+      SELECT event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+        min(event_id) AS min_event_id, max(event_id) AS max_event_id,
+        round(sum(value), 2) AS sum_value, max(ts) AS max_ts
+      FROM events GROUP BY event_type ORDER BY event_type""",
+
     // Bucketed-layout round trip: the engine joins two bucketed tables
     // shuffle-free and aggregates; the oracle runs the same join+agg
     // over the parquet fixture.

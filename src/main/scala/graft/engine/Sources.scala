@@ -69,6 +69,12 @@ object Sources {
   val qSourceJson: Q = (s, d) =>
     roundTrip(s, d, "graft_src_json_", Tables.writeJsonLines, Tables.readJsonLines(s, _, _))
 
+  /** ORC round trip — the columnar sibling of the text-format keys
+    * (schema from footers, so the read ignores the schema argument).
+    */
+  val qSourceOrc: Q = (s, d) =>
+    roundTrip(s, d, "graft_src_orc_", Tables.writeOrc, (dir, _) => Tables.readOrc(s, dir))
+
   /** Write a lang-partitioned copy of (a projection of) documents and
     * read it back filtered to `langs` — the scan over the returned frame
     * prunes to the matching `lang=…` directories at planning time
@@ -145,6 +151,7 @@ object Sources {
   val queries: Map[String, Q] = Map(
     "q_source_csv" -> qSourceCsv,
     "q_source_json" -> qSourceJson,
+    "q_source_orc" -> qSourceOrc,
     "q_partition_pruned" -> qPartitionPruned,
     "q_bucketed_join" -> qBucketedJoin
   )

@@ -99,6 +99,17 @@ object Tables {
       .option("header", "true").option("timestampFormat", textTimestampFormat)
       .csv(path)
 
+  /** ORC loader — the OTHER columnar at-rest format (schema from the
+    * file footers like parquet; vectorized reader, predicate pushdown
+    * and column pruning all apply). No schema parameter: columnar
+    * formats are self-describing.
+    */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    configure(spark).read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** Explicit-schema JSON-lines loader (same contract as [[readCsv]]). */
   def readJsonLines(spark: SparkSession, path: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame =

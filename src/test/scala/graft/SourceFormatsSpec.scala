@@ -32,6 +32,14 @@ class SourceFormatsSpec extends AnyFunSuite {
       events.orderBy("event_id").collect().toSeq)
   }
 
+  test("ORC round trip via the Tables loaders preserves rows exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    Tables.writeOrc(events, dir)
+    val back = Tables.readOrc(spark, dir)
+    assert(back.orderBy("event_id").collect().toSeq ==
+      events.orderBy("event_id").collect().toSeq)
+  }
+
   test("graded round-trip keys: text-source aggregates ≡ the parquet aggregate") {
     // The oracle computes the same aggregate from parquet — the graded
     // contract is exactly this equality.
