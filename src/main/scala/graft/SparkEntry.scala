@@ -33,7 +33,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     (Relational.queries ++ Scalars.queries ++ Dedup.queries ++
       Similarity.queries ++ CosineLsh.queries ++ Ivf.queries ++
-      Pq.queries ++ Skew.queries ++ TextAnalysis.queries ++ Windowed.queries ++
+      Pq.queries ++ Skew.queries ++ Sketches.queries ++
+      TextAnalysis.queries ++ Windowed.queries ++
       Multimodal.queries ++ Sampling.queries ++ Sources.queries ++
       Quantize.queries).map { case (k, fn) =>
       k -> ((s: SparkSession, d: String) => ntz(fn(s, d)))

@@ -1,0 +1,63 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Mergeable-sketch operators — the 100 TB incremental-statistics
+  * pattern: per-slice sketch ARTIFACTS are small (KBs), persistable,
+  * and union-mergeable, so a standing pipeline computes them once per
+  * ingest slice and answers corpus-wide questions by merging sketches
+  * instead of rescanning data. Two families here on top of the
+  * built-in `approx_count_distinct`/`approx_percentile` keys:
+  * DataSketches HLL (distinct counts, explicit sketch column +
+  * union-merge) and count-min (frequency estimates, overestimate-only
+  * guarantee). Sketch bytes/estimates are engine-specific, so both
+  * keys are rows-only graded and property-bounded in SketchSpec.
+  */
+object Sketches {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Incremental distinct users per event type via DataSketches HLL:
+    * one sketch per (event_type, day) ingest slice — the persisted
+    * artifact a daily job would write — then a union-merge per type.
+    * The merge is associative/commutative, so re-slicing (hourly,
+    * per-file) gives the same estimates; SketchSpec additionally pins
+    * union-of-slices ≡ one-shot sketch and ±3% of exact.
+    */
+  val qSketchHllUnion: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_slices"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
+      .orderBy("event_type")
+  }
+
+  /** Count-min frequency estimates for every event type, probed from
+    * ONE distributed sketch build: the sketch is an O(1/eps · ln 1/δ)
+    * artifact (~KBs — model state, the bounded-collect contract), the
+    * per-key probes are driver-side lookups, and the guarantee is
+    * one-sided: estimate ≥ true count, ≤ true + eps·N with probability
+    * 1−δ (SketchSpec pins both sides). The exact counts ride along so
+    * the graded row set shows the estimate quality directly.
+    */
+  val qSketchCountmin: Q = (s, d) => {
+    val ev = Tables.events(s, d).localCheckpoint()
+    val bytes = ev.agg(
+      expr("count_min_sketch(event_type, 0.001d, 0.99d, 42)").as("sk"))
+      .head().getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(bytes))
+    val probe = udf((t: String) => cms.estimateCount(t))
+    ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("exact_count"))
+      .withColumn("cms_estimate", probe(col("event_type")))
+      .orderBy("event_type")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_sketch_hll_union" -> qSketchHllUnion,
+    "q_sketch_countmin" -> qSketchCountmin
+  )
+}

@@ -79,6 +79,38 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("HLL union-of-slices ≡ one-shot sketch and within ±3% of exact") {
+    val ev = Tables.events(spark, TestSpark.sfDir)
+    val unioned = SparkEntry.queries("q_sketch_hll_union")(spark, TestSpark.sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val oneShot = ev.groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(unioned.keySet == exact.keySet && unioned.nonEmpty)
+    unioned.foreach { case (k, u) =>
+      // Merge-invariance: slicing by day then unioning gives exactly the
+      // one-shot sketch's estimate (HLL union is lossless at equal lgK).
+      assert(u == oneShot(k), s"$k: union=$u oneShot=${oneShot(k)}")
+      assert(math.abs(u - exact(k)).toDouble / exact(k) <= 0.03,
+        s"$k: approx=$u exact=${exact(k)}")
+    }
+  }
+
+  test("count-min estimates are one-sided: exact <= estimate <= exact + eps*N") {
+    val rows = SparkEntry.queries("q_sketch_countmin")(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val n = rows.map(_._2).sum
+    rows.foreach { case (k, exact, est) =>
+      assert(est >= exact, s"$k: CMS underestimated ($est < $exact)")
+      assert(est <= exact + (0.001 * n).ceil.toLong,
+        s"$k: estimate $est beyond exact + eps*N (${exact + (0.001 * n).ceil.toLong})")
+    }
+  }
+
   test("q_minhash_sig graded output is scalar-only and band-exploded") {
     val df = SparkEntry.queries("q_minhash_sig")(spark, TestSpark.sfDir)
     assert(df.schema.fields.forall(f => !f.dataType.typeName.startsWith("array")),
