@@ -34,7 +34,7 @@ object SparkEntry {
     (Relational.queries ++ Scalars.queries ++ Dedup.queries ++
       Similarity.queries ++ CosineLsh.queries ++ Ivf.queries ++
       Pq.queries ++ Skew.queries ++ Sketches.queries ++
-      TextAnalysis.queries ++ Windowed.queries ++
+      TextAnalysis.queries ++ Windowed.queries ++ SqlApi.queries ++
       Multimodal.queries ++ Sampling.queries ++ Sources.queries ++
       Quantize.queries).map { case (k, fn) =>
       k -> ((s: SparkSession, d: String) => ntz(fn(s, d)))

@@ -54,6 +54,17 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
   }
 
+  /** Latest-wins twin of [[firstWins]]: per key keep the NEWEST record.
+    * This is the KTable / log-compaction semantic from the reference's
+    * ecosystem — a compacted topic retains the last value per key, the
+    * dual of the dedup transformer's first-value-wins. Same one-shuffle
+    * row_number plan with the order reversed.
+    */
+  def lastWins(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(orderCols.map(desc): _*)
+    df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+  }
+
   /** Reference semantic R2, batch form: per (user_id, event_type) keep the
     * earliest record.
     */
@@ -62,6 +73,33 @@ object Dedup {
       .select(col("user_id"), col("event_type"), col("event_id").as("first_event_id"),
         col("ts").as("first_ts"), round(col("value"), 2).as("first_value"))
       .orderBy("user_id", "event_type")
+
+  /** Latest-wins per key (max ts, tie → max event_id) — the compacted-
+    * topic / KTable view of the event log: "current value per key".
+    */
+  val qDedupLatest: Q = (s, d) =>
+    lastWins(events(s, d), Seq("user_id", "event_type"), Seq("ts", "event_id"))
+      .select(col("user_id"), col("event_type"), col("event_id").as("last_event_id"),
+        col("ts").as("last_ts"), round(col("value"), 2).as("last_value"))
+      .orderBy("user_id", "event_type")
+
+  /** Canonical-survivor selection: among duplicates sharing a normalized
+    * token-set key, keep the BEST copy (longest raw text, tie → lowest
+    * doc_id) rather than the first-seen — the curation policy when a dup
+    * group mixes truncated and full copies of the same page. One shuffle
+    * on the normalized key; the group-size count and the survivor
+    * row_number share that single partitioning.
+    */
+  val qDedupKeepBest: Q = (s, d) => {
+    val byNorm = Window.partitionBy(col("norm"))
+    documents(s, d)
+      .select(col("doc_id"), col("n_chars"), normKey(col("text")).as("norm"))
+      .withColumn("n_dups", count(lit(1)).over(byNorm))
+      .withColumn("rn", row_number().over(byNorm.orderBy(desc("n_chars"), asc("doc_id"))))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("n_chars"), col("n_dups"))
+      .orderBy("doc_id")
+  }
 
   /** Reference semantic R2 with bounded memory: first-wins only within a
     * 1-hour bucket — the same id in a later bucket is NOT a duplicate
@@ -880,6 +918,8 @@ object Dedup {
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_normalized" -> qDedupNormalized,
     "q_dedup_first_wins" -> qDedupFirstWins,
+    "q_dedup_latest" -> qDedupLatest,
+    "q_dedup_keep_best" -> qDedupKeepBest,
     "q_dedup_windowed" -> qDedupWindowed,
     "q_dedup_docs" -> qDedupDocs,
     "q_neardup_pairs" -> qNeardupPairs,

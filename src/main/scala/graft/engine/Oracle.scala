@@ -126,6 +126,17 @@ object Oracle {
         ON s_acctbal >= lo AND s_acctbal < hi
       GROUP BY bucket ORDER BY bucket""",
 
+    // The bucketed rewrite is exact — identical semantics to
+    // q_join_range, so the oracle is the same plain range join.
+    "q_join_range_bucketed" -> """
+      SELECT bucket, count(*) AS n_suppliers, round(avg(s_acctbal), 2) AS avg_bal
+      FROM supplier
+      JOIN (VALUES ('negative', -100000.0, 0.0), ('low', 0.0, 2500.0),
+                   ('mid', 2500.0, 5000.0), ('high', 5000.0, 7500.0),
+                   ('top', 7500.0, 100000.0)) t(bucket, lo, hi)
+        ON s_acctbal >= lo AND s_acctbal < hi
+      GROUP BY bucket ORDER BY bucket""",
+
     "q_join_asof" -> """
       WITH p AS (SELECT event_id p_id, user_id p_user, ts p_ts FROM events
                  WHERE event_type = 'purchase'),
@@ -221,6 +232,28 @@ object Oracle {
         round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 2) AS wavg_price,
         count(*) AS n_rows
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    // The bounded top-k Aggregator ≡ the window row_number form — same
+    // (value DESC, id ASC) total order; prices pass through unrounded
+    // (no arithmetic on either side).
+    "q_grouped_topk_agg" -> """
+      WITH r AS (SELECT o_custkey, o_totalprice, o_orderkey,
+          row_number() OVER (PARTITION BY o_custkey
+            ORDER BY o_totalprice DESC, o_orderkey) rn
+        FROM orders)
+      SELECT o_custkey, CAST(rn AS BIGINT) AS rank, o_totalprice, o_orderkey
+      FROM r WHERE rn <= 3 ORDER BY o_custkey, rank""",
+
+    // Bloom pre-filter is exact (the join removes false positives), so
+    // the oracle is the plain quarter-filtered join.
+    "q_bloom_prejoin" -> """
+      SELECT o_orderpriority,
+        round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        count(*) AS n_items
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1996-04-01'
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
     // Ordering value mirrors the engine's exact-integer composite — see
     // Relational.qAggMinmaxBy for why neither the raw double nor a
@@ -425,6 +458,27 @@ object Oracle {
         round(value, 2) AS first_value
       FROM w WHERE rn = 1 ORDER BY user_id, event_type""",
 
+    // Latest-wins (KTable / log-compaction view): first_wins reversed.
+    "q_dedup_latest" -> """
+      WITH w AS (SELECT user_id, event_type, event_id, ts, value,
+          row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) rn
+        FROM events)
+      SELECT user_id, event_type, event_id AS last_event_id, ts AS last_ts,
+        round(value, 2) AS last_value
+      FROM w WHERE rn = 1 ORDER BY user_id, event_type""",
+
+    // Canonical survivor per normalized dup group: longest text, tie →
+    // lowest doc_id; norm key identical to q_dedup_normalized's.
+    "q_dedup_keep_best" -> """
+      WITH n AS (SELECT doc_id, n_chars,
+          list_aggr(list_sort(list_distinct(string_split(text, ' '))), 'string_agg', ' ') AS norm
+        FROM documents),
+        r AS (SELECT doc_id, n_chars,
+          count(*) OVER (PARTITION BY norm) AS n_dups,
+          row_number() OVER (PARTITION BY norm ORDER BY n_chars DESC, doc_id) AS rn
+        FROM n)
+      SELECT doc_id, n_chars, n_dups FROM r WHERE rn = 1 ORDER BY doc_id""",
+
     "q_dedup_windowed" -> """
       WITH w AS (SELECT event_type, user_id,
           row_number() OVER (PARTITION BY user_id, event_type, date_trunc('hour', ts)
@@ -576,6 +630,16 @@ object Oracle {
       SELECT vec_a, vec_b, label, cos_sim FROM pairs WHERE cos_sim >= 0.4
       ORDER BY vec_a, vec_b""",
 
+    // SQL-registered native functions ≡ their relational meaning:
+    // graft_dot(v,v) = list_dot_product on doubles (q_vector_norm's
+    // established precision pattern), intersect_size(s,s) = |s|.
+    "q_sql_registered" -> """
+      SELECT e.vec_id,
+        round(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) AS sq_norm,
+        CAST(len(list_distinct(string_split(d.text, ' '))) AS BIGINT) AS n_distinct_tokens
+      FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+      ORDER BY e.vec_id""",
+
     "q_vector_norm" -> """
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
         n AS (SELECT vec_id, sqrt(list_dot_product(v, v)) l2, v[1] f FROM e)
@@ -700,6 +764,17 @@ object Oracle {
     // of a lang-partitioned copy; the oracle aggregates the unpartitioned
     // fixture with the same WHERE — equal iff the layout preserves rows
     // and pruning sees exactly the filtered slice.
+    // Sorted-layout round trip is row-preserving, so the oracle is the
+    // same month aggregate over the unsorted fixture.
+    "q_sorted_scan" -> """
+      SELECT o_orderpriority, count(*) AS n_orders,
+        round(sum(o_totalprice), 2) AS sum_price,
+        min(o_orderkey) AS min_orderkey
+      FROM orders
+      WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+        AND CAST(o_orderdate AS DATE) < DATE '1996-02-01'
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
     "q_partition_pruned" -> """
       SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
         min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
@@ -802,6 +877,26 @@ object Oracle {
       SELECT lang, sum(c)::BIGINT AS n_tokens, count(*) AS n_terms,
         round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy
       FROM c GROUP BY lang ORDER BY lang""",
+
+    // Intra-doc repetition: the oracle recomputes the per-doc census
+    // relationally (unnest + group) — same values as Spark's map-only
+    // array math; top/bigram shares are exact-division doubles rounded
+    // to the shared 4-decimal grain (G2).
+    "q_repetition" -> """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents
+          WHERE len(string_split(text, ' ')) >= 2),
+        tok AS (SELECT doc_id, unnest(l) AS tk FROM t),
+        cnt AS (SELECT doc_id, tk, count(*) AS c FROM tok GROUP BY doc_id, tk),
+        top AS (SELECT doc_id, max(c) AS mx FROM cnt GROUP BY doc_id),
+        bg AS (SELECT doc_id,
+            unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS b
+          FROM t),
+        bgs AS (SELECT doc_id, count(*) AS nb, count(DISTINCT b) AS ub FROM bg GROUP BY doc_id)
+      SELECT t.doc_id, CAST(len(t.l) AS BIGINT) AS n_tokens,
+        round(top.mx * 1.0 / len(t.l), 4) AS top_token_share,
+        round(1.0 - bgs.ub * 1.0 / bgs.nb, 4) AS dup_bigram_share
+      FROM t JOIN top USING (doc_id) JOIN bgs USING (doc_id)
+      ORDER BY doc_id""",
 
     "q_bigram_topk" -> """
       WITH t AS (SELECT string_split(text, ' ') l FROM documents),

@@ -151,6 +151,52 @@ object Relational {
       .orderBy("bucket")
   }
 
+  /** Rewrite a point-in-interval range join as a bucketed EQUI-join —
+    * the scale path for non-equi joins. Spark plans `p >= lo AND p < hi`
+    * with no equi component as broadcast-nested-loop: every point row
+    * against every interval row, O(points × intervals) and only viable
+    * while one side broadcasts. Bucketing by a fixed width turns it
+    * into: intervals explode to the buckets they cover, points map to
+    * their bucket, equi-join on bucket id (shuffle- or broadcast-hash,
+    * AQE-eligible, skew-splittable), then the exact predicate re-checks
+    * residually. Candidates per point = intervals overlapping its
+    * bucket — width should be on the order of typical interval length
+    * (too wide: more false candidates; too narrow: more bucket rows
+    * per interval).
+    */
+  def bucketedRangeJoin(points: DataFrame, ptCol: String,
+      intervals: DataFrame, loCol: String, hiCol: String,
+      width: Double): DataFrame = {
+    val pb = points.withColumn("__bucket",
+      floor(col(ptCol) / width).cast("long"))
+    val ib = intervals.withColumn("__bucket",
+      explode(sequence(floor(col(loCol) / width).cast("long"),
+        floor(col(hiCol) / width).cast("long"))))
+    pb.join(ib, Seq("__bucket"))
+      .where(col(ptCol) >= col(loCol) && col(ptCol) < col(hiCol))
+      .drop("__bucket")
+  }
+
+  /** The q_join_range semantics through [[bucketedRangeJoin]], hinted
+    * sort-merge to pin the both-sides-large shape (the broadcast twin
+    * is q_join_range itself): same 5 account-balance bands, same
+    * aggregate, zero nested-loop anywhere in the plan (PlanSpec).
+    */
+  val qJoinRangeBucketed: Q = (s, d) => {
+    val buckets = s.createDataFrame(Seq(
+      ("negative", -100000.0, 0.0),
+      ("low", 0.0, 2500.0),
+      ("mid", 2500.0, 5000.0),
+      ("high", 5000.0, 7500.0),
+      ("top", 7500.0, 100000.0)
+    )).toDF("bucket", "lo", "hi")
+    bucketedRangeJoin(supplier(s, d).hint("merge"), "s_acctbal",
+        buckets, "lo", "hi", width = 2500.0)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_suppliers"), round(avg(col("s_acctbal")), 2).as("avg_bal"))
+      .orderBy("bucket")
+  }
+
   /** As-of join: for each purchase event, the user's latest prior-or-equal
     * click. Union-tag form: merge both streams, one per-user window pass
     * carrying the last click `(ts, event_id)` forward — O(n log n) per
@@ -442,6 +488,29 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Grouped top-k via the bounded [[graft.functions.TopKAgg]]
+    * aggregator — same result set as the q_window_rank shape (top-3
+    * orders per customer) but with aggregation physics: the window
+    * form shuffles and sorts EVERY order row per customer, while the
+    * aggregator's map-side partial cuts each partition to ≤ k rows per
+    * group before the shuffle (see TopKAgg's scaladoc for the 100 TB
+    * arithmetic). The packed array is posexploded back to ranked rows;
+    * the (value DESC, id ASC) total order makes rank deterministic.
+    */
+  val qGroupedTopkAgg: Q = (s, d) => {
+    val top3 = udaf(new graft.functions.TopKAgg(3))
+    orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(top3(col("o_totalprice"), col("o_orderkey")).as("top"))
+      .select(col("o_custkey"), posexplode(col("top")))
+      .select(
+        col("o_custkey"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col._1").as("o_totalprice"),
+        col("col._2").as("o_orderkey"))
+      .orderBy("o_custkey", "rank")
+  }
+
   // -------------------------------------------------------------- windows
 
   /** Ranking window functions: top-3 orders per customer. */
@@ -667,6 +736,7 @@ object Relational {
     "q_join_semi" -> qJoinSemi,
     "q_join_anti" -> qJoinAnti,
     "q_join_range" -> qJoinRange,
+    "q_join_range_bucketed" -> qJoinRangeBucketed,
     "q_join_asof" -> qJoinAsof,
     "q_join_interval" -> qJoinInterval,
     "q_join_interval_outer" -> qJoinIntervalOuter,
@@ -683,6 +753,7 @@ object Relational {
     "q_agg_minmax_by" -> qAggMinmaxBy,
     "q_resample" -> qResample,
     "q_agg_udaf" -> qAggUdaf,
+    "q_grouped_topk_agg" -> qGroupedTopkAgg,
     "q_window_rank" -> qWindowRank,
     "q_window_analytic" -> qWindowAnalytic,
     "q_window_frame" -> qWindowFrame,

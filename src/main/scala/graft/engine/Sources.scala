@@ -75,6 +75,46 @@ object Sources {
   val qSourceOrc: Q = (s, d) =>
     roundTrip(s, d, "graft_src_orc_", Tables.writeOrc, (dir, _) => Tables.readOrc(s, dir))
 
+  /** Write a date-sorted copy of (a projection of) orders and read it
+    * back with a one-month range filter — the sorted-layout scan the
+    * graded key and SourceFormatsSpec share: with 8 disjoint-range
+    * files over ~80 months of dates, the filter's min/max pushdown
+    * skips ~7 of 8 files' row groups entirely.
+    */
+  private[graft] def sortedOrdersScan(s: SparkSession, d: String, dir: String): DataFrame = {
+    // Cluster key is the DERIVED DATE, not the raw timestamp — the
+    // reader skips row groups on int/date stats but not on timestamp
+    // stats (Tables.writeSorted scaladoc gotcha).
+    Tables.writeSorted(
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        to_date(col("o_orderdate")).as("o_date"),
+        col("o_totalprice"), col("o_orderpriority")),
+      dir, Seq("o_date"), files = 8)
+    Tables.configure(s).read.parquet(dir)
+      .where(col("o_date") >= lit("1996-01-01").cast("date") &&
+        col("o_date") < lit("1996-02-01").cast("date"))
+  }
+
+  /** Sorted-layout round trip (Tables.writeSorted scaladoc — the
+    * clustering lever): orders range-sorted by date, read back with a
+    * month filter, aggregated. Oracle: identical aggregate over the
+    * unsorted fixture with the same WHERE — equal iff the sorted
+    * layout preserves rows and the stat-skipping read sees exactly the
+    * filtered slice.
+    */
+  val qSortedScan: Q = (s, d) => {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sorted_orders_").toString
+    try {
+      sortedOrdersScan(s, d, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"),
+          min(col("o_orderkey")).as("min_orderkey"))
+        .orderBy("o_orderpriority")
+        .localCheckpoint()
+    } finally deleteRecursively(new java.io.File(dir))
+  }
+
   /** Write a lang-partitioned copy of (a projection of) documents and
     * read it back filtered to `langs` — the scan over the returned frame
     * prunes to the matching `lang=…` directories at planning time
@@ -153,6 +193,7 @@ object Sources {
     "q_source_json" -> qSourceJson,
     "q_source_orc" -> qSourceOrc,
     "q_partition_pruned" -> qPartitionPruned,
+    "q_sorted_scan" -> qSortedScan,
     "q_bucketed_join" -> qBucketedJoin
   )
 }

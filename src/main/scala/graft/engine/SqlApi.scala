@@ -1,0 +1,42 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** SQL-first surface: the whole engine is usable textually — fixture
+  * tables as temp views (names matching the oracle's), graft native
+  * expressions as registered SQL functions (graft.functions.GraftSql).
+  * A user who lives in `spark.sql(...)` gets the same codegen'd
+  * kernels and the same Catalyst plans as the DataFrame API — there is
+  * exactly one expression tree per function, whichever door it enters
+  * through.
+  */
+object SqlApi {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Fully-textual query through the registered functions and views:
+    * per-embedding squared L2 norm via `graft_dot` (float input cast to
+    * double inside the builder — G3) joined to the documents view where
+    * `graft_intersect_size` of a sorted-distinct token array with
+    * itself is its distinct-token count. Exercises registration, view
+    * resolution, a SQL join, and two native expressions end to end;
+    * map-side compute plus one broadcastable equi-join.
+    */
+  val qSqlRegistered: Q = (s, d) => {
+    graft.functions.GraftSql.register(s)
+    graft.functions.GraftSql.createViews(s, d)
+    s.sql("""
+      SELECT e.vec_id,
+        round(graft_dot(e.embedding, e.embedding), 6) AS sq_norm,
+        CAST(graft_intersect_size(t.toks, t.toks) AS BIGINT) AS n_distinct_tokens
+      FROM embeddings e
+      JOIN (SELECT doc_id, array_sort(array_distinct(split(text, ' '))) AS toks
+            FROM documents) t
+        ON e.vec_id = t.doc_id
+      ORDER BY e.vec_id
+    """)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_sql_registered" -> qSqlRegistered
+  )
+}

@@ -73,6 +73,29 @@ object Tables {
   def writePartitioned(df: DataFrame, path: String, cols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
 
+  /** Persist `df` range-partitioned AND sorted on `cols`: every output
+    * file covers a disjoint range of the sort key and parquet row-group
+    * min/max stats become tight, so a selective filter on that column
+    * skips whole files/row groups at READ time — single-dimension
+    * clustering (z-order-lite). The third data-layout lever next to
+    * `partitionBy` (prunes at planning, needs low-cardinality values)
+    * and `bucketBy` (kills join shuffles): sorting prunes at scan time
+    * via statistics, serves RANGE predicates, and adds no directory
+    * explosion — the natural layout for a time-keyed 100 TB event log.
+    * SourceFormatsSpec pins the skip: a one-month filter over the
+    * sorted copy emits <¼ of the table's rows from the scan.
+    *
+    * Gotcha (measured on 4.1.2): cluster on an INTEGRAL or DATE key.
+    * TIMESTAMP predicates appear under `PushedFilters:` but the reader
+    * does NOT consult row-group stats for them (all groups read); the
+    * same layout keyed by the derived `to_date(ts)` skips as expected —
+    * which is why sortedOrdersScan sorts and filters on a date column.
+    */
+  def writeSorted(df: DataFrame, path: String, cols: Seq[String], files: Int): Unit =
+    df.repartitionByRange(files, cols.map(col): _*)
+      .sortWithinPartitions(cols.map(col): _*)
+      .write.mode("overwrite").parquet(path)
+
   // ------------------------------------------ non-parquet batch sources
 
   /** Timestamp text format for the CSV/JSON loaders: micro precision, so
@@ -139,6 +162,10 @@ object Tables {
     (if (maxRecordsPerFile > 0) w.option("maxRecordsPerFile", maxRecordsPerFile) else w)
       .parquet(outDir)
   }
+
+  /** Fixture table names, in the oracle's order. */
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")

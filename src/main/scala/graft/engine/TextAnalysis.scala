@@ -183,6 +183,36 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Intra-document repetition signals (Gopher-style quality filters
+    * complementing q_text_quality's stopword/diversity ratios):
+    * `top_token_share` = share of the single most frequent token;
+    * `dup_bigram_share` = fraction of adjacent bigrams that repeat an
+    * earlier one. Both are pure per-row array math — map-only at any
+    * corpus size (the census never shuffles, unlike the corpus-level
+    * frequency keys); the distinct×filter count is O(u·n) per doc,
+    * bounded by doc length, still embarrassingly parallel at 100 TB.
+    */
+  val qRepetition: Q = (s, d) => {
+    val toks = split(col("text"), " ")
+    // fanOut first: the fixture scans as ONE partition (G10) and the
+    // O(u·n) per-doc census is the expensive part.
+    graft.engine.Dedup.fanOut(documents(s, d).where(size(toks) >= 2))
+      .withColumn("toks", toks)
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("top_cnt",
+        array_max(transform(array_distinct(col("toks")),
+          t => size(filter(col("toks"), x => x === t)))))
+      .withColumn("bigrams", transform(sequence(lit(1), size(col("toks")) - 1),
+        i => concat(element_at(col("toks"), i), lit(" "), element_at(col("toks"), i + 1))))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        round(col("top_cnt") / col("n_tokens"), 4).as("top_token_share"),
+        round(lit(1.0) - size(array_distinct(col("bigrams"))) / size(col("bigrams")).cast("double"), 4)
+          .as("dup_bigram_share"))
+      .orderBy("doc_id")
+  }
+
   /** Language-ID heuristic: marker-token votes with deterministic
     * tie-break. (Deliberately SQL-expressible so the oracle can mirror it;
     * a production n-gram model would be a Catalyst Expression.)
@@ -262,6 +292,7 @@ object TextAnalysis {
     "q_tfidf_topk" -> qTfidfTopk,
     "q_token_entropy" -> qTokenEntropy,
     "q_text_quality" -> qTextQuality,
+    "q_repetition" -> qRepetition,
     "q_lang_id" -> qLangId,
     "q_udf_scalar" -> qUdfScalar,
     "q_doc_fingerprint" -> qDocFingerprint

@@ -1,0 +1,101 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+/** SQL surface for the graft native expressions: makes the codegen'd
+  * kernels callable from `spark.sql(...)` by name, so a SQL-first user
+  * gets the same zero-serialization hot path the DataFrame API wraps.
+  *
+  * Two registration routes, same function table:
+  *
+  *  - [[GraftExtensions]] — builder-time injection for
+  *    `spark.sql.extensions=graft.functions.GraftExtensions` (the
+  *    standard `SparkSessionExtensions` route; survives into every
+  *    session of the context).
+  *  - [[GraftSql.register]] — live-session registration for when the
+  *    session already exists (the driver hands us one). Goes through
+  *    `sessionState.functionRegistry` (public on
+  *    `classic.SparkSession`, `@Unstable` like everything below the
+  *    api facade — the same documented-internal tier as
+  *    GraftColumnBridge).
+  *
+  * Every builder validates its arity and wraps array inputs in the
+  * same double-casts the Column wrappers apply, so SQL and DataFrame
+  * callers hit identical expression trees (one plan shape to test).
+  */
+object GraftSql {
+
+  private def oneArg(name: String, args: Seq[Expression]): Expression = {
+    require(args.length == 1, s"$name expects 1 argument, got ${args.length}")
+    args.head
+  }
+
+  private def twoArgs(name: String, args: Seq[Expression]): (Expression, Expression) = {
+    require(args.length == 2, s"$name expects 2 arguments, got ${args.length}")
+    (args(0), args(1))
+  }
+
+  private def asDoubleArray(e: Expression): Expression =
+    Cast(e, ArrayType(DoubleType))
+
+  private def intLit(name: String, e: Expression): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name expects a literal INT, got $other")
+  }
+
+  /** name → (doc usage, builder). One table drives both routes. */
+  private val functions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("graft_simhash64", "graft_simhash64(text) - 64-bit SimHash of whitespace tokens",
+      args => SimHash64(oneArg("graft_simhash64", args))),
+    ("graft_fingerprint", "graft_fingerprint(text, k) - min rolling-hash fingerprint over k-char windows",
+      args => { val (t, k) = twoArgs("graft_fingerprint", args)
+        RollingFingerprint(t, intLit("graft_fingerprint", k)) }),
+    ("graft_dot", "graft_dot(a, b) - dot product of two numeric arrays (computed in double)",
+      args => { val (a, b) = twoArgs("graft_dot", args)
+        DotProduct(asDoubleArray(a), asDoubleArray(b)) }),
+    ("graft_intersect_size", "graft_intersect_size(a, b) - shared-element count of two sorted distinct string arrays",
+      args => { val (a, b) = twoArgs("graft_intersect_size", args)
+        ArrayIntersectSize(a, b) }),
+    ("graft_shingles", "graft_shingles(text, k) - distinct k-char shingles of a string",
+      args => { val (t, k) = twoArgs("graft_shingles", args)
+        CharShingles(t, intLit("graft_shingles", k)) }))
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo("graft.functions.GraftSql", null, name, usage, "")
+
+  /** Builder-time route: inject every function as a session extension. */
+  def injectInto(ext: SparkSessionExtensions): Unit =
+    functions.foreach { case (name, usage, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
+    }
+
+  /** Register on a live session (idempotent — re-registration replaces). */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    functions.foreach { case (name, usage, builder) =>
+      registry.createOrReplaceTempFunction(name, builder, "built-in")
+    }
+  }
+
+  /** Expose the fixture tables as SQL temp views (`<table>` names match
+    * the oracle's), so a SQL-first user can run whole queries textually.
+    */
+  def createViews(spark: SparkSession, dir: String): Unit =
+    graft.engine.Tables.names.foreach { t =>
+      graft.engine.Tables.table(spark, dir, t).createOrReplaceTempView(t)
+    }
+}
+
+/** Builder-time injection: `SparkSession.builder.withExtensions(new
+  * GraftExtensions)` or `--conf spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftSql.injectInto(ext)
+}

@@ -168,6 +168,57 @@ object Streams {
     }
   }
 
+  /** One emitted top-k snapshot row. `version` counts the key's state
+    * updates — rows with a key's max version form its CURRENT top-k (the
+    * append-mode changelog of an otherwise update-shaped result).
+    */
+  case class TopKRow(event_type: String, version: Long, rank: Int,
+      value: Double, event_id: Long)
+
+  /** Streaming bounded top-k per key: the state is AT MOST k (value, id)
+    * pairs — the streaming face of `graft.functions.TopKAgg`, riding the
+    * same TopK.merge kernel and the same (value DESC, id ASC) total
+    * order, so the final snapshot is batch-parity by construction
+    * (StreamingParitySpec). State never grows with the stream: a hot key
+    * that sees 10⁹ events still stores k pairs — the bounded-state
+    * discipline the reference's windowed dedup store models, applied to
+    * a ranking aggregate. No time dependence, so no watermark and no
+    * timers (TimeMode.None); a retention variant would evict via the
+    * same event-time timers FirstWinsDedupProcessor uses.
+    */
+  class TopKProcessor(k: Int)
+      extends StatefulProcessor[String, Event, TopKRow] {
+    @transient private var state:
+      org.apache.spark.sql.streaming.ValueState[(Long, Seq[(Double, Long)])] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[(Long, Seq[(Double, Long)])]("topk",
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Seq[(Double, Long)])](),
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[TopKRow] = {
+      val (version, cur) =
+        if (state.exists()) state.get() else (0L, Seq.empty[(Double, Long)])
+      val next = graft.functions.TopK.merge(
+        cur, rows.map(e => (e.value, e.event_id)).toSeq, k)
+      if (next == cur) Iterator.empty
+      else {
+        state.update((version + 1, next))
+        next.iterator.zipWithIndex.map { case ((v, id), i) =>
+          TopKRow(key, version + 1, i + 1, v, id)
+        }
+      }
+    }
+  }
+
+  /** Running top-k events by value per event_type (bounded state). */
+  def topkStream(events: Dataset[Event], k: Int = 3): Dataset[TopKRow] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type)
+      .transformWithState(new TopKProcessor(k), TimeMode.None(), OutputMode.Append())
+  }
+
   /** Stateful dedup on (user_id, event_type) with explicit retention.
     * Requires the RocksDB state store provider (transformWithState
     * contract) — set by `sessionConf` below.

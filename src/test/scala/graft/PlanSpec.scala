@@ -135,6 +135,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("SortMergeJoin"), p)
   }
 
+  test("q_bloom_prejoin: bloom filter sits below a broadcast-free join") {
+    // The key models the fact-⋈-fact case: the join must be sort-merge
+    // (no broadcast — at scale the dim side doesn't fit), and the bloom
+    // pre-filter must run BELOW the join so pruned fact rows never reach
+    // the shuffle. In plan-string terms: the UDF filter appears, the
+    // join is SMJ, and the filter's line sits deeper than the join's.
+    val p = plan("q_bloom_prejoin")
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("BroadcastHashJoin"), p)
+    val lines = p.linesIterator.toVector
+    val joinIdx = lines.indexWhere(_.contains("SortMergeJoin"))
+    val filterIdx = lines.indexWhere(l => l.contains("Filter") && l.contains("UDF"))
+    assert(joinIdx >= 0 && filterIdx > joinIdx, p)
+  }
+
   test("the per-pair graft expressions execute inside whole-stage codegen") {
     // ArrayIntersectSize / MinHashBands / ArrayFirstMatchIndex /
     // CharShingles implement doGenCode via static kernels; a fallback to

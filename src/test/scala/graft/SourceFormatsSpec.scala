@@ -65,6 +65,34 @@ class SourceFormatsSpec extends AnyFunSuite {
       events.orderBy("event_id").collect().toSeq)
   }
 
+  test("sorted layout skips non-matching row groups at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sorted").toString
+    try {
+      val filtered = graft.engine.Sources.sortedOrdersScan(spark, TestSpark.sfDir, dir)
+      val rows = filtered.collect()
+      val total = Tables.orders(spark, TestSpark.sfDir).count()
+      // Row-preserving vs the fixture with the same predicate…
+      val expected = Tables.orders(spark, TestSpark.sfDir)
+        .where(to_date(col("o_orderdate")) >= lit("1996-01-01").cast("date") &&
+          to_date(col("o_orderdate")) < lit("1996-02-01").cast("date")).count()
+      assert(rows.length.toLong == expected && expected > 0)
+      // …and the scan's min/max pushdown must skip most of the 8
+      // disjoint-range files: one month of ~80 lives in one file, so
+      // the scan emits far fewer rows than the table holds.
+      val scan = filtered.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.getOrElse(fail("no FileSourceScanExec in the plan"))
+      val scanned = scan.metrics("numOutputRows").value
+      assert(scanned > 0 && scanned <= total / 4,
+        s"scan emitted $scanned of $total rows — row-group skip not effective")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("date-partitioned layout prunes partitions at the scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
     events.withColumn("event_date", to_date(col("ts")))

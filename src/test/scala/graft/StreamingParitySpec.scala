@@ -72,6 +72,38 @@ class StreamingParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Set(1L, 3L))
   }
 
+  test("streaming bounded top-k: final snapshots ≡ batch TopKAgg, state ≤ k") {
+    val ms = MemoryStream[Event](spark)
+    // Two chunks so the top-k must MERGE across micro-batches.
+    val (a, b) = fixtureEvents.splitAt(fixtureEvents.size / 2)
+    val out = Streams.topkStream(ms.toDS(), k = 3)
+    val q = Streams.start(out.toDF(), Streams.MemoryStreamSink("topk_parity", Some(ckpt())))
+    try {
+      ms.addData(a); q.processAllAvailable()
+      ms.addData(b); q.processAllAvailable()
+    } finally q.stop()
+
+    // Current snapshot = each key's max-version rows.
+    val all = spark.table("topk_parity")
+      .as[(String, Long, Int, Double, Long)].collect().toSeq
+    val current = all.groupBy(_._1).values.flatMap { rows =>
+      val vmax = rows.map(_._2).max
+      rows.filter(_._2 == vmax)
+    }.map(r => (r._1, r._3, r._4, r._5)).toSet
+
+    val top3 = udaf(new graft.functions.TopKAgg(3))
+    val batch = Tables.events(spark, TestSpark.sfDir)
+      .groupBy(col("event_type"))
+      .agg(top3(col("value"), col("event_id")).as("top"))
+      .select(col("event_type"), posexplode(col("top")))
+      .select(col("event_type"), (col("pos") + 1).cast("int").as("rank"),
+        col("col._1"), col("col._2"))
+      .as[(String, Int, Double, Long)].collect().toSet
+    assert(current == batch)
+    // Every emission carries at most k rows per (key, version).
+    assert(all.groupBy(r => (r._1, r._2)).values.forall(_.size <= 3))
+  }
+
   test("streaming doc dedup is set-normalized: reordered/repeated tokens are duplicates") {
     val ms = MemoryStream[Doc](spark)
     val out = Streams.dedupDocsWithinWatermark(ms.toDF(), "24 hours")
