@@ -83,6 +83,23 @@ object Dedup {
         col("ts").as("last_ts"), round(col("value"), 2).as("last_value"))
       .orderBy("user_id", "event_type")
 
+  /** Exact novelty detection — the cheap first tier of delta-vs-corpus
+    * dedup (q_neardup_delta / q_simhash_delta are the fuzzy tiers):
+    * which NEW docs' normalized keys appear NOWHERE in the corpus. A
+    * left-anti join on the normalized key: one shuffle, no payload
+    * movement (keys only), and at 100 TB the corpus side is the
+    * persisted key column of the index, not the documents. Split here
+    * is deterministic (doc_id % 8) so the key is a pure function of
+    * the fixture.
+    */
+  val qDeltaNewDocs: Q = (s, d) => {
+    val docs = documents(s, d).select(col("doc_id"), normKey(col("text")).as("norm"))
+    val corpus = docs.where(col("doc_id") % 8 =!= 0)
+    val delta = docs.where(col("doc_id") % 8 === 0)
+    delta.join(corpus, Seq("norm"), "left_anti")
+      .select(col("doc_id")).orderBy("doc_id")
+  }
+
   /** Canonical-survivor selection: among duplicates sharing a normalized
     * token-set key, keep the BEST copy (longest raw text, tie → lowest
     * doc_id) rather than the first-seen — the curation policy when a dup
@@ -920,6 +937,7 @@ object Dedup {
     "q_dedup_first_wins" -> qDedupFirstWins,
     "q_dedup_latest" -> qDedupLatest,
     "q_dedup_keep_best" -> qDedupKeepBest,
+    "q_delta_new_docs" -> qDeltaNewDocs,
     "q_dedup_windowed" -> qDedupWindowed,
     "q_dedup_docs" -> qDedupDocs,
     "q_neardup_pairs" -> qNeardupPairs,

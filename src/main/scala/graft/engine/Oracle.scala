@@ -458,6 +458,63 @@ object Oracle {
         round(value, 2) AS first_value
       FROM w WHERE rn = 1 ORDER BY user_id, event_type""",
 
+    // Incremental merge ≡ the same two-stage shape (per-day partials
+    // then merge) — equal to the direct aggregate by the merge algebra;
+    // staged SQL keeps the double-summation order comparable (G2).
+    "q_incremental_agg" -> """
+      WITH p AS (SELECT CAST(ts AS DATE) AS day, event_type,
+          count(*) AS c, sum(value) AS sv
+        FROM events GROUP BY 1, 2)
+      SELECT event_type, CAST(sum(c) AS BIGINT) AS n_events,
+        round(sum(sv), 2) AS sum_value,
+        round(sum(sv) / sum(c), 4) AS avg_value
+      FROM p
+      WHERE day >= DATE '2024-01-08' AND day < DATE '2024-01-22'
+      GROUP BY event_type ORDER BY event_type""",
+
+    // Theta sketches are EXACT below 2^lgK=16384 retained entries
+    // (Sketches.qSketchTheta scaladoc) — true at every fixture scale,
+    // so the oracle is the exact set arithmetic.
+    "q_sketch_theta" -> """
+      SELECT 'both' AS key, CAST((SELECT count(*) FROM
+          (SELECT user_id FROM events WHERE event_type = 'click'
+           INTERSECT
+           SELECT user_id FROM events WHERE event_type = 'purchase') t) AS BIGINT) AS est_users
+      UNION ALL
+      SELECT 'click', CAST(count(DISTINCT user_id) AS BIGINT)
+        FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT 'either', CAST(count(DISTINCT user_id) AS BIGINT)
+        FROM events WHERE event_type IN ('click', 'purchase')
+      UNION ALL
+      SELECT 'purchase', CAST(count(DISTINCT user_id) AS BIGINT)
+        FROM events WHERE event_type = 'purchase'
+      ORDER BY key""",
+
+    // Exact novelty tier: NOT EXISTS on the shared normalized key.
+    "q_delta_new_docs" -> """
+      WITH n AS (SELECT doc_id,
+          list_aggr(list_sort(list_distinct(string_split(text, ' '))), 'string_agg', ' ') AS norm
+        FROM documents),
+        c AS (SELECT norm FROM n WHERE doc_id % 8 <> 0),
+        dl AS (SELECT doc_id, norm FROM n WHERE doc_id % 8 = 0)
+      SELECT doc_id FROM dl
+      WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.norm = dl.norm)
+      ORDER BY doc_id""",
+
+    // Same integer edit-distance semantics in both engines.
+    "q_fuzzy_match" -> """
+      WITH probes(probe) AS (VALUES ('smal ring'), ('red wdget'),
+          ('blu bolt'), ('hot gearz'), ('grean gizmo')),
+        dd AS (SELECT probe, p_partkey, p_name,
+            levenshtein(probe, p_name) AS dist
+          FROM part, probes),
+        r AS (SELECT *, row_number() OVER (PARTITION BY probe
+            ORDER BY dist, p_partkey) rn FROM dd)
+      SELECT probe, CAST(rn AS BIGINT) AS rank, p_name,
+        CAST(dist AS BIGINT) AS dist
+      FROM r WHERE rn <= 3 ORDER BY probe, rank""",
+
     // Latest-wins (KTable / log-compaction view): first_wins reversed.
     "q_dedup_latest" -> """
       WITH w AS (SELECT user_id, event_type, event_id, ts, value,

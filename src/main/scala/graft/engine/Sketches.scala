@@ -56,7 +56,61 @@ object Sketches {
       .orderBy("event_type")
   }
 
+  /** Build one theta sketch of `c` (a long column): per-partition
+    * UpdateSketch, compact per partition, union on the driver — the
+    * bounded-collect contract again (numPartitions × ~KBs). Theta is
+    * the sketch family that supports SET OPERATIONS: unlike HLL, two
+    * sketches intersect/difference with bounded error — "users who did
+    * A and B" without a distinct-pair scan.
+    */
+  def thetaSketchBytes(df: DataFrame, c: String, lgK: Int = 14): Array[Byte] = {
+    import org.apache.datasketches.theta.{SetOperation, Sketches => ThetaSketches, UpdateSketch}
+    val parts = df.select(col(c).cast("long")).na.drop.rdd
+      .mapPartitions { it =>
+        val sk = UpdateSketch.builder().setLogNominalEntries(lgK).build()
+        it.foreach(r => sk.update(r.getLong(0)))
+        Iterator.single(sk.compact().toByteArray)
+      }.collect()
+    val u = SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
+    parts.foreach(b => u.union(ThetaSketches.wrapSketch(
+      org.apache.datasketches.memory.Memory.wrap(b))))
+    u.getResult.toByteArray
+  }
+
+  /** Theta set-operation estimates over the event log: distinct users
+    * per type, their INTERSECTION ("did both") and union — four numbers
+    * from two persisted per-type sketches, no distinct-pair scan.
+    *
+    * Oracled under a documented precondition: a theta sketch is EXACT
+    * (estimation hasn't kicked in) while the distinct count stays under
+    * 2^lgK = 16384 retained entries — true at every fixture scale
+    * (1 500 users at sf0.1, 15 000 at sf1). Past that the estimates go
+    * ±~1% probabilistic (the actual 100 TB operating mode) and the
+    * oracle regime ends; SketchSpec pins the exact-mode equalities and
+    * the union-merge associativity the incremental pipeline relies on.
+    */
+  val qSketchTheta: Q = (s, d) => {
+    import org.apache.datasketches.theta.{SetOperation, Sketches => ThetaSketches}
+    import org.apache.datasketches.memory.Memory
+    val ev = Tables.events(s, d).localCheckpoint()
+    def sk(t: String) = ThetaSketches.wrapSketch(Memory.wrap(
+      thetaSketchBytes(ev.where(col("event_type") === t), "user_id")))
+    val click = sk("click")
+    val purchase = sk("purchase")
+    val inter = SetOperation.builder().buildIntersection()
+    inter.intersect(click); inter.intersect(purchase)
+    val un = SetOperation.builder().buildUnion()
+    un.union(click); un.union(purchase)
+    val rows = Seq(
+      ("both", math.round(inter.getResult.getEstimate)),
+      ("click", math.round(click.getEstimate)),
+      ("either", math.round(un.getResult.getEstimate)),
+      ("purchase", math.round(purchase.getEstimate)))
+    s.createDataFrame(rows).toDF("key", "est_users").orderBy("key")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_sketch_theta" -> qSketchTheta,
     "q_sketch_hll_union" -> qSketchHllUnion,
     "q_sketch_countmin" -> qSketchCountmin
   )

@@ -183,6 +183,29 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Fuzzy string matching: for each (possibly misspelled) probe, the 3
+    * closest part names by Levenshtein distance — entity-resolution /
+    * typo-tolerant lookup with the codegen'd built-in (no UDF). The
+    * probe set broadcasts (map-only distance compute at any corpus
+    * size); the per-probe top-3 here is a window over the tiny probe
+    * partitioning — at many-probe scale use the TopKAgg pattern
+    * (bounded map-side state) instead of the full sort.
+    */
+  val qFuzzyMatch: Q = (s, d) => {
+    val probes = s.createDataFrame(Seq(
+      Tuple1("smal ring"), Tuple1("red wdget"), Tuple1("blu bolt"),
+      Tuple1("hot gearz"), Tuple1("grean gizmo"))).toDF("probe")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe")).orderBy(asc("dist"), asc("p_partkey"))
+    Tables.part(s, d).crossJoin(broadcast(probes))
+      .withColumn("dist", levenshtein(col("probe"), col("p_name")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select(col("probe"), col("rn").cast("long").as("rank"),
+        col("p_name"), col("dist").cast("long").as("dist"))
+      .orderBy("probe", "rank")
+  }
+
   /** Intra-document repetition signals (Gopher-style quality filters
     * complementing q_text_quality's stopword/diversity ratios):
     * `top_token_share` = share of the single most frequent token;
@@ -293,6 +316,7 @@ object TextAnalysis {
     "q_token_entropy" -> qTokenEntropy,
     "q_text_quality" -> qTextQuality,
     "q_repetition" -> qRepetition,
+    "q_fuzzy_match" -> qFuzzyMatch,
     "q_lang_id" -> qLangId,
     "q_udf_scalar" -> qUdfScalar,
     "q_doc_fingerprint" -> qDocFingerprint

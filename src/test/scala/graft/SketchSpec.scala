@@ -111,6 +111,63 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("theta sketches are exact below 2^lgK and union-merge is slice-invariant") {
+    import graft.engine.Sketches
+    import org.apache.datasketches.theta.{SetOperation, Sketches => ThetaSketches}
+    import org.apache.datasketches.memory.Memory
+    val ev = Tables.events(spark, TestSpark.sfDir).localCheckpoint()
+    // Exact-mode equalities (distinct users ≪ 16384 at fixture scale).
+    val exact = ev.where(col("event_type") === "click")
+      .select(countDistinct(col("user_id"))).as[Long].head()
+    val est = math.round(ThetaSketches.wrapSketch(Memory.wrap(
+      Sketches.thetaSketchBytes(ev.where(col("event_type") === "click"), "user_id")))
+      .getEstimate)
+    assert(est == exact, s"theta $est vs exact $exact")
+    // Slice-invariance: union of per-half sketches ≡ one-shot sketch —
+    // the property incremental ingest relies on.
+    val half1 = ev.where(col("event_id") % 2 === 0)
+    val half2 = ev.where(col("event_id") % 2 === 1)
+    val u = SetOperation.builder().buildUnion()
+    u.union(ThetaSketches.wrapSketch(Memory.wrap(Sketches.thetaSketchBytes(half1, "user_id"))))
+    u.union(ThetaSketches.wrapSketch(Memory.wrap(Sketches.thetaSketchBytes(half2, "user_id"))))
+    val oneShot = math.round(ThetaSketches.wrapSketch(Memory.wrap(
+      Sketches.thetaSketchBytes(ev, "user_id"))).getEstimate)
+    assert(math.round(u.getResult.getEstimate) == oneShot)
+    // Graded key's intersection row equals exact set arithmetic.
+    val both = SparkEntry.queries("q_sketch_theta")(spark, TestSpark.sfDir)
+      .where(col("key") === "both").select(col("est_users")).as[Long].head()
+    val exactBoth = ev.where(col("event_type") === "click").select("user_id")
+      .intersect(ev.where(col("event_type") === "purchase").select("user_id")).count()
+    assert(both == exactBoth)
+  }
+
+  test("incremental merge over all days ≡ the direct global aggregate") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-incr-spec").toString
+    try {
+      val ev = Tables.events(spark, TestSpark.sfDir)
+      graft.engine.Incremental.writeDailyPartials(ev, dir)
+      val merged = graft.engine.Incremental
+        .mergeRange(spark, dir, "2000-01-01", "2100-01-01")
+        .as[(String, Long, Double, Double)].collect().toSeq
+      val direct = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"),
+          round(sum(col("value")) / count(lit(1)), 4).as("av"))
+        .orderBy("event_type")
+        .as[(String, Long, Double, Double)].collect().toSeq
+      // count exact; sums agree to the rounding grain (different add order)
+      assert(merged.map(r => (r._1, r._2)) == direct.map(r => (r._1, r._2)))
+      merged.zip(direct).foreach { case (m, e) =>
+        assert(math.abs(m._3 - e._3) <= 0.011 && math.abs(m._4 - e._4) <= 0.00011,
+          s"$m vs $e")
+      }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("q_minhash_sig graded output is scalar-only and band-exploded") {
     val df = SparkEntry.queries("q_minhash_sig")(spark, TestSpark.sfDir)
     assert(df.schema.fields.forall(f => !f.dataType.typeName.startsWith("array")),
