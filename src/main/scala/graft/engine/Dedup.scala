@@ -931,6 +931,28 @@ object Dedup {
         .select(col("doc_a"), col("doc_b")))
       .orderBy("doc_id")
 
+  /** Dedup RESOLUTION — the last mile after detect (pairs) and cluster
+    * (components): map EVERY doc to its group's canonical (the
+    * component label, which is the group's min doc_id by construction;
+    * singletons canonicalize to themselves via the left join), and emit
+    * the deduped corpus as (canonical, group_size). This is the frame a
+    * rewrite job joins back to `documents` to materialize the
+    * one-survivor-per-group corpus; composing keep-best survivor
+    * selection instead of min-id is the qDedupKeepBest policy applied
+    * per component.
+    */
+  val qNeardupResolve: Q = (s, d) => {
+    val comp = nearDupComponents(
+      lshNearDupPairs(minhashBands(s, d), "toks", 9, 10, 0.9, Auto())
+        .select(col("doc_a"), col("doc_b")))
+    documents(s, d).select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("canonical"))
+      .groupBy(col("canonical"))
+      .agg(count(lit(1)).as("group_size"))
+      .orderBy("canonical")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_normalized" -> qDedupNormalized,
@@ -945,6 +967,7 @@ object Dedup {
     "q_neardup_lsh" -> qNeardupLsh,
     "q_neardup_lsh_salted" -> qNeardupLshSalted,
     "q_neardup_components" -> qNeardupComponents,
+    "q_neardup_resolve" -> qNeardupResolve,
     "q_simhash_neardup" -> qSimhashNeardup,
     "q_simhash_delta" -> qSimhashDelta,
     "q_neardup_delta" -> qNeardupDelta,

@@ -609,6 +609,25 @@ object Oracle {
       SELECT doc AS doc_id, min(lbl) AS component
       FROM reach GROUP BY doc ORDER BY doc_id""",
 
+    // Resolution = the components CTE extended with singleton self-labels
+    // (documents LEFT JOIN reach-labels) and a group-size rollup.
+    "q_neardup_resolve" -> """
+      WITH RECURSIVE docs AS (SELECT doc_id, list_distinct(string_split(text, ' ')) toks FROM documents),
+        p AS (SELECT a.doc_id doc_a, b.doc_id doc_b
+          FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+          WHERE round(len(list_intersect(a.toks, b.toks)) * 1.0 /
+                len(list_distinct(list_concat(a.toks, b.toks))), 6) >= 0.9),
+        e AS (SELECT doc_a s, doc_b d FROM p UNION ALL SELECT doc_b, doc_a FROM p),
+        reach(doc, lbl) AS (
+          SELECT s, s FROM e
+          UNION
+          SELECT e.s, reach.lbl FROM e JOIN reach ON reach.doc = e.d),
+        lbl AS (SELECT doc AS doc_id, min(lbl) AS canonical FROM reach GROUP BY doc),
+        lab AS (SELECT d.doc_id, coalesce(l.canonical, d.doc_id) AS canonical
+          FROM documents d LEFT JOIN lbl l USING (doc_id))
+      SELECT canonical, count(*) AS group_size
+      FROM lab GROUP BY canonical ORDER BY canonical""",
+
     "q_cosine_topk" -> """
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
         q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
@@ -821,6 +840,16 @@ object Oracle {
     // of a lang-partitioned copy; the oracle aggregates the unpartitioned
     // fixture with the same WHERE — equal iff the layout preserves rows
     // and pruning sees exactly the filtered slice.
+    // Z-order round trip is row-preserving, so the oracle is the same
+    // two-dimension-filtered aggregate over the fixture.
+    "q_zorder_scan" -> """
+      SELECT event_type, count(*) AS n_events,
+        round(sum(value), 2) AS sum_value
+      FROM events
+      WHERE user_id BETWEEN 10 AND 20
+        AND date_part('day', ts) BETWEEN 5 AND 10
+      GROUP BY event_type ORDER BY event_type""",
+
     // Sorted-layout round trip is row-preserving, so the oracle is the
     // same month aggregate over the unsorted fixture.
     "q_sorted_scan" -> """

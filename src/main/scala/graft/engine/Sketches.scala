@@ -109,8 +109,43 @@ object Sketches {
     s.createDataFrame(rows).toDF("key", "est_users").orderBy("key")
   }
 
+  /** Build one KLL doubles sketch of `c`: per-partition sketches merged
+    * on the driver (bounded artifact, ~KBs at k=200) — MERGEABLE
+    * quantiles, the property `percentile_approx` doesn't expose as a
+    * persistable artifact: per-slice sketches answer any-range quantile
+    * questions later without rescanning, like the HLL/theta/count-min
+    * siblings. Rank error ≤ ~1.65% at k=200 (normalized, two-sided).
+    */
+  def kllSketchBytes(df: DataFrame, c: String, k: Int = 200): Array[Byte] = {
+    import org.apache.datasketches.kll.KllDoublesSketch
+    val parts = df.select(col(c).cast("double")).na.drop.rdd
+      .mapPartitions { it =>
+        val sk = KllDoublesSketch.newHeapInstance(k)
+        it.foreach(r => sk.update(r.getDouble(0)))
+        Iterator.single(sk.toByteArray)
+      }.collect()
+    val merged = KllDoublesSketch.newHeapInstance(k)
+    parts.foreach(b => merged.merge(KllDoublesSketch.heapify(
+      org.apache.datasketches.memory.Memory.wrap(b))))
+    merged.toByteArray
+  }
+
+  /** Merged-KLL quantiles of the lineitem price distribution (p50/p90/
+    * p99). Estimates are rank-probabilistic and partition-order
+    * dependent → rows-only graded; SketchSpec pins each estimate's
+    * EXACT rank within the ±1.65%·2 KLL guarantee band.
+    */
+  val qSketchKll: Q = (s, d) => {
+    import org.apache.datasketches.kll.KllDoublesSketch
+    val sk = KllDoublesSketch.heapify(org.apache.datasketches.memory.Memory.wrap(
+      kllSketchBytes(Tables.lineitem(s, d), "l_extendedprice")))
+    val rows = Seq(0.5, 0.9, 0.99).map(q => (q, sk.getQuantile(q)))
+    s.createDataFrame(rows).toDF("quantile", "estimate").orderBy("quantile")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_sketch_theta" -> qSketchTheta,
+    "q_sketch_kll" -> qSketchKll,
     "q_sketch_hll_union" -> qSketchHllUnion,
     "q_sketch_countmin" -> qSketchCountmin
   )

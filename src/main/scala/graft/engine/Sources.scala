@@ -115,6 +115,40 @@ object Sources {
     } finally deleteRecursively(new java.io.File(dir))
   }
 
+  /** Write a z-ordered copy of events clustered on (user_id,
+    * day-of-month) and read it back under a both-dimension filter —
+    * shared by the graded key and SourceFormatsSpec, which also pins
+    * the contrast: a DAY-only filter skips on the z layout but reads
+    * ~everything on a user-sorted layout (the single-column sort has no
+    * second-dimension locality).
+    */
+  private[graft] def zOrderedEventsScan(s: SparkSession, d: String, dir: String): DataFrame = {
+    Tables.writeZOrdered(
+      Tables.events(s, d).select(col("event_id"), col("user_id"),
+        dayofmonth(col("ts")).as("day"), col("event_type"), col("value")),
+      dir, "user_id", "day", files = 16)
+    Tables.configure(s).read.parquet(dir)
+      .where(col("user_id").between(10, 20) && col("day").between(5, 10))
+  }
+
+  /** Z-order round trip (Tables.writeZOrdered scaladoc — the
+    * multi-dimension clustering lever): events clustered on
+    * (user_id, day), read back filtered on BOTH dimensions,
+    * aggregated. Oracle: identical aggregate over the fixture with the
+    * same predicate.
+    */
+  val qZorderScan: Q = (s, d) => {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder_events_").toString
+    try {
+      zOrderedEventsScan(s, d, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .orderBy("event_type")
+        .localCheckpoint()
+    } finally deleteRecursively(new java.io.File(dir))
+  }
+
   /** Write a lang-partitioned copy of (a projection of) documents and
     * read it back filtered to `langs` — the scan over the returned frame
     * prunes to the matching `lang=…` directories at planning time
@@ -194,6 +228,7 @@ object Sources {
     "q_source_orc" -> qSourceOrc,
     "q_partition_pruned" -> qPartitionPruned,
     "q_sorted_scan" -> qSortedScan,
+    "q_zorder_scan" -> qZorderScan,
     "q_bucketed_join" -> qBucketedJoin
   )
 }

@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Fixture-table loaders for the TPC-H-ish star schema plus the
@@ -95,6 +95,45 @@ object Tables {
     df.repartitionByRange(files, cols.map(col): _*)
       .sortWithinPartitions(cols.map(col): _*)
       .write.mode("overwrite").parquet(path)
+
+  /** Spread the low 16 bits of `x` to the even bit positions (standard
+    * magic-mask interleave step) — pure Column arithmetic, codegen'd.
+    */
+  private def spread16(x: Column): Column = {
+    val m1 = lit(0x00FF00FFL); val m2 = lit(0x0F0F0F0FL)
+    val m3 = lit(0x33333333L); val m4 = lit(0x55555555L)
+    val v0 = x.bitwiseAND(lit(0xFFFFL))
+    val v1 = v0.bitwiseOR(shiftleft(v0, 8)).bitwiseAND(m1)
+    val v2 = v1.bitwiseOR(shiftleft(v1, 4)).bitwiseAND(m2)
+    val v3 = v2.bitwiseOR(shiftleft(v2, 2)).bitwiseAND(m3)
+    v3.bitwiseOR(shiftleft(v3, 1)).bitwiseAND(m4)
+  }
+
+  /** Morton (z-order) interleave of two 16-bit keys: bit i of `a` lands
+    * at position 2i, of `b` at 2i+1, so nearby (a, b) cells share long
+    * z-prefixes. Caller contract: both inputs must fit 16 bits (they
+    * are masked — wider keys should be range-bucketed down first).
+    */
+  def morton16(a: Column, b: Column): Column =
+    spread16(a).bitwiseOR(shiftleft(spread16(b), 1))
+
+  /** Persist `df` clustered by the z-order of two columns — the
+    * MULTI-dimension clustering lever [[writeSorted]] can't provide: a
+    * single-column sort gives perfect locality on that column and none
+    * on any other, while z-ordering makes every file cover a small
+    * RECTANGLE of (a, b) space, so min/max stats prune scans filtered
+    * on a, on b, or both (how Delta/Iceberg OPTIMIZE ZORDER lays out
+    * 100 TB fact tables). Same stats gotcha as writeSorted: cluster
+    * keys must be integral/date-typed for the reader to skip.
+    */
+  def writeZOrdered(df: DataFrame, path: String, a: String, b: String,
+      files: Int): Unit = {
+    val z = df.withColumn("__z", morton16(col(a), col(b)))
+    z.repartitionByRange(files, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
 
   // ------------------------------------------ non-parquet batch sources
 

@@ -141,6 +141,29 @@ class SketchSpec extends AnyFunSuite {
     assert(both == exactBoth)
   }
 
+  test("KLL merged quantiles sit within the guaranteed rank band") {
+    val li = Tables.lineitem(spark, TestSpark.sfDir).localCheckpoint()
+    val n = li.count().toDouble
+    val ests = SparkEntry.queries("q_sketch_kll")(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(ests.map(_._1).toSeq == Seq(0.5, 0.9, 0.99))
+    for ((q, est) <- ests) {
+      val rank = li.where(col("l_extendedprice") <= est).count() / n
+      assert(math.abs(rank - q) <= 0.034, s"q=$q est=$est rank=$rank")
+    }
+    // Merge invariance: sketches of two disjoint halves merged ≡ same
+    // rank guarantee as a one-shot sketch (both within band).
+    import org.apache.datasketches.kll.KllDoublesSketch
+    val a = graft.engine.Sketches.kllSketchBytes(li.where(col("l_orderkey") % 2 === 0), "l_extendedprice")
+    val b = graft.engine.Sketches.kllSketchBytes(li.where(col("l_orderkey") % 2 === 1), "l_extendedprice")
+    val m = KllDoublesSketch.newHeapInstance(200)
+    m.merge(KllDoublesSketch.heapify(org.apache.datasketches.memory.Memory.wrap(a)))
+    m.merge(KllDoublesSketch.heapify(org.apache.datasketches.memory.Memory.wrap(b)))
+    val est50 = m.getQuantile(0.5)
+    val rank50 = li.where(col("l_extendedprice") <= est50).count() / n
+    assert(math.abs(rank50 - 0.5) <= 0.034, s"merged p50 rank $rank50")
+  }
+
   test("incremental merge over all days ≡ the direct global aggregate") {
     val dir = java.nio.file.Files.createTempDirectory("graft-incr-spec").toString
     try {
