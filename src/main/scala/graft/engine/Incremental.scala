@@ -26,19 +26,29 @@ object Incremental {
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
       .write.mode("overwrite").partitionBy("day").parquet(dir)
 
-  /** Merge the partials matching [from, until) into per-type totals.
-    * Reads only the matching day directories (partition pruning).
+  /** The merge algebra over any frame of (day, event_type, n_events,
+    * sum_value) partials: sum of counts, sum of sums, avg re-derived.
+    * Associative and slice-agnostic — per-day partials, per-micro-batch
+    * partials (Streams.incrementalPartialsIngest), or any mix merge to
+    * the same totals.
     */
-  def mergeRange(spark: SparkSession, dir: String,
-      from: String, until: String): DataFrame =
-    Tables.configure(spark).read.parquet(dir)
-      .where(col("day") >= lit(from).cast("date") &&
-        col("day") < lit(until).cast("date"))
+  def mergePartialsFrame(partials: DataFrame): DataFrame =
+    partials
       .groupBy(col("event_type"))
       .agg(sum(col("n_events")).as("n_events"),
         round(sum(col("sum_value")), 2).as("sum_value"),
         round(sum(col("sum_value")) / sum(col("n_events")), 4).as("avg_value"))
       .orderBy("event_type")
+
+  /** Merge the partials matching [from, until) into per-type totals.
+    * Reads only the matching day directories (partition pruning).
+    */
+  def mergeRange(spark: SparkSession, dir: String,
+      from: String, until: String): DataFrame =
+    mergePartialsFrame(
+      Tables.configure(spark).read.parquet(dir)
+        .where(col("day") >= lit(from).cast("date") &&
+          col("day") < lit(until).cast("date")))
 
   /** Graded round trip: build the daily partials, answer a two-week
     * range by merging them. Oracle: the same two-stage shape over the

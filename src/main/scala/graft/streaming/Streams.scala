@@ -436,6 +436,59 @@ object Streams {
       (b, id) => ingestBatch(b, corpusDir, id, tauNum, tauDen, threshold, shape),
       Some(checkpoint)))
 
+  /** One micro-batch of incremental-aggregate maintenance: the batch's
+    * per-(day, event_type) partials land in an idempotent, marker-gated
+    * `batch_<id>` directory — the same crash-safety protocol as
+    * [[ingestBatch]] (committed only when the marker exists; partial
+    * directories from crashed writes are deleted and rewritten on
+    * replay). Because the merge algebra is associative and
+    * slice-agnostic (Incremental.mergePartialsFrame), slicing by
+    * micro-batch instead of by day changes nothing downstream.
+    */
+  def partialsBatch(batch: DataFrame, partialsDir: String, batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = batch.sparkSession
+    val root = new Path(partialsDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(root)
+    val target = new Path(root, f"batch_$batchId%06d")
+    val Marker = "_GRAFT_COMMITTED"
+    if (fs.exists(new Path(target, Marker))) return
+    if (fs.exists(target)) fs.delete(target, true)
+    batch
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .write.parquet(target.toString)
+    fs.create(new Path(target, Marker), true).close()
+  }
+
+  /** Standing incremental-aggregate pipeline: the streaming face of
+    * engine.Incremental — partial aggregates maintained per micro-batch,
+    * any date range answered later by merging the committed partials
+    * (no event rescan, state recovery = reading a directory).
+    */
+  def incrementalPartialsIngest(events: DataFrame, partialsDir: String,
+      checkpoint: String): StreamingQuery =
+    start(events, ForeachBatchSink(
+      (b, id) => partialsBatch(b, partialsDir, id), Some(checkpoint)))
+
+  /** Merge every COMMITTED streamed partial for [from, until). */
+  def mergeStreamedPartials(spark: SparkSession, partialsDir: String,
+      from: String, until: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(partialsDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed = fs.listStatus(root).toIndexedSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch_") &&
+        fs.exists(new Path(st.getPath, "_GRAFT_COMMITTED")))
+      .map(_.getPath.toString).sorted
+    require(committed.nonEmpty, s"no committed partials under $partialsDir")
+    graft.engine.Incremental.mergePartialsFrame(
+      spark.read.parquet(committed: _*)
+        .where(col("day") >= lit(from).cast("date") &&
+          col("day") < lit(until).cast("date")))
+  }
+
   // ---------------------------------------- operational metrics (R5 ops)
 
   /** One micro-batch's operational snapshot — the numbers a production

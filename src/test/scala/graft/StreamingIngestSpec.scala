@@ -67,6 +67,42 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(corpusIds(s"$dir/corpus") == Set(1L))
   }
 
+  test("streamed partial aggregates merge to the batch totals; replay is a no-op") {
+    import graft.engine.Tables
+    val dir = java.nio.file.Files.createTempDirectory("graft-partials").toString
+    val mem = MemoryStream[graft.streaming.Streams.Event](spark)
+    val q = Streams.incrementalPartialsIngest(mem.toDF(), s"$dir/p", s"$dir/ckpt")
+    val fixture = Tables.events(spark, TestSpark.sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"), col("value"))
+      .as[graft.streaming.Streams.Event].collect().toSeq
+    val (a, b) = fixture.splitAt(fixture.size / 2)
+    try {
+      mem.addData(a); q.processAllAvailable()
+      mem.addData(b); q.processAllAvailable()
+    } finally q.stop()
+    val merged = Streams.mergeStreamedPartials(spark, s"$dir/p", "2000-01-01", "2100-01-01")
+      .as[(String, Long, Double, Double)].collect().toSeq
+    val direct = Tables.events(spark, TestSpark.sfDir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"),
+        round(sum(col("value")) / count(lit(1)), 4).as("av"))
+      .orderBy("event_type")
+      .as[(String, Long, Double, Double)].collect().toSeq
+    assert(merged.map(r => (r._1, r._2)) == direct.map(r => (r._1, r._2)))
+    merged.zip(direct).foreach { case (m, e) =>
+      assert(math.abs(m._3 - e._3) <= 0.011 && math.abs(m._4 - e._4) <= 0.00011,
+        s"$m vs $e")
+    }
+    // Replaying a committed batch id is a no-op on the merged totals.
+    val before = Streams.mergeStreamedPartials(spark, s"$dir/p", "2000-01-01", "2100-01-01")
+      .collect().toSeq
+    Streams.partialsBatch(
+      Tables.events(spark, TestSpark.sfDir).limit(5), s"$dir/p", batchId = 0L)
+    val after = Streams.mergeStreamedPartials(spark, s"$dir/p", "2000-01-01", "2100-01-01")
+      .collect().toSeq
+    assert(before == after)
+  }
+
   test("batch driver surface: ingestBatch dedups a delta against a snapshot") {
     val dir = java.nio.file.Files.createTempDirectory("graft-delta").toString
     val snapshot = Seq((10L, "one two three four five", ts(0)))
