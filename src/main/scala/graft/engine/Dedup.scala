@@ -49,8 +49,15 @@ object Dedup {
     * is a deterministic function of the data (G4). One shuffle on the key;
     * the sort is per-key-partition, never global — the 100 TB shape.
     */
-  def firstWins(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String]): DataFrame = {
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(orderCols.map(asc): _*)
+  def firstWins(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String]): DataFrame =
+    oneWins(df, keyCols, orderCols.map(asc))
+
+  /** One survivor per key under an arbitrary total order — the shared
+    * plumbing behind firstWins/lastWins; callers with mixed tie-break
+    * directions (e.g. max ts, tie -> MIN id) pass their own Columns.
+    */
+  def oneWins(df: DataFrame, keyCols: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
     df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
   }
 
@@ -60,10 +67,8 @@ object Dedup {
     * dual of the dedup transformer's first-value-wins. Same one-shuffle
     * row_number plan with the order reversed.
     */
-  def lastWins(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String]): DataFrame = {
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(orderCols.map(desc): _*)
-    df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
-  }
+  def lastWins(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String]): DataFrame =
+    oneWins(df, keyCols, orderCols.map(desc))
 
   /** Reference semantic R2, batch form: per (user_id, event_type) keep the
     * earliest record.

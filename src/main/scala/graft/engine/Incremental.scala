@@ -24,7 +24,12 @@ object Incremental {
     events
       .groupBy(to_date(col("ts")).as("day"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
-      .write.mode("overwrite").partitionBy("day").parquet(dir)
+      // Dynamic partition overwrite: a daily slice replaces ONLY its own
+      // day directories — static mode would wipe every previously
+      // persisted day on each run, silently shrinking later merges.
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day").parquet(dir)
 
   /** The merge algebra over any frame of (day, event_type, n_events,
     * sum_value) partials: sum of counts, sum of sums, avg re-derived.
@@ -62,12 +67,7 @@ object Incremental {
     try {
       writeDailyPartials(Tables.events(s, d), dir)
       mergeRange(s, dir, "2024-01-08", "2024-01-22").localCheckpoint()
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-      }
-      rm(new java.io.File(dir))
-    }
+    } finally Sources.deleteRecursively(new java.io.File(dir))
   }
 
   val queries: Map[String, Q] = Map(

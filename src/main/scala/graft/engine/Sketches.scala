@@ -97,9 +97,12 @@ object Sketches {
       thetaSketchBytes(ev.where(col("event_type") === t), "user_id")))
     val click = sk("click")
     val purchase = sk("purchase")
+    // Union MUST carry the same lgK as the input sketches — the builder
+    // default (2^12) would downsample below the documented exact-mode
+    // bound. (Intersection is sized by its inputs; no knob needed.)
     val inter = SetOperation.builder().buildIntersection()
     inter.intersect(click); inter.intersect(purchase)
-    val un = SetOperation.builder().buildUnion()
+    val un = SetOperation.builder().setLogNominalEntries(14).buildUnion()
     un.union(click); un.union(purchase)
     val rows = Seq(
       ("both", math.round(inter.getResult.getEstimate)),

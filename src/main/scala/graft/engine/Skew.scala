@@ -72,12 +72,17 @@ object Skew {
     // Spark's stat.bloomFilter NPEs on an empty input (the aggregate
     // yields a null buffer); an empty dim means the downstream join is
     // empty anyway, so passing the fact through unpruned stays correct.
+    // Integral keys only: the probe casts to long, and a silent string→
+    // long cast would null out and DROP every row — fail loudly instead.
+    val keyType = fact.schema(factKey).dataType
+    require(Seq("long", "integer", "short", "byte").contains(keyType.typeName),
+      s"bloomPreFilter needs an integral fact key; $factKey is $keyType")
     if (dimKeys.isEmpty) fact
     else {
       val bf = dimKeys.stat.bloomFilter(dimKey, expectedItems, fpp)
       val bcast = fact.sparkSession.sparkContext.broadcast(bf)
       val might = udf((k: Long) => bcast.value.mightContainLong(k))
-      fact.where(might(col(factKey)))
+      fact.where(might(col(factKey).cast("long")))
     }
   }
 

@@ -35,7 +35,7 @@ object Sources {
         max(col("ts")).as("max_ts"))
       .orderBy("event_type")
 
-  private def deleteRecursively(f: java.io.File): Unit = {
+  private[graft] def deleteRecursively(f: java.io.File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete()
   }

@@ -74,12 +74,16 @@ object GraftSql {
       ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
     }
 
-  /** Register on a live session (idempotent — re-registration replaces). */
+  /** Register on a live session (idempotent — re-registration replaces).
+    * Goes through registerFunction WITH the ExpressionInfo so DESCRIBE
+    * FUNCTION shows the same usage text as the extensions route — the
+    * two routes stay genuinely equivalent.
+    */
   def register(spark: SparkSession): Unit = {
     val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
     functions.foreach { case (name, usage, builder) =>
-      registry.createOrReplaceTempFunction(name, builder, "built-in")
+      registry.registerFunction(FunctionIdentifier(name), info(name, usage), builder)
     }
   }
 

@@ -135,6 +135,25 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("SortMergeJoin"), p)
   }
 
+  test("q_grouped_topk_agg aggregates in two phases (map-side partial below the exchange)") {
+    // The whole point of the TopKAgg form: partial aggregation must cut
+    // every partition to ≤ k rows per group BEFORE the shuffle. The
+    // plan shows two ObjectHashAggregate nodes with the exchange between
+    // them — partial below, final above.
+    val p = plan("q_grouped_topk_agg")
+    val lines = p.linesIterator.toVector
+    val aggIdxs = lines.zipWithIndex.collect {
+      case (l, i) if l.contains("ObjectHashAggregate") || l.contains("SortAggregate") => i
+    }
+    assert(aggIdxs.size >= 2, p)
+    val exchangeBetween = lines.slice(aggIdxs.head, aggIdxs.last)
+      .exists(_.contains("Exchange"))
+    assert(exchangeBetween, p)
+    // The BOTTOM aggregate (deepest line in the tree string) must be the
+    // partial one — i.e. the map-side cut happens below the exchange.
+    assert(lines(aggIdxs.last).contains("partial_topkagg"), p)
+  }
+
   test("q_bloom_prejoin: bloom filter sits below a broadcast-free join") {
     // The key models the fact-⋈-fact case: the join must be sort-merge
     // (no broadcast — at scale the dim side doesn't fit), and the bloom

@@ -127,7 +127,7 @@ class SketchSpec extends AnyFunSuite {
     // the property incremental ingest relies on.
     val half1 = ev.where(col("event_id") % 2 === 0)
     val half2 = ev.where(col("event_id") % 2 === 1)
-    val u = SetOperation.builder().buildUnion()
+    val u = SetOperation.builder().setLogNominalEntries(14).buildUnion()
     u.union(ThetaSketches.wrapSketch(Memory.wrap(Sketches.thetaSketchBytes(half1, "user_id"))))
     u.union(ThetaSketches.wrapSketch(Memory.wrap(Sketches.thetaSketchBytes(half2, "user_id"))))
     val oneShot = math.round(ThetaSketches.wrapSketch(Memory.wrap(
@@ -183,12 +183,7 @@ class SketchSpec extends AnyFunSuite {
         assert(math.abs(m._3 - e._3) <= 0.011 && math.abs(m._4 - e._4) <= 0.00011,
           s"$m vs $e")
       }
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-      }
-      rm(new java.io.File(dir))
-    }
+    } finally graft.engine.Sources.deleteRecursively(new java.io.File(dir))
   }
 
   test("q_minhash_sig graded output is scalar-only and band-exploded") {

@@ -85,12 +85,7 @@ class SourceFormatsSpec extends AnyFunSuite {
       val scanned = scan.metrics("numOutputRows").value
       assert(scanned > 0 && scanned <= total / 4,
         s"scan emitted $scanned of $total rows — row-group skip not effective")
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-      }
-      rm(new java.io.File(dir))
-    }
+    } finally graft.engine.Sources.deleteRecursively(new java.io.File(dir))
   }
 
   test("z-order layout skips on the SECOND dimension where a 1-d sort cannot") {
@@ -130,10 +125,8 @@ class SourceFormatsSpec extends AnyFunSuite {
         col("day").between(5, 10)).count()
       assert(both == expected && expected > 0)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-      }
-      rm(new java.io.File(zdir)); rm(new java.io.File(udir))
+      graft.engine.Sources.deleteRecursively(new java.io.File(zdir))
+      graft.engine.Sources.deleteRecursively(new java.io.File(udir))
     }
   }
 
