@@ -182,6 +182,20 @@ object Oracle {
       FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
       GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
 
+    // The SQL-surface twin of q1 — same text modulo dialect.
+    "q_sql_full_query" -> """
+      SELECT l_returnflag, l_linestatus,
+        round(sum(l_quantity), 2) AS sum_qty,
+        round(sum(l_extendedprice), 2) AS sum_base_price,
+        round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        round(avg(l_quantity), 2) AS avg_qty,
+        round(avg(l_extendedprice), 2) AS avg_price,
+        round(avg(l_discount), 4) AS avg_disc,
+        count(*) AS count_order
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+      GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+
     "q_agg_distinct" -> """
       SELECT l_returnflag,
         count(DISTINCT l_partkey) AS distinct_parts,

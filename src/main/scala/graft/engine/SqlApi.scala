@@ -36,7 +36,31 @@ object SqlApi {
     """)
   }
 
+  /** The flagship Q1 shape run ENTIRELY as SQL text over the registered
+    * views — proof that a SQL-first user gets the whole engine without
+    * touching the DataFrame API; Catalyst produces the same plan either
+    * way (one analyzer, one optimizer). Oracle: the q1 oracle SQL — the
+    * Spark and DuckDB texts are near-identical by construction.
+    */
+  val qSqlFullQuery: Q = (s, d) => {
+    graft.functions.GraftSql.createViews(s, d)
+    s.sql("""
+      SELECT l_returnflag, l_linestatus,
+        round(sum(l_quantity), 2) AS sum_qty,
+        round(sum(l_extendedprice), 2) AS sum_base_price,
+        round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        round(avg(l_quantity), 2) AS avg_qty,
+        round(avg(l_extendedprice), 2) AS avg_price,
+        round(avg(l_discount), 4) AS avg_disc,
+        count(*) AS count_order
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+      GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+    """)
+  }
+
   val queries: Map[String, Q] = Map(
-    "q_sql_registered" -> qSqlRegistered
+    "q_sql_registered" -> qSqlRegistered,
+    "q_sql_full_query" -> qSqlFullQuery
   )
 }

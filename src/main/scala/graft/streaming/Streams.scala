@@ -219,6 +219,45 @@ object Streams {
       .transformWithState(new TopKProcessor(k), TimeMode.None(), OutputMode.Append())
   }
 
+  /** One emitted profile update: the user's NEW total for one type. */
+  case class ProfileRow(user_id: Long, event_type: String, n_events: Long)
+
+  /** Per-user running event-type histogram on `MapState` — the keyed
+    * sub-structure surface of transformWithState (ValueState: dedup +
+    * top-k; timers: retention; MapState: this). State per user is
+    * O(distinct event types) — bounded by the domain, not the stream —
+    * and each batch emits only the entries it changed (a changelog;
+    * counts are monotone, so the latest emission per (user, type) IS
+    * the current total, which is how the parity spec reads it).
+    */
+  class UserProfileProcessor extends StatefulProcessor[Long, Event, ProfileRow] {
+    @transient private var counts:
+      org.apache.spark.sql.streaming.MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("counts",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[ProfileRow] = {
+      val delta = rows.foldLeft(Map.empty[String, Long]) { (m, e) =>
+        m.updated(e.event_type, m.getOrElse(e.event_type, 0L) + 1L)
+      }
+      delta.toSeq.sortBy(_._1).iterator.map { case (t, n) =>
+        val next = (if (counts.containsKey(t)) counts.getValue(t) else 0L) + n
+        counts.updateValue(t, next)
+        ProfileRow(key, t, next)
+      }
+    }
+  }
+
+  /** Running per-user behavior profile (bounded MapState). */
+  def userProfileStream(events: Dataset[Event]): Dataset[ProfileRow] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new UserProfileProcessor, TimeMode.None(), OutputMode.Append())
+  }
+
   /** Stateful dedup on (user_id, event_type) with explicit retention.
     * Requires the RocksDB state store provider (transformWithState
     * contract) — set by `sessionConf` below.

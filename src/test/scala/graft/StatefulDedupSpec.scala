@@ -75,4 +75,30 @@ class StatefulDedupSpec extends AnyFunSuite {
     val got = spark.table("tws_min").select("event_id").as[Long].collect().toSeq
     assert(got == Seq(21L))
   }
+
+  test("MapState user profiles: latest emission per (user, type) ≡ batch counts") {
+    import graft.engine.Tables
+    val ms = MemoryStream[Event](spark)
+    val q = Streams.start(Streams.userProfileStream(ms.toDS()).toDF(),
+      Streams.MemoryStreamSink("tws_profile",
+        Some(java.nio.file.Files.createTempDirectory("graft-profile").toString)))
+    val fixture = Tables.events(spark, TestSpark.sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"), col("value"))
+      .as[Event].collect().toSeq
+    val (a, b) = fixture.splitAt(fixture.size / 2)
+    try {
+      ms.addData(a); q.processAllAvailable()
+      ms.addData(b); q.processAllAvailable()
+    } finally q.stop()
+    // Counts are monotone, so the MAX emission per pair is the total.
+    val streamed = spark.table("tws_profile")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(max(col("n_events")).as("n"))
+      .as[(Long, String, Long)].collect().toSet
+    val batch = Tables.events(spark, TestSpark.sfDir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(streamed == batch)
+  }
 }
