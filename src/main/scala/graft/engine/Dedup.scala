@@ -98,7 +98,11 @@ object Dedup {
     * the fixture.
     */
   val qDeltaNewDocs: Q = (s, d) => {
-    val docs = documents(s, d).select(col("doc_id"), normKey(col("text")).as("norm"))
+    // fanOut (G10) + one materialization: the norm-key projection is the
+    // expensive part and feeds BOTH branches of the split.
+    val docs = fanOut(documents(s, d))
+      .select(col("doc_id"), normKey(col("text")).as("norm"))
+      .localCheckpoint()
     val corpus = docs.where(col("doc_id") % 8 =!= 0)
     val delta = docs.where(col("doc_id") % 8 === 0)
     delta.join(corpus, Seq("norm"), "left_anti")

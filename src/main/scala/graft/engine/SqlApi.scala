@@ -23,7 +23,10 @@ object SqlApi {
     */
   val qSqlRegistered: Q = (s, d) => {
     graft.functions.GraftSql.register(s)
-    graft.functions.GraftSql.createViews(s, d)
+    // Only the views this query touches — createViews registers all ten,
+    // which is the library surface, not a per-query cost to pay here.
+    graft.functions.GraftSql.createView(s, d, "embeddings")
+    graft.functions.GraftSql.createView(s, d, "documents")
     s.sql("""
       SELECT e.vec_id,
         round(graft_dot(e.embedding, e.embedding), 6) AS sq_norm,
@@ -43,7 +46,7 @@ object SqlApi {
     * Spark and DuckDB texts are near-identical by construction.
     */
   val qSqlFullQuery: Q = (s, d) => {
-    graft.functions.GraftSql.createViews(s, d)
+    graft.functions.GraftSql.createView(s, d, "lineitem")
     s.sql("""
       SELECT l_returnflag, l_linestatus,
         round(sum(l_quantity), 2) AS sum_qty,

@@ -197,7 +197,7 @@ object TextAnalysis {
       Tuple1("hot gearz"), Tuple1("grean gizmo"))).toDF("probe")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("probe")).orderBy(asc("dist"), asc("p_partkey"))
-    Tables.part(s, d).crossJoin(broadcast(probes))
+    graft.engine.Dedup.fanOut(Tables.part(s, d)).crossJoin(broadcast(probes))
       .withColumn("dist", levenshtein(col("probe"), col("p_name")))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= 3)

@@ -87,13 +87,15 @@ object GraftSql {
     }
   }
 
+  /** Expose one fixture table as a SQL temp view (oracle-matching name). */
+  def createView(spark: SparkSession, dir: String, name: String): Unit =
+    graft.engine.Tables.table(spark, dir, name).createOrReplaceTempView(name)
+
   /** Expose the fixture tables as SQL temp views (`<table>` names match
     * the oracle's), so a SQL-first user can run whole queries textually.
     */
   def createViews(spark: SparkSession, dir: String): Unit =
-    graft.engine.Tables.names.foreach { t =>
-      graft.engine.Tables.table(spark, dir, t).createOrReplaceTempView(t)
-    }
+    graft.engine.Tables.names.foreach(createView(spark, dir, _))
 }
 
 /** Builder-time injection: `SparkSession.builder.withExtensions(new
