@@ -78,4 +78,37 @@ object KernelProps extends Properties("graft.kernels") {
     forAll(tokenGen, Gen.choose(1, 10)) { (t, n) =>
       GraftOps.simhash64(List.fill(n)(t).mkString(" ")) == GraftOps.fnv1a64(t)
     }
+
+  // ---- TopK.merge: the shared batch-Aggregator / streaming kernel ----
+
+  private val item: Gen[(Double, Long)] =
+    Gen.zip(Gen.choose(-100.0, 100.0), Gen.choose(0L, 50L))
+  private val items: Gen[List[(Double, Long)]] = Gen.listOf(item)
+
+  private def ordered(s: Seq[(Double, Long)]): Boolean =
+    s.sliding(2).forall {
+      case Seq((v1, i1), (v2, i2)) => v1 > v2 || (v1 == v2 && i1 <= i2)
+      case _ => true
+    }
+
+  property("TopK.merge is bounded, ordered, and a subset of its inputs") =
+    forAll(items, items, Gen.choose(1, 8)) { (a, b, k) =>
+      val m = graft.functions.TopK.merge(a, b, k)
+      m.size <= k && ordered(m) && m.forall(x => a.contains(x) || b.contains(x))
+    }
+
+  property("TopK.merge is associative: merge(merge(a,b),c) == merge(a,merge(b,c))") =
+    forAll(items, items, items, Gen.choose(1, 8)) { (a, b, c, k) =>
+      val ab = graft.functions.TopK.merge(Nil, a ++ b, k)
+      val bc = graft.functions.TopK.merge(Nil, b ++ c, k)
+      graft.functions.TopK.merge(ab, c, k) == graft.functions.TopK.merge(a, bc, k)
+    }
+
+  property("TopK.merge ignores partitioning: any split of the input gives one answer") =
+    forAll(items, Gen.choose(1, 8), Gen.choose(0, 100)) { (a, k, cut) =>
+      val (x, y) = a.splitAt(if (a.isEmpty) 0 else cut % (a.size + 1))
+      graft.functions.TopK.merge(
+        graft.functions.TopK.merge(Nil, x, k), y, k) ==
+        graft.functions.TopK.merge(Nil, a, k)
+    }
 }

@@ -88,6 +88,23 @@ class SourceFormatsSpec extends AnyFunSuite {
     } finally graft.engine.Sources.deleteRecursively(new java.io.File(dir))
   }
 
+  test("morton16 interleaves bits exactly (round-trip decodable)") {
+    import spark.implicits._
+    val pairs = Seq((0, 0), (1, 0), (0, 1), (65535, 65535), (12345, 54321),
+      (255, 256), (32768, 1), (65536 + 7, 3)) // last: wider input is masked
+    val got = pairs.toDF("a", "b")
+      .withColumn("z", Tables.morton16(col("a"), col("b")))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    for ((a, b, z) <- got) {
+      var da = 0L; var db = 0L
+      for (i <- 0 until 16) {
+        da |= ((z >> (2 * i)) & 1L) << i
+        db |= ((z >> (2 * i + 1)) & 1L) << i
+      }
+      assert(da == (a & 0xFFFF) && db == (b & 0xFFFF), s"($a,$b) -> $z -> ($da,$db)")
+    }
+  }
+
   test("z-order layout skips on the SECOND dimension where a 1-d sort cannot") {
     def scanRows(df: org.apache.spark.sql.DataFrame): Long = {
       df.collect()
