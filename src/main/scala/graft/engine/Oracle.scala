@@ -247,6 +247,34 @@ object Oracle {
         count(*) AS n_rows
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
+    // DuckDB has no width_bucket — the oracle mirrors Spark's bucket
+    // arithmetic explicitly (floor(x/width)+1, under/overflow 0 and
+    // n+1); identical IEEE doubles on both sides.
+    "q_agg_histogram" -> """
+      WITH b AS (SELECT o_totalprice,
+          CASE WHEN o_totalprice < 0.0 THEN 0
+               WHEN o_totalprice >= 500000.0 THEN 11
+               ELSE CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) + 1 END AS bucket
+        FROM orders)
+      SELECT bucket, round((bucket - 1) * 50000.0, 2) AS bucket_lo,
+        count(*) AS n_orders,
+        round(min(o_totalprice), 2) AS min_price,
+        round(max(o_totalprice), 2) AS max_price
+      FROM b GROUP BY bucket ORDER BY bucket""",
+
+    // Ratio-to-report over the 25-row aggregate; the share divides two
+    // independently-ordered sums — relative drift ~1e-15, far below the
+    // 4-decimal grain on a percent.
+    "q_share_of_total" -> """
+      WITH r AS (SELECT n_name, sum(o_totalprice) AS rev
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name)
+      SELECT n_name, round(rev, 2) AS revenue,
+        round(rev / sum(rev) OVER () * 100.0, 4) AS share_pct
+      FROM r ORDER BY n_name""",
+
     // The bounded top-k Aggregator ≡ the window row_number form — same
     // (value DESC, id ASC) total order; prices pass through unrounded
     // (no arithmetic on either side).

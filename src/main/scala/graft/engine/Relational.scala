@@ -511,6 +511,46 @@ object Relational {
       .orderBy("o_custkey", "rank")
   }
 
+  /** Value-distribution histogram via `width_bucket` — the analytics
+    * staple for "what does this column look like": equi-width buckets
+    * over the order-price domain, one hash aggregate (map-side partial),
+    * bucket edges emitted so the result reads standalone. Out-of-range
+    * values land in the under/overflow buckets 0 and n+1 by the
+    * function's contract.
+    */
+  val qAggHistogram: Q = (s, d) => {
+    val n = 10
+    val (lo, hi) = (0.0, 500000.0)
+    orders(s, d)
+      .withColumn("bucket", width_bucket(col("o_totalprice"), lit(lo), lit(hi), lit(n)))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(min(col("o_totalprice")), 2).as("min_price"),
+        round(max(col("o_totalprice")), 2).as("max_price"))
+      .withColumn("bucket_lo", round(lit(lo) + (col("bucket") - 1) * lit((hi - lo) / n), 2))
+      .select(col("bucket"), col("bucket_lo"), col("n_orders"), col("min_price"), col("max_price"))
+      .orderBy("bucket")
+  }
+
+  /** Share-of-total (ratio-to-report): each nation's revenue share of
+    * the grand total via a window over the WHOLE frame — the aggregate
+    * runs first (25 rows), so the unpartitioned window is trivial; at
+    * any scale this shape is "aggregate, then window over the small
+    * result", never a window over the fact table.
+    */
+  val qShareOfTotal: Q = (s, d) => {
+    val w = Window.partitionBy()
+    customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"))
+      .join(nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("o_totalprice")).as("rev"))
+      .withColumn("revenue", round(col("rev"), 2))
+      .withColumn("share_pct", round(col("rev") / sum(col("rev")).over(w) * 100.0, 4))
+      .select(col("n_name"), col("revenue"), col("share_pct"))
+      .orderBy("n_name")
+  }
+
   // -------------------------------------------------------------- windows
 
   /** Ranking window functions: top-3 orders per customer. */
@@ -753,6 +793,8 @@ object Relational {
     "q_agg_minmax_by" -> qAggMinmaxBy,
     "q_resample" -> qResample,
     "q_agg_udaf" -> qAggUdaf,
+    "q_agg_histogram" -> qAggHistogram,
+    "q_share_of_total" -> qShareOfTotal,
     "q_grouped_topk_agg" -> qGroupedTopkAgg,
     "q_window_rank" -> qWindowRank,
     "q_window_analytic" -> qWindowAnalytic,
