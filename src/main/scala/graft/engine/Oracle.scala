@@ -19,6 +19,19 @@ object Oracle {
     * one string makes the oracle identity structural — a threshold or
     * tokenization tweak cannot diverge them silently.
     */
+  private val Q1Sql = """
+      SELECT l_returnflag, l_linestatus,
+        round(sum(l_quantity), 2) AS sum_qty,
+        round(sum(l_extendedprice), 2) AS sum_base_price,
+        round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        round(avg(l_quantity), 2) AS avg_qty,
+        round(avg(l_extendedprice), 2) AS avg_price,
+        round(avg(l_discount), 4) AS avg_disc,
+        count(*) AS count_order
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+      GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"""
+
   private val NeardupLshSql = """
       WITH docs AS (SELECT doc_id, list_distinct(string_split(text, ' ')) toks FROM documents),
         pairs AS (SELECT a.doc_id doc_a, b.doc_id doc_b,
@@ -169,32 +182,11 @@ object Oracle {
     "q_join_cross" -> """
       SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name""",
 
-    "q1_pricing_summary" -> """
-      SELECT l_returnflag, l_linestatus,
-        round(sum(l_quantity), 2) AS sum_qty,
-        round(sum(l_extendedprice), 2) AS sum_base_price,
-        round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-        round(avg(l_quantity), 2) AS avg_qty,
-        round(avg(l_extendedprice), 2) AS avg_price,
-        round(avg(l_discount), 4) AS avg_disc,
-        count(*) AS count_order
-      FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
-      GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "q1_pricing_summary" -> Q1Sql,
 
-    // The SQL-surface twin of q1 — same text modulo dialect.
-    "q_sql_full_query" -> """
-      SELECT l_returnflag, l_linestatus,
-        round(sum(l_quantity), 2) AS sum_qty,
-        round(sum(l_extendedprice), 2) AS sum_base_price,
-        round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-        round(avg(l_quantity), 2) AS avg_qty,
-        round(avg(l_extendedprice), 2) AS avg_price,
-        round(avg(l_discount), 4) AS avg_disc,
-        count(*) AS count_order
-      FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
-      GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    // The SQL-surface twin of q1 — ONE bound string, so the "identical
+    // by construction" oracle identity is structural, not copy-paste.
+    "q_sql_full_query" -> Q1Sql,
 
     "q_agg_distinct" -> """
       SELECT l_returnflag,

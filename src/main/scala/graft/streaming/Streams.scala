@@ -243,11 +243,16 @@ object Streams {
       val delta = rows.foldLeft(Map.empty[String, Long]) { (m, e) =>
         m.updated(e.event_type, m.getOrElse(e.event_type, 0L) + 1L)
       }
-      delta.toSeq.sortBy(_._1).iterator.map { case (t, n) =>
+      // State updates EAGERLY, before returning the iterator: a consumer
+      // that stops pulling the output mid-iterator must not be able to
+      // skip the counts.updateValue side effects (the batch would still
+      // commit, permanently undercounting the unconsumed entries).
+      val out = delta.toSeq.sortBy(_._1).map { case (t, n) =>
         val next = (if (counts.containsKey(t)) counts.getValue(t) else 0L) + n
         counts.updateValue(t, next)
         ProfileRow(key, t, next)
       }
+      out.iterator
     }
   }
 

@@ -79,13 +79,15 @@ class StatefulDedupSpec extends AnyFunSuite {
   test("MapState user profiles: latest emission per (user, type) ≡ batch counts") {
     import graft.engine.Tables
     val ms = MemoryStream[Event](spark)
-    val q = Streams.start(Streams.userProfileStream(ms.toDS()).toDF(),
-      Streams.MemoryStreamSink("tws_profile",
-        Some(java.nio.file.Files.createTempDirectory("graft-profile").toString)))
+    // Fixture load BEFORE starting the query: a throw here must not leak
+    // a running query into the shared session.
     val fixture = Tables.events(spark, TestSpark.sfDir)
       .select(col("event_id"), col("user_id"), col("event_type"), col("ts"), col("value"))
       .as[Event].collect().toSeq
     val (a, b) = fixture.splitAt(fixture.size / 2)
+    val q = Streams.start(Streams.userProfileStream(ms.toDS()).toDF(),
+      Streams.MemoryStreamSink("tws_profile",
+        Some(java.nio.file.Files.createTempDirectory("graft-profile").toString)))
     try {
       ms.addData(a); q.processAllAvailable()
       ms.addData(b); q.processAllAvailable()
