@@ -70,6 +70,77 @@ object Dedup {
   def lastWins(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String]): DataFrame =
     oneWins(df, keyCols, orderCols.map(desc))
 
+  /** Keyed MERGE/upsert — the batch face of a compacted topic: fold a
+    * delta of new/updated records into a corpus snapshot, keeping one
+    * survivor per key under `order` (pass `desc("ts"), desc("id")` for
+    * latest-wins). Union + [[oneWins]]: ONE shuffle on the key over
+    * corpus+delta. For a persisted partitioned snapshot where the delta
+    * touches few partitions, [[mergePartitionedSnapshot]] rewrites only
+    * those directories instead of re-shuffling 100 TB.
+    */
+  def mergeSnapshot(corpus: DataFrame, delta: DataFrame,
+      keyCols: Seq[String], order: Seq[Column]): DataFrame =
+    oneWins(corpus.unionByName(delta), keyCols, order)
+
+  /** Partition-aware snapshot maintenance: rewrite ONLY the partition
+    * directories the delta touches. The touched partition VALUES are a
+    * bounded driver artifact (partition columns are low-cardinality by
+    * the Tables.writePartitioned contract — the same bounded-collect
+    * budget as the centroid pulls); the merge then reads just those
+    * directories (planning-time pruning), folds the delta in with
+    * [[mergeSnapshot]], and dynamic partition overwrite replaces just
+    * those directories — untouched partitions are never read or
+    * rewritten, so the cost scales with the delta, not the corpus.
+    * The merged slice is localCheckpoint'd before the write because the
+    * write overwrites directories its own lineage reads (at deployment
+    * scale the same discipline is write-new-snapshot-then-swap; the few
+    * touched partitions are delta-sized, so materializing them is
+    * bounded).
+    */
+  def mergePartitionedSnapshot(spark: SparkSession, dir: String, delta: DataFrame,
+      partCol: String, keyCols: Seq[String], order: Seq[Column]): Unit = {
+    val touched = delta.select(col(partCol)).distinct().collect().map(_.get(0))
+    val affected = Tables.configure(spark).read.parquet(dir)
+      .where(col(partCol).isin(touched: _*))
+    mergeSnapshot(affected, delta, keyCols, order)
+      .localCheckpoint()
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCol).parquet(dir)
+  }
+
+  /** Graded surface for [[mergePartitionedSnapshot]]: a latest-wins
+    * corpus snapshot of the first half of the event log is persisted
+    * partitioned by event_type; a delta (second half, TWO of the five
+    * types) is merged in-place; the key reads the maintained snapshot
+    * back. Oracle: latest-wins over the union of the two halves' own
+    * latest-wins snapshots — delta rows win their keys outright (their
+    * timestamps are strictly later), untouched types must surface
+    * bit-identically from the never-rewritten directories.
+    */
+  val qMergeUpsert: Q = (s, d) => {
+    val dir = java.nio.file.Files.createTempDirectory("graft_merge_upsert_").toString
+    try {
+      val keys = Seq("user_id", "event_type")
+      val order = Seq(desc("ts"), desc("event_id"))
+      val ev = events(s, d)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("ts"), col("value"))
+      val cutoff = lit("2024-01-15").cast("timestamp")
+      Tables.writePartitioned(
+        oneWins(ev.where(col("ts") < cutoff), keys, order), dir, Seq("event_type"))
+      val delta = oneWins(
+        ev.where(col("ts") >= cutoff && col("event_type").isin("click", "purchase")),
+        keys, order)
+      mergePartitionedSnapshot(s, dir, delta, "event_type", keys, order)
+      Tables.configure(s).read.parquet(dir)
+        .select(col("user_id"), col("event_type"), col("event_id").as("cur_event_id"),
+          col("ts").as("cur_ts"), round(col("value"), 2).as("cur_value"))
+        .orderBy("user_id", "event_type")
+        .localCheckpoint()
+    } finally Sources.deleteRecursively(new java.io.File(dir))
+  }
+
   /** Reference semantic R2, batch form: per (user_id, event_type) keep the
     * earliest record.
     */
@@ -967,6 +1038,7 @@ object Dedup {
     "q_dedup_normalized" -> qDedupNormalized,
     "q_dedup_first_wins" -> qDedupFirstWins,
     "q_dedup_latest" -> qDedupLatest,
+    "q_merge_upsert" -> qMergeUpsert,
     "q_dedup_keep_best" -> qDedupKeepBest,
     "q_delta_new_docs" -> qDeltaNewDocs,
     "q_dedup_windowed" -> qDedupWindowed,

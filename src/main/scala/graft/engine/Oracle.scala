@@ -558,6 +558,29 @@ object Oracle {
         round(value, 2) AS last_value
       FROM w WHERE rn = 1 ORDER BY user_id, event_type""",
 
+    // MERGE/upsert: latest-wins over the union of the two halves' own
+    // latest-wins snapshots. Delta timestamps are strictly later than
+    // corpus ones (disjoint halves), so no cross-half ties exist and the
+    // plain row_number total order decides identically in both engines.
+    "q_merge_upsert" -> """
+      WITH c AS (SELECT user_id, event_type, event_id, ts, value,
+          row_number() OVER (PARTITION BY user_id, event_type
+                             ORDER BY ts DESC, event_id DESC) rn
+        FROM events WHERE ts < TIMESTAMP '2024-01-15'),
+        dl AS (SELECT user_id, event_type, event_id, ts, value,
+          row_number() OVER (PARTITION BY user_id, event_type
+                             ORDER BY ts DESC, event_id DESC) rn
+        FROM events WHERE ts >= TIMESTAMP '2024-01-15'
+          AND event_type IN ('click', 'purchase')),
+        u AS (SELECT user_id, event_type, event_id, ts, value FROM c WHERE rn = 1
+          UNION ALL
+          SELECT user_id, event_type, event_id, ts, value FROM dl WHERE rn = 1),
+        m AS (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                             ORDER BY ts DESC, event_id DESC) rn2 FROM u)
+      SELECT user_id, event_type, event_id AS cur_event_id, ts AS cur_ts,
+        round(value, 2) AS cur_value
+      FROM m WHERE rn2 = 1 ORDER BY user_id, event_type""",
+
     // Canonical survivor per normalized dup group: longest text, tie →
     // lowest doc_id; norm key identical to q_dedup_normalized's.
     "q_dedup_keep_best" -> """
@@ -858,6 +881,25 @@ object Oracle {
         round(sum(value), 2) AS sum_value, max(ts) AS max_ts
       FROM events GROUP BY event_type ORDER BY event_type""",
 
+    // Dirty-source keys: the engine reads a text copy with 7 planted
+    // corrupt lines under PERMISSIVE quarantine and aggregates the clean
+    // split; equal to the parquet aggregate (+ the planted count as a
+    // literal) iff exactly the dirt quarantines and no clean row is lost
+    // or altered (Sources.dirtyCsvLines / dirtyJsonLines).
+    "q_source_dirty_csv" -> """
+      SELECT event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+        min(event_id) AS min_event_id, max(event_id) AS max_event_id,
+        round(sum(value), 2) AS sum_value, max(ts) AS max_ts,
+        CAST(7 AS BIGINT) AS n_quarantined
+      FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q_source_dirty_json" -> """
+      SELECT event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+        min(event_id) AS min_event_id, max(event_id) AS max_event_id,
+        round(sum(value), 2) AS sum_value, max(ts) AS max_ts,
+        CAST(7 AS BIGINT) AS n_quarantined
+      FROM events GROUP BY event_type ORDER BY event_type""",
+
     // Bucketed-layout round trip: the engine joins two bucketed tables
     // shuffle-free and aggregates; the oracle runs the same join+agg
     // over the parquet fixture.
@@ -894,6 +936,19 @@ object Oracle {
       WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
         AND CAST(o_orderdate AS DATE) < DATE '1996-02-01'
       GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    // Schema evolution: old-batch rows (even doc_id, written without
+    // lang) surface under the explicit default; new-batch rows keep
+    // their real lang.
+    "q_schema_evolution" -> """
+      WITH u AS (
+        SELECT doc_id, n_chars, NULL AS lang FROM documents WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT doc_id, n_chars, lang FROM documents WHERE doc_id % 2 <> 0)
+      SELECT coalesce(lang, 'pre_v2') AS lang, count(*) AS n_docs,
+        sum(n_chars)::BIGINT AS sum_chars,
+        min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+      FROM u GROUP BY 1 ORDER BY 1""",
 
     "q_partition_pruned" -> """
       SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars,

@@ -75,6 +75,106 @@ object Sources {
   val qSourceOrc: Q = (s, d) =>
     roundTrip(s, d, "graft_src_orc_", Tables.writeOrc, (dir, _) => Tables.readOrc(s, dir))
 
+  /** Corrupt lines planted into the dirty-source fixtures: one per common
+    * real-world breakage — truncated line, wrong field count, unparseable
+    * number/timestamp, stray log text. The count (7) is part of the graded
+    * contract: the key emits it as `n_quarantined`, and the oracle carries
+    * the literal — so over-quarantining (clean rows wrongly flagged) and
+    * under-quarantining (dirt parsed as data) BOTH break the hash.
+    */
+  private[graft] val dirtyCsvLines = Seq(
+    "event_id,user_id,event_type,ts,value", // header (skipped per header=true)
+    "not_a_number,1,click,2024-01-01 00:00:00.000000,1.0",
+    "12,34",
+    "13,35,click,yesterday,2.0",
+    "14,36,click,2024-01-01 00:00:00.000000,NaN-ish",
+    "ERROR 2024-01-01 worker crashed mid write",
+    "15,37,click,2024-01-01 00:00:00.000000,1.0,EXTRA_FIELD",
+    "16,not_a_user,click,2024-01-01 00:00:00.000000,3.0")
+
+  private[graft] val dirtyJsonLines = Seq(
+    """{"event_id": 1, "user_id": 2, "event_type": "click", BROKEN""",
+    """{"event_id": "not_a_number", "user_id": 2, "event_type": "click", "ts": "2024-01-01 00:00:00.000000", "value": 1.0}""",
+    """not json at all""",
+    """{"event_id": 12, "user_id": 3, "event_type": "click", "ts": "yesterday", "value": 1.0}""",
+    """{"event_id": 13, "user_id": 4, "event_type": "click", "ts": "2024-01-01 00:00:00.000000", "value": "NaN-ish"}""",
+    """{"event_id": 17, "user_id": }""",
+    """{"event_id": 14""")
+
+  private def plantDirtyFile(dir: String, name: String, lines: Seq[String]): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, name), lines.asJava)
+  }
+
+  /** Dirty-source round trip (Tables.readCsvQuarantine scaladoc): the
+    * events slice written clean, a file of corrupt lines planted next to
+    * it, the directory re-read PERMISSIVE, quarantined rows split off and
+    * COUNTED, clean rows aggregated. Oracle: the parquet aggregate plus
+    * the planted-line count as a literal — equal iff exactly the planted
+    * dirt quarantines and every clean row survives bit-exactly.
+    */
+  private def dirtyRoundTrip(s: SparkSession, d: String, prefix: String,
+      write: (DataFrame, String) => Unit, plant: String => Unit,
+      read: (String, org.apache.spark.sql.types.StructType) => DataFrame): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix).toString
+    try {
+      val ev = eventsSlice(s, d)
+      write(ev, dir)
+      plant(dir)
+      // Persist before splitting: a raw text scan referencing only the
+      // corrupt column is refused by Spark (Tables.splitQuarantine doc).
+      val parsed = read(dir, ev.schema).cache()
+      try {
+        val (clean, bad) = Tables.splitQuarantine(parsed)
+        val nBad = bad.count()
+        aggregate(clean)
+          .withColumn("n_quarantined", lit(nBad))
+          .localCheckpoint()
+      } finally parsed.unpersist()
+    } finally deleteRecursively(new java.io.File(dir))
+  }
+
+  val qSourceDirtyCsv: Q = (s, d) =>
+    dirtyRoundTrip(s, d, "graft_src_dirty_csv_", Tables.writeCsv,
+      dir => plantDirtyFile(dir, "zz_dirty.csv", dirtyCsvLines),
+      Tables.readCsvQuarantine(s, _, _))
+
+  val qSourceDirtyJson: Q = (s, d) =>
+    dirtyRoundTrip(s, d, "graft_src_dirty_json_", Tables.writeJsonLines,
+      dir => plantDirtyFile(dir, "zz_dirty.json", dirtyJsonLines),
+      Tables.readJsonLinesQuarantine(s, _, _))
+
+  /** Schema-evolution round trip (Tables.readMergedSchema scaladoc): the
+    * corpus is written in two batch directories with DIFFERENT schemas —
+    * batch_0 predates the `lang` column, batch_1 carries it — then read
+    * back as one frame with `mergeSchema`, the missing column defaulted
+    * EXPLICITLY, and aggregated. Oracle: union of the two slices with the
+    * old slice's lang as NULL, then the same default — equal iff old-batch
+    * rows surface with the declared default (not silently dropped or
+    * mistyped) and new-batch rows keep their real values.
+    */
+  val qSchemaEvolution: Q = (s, d) => {
+    val dir = java.nio.file.Files.createTempDirectory("graft_schema_evo_").toString
+    try {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"), col("lang"))
+      // v1 batch: written before the lang column existed.
+      docs.where(col("doc_id") % 2 === 0).select(col("doc_id"), col("n_chars"))
+        .write.parquet(s"$dir/batch_0")
+      // v2 batch: the evolved schema.
+      docs.where(col("doc_id") % 2 =!= 0)
+        .write.parquet(s"$dir/batch_1")
+      Tables.readMergedSchema(s, s"$dir/batch_0", s"$dir/batch_1")
+        .withColumn("lang", coalesce(col("lang"), lit("pre_v2")))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_doc_id"),
+          max(col("doc_id")).as("max_doc_id"))
+        .orderBy("lang")
+        .localCheckpoint()
+    } finally deleteRecursively(new java.io.File(dir))
+  }
+
   /** Write a date-sorted copy of (a projection of) orders and read it
     * back with a one-month range filter — the sorted-layout scan the
     * graded key and SourceFormatsSpec share: with 8 disjoint-range
@@ -226,6 +326,9 @@ object Sources {
     "q_source_csv" -> qSourceCsv,
     "q_source_json" -> qSourceJson,
     "q_source_orc" -> qSourceOrc,
+    "q_source_dirty_csv" -> qSourceDirtyCsv,
+    "q_source_dirty_json" -> qSourceDirtyJson,
+    "q_schema_evolution" -> qSchemaEvolution,
     "q_partition_pruned" -> qPartitionPruned,
     "q_sorted_scan" -> qSortedScan,
     "q_zorder_scan" -> qZorderScan,

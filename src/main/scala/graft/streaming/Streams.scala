@@ -447,7 +447,12 @@ object Streams {
     val survivors =
       if (parts.isEmpty) afterWithin
       else {
-        val corpus = spark.read.parquet(parts: _*)
+        // mergeSchema: a long-lived corpus index gains columns across
+        // months of batches (Tables.readMergedSchema scaladoc); a plain
+        // read would type the scan from whichever footer it sampled.
+        // The probe needs only the three index columns, which every
+        // schema version carries.
+        val corpus = spark.read.option("mergeSchema", "true").parquet(parts: _*)
           .select(col("doc_id"), col("toks"), col("bands"))
         val vsCorpus = Dedup.nearDupAgainst(afterWithin, corpus, "toks",
           tauNum, tauDen, threshold, shape)

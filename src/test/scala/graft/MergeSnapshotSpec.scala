@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.{Dedup, Sources, Tables}
+
+/** Keyed MERGE/upsert snapshot maintenance (Dedup.mergeSnapshot /
+  * mergePartitionedSnapshot): delta wins its keys, absent corpus keys
+  * survive, new delta keys insert; the partitioned form rewrites ONLY
+  * the touched partition directories and re-merging the same delta is
+  * idempotent.
+  */
+class MergeSnapshotSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val keys = Seq("k")
+  private val order = Seq(desc("ts"), desc("id"))
+
+  test("mergeSnapshot: delta wins on key, corpus survives, new keys insert") {
+    val corpus = Seq(("a", 1L, 10L, "old-a"), ("b", 2L, 10L, "old-b"))
+      .toDF("k", "id", "ts", "v")
+    val delta = Seq(("a", 3L, 20L, "new-a"), ("c", 4L, 20L, "new-c"))
+      .toDF("k", "id", "ts", "v")
+    val got = Dedup.mergeSnapshot(corpus, delta, keys, order)
+      .orderBy("k").collect().map(r => (r.getString(0), r.getString(3))).toSeq
+    assert(got == Seq(("a", "new-a"), ("b", "old-b"), ("c", "new-c")))
+  }
+
+  test("mergeSnapshot: tie on the full order resolves deterministically (one survivor)") {
+    // Identical (ts, id) in corpus and delta: row_number still emits
+    // exactly one survivor per key (no dup leak), whichever side it is.
+    val corpus = Seq(("a", 1L, 10L, "x")).toDF("k", "id", "ts", "v")
+    val delta = Seq(("a", 1L, 10L, "y")).toDF("k", "id", "ts", "v")
+    val got = Dedup.mergeSnapshot(corpus, delta, keys, order)
+    assert(got.count() == 1)
+  }
+
+  test("mergePartitionedSnapshot rewrites only touched partitions; re-merge is idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-merge-part").toString
+    try {
+      val corpus = Seq(
+        ("p1", "a", 1L, 10L, "old-a"), ("p1", "b", 2L, 10L, "old-b"),
+        ("p2", "c", 3L, 10L, "old-c")).toDF("p", "k", "id", "ts", "v")
+      Tables.writePartitioned(corpus, dir, Seq("p"))
+      def fileState(part: String): Set[(String, Long)] = {
+        val d = new java.io.File(s"$dir/p=$part")
+        d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.lastModified())).toSet
+      }
+      val p2Before = fileState("p2")
+      // Delta touches only p1: update key a, insert key d.
+      val delta = Seq(("p1", "a", 9L, 20L, "new-a"), ("p1", "d", 10L, 20L, "new-d"))
+        .toDF("p", "k", "id", "ts", "v")
+      Dedup.mergePartitionedSnapshot(spark, dir, delta, "p", keys, order)
+      // Untouched partition directory: identical files, not rewritten.
+      assert(fileState("p2") == p2Before)
+      val snap1 = spark.read.parquet(dir).orderBy("k")
+        .collect().map(r => (r.getAs[String]("k"), r.getAs[String]("v"))).toSeq
+      assert(snap1 == Seq(("a", "new-a"), ("b", "old-b"), ("c", "old-c"), ("d", "new-d")))
+      // Idempotent: folding the same delta again changes nothing.
+      Dedup.mergePartitionedSnapshot(spark, dir, delta, "p", keys, order)
+      val snap2 = spark.read.parquet(dir).orderBy("k")
+        .collect().map(r => (r.getAs[String]("k"), r.getAs[String]("v"))).toSeq
+      assert(snap2 == snap1)
+      assert(fileState("p2") == p2Before)
+    } finally Sources.deleteRecursively(new java.io.File(dir))
+  }
+
+  test("graded key shape: merged snapshot ≡ latest-wins over both halves' snapshots") {
+    val d = TestSpark.sfDir
+    val ev = Tables.events(spark, d)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"), col("value"))
+    val cutoff = lit("2024-01-15").cast("timestamp")
+    val ord = Seq(desc("ts"), desc("event_id"))
+    val ks = Seq("user_id", "event_type")
+    val corpus = Dedup.oneWins(ev.where(col("ts") < cutoff), ks, ord)
+    val delta = Dedup.oneWins(
+      ev.where(col("ts") >= cutoff && col("event_type").isin("click", "purchase")), ks, ord)
+    val expect = Dedup.mergeSnapshot(corpus, delta, ks, ord)
+      .select(col("user_id"), col("event_type"), col("event_id"))
+      .orderBy("user_id", "event_type").collect().toSeq
+    val got = Dedup.queries("q_merge_upsert")(spark, d)
+      .select(col("user_id"), col("event_type"), col("cur_event_id").as("event_id"))
+      .orderBy("user_id", "event_type").collect().toSeq
+    assert(got == expect && expect.nonEmpty)
+  }
+}

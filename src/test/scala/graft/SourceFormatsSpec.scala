@@ -52,6 +52,35 @@ class SourceFormatsSpec extends AnyFunSuite {
     assert(json == want)
   }
 
+  test("quarantine loaders: planted dirt quarantined with raw text, clean rows bit-exact") {
+    import graft.engine.Sources
+    for ((name, writeFn, plantLines, readFn) <- Seq(
+      ("csv", Tables.writeCsv _, Sources.dirtyCsvLines.drop(1), // drop header
+        Tables.readCsvQuarantine(spark, _: String, events.schema)),
+      ("json", Tables.writeJsonLines _, Sources.dirtyJsonLines,
+        Tables.readJsonLinesQuarantine(spark, _: String, events.schema)))) {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-dirty-$name").toString
+      try {
+        writeFn(events, dir)
+        val planted = (if (name == "csv") Sources.dirtyCsvLines else Sources.dirtyJsonLines)
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, s"zz_dirty.$name"), planted.asJava)
+        val parsed = readFn(dir).cache()
+        try {
+          val (clean, bad) = Tables.splitQuarantine(parsed)
+          // Every planted dirty line quarantines, carrying its raw text.
+          val badRaw = bad.select(Tables.corruptRecordCol)
+            .collect().map(_.getString(0)).sorted.toSeq
+          assert(badRaw == plantLines.sorted, s"[$name] quarantined: $badRaw")
+          // Clean rows are bit-identical to the original slice.
+          assert(clean.orderBy("event_id").collect().toSeq ==
+            events.orderBy("event_id").collect().toSeq, s"[$name] clean rows differ")
+        } finally parsed.unpersist()
+      } finally Sources.deleteRecursively(new java.io.File(dir))
+    }
+  }
+
   test("compact rewrites a many-small-files directory into the target file count, rows intact") {
     val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
     // 20 tiny files (one per partition).

@@ -103,6 +103,37 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(before == after)
   }
 
+  test("corpus index gaining a column between batches: dedup still works, merged read defaults it") {
+    import graft.engine.Tables
+    val dir = java.nio.file.Files.createTempDirectory("graft-evo").toString
+    // Batch 0: the original index schema (doc_id, text, ts → + toks/bands).
+    Streams.ingestBatch(
+      Seq((1L, "alpha beta gamma delta epsilon", ts(0))).toDF("doc_id", "text", "ts"),
+      s"$dir/corpus", batchId = 0L)
+    // Batch 1: the ingest evolved — docs now carry a `source` column,
+    // which lands in this batch's corpus directory.
+    Streams.ingestBatch(
+      Seq((2L, "six seven eight nine ten", ts(5), "crawl-v2"))
+        .toDF("doc_id", "text", "ts", "source"),
+      s"$dir/corpus", batchId = 1L)
+    // Batch 2 probes a corpus whose directories DISAGREE on schema: the
+    // dedup must still suppress dups of both old- and new-schema docs.
+    Streams.ingestBatch(
+      Seq((3L, "alpha beta gamma delta epsilon", ts(10), "crawl-v2"), // dups batch 0
+        (4L, "six seven eight nine ten", ts(11), "crawl-v2"), // dups batch 1
+        (5L, "completely new words appear here", ts(12), "crawl-v2"))
+        .toDF("doc_id", "text", "ts", "source"),
+      s"$dir/corpus", batchId = 2L)
+    assert(corpusIds(s"$dir/corpus") == Set(1L, 2L, 5L))
+    // The merged-schema read surfaces old-batch rows with an explicit
+    // default, new-batch rows with their real value.
+    val merged = Tables.readMergedSchema(spark,
+      s"$dir/corpus/batch_000000", s"$dir/corpus/batch_000001", s"$dir/corpus/batch_000002")
+      .withColumn("source", coalesce(col("source"), lit("pre_v2")))
+      .select("doc_id", "source").as[(Long, String)].collect().toMap
+    assert(merged == Map(1L -> "pre_v2", 2L -> "crawl-v2", 5L -> "crawl-v2"))
+  }
+
   test("batch driver surface: ingestBatch dedups a delta against a snapshot") {
     val dir = java.nio.file.Files.createTempDirectory("graft-delta").toString
     val snapshot = Seq((10L, "one two three four five", ts(0)))
