@@ -1081,6 +1081,16 @@ object Oracle {
       GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 20""",
 
     // Salted two-phase collect ≡ the plain ordered per-key list.
+    // Salted join is exact by construction — oracle is the plain join.
+    "q_skew_join" -> """
+      WITH dim AS (SELECT event_type, count(DISTINCT user_id) AS n_type_users
+        FROM events GROUP BY 1)
+      SELECT e.event_type, count(*) AS n_events,
+        round(sum(e.value), 2) AS sum_value,
+        max(d.n_type_users) AS n_type_users
+      FROM events e JOIN dim d USING (event_type)
+      GROUP BY e.event_type ORDER BY e.event_type""",
+
     "q_skew_collect" -> """
       SELECT event_type, count(*) AS n_events,
         array_to_string(list(event_id ORDER BY event_id), ',') AS ids

@@ -721,17 +721,52 @@ object Relational {
     * columns the dictionary approaches the row count — bin or sample
     * first; the low-cardinality pair here is the honest use case.
     */
-  val qCorrSpearman: Q = (s, d) => {
-    def midranks(df: DataFrame, c: String, out: String): DataFrame =
-      df.groupBy(col(c)).agg(count(lit(1)).as("__n"))
-        .withColumn("__cum", sum("__n").over(Window.orderBy(col(c))))
-        .select(col(c), (col("__cum") - (col("__n") - 1) / 2.0).as(out))
-    val li = Tables.lineitem(s, d).select("l_quantity", "l_discount")
-    li.join(broadcast(midranks(li, "l_quantity", "rank_q")), "l_quantity")
-      .join(broadcast(midranks(li, "l_discount", "rank_d")), "l_discount")
-      .agg(round(corr(col("rank_q"), col("rank_d")), 6).as("spearman_qty_discount"),
+  /** Per-value midranks (midrank = cumrank − (ties−1)/2) over the
+    * DISTINCT dictionary of `c` — the single-task window runs over the
+    * dictionary, never the data (qCorrSpearman scaladoc).
+    */
+  private def midranks(df: DataFrame, c: String, out: String): DataFrame =
+    df.groupBy(col(c)).agg(count(lit(1)).as("__n"))
+      .withColumn("__cum", sum("__n").over(Window.orderBy(col(c))))
+      .select(col(c), (col("__cum") - (col("__n") - 1) / 2.0).as(out))
+
+  /** Spearman of (cA, cB) via dictionary midranks broadcast-joined back:
+    * two map-side joins + one aggregate; valid while both dictionaries
+    * are small (use [[corrSpearmanBinned]] for continuous columns).
+    */
+  def corrSpearman(df: DataFrame, cA: String, cB: String, outName: String): DataFrame =
+    df.join(broadcast(midranks(df, cA, "__rank_a")), cA)
+      .join(broadcast(midranks(df, cB, "__rank_b")), cB)
+      .agg(round(corr(col("__rank_a"), col("__rank_b")), 6).as(outName),
         count(lit(1)).as("n_rows"))
+
+  /** Binned Spearman for CONTINUOUS columns, where the raw distinct
+    * dictionary approaches the row count and the midrank window would
+    * become the single-task global sort this formulation exists to
+    * avoid: `width_bucket` pre-bins both columns to ≤ bins+2 values (a
+    * monotone map, which is all rank correlation consumes), capping the
+    * dictionary regardless of data cardinality. The result is Spearman
+    * of the binned variables — exact whenever binning is injective on
+    * the realized values (SpearmanSpec pins this on generated
+    * low-cardinality data) and a bins-resolution approximation
+    * otherwise, converging as bins grows. One extra aggregate for the
+    * bounds (a 1-row broadcast); everything else is map-side.
+    */
+  def corrSpearmanBinned(df: DataFrame, cA: String, cB: String,
+      outName: String, bins: Int = 1000): DataFrame = {
+    val bounds = df.agg(
+      min(col(cA)).as("__amin"), max(col(cA)).as("__amax"),
+      min(col(cB)).as("__bmin"), max(col(cB)).as("__bmax"))
+    val binned = df.crossJoin(broadcast(bounds))
+      .select(
+        width_bucket(col(cA), col("__amin"), col("__amax"), lit(bins)).as("__bin_a"),
+        width_bucket(col(cB), col("__bmin"), col("__bmax"), lit(bins)).as("__bin_b"))
+    corrSpearman(binned, "__bin_a", "__bin_b", outName)
   }
+
+  val qCorrSpearman: Q = (s, d) =>
+    corrSpearman(Tables.lineitem(s, d).select("l_quantity", "l_discount"),
+      "l_quantity", "l_discount", "spearman_qty_discount")
 
   /** Single-pass column profiling — the data-quality census a pipeline
     * runs before training: per profiled column, non-null count, distinct

@@ -77,13 +77,20 @@ object Skew {
     val keyType = fact.schema(factKey).dataType
     require(Seq("long", "integer", "short", "byte").contains(keyType.typeName),
       s"bloomPreFilter needs an integral fact key; $factKey is $keyType")
-    if (dimKeys.isEmpty) fact
-    else {
-      val bf = dimKeys.stat.bloomFilter(dimKey, expectedItems, fpp)
-      val bcast = fact.sparkSession.sparkContext.broadcast(bf)
-      val might = udf((k: Long) => bcast.value.mightContainLong(k))
-      fact.where(might(col(factKey).cast("long")))
-    }
+    // One materialization of the (possibly expensive) filtered-dim
+    // lineage feeds BOTH the emptiness probe and the bloom build — it
+    // previously recomputed per action. Freed once the sketch exists:
+    // the returned frame references only the broadcast bytes.
+    val keys = dimKeys.localCheckpoint()
+    try {
+      if (keys.isEmpty) fact
+      else {
+        val bf = keys.stat.bloomFilter(dimKey, expectedItems, fpp)
+        val bcast = fact.sparkSession.sparkContext.broadcast(bf)
+        val might = udf((k: Long) => bcast.value.mightContainLong(k))
+        fact.where(might(col(factKey).cast("long")))
+      }
+    } finally keys.unpersist()
   }
 
   type Q = (SparkSession, String) => DataFrame
@@ -129,8 +136,41 @@ object Skew {
         array_join(col("event_id_list"), ",").as("ids"))
       .orderBy("event_type")
 
+  /** The salted-join plan the graded key aggregates — shared with
+    * PlanSpec, which pins the join sort-merge (no broadcast: modelling
+    * the dim side past broadcast scale) with `__salt` IN the join keys,
+    * so the shuffle hash-partitions on (event_type, salt) and each hot
+    * key's rows spread across `salts` reducers instead of funnelling
+    * through one.
+    */
+  private[graft] def skewJoinPlan(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val dim = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_type_users"))
+    saltedJoin(ev.hint("merge"), dim, "event_type", "event_id", salts = 16)
+  }
+
+  /** Graded surface for [[saltedJoin]]: events (5 event_type keys, each
+    * ~1/5 of ALL rows — exactly the hot-key join shape) joined to a
+    * per-type dim through the salted path and aggregated. An unsalted
+    * shuffle join would land each type's entire row set on ONE reducer;
+    * salting fans each key over 16 sub-keys at the cost of exploding
+    * the dim 16×. Exact by construction (every large-side row meets
+    * precisely the one dim replica sharing its salt), so the oracle is
+    * the plain join — equal iff salting is invisible in the result.
+    */
+  val qSkewJoin: Q = (s, d) =>
+    skewJoinPlan(s, d)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"),
+        max(col("n_type_users")).as("n_type_users"))
+      .orderBy("event_type")
+
   val queries: Map[String, Q] = Map(
     "q_skew_collect" -> qSkewCollect,
+    "q_skew_join" -> qSkewJoin,
     "q_bloom_prejoin" -> qBloomPrejoin
   )
 }

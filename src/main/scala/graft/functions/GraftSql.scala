@@ -87,7 +87,13 @@ object GraftSql {
     }
   }
 
-  /** Expose one fixture table as a SQL temp view (oracle-matching name). */
+  /** Expose one fixture table as a SQL temp view (oracle-matching name).
+    * Mutates the session catalog: the view persists for the session's
+    * lifetime bound to THIS `dir`, and a later call with another dir
+    * replaces it. Callers who need transient views (the graded SQL keys
+    * share one session across data dirs) must drop them afterwards —
+    * SqlApi.withViews is that wrapper.
+    */
   def createView(spark: SparkSession, dir: String, name: String): Unit =
     graft.engine.Tables.table(spark, dir, name).createOrReplaceTempView(name)
 

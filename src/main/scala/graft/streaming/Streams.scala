@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues}
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, Trigger}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.Row
 import graft.engine.Windowed
@@ -360,10 +360,21 @@ object Streams {
 
   /** Start `df` into `sink` with the given output mode. Returns the
     * running query; callers own `awaitTermination`/`stop`.
+    *
+    * `trigger`: `None` = default micro-batching (run continuously,
+    * process as data arrives). `Some(Trigger.AvailableNow())` is the
+    * BACKFILL mode — process everything currently available in bounded
+    * micro-batches (respecting source rate limits like
+    * `maxFilesPerTrigger`), then STOP, checkpointing normally so a later
+    * run (backfill or continuous) resumes where it left off. That is the
+    * standard "bootstrap the corpus index from a historical corpus" move:
+    * same query, same exactly-once checkpoint contract, bounded run.
     */
   def start(df: DataFrame, sink: StreamSink,
-      mode: OutputMode = OutputMode.Append()): StreamingQuery = {
-    def base[T](w: DataStreamWriter[T]): DataStreamWriter[T] = w.outputMode(mode)
+      mode: OutputMode = OutputMode.Append(),
+      trigger: Option[Trigger] = None): StreamingQuery = {
+    def base[T](w: DataStreamWriter[T]): DataStreamWriter[T] =
+      trigger.foldLeft(w.outputMode(mode))((ww, t) => ww.trigger(t))
     sink match {
       case ParquetStreamSink(path, ckpt) =>
         base(df.writeStream).format("parquet")
@@ -480,10 +491,35 @@ object Streams {
     */
   def incrementalNearDupIngest(docs: DataFrame, corpusDir: String, checkpoint: String,
       tauNum: Int = 9, tauDen: Int = 10, threshold: Double = 0.9,
-      shape: graft.engine.Dedup.LshShape = graft.engine.Dedup.Auto()): StreamingQuery =
+      shape: graft.engine.Dedup.LshShape = graft.engine.Dedup.Auto(),
+      trigger: Option[Trigger] = None): StreamingQuery =
     start(docs, ForeachBatchSink(
       (b, id) => ingestBatch(b, corpusDir, id, tauNum, tauDen, threshold, shape),
-      Some(checkpoint)))
+      Some(checkpoint)), trigger = trigger)
+
+  /** Bootstrap the corpus index from a HISTORICAL document directory —
+    * the backfill face of [[incrementalNearDupIngest]]: a file-source
+    * stream over `docsDir` (bounded to `maxFilesPerTrigger` files per
+    * micro-batch so one run never bites off more state than an executor
+    * round can chew) under `Trigger.AvailableNow` — drain everything
+    * present, then stop. Because each chunk passes through the SAME
+    * marker-gated ingest, the resulting corpus carries first-arrival-wins
+    * survivors exactly as if the history had streamed in live, and the
+    * checkpoint lets the subsequent live query continue from the
+    * backfill's high-water mark. Blocks until the drain completes.
+    */
+  def backfillNearDupIngest(spark: SparkSession, docsDir: String,
+      schema: StructType, corpusDir: String, checkpoint: String,
+      maxFilesPerTrigger: Int = 4,
+      tauNum: Int = 9, tauDen: Int = 10, threshold: Double = 0.9,
+      shape: graft.engine.Dedup.LshShape = graft.engine.Dedup.Auto()): Unit = {
+    val docs = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(docsDir)
+    val q = incrementalNearDupIngest(docs, corpusDir, checkpoint,
+      tauNum, tauDen, threshold, shape, trigger = Some(Trigger.AvailableNow()))
+    try q.awaitTermination() finally q.stop()
+  }
 
   /** One micro-batch of incremental-aggregate maintenance: the batch's
     * per-(day, event_type) partials land in an idempotent, marker-gated

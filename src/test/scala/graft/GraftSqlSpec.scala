@@ -42,21 +42,37 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(viaSql.toSeq == viaApi.toSeq)
   }
 
-  test("GraftExtensions injects the full function table") {
-    val ext = new SparkSessionExtensions
-    (new graft.functions.GraftExtensions).apply(ext)
-    // registerFunctions is private[sql]; drive it reflectively against a
-    // fresh registry — this is exactly what session-building does with a
-    // spark.sql.extensions class.
-    val registry = new org.apache.spark.sql.catalyst.analysis.SimpleFunctionRegistry
-    classOf[SparkSessionExtensions]
-      .getMethod("registerFunctions",
-        classOf[org.apache.spark.sql.catalyst.analysis.FunctionRegistry])
-      .invoke(ext, registry)
-    for (name <- Seq("graft_simhash64", "graft_fingerprint", "graft_dot",
-        "graft_intersect_size", "graft_shingles"))
-      assert(registry.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier(name)), name)
+  test("spark.sql.extensions injection registers the functions in a fresh session") {
+    // The REAL injection route — a new session built through the public
+    // Builder.withExtensions hook (the programmatic twin of
+    // spark.sql.extensions; the conf spelling is a STATIC conf read from
+    // the SparkContext, so it can only apply to a fresh context — not
+    // available in a shared test JVM), not reflection into private[sql]
+    // internals. The shared session is restored in finally; suites run
+    // sequentially in the forked test JVM, so the brief default-session
+    // swap is safe.
+    import org.apache.spark.sql.SparkSession
+    val orig = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val injected = SparkSession.builder()
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      assert(injected ne orig) // a genuinely new session, extensions applied
+      // No GraftSql.register on THIS session: resolution below proves the
+      // builder-time route end to end.
+      for (name <- Seq("graft_simhash64", "graft_fingerprint", "graft_dot",
+          "graft_intersect_size", "graft_shingles"))
+        assert(injected.sessionState.functionRegistry.functionExists(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(name)), name)
+      val r = injected.sql(
+        "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) d").collect()(0)
+      assert(r.getDouble(0) == 11.0)
+    } finally {
+      SparkSession.setActiveSession(orig)
+      SparkSession.setDefaultSession(orig)
+    }
   }
 
   test("every registered function resolves and evaluates from SQL") {

@@ -169,6 +169,18 @@ class PlanSpec extends AnyFunSuite {
     assert(joinIdx >= 0 && filterIdx > joinIdx, p)
   }
 
+  test("q_skew_join: sort-merge join keyed on (event_type, __salt) — hot keys fan out") {
+    // The salted join must shuffle on the COMPOSITE (key, salt) — that's
+    // the whole mechanism: each hot event_type spreads over 16 sub-keys
+    // instead of one reducer — and stay broadcast-free (modelling the
+    // dim past broadcast scale).
+    val p = plan("q_skew_join")
+    assert(!p.contains("BroadcastHashJoin"), p)
+    val joinLine = p.linesIterator.find(_.contains("SortMergeJoin"))
+      .getOrElse(fail(s"no SortMergeJoin in:\n$p"))
+    assert(joinLine.contains("event_type") && joinLine.contains("__salt"), joinLine)
+  }
+
   test("the per-pair graft expressions execute inside whole-stage codegen") {
     // ArrayIntersectSize / MinHashBands / ArrayFirstMatchIndex /
     // CharShingles implement doGenCode via static kernels; a fallback to

@@ -55,6 +55,34 @@ class SkewSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("graded salted join: each hot key's rows spread across >1 shuffle task") {
+    // Same AQE caveat as the collect test: post-shuffle coalescing would
+    // fold this test-sized shuffle into one partition and hide the spread.
+    val coalescePrior = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    val spread = try {
+      Skew.skewJoinPlan(spark, TestSpark.sfDir)
+        .withColumn("pid", spark_partition_id())
+        .groupBy("event_type")
+        .agg(countDistinct(col("pid")).as("n_tasks"))
+        .as[(String, Long)].collect().toMap
+    } finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", coalescePrior)
+    assert(spread.nonEmpty && spread.values.forall(_ > 1),
+      s"hot keys not spread across tasks: $spread")
+    // And the graded aggregate is exactly the plain-join aggregate.
+    val ev = Tables.events(spark, TestSpark.sfDir)
+      .select("event_id", "user_id", "event_type", "value")
+    val dim = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_type_users"))
+    val plain = ev.join(dim, "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"),
+        max(col("n_type_users")).as("n_type_users"))
+      .orderBy("event_type").collect().toSeq
+    val salted = Skew.queries("q_skew_join")(spark, TestSpark.sfDir).collect().toSeq
+    assert(salted == plain)
+  }
+
   test("saltedJoin equals the plain equi-join") {
     val ev = Tables.events(spark, TestSpark.sfDir)
       .select("event_id", "user_id", "event_type")

@@ -103,6 +103,50 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(before == after)
   }
 
+  test("AvailableNow backfill: bounded file chunks drain to the batch-twin corpus, then resume is a no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-backfill").toString
+    // Historical corpus as three parquet files written in order (the file
+    // source processes them oldest-first); dups span chunk boundaries in
+    // BOTH directions the policy defines: within-chunk larger-id drops,
+    // cross-chunk the earlier-ingested corpus doc wins.
+    val chunks = Seq(
+      Seq((1L, "alpha beta gamma delta epsilon", ts(0)),
+        (2L, "one two three four five", ts(1)),
+        (3L, "red orange yellow green blue", ts(2)),
+        (4L, "north south east west center", ts(3))),
+      Seq((5L, "north south east west center", ts(4)), // dups 4 (cross-chunk)
+        (6L, "cats dogs birds fish mice", ts(5)),
+        (7L, "alpha beta gamma delta epsilon", ts(6)), // dups 1 (cross-chunk)
+        (8L, "sun moon stars clouds rain", ts(7))),
+      Seq((9L, "bread milk eggs cheese butter", ts(8)),
+        (10L, "sun moon stars clouds rain", ts(9)), // dups 8 (cross-chunk)
+        (11L, "violin cello flute oboe drums", ts(10)),
+        (12L, "one two three four five", ts(11)))) // dups 2 (cross-chunk)
+    chunks.foreach(_.toDF("doc_id", "text", "ts")
+      .coalesce(1).write.mode("append").parquet(s"$dir/docs"))
+    val schema = chunks.head.toDF("doc_id", "text", "ts").schema
+    Streams.backfillNearDupIngest(spark, s"$dir/docs", schema,
+      s"$dir/corpus", s"$dir/ckpt", maxFilesPerTrigger = 1)
+    val expected = Set(1L, 2L, 3L, 4L, 6L, 8L, 9L, 11L)
+    assert(corpusIds(s"$dir/corpus") == expected)
+    // Bounded drain: the backfill ran as MULTIPLE marker-committed
+    // micro-batches, not one monolith.
+    def committedBatches() = new java.io.File(s"$dir/corpus").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("batch_") &&
+        new java.io.File(f, "_GRAFT_COMMITTED").exists())
+    assert(committedBatches() >= 3, s"expected >=3 committed chunks, got ${committedBatches()}")
+    // Batch twin: one-shot ingest of the full history yields the same
+    // survivor set (pairwise dups, min-id-wins both routes).
+    val twin = java.nio.file.Files.createTempDirectory("graft-backfill-twin").toString
+    Streams.ingestBatch(chunks.flatten.toDF("doc_id", "text", "ts"), s"$twin/corpus", 0L)
+    assert(corpusIds(s"$twin/corpus") == expected)
+    // Resume from the checkpoint's high-water mark: nothing new to read,
+    // the corpus is untouched.
+    Streams.backfillNearDupIngest(spark, s"$dir/docs", schema,
+      s"$dir/corpus", s"$dir/ckpt", maxFilesPerTrigger = 1)
+    assert(corpusIds(s"$dir/corpus") == expected)
+  }
+
   test("corpus index gaining a column between batches: dedup still works, merged read defaults it") {
     import graft.engine.Tables
     val dir = java.nio.file.Files.createTempDirectory("graft-evo").toString
