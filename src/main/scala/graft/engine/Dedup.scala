@@ -82,6 +82,30 @@ object Dedup {
       keyCols: Seq[String], order: Seq[Column]): DataFrame =
     oneWins(corpus.unionByName(delta), keyCols, order)
 
+  /** [[mergeSnapshot]] honoring DELETE markers — the full compacted-topic
+    * algebra: a null-value record on a compacted topic is a tombstone
+    * that removes its key, and this is that semantic's batch face. Delta
+    * rows with `tombstoneCol` true carry no payload, only the intent
+    * "this key is gone"; they must WIN their key under `order` like any
+    * update (so `order` must rank them with their ts — a tombstone older
+    * than the live record must NOT delete it) and then be dropped from
+    * the surviving snapshot. A later re-insert (newer non-tombstone)
+    * resurrects the key — exactly compaction's behavior before the
+    * tombstone's retention expires. Corpus rows lacking the column are
+    * treated as live (schema-evolution friendly: a v1 snapshot merges
+    * with a tombstone-aware delta unchanged).
+    */
+  def mergeSnapshotWithDeletes(corpus: DataFrame, delta: DataFrame,
+      keyCols: Seq[String], order: Seq[Column],
+      tombstoneCol: String = "deleted"): DataFrame = {
+    def marked(df: DataFrame): DataFrame =
+      if (df.columns.contains(tombstoneCol))
+        df.withColumn(tombstoneCol, coalesce(col(tombstoneCol), lit(false)))
+      else df.withColumn(tombstoneCol, lit(false))
+    oneWins(marked(corpus).unionByName(marked(delta)), keyCols, order)
+      .where(!col(tombstoneCol)).drop(tombstoneCol)
+  }
+
   /** Partition-aware snapshot maintenance: rewrite ONLY the partition
     * directories the delta touches. The touched partition VALUES are a
     * bounded driver artifact (partition columns are low-cardinality by
@@ -139,6 +163,31 @@ object Dedup {
         .orderBy("user_id", "event_type")
         .localCheckpoint()
     } finally Sources.deleteRecursively(new java.io.File(dir))
+  }
+
+  /** Graded surface for [[mergeSnapshotWithDeletes]]: the q_merge_upsert
+    * corpus/delta split, with every fifth user's delta records arriving
+    * as tombstones — those keys must vanish from the snapshot while the
+    * same users' rows under UNTOUCHED event types survive from the
+    * corpus (a tombstone deletes a key, not a user). Pure frame op (the
+    * partitioned-rewrite plumbing is q_merge_upsert's contract).
+    */
+  val qMergeTombstone: Q = (s, d) => {
+    val keys = Seq("user_id", "event_type")
+    val order = Seq(desc("ts"), desc("event_id"))
+    val ev = events(s, d)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts"), col("value"))
+    val cutoff = lit("2024-01-15").cast("timestamp")
+    val corpus = oneWins(ev.where(col("ts") < cutoff), keys, order)
+    val delta = oneWins(
+      ev.where(col("ts") >= cutoff && col("event_type").isin("click", "purchase")),
+      keys, order)
+      .withColumn("deleted", col("user_id") % 5 === 0)
+    mergeSnapshotWithDeletes(corpus, delta, keys, order)
+      .select(col("user_id"), col("event_type"), col("event_id").as("cur_event_id"),
+        col("ts").as("cur_ts"), round(col("value"), 2).as("cur_value"))
+      .orderBy("user_id", "event_type")
   }
 
   /** Reference semantic R2, batch form: per (user_id, event_type) keep the
@@ -1055,6 +1104,7 @@ object Dedup {
     "q_dedup_first_wins" -> qDedupFirstWins,
     "q_dedup_latest" -> qDedupLatest,
     "q_merge_upsert" -> qMergeUpsert,
+    "q_merge_tombstone" -> qMergeTombstone,
     "q_dedup_keep_best" -> qDedupKeepBest,
     "q_delta_new_docs" -> qDeltaNewDocs,
     "q_dedup_windowed" -> qDedupWindowed,

@@ -581,6 +581,32 @@ object Oracle {
         round(value, 2) AS cur_value
       FROM m WHERE rn2 = 1 ORDER BY user_id, event_type""",
 
+    // Tombstone merge: the q_merge_upsert shape where every fifth user's
+    // delta records are deletes — winning tombstones remove their key
+    // from the snapshot; corpus rows under untouched types survive.
+    "q_merge_tombstone" -> """
+      WITH c AS (SELECT user_id, event_type, event_id, ts, value,
+          FALSE AS deleted,
+          row_number() OVER (PARTITION BY user_id, event_type
+                             ORDER BY ts DESC, event_id DESC) rn
+        FROM events WHERE ts < TIMESTAMP '2024-01-15'),
+        dl AS (SELECT user_id, event_type, event_id, ts, value,
+          (user_id % 5 = 0) AS deleted,
+          row_number() OVER (PARTITION BY user_id, event_type
+                             ORDER BY ts DESC, event_id DESC) rn
+        FROM events WHERE ts >= TIMESTAMP '2024-01-15'
+          AND event_type IN ('click', 'purchase')),
+        u AS (SELECT user_id, event_type, event_id, ts, value, deleted
+          FROM c WHERE rn = 1
+          UNION ALL
+          SELECT user_id, event_type, event_id, ts, value, deleted
+          FROM dl WHERE rn = 1),
+        m AS (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                             ORDER BY ts DESC, event_id DESC) rn2 FROM u)
+      SELECT user_id, event_type, event_id AS cur_event_id, ts AS cur_ts,
+        round(value, 2) AS cur_value
+      FROM m WHERE rn2 = 1 AND NOT deleted ORDER BY user_id, event_type""",
+
     // Canonical survivor per normalized dup group: longest text, tie →
     // lowest doc_id; norm key identical to q_dedup_normalized's.
     "q_dedup_keep_best" -> """
@@ -876,6 +902,14 @@ object Oracle {
       FROM events GROUP BY event_type ORDER BY event_type""",
 
     "q_source_orc" -> """
+      SELECT event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+        min(event_id) AS min_event_id, max(event_id) AS max_event_id,
+        round(sum(value), 2) AS sum_value, max(ts) AS max_ts
+      FROM events GROUP BY event_type ORDER BY event_type""",
+
+    // Compaction rewrites rows bit-exactly — oracle is the plain
+    // parquet aggregate.
+    "q_compact_roundtrip" -> """
       SELECT event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
         min(event_id) AS min_event_id, max(event_id) AS max_event_id,
         round(sum(value), 2) AS sum_value, max(ts) AS max_ts

@@ -144,6 +144,23 @@ object Sources {
       dir => plantDirtyFile(dir, "zz_dirty.json", dirtyJsonLines),
       Tables.readJsonLinesQuarantine(s, _, _))
 
+  /** Compaction round trip (Tables.compact scaladoc — the housekeeping
+    * pass a long-running ingest needs): the events slice written as 64
+    * tiny files (a streaming sink's natural residue), compacted to 4,
+    * aggregated from the compacted copy. Oracle: the parquet aggregate —
+    * equal iff the rewrite is row- and value-exact. The file-count
+    * mechanics (64 → 4) are pinned by SourceFormatsSpec; this key grades
+    * the data fidelity at the oracle surface.
+    */
+  val qCompactRoundtrip: Q = (s, d) => {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_rt_").toString
+    try {
+      eventsSlice(s, d).repartition(64).write.mode("overwrite").parquet(s"$dir/small")
+      Tables.compact(s, s"$dir/small", s"$dir/big", targetFiles = 4)
+      aggregate(Tables.configure(s).read.parquet(s"$dir/big")).localCheckpoint()
+    } finally deleteRecursively(new java.io.File(dir))
+  }
+
   /** Schema-evolution round trip (Tables.readMergedSchema scaladoc): the
     * corpus is written in two batch directories with DIFFERENT schemas —
     * batch_0 predates the `lang` column, batch_1 carries it — then read
@@ -329,6 +346,7 @@ object Sources {
     "q_source_dirty_csv" -> qSourceDirtyCsv,
     "q_source_dirty_json" -> qSourceDirtyJson,
     "q_schema_evolution" -> qSchemaEvolution,
+    "q_compact_roundtrip" -> qCompactRoundtrip,
     "q_partition_pruned" -> qPartitionPruned,
     "q_sorted_scan" -> qSortedScan,
     "q_zorder_scan" -> qZorderScan,

@@ -36,6 +36,31 @@ class MergeSnapshotSpec extends AnyFunSuite {
     assert(got.count() == 1)
   }
 
+  test("tombstone merge: winning deletes remove keys, stale tombstones lose, re-inserts resurrect") {
+    val corpus = Seq(("a", 1L, 10L, "live-a"), ("b", 2L, 10L, "live-b"),
+      ("c", 3L, 30L, "live-c")).toDF("k", "id", "ts", "v")
+    val delta = Seq(
+      ("a", 4L, 20L, null.asInstanceOf[String], true), // newer tombstone: a dies
+      ("c", 5L, 20L, null.asInstanceOf[String], true), // STALE tombstone (ts 20 < 30): c lives
+      ("d", 6L, 20L, "new-d", false))
+      .toDF("k", "id", "ts", "v", "deleted")
+    val got = Dedup.mergeSnapshotWithDeletes(corpus, delta, keys, order)
+      .orderBy("k").collect().map(r => (r.getString(0), r.getString(3))).toSeq
+    // Corpus (no deleted column) merges as all-live — the v1-snapshot
+    // compatibility contract.
+    assert(got == Seq(("b", "live-b"), ("c", "live-c"), ("d", "new-d")))
+    // Re-insert AFTER the tombstone resurrects the key; re-applying the
+    // same tombstone delta is idempotent (it stays older than the
+    // re-insert and loses).
+    val snap1 = Dedup.mergeSnapshotWithDeletes(corpus, delta, keys, order)
+    val reinsert = Seq(("a", 7L, 30L, "reborn-a", false)).toDF("k", "id", "ts", "v", "deleted")
+    val snap2 = Dedup.mergeSnapshotWithDeletes(snap1, reinsert, keys, order)
+    assert(snap2.where($"k" === "a").collect().map(_.getString(3)).toSeq == Seq("reborn-a"))
+    val snap3 = Dedup.mergeSnapshotWithDeletes(snap2, delta, keys, order)
+    assert(snap3.orderBy("k").collect().map(r => (r.getString(0), r.getString(3))).toSeq ==
+      Seq(("a", "reborn-a"), ("b", "live-b"), ("c", "live-c"), ("d", "new-d")))
+  }
+
   test("mergePartitionedSnapshot rewrites only touched partitions; re-merge is idempotent") {
     val dir = java.nio.file.Files.createTempDirectory("graft-merge-part").toString
     try {
