@@ -915,6 +915,23 @@ object Oracle {
         round(sum(value), 2) AS sum_value, max(ts) AS max_ts
       FROM events GROUP BY event_type ORDER BY event_type""",
 
+    // Predicate delete: the engine's partition-rewriting store must
+    // equal the fixture with the predicate negated.
+    "q_delete_where" -> """
+      SELECT event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+        min(event_id) AS min_event_id, max(event_id) AS max_event_id,
+        round(sum(value), 2) AS sum_value, max(ts) AS max_ts
+      FROM events WHERE NOT (user_id % 7 = 0)
+      GROUP BY event_type ORDER BY event_type""",
+
+    // Retention sweep: surviving days only.
+    "q_retention_sweep" -> """
+      SELECT event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+        min(event_id) AS min_event_id, max(event_id) AS max_event_id,
+        round(sum(value), 2) AS sum_value, max(ts) AS max_ts
+      FROM events WHERE CAST(ts AS DATE) >= DATE '2024-01-10'
+      GROUP BY event_type ORDER BY event_type""",
+
     // Dirty-source keys: the engine reads a text copy with 7 planted
     // corrupt lines under PERMISSIVE quarantine and aggregates the clean
     // split; equal to the parquet aggregate (+ the planted count as a

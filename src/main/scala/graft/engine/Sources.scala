@@ -161,6 +161,41 @@ object Sources {
     } finally deleteRecursively(new java.io.File(dir))
   }
 
+  /** Predicate-delete round trip (Tables.deletePartitionedWhere
+    * scaladoc): the events slice persisted partitioned by event_type,
+    * every seventh user's rows deleted in place, the maintained store
+    * read back and aggregated. Oracle: the same aggregate over the
+    * fixture with the deletion predicate NEGATED — equal iff exactly
+    * the matching rows vanished and everything else survived the
+    * partition rewrites bit-exactly.
+    */
+  val qDeleteWhere: Q = (s, d) => {
+    val dir = java.nio.file.Files.createTempDirectory("graft_delete_where_").toString
+    try {
+      Tables.writePartitioned(eventsSlice(s, d), dir, Seq("event_type"))
+      Tables.deletePartitionedWhere(s, dir, "event_type", col("user_id") % 7 === 0)
+      aggregate(Tables.configure(s).read.parquet(dir)).localCheckpoint()
+    } finally deleteRecursively(new java.io.File(dir))
+  }
+
+  /** Retention-sweep round trip (Tables.expirePartitionsBefore scaladoc):
+    * the events slice persisted day-partitioned, days before the cutoff
+    * expired as whole directories (metadata-only — nothing scanned or
+    * rewritten), the surviving store aggregated. Oracle: the same
+    * aggregate over the fixture with the retention WHERE — equal iff
+    * exactly the pre-cutoff days vanished and surviving days are intact.
+    */
+  val qRetentionSweep: Q = (s, d) => {
+    val dir = java.nio.file.Files.createTempDirectory("graft_retention_").toString
+    try {
+      Tables.writePartitioned(
+        eventsSlice(s, d).withColumn("event_date", to_date(col("ts"))),
+        dir, Seq("event_date"))
+      Tables.expirePartitionsBefore(s, dir, "event_date", "2024-01-10")
+      aggregate(Tables.configure(s).read.parquet(dir)).localCheckpoint()
+    } finally deleteRecursively(new java.io.File(dir))
+  }
+
   /** Schema-evolution round trip (Tables.readMergedSchema scaladoc): the
     * corpus is written in two batch directories with DIFFERENT schemas —
     * batch_0 predates the `lang` column, batch_1 carries it — then read
@@ -347,6 +382,8 @@ object Sources {
     "q_source_dirty_json" -> qSourceDirtyJson,
     "q_schema_evolution" -> qSchemaEvolution,
     "q_compact_roundtrip" -> qCompactRoundtrip,
+    "q_delete_where" -> qDeleteWhere,
+    "q_retention_sweep" -> qRetentionSweep,
     "q_partition_pruned" -> qPartitionPruned,
     "q_sorted_scan" -> qSortedScan,
     "q_zorder_scan" -> qZorderScan,

@@ -73,6 +73,67 @@ object Tables {
   def writePartitioned(df: DataFrame, path: String, cols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
 
+  /** Targeted DELETE on a partitioned corpus — the right-to-be-forgotten
+    * rewrite every long-lived 100 TB store eventually owes: remove every
+    * row matching `pred`, rewriting ONLY the partition directories that
+    * contain matches. Finding the matches is one pushdown-filtered,
+    * key-column scan (inherent — a predicate delete must locate its
+    * rows); the rewrite cost then scales with the touched partitions,
+    * not the corpus. Partitions whose every row matches are deleted as
+    * DIRECTORIES (dynamic partition overwrite never writes an empty
+    * partition, so without this they would silently survive — the spec
+    * pins it). Touched-partition values are a bounded driver artifact
+    * per the [[writePartitioned]] low-cardinality contract. Idempotent:
+    * a re-run finds no matches and is a no-op.
+    */
+  def deletePartitionedWhere(spark: SparkSession, dir: String, partCol: String,
+      pred: Column): Unit = {
+    val touched = configure(spark).read.parquet(dir).where(pred)
+      .select(col(partCol)).distinct().collect().map(_.get(0))
+    if (touched.nonEmpty) {
+      val kept = configure(spark).read.parquet(dir)
+        .where(col(partCol).isin(touched: _*) && !pred)
+        .localCheckpoint() // the write overwrites dirs its lineage reads
+      val keptVals = kept.select(col(partCol)).distinct().collect().map(_.get(0)).toSet
+      kept.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partCol).parquet(dir)
+      // Fully-deleted partitions: no kept rows → dynamic overwrite left
+      // the old directory in place; drop it explicitly.
+      import org.apache.hadoop.fs.Path
+      val root = new Path(dir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      for (v <- touched if !keptVals.contains(v))
+        fs.delete(new Path(root, s"$partCol=$v"), true)
+    }
+  }
+
+  /** Retention sweep — the TTL lever of the data lifecycle, and the cheap
+    * sibling of [[deletePartitionedWhere]]: expire every partition whose
+    * VALUE sorts strictly below `cutoff` by deleting its directory
+    * outright. No data is scanned or rewritten — the decision reads only
+    * the directory listing, which is what makes retention on a date-
+    * partitioned 100 TB store an O(partitions) metadata operation
+    * instead of a rewrite. Contract: partition values must compare
+    * correctly as STRINGS (zero-padded ISO dates `2024-01-05`, fixed-
+    * width ids) — that is the same property that makes them rangeable
+    * in any object-store listing. Returns the expired values (audit
+    * trail); idempotent — a re-run finds nothing below the cutoff.
+    */
+  def expirePartitionsBefore(spark: SparkSession, dir: String, partCol: String,
+      cutoff: String): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prefix = s"$partCol="
+    val expired = fs.listStatus(root).toIndexedSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+      .map(_.getPath)
+      .filter(_.getName.stripPrefix(prefix) < cutoff)
+    expired.foreach(fs.delete(_, true))
+    expired.map(_.getName.stripPrefix(prefix))
+  }
+
   /** Persist `df` range-partitioned AND sorted on `cols`: every output
     * file covers a disjoint range of the sort key and parquet row-group
     * min/max stats become tight, so a selective filter on that column

@@ -92,6 +92,63 @@ class MergeSnapshotSpec extends AnyFunSuite {
     } finally Sources.deleteRecursively(new java.io.File(dir))
   }
 
+  test("deletePartitionedWhere: matching rows die, full partitions vanish, untouched dirs unrewritten") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-delete-part").toString
+    try {
+      val data = Seq(
+        ("p1", 1L, "keep"), ("p1", 2L, "drop"), // mixed partition
+        ("p2", 4L, "drop"), ("p2", 6L, "drop"), // fully-deleted partition
+        ("p3", 5L, "keep")) // untouched partition
+        .toDF("p", "id", "v")
+      Tables.writePartitioned(data, dir, Seq("p"))
+      def fileState(part: String): Option[Set[(String, Long)]] = {
+        val f = new java.io.File(s"$dir/p=$part")
+        if (!f.exists()) None
+        else Some(f.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(x => (x.getName, x.lastModified())).toSet)
+      }
+      val p3Before = fileState("p3")
+      Tables.deletePartitionedWhere(spark, dir, "p", col("id") % 2 === 0)
+      val left = spark.read.parquet(dir).select("p", "id")
+        .as[(String, Long)].collect().toSet
+      assert(left == Set(("p1", 1L), ("p3", 5L)))
+      // The all-matches partition is GONE as a directory (dynamic
+      // overwrite alone would have left it), the untouched one is the
+      // same files, unrewritten.
+      assert(fileState("p2").isEmpty)
+      assert(fileState("p3") == p3Before)
+      // Idempotent: a re-run finds no matches and changes nothing.
+      Tables.deletePartitionedWhere(spark, dir, "p", col("id") % 2 === 0)
+      assert(spark.read.parquet(dir).select("p", "id")
+        .as[(String, Long)].collect().toSet == left)
+      assert(fileState("p3") == p3Before)
+    } finally Sources.deleteRecursively(new java.io.File(dir))
+  }
+
+  test("expirePartitionsBefore: pre-cutoff directories vanish without touching survivors") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-retention").toString
+    try {
+      val data = Seq(("2024-01-05", 1L), ("2024-01-09", 2L),
+        ("2024-01-10", 3L), ("2024-02-01", 4L)).toDF("day", "id")
+      Tables.writePartitioned(data, dir, Seq("day"))
+      def files(day: String): Option[Set[(String, Long)]] = {
+        val f = new java.io.File(s"$dir/day=$day")
+        if (!f.exists()) None
+        else Some(f.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(x => (x.getName, x.lastModified())).toSet)
+      }
+      val survivorBefore = files("2024-01-10")
+      val expired = Tables.expirePartitionsBefore(spark, dir, "day", "2024-01-10")
+      assert(expired.sorted == Seq("2024-01-05", "2024-01-09"))
+      assert(files("2024-01-05").isEmpty && files("2024-01-09").isEmpty)
+      // Cutoff day itself and later days survive, files unrewritten.
+      assert(files("2024-01-10") == survivorBefore)
+      assert(spark.read.parquet(dir).select("id").as[Long].collect().toSet == Set(3L, 4L))
+      // Idempotent re-run.
+      assert(Tables.expirePartitionsBefore(spark, dir, "day", "2024-01-10").isEmpty)
+    } finally Sources.deleteRecursively(new java.io.File(dir))
+  }
+
   test("graded key shape: merged snapshot ≡ latest-wins over both halves' snapshots") {
     val d = TestSpark.sfDir
     val ev = Tables.events(spark, d)
