@@ -308,6 +308,24 @@ object Tables {
     df.where(col(corruptRecordCol).isNotNull)
   )
 
+  /** The ingest-edge materialization of [[splitQuarantine]]: route a
+    * quarantine-loader frame's clean rows to the corpus and its bad
+    * lines to a quarantine directory (parquet, raw line + whatever
+    * fields parsed — the replay/forensics artifact), caching the parsed
+    * scan so the source text is read once for both sinks. Returns
+    * (cleanRows, quarantinedRows) — the reconciliation numbers an ingest
+    * job logs (clean + quarantined = lines offered, minus headers).
+    */
+  def writeQuarantined(df: DataFrame, cleanDir: String, badDir: String): (Long, Long) = {
+    val parsed = df.cache()
+    try {
+      val (clean, bad) = splitQuarantine(parsed)
+      clean.write.mode("overwrite").parquet(cleanDir)
+      bad.write.mode("overwrite").parquet(badDir)
+      (clean.count(), bad.count())
+    } finally parsed.unpersist()
+  }
+
   def writeJsonLines(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite")
       .option("timestampFormat", textTimestampFormat)

@@ -83,6 +83,44 @@ class SkewSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("AQE skew-join splitting fires on a genuinely skewed shuffle join (the no-salt path)") {
+    // Salting (above) is the EXPLICIT skew tool; Spark's AQE skew join is
+    // the automatic one — this pins that it actually engages on our
+    // session config, with thresholds lowered so test-scale partitions
+    // qualify (production sizes are per-cluster tuning, the MECHANISM is
+    // what's under test). One key carries half of all rows.
+    val prior = Seq(
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled"
+    ).map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val big = spark.range(200000).select(
+        when(col("id") % 2 === 0, lit(0L)).otherwise(col("id") % 512).as("k"),
+        concat(lit("payload-payload-payload-"), col("id")).as("v"))
+      val dim = spark.range(512).select(col("id").as("k"), (col("id") * 10).as("w"))
+      val joined = big.hint("merge").join(dim.hint("merge"), "k")
+      // Execute through the frame's OWN QueryExecution (a write/count
+      // builds a separate one whose adaptive plan we couldn't inspect),
+      // then read the post-execution final plan.
+      assert(joined.collect().length == 200000)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("isFinalPlan=true"), finalPlan)
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n$finalPlan")
+    } finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("saltedJoin equals the plain equi-join") {
     val ev = Tables.events(spark, TestSpark.sfDir)
       .select("event_id", "user_id", "event_type")

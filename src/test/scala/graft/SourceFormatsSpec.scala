@@ -81,6 +81,28 @@ class SourceFormatsSpec extends AnyFunSuite {
     }
   }
 
+  test("writeQuarantined routes both halves to their sinks in one pass with true counts") {
+    import graft.engine.Sources
+    val dir = java.nio.file.Files.createTempDirectory("graft-quarantine-write").toString
+    try {
+      Tables.writeCsv(events, s"$dir/in")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/in", "zz_dirty.csv"), Sources.dirtyCsvLines.asJava)
+      val (nClean, nBad) = Tables.writeQuarantined(
+        Tables.readCsvQuarantine(spark, s"$dir/in", events.schema),
+        s"$dir/clean", s"$dir/bad")
+      assert(nBad == 7 && nClean == events.count())
+      // The persisted clean corpus is the original slice bit-exactly…
+      assert(spark.read.parquet(s"$dir/clean").orderBy("event_id").collect().toSeq ==
+        events.orderBy("event_id").collect().toSeq)
+      // …and the quarantine dir holds each raw bad line for replay.
+      val raw = spark.read.parquet(s"$dir/bad")
+        .select(Tables.corruptRecordCol).collect().map(_.getString(0)).sorted.toSeq
+      assert(raw == Sources.dirtyCsvLines.drop(1).sorted)
+    } finally Sources.deleteRecursively(new java.io.File(dir))
+  }
+
   test("compact rewrites a many-small-files directory into the target file count, rows intact") {
     val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
     // 20 tiny files (one per partition).
