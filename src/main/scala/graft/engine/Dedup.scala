@@ -124,6 +124,13 @@ object Dedup {
   def mergePartitionedSnapshot(spark: SparkSession, dir: String, delta: DataFrame,
       partCol: String, keyCols: Seq[String], order: Seq[Column]): Unit = {
     val touched = delta.select(col(partCol)).distinct().collect().map(_.get(0))
+    // Loud guard: `isin` never matches null, so a null-partition delta
+    // row would merge against an EMPTY slice of the corpus and its
+    // dynamic overwrite would then drop every other key already in the
+    // null partition — fail instead of silently losing data.
+    require(!touched.contains(null),
+      s"mergePartitionedSnapshot: null $partCol partition values in the delta " +
+        "are unsupported")
     val affected = Tables.configure(spark).read.parquet(dir)
       .where(col(partCol).isin(touched: _*))
     mergeSnapshot(affected, delta, keyCols, order)

@@ -90,21 +90,32 @@ object Tables {
       pred: Column): Unit = {
     val touched = configure(spark).read.parquet(dir).where(pred)
       .select(col(partCol)).distinct().collect().map(_.get(0))
+    require(!touched.contains(null),
+      s"deletePartitionedWhere: null $partCol partition values are unsupported " +
+        "(the rewrite could not address their directory safely)")
     if (touched.nonEmpty) {
+      // DELETE semantics on a three-valued predicate: a row where `pred`
+      // evaluates to NULL does NOT match and must SURVIVE — a bare
+      // `!pred` filter would silently drop it (NULL is not true).
+      val keep = !coalesce(pred, lit(false))
       val kept = configure(spark).read.parquet(dir)
-        .where(col(partCol).isin(touched: _*) && !pred)
+        .where(col(partCol).isin(touched: _*) && keep)
         .localCheckpoint() // the write overwrites dirs its lineage reads
       val keptVals = kept.select(col(partCol)).distinct().collect().map(_.get(0)).toSet
       kept.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(partCol).parquet(dir)
       // Fully-deleted partitions: no kept rows → dynamic overwrite left
-      // the old directory in place; drop it explicitly.
+      // the old directory in place; drop it explicitly, addressing the
+      // directory by Spark's own partition-path escaping (a value with
+      // a space or '=' lives in an escaped dir name).
       import org.apache.hadoop.fs.Path
+      import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
       val root = new Path(dir)
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
       for (v <- touched if !keptVals.contains(v))
-        fs.delete(new Path(root, s"$partCol=$v"), true)
+        fs.delete(new Path(root,
+          s"$partCol=${ExternalCatalogUtils.escapePathName(v.toString)}"), true)
     }
   }
 
@@ -123,15 +134,20 @@ object Tables {
   def expirePartitionsBefore(spark: SparkSession, dir: String, partCol: String,
       cutoff: String): Seq[String] = {
     import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val prefix = s"$partCol="
+    // Compare and report the UNESCAPED values — directory names carry
+    // Spark's partition-path escaping (identity for the ISO-date shape
+    // the contract expects, but not for arbitrary strings).
     val expired = fs.listStatus(root).toIndexedSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
-      .map(_.getPath)
-      .filter(_.getName.stripPrefix(prefix) < cutoff)
-    expired.foreach(fs.delete(_, true))
-    expired.map(_.getName.stripPrefix(prefix))
+      .map(p => (p.getPath,
+        ExternalCatalogUtils.unescapePathName(p.getPath.getName.stripPrefix(prefix))))
+      .filter(_._2 < cutoff)
+    expired.foreach(p => fs.delete(p._1, true))
+    expired.map(_._2)
   }
 
   /** Persist `df` range-partitioned AND sorted on `cols`: every output

@@ -95,10 +95,12 @@ class MergeSnapshotSpec extends AnyFunSuite {
   test("deletePartitionedWhere: matching rows die, full partitions vanish, untouched dirs unrewritten") {
     val dir = java.nio.file.Files.createTempDirectory("graft-delete-part").toString
     try {
-      val data = Seq(
+      val data = Seq[(String, java.lang.Long, String)](
         ("p1", 1L, "keep"), ("p1", 2L, "drop"), // mixed partition
+        ("p1", null, "null-pred"), // pred evaluates NULL → must SURVIVE
         ("p2", 4L, "drop"), ("p2", 6L, "drop"), // fully-deleted partition
-        ("p3", 5L, "keep")) // untouched partition
+        ("p3", 5L, "keep"), // untouched partition
+        ("p 4", 8L, "drop")) // ESCAPED dir name (space), fully deleted
         .toDF("p", "id", "v")
       Tables.writePartitioned(data, dir, Seq("p"))
       def fileState(part: String): Option[Set[(String, Long)]] = {
@@ -109,9 +111,12 @@ class MergeSnapshotSpec extends AnyFunSuite {
       }
       val p3Before = fileState("p3")
       Tables.deletePartitionedWhere(spark, dir, "p", col("id") % 2 === 0)
-      val left = spark.read.parquet(dir).select("p", "id")
-        .as[(String, Long)].collect().toSet
-      assert(left == Set(("p1", 1L), ("p3", 5L)))
+      val left = spark.read.parquet(dir).select("p", "v")
+        .as[(String, String)].collect().toSet
+      // The NULL-evaluating row survives (three-valued delete semantics);
+      // the escaped "p 4" partition is fully gone despite its encoded
+      // directory name.
+      assert(left == Set(("p1", "keep"), ("p1", "null-pred"), ("p3", "keep")))
       // The all-matches partition is GONE as a directory (dynamic
       // overwrite alone would have left it), the untouched one is the
       // same files, unrewritten.
@@ -119,8 +124,8 @@ class MergeSnapshotSpec extends AnyFunSuite {
       assert(fileState("p3") == p3Before)
       // Idempotent: a re-run finds no matches and changes nothing.
       Tables.deletePartitionedWhere(spark, dir, "p", col("id") % 2 === 0)
-      assert(spark.read.parquet(dir).select("p", "id")
-        .as[(String, Long)].collect().toSet == left)
+      assert(spark.read.parquet(dir).select("p", "v")
+        .as[(String, String)].collect().toSet == left)
       assert(fileState("p3") == p3Before)
     } finally Sources.deleteRecursively(new java.io.File(dir))
   }
