@@ -607,6 +607,35 @@ object Oracle {
         round(value, 2) AS cur_value
       FROM m WHERE rn2 = 1 AND NOT deleted ORDER BY user_id, event_type""",
 
+    // PII redaction: same augmented text, same patterns (common
+    // Java-regex/RE2 subset), 'g' flag for replace-all to match Spark.
+    "q_pii_redact" -> """
+      WITH aug AS (SELECT lang,
+          text ||
+          CASE WHEN doc_id % 3 = 0
+            THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@mail.example.com soon'
+            ELSE '' END ||
+          CASE WHEN doc_id % 3 = 1
+            THEN ' call 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now'
+            ELSE '' END ||
+          CASE WHEN doc_id % 4 = 0
+            THEN ' from 10.0.' || CAST(doc_id % 200 AS VARCHAR) || '.77 today'
+            ELSE '' END AS t
+        FROM documents),
+        red AS (SELECT lang, t,
+          regexp_replace(regexp_replace(regexp_replace(t,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS r
+        FROM aug)
+      SELECT lang, count(*) AS n_docs,
+        CAST(count(CASE WHEN r <> t THEN 1 END) AS BIGINT) AS n_redacted,
+        CAST(sum(len(t) - len(r)) AS BIGINT) AS len_delta,
+        CAST(sum(len(regexp_extract_all(r, '<EMAIL>'))) AS BIGINT) AS n_emails,
+        CAST(sum(len(regexp_extract_all(r, '<PHONE>'))) AS BIGINT) AS n_phones,
+        CAST(sum(len(regexp_extract_all(r, '<IP>'))) AS BIGINT) AS n_ips
+      FROM red GROUP BY lang ORDER BY lang""",
+
     // Canonical survivor per normalized dup group: longest text, tie →
     // lowest doc_id; norm key identical to q_dedup_normalized's.
     "q_dedup_keep_best" -> """

@@ -305,8 +305,64 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  // ------------------------------------------------------------ redaction
+
+  /** PII patterns written in the COMMON subset of Java regex (Spark's
+    * engine) and RE2 (DuckDB's): no lookaround, no backreferences —
+    * so the oracle applies the exact same automaton. Deliberately
+    * conservative shapes (full emails, NNN-NNN-NNNN phones, dotted-quad
+    * IPs); real deployments layer domain-specific patterns on top via
+    * [[redactPii]]'s replacement list.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""" -> "<EMAIL>",
+    """\b\d{3}-\d{3}-\d{4}\b""" -> "<PHONE>",
+    """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b""" -> "<IP>")
+
+  /** Scrub PII spans to typed placeholders — the compliance pass a
+    * training-data pipeline runs before anything leaves curation (and
+    * the redaction-count columns it logs are the audit metric). Chained
+    * codegen'd `regexp_replace`: map-only at any corpus size, no UDF.
+    */
+  def redactPii(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    piiPatterns.foldLeft(text) { case (c, (pat, tag)) => regexp_replace(c, pat, tag) }
+
+  /** Graded surface for [[redactPii]]: PII is PLANTED deterministically
+    * (emails on doc_id%3=0, phones on %3=1, IPs on %4=0 — some docs get
+    * two kinds, some none), redacted, and audited per language: docs
+    * touched, characters removed, and placeholder counts by kind. The
+    * oracle rebuilds the same augmented text and applies the same
+    * patterns under RE2 — equal iff both engines match the exact same
+    * spans.
+    */
+  val qPiiRedact: Q = (s, d) => {
+    val aug = concat(col("text"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" contact u"), col("doc_id"), lit("@mail.example.com soon")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 3 === 1,
+        concat(lit(" call 555-867-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" now")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 4 === 0,
+        concat(lit(" from 10.0."), (col("doc_id") % 200).cast("string"), lit(".77 today")))
+        .otherwise(lit("")))
+    documents(s, d)
+      .select(col("lang"), aug.as("t"))
+      .withColumn("r", redactPii(col("t")))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("r") =!= col("t"), lit(1))).as("n_redacted"),
+        sum(length(col("t")) - length(col("r"))).as("len_delta"),
+        sum(regexp_count(col("r"), lit("<EMAIL>"))).as("n_emails"),
+        sum(regexp_count(col("r"), lit("<PHONE>"))).as("n_phones"),
+        sum(regexp_count(col("r"), lit("<IP>"))).as("n_ips"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_text_stats" -> qTextStats,
+    "q_pii_redact" -> qPiiRedact,
     "q_curation_pipeline" -> qCurationPipeline,
     "q_bigram_topk" -> qBigramTopk,
     "q_user_sequences" -> qUserSequences,

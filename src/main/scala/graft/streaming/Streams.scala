@@ -263,6 +263,61 @@ object Streams {
       .transformWithState(new UserProfileProcessor, TimeMode.None(), OutputMode.Append())
   }
 
+  /** One emitted KTable changelog row: the key's NEW current record;
+    * per-key `version` makes max-version rows the current table.
+    */
+  case class LatestRow(user_id: Long, event_type: String, event_id: Long,
+      ts: java.sql.Timestamp, value: Double, version: Long)
+
+  /** Streaming latest-wins materialization — the KTable semantic of the
+    * reference's ecosystem (a compacted topic retains the LAST value per
+    * key), the dual of the first-wins dedup transformer and the
+    * streaming face of batch `Dedup.lastWins`. State per key is ONE
+    * record; an arriving record replaces it only when strictly newer
+    * under the same (ts, tie → event_id) total order the batch twin
+    * sorts by, so out-of-order arrivals lose to the held record instead
+    * of regressing it, and the final max-version snapshot ≡ batch
+    * lastWins by construction (StreamingParitySpec). Emissions are an
+    * append-mode changelog — exactly a compacted topic's update stream.
+    * No watermark needed: "current value" has no lateness cutoff; a
+    * TTL'd variant would evict via the FirstWinsDedupProcessor timers.
+    */
+  class LatestWinsProcessor
+      extends StatefulProcessor[(Long, String), Event, LatestRow] {
+    @transient private var state:
+      org.apache.spark.sql.streaming.ValueState[(Long, Event)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[(Long, Event)]("latest",
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Event)](),
+        TTLConfig.NONE)
+
+    // Micros-faithful recency key: Timestamp.getTime truncates to millis,
+    // getNanos carries the rest; event_id is the deterministic tiebreak.
+    private def recency(e: Event) = (e.ts.getTime / 1000, e.ts.getNanos, e.event_id)
+
+    override def handleInputRows(key: (Long, String), rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[LatestRow] = {
+      val newest = rows.maxBy(recency)
+      val (version, prev) =
+        if (state.exists()) state.get() else (0L, null: Event)
+      if (prev != null && Ordering[(Long, Int, Long)].gteq(recency(prev), recency(newest)))
+        Iterator.empty
+      else {
+        state.update((version + 1, newest))
+        Iterator.single(LatestRow(key._1, key._2, newest.event_id,
+          newest.ts, newest.value, version + 1))
+      }
+    }
+  }
+
+  /** Running current-value-per-key table (KTable view) of the event log. */
+  def ktableStream(events: Dataset[Event]): Dataset[LatestRow] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(e => (e.user_id, e.event_type))
+      .transformWithState(new LatestWinsProcessor, TimeMode.None(), OutputMode.Append())
+  }
+
   /** Stateful dedup on (user_id, event_type) with explicit retention.
     * Requires the RocksDB state store provider (transformWithState
     * contract) — set by `sessionConf` below.

@@ -104,6 +104,42 @@ class StreamingParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(all.groupBy(r => (r._1, r._2)).values.forall(_.size <= 3))
   }
 
+  test("streaming KTable latest-wins: final snapshot ≡ batch lastWins, out-of-order loses") {
+    val ms = MemoryStream[Event](spark)
+    // Second chunk replayed FIRST: the processor must hold the newer
+    // records against the older chunk arriving late (KTable semantics,
+    // not last-arrival-wins).
+    val (older, newer) = fixtureEvents.splitAt(fixtureEvents.size / 2)
+    val out = Streams.ktableStream(ms.toDS())
+    val q = Streams.start(out.toDF(), Streams.MemoryStreamSink("ktable_parity", Some(ckpt())))
+    try {
+      ms.addData(newer); q.processAllAvailable()
+      ms.addData(older); q.processAllAvailable()
+    } finally q.stop()
+    val all = spark.table("ktable_parity")
+      .as[(Long, String, Long, java.sql.Timestamp, Double, Long)].collect().toSeq
+    val current = all.groupBy(r => (r._1, r._2)).values.map { rows =>
+      val r = rows.maxBy(_._6) // max version per key = current record
+      (r._1, r._2, r._3)
+    }.toSet
+    val batch = graft.engine.Dedup.lastWins(
+      Tables.events(spark, TestSpark.sfDir),
+      Seq("user_id", "event_type"), Seq("ts", "event_id"))
+      .select(col("user_id"), col("event_type"), col("event_id"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(current == batch && batch.nonEmpty)
+    // The late (older) chunk must not have produced ANY update for keys
+    // the newer chunk already holds at a later ts — i.e. no key's version
+    // sequence emits a regression of the recency order.
+    val regressed = all.groupBy(r => (r._1, r._2)).values.exists { rows =>
+      val byVersion = rows.sortBy(_._6)
+      byVersion.zip(byVersion.tail).exists { case (p, n) =>
+        Ordering[(Long, Long)].gteq((p._4.getTime, p._3), (n._4.getTime, n._3))
+      }
+    }
+    assert(!regressed, "a later version regressed recency")
+  }
+
   test("streaming doc dedup is set-normalized: reordered/repeated tokens are duplicates") {
     val ms = MemoryStream[Doc](spark)
     val out = Streams.dedupDocsWithinWatermark(ms.toDF(), "24 hours")
