@@ -1,0 +1,235 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data ASSEMBLY — the last mile of an LLM data pipeline, after
+  * curation and dedup have produced a clean corpus: benchmark
+  * decontamination, deterministic global shuffle into shards,
+  * concat-and-chunk sequence packing, and mixture rebalancing. Each op is
+  * a declarative plan (explode + broadcast semi-join, map-side hash,
+  * per-shard window) so Catalyst keeps it whole-stage-codegen'd and the
+  * shape survives a 1000-executor scale-up:
+  *
+  *  - decontamination shuffles only n-grams of the (small) benchmark set
+  *    and the matched doc_ids — never the corpus text;
+  *  - shuffle/packing hash map-side and window PER SHARD, so parallelism
+  *    is the shard count (thousands in production, 8 in the graded keys)
+  *    and no global sort or single-task window ever exists;
+  *  - rebalancing broadcasts a per-stratum rate table of |strata| rows and
+  *    filters map-side via the same order-free [[Sampling.bucket]]
+  *    arithmetic the sampling ops use — zero corpus shuffles.
+  *
+  * Cross-engine determinism: all randomness is the Knuth multiplicative
+  * hash on the 31-bit-masked id (see [[Sampling.bucket]] for the overflow
+  * contract); multiplication by an odd constant is a BIJECTION modulo 2³¹,
+  * so [[orderHash]] is collision-free on masked ids — a total "shuffled"
+  * order any engine reproduces with four integer ops.
+  */
+object Assembly {
+  import Tables._
+  type Q = (SparkSession, String) => DataFrame
+
+  private val Max31 = 0x7FFFFFFFL
+  private val Knuth = 2654435761L
+  private val Mod31 = 1L << 31
+
+  /** Pseudo-random total order on ids: (id & 2³¹−1) · 2654435761 mod 2³¹.
+    * Injective on masked ids (odd multiplier ⇒ bijection mod 2³¹), so it
+    * defines a full permutation — the deterministic "global shuffle" every
+    * training run needs to be reproducible across engines and reruns.
+    */
+  def orderHash(id: Column): Column =
+    pmod(id.bitwiseAND(lit(Max31)) * lit(Knuth), lit(Mod31))
+
+  // ------------------------------------------------------ decontamination
+
+  /** Benchmark decontamination: drop every training doc that shares at
+    * least one word n-gram with the evaluation set — the standard
+    * overlap rule (the public eval-contamination literature uses 8–13-gram
+    * overlap; `n` is the caller's knob). The benchmark side is tiny
+    * relative to the corpus, so its distinct n-gram set is BROADCAST and
+    * the corpus side stays a map-side explode + broadcast semi-join: no
+    * shuffle ever carries corpus text, and only matched doc_ids (≤ corpus
+    * row count, typically a small fraction) reach the one distinct
+    * exchange.
+    */
+  def decontaminate(train: DataFrame, benchmark: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id", n: Int = 5): DataFrame =
+    train.join(contaminatedIds(train, benchmark, textCol, idCol, n),
+      Seq(idCol), "left_anti")
+
+  /** The ids [[decontaminate]] removes (exposed for audit logging). */
+  def contaminatedIds(train: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, n: Int): DataFrame = {
+    val benchGrams = wordNgrams(benchmark, textCol, idCol, n)
+      .select("gram").distinct()
+    wordNgrams(train, textCol, idCol, n)
+      .join(broadcast(benchGrams), Seq("gram"), "left_semi")
+      .select(idCol).distinct()
+  }
+
+  /** Word n-grams as space-joined strings, one row per (id, gram).
+    * Docs shorter than `n` tokens emit nothing (they cannot overlap).
+    */
+  def wordNgrams(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
+    val toks = split(col(textCol), " ")
+    df.select(col(idCol), toks.as("__t"))
+      .where(size(col("__t")) >= n)
+      .select(col(idCol),
+        explode(transform(sequence(lit(1), size(col("__t")) - n + 1),
+          i => array_join(slice(col("__t"), i, lit(n)), " "))).as("gram"))
+  }
+
+  /** Graded surface: the fixture's own holdout (doc_id % 23 = 0 plays the
+    * benchmark) decontaminates the rest; per-language audit counts plus a
+    * checksum over the dropped ids pin the EXACT contaminated set, not
+    * just its size. 5-grams because the fixture docs average ~50 tokens.
+    */
+  val qDecontaminate: Q = (s, d) => {
+    val docs = documents(s, d)
+    val isBench = col("doc_id") % 23 === 0
+    val contam = contaminatedIds(docs.where(!isBench), docs.where(isBench),
+        "text", "doc_id", 5)
+      .withColumn("__hit", lit(1L))
+    docs.where(!isBench)
+      .join(contam, Seq("doc_id"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_train"),
+        count(col("__hit")).as("n_contaminated"),
+        (count(lit(1)) - count(col("__hit"))).as("n_clean"),
+        coalesce(sum(when(col("__hit").isNotNull, col("doc_id"))), lit(0L))
+          .as("contam_checksum"))
+      .orderBy("lang")
+  }
+
+  // ------------------------------------------------- shuffle into shards
+
+  /** Deterministic global shuffle: shard by hash, order within shard by
+    * the same hash — together a reproducible permutation of the corpus
+    * (the training-order shuffle every run must replay identically).
+    * Adds `shard` and `pos` (1-based within shard). Parallelism = shard
+    * count; the only exchange is the hash partition, and each shard's
+    * row_number window sorts one shard, never the corpus.
+    */
+  def shuffleShards(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    val h = orderHash(col(idCol))
+    val w = Window.partitionBy("__shard").orderBy("__h")
+    df.withColumn("__h", h).withColumn("__shard", pmod(col("__h"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumnRenamed("__shard", "shard").drop("__h")
+  }
+
+  /** Graded surface: per-shard doc/token counts, the first doc in shuffled
+    * order, and sum(pos·doc_id) — a checksum that pins the ENTIRE
+    * permutation (any swap of two positions changes it), so the oracle
+    * verifies the full shuffle order, not just membership.
+    */
+  val qShardAssign: Q = (s, d) => {
+    val base = documents(s, d)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    shuffleShards(base, "doc_id", 8)
+      .withColumn("__h2", orderHash(col("doc_id")))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min_by(col("doc_id"), col("__h2")).as("first_doc"),
+        sum(col("pos") * col("doc_id")).as("order_checksum"))
+      .orderBy("shard")
+  }
+
+  // -------------------------------------------- concat-and-chunk packing
+
+  /** Sequence packing by concatenation: within each shard, docs in
+    * shuffled order are conceptually concatenated into one token stream
+    * and cut into fixed `budget`-token chunks (the GPT-style pack — no
+    * padding waste, documents may straddle a cut). Emits per-doc
+    * `first_chunk`/`last_chunk` (0-based chunk ids the doc's tokens land
+    * in) from ONE running-sum window per shard — no sequential driver
+    * loop; the greedy "close the bin early" variant trades this
+    * declarative form for per-partition iteration and is deliberately not
+    * the default.
+    */
+  def packChunks(docs: DataFrame, idCol: String, tokensCol: String,
+      budget: Long, nShards: Int): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("__h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val h = orderHash(col(idCol))
+    docs.withColumn("__h", h).withColumn("shard", pmod(col("__h"), lit(nShards.toLong)))
+      .withColumn("__cum", sum(col(tokensCol)).over(w))
+      .withColumn("first_chunk", expr(s"(__cum - $tokensCol) div $budget"))
+      .withColumn("last_chunk", expr(s"(__cum - 1) div $budget"))
+      .drop("__h", "__cum")
+  }
+
+  /** Graded surface: 512-token chunks over 8 shards; per-shard chunk
+    * count, docs split across a cut, and the tail chunk's fill level —
+    * the packing-efficiency numbers a training job logs.
+    */
+  val qSeqPacking: Q = (s, d) => {
+    val budget = 512L
+    val base = documents(s, d)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    packChunks(base, "doc_id", "n_tokens", budget, 8)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        (max(col("last_chunk")) + 1).as("n_chunks"),
+        count(when(col("first_chunk") =!= col("last_chunk"), lit(1))).as("n_split_docs"),
+        (sum(col("n_tokens")) - max(col("last_chunk")) * budget).as("tail_fill"))
+      .orderBy("shard")
+  }
+
+  // --------------------------------------------------- mixture rebalance
+
+  /** Rebalance the corpus toward a UNIFORM mix over the values of
+    * `stratumCol` (language rebalancing: downsample dominant languages so
+    * each observed stratum contributes ≈ total/k rows; strata already at
+    * or below quota keep everything — rate caps at 1.0, never upsamples).
+    * Membership is the deterministic [[Sampling.bucket]] threshold test,
+    * so the sample is stable across runs and engines; the per-stratum
+    * rate table (|strata| rows) broadcasts and the filter runs map-side —
+    * zero corpus shuffles beyond the one counting aggregation.
+    */
+  def rebalanceUniform(df: DataFrame, stratumCol: String, idCol: String): DataFrame =
+    df.join(broadcast(uniformRates(df, stratumCol)), Seq(stratumCol))
+      .where(Sampling.bucket(col(idCol)) < col("__rate") * Sampling.Resolution)
+      .drop("__rate")
+
+  /** Per-stratum keep rate min(1, (total/k)/n_stratum) — double division
+    * in this exact association order; the oracle mirrors it token for
+    * token so both engines compute bit-identical rates.
+    */
+  private def uniformRates(df: DataFrame, stratumCol: String): DataFrame = {
+    val stats = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
+    val tot = df.agg(count(lit(1)).as("__total"),
+      countDistinct(col(stratumCol)).as("__k"))
+    stats.crossJoin(broadcast(tot))
+      .withColumn("__rate",
+        least(lit(1.0), col("__total").cast("double") / col("__k") / col("__n")))
+      .select(col(stratumCol), col("__rate"))
+  }
+
+  /** Graded surface: rebalance documents to a uniform language mix;
+    * per-language original/kept counts plus a checksum over the kept ids
+    * pin exact membership (over- OR under-sampling breaks the hash).
+    */
+  val qMixtureSample: Q = (s, d) => {
+    val docs = documents(s, d)
+    docs.join(broadcast(uniformRates(docs, "lang")), Seq("lang"))
+      .withColumn("__keep",
+        Sampling.bucket(col("doc_id")) < col("__rate") * Sampling.Resolution)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_orig"),
+        count(when(col("__keep"), lit(1))).as("n_kept"),
+        coalesce(sum(when(col("__keep"), col("doc_id"))), lit(0L)).as("kept_checksum"))
+      .orderBy("lang")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_decontaminate" -> qDecontaminate,
+    "q_shard_assign" -> qShardAssign,
+    "q_seq_packing" -> qSeqPacking,
+    "q_mixture_sample" -> qMixtureSample)
+}

@@ -636,6 +636,90 @@ object Oracle {
         CAST(sum(len(regexp_extract_all(r, '<IP>'))) AS BIGINT) AS n_ips
       FROM red GROUP BY lang ORDER BY lang""",
 
+    // Benchmark decontamination (Assembly.qDecontaminate): holdout =
+    // doc_id%23=0, word 5-grams; range() is end-exclusive so the last
+    // start index is len(t)-5+1 → range(1, len(t)-3); list_slice is
+    // 1-based inclusive so [i, i+4] is 5 tokens. sum(BIGINT) is HUGEINT
+    // in DuckDB — cast back for the schema compare.
+    "q_decontaminate" -> """
+      WITH d AS (SELECT doc_id, lang, doc_id % 23 = 0 AS is_bench,
+          string_split(text, ' ') AS t FROM documents),
+        g AS (SELECT doc_id, is_bench,
+            unnest(list_transform(range(1, len(t) - 3), i ->
+              array_to_string(list_slice(t, i, i + 4), ' '))) AS gram
+          FROM d WHERE len(t) >= 5),
+        bg AS (SELECT DISTINCT gram FROM g WHERE is_bench),
+        c AS (SELECT DISTINCT doc_id FROM g
+          WHERE NOT is_bench AND gram IN (SELECT gram FROM bg))
+      SELECT lang, count(*)::BIGINT AS n_train,
+        count(c.doc_id)::BIGINT AS n_contaminated,
+        (count(*) - count(c.doc_id))::BIGINT AS n_clean,
+        CAST(coalesce(sum(CASE WHEN c.doc_id IS NOT NULL THEN d.doc_id END), 0)
+          AS BIGINT) AS contam_checksum
+      FROM d LEFT JOIN c ON d.doc_id = c.doc_id
+      WHERE NOT d.is_bench GROUP BY lang ORDER BY lang""",
+
+    // Deterministic shuffle into 8 shards (Assembly.qShardAssign): the
+    // Knuth order hash is a bijection mod 2^31 (odd multiplier), so
+    // ORDER BY h is a total order and the pos*doc_id checksum pins the
+    // whole permutation. Same 31-bit mask contract as q_sample_*.
+    "q_shard_assign" -> """
+      WITH t AS (SELECT doc_id,
+          len(string_split(text, ' '))::BIGINT AS n_tokens,
+          ((doc_id & 2147483647) * 2654435761) % 2147483648 AS h
+        FROM documents),
+        s AS (SELECT doc_id, n_tokens, h, h % 8 AS shard,
+          CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h) AS BIGINT) AS pos
+        FROM t)
+      SELECT shard, count(*)::BIGINT AS n_docs,
+        CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        arg_min(doc_id, h) AS first_doc,
+        CAST(sum(pos * doc_id) AS BIGINT) AS order_checksum
+      FROM s GROUP BY shard ORDER BY shard""",
+
+    // Concat-and-chunk packing (Assembly.qSeqPacking): running token sum
+    // per shard in shuffled (hash) order, 512-token cuts; // is integer
+    // division, matching Spark's `div`.
+    "q_seq_packing" -> """
+      WITH t AS (SELECT doc_id,
+          len(string_split(text, ' '))::BIGINT AS n_tokens,
+          ((doc_id & 2147483647) * 2654435761) % 2147483648 AS h
+        FROM documents),
+        c AS (SELECT h % 8 AS shard, n_tokens,
+          sum(n_tokens) OVER (PARTITION BY h % 8 ORDER BY h
+            ROWS UNBOUNDED PRECEDING) AS cum
+        FROM t),
+        f AS (SELECT shard, n_tokens,
+          (cum - n_tokens) // 512 AS fc, (cum - 1) // 512 AS lc FROM c)
+      SELECT shard, count(*)::BIGINT AS n_docs,
+        CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        (max(lc) + 1)::BIGINT AS n_chunks,
+        count(CASE WHEN fc <> lc THEN 1 END)::BIGINT AS n_split_docs,
+        CAST(sum(n_tokens) - max(lc) * 512 AS BIGINT) AS tail_fill
+      FROM f GROUP BY shard ORDER BY shard""",
+
+    // Uniform mixture rebalance (Assembly.qMixtureSample): rate =
+    // least(1, (total/k)/n_lang) in EXACTLY this association order —
+    // both engines evaluate the same IEEE-754 double expression — and
+    // membership is the shared Knuth bucket threshold (Resolution 2^20).
+    "q_mixture_sample" -> """
+      WITH s AS (SELECT lang, count(*)::BIGINT AS n_lang
+          FROM documents GROUP BY lang),
+        t AS (SELECT count(*)::BIGINT AS n_total,
+          count(DISTINCT lang)::BIGINT AS n_langs FROM documents),
+        r AS (SELECT lang,
+          least(1.0, (CAST(n_total AS DOUBLE) / n_langs) / n_lang) AS rate
+          FROM s, t),
+        k AS (SELECT d.lang, d.doc_id,
+          ((d.doc_id & 2147483647) * 2654435761) % 1048576 < r.rate * 1048576
+            AS keep
+        FROM documents d JOIN r ON d.lang = r.lang)
+      SELECT lang, count(*)::BIGINT AS n_orig,
+        count(CASE WHEN keep THEN 1 END)::BIGINT AS n_kept,
+        CAST(coalesce(sum(CASE WHEN keep THEN doc_id END), 0) AS BIGINT)
+          AS kept_checksum
+      FROM k GROUP BY lang ORDER BY lang""",
+
     // Canonical survivor per normalized dup group: longest text, tie →
     // lowest doc_id; norm key identical to q_dedup_normalized's.
     "q_dedup_keep_best" -> """

@@ -391,6 +391,39 @@ object Streams {
       joinType)
   }
 
+  // ------------------------------------------ stream-static enrichment
+
+  /** Stream-static enrichment join — the Spark rendering of Kafka
+    * Streams' `KStream.join(GlobalKTable)` for a FIXED dim snapshot: the
+    * dim is broadcast (GlobalKTable = replicated to every instance), no
+    * watermark and no stream-side state because the static side never
+    * retracts; left join keeps unmatched events (KStream#leftJoin),
+    * inner drops them. CONTRACT: a path-based static side pins its FILE
+    * LISTING when the query starts (the plan captures the file index —
+    * `refreshByPath` does not reach it), so an in-place dim rewrite
+    * mid-query fails the scan; for a dim that updates while the stream
+    * runs — the actual GlobalKTable semantic — use [[refreshingEnrich]].
+    */
+  def enrichWithTable(events: DataFrame, dim: DataFrame, keyCol: String,
+      joinType: String = "left"): DataFrame =
+    events.join(broadcast(dim), Seq(keyCol), joinType)
+
+  /** Continuously-updated GlobalKTable enrich: a `foreachBatch` transform
+    * that re-reads the dim directory FRESH each micro-batch, so a
+    * snapshot rewritten between batches (e.g. by
+    * [[graft.engine.Dedup.mergeSnapshot]] maintenance) is joined at its
+    * current state — Kafka Streams' GlobalKTable keeps its store current
+    * by consuming the topic; here currency comes from per-batch
+    * re-resolution, the Spark-idiomatic equivalent for file-backed dims.
+    * Compose with [[ForeachBatchSink]]:
+    * `ForeachBatchSink((df, id) => sink(refreshingEnrich(dimDir, key)(df)), ckpt)`.
+    * The per-batch listing cost is one directory scan of the (small) dim.
+    */
+  def refreshingEnrich(dimDir: String, keyCol: String,
+      joinType: String = "left")(batch: DataFrame): DataFrame =
+    batch.join(broadcast(batch.sparkSession.read.parquet(dimDir)),
+      Seq(keyCol), joinType)
+
   // ------------------------------------------------------------ R4: sinks
 
   sealed trait StreamSink

@@ -140,6 +140,71 @@ class StreamingParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!regressed, "a later version regressed recency")
   }
 
+  test("stream-static enrich (GlobalKTable snapshot): joined stream ≡ batch left join, unmatched survive") {
+    // Dim covers every event_type except 'error': unmatched events must
+    // survive the left join null-padded (KStream#leftJoin semantics).
+    val types = fixtureEvents.map(_.event_type).distinct.sorted
+    val dim = types.filterNot(_ == "error").map(t => (t, s"cat_$t"))
+      .toDF("event_type", "category")
+
+    val ms = MemoryStream[Event](spark)
+    val out = Streams.enrichWithTable(ms.toDS().toDF(), dim, "event_type")
+      .select(col("event_id"), col("event_type"), col("category"))
+    val q = Streams.start(out, Streams.MemoryStreamSink("enrich_parity", Some(ckpt())))
+    val (first, second) = fixtureEvents.splitAt(fixtureEvents.size / 2)
+    try {
+      ms.addData(first); q.processAllAvailable()
+      ms.addData(second); q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("enrich_parity")
+      .as[(Long, String, Option[String])].collect()
+      .map { case (id, t, c) => id -> ((t, c)) }.toMap
+    fixtureEvents.foreach { e =>
+      val want = if (e.event_type == "error") None else Some(s"cat_${e.event_type}")
+      assert(got(e.event_id) == ((e.event_type, want)), s"row ${e.event_id}")
+    }
+    assert(got.size == fixtureEvents.size, "left join must keep every event exactly once")
+  }
+
+  test("refreshingEnrich (live GlobalKTable): a dim rewritten between micro-batches is joined at its current state") {
+    val dimDir = java.nio.file.Files.createTempDirectory("graft-dim").toString
+    val types = fixtureEvents.map(_.event_type).distinct.sorted
+    def writeDim(suffix: String, skip: Set[String]): Unit =
+      types.filterNot(skip).map(t => (t, s"$suffix$t")).toDF("event_type", "category")
+        .write.mode("overwrite").parquet(dimDir)
+    writeDim("v1_", skip = Set("error"))
+
+    val buf = new scala.collection.mutable.ArrayBuffer[(Long, String, Option[String])]
+    val ms = MemoryStream[Event](spark)
+    val sink = Streams.ForeachBatchSink({ (df, _) =>
+      val rows = Streams.refreshingEnrich(dimDir, "event_type")(df)
+        .select(col("event_id"), col("event_type"), col("category"))
+        .as[(Long, String, Option[String])].collect()
+      buf.synchronized { buf ++= rows }
+    }, Some(ckpt()))
+    val q = Streams.start(ms.toDS().toDF(), sink)
+    val (first, second) = fixtureEvents.splitAt(fixtureEvents.size / 2)
+    try {
+      ms.addData(first); q.processAllAvailable()
+      // Rewrite the dim IN PLACE between batches: v2 renames categories
+      // and now covers 'error'. The per-batch re-read must see it.
+      writeDim("v2_", skip = Set.empty)
+      ms.addData(second); q.processAllAvailable()
+    } finally q.stop()
+
+    val got = buf.map { case (id, t, c) => id -> ((t, c)) }.toMap
+    first.foreach { e =>
+      val want = if (e.event_type == "error") None else Some(s"v1_${e.event_type}")
+      assert(got(e.event_id) == ((e.event_type, want)), s"v1 row ${e.event_id}")
+    }
+    second.foreach { e =>
+      assert(got(e.event_id) == ((e.event_type, Some(s"v2_${e.event_type}"))),
+        s"v2 row ${e.event_id} must see the refreshed dim")
+    }
+    assert(got.size == fixtureEvents.size)
+  }
+
   test("streaming doc dedup is set-normalized: reordered/repeated tokens are duplicates") {
     val ms = MemoryStream[Doc](spark)
     val out = Streams.dedupDocsWithinWatermark(ms.toDF(), "24 hours")
