@@ -104,6 +104,69 @@ object Assembly {
       .orderBy("lang")
   }
 
+  // ----------------------------------------- fuzzy (doc-level) decontamination
+
+  /** Fuzzy benchmark decontamination: drop every training doc whose
+    * normalized token SET near-duplicates (Jaccard ≥ `threshold`) some
+    * evaluation doc — the doc-level companion to the n-gram rule above,
+    * catching reformatted/reordered eval leakage where no single word
+    * n-gram survives verbatim (public decontam pipelines run both
+    * tiers). Rides [[Dedup.nearDupAgainst]] with the benchmark as the
+    * "corpus" side, so Auto shape resolves the (small) benchmark to
+    * Broadcast: the corpus-scale train side is a map-side banded probe —
+    * no shuffle ever carries training text, the same scale contract as
+    * [[decontaminate]]. Same [[Dedup.fanOut]] caller contract as the
+    * other signature consumers: spread single-partition inputs first.
+    */
+  def fuzzyDecontaminate(train: DataFrame, benchmark: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      tauNum: Int = 9, tauDen: Int = 10, threshold: Double = 0.9): DataFrame =
+    train.join(
+      fuzzyContaminatedIds(train, benchmark, textCol, idCol, tauNum, tauDen, threshold),
+      Seq(idCol), "left_anti")
+
+  /** The ids [[fuzzyDecontaminate]] removes, with the benchmark doc and
+    * Jaccard that convicted each (audit trail; one row per matched pair).
+    */
+  def fuzzyContaminatedPairs(train: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String,
+      tauNum: Int, tauDen: Int, threshold: Double): DataFrame = {
+    def sigs(df: DataFrame) = Dedup.signatures(
+      df.select(col(idCol).as("doc_id"), Dedup.normTokens(col(textCol)).as("toks")))
+    Dedup.nearDupAgainst(sigs(train), sigs(benchmark), "toks",
+      tauNum, tauDen, threshold)
+  }
+
+  private def fuzzyContaminatedIds(train: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String,
+      tauNum: Int, tauDen: Int, threshold: Double): DataFrame =
+    fuzzyContaminatedPairs(train, benchmark, textCol, idCol, tauNum, tauDen, threshold)
+      .select(col("doc_a").as(idCol)).distinct()
+
+  /** Graded surface: same holdout split and per-language audit shape as
+    * [[qDecontaminate]], but contamination = token-set Jaccard ≥ 0.9
+    * against any benchmark doc. Oracle soundness is q_neardup_delta's
+    * argument verbatim: the confirm is EXACT Jaccard on candidates, and
+    * per-pair band-miss at J ≥ 0.9 is ~3e-12 — the DuckDB exact
+    * train × bench all-pairs join is the truth both engines reach.
+    */
+  val qDecontaminateFuzzy: Q = (s, d) => {
+    val docs = Dedup.fanOut(documents(s, d))
+    val isBench = col("doc_id") % 23 === 0
+    val contam = fuzzyContaminatedIds(docs.where(!isBench), docs.where(isBench),
+        "text", "doc_id", 9, 10, 0.9)
+      .withColumn("__hit", lit(1L))
+    docs.where(!isBench)
+      .join(contam, Seq("doc_id"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_train"),
+        count(col("__hit")).as("n_contaminated"),
+        (count(lit(1)) - count(col("__hit"))).as("n_clean"),
+        coalesce(sum(when(col("__hit").isNotNull, col("doc_id"))), lit(0L))
+          .as("contam_checksum"))
+      .orderBy("lang")
+  }
+
   // ------------------------------------------------- shuffle into shards
 
   /** Deterministic global shuffle: shard by hash, order within shard by
@@ -229,6 +292,7 @@ object Assembly {
 
   val queries: Map[String, Q] = Map(
     "q_decontaminate" -> qDecontaminate,
+    "q_decontaminate_fuzzy" -> qDecontaminateFuzzy,
     "q_shard_assign" -> qShardAssign,
     "q_seq_packing" -> qSeqPacking,
     "q_mixture_sample" -> qMixtureSample)

@@ -659,6 +659,27 @@ object Oracle {
       FROM d LEFT JOIN c ON d.doc_id = c.doc_id
       WHERE NOT d.is_bench GROUP BY lang ORDER BY lang""",
 
+    // Fuzzy decontamination (Assembly.qDecontaminateFuzzy): exact
+    // train × bench all-pairs token-set Jaccard — sound vs the engine's
+    // banded candidates for q_neardup_delta's reason (per-pair band-miss
+    // ~3e-12 at J >= 0.9; the confirm is exact and rounds to 6 decimals
+    // in both engines before the threshold).
+    "q_decontaminate_fuzzy" -> """
+      WITH d AS (SELECT doc_id, lang, doc_id % 23 = 0 AS is_bench,
+          list_distinct(string_split(text, ' ')) AS toks FROM documents),
+        b AS (SELECT doc_id, toks FROM d WHERE is_bench AND len(toks) > 0),
+        t AS (SELECT doc_id, toks FROM d WHERE NOT is_bench AND len(toks) > 0),
+        c AS (SELECT DISTINCT t.doc_id FROM t CROSS JOIN b
+          WHERE round(len(list_intersect(t.toks, b.toks)) * 1.0 /
+            len(list_distinct(list_concat(t.toks, b.toks))), 6) >= 0.9)
+      SELECT lang, count(*)::BIGINT AS n_train,
+        count(c.doc_id)::BIGINT AS n_contaminated,
+        (count(*) - count(c.doc_id))::BIGINT AS n_clean,
+        CAST(coalesce(sum(CASE WHEN c.doc_id IS NOT NULL THEN d.doc_id END), 0)
+          AS BIGINT) AS contam_checksum
+      FROM d LEFT JOIN c ON d.doc_id = c.doc_id
+      WHERE NOT d.is_bench GROUP BY lang ORDER BY lang""",
+
     // Deterministic shuffle into 8 shards (Assembly.qShardAssign): the
     // Knuth order hash is a bijection mod 2^31 (odd multiplier), so
     // ORDER BY h is a total order and the pos*doc_id checksum pins the
@@ -719,6 +740,17 @@ object Oracle {
         CAST(coalesce(sum(CASE WHEN keep THEN doc_id END), 0) AS BIGINT)
           AS kept_checksum
       FROM k GROUP BY lang ORDER BY lang""",
+
+    // Exact percentiles (Relational.qAggPercentileExact): quantile_cont
+    // interpolates at rank q·(n−1) like Spark's percentile; round-6
+    // absorbs double association noise on the integral-valued column.
+    "q_agg_percentile_exact" -> """
+      SELECT l_returnflag,
+        round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+        round(quantile_cont(l_quantity, 0.5), 6) AS median,
+        round(quantile_cont(l_quantity, 0.95), 6) AS p95,
+        count(*)::BIGINT AS n_rows
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     // Canonical survivor per normalized dup group: longest text, tie →
     // lowest doc_id; norm key identical to q_dedup_normalized's.
@@ -1027,6 +1059,39 @@ object Oracle {
         min(event_id) AS min_event_id, max(event_id) AS max_event_id,
         round(sum(value), 2) AS sum_value, max(ts) AS max_ts
       FROM events GROUP BY event_type ORDER BY event_type""",
+
+    // Snapshot diff (Sources.qSnapshotDiff): the oracle re-derives v2
+    // from v1 with the same planted deletes/updates/inserts and diffs
+    // ALL partitions — equal to the engine's pruned two-phase diff iff
+    // phase-1 pruning drops only genuinely unchanged partitions. The
+    // checksum is the shared Knuth order hash times length(text).
+    "q_snapshot_diff" -> """
+      WITH v1 AS (SELECT doc_id, doc_id % 16 AS part, text FROM documents),
+        v2 AS (
+          SELECT doc_id, part,
+            CASE WHEN doc_id % 4 = 1 THEN text || ' v2' ELSE text END AS text
+          FROM v1 WHERE doc_id % 8 <> 2
+          UNION ALL
+          SELECT doc_id + 400000 AS doc_id, part, text FROM v1
+          WHERE doc_id % 16 = 6),
+        c1 AS (SELECT part, doc_id,
+            ((doc_id & 2147483647) * 2654435761) % 2147483648 * length(text) AS ck
+          FROM v1),
+        c2 AS (SELECT part, doc_id,
+            ((doc_id & 2147483647) * 2654435761) % 2147483648 * length(text) AS ck
+          FROM v2),
+        d AS (SELECT coalesce(a.part, b.part) AS part,
+            coalesce(a.doc_id, b.doc_id) AS doc_id,
+            CASE WHEN a.doc_id IS NULL THEN 'added'
+                 WHEN b.doc_id IS NULL THEN 'removed'
+                 WHEN a.ck <> b.ck THEN 'changed' END AS status
+          FROM c1 a FULL OUTER JOIN c2 b
+            ON a.part = b.part AND a.doc_id = b.doc_id)
+      SELECT part, status, count(*)::BIGINT AS n,
+        CAST(sum(((doc_id & 2147483647) * 2654435761) % 2147483648)
+          AS BIGINT) AS id_checksum
+      FROM d WHERE status IS NOT NULL
+      GROUP BY part, status ORDER BY part, status""",
 
     // Predicate delete: the engine's partition-rewriting store must
     // equal the fixture with the predicate negated.

@@ -427,6 +427,25 @@ object Relational {
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
 
+  /** Exact interpolated percentiles — the ground-truth twin of
+    * [[qAggApproxQuantile]]: percentile() buffers and sorts each group's
+    * values (O(group) state — exactly the cost the approx key's
+    * mergeable sketch avoids; validation runs exact, corpus scale runs
+    * approx). Oracle is DuckDB's quantile_cont — both engines
+    * interpolate at rank q·(n−1) in IEEE doubles; round-6 absorbs
+    * association-order noise, and l_quantity's integral values keep
+    * results off rounding boundaries.
+    */
+  val qAggPercentileExact: Q = (s, d) =>
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(percentile(col("l_quantity"), lit(0.25)), 6).as("p25"),
+        round(percentile(col("l_quantity"), lit(0.5)), 6).as("median"),
+        round(percentile(col("l_quantity"), lit(0.95)), 6).as("p95"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
   /** min_by/max_by: each nation's richest and poorest supplier. The
     * ordering value is an exact-integer composite (floor(bal·100 + ½) ·
     * 10⁵ + suppkey) rather than the raw double or a struct: DuckDB 1.0's
@@ -825,6 +844,7 @@ object Relational {
     "q_agg_collect" -> qAggCollect,
     "q_agg_approx" -> qAggApprox,
     "q_agg_approx_quantile" -> qAggApproxQuantile,
+    "q_agg_percentile_exact" -> qAggPercentileExact,
     "q_agg_minmax_by" -> qAggMinmaxBy,
     "q_resample" -> qResample,
     "q_agg_udaf" -> qAggUdaf,

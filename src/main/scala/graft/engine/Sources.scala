@@ -374,8 +374,37 @@ object Sources {
     out
   }
 
+  /** Graded surface for [[Tables.snapshotDiff]] — migration audit: v2 is
+    * v1 (documents keyed into 16 synthetic partitions) with deletes
+    * (doc_id ≡ 2 mod 8 → partitions 2,10), payload updates (doc_id ≡ 1
+    * mod 4 → partitions 1,5,9,13; disjoint from the deletes since
+    * 2 mod 8 ⇒ 2 mod 4), and inserts (ids +400000 from doc_id ≡ 6
+    * mod 16; 400000 ≡ 0 mod 16 keeps them in partition 6). 9 of 16
+    * partitions are untouched, so the pruned phase-2 join reads 7 —
+    * SnapshotDiffSpec pins the pruning; this key pins the delta. The
+    * checksum is the Knuth order hash times the text length — the
+    * cross-engine-reproducible payload fingerprint (length changes on
+    * every planted update: " v2" appended).
+    */
+  val qSnapshotDiff: Q = (s, d) => {
+    val v1 = Tables.documents(s, d)
+      .select(col("doc_id"), pmod(col("doc_id"), lit(16L)).as("part"), col("text"))
+    val v2 = v1.where(!(col("doc_id") % 8 === 2))
+      .withColumn("text", when(col("doc_id") % 4 === 1,
+        concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      .unionByName(v1.where(col("doc_id") % 16 === 6)
+        .select((col("doc_id") + 400000L).as("doc_id"), col("part"), col("text")))
+    val ck = Assembly.orderHash(col("doc_id")) * length(col("text")).cast("long")
+    Tables.snapshotDiff(v1, v2, "doc_id", "part", ck)
+      .groupBy(col("part"), col("status"))
+      .agg(count(lit(1)).as("n"),
+        sum(Assembly.orderHash(col("doc_id"))).as("id_checksum"))
+      .orderBy("part", "status")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_source_csv" -> qSourceCsv,
+    "q_snapshot_diff" -> qSnapshotDiff,
     "q_source_json" -> qSourceJson,
     "q_source_orc" -> qSourceOrc,
     "q_source_dirty_csv" -> qSourceDirtyCsv,

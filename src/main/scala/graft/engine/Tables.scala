@@ -342,10 +342,100 @@ object Tables {
     } finally parsed.unpersist()
   }
 
+  /** [[writeQuarantined]] for inputs too big to cache: the counts ride
+    * the write passes as [[org.apache.spark.sql.Observation]] metrics —
+    * accumulator-style aggregates collected DURING each action — so
+    * there is no cache and no separate count job. Two source scans
+    * instead of one cached one (a batch write is single-sink, so two
+    * passes is the floor without caching); at corpus scale two
+    * streaming scans beat materializing the parse, which is why this,
+    * not the cached form, is the 100 TB shape. Same return contract:
+    * (cleanRows, quarantinedRows).
+    */
+  def writeQuarantinedObserved(df: DataFrame, cleanDir: String, badDir: String): (Long, Long) = {
+    import org.apache.spark.sql.Observation
+    val (clean, bad) = splitQuarantine(df)
+    val obsClean = Observation()
+    val obsBad = Observation()
+    clean.observe(obsClean, count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(cleanDir)
+    bad.observe(obsBad, count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(badDir)
+    (obsClean.get("n").asInstanceOf[Long], obsBad.get("n").asInstanceOf[Long])
+  }
+
   def writeJsonLines(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite")
       .option("timestampFormat", textTimestampFormat)
       .json(path)
+
+  // ------------------------------------ snapshot diff / migration audit
+
+  /** Partition values whose content differs between two snapshot frames —
+    * the cheap first phase of [[snapshotDiff]], and the standard way to
+    * validate a corpus migration/rewrite at scale: each side pays ONE
+    * scan aggregated map-side to a (count, checksum-sum) fingerprint per
+    * partition, so the cost is a count(*), not a join. `checksum` must
+    * be a deterministic integral expression over the row's payload
+    * (cross-engine-reproducible if an oracle will re-derive it).
+    * CAVEAT: a partition whose edits collide in the checksum SUM escapes
+    * detection — organic edits don't collide 64-bit hash sums,
+    * adversarial ones can; callers needing certainty skip this phase and
+    * row-diff every partition ([[snapshotDiff]]'s `pruneUnchanged =
+    * false`).
+    */
+  def changedPartitionValues(old: DataFrame, neu: DataFrame, partCol: String,
+      checksum: Column): DataFrame = {
+    def fp(df: DataFrame, suffix: String) = df.groupBy(col(partCol))
+      .agg(count(lit(1)).as(s"__n$suffix"), sum(checksum).as(s"__ck$suffix"))
+    fp(old, "_o").join(fp(neu, "_n"), Seq(partCol), "full_outer")
+      .where(col("__n_o").isNull || col("__n_n").isNull ||
+        col("__n_o") =!= col("__n_n") || col("__ck_o") =!= col("__ck_n") ||
+        (col("__ck_o").isNull =!= col("__ck_n").isNull))
+      .select(col(partCol))
+  }
+
+  /** Row-level diff between two snapshot frames keyed by (`partCol`,
+    * `idCol`): one row per difference with `status` ∈ added / removed /
+    * changed (changed = same key, `checksum` differs; a row whose
+    * partition value moved shows as removed + added — partition identity
+    * is part of the key). Unchanged rows are never emitted, so the
+    * result is the (small) migration delta, not the corpus.
+    *
+    * Scale shape: with `pruneUnchanged` (default), phase 1
+    * ([[changedPartitionValues]]) fingerprints both sides in one scan
+    * each, the changed values — bounded by the [[writePartitioned]]
+    * low-cardinality partition contract — come to the driver, and the
+    * full-outer row join runs ONLY over those partitions; on a
+    * partitioned scan the isin filter prunes directories at planning
+    * time, so the expensive phase touches the delta's partitions, not
+    * the corpus. The join shuffles on (part, id) — co-partitioned sides
+    * (bucketed by id) skip even that.
+    */
+  def snapshotDiff(old: DataFrame, neu: DataFrame, idCol: String, partCol: String,
+      checksum: Column, pruneUnchanged: Boolean = true): DataFrame = {
+    val (o, n) =
+      if (!pruneUnchanged) (old, neu)
+      else {
+        val changed = changedPartitionValues(old, neu, partCol, checksum)
+          .collect().map(_.get(0))
+        (old.where(col(partCol).isin(changed: _*)),
+          neu.where(col(partCol).isin(changed: _*)))
+      }
+    // Presence markers, not checksum-null, decide added/removed — a null
+    // checksum on a PRESENT row (nullable payload) must not fake absence.
+    def side(df: DataFrame, suffix: String) =
+      df.select(col(partCol), col(idCol), checksum.as(s"__ck$suffix"),
+        lit(1).as(s"__p$suffix"))
+    side(o, "_o").join(side(n, "_n"), Seq(partCol, idCol), "full_outer")
+      .withColumn("status",
+        when(col("__p_o").isNull, lit("added"))
+          .when(col("__p_n").isNull, lit("removed"))
+          .when(col("__ck_o") =!= col("__ck_n") ||
+            (col("__ck_o").isNull =!= col("__ck_n").isNull), lit("changed")))
+      .where(col("status").isNotNull)
+      .select(col(partCol), col(idCol), col("status"))
+  }
 
   /** Small-files compaction — the housekeeping pass every long-running
     * ingest needs (each micro-batch/task writes its own file; a 100 TB

@@ -44,6 +44,30 @@ class AssemblySpec extends AnyFunSuite {
     assert(cleaned == train -- expectContam)
   }
 
+  test("fuzzyDecontaminate ≡ brute-force exact token-set Jaccard vs the holdout") {
+    val isBench = (id: Long) => id % 23 == 0
+    val tokSets = docs.map { case (id, t) => id -> t.split(" ", -1).toSet }.toMap
+    def jacc(a: Set[String], b: Set[String]): Double = {
+      val inter = (a & b).size.toDouble
+      // Same 6-decimal rounding as the engine's confirm.
+      BigDecimal(inter / (a.size + b.size - inter))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val bench = docs.collect { case (id, _) if isBench(id) => tokSets(id) }
+    val expectContam = docs.collect {
+      case (id, _) if !isBench(id) && bench.exists(b => jacc(tokSets(id), b) >= 0.9) => id
+    }.toSet
+
+    val df = Tables.documents(spark, TestSpark.sfDir)
+    val cleaned = Assembly.fuzzyDecontaminate(
+        df.where($"doc_id" % 23 =!= 0), df.where($"doc_id" % 23 === 0))
+      .select("doc_id").as[Long].collect().toSet
+    val train = docs.map(_._1).filterNot(isBench).toSet
+    assert(expectContam.nonEmpty, "fixture must exercise fuzzy contamination")
+    assert(cleaned == train -- expectContam,
+      s"cleaned set differs (got ${cleaned.size}, want ${(train -- expectContam).size})")
+  }
+
   test("shuffleShards is a deterministic permutation: pos is 1..n per shard, stable across runs") {
     def run() = Assembly.shuffleShards(
         Tables.documents(spark, TestSpark.sfDir).select("doc_id"), "doc_id", 8)

@@ -103,6 +103,31 @@ class SourceFormatsSpec extends AnyFunSuite {
     } finally Sources.deleteRecursively(new java.io.File(dir))
   }
 
+  test("writeQuarantinedObserved: observe-metric counts ride the writes, output ≡ cached variant") {
+    import graft.engine.Sources
+    val dir = java.nio.file.Files.createTempDirectory("graft-quarantine-obs").toString
+    try {
+      Tables.writeCsv(events, s"$dir/in")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/in", "zz_dirty.csv"), Sources.dirtyCsvLines.asJava)
+      val (nClean, nBad) = Tables.writeQuarantinedObserved(
+        Tables.readCsvQuarantine(spark, s"$dir/in", events.schema),
+        s"$dir/clean", s"$dir/bad")
+      // Same reconciliation contract as the cached variant…
+      assert(nBad == 7 && nClean == events.count())
+      // …and identical persisted halves.
+      assert(spark.read.parquet(s"$dir/clean").orderBy("event_id").collect().toSeq ==
+        events.orderBy("event_id").collect().toSeq)
+      val raw = spark.read.parquet(s"$dir/bad")
+        .select(Tables.corruptRecordCol).collect().map(_.getString(0)).sorted.toSeq
+      assert(raw == Sources.dirtyCsvLines.drop(1).sorted)
+      // And nothing was cached: the counts came from observed metrics.
+      assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+        "observed variant must not cache the parsed scan")
+    } finally Sources.deleteRecursively(new java.io.File(dir))
+  }
+
   test("compact rewrites a many-small-files directory into the target file count, rows intact") {
     val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
     // 20 tiny files (one per partition).
