@@ -36,7 +36,8 @@ object SparkEntry {
       Pq.queries ++ Skew.queries ++ Sketches.queries ++
       TextAnalysis.queries ++ Windowed.queries ++ SqlApi.queries ++
       Multimodal.queries ++ Sampling.queries ++ Sources.queries ++
-      Quantize.queries ++ Incremental.queries ++ Assembly.queries).map { case (k, fn) =>
+      Quantize.queries ++ Incremental.queries ++ Assembly.queries ++
+      Profile.queries).map { case (k, fn) =>
       k -> ((s: SparkSession, d: String) => ntz(fn(s, d)))
     }
 

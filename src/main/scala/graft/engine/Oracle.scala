@@ -741,6 +741,54 @@ object Oracle {
           AS kept_checksum
       FROM k GROUP BY lang ORDER BY lang""",
 
+    // Column profile (Profile.qProfileCorpus): one UNION ALL branch per
+    // column re-derives the exact long-form profile.
+    "q_profile_corpus" -> """
+      SELECT * FROM (
+        SELECT 'doc_id' AS col_name, count(*)::BIGINT AS n_rows,
+          (count(*) - count(doc_id))::BIGINT AS n_null,
+          count(DISTINCT doc_id)::BIGINT AS n_distinct FROM documents
+        UNION ALL
+        SELECT 'lang', count(*)::BIGINT, (count(*) - count(lang))::BIGINT,
+          count(DISTINCT lang)::BIGINT FROM documents
+        UNION ALL
+        SELECT 'source', count(*)::BIGINT, (count(*) - count(source))::BIGINT,
+          count(DISTINCT source)::BIGINT FROM documents
+        UNION ALL
+        SELECT 'text', count(*)::BIGINT, (count(*) - count(text))::BIGINT,
+          count(DISTINCT text)::BIGINT FROM documents
+        UNION ALL
+        SELECT 'n_chars', count(*)::BIGINT, (count(*) - count(n_chars))::BIGINT,
+          count(DISTINCT n_chars)::BIGINT FROM documents)
+      ORDER BY col_name""",
+
+    // DQ gate (Profile.qDqChecks): same planted defects, same CASE
+    // precedence (null wins over 'xx' when a doc_id hits both mods).
+    "q_dq_checks" -> """
+      WITH v AS (
+        SELECT * FROM documents
+        UNION ALL SELECT * FROM documents WHERE doc_id % 37 = 1),
+      m AS (SELECT doc_id,
+          CASE WHEN doc_id % 41 = 2 THEN NULL
+               WHEN doc_id % 47 = 5 THEN 'xx' ELSE lang END AS lang,
+          text,
+          CASE WHEN doc_id % 43 = 3 THEN n_chars + 1 ELSE n_chars END AS n_chars
+        FROM v),
+      r AS (
+        SELECT 'lang_not_null' AS rule,
+          count(CASE WHEN lang IS NULL THEN 1 END)::BIGINT AS n_violations FROM m
+        UNION ALL SELECT 'doc_id_unique',
+          (count(doc_id) - count(DISTINCT doc_id))::BIGINT FROM m
+        UNION ALL SELECT 'lang_in_domain',
+          count(CASE WHEN lang IS NOT NULL
+            AND lang NOT IN ('de','en','es','fr','zh') THEN 1 END)::BIGINT FROM m
+        UNION ALL SELECT 'n_chars_consistent',
+          count(CASE WHEN n_chars <> length(text) THEN 1 END)::BIGINT FROM m
+        UNION ALL SELECT 'text_nonempty',
+          count(CASE WHEN length(text) = 0 THEN 1 END)::BIGINT FROM m)
+      SELECT rule, n_violations, n_violations = 0 AS passed
+      FROM r ORDER BY rule""",
+
     // Exact percentiles (Relational.qAggPercentileExact): quantile_cont
     // interpolates at rank q·(n−1) like Spark's percentile; round-6
     // absorbs double association noise on the integral-valued column.

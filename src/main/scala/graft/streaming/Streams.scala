@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, Trigger}
 import org.apache.spark.sql.types._
@@ -634,6 +634,75 @@ object Streams {
       .write.parquet(target.toString)
     fs.create(new Path(target, Marker), true).close()
   }
+
+  // ------------------------------------- streaming keyed upsert (CDC apply)
+
+  /** One micro-batch of streaming keyed upsert: merge `batch` into the
+    * persisted snapshot under `dir` with latest-wins-by-`order` per
+    * `keyCols` — the file-backed KTable materialization (a compacted
+    * topic's table face, applied per micro-batch). Each batch writes a
+    * NEW versioned dir `v_<batchId>` committed by the shared
+    * `_GRAFT_COMMITTED` marker protocol, then prunes older committed
+    * versions: the merge STREAMS from the previous version's files into
+    * the next (no read-and-overwrite-in-place hazard, no checkpoint
+    * materialization), a crashed write leaves an uncommitted dir that
+    * replay deletes, and a replayed batch id short-circuits on its
+    * marker — so the sink is exactly-once-effective over retries.
+    * Readers resolve [[readSnapshotVersion]]; single writer assumed
+    * (the streaming query is the only maintainer).
+    *
+    * `tombstoneCol`: when set, delta rows with it true DELETE their key
+    * ([[graft.engine.Dedup.mergeSnapshotWithDeletes]] semantics —
+    * a stale tombstone loses to a newer live row, re-inserts resurrect).
+    */
+  def upsertBatch(batch: DataFrame, dir: String, batchId: Long,
+      keyCols: Seq[String], order: Seq[Column],
+      tombstoneCol: Option[String] = None): Unit = {
+    import org.apache.hadoop.fs.Path
+    import graft.engine.Dedup
+    val spark = batch.sparkSession
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(root)
+    val target = new Path(root, f"v_$batchId%06d")
+    val Marker = "_GRAFT_COMMITTED"
+    if (fs.exists(new Path(target, Marker))) return // replayed, already applied
+    if (fs.exists(target)) fs.delete(target, true)  // crashed partial write
+    val corpus = readSnapshotVersion(spark, dir).getOrElse(batch.limit(0))
+    val merged = tombstoneCol match {
+      case Some(t) => Dedup.mergeSnapshotWithDeletes(corpus, batch, keyCols, order, t)
+      case None => Dedup.mergeSnapshot(corpus, batch, keyCols, order)
+    }
+    merged.write.parquet(target.toString)
+    fs.create(new Path(target, Marker), true).close()
+    fs.listStatus(root).toIndexedSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v_") &&
+        st.getPath.getName < target.getName &&
+        fs.exists(new Path(st.getPath, Marker)))
+      .foreach(st => fs.delete(st.getPath, true))
+  }
+
+  /** The latest committed snapshot version under `dir`, if any. */
+  def readSnapshotVersion(spark: SparkSession, dir: String): Option[DataFrame] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return None
+    fs.listStatus(root).toIndexedSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v_") &&
+        fs.exists(new Path(st.getPath, "_GRAFT_COMMITTED")))
+      .map(_.getPath).sortBy(_.getName).lastOption
+      .map(p => graft.engine.Tables.configure(spark).read.parquet(p.toString))
+  }
+
+  /** Standing streaming upsert: a changelog stream maintained as a keyed
+    * snapshot table — compose with [[start]].
+    */
+  def upsertSink(dir: String, keyCols: Seq[String], order: Seq[Column],
+      tombstoneCol: Option[String] = None,
+      checkpoint: Option[String] = None): StreamSink =
+    ForeachBatchSink(
+      (b, id) => upsertBatch(b, dir, id, keyCols, order, tombstoneCol), checkpoint)
 
   /** Standing incremental-aggregate pipeline: the streaming face of
     * engine.Incremental — partial aggregates maintained per micro-batch,
