@@ -290,10 +290,63 @@ object Assembly {
       .orderBy("lang")
   }
 
+  /** Weight-aware rebalance — [[rebalanceUniform]] with each stratum's
+    * share measured in `weightCol` units (tokens, bytes) instead of
+    * rows, which is what an LLM mixture actually targets (a token
+    * budget per language/domain; doc counts misallocate when mean doc
+    * length differs across strata). rate_s = min(1, (Σw/k)/w_s), doc
+    * membership is the same order-free Knuth bucket — so kept sets are
+    * threshold-monotone: lowering a stratum's rate keeps a SUBSET of
+    * the higher rate's picks, making successive rebalances stable.
+    * Downsampling whole docs hits the token budget only in expectation
+    * (docs are atomic); exact budgets need [[packChunks]] downstream.
+    */
+  def rebalanceByWeight(df: DataFrame, stratumCol: String, idCol: String,
+      weightCol: String): DataFrame =
+    df.join(broadcast(weightRates(df, stratumCol, weightCol)), Seq(stratumCol))
+      .where(Sampling.bucket(col(idCol)) < col("__rate") * Sampling.Resolution)
+      .drop("__rate")
+
+  /** Per-stratum keep rate min(1, (Σw/k)/w_s) — same association-order
+    * contract as [[uniformRates]] so the oracle reproduces the exact
+    * IEEE-754 doubles.
+    */
+  private def weightRates(df: DataFrame, stratumCol: String,
+      weightCol: String): DataFrame = {
+    val stats = df.groupBy(col(stratumCol))
+      .agg(sum(col(weightCol)).cast("double").as("__w"))
+    val tot = df.agg(sum(col(weightCol)).cast("double").as("__totw"),
+      countDistinct(col(stratumCol)).as("__k"))
+    stats.crossJoin(broadcast(tot))
+      .withColumn("__rate",
+        least(lit(1.0), col("__totw") / col("__k").cast("double") / col("__w")))
+      .select(col(stratumCol), col("__rate"))
+  }
+
+  /** Graded surface: token-weighted mixture on documents — per-language
+    * original/kept doc AND token counts plus the kept-id checksum, so
+    * the oracle pins exact membership and the token accounting.
+    */
+  val qMixtureTokens: Q = (s, d) => {
+    val docs = documents(s, d)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+    docs.join(broadcast(weightRates(docs, "lang", "n_tokens")), Seq("lang"))
+      .withColumn("__keep",
+        Sampling.bucket(col("doc_id")) < col("__rate") * Sampling.Resolution)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_orig"),
+        sum(col("n_tokens")).as("tok_orig"),
+        count(when(col("__keep"), lit(1))).as("n_kept"),
+        coalesce(sum(when(col("__keep"), col("n_tokens"))), lit(0L)).as("tok_kept"),
+        coalesce(sum(when(col("__keep"), col("doc_id"))), lit(0L)).as("kept_checksum"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_decontaminate" -> qDecontaminate,
     "q_decontaminate_fuzzy" -> qDecontaminateFuzzy,
     "q_shard_assign" -> qShardAssign,
     "q_seq_packing" -> qSeqPacking,
-    "q_mixture_sample" -> qMixtureSample)
+    "q_mixture_sample" -> qMixtureSample,
+    "q_mixture_tokens" -> qMixtureTokens)
 }

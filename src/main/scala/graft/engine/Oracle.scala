@@ -800,6 +800,42 @@ object Oracle {
         count(*)::BIGINT AS n_rows
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
+    // Token-weighted mixture (Assembly.qMixtureTokens): rate =
+    // least(1, (Σtok/k)/tok_s) in EXACTLY the engine's association
+    // order; membership is the shared Knuth bucket threshold.
+    "q_mixture_tokens" -> """
+      WITH t AS (SELECT doc_id, lang,
+          len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),
+        s AS (SELECT lang, CAST(sum(n_tokens) AS DOUBLE) AS w FROM t GROUP BY lang),
+        g AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS totw,
+          count(DISTINCT lang)::BIGINT AS k FROM t),
+        r AS (SELECT lang, least(1.0, totw / CAST(k AS DOUBLE) / w) AS rate
+          FROM s, g),
+        m AS (SELECT t.lang, t.doc_id, t.n_tokens,
+          ((t.doc_id & 2147483647) * 2654435761) % 1048576 < r.rate * 1048576
+            AS keep
+        FROM t JOIN r ON t.lang = r.lang)
+      SELECT lang, count(*)::BIGINT AS n_orig,
+        CAST(sum(n_tokens) AS BIGINT) AS tok_orig,
+        count(CASE WHEN keep THEN 1 END)::BIGINT AS n_kept,
+        CAST(coalesce(sum(CASE WHEN keep THEN n_tokens END), 0) AS BIGINT)
+          AS tok_kept,
+        CAST(coalesce(sum(CASE WHEN keep THEN doc_id END), 0) AS BIGINT)
+          AS kept_checksum
+      FROM m GROUP BY lang ORDER BY lang""",
+
+    // Per-group deterministic sample (Sampling.qSamplePerGroup): the 5
+    // smallest Knuth-bucket hashes per language, row-level.
+    "q_sample_pergroup" -> """
+      WITH h AS (SELECT lang, doc_id,
+          ((doc_id & 2147483647) * 2654435761) % 1048576 AS b FROM documents),
+        r AS (SELECT lang, doc_id,
+          CAST(row_number() OVER (PARTITION BY lang ORDER BY b, doc_id)
+            AS BIGINT) AS sample_rank
+        FROM h)
+      SELECT lang, sample_rank, doc_id FROM r WHERE sample_rank <= 5
+      ORDER BY lang, sample_rank""",
+
     // Canonical survivor per normalized dup group: longest text, tie →
     // lowest doc_id; norm key identical to q_dedup_normalized's.
     "q_dedup_keep_best" -> """

@@ -113,8 +113,34 @@ object Sampling {
         max(col("doc_id")).as("max_doc_id"))
       .orderBy("lang", "split")
 
+  /** Exactly-k-per-group deterministic sample: the k rows with the
+    * SMALLEST [[bucket]] hashes per group — a "reservoir sample" whose
+    * reservoir is a pure function of the ids (stable across runs,
+    * engines, and corpus growth: a doc only leaves the sample when a
+    * smaller-hash doc enters its group). Rate-based sampling can't
+    * promise exact counts; this is the eval-set / spot-check shape. One
+    * shuffle on the group key; the per-group sort is bounded by group
+    * size, and for heavy groups the bounded top-k Aggregator
+    * (functions.TopK, graded q_topk_agg) is the map-side-cut twin.
+    */
+  def samplePerGroup(df: DataFrame, groupCol: String, idCol: String, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(bucket(col(idCol)), col(idCol))
+    df.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .where(col("sample_rank") <= k)
+  }
+
+  /** Graded surface: 5 docs per language, emitted row-level — the
+    * oracle re-derives the exact picks and ranks.
+    */
+  val qSamplePerGroup: Q = (s, d) =>
+    samplePerGroup(Tables.documents(s, d), "lang", "doc_id", 5)
+      .select(col("lang"), col("sample_rank"), col("doc_id"))
+      .orderBy("lang", "sample_rank")
+
   val queries: Map[String, Q] = Map(
     "q_sample_stratified" -> qSampleStratified,
+    "q_sample_pergroup" -> qSamplePerGroup,
     "q_train_test_split" -> qTrainTestSplit
   )
 }

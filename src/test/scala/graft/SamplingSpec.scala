@@ -118,6 +118,50 @@ class SamplingSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("samplePerGroup: exactly k per group, smallest hashes win, stable as the corpus grows") {
+    def h(id: Long) = ((id & 0x7FFFFFFFL) * 2654435761L) % (1L << 20)
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+    val got = Sampling.samplePerGroup(docs, "lang", "doc_id", 5)
+      .select($"lang", $"sample_rank", $"doc_id")
+      .as[(String, Long, Long)].collect().toSeq
+    val byLang = docs.select($"lang", $"doc_id").as[(String, Long)].collect()
+      .groupBy(_._1).map { case (l, rows) =>
+        l -> rows.map(_._2).sortBy(id => (h(id), id)).take(5).toSeq
+      }
+    got.groupBy(_._1).foreach { case (lang, rows) =>
+      assert(rows.sortBy(_._2).map(_._3) == byLang(lang), s"picks differ for $lang")
+    }
+    assert(got.groupBy(_._1).values.forall(_.size == 5))
+    // Growth stability: halving the corpus keeps picks that survive the cut.
+    val half = docs.where($"doc_id" % 2 === 0)
+    val gotHalf = Sampling.samplePerGroup(half, "lang", "doc_id", 5)
+      .select($"doc_id").as[Long].collect().toSet
+    val fullPicks = got.map(_._3).filter(_ % 2 == 0).toSet
+    assert(fullPicks.subsetOf(gotHalf),
+      "a full-corpus pick with an even id must still be picked in the even-only corpus")
+  }
+
+  test("rebalanceByWeight: heavy-token strata downsample toward the token quota, light keep all") {
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+      .withColumn("n_tokens", size(split($"text", " ")).cast("long"))
+    val tokPerLang = docs.groupBy("lang").agg(sum("n_tokens").as("t"))
+      .as[(String, Long)].collect().toMap
+    val quota = tokPerLang.values.sum.toDouble / tokPerLang.size
+    val kept = graft.engine.Assembly.rebalanceByWeight(docs, "lang", "doc_id", "n_tokens")
+    val keptTok = kept.groupBy("lang").agg(sum("n_tokens").as("t"))
+      .as[(String, Long)].collect().toMap
+    tokPerLang.foreach { case (lang, t) =>
+      val k = keptTok.getOrElse(lang, 0L)
+      if (t <= quota) assert(k == t, s"$lang under token quota must keep all ($k of $t)")
+      else assert(k < t && math.abs(k - quota) < 0.35 * quota,
+        s"$lang kept $k tokens, quota $quota")
+    }
+    // Deterministic.
+    assert(kept.select("doc_id").as[Long].collect().toSet ==
+      graft.engine.Assembly.rebalanceByWeight(docs, "lang", "doc_id", "n_tokens")
+        .select("doc_id").as[Long].collect().toSet)
+  }
+
   test("the sampling filter is map-side: no shuffle exchange in the plan") {
     val df = Sampling.stratifiedSample(Tables.events(spark, TestSpark.sfDir),
       "event_type", "event_id", Map("click" -> 0.5))
