@@ -342,7 +342,40 @@ object Assembly {
       .orderBy("lang")
   }
 
+  /** Capstone: the whole assembly pipeline end-to-end on one frame —
+    * normalized exact dedup (first-wins by doc_id) → exact 5-gram
+    * decontamination against the raw holdout (the eval set is NOT
+    * deduped; it is whatever the benchmark ships) → uniform language
+    * rebalance → deterministic shard assignment — then per-shard doc/
+    * token counts and the permutation checksum. Every stage is the
+    * already-graded operator, composed; the oracle replays the same CTE
+    * chain, so the graded contract is the exact surviving membership
+    * AND ordering after four stages of interaction — the integration
+    * test for stage composition (e.g. rebalance rates computed on the
+    * POST-decontamination counts, not the raw ones).
+    */
+  val qPipelineAssembly: Q = (s, d) => {
+    val docs = documents(s, d)
+    val isBench = col("doc_id") % 23 === 0
+    val deduped = Dedup.firstWins(
+        docs.withColumn("__norm", Dedup.normKey(col("text"))),
+        Seq("__norm"), Seq("doc_id"))
+      .drop("__norm")
+    val clean = decontaminate(deduped.where(!isBench), docs.where(isBench))
+    val balanced = rebalanceUniform(clean, "lang", "doc_id")
+    shuffleShards(
+        balanced.select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens")),
+        "doc_id", 8)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("pos") * col("doc_id")).as("order_checksum"))
+      .orderBy("shard")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_pipeline_assembly" -> qPipelineAssembly,
     "q_decontaminate" -> qDecontaminate,
     "q_decontaminate_fuzzy" -> qDecontaminateFuzzy,
     "q_shard_assign" -> qShardAssign,

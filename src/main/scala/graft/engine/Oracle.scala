@@ -659,6 +659,50 @@ object Oracle {
       FROM d LEFT JOIN c ON d.doc_id = c.doc_id
       WHERE NOT d.is_bench GROUP BY lang ORDER BY lang""",
 
+    // Assembly pipeline capstone (Assembly.qPipelineAssembly): the same
+    // four stages as CTEs — normalized first-wins dedup, 5-gram
+    // decontamination vs the RAW holdout, uniform rebalance with rates
+    // over the post-decontamination counts, Knuth shard/order hash.
+    "q_pipeline_assembly" -> """
+      WITH d0 AS (SELECT doc_id, lang, text,
+          array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')
+            AS norm FROM documents),
+        dd AS (SELECT doc_id, lang, text FROM (
+            SELECT *, row_number() OVER (PARTITION BY norm ORDER BY doc_id) rn
+            FROM d0) WHERE rn = 1),
+        train AS (SELECT * FROM dd WHERE doc_id % 23 <> 0),
+        bench AS (SELECT * FROM documents WHERE doc_id % 23 = 0),
+        tg AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 3), i ->
+              array_to_string(list_slice(t, i, i + 4), ' '))) AS gram
+          FROM (SELECT doc_id, string_split(text, ' ') AS t FROM train)
+          WHERE len(t) >= 5),
+        bg AS (SELECT DISTINCT unnest(list_transform(range(1, len(t) - 3), i ->
+              array_to_string(list_slice(t, i, i + 4), ' '))) AS gram
+          FROM (SELECT string_split(text, ' ') AS t FROM bench)
+          WHERE len(t) >= 5),
+        contam AS (SELECT DISTINCT doc_id FROM tg
+          WHERE gram IN (SELECT gram FROM bg)),
+        clean AS (SELECT * FROM train
+          WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+        s AS (SELECT lang, count(*)::BIGINT AS n FROM clean GROUP BY lang),
+        t AS (SELECT count(*)::BIGINT AS tot,
+          count(DISTINCT lang)::BIGINT AS k FROM clean),
+        r AS (SELECT lang, least(1.0, (CAST(tot AS DOUBLE) / k) / n) AS rate
+          FROM s, t),
+        bal AS (SELECT c.doc_id, c.text FROM clean c JOIN r ON c.lang = r.lang
+          WHERE ((c.doc_id & 2147483647) * 2654435761) % 1048576
+            < r.rate * 1048576),
+        sh AS (SELECT doc_id,
+            len(string_split(text, ' '))::BIGINT AS n_tokens,
+            ((doc_id & 2147483647) * 2654435761) % 2147483648 AS h FROM bal),
+        p AS (SELECT h % 8 AS shard, n_tokens, doc_id,
+            CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h) AS BIGINT)
+              AS pos FROM sh)
+      SELECT shard, count(*)::BIGINT AS n_docs,
+        CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        CAST(sum(pos * doc_id) AS BIGINT) AS order_checksum
+      FROM p GROUP BY shard ORDER BY shard""",
+
     // Fuzzy decontamination (Assembly.qDecontaminateFuzzy): exact
     // train × bench all-pairs token-set Jaccard — sound vs the engine's
     // banded candidates for q_neardup_delta's reason (per-pair band-miss
