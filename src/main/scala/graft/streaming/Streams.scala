@@ -704,6 +704,59 @@ object Streams {
     ForeachBatchSink(
       (b, id) => upsertBatch(b, dir, id, keyCols, order, tombstoneCol), checkpoint)
 
+  // --------------------------------------------- DQ-gated streaming ingest
+
+  /** One micro-batch through the data-quality gate: evaluate `rules`
+    * ([[graft.engine.Profile.check]] — one aggregation pass) and land
+    * the WHOLE batch marker-committed under `corpusDir` if every rule
+    * passes, else under `quarantineDir` with a `_GRAFT_DQ_REPORT.json`
+    * naming the failing rules and violation counts (the
+    * inspect-and-replay artifact; underscore-prefixed so parquet
+    * discovery skips it). Batch-level routing is deliberate: row-level
+    * repair is the quarantine LOADER's job at the parse edge
+    * (Tables.readCsvQuarantine); the gate's job is "never merge a batch
+    * that violates the contract". Returns whether the batch passed.
+    *
+    * Replay-idempotent BECAUSE rules are deterministic: a replayed batch
+    * re-evaluates to the same verdict, lands on the same dir, and
+    * short-circuits on its marker. The batch is localCheckpointed so
+    * check + write read one materialization, not two source replays.
+    */
+  def dqGateBatch(batch: DataFrame, rules: Seq[graft.engine.Profile.Rule],
+      corpusDir: String, quarantineDir: String, batchId: Long): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val b = batch.localCheckpoint()
+    try {
+      val report = graft.engine.Profile.check(b, rules).collect() // ≤ |rules| rows
+      val ok = report.forall(_.getAs[Boolean]("passed"))
+      val root = new Path(if (ok) corpusDir else quarantineDir)
+      val fs = root.getFileSystem(b.sparkSession.sparkContext.hadoopConfiguration)
+      fs.mkdirs(root)
+      val target = new Path(root, f"batch_$batchId%06d")
+      val Marker = "_GRAFT_COMMITTED"
+      if (fs.exists(new Path(target, Marker))) return ok // replayed, same verdict
+      if (fs.exists(target)) fs.delete(target, true)
+      b.write.parquet(target.toString)
+      if (!ok) {
+        val failing = report.filterNot(_.getAs[Boolean]("passed"))
+          .map(r => s"""{"rule":"${r.getString(0)}","n_violations":${r.getLong(1)}}""")
+          .mkString("[", ",", "]")
+        val out = fs.create(new Path(target, "_GRAFT_DQ_REPORT.json"), true)
+        out.write(failing.getBytes("UTF-8")); out.close()
+      }
+      fs.create(new Path(target, Marker), true).close()
+      ok
+    } finally { b.unpersist(); () }
+  }
+
+  /** Standing DQ-gated ingest: compose with [[start]]. */
+  def dqGatedSink(rules: Seq[graft.engine.Profile.Rule],
+      corpusDir: String, quarantineDir: String,
+      checkpoint: Option[String] = None): StreamSink =
+    ForeachBatchSink(
+      (b, id) => { dqGateBatch(b, rules, corpusDir, quarantineDir, id); () },
+      checkpoint)
+
   /** Standing incremental-aggregate pipeline: the streaming face of
     * engine.Incremental — partial aggregates maintained per micro-batch,
     * any date range answered later by merging the committed partials
