@@ -179,6 +179,14 @@ object Oracle {
        AND r.ts >= l.ts - INTERVAL 30 MINUTE AND r.ts <= l.ts
       ORDER BY p_id, c_id""",
 
+    // Shuffle-hash join (Relational.qJoinShuffleHash): the strategy is
+    // plan-level only — the result must equal a plain join.
+    "q_join_shuffle_hash" -> """
+      SELECT c_mktsegment, count(*)::BIGINT AS n_orders,
+        round(sum(o_totalprice), 2) AS sum_price
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
     "q_join_cross" -> """
       SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name""",
 

@@ -265,6 +265,23 @@ object Relational {
       .orderBy("p_id", "c_id")
   }
 
+  /** Shuffle-hash join — the third strategy beside broadcast and
+    * sort-merge: both sides shuffle on the key but the build side
+    * HASHES instead of sorting, the win when the build side is
+    * mid-sized (past broadcast scale, small enough per-partition that a
+    * hash table beats two sorts — no spill-to-sort safety net, which is
+    * why Spark prefers SMJ unless hinted). Hint on the customer side =
+    * build customer; PlanSpec pins ShuffledHashJoin took effect.
+    */
+  val qJoinShuffleHash: Q = (s, d) =>
+    orders(s, d)
+      .join(customer(s, d).hint("shuffle_hash"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy("c_mktsegment")
+
   /** Cartesian product (tiny dims only): region × nation. */
   val qJoinCross: Q = (s, d) =>
     region(s, d).select(col("r_name"))
@@ -835,6 +852,7 @@ object Relational {
     "q_join_interval" -> qJoinInterval,
     "q_join_interval_outer" -> qJoinIntervalOuter,
     "q_join_cross" -> qJoinCross,
+    "q_join_shuffle_hash" -> qJoinShuffleHash,
     "q1_pricing_summary" -> q1PricingSummary,
     "q_agg_distinct" -> qAggDistinct,
     "q_agg_stats" -> qAggStats,

@@ -221,6 +221,28 @@ class PlanSpec extends AnyFunSuite {
     assertStarred(graft.engine.Dedup.signatures(shingled, "grams"), "signatures(grams)")
   }
 
+  test("q_join_shuffle_hash: the hint takes effect (ShuffledHashJoin, not SMJ/broadcast)") {
+    val p = plan("q_join_shuffle_hash")
+    assert(p.contains("ShuffledHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("q_decontaminate: benchmark grams broadcast into a semi-join; corpus text never shuffles") {
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p.take(2000))
+    // The only shuffles are the matched-id distinct and the final agg —
+    // never a sort-merge join (which would shuffle corpus-side grams).
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("q_decontaminate_fuzzy: the banded candidate join probes a BROADCAST benchmark index") {
+    val p = plan("q_decontaminate_fuzzy")
+    // Auto shape must resolve the (small) benchmark side to Broadcast:
+    // the corpus-scale train side streams map-side through the band
+    // probe instead of shuffling its bands.
+    assert(p.contains("BroadcastHashJoin [__band_idx"), p.take(2000))
+  }
+
   test("partitioned layout: the scan prunes to exactly the filtered lang directories") {
     // q_partition_pruned's shared scan helper: 2 of the 5 lang partitions
     // survive the filter — the scan must plan PartitionFilters (pruning
