@@ -615,6 +615,42 @@ object Oracle {
         round(value, 2) AS cur_value
       FROM m WHERE rn2 = 1 AND NOT deleted ORDER BY user_id, event_type""",
 
+    // SCD2 history (History.qScd2Merge): the Spark side builds the
+    // history INCREMENTALLY (first half derived, second half merged);
+    // the oracle derives it one-shot over the full log. Equality means
+    // the merge path is indistinguishable from never having split.
+    "q_scd2_merge" -> """
+      WITH ordered AS (SELECT user_id, event_type, ts,
+          lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        FROM events),
+        changes AS (SELECT user_id, event_type, ts AS valid_from
+          FROM ordered WHERE prev IS NULL OR prev <> event_type),
+        hist AS (SELECT user_id, event_type, valid_from,
+          lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+            AS valid_to
+        FROM changes)
+      SELECT user_id, event_type, valid_from, valid_to,
+        (valid_to IS NULL) AS is_current
+      FROM hist ORDER BY user_id, valid_from""",
+
+    // Point-in-time lookup over the same history: each user's segment
+    // as of Jan 20 (interval covering the instant).
+    "q_scd2_asof" -> """
+      WITH ordered AS (SELECT user_id, event_type, ts,
+          lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        FROM events),
+        changes AS (SELECT user_id, event_type, ts AS valid_from
+          FROM ordered WHERE prev IS NULL OR prev <> event_type),
+        hist AS (SELECT user_id, event_type, valid_from,
+          lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+            AS valid_to
+        FROM changes)
+      SELECT user_id, event_type, valid_from, (valid_to IS NULL) AS is_current
+      FROM hist
+      WHERE valid_from <= TIMESTAMP '2024-01-20'
+        AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-20')
+      ORDER BY user_id""",
+
     // PII redaction: same augmented text, same patterns (common
     // Java-regex/RE2 subset), 'g' flag for replace-all to match Spark.
     "q_pii_redact" -> """
