@@ -877,6 +877,27 @@ object Oracle {
       SELECT rule, n_violations, n_violations = 0 AS passed
       FROM r ORDER BY rule""",
 
+    // Robust outliers (Profile.qOutlierMad): median/MAD interpolation
+    // is a single arithmetic op on sorted values — bit-identical across
+    // engines — so the unrounded threshold compare is deterministic.
+    // Same literal association order as the Spark side: (3.0·1.4826)·mad.
+    "q_outlier_mad" -> """
+      WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY 1),
+      dev AS (SELECT e.event_type, e.value, m.med,
+          abs(e.value - m.med) AS adev
+        FROM events e JOIN med m USING (event_type)),
+      mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY 1)
+      SELECT d.event_type,
+        round(max(d.med), 6) AS median_value,
+        round(max(a.mad), 6) AS mad_value,
+        count(*)::BIGINT AS n_rows,
+        sum(CASE WHEN abs(d.value - d.med) > 3.0 * 1.4826 * a.mad
+          THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+      FROM dev d JOIN mad a USING (event_type)
+      GROUP BY d.event_type ORDER BY d.event_type""",
+
     // Exact percentiles (Relational.qAggPercentileExact): quantile_cont
     // interpolates at rank q·(n−1) like Spark's percentile; round-6
     // absorbs double association noise on the integral-valued column.

@@ -110,7 +110,49 @@ object Profile {
       Violates("text_nonempty", length(col("text")) === 0)))
   }
 
+  /** Robust per-group outlier statistics: median + MAD (median absolute
+    * deviation), and the count of values outside `k`·1.4826·MAD of the
+    * median — the standard robust z-score with the Gaussian consistency
+    * constant, immune to the outliers it hunts (unlike mean/stddev,
+    * which the outliers themselves inflate). This is the exact
+    * validation form: `percentile` buffers each group's values, and the
+    * flagging pass re-joins the tiny per-group stats frame (broadcast)
+    * — three scans of the input. The 100 TB twin swaps both percentile
+    * calls for `approx_percentile`'s mergeable sketch (one-pass partials,
+    * same plan shape), exactly the approx/exact split the percentile
+    * keys document.
+    */
+  def madOutlierStats(df: DataFrame, groupCol: String, valueCol: String,
+      k: Double = 3.0): DataFrame = {
+    val med = df.groupBy(col(groupCol))
+      .agg(percentile(col(valueCol), lit(0.5)).as("__med"))
+    val dev = df.join(broadcast(med), Seq(groupCol))
+    val mad = dev.groupBy(col(groupCol))
+      .agg(percentile(abs(col(valueCol) - col("__med")), lit(0.5)).as("__mad"))
+    dev.join(broadcast(mad), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(
+        round(max(col("__med")), 6).as("median_value"),
+        round(max(col("__mad")), 6).as("mad_value"),
+        count(lit(1)).as("n_rows"),
+        sum(when(abs(col(valueCol) - col("__med")) >
+          lit(k) * lit(1.4826) * col("__mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
+
+  /** Graded surface: robust outlier counts per event_type over the
+    * event values. Median/MAD interpolation is a single arithmetic op
+    * on sorted values (no summation reassociation), so the stats are
+    * bit-identical to DuckDB's quantile_cont and the `>` threshold
+    * comparison is deterministic across engines.
+    */
+  val qOutlierMad: Q = (s, d) =>
+    madOutlierStats(events(s, d).select(col("event_type"), col("value")),
+      "event_type", "value")
+      .orderBy("event_type")
+
   val queries: Map[String, Q] = Map(
     "q_profile_corpus" -> qProfileCorpus,
-    "q_dq_checks" -> qDqChecks)
+    "q_dq_checks" -> qDqChecks,
+    "q_outlier_mad" -> qOutlierMad)
 }

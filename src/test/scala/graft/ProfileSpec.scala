@@ -57,6 +57,45 @@ class ProfileSpec extends AnyFunSuite {
     assert(approx("lang") == exact("lang")._4) // tiny cardinality is exact
   }
 
+  test("madOutlierStats matches an independent in-JVM median/MAD computation") {
+    // Deterministic skewed data: group "a" tight around 10 with two
+    // planted extremes; group "b" uniform with none flagged at k=3.
+    val a = Seq.tabulate(21)(i => 9.0 + i * 0.1) ++ Seq(500.0, -500.0)
+    val b = Seq.tabulate(20)(i => i.toDouble)
+    val df = (a.map(("a", _)) ++ b.map(("b", _))).toDF("g", "v")
+    def medianOf(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val n = s.length
+      val r = 0.5 * (n - 1); val lo = r.toInt
+      if (lo + 1 < n) s(lo) + (r - lo) * (s(lo + 1) - s(lo)) else s(lo)
+    }
+    val expect = Map("a" -> a, "b" -> b).map { case (g, xs) =>
+      val med = medianOf(xs)
+      val mad = medianOf(xs.map(x => math.abs(x - med)))
+      val n = xs.count(x => math.abs(x - med) > 3.0 * 1.4826 * mad)
+      g -> ((med, mad, xs.length.toLong, n.toLong))
+    }
+    val got = Profile.madOutlierStats(df, "g", "v")
+      .as[(String, Double, Double, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    for (g <- Seq("a", "b")) {
+      val (med, mad, n, k) = expect(g)
+      assert(got(g) == ((math.rint(med * 1e6) / 1e6,
+        math.rint(mad * 1e6) / 1e6, n, k)), s"group $g: ${got(g)}")
+    }
+    assert(got("a")._4 == 2L && got("b")._4 == 0L)
+  }
+
+  test("madOutlierStats is robust: extremes barely move the median/MAD baseline") {
+    // Mean/stddev-based flagging would be dragged by the planted
+    // extreme; median/MAD must stay within the clean data's range.
+    val clean = Seq.tabulate(50)(i => 100.0 + i)
+    val dirty = clean :+ 1e9
+    val stat = Profile.madOutlierStats(dirty.map(("g", _)).toDF("g", "v"), "g", "v")
+      .as[(String, Double, Double, Long, Long)].head()
+    assert(stat._2 >= 100.0 && stat._2 <= 150.0, s"median dragged: ${stat._2}")
+    assert(stat._5 == 1L, s"exactly the planted extreme flags: ${stat._5}")
+  }
+
   test("approx profile and check are single-scan plans (no Expand, one scan)") {
     val docs = Tables.documents(spark, TestSpark.sfDir)
     val p1 = Profile.profile(docs, Seq("doc_id", "lang", "source"))
