@@ -1253,6 +1253,16 @@ object Oracle {
         round(sum(value), 2) AS sum_value, max(ts) AS max_ts
       FROM events GROUP BY event_type ORDER BY event_type""",
 
+    // Orphan vacuum (Sources.qVacuumOrphans): the two committed batches
+    // tile the full slice, so the oracle is the plain aggregate — it
+    // only matches if the orphan's duplicate rows were swept (count(*)
+    // and sum(value) would both inflate) and nothing else was touched.
+    "q_vacuum_orphans" -> """
+      SELECT event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+        min(event_id) AS min_event_id, max(event_id) AS max_event_id,
+        round(sum(value), 2) AS sum_value, max(ts) AS max_ts
+      FROM events GROUP BY event_type ORDER BY event_type""",
+
     // Snapshot diff (Sources.qSnapshotDiff): the oracle re-derives v2
     // from v1 with the same planted deletes/updates/inserts and diffs
     // ALL partitions — equal to the engine's pruned two-phase diff iff

@@ -196,6 +196,41 @@ object Sources {
     } finally deleteRecursively(new java.io.File(dir))
   }
 
+  /** Orphan-vacuum round trip (Streams.vacuumUncommitted scaladoc): the
+    * events slice lands as two marker-committed batch directories plus
+    * a CRASHED RETRY of the second batch — a partial, marker-less
+    * orphan whose batchId never replays. Vacuum sweeps it; the key then
+    * reads the store the way a marker-OBLIVIOUS downstream consumer
+    * does (plain recursive file listing) and aggregates. Oracle: the
+    * aggregate over the intact slice — equal iff the orphan's
+    * would-be-duplicate rows are gone (count(*) would inflate) and both
+    * committed batches survived untouched.
+    */
+  val qVacuumOrphans: Q = (s, d) => {
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("graft_vacuum_").toString
+    try {
+      val fs = new Path(dir).getFileSystem(s.sparkContext.hadoopConfiguration)
+      def commit(name: String): Unit =
+        fs.create(new Path(s"$dir/$name", "_GRAFT_COMMITTED"), true).close()
+      val ev = eventsSlice(s, d)
+      val mid = lit("2024-01-16").cast("timestamp")
+      ev.where(col("ts") < mid).write.parquet(s"$dir/batch_000000")
+      commit("batch_000000")
+      ev.where(col("ts") >= mid).write.parquet(s"$dir/batch_000001")
+      commit("batch_000001")
+      // The crashed retry: half of batch 1's rows made it to disk
+      // before the writer died — no marker.
+      ev.where(col("ts") >= mid && col("user_id") % 2 === 0)
+        .write.parquet(s"$dir/batch_000002")
+      val swept = graft.streaming.Streams.vacuumUncommitted(s, dir, graceMs = 0)
+      require(swept == Seq("batch_000002"), s"unexpected sweep: $swept")
+      aggregate(Tables.configure(s).read
+        .option("recursiveFileLookup", "true").parquet(dir))
+        .localCheckpoint()
+    } finally deleteRecursively(new java.io.File(dir))
+  }
+
   /** Schema-evolution round trip (Tables.readMergedSchema scaladoc): the
     * corpus is written in two batch directories with DIFFERENT schemas —
     * batch_0 predates the `lang` column, batch_1 carries it — then read
@@ -413,6 +448,7 @@ object Sources {
     "q_compact_roundtrip" -> qCompactRoundtrip,
     "q_delete_where" -> qDeleteWhere,
     "q_retention_sweep" -> qRetentionSweep,
+    "q_vacuum_orphans" -> qVacuumOrphans,
     "q_partition_pruned" -> qPartitionPruned,
     "q_sorted_scan" -> qSortedScan,
     "q_zorder_scan" -> qZorderScan,

@@ -682,6 +682,46 @@ object Streams {
       .foreach(st => fs.delete(st.getPath, true))
   }
 
+  /** Sweep UNCOMMITTED batch/version directories — the cleanup half of
+    * the `_GRAFT_COMMITTED` marker protocol. [[ingestBatch]] deletes a
+    * crashed batch's partial directory only when that SAME batchId
+    * replays; an orphan whose id never replays (checkpoint advanced, a
+    * manual job died) stays on disk forever. Graft's own readers skip
+    * it (they list marker-committed dirs only), but any OTHER consumer
+    * doing a plain recursive read — the normal way downstream tools
+    * consume a parquet corpus — would ingest the partial rows. Vacuum
+    * makes the directory safe for everyone: after it runs, every file
+    * under `dir` belongs to a committed batch.
+    *
+    * `graceMs` guards the inherent race with an IN-FLIGHT writer (whose
+    * directory legitimately has no marker yet): only directories whose
+    * latest file modification is older than the grace window are
+    * swept. The default (24 h) is far beyond any batch write; tests
+    * pass 0 for immediacy. O(directories) metadata calls, nothing
+    * scanned; returns the swept names as the audit trail (the
+    * expirePartitionsBefore contract).
+    */
+  def vacuumUncommitted(spark: SparkSession, dir: String,
+      graceMs: Long = 24L * 3600 * 1000): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Nil
+    val cutoff = System.currentTimeMillis() - graceMs
+    def newestMtime(p: Path): Long = {
+      val children = fs.listStatus(p)
+      (fs.getFileStatus(p).getModificationTime +:
+        children.map(st => if (st.isDirectory) newestMtime(st.getPath)
+          else st.getModificationTime).toSeq).max
+    }
+    fs.listStatus(root).toIndexedSeq
+      .filter(st => st.isDirectory &&
+        !fs.exists(new Path(st.getPath, "_GRAFT_COMMITTED")) &&
+        newestMtime(st.getPath) <= cutoff)
+      .map { st => fs.delete(st.getPath, true); st.getPath.getName }
+      .sorted
+  }
+
   /** The latest committed snapshot version under `dir`, if any. */
   def readSnapshotVersion(spark: SparkSession, dir: String): Option[DataFrame] = {
     import org.apache.hadoop.fs.Path

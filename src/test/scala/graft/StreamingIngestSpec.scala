@@ -67,6 +67,28 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(corpusIds(s"$dir/corpus") == Set(1L))
   }
 
+  test("vacuumUncommitted sweeps only stale marker-less dirs, honors the grace window") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vacuum").toString
+    val batch = Seq((1L, "alpha beta gamma delta epsilon", ts(0)))
+      .toDF("doc_id", "text", "ts")
+    Streams.ingestBatch(batch, dir, batchId = 0L)
+    // Orphan: a crashed retry that never replays.
+    val orphan = new java.io.File(s"$dir/batch_000007")
+    orphan.mkdirs()
+    java.nio.file.Files.writeString(orphan.toPath.resolve("part-junk.parquet"), "junk")
+    // Within the grace window the in-flight-looking dir survives.
+    assert(Streams.vacuumUncommitted(spark, dir) == Nil)
+    assert(orphan.exists())
+    // Past the window it sweeps; the committed batch is never touched.
+    assert(Streams.vacuumUncommitted(spark, dir, graceMs = 0) ==
+      Seq("batch_000007"))
+    assert(!orphan.exists())
+    assert(corpusIds(dir) == Set(1L))
+    // Idempotent: nothing left to sweep; missing dir is a no-op.
+    assert(Streams.vacuumUncommitted(spark, dir, graceMs = 0) == Nil)
+    assert(Streams.vacuumUncommitted(spark, s"$dir/nope", graceMs = 0) == Nil)
+  }
+
   test("streamed partial aggregates merge to the batch totals; replay is a no-op") {
     import graft.engine.Tables
     val dir = java.nio.file.Files.createTempDirectory("graft-partials").toString
