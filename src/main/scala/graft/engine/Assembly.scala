@@ -43,6 +43,22 @@ object Assembly {
   def orderHash(id: Column): Column =
     pmod(id.bitwiseAND(lit(Max31)) * lit(Knuth), lit(Mod31))
 
+  /** The audit shape every per-language graded key here shares: per
+    * lang — total rows, rows where `hit`, and a sum(doc_id | hit)
+    * membership checksum (any over- or under-selection breaks it, so
+    * the oracle pins the exact selected SET, not just counts), plus
+    * caller-specific extra aggregates. One map-side-partial hash
+    * aggregate; extracted so the four call sites cannot drift.
+    */
+  private def langAudit(df: DataFrame, hit: Column, totalName: String,
+      hitName: String, checksumName: String, extras: Column*): DataFrame =
+    df.groupBy(col("lang"))
+      .agg(count(lit(1)).as(totalName),
+        (Seq(count(when(hit, lit(1))).as(hitName),
+          coalesce(sum(when(hit, col("doc_id"))), lit(0L)).as(checksumName))
+          ++ extras): _*)
+      .orderBy("lang")
+
   // ------------------------------------------------------ decontamination
 
   /** Benchmark decontamination: drop every training doc that shares at
@@ -93,15 +109,9 @@ object Assembly {
     val contam = contaminatedIds(docs.where(!isBench), docs.where(isBench),
         "text", "doc_id", 5)
       .withColumn("__hit", lit(1L))
-    docs.where(!isBench)
-      .join(contam, Seq("doc_id"), "left")
-      .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_train"),
-        count(col("__hit")).as("n_contaminated"),
-        (count(lit(1)) - count(col("__hit"))).as("n_clean"),
-        coalesce(sum(when(col("__hit").isNotNull, col("doc_id"))), lit(0L))
-          .as("contam_checksum"))
-      .orderBy("lang")
+    langAudit(docs.where(!isBench).join(contam, Seq("doc_id"), "left"),
+      col("__hit").isNotNull, "n_train", "n_contaminated", "contam_checksum",
+      count(when(col("__hit").isNull, lit(1))).as("n_clean"))
   }
 
   // ----------------------------------------- fuzzy (doc-level) decontamination
@@ -156,15 +166,9 @@ object Assembly {
     val contam = fuzzyContaminatedIds(docs.where(!isBench), docs.where(isBench),
         "text", "doc_id", 9, 10, 0.9)
       .withColumn("__hit", lit(1L))
-    docs.where(!isBench)
-      .join(contam, Seq("doc_id"), "left")
-      .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_train"),
-        count(col("__hit")).as("n_contaminated"),
-        (count(lit(1)) - count(col("__hit"))).as("n_clean"),
-        coalesce(sum(when(col("__hit").isNotNull, col("doc_id"))), lit(0L))
-          .as("contam_checksum"))
-      .orderBy("lang")
+    langAudit(docs.where(!isBench).join(contam, Seq("doc_id"), "left"),
+      col("__hit").isNotNull, "n_train", "n_contaminated", "contam_checksum",
+      count(when(col("__hit").isNull, lit(1))).as("n_clean"))
   }
 
   // ------------------------------------------------- shuffle into shards
@@ -280,14 +284,11 @@ object Assembly {
     */
   val qMixtureSample: Q = (s, d) => {
     val docs = documents(s, d)
-    docs.join(broadcast(uniformRates(docs, "lang")), Seq("lang"))
-      .withColumn("__keep",
-        Sampling.bucket(col("doc_id")) < col("__rate") * Sampling.Resolution)
-      .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_orig"),
-        count(when(col("__keep"), lit(1))).as("n_kept"),
-        coalesce(sum(when(col("__keep"), col("doc_id"))), lit(0L)).as("kept_checksum"))
-      .orderBy("lang")
+    langAudit(
+      docs.join(broadcast(uniformRates(docs, "lang")), Seq("lang"))
+        .withColumn("__keep",
+          Sampling.bucket(col("doc_id")) < col("__rate") * Sampling.Resolution),
+      col("__keep"), "n_orig", "n_kept", "kept_checksum")
   }
 
   /** Weight-aware rebalance — [[rebalanceUniform]] with each stratum's
@@ -330,16 +331,13 @@ object Assembly {
   val qMixtureTokens: Q = (s, d) => {
     val docs = documents(s, d)
       .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
-    docs.join(broadcast(weightRates(docs, "lang", "n_tokens")), Seq("lang"))
-      .withColumn("__keep",
-        Sampling.bucket(col("doc_id")) < col("__rate") * Sampling.Resolution)
-      .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_orig"),
-        sum(col("n_tokens")).as("tok_orig"),
-        count(when(col("__keep"), lit(1))).as("n_kept"),
-        coalesce(sum(when(col("__keep"), col("n_tokens"))), lit(0L)).as("tok_kept"),
-        coalesce(sum(when(col("__keep"), col("doc_id"))), lit(0L)).as("kept_checksum"))
-      .orderBy("lang")
+    langAudit(
+      docs.join(broadcast(weightRates(docs, "lang", "n_tokens")), Seq("lang"))
+        .withColumn("__keep",
+          Sampling.bucket(col("doc_id")) < col("__rate") * Sampling.Resolution),
+      col("__keep"), "n_orig", "n_kept", "kept_checksum",
+      sum(col("n_tokens")).as("tok_orig"),
+      coalesce(sum(when(col("__keep"), col("n_tokens"))), lit(0L)).as("tok_kept"))
   }
 
   /** Capstone: the whole assembly pipeline end-to-end on one frame —

@@ -18,12 +18,29 @@ object Profile {
   import Tables._
   type Q = (SparkSession, String) => DataFrame
 
+  /** Both report builders interpolate names into a `stack(...)` SQL
+    * string (and the DQ gate embeds rule names in its JSON report), so
+    * a quote/backtick/backslash in a name would break analysis or emit
+    * invalid JSON. Loudly reject such names at the definition point
+    * instead of silently mangling them downstream.
+    */
+  private val SafeName = "^[A-Za-z0-9_.\\- ]+$".r
+  private def requireSafeNames(kind: String, names: Seq[String]): Unit =
+    names.find(n => SafeName.findFirstIn(n).isEmpty).foreach { bad =>
+      throw new IllegalArgumentException(
+        s"$kind name '$bad' contains characters outside [A-Za-z0-9_.- ]; " +
+          "quotes/backticks/backslashes would corrupt the stack() " +
+          "expression or the DQ JSON report")
+    }
+
   /** Long-form column profile: (col_name, n_rows, n_null, n_distinct)
     * per requested column, one row each. `exact` swaps the HLL distinct
     * estimate for count(DISTINCT) — validation scale only (Expand
     * multiplies the scan output by the distinct-column count).
     */
   def profile(df: DataFrame, columns: Seq[String], exact: Boolean = false): DataFrame = {
+    require(columns.nonEmpty, "profile needs at least one column")
+    requireSafeNames("column", columns)
     val aggs = columns.flatMap(c => Seq(
       count(col(c)).as(s"__nn_$c"),
       (if (exact) countDistinct(col(c))
@@ -61,6 +78,7 @@ object Profile {
   def check(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "check needs at least one rule")
     require(rules.map(_.name).distinct.size == rules.size, "rule names must be unique")
+    requireSafeNames("rule", rules.map(_.name))
     def cnt(cond: Column) = coalesce(sum(when(cond, 1L)), lit(0L))
     val aggs = rules.map {
       case NotNull(n, c) => cnt(col(c).isNull).as(s"__r_$n")

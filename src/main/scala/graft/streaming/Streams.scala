@@ -778,6 +778,8 @@ object Streams {
       if (fs.exists(target)) fs.delete(target, true)
       b.write.parquet(target.toString)
       if (!ok) {
+        // Rule names are JSON-safe by construction: Profile.check
+        // rejects names outside [A-Za-z0-9_.- ] before this runs.
         val failing = report.filterNot(_.getAs[Boolean]("passed"))
           .map(r => s"""{"rule":"${r.getString(0)}","n_violations":${r.getLong(1)}}""")
           .mkString("[", ",", "]")

@@ -65,6 +65,40 @@ class HistorySpec extends AnyFunSuite {
       ("u", "B", ts(2), None, true)))
   }
 
+  test("equal-attr delta rows straddling an existing version both survive") {
+    // History holds B@2; the delta carries A@1 and A@3. Pre-compressing
+    // the delta against itself would drop A@3 as an intra-delta repeat
+    // and lose the re-activation — the merge must yield A, B, A.
+    val h0 = derive(log(("u", 2, "B")))
+    val merged = History.scd2Merge(h0, log(("u", 1, "A"), ("u", 3, "A")),
+      Seq("k"), Seq("attr"), "ts")
+    assert(canon(merged) == canon(derive(log(
+      ("u", 1, "A"), ("u", 2, "B"), ("u", 3, "A")))))
+    assert(canon(merged) == Seq(
+      ("u", "A", ts(1), Some(ts(2)), false),
+      ("u", "B", ts(2), Some(ts(3)), false),
+      ("u", "A", ts(3), None, true)))
+  }
+
+  test("same-(key, ts) delta correction deterministically overrides history") {
+    // A late correction re-observes minute 2 with a different attribute:
+    // the delta side must win (not an arbitrary dropDuplicates survivor),
+    // and the follower logic still applies across the corrected row.
+    val h0 = derive(log(("u", 1, "A"), ("u", 2, "B"), ("u", 3, "C")))
+    val merged = History.scd2Merge(h0, log(("u", 2, "X")),
+      Seq("k"), Seq("attr"), "ts")
+    assert(canon(merged) == Seq(
+      ("u", "A", ts(1), Some(ts(2)), false),
+      ("u", "X", ts(2), Some(ts(3)), false),
+      ("u", "C", ts(3), None, true)))
+    // Correcting to the predecessor's value collapses the version away.
+    val collapse = History.scd2Merge(h0, log(("u", 2, "A")),
+      Seq("k"), Seq("attr"), "ts")
+    assert(canon(collapse) == Seq(
+      ("u", "A", ts(1), Some(ts(3)), false),
+      ("u", "C", ts(3), None, true)))
+  }
+
   test("re-merging the same delta is idempotent; no-change delta is a no-op") {
     val h0 = derive(log(("u", 1, "A"), ("v", 1, "X")))
     val delta = log(("u", 2, "B"))
