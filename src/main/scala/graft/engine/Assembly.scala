@@ -324,21 +324,30 @@ object Assembly {
       .select(col(stratumCol), col("__rate"))
   }
 
+  /** The full weight-rate audit shape (rates → membership → langAudit
+    * with token accounting) shared by the whitespace-token graded key
+    * and its BPE twin ([[Bpe.qBpeMixture]]). Requires `lang`/`doc_id`
+    * columns; `weightCol` is the token accounting being budgeted.
+    */
+  private[engine] def auditMixtureByWeight(docs: DataFrame,
+      weightCol: String): DataFrame =
+    langAudit(
+      docs.join(broadcast(weightRates(docs, "lang", weightCol)), Seq("lang"))
+        .withColumn("__keep",
+          Sampling.bucket(col("doc_id")) < col("__rate") * Sampling.Resolution),
+      col("__keep"), "n_orig", "n_kept", "kept_checksum",
+      sum(col(weightCol)).as("tok_orig"),
+      coalesce(sum(when(col("__keep"), col(weightCol))), lit(0L)).as("tok_kept"))
+
   /** Graded surface: token-weighted mixture on documents — per-language
     * original/kept doc AND token counts plus the kept-id checksum, so
     * the oracle pins exact membership and the token accounting.
     */
-  val qMixtureTokens: Q = (s, d) => {
-    val docs = documents(s, d)
-      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
-    langAudit(
-      docs.join(broadcast(weightRates(docs, "lang", "n_tokens")), Seq("lang"))
-        .withColumn("__keep",
-          Sampling.bucket(col("doc_id")) < col("__rate") * Sampling.Resolution),
-      col("__keep"), "n_orig", "n_kept", "kept_checksum",
-      sum(col("n_tokens")).as("tok_orig"),
-      coalesce(sum(when(col("__keep"), col("n_tokens"))), lit(0L)).as("tok_kept"))
-  }
+  val qMixtureTokens: Q = (s, d) =>
+    auditMixtureByWeight(
+      documents(s, d)
+        .withColumn("n_tokens", size(split(col("text"), " ")).cast("long")),
+      "n_tokens")
 
   /** Capstone: the whole assembly pipeline end-to-end on one frame —
     * normalized exact dedup (first-wins by doc_id) → exact 5-gram

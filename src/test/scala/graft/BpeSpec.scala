@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.Bpe
+
+/** Corpus-trained BPE (engine.Bpe): the graded keys are model-valued
+  * (no SQL oracle — training is iterative), so this spec carries the
+  * correctness burden: the public paper's worked example reproduces
+  * merge-for-merge, encoding round-trips losslessly, more merges never
+  * inflate a tokenization, training is deterministic, and the Spark
+  * UDF path agrees with the driver-side encoder bit-for-bit.
+  */
+class BpeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freq(rows: (String, Long)*) = rows.toDF("word", "n")
+
+  test("reproduces the Sennrich et al. worked example's first merges") {
+    // {low:5, lower:2, newest:6, widest:3} (no </w> marker — see the
+    // object scaladoc). Hand-derived: (e,s)=9 ties (s,t)=9 → lexicographic
+    // → "es"; then (es,t)=9 → "est"; (l,o)=7 ties (o,w)=7 → "lo";
+    // then (lo,w)=7 → "low".
+    val m = Bpe.train(freq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L)),
+      numMerges = 4)
+    assert(m.merges == Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")))
+    assert(m.encodeWord("lowest") == List("low", "est"))
+    assert(m.encodeWord("newest") == List("n", "e", "w", "est"))
+    assert(m.encodeWord("slow") == List("s", "low"))
+  }
+
+  test("zero merges → character tokens; unknown chars pass through") {
+    val m = Bpe.Model(Nil)
+    assert(m.encodeWord("abc") == List("a", "b", "c"))
+    assert(m.encodeWord("") == Nil)
+    assert(Bpe.train(freq(("ab", 3L)), numMerges = 0).merges.isEmpty)
+  }
+
+  test("training saturates when no pair repeats (early stop)") {
+    val m = Bpe.train(freq(("ab", 1L), ("cd", 1L)), numMerges = 100)
+    assert(m.merges.isEmpty) // every pair count is 1 — nothing to compress
+  }
+
+  /** 300 deterministic pseudo-random words over {a..e}, length 1–12 —
+    * the property-sample substitute (scalacheck's funsuite bridge isn't
+    * in the offline cache; the fixed seed keeps failures replayable).
+    */
+  private val sampleWords: Seq[String] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(300)((0 until (1 + rnd.nextInt(12))).map(_ => ('a' + rnd.nextInt(5)).toChar).mkString)
+  }
+
+  test("round trip: encoded tokens concatenate back to the word") {
+    val corpus = Seq("abab", "abcde", "eddcba", "aabb", "ababab")
+    val m = Bpe.train(freq(corpus.map(w => (w, 5L)): _*), numMerges = 20)
+    sampleWords.foreach { w =>
+      assert(m.encodeWord(w).mkString == w)
+      assert(m.countWord(w) == m.encodeWord(w).size)
+    }
+  }
+
+  test("more merges never inflate a word's token count") {
+    val corpus = freq(("abab", 9L), ("babab", 7L), ("aabb", 5L), ("abba", 3L))
+    val models = (0 to 10).map(k => Bpe.train(corpus, numMerges = k))
+    sampleWords.foreach { w =>
+      val counts = models.map(_.countWord(w))
+      assert(counts.zip(counts.tail).forall { case (a, b) => b <= a },
+        s"counts not monotone for '$w': $counts")
+    }
+  }
+
+  test("training is deterministic (two runs, same model)") {
+    val docs = Seq("the cat sat on the mat", "the bat and the cat",
+      "mat and bat chat").toDF("text")
+    val m1 = Bpe.trainOnCorpus(docs, "text", 16)
+    val m2 = Bpe.trainOnCorpus(docs, "text", 16)
+    assert(m1.merges == m2.merges)
+    assert(m1.merges.nonEmpty)
+  }
+
+  test("maxVocab caps the training table deterministically") {
+    // With only the two most frequent words retained, merges can only
+    // come from them.
+    val m = Bpe.train(
+      freq(("aaaa", 10L), ("bbbb", 9L), ("cccc", 1L)), numMerges = 10, maxVocab = 2)
+    assert(m.merges.forall { case (a, b) => (a + b).forall(c => c == 'a' || c == 'b') })
+  }
+
+  test("Spark tokenCount/tokenize UDFs agree with the driver-side encoder") {
+    val texts = Seq(
+      ("d1", "low lower newest"),
+      ("d2", "widest  low"), // double space → empty token must drop
+      ("d3", ""),
+      ("d4", "slowest"))
+    val df = texts.toDF("id", "text")
+    val m = Bpe.trainOnCorpus(df, "text", 8)
+    val got = df.select(col("id"), Bpe.tokenCount(m, col("text")).as("n"),
+        Bpe.tokenize(m, col("text")).as("toks"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getSeq[String](2))).toList
+    val want = texts.map { case (id, t) =>
+      val toks = t.split(' ').filter(_.nonEmpty).toList.flatMap(m.encodeWord)
+      (id, toks.size.toLong, toks)
+    }
+    assert(got.sortBy(_._1) == want.sortBy(_._1))
+    // Tokens must concatenate back to the whitespace-normalized text.
+    got.foreach { case (id, _, toks) =>
+      val t = texts.toMap.apply(id)
+      assert(toks.mkString == t.split(' ').filter(_.nonEmpty).mkString)
+    }
+  }
+
+  test("graded keys run on the fixture and stay internally consistent") {
+    val d = "/root/testdata/sf0.001"
+    val table = Bpe.qBpeTrain(spark, d).collect()
+    assert(table.nonEmpty)
+    assert(table.map(_.getLong(0)).toSeq == table.indices.map(_.toLong)) // dense ranks
+    val tok = Bpe.qBpeTokenize(spark, d).collect()
+    tok.foreach { r =>
+      val (ws, bpe) = (r.getAs[Long]("ws_tokens"), r.getAs[Long]("bpe_tokens"))
+      assert(bpe <= ws * 12, "BPE tokens bounded by chars")
+      assert(bpe >= ws, "subwords can't be fewer than words")
+    }
+    val mix = Bpe.qBpeMixture(spark, d).collect()
+    mix.foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_orig"))
+      assert(r.getAs[Long]("tok_kept") <= r.getAs[Long]("tok_orig"))
+    }
+  }
+}
