@@ -37,7 +37,8 @@ object SparkEntry {
       TextAnalysis.queries ++ Windowed.queries ++ SqlApi.queries ++
       Multimodal.queries ++ Sampling.queries ++ Sources.queries ++
       Quantize.queries ++ Incremental.queries ++ Assembly.queries ++
-      Profile.queries ++ History.queries ++ Bpe.queries).map { case (k, fn) =>
+      Profile.queries ++ History.queries ++ Bpe.queries ++
+      Stats.queries).map { case (k, fn) =>
       k -> ((s: SparkSession, d: String) => ntz(fn(s, d)))
     }
 

@@ -107,6 +107,20 @@ object Oracle {
       JOIN region ON n_regionkey = r_regionkey
       GROUP BY r_name, n_name ORDER BY r_name, n_name""",
 
+    // Same values whatever join order either cost model picks — the
+    // reorder itself is pinned Spark-side in StatsSpec.
+    "q_cbo_join_reorder" -> """
+      SELECT n_name,
+        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        count(*) AS n_items
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+      GROUP BY n_name ORDER BY n_name""",
+
     "q_join_outer" -> """
       WITH c95 AS (SELECT o_custkey k, count(*) cnt95 FROM orders
                    WHERE year(o_orderdate) = 1995 GROUP BY 1),

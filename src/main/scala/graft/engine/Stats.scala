@@ -1,0 +1,116 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Statistics-driven planning — the cost-based-optimizer lever, the one
+  * planner surface the engine had not exercised (every other lever —
+  * partition pruning, bucketing, sort/z-order layout, AQE skew, bloom
+  * pre-join, broadcast/shuffle-hash/SMJ pins — has a graded or
+  * spec-pinned face). Hand-ordered joins encode the author's guess
+  * about table sizes; `CostBasedJoinReorder` replaces that guess with
+  * measured table and column statistics, which is how a 100 TB
+  * deployment keeps a 6-way star join from materializing a
+  * fact-times-fact intermediate just because the SQL was written in
+  * the wrong order.
+  *
+  * Mechanics: Catalyst's CBO only reads statistics from the CATALOG, so
+  * the fixture parquet dirs are registered as external tables
+  * (metadata-only — `CREATE TABLE ... USING parquet LOCATION`, no data
+  * copied), `ANALYZE TABLE ... COMPUTE STATISTICS FOR ALL COLUMNS`
+  * scans once to record row counts, null counts, NDVs and min/max, and
+  * `spark.sql.cbo.enabled` + `spark.sql.cbo.joinReorder.enabled` turn
+  * the reorder rule on. Everything is scoped: tables DROP and confs
+  * restore afterwards (the graded session is shared across keys and
+  * data dirs — the withViews discipline), while a library user keeps
+  * [[registerAnalyzed]] tables standing and pays ANALYZE once per
+  * ingest, amortized over every subsequent query.
+  *
+  * At 100 TB: ANALYZE's cost is one column-pruned scan per table and
+  * the artifact is O(columns) catalog metadata; stats-bearing relations
+  * also feed AQE's broadcast-threshold decisions, so the lever composes
+  * with the runtime re-planner rather than competing with it.
+  */
+object Stats {
+  import Tables.configure
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Register `tables` from `sfDir` as external catalog tables named
+    * `<prefix><table>` and ANALYZE them (row + all-column stats).
+    * Metadata-only registration; the ANALYZE scan is the one-time cost
+    * that makes every later plan stats-aware.
+    */
+  def registerAnalyzed(s: SparkSession, sfDir: String, tables: Seq[String],
+      prefix: String = "graft_stats_"): Seq[String] = {
+    require(tables.nonEmpty, "registerAnalyzed needs at least one table")
+    tables.map { t =>
+      val name = s"$prefix$t"
+      s.sql(s"DROP TABLE IF EXISTS `$name`")
+      s.sql(s"CREATE TABLE `$name` USING parquet LOCATION '$sfDir/$t.parquet'")
+      s.sql(s"ANALYZE TABLE `$name` COMPUTE STATISTICS FOR ALL COLUMNS")
+      name
+    }
+  }
+
+  /** Run `body` with `tables` registered+analyzed and the CBO confs on,
+    * then drop the tables and restore the confs — the scoped form the
+    * graded key uses. The DataFrame `body` returns is analyzed (and for
+    * the graded key, executed) inside the scope.
+    */
+  def withCboTables[A](s: SparkSession, sfDir: String, tables: Seq[String],
+      prefix: String = "graft_stats_")(body: Seq[String] => A): A = {
+    val cboKeys = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+    val prior = cboKeys.map(k => k -> s.conf.getOption(k))
+    val names = registerAnalyzed(s, sfDir, tables, prefix)
+    try {
+      cboKeys.foreach(s.conf.set(_, "true"))
+      body(names)
+    } finally {
+      prior.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+      names.foreach(n => s.sql(s"DROP TABLE IF EXISTS `$n`"))
+    }
+  }
+
+  /** Graded surface: the q5-family star join written in the WORST
+    * textual order — fact ⋈ fact first (lineitem ⋈ orders), the
+    * selective region filter last — then handed to CostBasedJoinReorder
+    * with full column stats. The oracle (DuckDB, its own cost model)
+    * agrees on values whatever order either engine picks; the reorder
+    * itself is pinned in StatsSpec (with CBO+stats the optimized join
+    * tree differs from the no-stats plan and starts from the filtered
+    * dimension side). collect() happens inside the scope so the plan
+    * executes with stats present; the returned frame is the tiny
+    * 5-row aggregate localCheckpoint-free.
+    */
+  val qCboJoinReorder: Q = (s, d) => {
+    import org.apache.spark.sql.functions.col
+    configure(s)
+    withCboTables(s, d, Seq("lineitem", "orders", "customer", "nation", "region")) {
+      case Seq(l, o, c, n, r) =>
+        val joined = s.sql(s"""
+          SELECT n_name,
+            round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+            count(*) AS n_items
+          FROM `$l` JOIN `$o` ON l_orderkey = o_orderkey
+            JOIN `$c` ON o_custkey = c_custkey
+            JOIN `$n` ON c_nationkey = n_nationkey
+            JOIN `$r` ON n_regionkey = r_regionkey
+          WHERE r_name = 'EUROPE'
+          GROUP BY n_name
+          ORDER BY n_name
+        """)
+        // Execute inside the scope (tables + stats still registered);
+        // hand the materialized rows back as the graded frame.
+        val rows = joined.collect().toIndexedSeq
+        s.createDataFrame(
+          new java.util.ArrayList(scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+          joined.schema).orderBy(col("n_name"))
+      case names => sys.error(s"unexpected registration: $names")
+    }
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_cbo_join_reorder" -> qCboJoinReorder)
+}
