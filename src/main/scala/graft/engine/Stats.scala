@@ -35,18 +35,32 @@ object Stats {
   type Q = (SparkSession, String) => DataFrame
 
   /** Register `tables` from `sfDir` as external catalog tables named
-    * `<prefix><table>` and ANALYZE them (row + all-column stats).
-    * Metadata-only registration; the ANALYZE scan is the one-time cost
-    * that makes every later plan stats-aware.
+    * `<prefix><table>` and ANALYZE them. Metadata-only registration;
+    * the ANALYZE scan is the one-time cost that makes every later plan
+    * stats-aware. `columns(table)` scopes the column-stats pass to the
+    * join/filter columns the workload actually estimates with — the
+    * production discipline (an NDV/min/max aggregate over every column
+    * of a wide 100 TB fact table pays for stats nobody reads; the
+    * reorderer only consults the columns in predicates). Empty seq →
+    * row-count-only; None mapping → ALL COLUMNS.
     */
   def registerAnalyzed(s: SparkSession, sfDir: String, tables: Seq[String],
-      prefix: String = "graft_stats_"): Seq[String] = {
+      prefix: String = "graft_stats_",
+      columns: Map[String, Seq[String]] = Map.empty): Seq[String] = {
     require(tables.nonEmpty, "registerAnalyzed needs at least one table")
     tables.map { t =>
       val name = s"$prefix$t"
       s.sql(s"DROP TABLE IF EXISTS `$name`")
       s.sql(s"CREATE TABLE `$name` USING parquet LOCATION '$sfDir/$t.parquet'")
-      s.sql(s"ANALYZE TABLE `$name` COMPUTE STATISTICS FOR ALL COLUMNS")
+      columns.get(t) match {
+        case None =>
+          s.sql(s"ANALYZE TABLE `$name` COMPUTE STATISTICS FOR ALL COLUMNS")
+        case Some(Nil) =>
+          s.sql(s"ANALYZE TABLE `$name` COMPUTE STATISTICS")
+        case Some(cols) =>
+          s.sql(s"ANALYZE TABLE `$name` COMPUTE STATISTICS FOR COLUMNS " +
+            cols.map(c => s"`$c`").mkString(", "))
+      }
       name
     }
   }
@@ -57,10 +71,11 @@ object Stats {
     * the graded key, executed) inside the scope.
     */
   def withCboTables[A](s: SparkSession, sfDir: String, tables: Seq[String],
-      prefix: String = "graft_stats_")(body: Seq[String] => A): A = {
+      prefix: String = "graft_stats_",
+      columns: Map[String, Seq[String]] = Map.empty)(body: Seq[String] => A): A = {
     val cboKeys = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
     val prior = cboKeys.map(k => k -> s.conf.getOption(k))
-    val names = registerAnalyzed(s, sfDir, tables, prefix)
+    val names = registerAnalyzed(s, sfDir, tables, prefix, columns)
     try {
       cboKeys.foreach(s.conf.set(_, "true"))
       body(names)
@@ -87,7 +102,17 @@ object Stats {
   val qCboJoinReorder: Q = (s, d) => {
     import org.apache.spark.sql.functions.col
     configure(s)
-    withCboTables(s, d, Seq("lineitem", "orders", "customer", "nation", "region")) {
+    // Column stats scoped to what the reorderer estimates with: join
+    // keys + the region filter (the revenue expression columns need no
+    // NDVs — they only feed the aggregate above the joins).
+    val statCols = Map(
+      "lineitem" -> Seq("l_orderkey"),
+      "orders" -> Seq("o_orderkey", "o_custkey"),
+      "customer" -> Seq("c_custkey", "c_nationkey"),
+      "nation" -> Seq("n_nationkey", "n_regionkey"),
+      "region" -> Seq("r_regionkey", "r_name"))
+    withCboTables(s, d, Seq("lineitem", "orders", "customer", "nation", "region"),
+      columns = statCols) {
       case Seq(l, o, c, n, r) =>
         val joined = s.sql(s"""
           SELECT n_name,
