@@ -42,13 +42,22 @@ object Stats {
     * production discipline (an NDV/min/max aggregate over every column
     * of a wide 100 TB fact table pays for stats nobody reads; the
     * reorderer only consults the columns in predicates). Empty seq →
-    * row-count-only; None mapping → ALL COLUMNS.
+    * row-count-only; None mapping → ALL COLUMNS. `histograms` adds
+    * equi-height histograms to the column pass (percentile_approx per
+    * column — one extra aggregate, same scan): NDV+min/max assume a
+    * uniform value distribution, so a skewed predicate column (the
+    * hot-key case every skew tool here exists for) misestimates badly
+    * without them; with them FilterEstimation reads per-bin densities.
     */
   def registerAnalyzed(s: SparkSession, sfDir: String, tables: Seq[String],
       prefix: String = "graft_stats_",
-      columns: Map[String, Seq[String]] = Map.empty): Seq[String] = {
+      columns: Map[String, Seq[String]] = Map.empty,
+      histograms: Boolean = false): Seq[String] = {
     require(tables.nonEmpty, "registerAnalyzed needs at least one table")
-    tables.map { t =>
+    val HistKey = "spark.sql.statistics.histogram.enabled"
+    val priorHist = s.conf.getOption(HistKey)
+    if (histograms) s.conf.set(HistKey, "true")
+    try tables.map { t =>
       val name = s"$prefix$t"
       s.sql(s"DROP TABLE IF EXISTS `$name`")
       s.sql(s"CREATE TABLE `$name` USING parquet LOCATION '$sfDir/$t.parquet'")
@@ -62,6 +71,9 @@ object Stats {
             cols.map(c => s"`$c`").mkString(", "))
       }
       name
+    } finally priorHist match {
+      case Some(v) => s.conf.set(HistKey, v)
+      case None => s.conf.unset(HistKey)
     }
   }
 

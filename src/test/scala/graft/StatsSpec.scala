@@ -97,6 +97,58 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("histogram stats land per-column and the conf is restored") {
+    val priorHist = spark.conf.getOption("spark.sql.statistics.histogram.enabled")
+    val names = Stats.registerAnalyzed(spark, D, Seq("orders"), "graft_statspec_",
+      columns = Map("orders" -> Seq("o_custkey", "o_totalprice")), histograms = true)
+    try {
+      val cat = spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(names.head))
+      val colStats = cat.stats.get.colStats
+      Seq("o_custkey", "o_totalprice").foreach { c =>
+        assert(colStats.get(c).exists(_.histogram.isDefined),
+          s"$c: no equi-height histogram from ANALYZE")
+      }
+      assert(spark.conf.getOption("spark.sql.statistics.histogram.enabled") == priorHist)
+    } finally names.foreach(n => spark.sql(s"DROP TABLE IF EXISTS `$n`"))
+  }
+
+  test("stats flip join STRATEGY: a selective filter becomes broadcast-able only under CBO") {
+    // Threshold below the (column-pruned) relation size but above the
+    // stats-estimated post-filter size. Size-only estimation carries
+    // the child's size through a Filter unchanged, so without CBO the
+    // planner cannot see the ~10-of-1500-rows reduction the range
+    // predicate implies; FilterEstimation reads it off min/max.
+    val tables = Seq("orders", "customer")
+    val names = Stats.registerAnalyzed(spark, "/root/testdata/sf0.01", tables,
+      "graft_statspec_",
+      columns = Map(
+        "orders" -> Seq("o_orderkey", "o_custkey"),
+        "customer" -> Seq("c_custkey")))
+    val priorThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val priorCbo = spark.conf.get("spark.sql.cbo.enabled")
+    def bhjCount(): Int = {
+      val Seq(o, c) = names
+      val df = spark.sql(
+        s"""SELECT o_orderkey FROM `$o` JOIN `$c` ON o_custkey = c_custkey
+           |WHERE c_custkey < 10""".stripMargin)
+      df.queryExecution.sparkPlan.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+      }.size
+    }
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "4KB")
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      assert(bhjCount() == 0, "size-only estimation should NOT broadcast")
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      assert(bhjCount() == 1, "stats-based estimation should broadcast the filtered side")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", priorThresh)
+      spark.conf.set("spark.sql.cbo.enabled", priorCbo)
+      names.foreach(n => spark.sql(s"DROP TABLE IF EXISTS `$n`"))
+    }
+  }
+
   test("withCboTables restores confs and drops tables on exit") {
     val priorCbo = spark.conf.get("spark.sql.cbo.enabled")
     Stats.withCboTables(spark, D, Seq("nation"), "graft_statspec_")(_ => ())
