@@ -51,10 +51,36 @@ object Bpe {
   import Tables._
   type Q = (SparkSession, String) => DataFrame
 
-  /** A trained BPE model: `merges` in rank order (rank = index). */
-  final case class Model(merges: Seq[(String, String)]) extends Serializable {
+  /** A trained BPE model: `merges` in rank order (rank = index) plus
+    * the training corpus' base `alphabet` (sorted distinct characters
+    * of the capped word table). Together they define the id space a
+    * model consumes: id 0 is reserved for UNK (a character never seen
+    * in training), then the alphabet in order, then one token per
+    * merge in rank order — so ids are stable across runs because both
+    * components are deterministic.
+    */
+  final case class Model(merges: Seq[(String, String)],
+      alphabet: Seq[String] = Nil) extends Serializable {
     @transient private lazy val rank: Map[(String, String), Int] =
       merges.zipWithIndex.toMap
+
+    /** UNK +: alphabet +: merge products — every token [[encodeWord]]
+      * can emit (plus UNK), in stable id order.
+      */
+    @transient lazy val vocabulary: Seq[String] =
+      "<unk>" +: (alphabet ++ merges.map { case (a, b) => a + b })
+
+    // First occurrence wins on surface-form collisions (two merge
+    // chains can yield the same string, e.g. (a,bc) and (ab,c)).
+    @transient private lazy val tokenId: Map[String, Int] =
+      vocabulary.zipWithIndex
+        .groupBy(_._1).map { case (t, xs) => (t, xs.map(_._2).min) }
+
+    /** Token ids for one word; characters outside the training
+      * alphabet map to UNK = 0.
+      */
+    def encodeWordIds(word: String): List[Int] =
+      encodeWord(word).map(t => tokenId.getOrElse(t, 0))
 
     /** Greedy encode: repeatedly merge the lowest-ranked adjacent pair
       * (all its occurrences, left to right) until none applies.
@@ -124,6 +150,8 @@ object Bpe {
       top.map { case (w, n) =>
         (mutable.ArrayBuffer(w.map(_.toString): _*), n)
       }
+    val alphabet = top.iterator.flatMap(_._1.toSeq).distinct.toIndexedSeq
+      .sorted.map(_.toString)
     val merges = mutable.ListBuffer.empty[(String, String)]
     var continue = numMerges > 0
     while (continue && merges.size < numMerges) {
@@ -157,7 +185,7 @@ object Bpe {
         }
       }
     }
-    Model(merges.toList)
+    Model(merges.toList, alphabet)
   }
 
   /** Train directly on a corpus text column. */
@@ -178,6 +206,17 @@ object Bpe {
     def tokens(text: String): Seq[String] =
       if (text == null) Nil
       else splitWords(text).flatMap(encode)
+
+    def ids(text: String): Seq[Int] =
+      if (text == null) Nil
+      else splitWords(text).flatMap(w => encode(w).map(t => idOf(t)))
+
+    private def idOf(t: String): Int = ids0.getOrElse(t, 0)
+    // Rebuilt per task from the model (a few KB) — nothing extra rides
+    // serialization. First occurrence wins, matching Model.encodeWordIds.
+    @transient private lazy val ids0: Map[String, Int] =
+      model.vocabulary.zipWithIndex
+        .groupBy(_._1).map { case (t, xs) => (t, xs.map(_._2).min) }
 
     def count(text: String): Long =
       if (text == null) 0L
@@ -210,6 +249,14 @@ object Bpe {
   def tokenize(model: Model, textCol: Column): Column = {
     val enc = new Encoder(model)
     udf((text: String) => enc.tokens(text)).apply(textCol)
+  }
+
+  /** Token IDS of `textCol` (array<int>) — the sequence a model
+    * actually consumes; ids per [[Model.vocabulary]], UNK = 0.
+    */
+  def tokenIds(model: Model, textCol: Column): Column = {
+    val enc = new Encoder(model)
+    udf((text: String) => enc.ids(text)).apply(textCol)
   }
 
   // ---------------------------------------------------------------------

@@ -110,6 +110,26 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("id space: stable vocabulary order, lossless id round trip, UNK for unseen chars") {
+    val m = Bpe.train(freq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L)),
+      numMerges = 4)
+    // <unk>, then the sorted training alphabet, then merge products.
+    assert(m.vocabulary.head == "<unk>")
+    assert(m.vocabulary.tail.takeWhile(_.length == 1) ==
+      Seq("d", "e", "i", "l", "n", "o", "r", "s", "t", "w"))
+    assert(m.vocabulary.drop(11) == Seq("es", "est", "lo", "low"))
+    // Ids decode back through the vocabulary to the original word.
+    val ids = m.encodeWordIds("lowest")
+    assert(ids.forall(_ > 0))
+    assert(ids.map(m.vocabulary).mkString == "lowest")
+    // Characters never seen in training hit UNK = 0.
+    assert(m.encodeWordIds("laz").contains(0))
+    // Spark-side ids agree with the driver-side encoder.
+    val df = Seq(("a", "low lazy lowest")).toDF("k", "text")
+    val got = df.select(Bpe.tokenIds(m, col("text"))).head().getSeq[Int](0)
+    assert(got == "low lazy lowest".split(' ').toList.flatMap(m.encodeWordIds))
+  }
+
   test("graded keys run on the fixture and stay internally consistent") {
     val d = "/root/testdata/sf0.001"
     val table = Bpe.qBpeTrain(spark, d).collect()
