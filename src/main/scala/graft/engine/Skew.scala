@@ -64,7 +64,10 @@ object Skew {
     * centroid pulls. Spark's own `InjectRuntimeFilter` plants this
     * exact shape automatically, but only above its size thresholds and
     * never through a UDF barrier; this operator is the explicit form
-    * for pipelines that want it unconditionally.
+    * for pipelines that want it unconditionally. The automatic path is
+    * exercised in SkewSpec (injection pinned on the optimized plan,
+    * values invariant with the rule off) — the same explicit/automatic
+    * pairing as saltedJoin vs AQE skew join.
     */
   def bloomPreFilter(fact: DataFrame, factKey: String,
       dimKeys: DataFrame, dimKey: String,

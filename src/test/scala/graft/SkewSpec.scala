@@ -121,6 +121,58 @@ class SkewSpec extends AnyFunSuite {
     }
   }
 
+  test("Spark's InjectRuntimeFilter plants the bloom semi-join automatically") {
+    // Skew.bloomPreFilter is the EXPLICIT/unconditional form; Spark's
+    // InjectRuntimeFilter is the automatic sibling that plants the same
+    // filter-below-the-shuffle shape when a selective creation side
+    // qualifies — this pins that it engages on our session, with the
+    // application-side threshold lowered so a test-scale scan qualifies
+    // (default 10GB; the MECHANISM is what's under test). The join must
+    // be shuffle-based: a broadcast side already prunes at the hash
+    // lookup, so the rule skips it.
+    val prior = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    ).map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10MB")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB")
+      // Built fresh per call: a DataFrame pins its QueryExecution, so
+      // conf flips only affect NEW frames.
+      def joined() = {
+        val dim = Tables.orders(spark, TestSpark.sfDir)
+          .where(col("o_orderdate") >= lit("1995-01-01") &&
+            col("o_orderdate") < lit("1995-04-01"))
+        Tables.lineitem(spark, TestSpark.sfDir)
+          .join(dim, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      }
+      val withFilter = joined()
+      val injected = withFilter.queryExecution.optimizedPlan.exists(
+        _.expressions.exists(_.exists(_.isInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain])))
+      assert(injected, "runtime bloom filter was not injected:\n" +
+        withFilter.queryExecution.optimizedPlan.toString)
+      // The filter is a pure pruning optimization — values unchanged.
+      val got = withFilter.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val off = joined()
+      assert(!off.queryExecution.optimizedPlan.exists(
+        _.expressions.exists(_.exists(_.isInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]))))
+      val want = off.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(got == want)
+    } finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("saltedJoin equals the plain equi-join") {
     val ev = Tables.events(spark, TestSpark.sfDir)
       .select("event_id", "user_id", "event_type")
