@@ -210,6 +210,18 @@ object Oracle {
     // by construction" oracle identity is structural, not copy-paste.
     "q_sql_full_query" -> Q1Sql,
 
+    // DuckDB runs the same correlated-LATERAL text (both engines
+    // decorrelate to a windowed top-k; values must agree exactly).
+    "q_lateral_topk" -> """
+      SELECT n.n_name, c.c_custkey, c.c_acctbal
+      FROM nation n,
+      LATERAL (
+        SELECT c_custkey, c_acctbal FROM customer
+        WHERE c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+      ) c
+      ORDER BY n.n_name, c.c_acctbal DESC, c.c_custkey""",
+
     "q_agg_distinct" -> """
       SELECT l_returnflag,
         count(DISTINCT l_partkey) AS distinct_parts,

@@ -76,8 +76,30 @@ object SqlApi {
     """)
   }
 
+  /** Correlated LATERAL subquery with ORDER BY + LIMIT — per-nation
+    * top-2 customers by balance, the "for each row, run this query"
+    * SQL surface. Catalyst's DecorrelateInnerQuery rewrites the
+    * correlated limit into a partitioned window below a join, so the
+    * executed plan is the same one-shuffle row_number shape as the
+    * DataFrame top-k operators — no per-row re-execution exists at any
+    * scale (the textual form is sugar over the plan q_topk pins).
+    * Ties: c_custkey breaks (acctbal DESC, key ASC) per G4.
+    */
+  val qLateralTopk: Q = (s, d) =>
+    withViews(s, d, Seq("nation", "customer"))("""
+      SELECT n.n_name, c.c_custkey, c.c_acctbal
+      FROM nation n,
+      LATERAL (
+        SELECT c_custkey, c_acctbal FROM customer
+        WHERE c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+      ) c
+      ORDER BY n.n_name, c.c_acctbal DESC, c.c_custkey
+    """)
+
   val queries: Map[String, Q] = Map(
     "q_sql_registered" -> qSqlRegistered,
-    "q_sql_full_query" -> qSqlFullQuery
+    "q_sql_full_query" -> qSqlFullQuery,
+    "q_lateral_topk" -> qLateralTopk
   )
 }

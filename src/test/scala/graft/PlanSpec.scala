@@ -298,4 +298,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!aboveJoin.exists(_.toLowerCase.contains("sqrt")),
       s"norms recomputed above the join: $aboveJoin")
   }
+
+  test("q_lateral_topk decorrelates to a windowed top-k, not a per-row loop") {
+    // The correlated LATERAL ... ORDER BY ... LIMIT must rewrite to a
+    // partitioned Window + filter below a join (the same one-shuffle
+    // shape as the DataFrame top-k); a nested-loop over nations would
+    // re-execute the subquery per row.
+    val p = plan("q_lateral_topk")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
 }
