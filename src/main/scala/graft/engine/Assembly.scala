@@ -230,23 +230,29 @@ object Assembly {
       .drop("__h", "__cum")
   }
 
-  /** Graded surface: 512-token chunks over 8 shards; per-shard chunk
-    * count, docs split across a cut, and the tail chunk's fill level —
-    * the packing-efficiency numbers a training job logs.
+  /** Per-shard packing-efficiency audit (the numbers a training job
+    * logs): chunk count, docs split across a cut, tail fill. Shared by
+    * the whitespace graded key and the BPE twin ([[Bpe.qBpePacking]]).
     */
-  val qSeqPacking: Q = (s, d) => {
-    val budget = 512L
-    val base = documents(s, d)
-      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
-    packChunks(base, "doc_id", "n_tokens", budget, 8)
+  private[engine] def auditPacking(docs: DataFrame, tokensCol: String,
+      budget: Long, nShards: Int): DataFrame =
+    packChunks(docs, "doc_id", tokensCol, budget, nShards)
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_tokens")).as("n_tokens"),
+        sum(col(tokensCol)).as("n_tokens"),
         (max(col("last_chunk")) + 1).as("n_chunks"),
         count(when(col("first_chunk") =!= col("last_chunk"), lit(1))).as("n_split_docs"),
-        (sum(col("n_tokens")) - max(col("last_chunk")) * budget).as("tail_fill"))
+        (sum(col(tokensCol)) - max(col("last_chunk")) * budget).as("tail_fill"))
       .orderBy("shard")
-  }
+
+  /** Graded surface: 512-token chunks over 8 shards; per-shard chunk
+    * count, docs split across a cut, and the tail chunk's fill level.
+    */
+  val qSeqPacking: Q = (s, d) =>
+    auditPacking(
+      documents(s, d)
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens")),
+      "n_tokens", 512L, 8)
 
   // --------------------------------------------------- mixture rebalance
 

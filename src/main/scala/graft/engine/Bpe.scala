@@ -315,8 +315,24 @@ object Bpe {
     Assembly.auditMixtureByWeight(weighted, "n_tokens")
   }
 
+  /** Sequence packing in BPE units — [[Assembly.packChunks]]'s algebra
+    * with `budget` measured in model-tokenizer tokens, the unit a
+    * training run's context window actually enforces (whitespace
+    * packing over- or under-fills chunks whenever subword rates differ
+    * across languages). Same per-shard running-sum plan; only the
+    * token accounting changes.
+    */
+  val qBpePacking: Q = (s, d) => {
+    val docs = Dedup.fanOut(documents(s, d))
+    val model = trainOnCorpus(docs, "text", GradedMerges, GradedVocab)
+    Assembly.auditPacking(
+      docs.select(col("doc_id"), tokenCount(model, col("text")).as("n_tokens")),
+      "n_tokens", 512L, 8)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_bpe_train" -> qBpeTrain,
     "q_bpe_tokenize" -> qBpeTokenize,
-    "q_bpe_mixture" -> qBpeMixture)
+    "q_bpe_mixture" -> qBpeMixture,
+    "q_bpe_packing" -> qBpePacking)
 }

@@ -146,5 +146,12 @@ class BpeSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_orig"))
       assert(r.getAs[Long]("tok_kept") <= r.getAs[Long]("tok_orig"))
     }
+    // Packing arithmetic: tokens = (chunks-1)·budget + tail, 0 < tail ≤ budget.
+    Bpe.qBpePacking(spark, d).collect().foreach { r =>
+      val (tok, chunks, tail) = (r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_chunks"), r.getAs[Long]("tail_fill"))
+      assert(tail > 0 && tail <= 512)
+      assert(tok == (chunks - 1) * 512 + tail)
+    }
   }
 }
