@@ -1007,6 +1007,46 @@ object Oracle {
       SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.9
       ORDER BY doc_a, doc_b""",
 
+    // Exact-substring span dedup (SpanDedup.scala): fixed-L = 8 token
+    // grams, duplicated = present in ≥ 2 distinct docs, ALL occurrences
+    // excised, overlapping-or-adjacent intervals merged. Positions here
+    // are 1-based (DuckDB slices); the engine's 0-based positions never
+    // surface in the output. kept_text coalesces to '' for fully-excised
+    // docs (string_agg over zero rows is NULL; Spark's array_join of an
+    // empty array is '').
+    "q_substring_dedup" -> """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        g AS (SELECT doc_id, toks,
+            unnest(generate_series(1, greatest(len(toks) - 7, 0))) AS start FROM t),
+        occ AS (SELECT doc_id, start,
+            array_to_string(toks[start:start+7], ' ') AS gram FROM g),
+        dup AS (SELECT gram FROM occ GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        hits AS (SELECT occ.doc_id, occ.start, occ.start + 7 AS e
+          FROM occ JOIN dup USING (gram)),
+        m AS (SELECT doc_id, start, e,
+            CASE WHEN start > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY start
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+            THEN 1 ELSE 0 END AS is_new
+          FROM hits),
+        sp AS (SELECT doc_id, span_id, min(start) AS s, max(e) AS e
+          FROM (SELECT m.*, sum(is_new) OVER (PARTITION BY doc_id ORDER BY start) AS span_id FROM m)
+          GROUP BY doc_id, span_id),
+        agg AS (SELECT doc_id, count(*) AS n_spans, sum(e - s + 1) AS n_removed
+          FROM sp GROUP BY doc_id),
+        cov AS (SELECT DISTINCT doc_id, unnest(generate_series(s, e)) AS p FROM sp),
+        pos AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS p FROM t),
+        kept AS (SELECT pos.doc_id, pos.p, pos.toks[pos.p] AS tok
+          FROM pos LEFT JOIN cov ON pos.doc_id = cov.doc_id AND pos.p = cov.p
+          WHERE cov.p IS NULL),
+        kt AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS kept_text
+          FROM kept GROUP BY doc_id)
+      SELECT t.doc_id, len(t.toks)::BIGINT AS n_tokens,
+        coalesce(agg.n_spans, 0)::BIGINT AS n_spans,
+        coalesce(agg.n_removed, 0)::BIGINT AS n_removed,
+        coalesce(kt.kept_text, '') AS kept_text
+      FROM t LEFT JOIN agg USING (doc_id) LEFT JOIN kt USING (doc_id)
+      ORDER BY doc_id""",
+
     // Blocked semantic (lang, len-bucket) — LSH banding is non-selective
     // on trigram sets (see Dedup.qNgramJaccard), so blocking IS the
     // operator definition and the oracle blocks identically. The band
