@@ -140,18 +140,35 @@ object Bpe {
     * fixture does this long before a production `numMerges`).
     */
   def train(wordFreq: DataFrame, numMerges: Int, maxVocab: Int = 50000): Model = {
+    val top = cappedWordTable(wordFreq, numMerges, maxVocab)
+    val alphabet = top.iterator.flatMap(_._1.toSeq).distinct.toIndexedSeq
+      .sorted.map(_.toString)
+    Model(mergeLoop(top, numMerges), alphabet)
+  }
+
+  /** Bounded collect: ≤ maxVocab (word, count) rows by (count DESC,
+    * word ASC) — the documented driver-artifact contract (O(vocab),
+    * never O(corpus)).
+    */
+  private def cappedWordTable(wordFreq: DataFrame, numMerges: Int,
+      maxVocab: Int): Array[(String, Long)] = {
     require(numMerges >= 0 && maxVocab > 0, "numMerges/maxVocab must be positive")
-    // Bounded collect: ≤ maxVocab (word, count) rows — the documented
-    // driver-artifact contract (O(vocab), never O(corpus)).
-    val top = wordFreq.orderBy(col("n").desc, col("word").asc)
+    wordFreq.orderBy(col("n").desc, col("word").asc)
       .limit(maxVocab)
       .collect().map(r => (r.getString(0), r.getLong(1)))
+  }
+
+  /** The sequential merge loop shared by char-level [[train]] and
+    * byte-level [[trainBytes]]: each input word is a sequence of base
+    * symbols, ONE CHARACTER per symbol (byte-level inputs arrive
+    * pre-mapped through [[byteMapped]], so that invariant holds there
+    * too). Inherently sequential — see the object scaladoc.
+    */
+  private def mergeLoop(top: Array[(String, Long)], numMerges: Int): List[(String, String)] = {
     val vocab: Array[(mutable.ArrayBuffer[String], Long)] =
       top.map { case (w, n) =>
         (mutable.ArrayBuffer(w.map(_.toString): _*), n)
       }
-    val alphabet = top.iterator.flatMap(_._1.toSeq).distinct.toIndexedSeq
-      .sorted.map(_.toString)
     val merges = mutable.ListBuffer.empty[(String, String)]
     var continue = numMerges > 0
     while (continue && merges.size < numMerges) {
@@ -185,13 +202,195 @@ object Bpe {
         }
       }
     }
-    Model(merges.toList, alphabet)
+    merges.toList
   }
 
   /** Train directly on a corpus text column. */
   def trainOnCorpus(df: DataFrame, textCol: String, numMerges: Int,
       maxVocab: Int = 50000): Model =
     train(wordFrequencies(df, textCol), numMerges, maxVocab)
+
+  // ---------------------------------------------------------------------
+  // Byte-level fallback + reserved specials — the production tokenizer
+  // contract (GPT-2's byte-level BPE, Radford et al. 2019, public):
+  // every input round-trips losslessly (no UNK — a character outside the
+  // training corpus decomposes into its UTF-8 bytes, each of which has
+  // an id by construction) and special tokens hold RESERVED ids that
+  // cannot move when the vocabulary grows.
+  // ---------------------------------------------------------------------
+
+  /** Bijective byte→symbol-char map: byte b ↦ char (0x100 + b). Keeps
+    * every base symbol exactly one char (the [[mergeLoop]] invariant),
+    * makes merge products plain strings of mapped chars, and can never
+    * collide with a special-token name (specials are ASCII-range).
+    * GPT-2 uses an equivalent printable-unicode table; any fixed
+    * bijection works — this one is its own documentation.
+    */
+  private[graft] def byteMapped(word: String): String = {
+    val bytes = word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val sb = new java.lang.StringBuilder(bytes.length)
+    bytes.foreach(b => sb.append((0x100 + (b & 0xff)).toChar))
+    sb.toString
+  }
+
+  private val ByteAlphabet: IndexedSeq[String] =
+    (0 until 256).map(b => (0x100 + b).toChar.toString)
+
+  /** A byte-level BPE model. Id space, in order:
+    *
+    *   ids [0, specials.size):        reserved special tokens
+    *   ids [S, S+256):                the 256 byte symbols
+    *   ids [S+256, S+256+numMerges):  merge products in rank order
+    *
+    * Specials sit FIRST (Llama-style), not last (GPT-2 appends them,
+    * which re-numbers every special when merges are added): growing
+    * `numMerges` APPENDS ids, so special and byte ids are fixed by
+    * construction and merge ids are stable whenever the new merge list
+    * extends the old one — which greedy training guarantees for a
+    * larger `numMerges` on the same word table (merge i never depends
+    * on merges > i). Growing `maxVocab` can change WHICH merges are
+    * learned (the capped word table changes), but specials and bytes
+    * still cannot move — BpeSpec pins both stability claims.
+    *
+    * No UNK anywhere: encode is total (any input decomposes to bytes)
+    * and decode · encode = identity on every valid-UTF-8 string.
+    */
+  final case class ByteModel(merges: Seq[(String, String)],
+      specials: Seq[String] = ByteModel.DefaultSpecials) extends Serializable {
+    require(specials.distinct.size == specials.size, "duplicate special tokens")
+
+    /** Greedy merging delegated to the char-level machinery over the
+      * mapped byte alphabet — one algorithm, both models.
+      */
+    @transient private lazy val core = Model(merges, ByteAlphabet)
+
+    /** specials ++ byte symbols ++ merge products, in id order. Merge
+      * products are strings of mapped chars, so they cannot collide
+      * with specials or with each other's byte symbols.
+      */
+    @transient lazy val vocabulary: Seq[String] =
+      specials ++ ByteAlphabet ++ merges.map { case (a, b) => a + b }
+
+    @transient private lazy val tokenId: Map[String, Int] =
+      vocabulary.zipWithIndex
+        .groupBy(_._1).map { case (t, xs) => (t, xs.map(_._2).min) }
+
+    /** Reserved id of a special token (throws on unknown name — a typo
+      * here is a model-contract bug, not data).
+      */
+    def specialId(name: String): Int = {
+      val i = specials.indexOf(name)
+      require(i >= 0, s"unknown special token: $name")
+      i
+    }
+
+    /** Token ids of arbitrary text. Pre-tokenization splits at every
+      * space/non-space boundary KEEPING both sides (unlike the
+      * char-level model's drop-the-spaces split), so decode can
+      * reassemble the exact input — runs of spaces, tabs, newlines and
+      * all. Never emits a special id.
+      */
+    def encodeIds(text: String): List[Int] =
+      if (text == null || text.isEmpty) Nil
+      else segments(text).flatMap(seg =>
+        core.encodeWord(byteMapped(seg)).map(tokenId)).toList
+
+    /** Inverse of [[encodeIds]] on valid-UTF-8 input: concatenate the
+      * mapped-char surfaces of non-special ids, unmap to bytes, decode
+      * once (segment boundaries always fall on character boundaries,
+      * but decoding the whole byte run at once makes that irrelevant).
+      */
+    def decodeIds(ids: Seq[Int]): String = {
+      val sb = new java.lang.StringBuilder
+      ids.foreach { id =>
+        require(id >= 0 && id < vocabulary.size, s"id out of range: $id")
+        if (id >= specials.size) sb.append(vocabulary(id))
+      }
+      val s = sb.toString
+      val bytes = new Array[Byte](s.length)
+      var i = 0
+      while (i < s.length) { bytes(i) = (s.charAt(i) - 0x100).toByte; i += 1 }
+      new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+    }
+
+    def countText(text: String): Long = encodeIds(text).size.toLong
+  }
+
+  object ByteModel {
+    val DefaultSpecials: Seq[String] = Seq("<pad>", "<bos>", "<eos>")
+  }
+
+  /** Split at every space/non-space boundary, keeping both sides:
+    * "a  b" → ["a", "  ", "b"]; concatenation reproduces the input
+    * exactly. Zero-width lookaround split — no characters consumed.
+    */
+  private def segments(text: String): Array[String] =
+    text.split("(?<= )(?=[^ ])|(?<=[^ ])(?= )", -1)
+
+  /** Byte-level training: the SAME capped word table as [[train]]
+    * (cap order is over raw words — mapping after the cap keeps the
+    * cut identical to the char-level model's), words mapped to byte
+    * symbols, same sequential merge loop. Space runs never enter the
+    * word table (wordFrequencies drops them), so merges never span a
+    * space — the segment pre-tokenization matches.
+    */
+  def trainBytes(wordFreq: DataFrame, numMerges: Int, maxVocab: Int = 50000,
+      specials: Seq[String] = ByteModel.DefaultSpecials): ByteModel = {
+    val top = cappedWordTable(wordFreq, numMerges, maxVocab)
+      .map { case (w, n) => (byteMapped(w), n) }
+    ByteModel(mergeLoop(top, numMerges), specials)
+  }
+
+  /** Train a byte-level model directly on a corpus text column. */
+  def trainBytesOnCorpus(df: DataFrame, textCol: String, numMerges: Int,
+      maxVocab: Int = 50000): ByteModel =
+    trainBytes(wordFrequencies(df, textCol), numMerges, maxVocab)
+
+  /** Per-task memoized byte-level encoder — same justification and
+    * shape as [[Encoder]]; memo key is the segment.
+    */
+  private final class ByteEncoder(model: ByteModel) extends Serializable {
+    @transient private lazy val memo = new java.util.HashMap[String, List[Int]]()
+    private val MemoCap = 1 << 17
+
+    def ids(text: String): Seq[Int] =
+      if (text == null || text.isEmpty) Nil
+      else segments(text).toIndexedSeq.flatMap(encode)
+
+    def count(text: String): Long =
+      if (text == null || text.isEmpty) 0L
+      else segments(text).foldLeft(0L)((acc, seg) => acc + encode(seg).size)
+
+    private def encode(seg: String): List[Int] = {
+      val hit = memo.get(seg)
+      if (hit != null) hit
+      else {
+        val out = model.encodeIds(seg)
+        if (memo.size < MemoCap) memo.put(seg, out)
+        out
+      }
+    }
+  }
+
+  /** Byte-BPE token ids of `textCol` (array<int>) — map-only, model in
+    * the task closure, no UNK by construction.
+    */
+  def byteTokenIds(model: ByteModel, textCol: Column): Column = {
+    val enc = new ByteEncoder(model)
+    udf((text: String) => enc.ids(text)).apply(textCol)
+  }
+
+  /** Byte-BPE token count of `textCol`. */
+  def byteTokenCount(model: ByteModel, textCol: Column): Column = {
+    val enc = new ByteEncoder(model)
+    udf((text: String) => enc.count(text)).apply(textCol)
+  }
+
+  /** Decode an id-array column back to text — the inverse surface the
+    * round-trip contract is stated through.
+    */
+  def byteDecode(model: ByteModel, idsCol: Column): Column =
+    udf((ids: Seq[Int]) => model.decodeIds(ids)).apply(idsCol)
 
   /** Per-task memoized encoder closure. The UDF object deserializes
     * once per task, so the transient memo is task-local (thread-safe
@@ -330,9 +529,36 @@ object Bpe {
       "n_tokens", 512L, 8)
   }
 
+  /** Byte-level BPE accounting over documents, SELF-VERIFYING: per
+    * language, docs / byte-BPE tokens / a doc_id·tokens checksum, plus
+    * `n_roundtrip_exact` — the count of docs whose decode(encode(text))
+    * equals the original text byte-for-byte, which the no-UNK contract
+    * says must equal `n_docs` in every row. Model-valued (training is
+    * iterative), so rows-only graded; the round-trip column carries the
+    * correctness burden in-query and BpeSpec carries it on arbitrary
+    * UTF-8.
+    */
+  val qBpeBytes: Q = (s, d) => {
+    val docs = Dedup.fanOut(documents(s, d))
+    val model = trainBytesOnCorpus(docs, "text", GradedMerges, GradedVocab)
+    docs
+      .select(col("doc_id"), col("lang"), col("text"),
+        byteTokenIds(model, col("text")).as("__ids"))
+      .select(col("doc_id"), col("lang"),
+        size(col("__ids")).cast("long").as("__n"),
+        (byteDecode(model, col("__ids")) === col("text")).cast("long").as("__rt"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__n")).as("byte_bpe_tokens"),
+        sum(col("doc_id") * col("__n")).as("byte_bpe_checksum"),
+        sum(col("__rt")).as("n_roundtrip_exact"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_bpe_train" -> qBpeTrain,
     "q_bpe_tokenize" -> qBpeTokenize,
     "q_bpe_mixture" -> qBpeMixture,
-    "q_bpe_packing" -> qBpePacking)
+    "q_bpe_packing" -> qBpePacking,
+    "q_bpe_bytes" -> qBpeBytes)
 }

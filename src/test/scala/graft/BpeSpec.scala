@@ -154,4 +154,102 @@ class BpeSpec extends AnyFunSuite {
       assert(tok == (chunks - 1) * 512 + tail)
     }
   }
+
+  // -------------------------------------------------------------------
+  // Byte-level fallback + reserved specials (Bpe.ByteModel)
+  // -------------------------------------------------------------------
+
+  /** 400 deterministic pseudo-random valid-UTF-8 strings: code points
+    * across ASCII, Latin-1, CJK, astral planes (surrogate range
+    * excluded — unpaired surrogates aren't valid UTF-8 and can't
+    * round-trip through any byte encoding), mixed with runs of spaces,
+    * tabs and newlines to exercise the segment pre-tokenization.
+    */
+  private val utf8Samples: Seq[String] = {
+    val rnd = new scala.util.Random(7)
+    def cp(): Int = rnd.nextInt(5) match {
+      case 0 => 1 + rnd.nextInt(0x7f)              // ASCII incl. controls
+      case 1 => 0x80 + rnd.nextInt(0x780)          // Latin/Greek/Cyrillic
+      case 2 => 0x4e00 + rnd.nextInt(0x2000)       // CJK
+      case 3 => 0x1f300 + rnd.nextInt(0x200)       // astral (emoji block)
+      case _ => ' '.toInt                          // force space runs
+    }
+    "" +: " " +: "   " +: "a  b\t c\nd" +: Seq.fill(396) {
+      val sb = new java.lang.StringBuilder
+      (0 until rnd.nextInt(24)).foreach(_ => sb.appendCodePoint(cp()))
+      sb.toString
+    }
+  }
+
+  private lazy val byteModel = Bpe.trainBytes(
+    freq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L), ("日本語", 4L)),
+    numMerges = 24)
+
+  test("byte fallback: decode∘encode = identity on arbitrary valid UTF-8, no UNK") {
+    utf8Samples.foreach { s =>
+      val ids = byteModel.encodeIds(s)
+      assert(byteModel.decodeIds(ids) == s, s"round trip failed for ${s.toList}")
+      // total encode: every id in range, none special
+      ids.foreach(id => assert(id >= byteModel.specials.size &&
+        id < byteModel.vocabulary.size))
+      assert(byteModel.countText(s) == ids.size)
+    }
+  }
+
+  test("byte fallback: multi-byte characters compress via learned merges") {
+    // 日本語 is in training with weight 4: its UTF-8 bytes (9) should
+    // merge below 9 tokens; an untrained astral char stays 4 byte ids.
+    assert(byteModel.encodeIds("日本語").size < 9)
+    assert(byteModel.encodeIds("😀").size == 4) // U+1F600, unseen
+  }
+
+  test("special tokens: reserved leading ids, never emitted by encode") {
+    assert(byteModel.specialId("<pad>") == 0)
+    assert(byteModel.specialId("<bos>") == 1)
+    assert(byteModel.specialId("<eos>") == 2)
+    assert(byteModel.vocabulary.take(3) == Seq("<pad>", "<bos>", "<eos>"))
+    intercept[IllegalArgumentException](byteModel.specialId("<nope>"))
+    // wrapping with specials decodes back to the bare text
+    val ids = byteModel.specialId("<bos>") +: byteModel.encodeIds("low  er") :+
+      byteModel.specialId("<eos>")
+    assert(byteModel.decodeIds(ids) == "low  er")
+  }
+
+  test("id stability: growing numMerges appends; growing maxVocab can't move specials/bytes") {
+    val table = freq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+    val m16 = Bpe.trainBytes(table, numMerges = 8)
+    val m64 = Bpe.trainBytes(table, numMerges = 24)
+    assert(m64.merges.take(m16.merges.size) == m16.merges) // greedy prefix
+    assert(m64.vocabulary.take(m16.vocabulary.size) == m16.vocabulary)
+    // same ids for every token the smaller model knows
+    utf8Samples.take(50).foreach { s =>
+      assert(m16.decodeIds(m16.encodeIds(s)) == s)
+    }
+    val capped = Bpe.trainBytes(table, numMerges = 8, maxVocab = 2)
+    // different merge tables are allowed; the reserved prefix is not
+    assert(capped.vocabulary.take(3 + 256) == m64.vocabulary.take(3 + 256))
+  }
+
+  test("Spark byteTokenIds/byteDecode/byteTokenCount agree with the driver-side model") {
+    val docs = graft.engine.Tables.documents(spark, TestSpark.sfDir).limit(40)
+    val rows = docs.select(col("doc_id"), col("text"),
+        Bpe.byteTokenIds(byteModel, col("text")).as("ids"),
+        Bpe.byteTokenCount(byteModel, col("text")).as("n"),
+        Bpe.byteDecode(byteModel, Bpe.byteTokenIds(byteModel, col("text"))).as("rt"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val text = r.getAs[String]("text")
+      assert(r.getAs[scala.collection.Seq[Int]]("ids").toList == byteModel.encodeIds(text))
+      assert(r.getAs[Long]("n") == byteModel.countText(text))
+      assert(r.getAs[String]("rt") == text)
+    }
+  }
+
+  test("graded key q_bpe_bytes: every doc round-trips exactly") {
+    Bpe.qBpeBytes(spark, "/root/testdata/sf0.001").collect().foreach { r =>
+      assert(r.getAs[Long]("n_roundtrip_exact") == r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("byte_bpe_tokens") > 0)
+    }
+  }
 }
