@@ -38,14 +38,29 @@ object Tables {
     spark
   }
 
-  /** Load one fixture table. `events.ts` arrives as int64 nanoseconds and is
-    * converted to a microsecond timestamp with integer division (exact; a
-    * double route could round — SURVEY.md G1).
+  /** Normalize an events frame's `ts` to session-zoned TIMESTAMP regardless
+    * of how the fixture encoded it. Driver generations have shipped BOTH
+    * encodings: TIMESTAMP(NANOS) — read as int64 via `nanosAsLong`, exact
+    * integer-division to micros (a double route could round, SURVEY.md G1) —
+    * and plain TIMESTAMP(MICROS), which Spark reads as TIMESTAMP_NTZ and the
+    * UTC session casts losslessly. Adapting on dtype keeps every generation
+    * (and ScaleSmoke-synthesized mirrors of either) loading identically.
+    */
+  def normalizeEventsTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
+
+  /** Load one fixture table; `events.ts` is normalized to TIMESTAMP
+    * (see [[normalizeEventsTs]]).
     */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = configure(spark).read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events") df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
+    if (name == "events") normalizeEventsTs(df) else df
   }
 
   /** Persist `df` as a bucketed+sorted table: co-locates future equi-joins

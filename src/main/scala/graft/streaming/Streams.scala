@@ -37,9 +37,12 @@ object Streams {
 
   // ----------------------------------------------------------- R1: sources
 
-  /** Raw file-source schema: `ts` is declared LONG because the fixture
-    * parquet stores TIMESTAMP(NANOS), which the engine reads as int64
-    * nanos (`spark.sql.legacy.parquet.nanosAsLong`, SURVEY.md G1).
+  /** Raw file-source schema: `ts` defaults to LONG for fixtures that store
+    * TIMESTAMP(NANOS) — read as int64 nanos via
+    * `spark.sql.legacy.parquet.nanosAsLong` (SURVEY.md G1). Newer fixture
+    * generations store plain TIMESTAMP(MICROS); `events()` peeks the actual
+    * footer type and substitutes it, then `Tables.normalizeEventsTs` maps
+    * either encoding to the same session-zoned TIMESTAMP column.
     */
   val rawEventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -77,8 +80,15 @@ object Streams {
   def events(spark: SparkSession, source: StreamSource): DataFrame = source match {
     case FileStreamSource(dir) =>
       graft.engine.Tables.configure(spark)
-      spark.readStream.schema(rawEventSchema).parquet(dir)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      // Footer-only batch peek (bounded, no data read) so the declared
+      // stream schema matches whichever ts encoding this fixture
+      // generation used; readStream requires an explicit schema.
+      val tsType = scala.util.Try(spark.read.parquet(dir).schema("ts").dataType)
+        .getOrElse(LongType)
+      val schema = StructType(rawEventSchema.map(f =>
+        if (f.name == "ts") f.copy(dataType = tsType) else f))
+      graft.engine.Tables.normalizeEventsTs(
+        spark.readStream.schema(schema).parquet(dir))
     case KafkaStreamSource(bootstrap, topic, offsets) =>
       spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap)
