@@ -1,0 +1,109 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.tools.ScaleSmoke
+
+/** Deterministic half of the scale-proof story (the timed half runs in
+  * `graft.tools.ScaleSmoke`'s main, which is wall-clock and so lives
+  * outside sbt test): pins the SYNTHESIZER invariants that make the N×
+  * corpus a faithful scale-up, and the structural consequences on the
+  * heavy operators — pair keys must grow ×N (linear), never ×N²
+  * (quadratic), and the physical plan shape must be identical at 1× and
+  * N×. Factor 3 on sf0.001 keeps the suite fast while still cleanly
+  * separating linear (3×) from quadratic (9×) growth.
+  */
+class ScaleSmokeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val factor = 3
+  private lazy val outDir = {
+    val d = java.nio.file.Files.createTempDirectory("graft-scalesmoke").toString
+    ScaleSmoke.synthesize(spark, TestSpark.sfDir, d, factor)
+    d
+  }
+  private def src(name: String) = spark.read.parquet(s"${TestSpark.sfDir}/$name.parquet")
+  private def big(name: String) = spark.read.parquet(s"$outDir/$name.parquet")
+
+  test("every scaled table has exactly factor × the source rows") {
+    ScaleSmoke.keyCols.keys.foreach { t =>
+      assert(big(t).count() === factor * src(t).count(), s"table $t")
+    }
+  }
+
+  test("re-keying keeps ids unique and join keys consistent per copy") {
+    val docs = big("documents")
+    assert(docs.select("doc_id").distinct.count() === docs.count())
+    // FK pair offset on both sides: the join graph replicates per copy.
+    val m1 = src("orders").join(src("lineitem"),
+      col("o_orderkey") === col("l_orderkey")).count()
+    val mN = big("orders").join(big("lineitem"),
+      col("o_orderkey") === col("l_orderkey")).count()
+    assert(mN === factor * m1, "orders⋈lineitem must scale linearly, not quadratically")
+  }
+
+  test("documents: within-copy dup structure preserved, cross-copy vocab disjoint") {
+    // translate is 1:1 ⇒ distinct texts scale ×factor (each copy keeps its
+    // own dup groups; rotated alphabets keep copies disjoint).
+    assert(big("documents").select("text").distinct.count() ===
+      factor * src("documents").select("text").distinct.count())
+    // n_chars stays truthful under the rotation.
+    assert(big("documents").where(length(col("text")) =!= col("n_chars")).count() === 0)
+    // Cross-copy token overlap ~none: shared tokens would re-link copies
+    // and quadratic-ify every pair operator downstream.
+    val tok = (d: org.apache.spark.sql.DataFrame, c: String) =>
+      d.select(explode(split(lower(col("text")), "\\s+")).as(c)).where(col(c) =!= "").distinct
+    val copy0 = tok(big("documents").where(col("doc_id") < ScaleSmoke.Stride), "t0")
+    val copy1 = tok(big("documents").where(
+      col("doc_id") >= ScaleSmoke.Stride && col("doc_id") < 2 * ScaleSmoke.Stride), "t1")
+    val shared = copy0.join(copy1, col("t0") === col("t1")).count()
+    val total = copy0.count()
+    assert(shared.toDouble / total < 0.02, s"cross-copy shared tokens $shared/$total")
+  }
+
+  test("events: per-user history (and so the skew profile) replicates per copy") {
+    val hist1 = src("events").groupBy("user_id").count()
+      .groupBy("count").agg(count(lit(1)).as("n_users"))
+    val histN = big("events").groupBy("user_id").count()
+      .groupBy("count").agg((count(lit(1)) / factor).cast("long").as("n_users"))
+    assert(hist1.except(histN).count() === 0 && histN.except(hist1).count() === 0,
+      "per-user event-count histogram must be invariant up to ×factor users")
+  }
+
+  test("exact pair operators scale exactly linearly (×factor, not ×factor²)") {
+    // PPJoin containment is deterministic (recall 1.0) ⇒ EXACT ×factor.
+    val c1 = SparkEntry.queries("q_containment_pairs")(spark, TestSpark.sfDir).count()
+    val cN = SparkEntry.queries("q_containment_pairs")(spark, outDir).count()
+    assert(cN === factor * c1, s"containment pairs $c1 -> $cN")
+    // Substring span dedup: span structure replicates per copy ⇒ the
+    // per-doc span stats frame scales ×factor in rows, and total excised
+    // span count scales ×factor too.
+    val s1 = SparkEntry.queries("q_substring_dedup")(spark, TestSpark.sfDir)
+    val sN = SparkEntry.queries("q_substring_dedup")(spark, outDir)
+    assert(sN.count() === factor * s1.count())
+    val spans = (df: org.apache.spark.sql.DataFrame) =>
+      df.agg(sum(df.columns.find(_.contains("span")).map(col)
+        .getOrElse(lit(0L))).cast("long")).head.getLong(0)
+    assert(spans(sN) === factor * spans(s1), "total excised spans")
+  }
+
+  test("LSH pair operators scale ~linearly (probabilistic recall, bounded band)") {
+    // Rotated tokens redraw the MinHash coin flips, so borderline pairs may
+    // differ per copy — assert linear band, and that quadratic (×factor²)
+    // growth is cleanly excluded.
+    val p1 = SparkEntry.queries("q_neardup_lsh")(spark, TestSpark.sfDir).count()
+    val pN = SparkEntry.queries("q_neardup_lsh")(spark, outDir).count()
+    assert(pN >= p1, s"lsh pairs shrank: $p1 -> $pN")
+    assert(pN <= (factor + 1) * p1, s"lsh pairs superlinear: $p1 -> $pN")
+  }
+
+  test("no heavy key flips plan shape at N×") {
+    ScaleSmoke.heavyKeys.foreach { k =>
+      val f1 = ScaleSmoke.planFlags(SparkEntry.queries(k)(spark, TestSpark.sfDir)
+        .queryExecution.executedPlan.toString)
+      val fN = ScaleSmoke.planFlags(SparkEntry.queries(k)(spark, outDir)
+        .queryExecution.executedPlan.toString)
+      assert(f1 === fN, s"$k plan shape flipped at ${factor}×")
+    }
+  }
+}
