@@ -153,6 +153,94 @@ object Ivf {
       .limit(topK)
   }
 
+  // ------------------------------------------------ incremental maintenance
+
+  /** Append a DELTA of new vectors to a persisted index WITHOUT retraining:
+    * assignment is a pure function of (vector, centroids), so delta rows are
+    * assigned with the same map-only argmin projection and unioned onto the
+    * existing (vec_id, cell) artifact. Ids already present in `existing`
+    * are dropped from the delta (anti-join) so re-ingesting a batch is
+    * idempotent — the persisted index keeps exactly one row per vector.
+    *
+    * Contract (IvfDeltaSpec): assignDelta(assign(base), delta) is row-equal
+    * to assign(base ∪ delta) — growing the corpus incrementally converges
+    * to the same index a full rebuild would produce, at the cost of one
+    * map-only pass over the DELTA instead of the corpus.
+    *
+    * What retraining buys instead is BETTER CELLS for drifted data; that
+    * decision is [[driftProbe]]'s job, not this method's.
+    */
+  def assignDelta(existing: DataFrame, deltaEmbs: DataFrame, centroids: DataFrame): DataFrame = {
+    val fresh = deltaEmbs.join(existing.select(col("vec_id")), Seq("vec_id"), "left_anti")
+    existing.unionByName(assign(fresh, centroids))
+  }
+
+  /** Drift report: is the trained quantizer still a good fit for newly
+    * arriving vectors? Compares mean squared quantization error (distance²
+    * to the nearest centroid) of the delta against the base corpus the
+    * index was built for.
+    */
+  final case class DriftReport(baseMse: Double, deltaMse: Double, ratio: Double,
+      retrainRecommended: Boolean)
+
+  /** Mean squared quantization error of `embs` under `centroids` — the
+    * standard kmeans inertia normalized per vector. One scalar leaves the
+    * executors (bounded model state).
+    */
+  def quantizationMse(embs: DataFrame, centroids: DataFrame): Double = {
+    val cents = collectCentroids(centroids)
+    val cf = centroidFrame(embs.sparkSession, cents)
+    embs.select(col("vec_id"), vec(col("embedding")).as("v"))
+      .withColumn("nv2", dotProduct(col("v"), col("v")))
+      .withColumn("cell", graft.functions.GraftExpressions.nearestCell(col("v"), cents))
+      .join(broadcast(cf), "cell")
+      .select(avg(dist2(col("v"), col("nv2"), col("cv"), col("nc2"))).as("mse"))
+      .head().getDouble(0)
+  }
+
+  /** Probe quantizer fitness after appending deltas: if the delta's mean
+    * quantization error exceeds `ratioThreshold` × the base's, the delta
+    * is drifting away from the trained cells (recall of under-probed
+    * searches degrades with cell fit) and a retrain is recommended. Two
+    * scalars reach the driver; both passes are map-only scans.
+    *
+    * The threshold trades retrain cost against recall: in-distribution
+    * deltas land near ratio 1.0; a distribution shift (new embedding
+    * model, new modality, new language) lands far above any reasonable
+    * threshold (IvfDeltaSpec plants a shifted delta at ratio > 10).
+    */
+  def driftProbe(baseEmbs: DataFrame, deltaEmbs: DataFrame, centroids: DataFrame,
+      ratioThreshold: Double = 2.0): DriftReport = {
+    val b = quantizationMse(baseEmbs, centroids)
+    val d = quantizationMse(deltaEmbs, centroids)
+    val ratio = if (b > 0) d / b else Double.PositiveInfinity
+    DriftReport(b, d, ratio, ratio > ratioThreshold)
+  }
+
+  /** Graded INCREMENTAL-index key: train the quantizer on the BASE corpus
+    * only (vec_id % 5 ≠ 0), persist its assignment, then append the
+    * remaining 20% of vectors via [[assignDelta]] — no retrain — and
+    * search the grown index. nprobe = k makes the search provably exact
+    * regardless of cell quality (the spec-pinned `nprobe=k ≡ brute force`
+    * contract), so the oracle is the exact global cosine top-15 and the
+    * grade checks the append path (train-on-base → assign → assignDelta →
+    * probe-join → re-rank) loses no vector. Partial-probe recall on the
+    * delta is IvfDeltaSpec's job.
+    */
+  val qAnnDelta: Q = (s, d) => {
+    val embs = Tables.embeddings(s, d)
+      .repartition(s.sessionState.conf.numShufflePartitions)
+      .select(col("vec_id"), col("embedding"))
+    val base = embs.where(col("vec_id") % 5 =!= 0)
+    val delta = embs.where(col("vec_id") % 5 === 0)
+    val k = 8
+    val centroids = train(base, k = k, iters = 3)
+    val baseIdx = assign(base, centroids).localCheckpoint()
+    val grown = assignDelta(baseIdx, delta, centroids).localCheckpoint()
+    search(embs, centroids, queryVecId = 7L, nprobe = k, topK = 15, cellsIn = Some(grown))
+      .select(col("vec_id"), col("cos_sim"))
+  }
+
   /** Graded end-to-end TRAINED-IVF key (unlike `q_ann_ivf`, which probes
     * the fixture's precomputed `label`): train an 8-cell quantizer with
     * Lloyd iterations, persist the distributed cell assignment, probe
@@ -211,6 +299,7 @@ object Ivf {
 
   val queries: Map[String, Q] = Map(
     "q_ann_ivf_trained" -> qAnnIvfTrained,
-    "q_ann_ivf_partial" -> qAnnIvfPartial
+    "q_ann_ivf_partial" -> qAnnIvfPartial,
+    "q_ann_delta" -> qAnnDelta
   )
 }

@@ -1147,6 +1147,21 @@ object Oracle {
           FROM e, q WHERE vec_id <> 7)
       SELECT vec_id, cos_sim FROM sims ORDER BY cos_sim DESC, vec_id LIMIT 15""",
 
+    // Incremental-index key: the engine trains on 80% of the corpus and
+    // APPENDS the rest via assignDelta (no retrain), then searches with
+    // nprobe = k ≡ exact — so the grown index must reproduce the exact
+    // global cosine top-15 over the FULL corpus; any vector lost by the
+    // append path (dropped delta row, id collision, wrong cell join)
+    // breaks the hash.
+    "q_ann_delta" -> """
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 7),
+        sims AS (SELECT vec_id,
+            round(list_dot_product(v, qv) /
+                  (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
+          FROM e, q WHERE vec_id <> 7)
+      SELECT vec_id, cos_sim FROM sims ORDER BY cos_sim DESC, vec_id LIMIT 15""",
+
     // Exact global cosine top-15 over the planted corpus (20 near-copies
     // of query vector 7): the engine probes only nprobe=2 of 8 trained
     // cells, but the copies provably share the query's cell (they sit in

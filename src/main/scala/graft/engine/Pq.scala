@@ -115,6 +115,21 @@ object Pq {
       .select(col("vec_id"),
         codesCol(col("v"), model.codebooks, model.subDim).as("codes"))
 
+  /** Append a DELTA of new vectors to a persisted code table WITHOUT
+    * retraining the codebooks: encoding is a pure per-row function of the
+    * model, so delta rows are encoded with the same map-only projection
+    * and unioned on. Ids already present in `existing` are dropped
+    * (anti-join) so re-ingesting a batch is idempotent. Contract
+    * (IvfDeltaSpec): encodeDelta(encode(base), delta) ≡ encode(base ∪
+    * delta). Codebook FITNESS for a drifted delta is Ivf.driftProbe's
+    * analogue decision — quantization error against the subspace
+    * codebooks — not this method's.
+    */
+  def encodeDelta(existing: DataFrame, deltaEmbs: DataFrame, model: PqModel): DataFrame = {
+    val fresh = deltaEmbs.join(existing.select(col("vec_id")), Seq("vec_id"), "left_anti")
+    existing.unionByName(encode(fresh, model))
+  }
+
   /** Sum of per-subspace LUT entries selected by this row's codes:
     * `Σ_s lut(s)(codes(s))` — the ADC inner loop as a built-in codegen
     * fold (no UDF). `lut` is an m × ksub literal (per-query model state).
