@@ -1,0 +1,162 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Fuzzy string matching at MANY-PROBE scale — the switch `q_fuzzy_match`'s
+  * scaladoc promises once the probe set outgrows a broadcast.
+  *
+  * The broadcast twin (TextAnalysis.qFuzzyMatch) crossJoins every corpus
+  * name with every probe: per-pair work O(|names|·|probes|) and a window
+  * sort per probe — fine for a handful of typo probes, impossible for an
+  * entity-resolution workload where BOTH sides are tables (say 10⁸ names ×
+  * 10⁶ probes). This operator replaces it with:
+  *
+  *  1. a PASS-JOIN style banded candidate core (Li, Deng, Feng: "PassJoin:
+  *     a partition-based method for similarity joins", public VLDB'11
+  *     material): each NAME is evenly split into dmax+1 segments; by the
+  *     pigeonhole principle any probe within edit distance dmax of the
+  *     name must contain at least one segment EXACTLY, starting within
+  *     ±dmax of the segment's home position. Each PROBE therefore emits
+  *     its substrings at those (length, segment, position-window) slots —
+  *     a bounded O(dmax³) fan-out per probe, independent of corpus size —
+  *     and candidates come from an EQUI-join on (name_len, segment_idx,
+  *     token). Both sides shuffle on the band key; nothing broadcasts, so
+  *     the shape survives any probe count.
+  *  2. verification on candidates only: the threshold form of the built-in
+  *     `levenshtein` (codegen'd, early-exits past dmax).
+  *  3. per-probe top-k via the bounded [[graft.functions.TopKAgg]] — map
+  *     side already cuts each partition to ≤ k rows per probe, the exact
+  *     two-phase shape of a native max, instead of the window form's full
+  *     shuffle+sort of every candidate.
+  *
+  * Exactness: every pair with dist ≤ dmax is a candidate (pigeonhole), so
+  * when a probe finds ≥ k candidates within dmax its banded top-k IS the
+  * global top-k (the true k-th distance is ≤ the banded k-th ≤ dmax). A
+  * probe with < k in-range candidates is UNSATISFIED — its true matches
+  * are farther than dmax away — and `fallback = true` re-runs just those
+  * probes through the exhaustive twin (the rare tail by construction; at
+  * scale prefer raising dmax, which grows the per-probe fan-out
+  * polynomially but never re-broadcasts the corpus).
+  */
+object FuzzyJoin {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Per-name segment rows: (nlen, seg, token) plus carried (id, name).
+    * Even split of the name into dmax+1 contiguous segments — floor
+    * arithmetic, 1-based `substring`; empty segments (nlen < dmax+1)
+    * are dropped (a short name's remaining segments still pigeonhole:
+    * edits can destroy at most dmax of the dmax+1 NON-EMPTY-or-empty
+    * segments, and an empty segment is trivially "contained").
+    */
+  private def nameSegments(names: DataFrame, dmax: Int): DataFrame = {
+    val p = dmax + 1
+    names
+      .withColumn("nlen", length(col("name")))
+      .select(col("id"), col("name"), col("nlen"),
+        explode(sequence(lit(0), lit(dmax))).as("seg"))
+      .withColumn("s0", floor(col("seg") * col("nlen") / p).cast("int"))
+      .withColumn("slen", floor((col("seg") + 1) * col("nlen") / p).cast("int") - col("s0"))
+      .where(col("slen") > 0)
+      .withColumn("token", expr("substring(name, s0 + 1, slen)"))
+      .select(col("nlen"), col("seg"), col("token"), col("id"), col("name"))
+  }
+
+  /** Per-probe band substrings: for every plausible name length (±dmax),
+    * every segment slot of that length, and every start position within
+    * the pigeonhole window, the probe's substring at that slot. Bounded
+    * (2·dmax+1)·(dmax+1)·(2·dmax+1) rows per probe — independent of the
+    * corpus.
+    */
+  private def probeSubstrings(probes: DataFrame, dmax: Int): DataFrame = {
+    val p = dmax + 1
+    probes
+      .withColumn("plen", length(col("probe")))
+      .withColumn("nlen", explode(sequence(
+        greatest(col("plen") - dmax, lit(1)), col("plen") + dmax)))
+      .withColumn("seg", explode(sequence(lit(0), lit(dmax))))
+      .withColumn("s0", floor(col("seg") * col("nlen") / p).cast("int"))
+      .withColumn("slen", floor((col("seg") + 1) * col("nlen") / p).cast("int") - col("s0"))
+      .where(col("slen") > 0)
+      .withColumn("pos", explode(sequence(
+        greatest(col("s0") + 1 - dmax, lit(1)),
+        least(col("s0") + 1 + dmax, col("plen") - col("slen") + 1))))
+      .withColumn("token", expr("substring(probe, pos, slen)"))
+      .select(col("nlen"), col("seg"), col("token"), col("probe"))
+  }
+
+  /** Banded candidate (probe, id, name) pairs — superset of every pair
+    * within edit distance dmax (pigeonhole), deduplicated across the
+    * multiple slots a pair can collide in.
+    */
+  def candidates(names: DataFrame, probes: DataFrame, dmax: Int): DataFrame =
+    nameSegments(names, dmax)
+      .join(probeSubstrings(probes, dmax), Seq("nlen", "seg", "token"))
+      .select(col("probe"), col("id"), col("name"))
+      .distinct()
+
+  /** Top-k closest names per probe by (levenshtein ASC, id ASC).
+    *
+    * `names` must carry (id: long, name: string); `probes` (probe:
+    * string). Output: (probe, rank, name, dist), rank 1-based. With
+    * `fallback = false` the result covers exactly the probes satisfied
+    * within dmax (the broadcast-free 100 TB shape, PlanSpec-pinned);
+    * `fallback = true` routes unsatisfied probes through the exhaustive
+    * twin so the contract is total — identical to the broadcast form on
+    * any input (FuzzyScaleSpec).
+    */
+  def fuzzyTopK(names: DataFrame, probes: DataFrame, k: Int, dmax: Int,
+      fallback: Boolean = true): DataFrame = {
+    val top = udaf(new graft.functions.TopKAgg(k))
+    val scored = candidates(names, probes, dmax)
+      // Threshold levenshtein: codegen early-exit past dmax (returns -1).
+      .withColumn("dist", levenshtein(col("probe"), col("name"), dmax))
+      .where(col("dist") >= 0)
+    // value = -dist under TopKAgg's (value DESC, id ASC) total order
+    // ⇒ (dist ASC, id ASC) — the graded tiebreak, deterministic (G4).
+    val agg = scored.groupBy(col("probe"))
+      .agg(top((-col("dist")).cast("double"), col("id")).as("topk"))
+    val satisfied = agg.where(size(col("topk")) === k)
+    val banded = satisfied
+      .select(col("probe"), posexplode(col("topk")))
+      .select(col("probe"), (col("pos") + 1).cast("long").as("rank"),
+        col("col._2").as("id"), (-col("col._1")).cast("long").as("dist"))
+      .join(names, "id")
+      .select(col("probe"), col("rank"), col("name"), col("dist"))
+    if (!fallback) banded
+    else {
+      val rare = probes.join(satisfied.select(col("probe")), Seq("probe"), "left_anti")
+      val w = Window.partitionBy(col("probe")).orderBy(asc("dist"), asc("id"))
+      val exhaustive = names.crossJoin(broadcast(rare))
+        .withColumn("dist", levenshtein(col("probe"), col("name")))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= k)
+        .select(col("probe"), col("rn").cast("long").as("rank"),
+          col("name"), col("dist").cast("long").as("dist"))
+      banded.unionByName(exhaustive)
+    }
+  }
+
+  /** Graded many-probe fuzzy match: the same 5 typo probes and part-name
+    * corpus as `q_fuzzy_match`, answered by the banded + TopKAgg path
+    * (fallback armed but unused on the fixture — FuzzyScaleSpec pins
+    * that all probes are banded-satisfied at dmax = 8 AND that the
+    * fallback-free plan is broadcast-free). Same output contract as the
+    * broadcast twin, so the same exact oracle grades both.
+    */
+  val qFuzzyMatchScaled: Q = (s, d) => {
+    val probes = s.createDataFrame(Seq(
+      Tuple1("smal ring"), Tuple1("red wdget"), Tuple1("blu bolt"),
+      Tuple1("hot gearz"), Tuple1("grean gizmo"))).toDF("probe")
+    val names = Dedup.fanOut(Tables.part(s, d))
+      .select(col("p_partkey").as("id"), col("p_name").as("name"))
+    fuzzyTopK(names, probes, k = 3, dmax = 8)
+      .select(col("probe"), col("rank"), col("name").as("p_name"), col("dist"))
+      .orderBy("probe", "rank")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_fuzzy_match_scaled" -> qFuzzyMatchScaled
+  )
+}

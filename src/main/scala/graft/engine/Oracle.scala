@@ -583,6 +583,22 @@ object Oracle {
         CAST(dist AS BIGINT) AS dist
       FROM r WHERE rn <= 3 ORDER BY probe, rank""",
 
+    // Same exact contract as q_fuzzy_match — the engine answers it with
+    // the PassJoin-banded candidate core + bounded TopKAgg (the
+    // many-probe 100 TB shape) instead of the probe broadcast; equality
+    // of the two paths is exactly what the shared oracle grades.
+    "q_fuzzy_match_scaled" -> """
+      WITH probes(probe) AS (VALUES ('smal ring'), ('red wdget'),
+          ('blu bolt'), ('hot gearz'), ('grean gizmo')),
+        dd AS (SELECT probe, p_partkey, p_name,
+            levenshtein(probe, p_name) AS dist
+          FROM part, probes),
+        r AS (SELECT *, row_number() OVER (PARTITION BY probe
+            ORDER BY dist, p_partkey) rn FROM dd)
+      SELECT probe, CAST(rn AS BIGINT) AS rank, p_name,
+        CAST(dist AS BIGINT) AS dist
+      FROM r WHERE rn <= 3 ORDER BY probe, rank""",
+
     // Latest-wins (KTable / log-compaction view): first_wins reversed.
     "q_dedup_latest" -> """
       WITH w AS (SELECT user_id, event_type, event_id, ts, value,

@@ -188,8 +188,10 @@ object TextAnalysis {
     * typo-tolerant lookup with the codegen'd built-in (no UDF). The
     * probe set broadcasts (map-only distance compute at any corpus
     * size); the per-probe top-3 here is a window over the tiny probe
-    * partitioning — at many-probe scale use the TopKAgg pattern
-    * (bounded map-side state) instead of the full sort.
+    * partitioning. At many-probe scale this twin stops working — use
+    * [[FuzzyJoin.fuzzyTopK]] (q_fuzzy_match_scaled): PassJoin-banded
+    * candidates + bounded TopKAgg, broadcast-free, same contract
+    * (FuzzyScaleSpec pins the equality).
     */
   val qFuzzyMatch: Q = (s, d) => {
     val probes = s.createDataFrame(Seq(
