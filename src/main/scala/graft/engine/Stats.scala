@@ -100,6 +100,54 @@ object Stats {
     }
   }
 
+  /** Outcome of a staleness probe: what the catalog believed, what the
+    * data actually holds, and whether a re-ANALYZE was issued.
+    */
+  final case class StalenessReport(table: String, recordedRows: Option[Long],
+      actualRows: Long, drift: Double, refreshed: Boolean)
+
+  /** Staleness detection for the LIBRARY path: a standing
+    * [[registerAnalyzed]] table keeps serving its ANALYZE-time statistics
+    * after every append/merge that bypasses the catalog — and a
+    * 100-rows-at-ANALYZE table that has since absorbed N merges still
+    * LOOKS broadcast-able to the planner (catalog stats override the
+    * file-size fallback), which is how standing tables silently mis-plan.
+    * StatsSpec pins exactly that failure: post-merge, the join strategy
+    * flips only after this refresh runs.
+    *
+    * The probe compares the catalog's recorded row count against a
+    * current `count()` — on parquet a metadata-weight scan (zero data
+    * columns; row-group row counts carry the answer), so probing after
+    * each ingest batch costs footer reads, not a data pass. Drift ≥
+    * `driftThreshold` (relative to the recorded count; missing stats
+    * count as infinitely stale) triggers `REFRESH TABLE` (drop cached
+    * file listing) plus re-ANALYZE — row+size by default, `columns`
+    * scoping the column pass exactly as [[registerAnalyzed]] does.
+    */
+  def refreshIfStale(s: SparkSession, table: String, driftThreshold: Double = 0.2,
+      columns: Seq[String] = Nil): StalenessReport = {
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(table)
+    // REFRESH first: the cached file listing predates the merge, and both
+    // the count probe and any re-ANALYZE must see the post-merge files.
+    s.sql(s"REFRESH TABLE `$table`")
+    val recorded = s.sessionState.catalog.getTableMetadata(ident)
+      .stats.flatMap(_.rowCount).map(_.toLong)
+    val actual = s.table(table).count()
+    val drift = recorded match {
+      case Some(r) if r > 0 => math.abs(actual - r).toDouble / r
+      case Some(_) => if (actual == 0) 0.0 else Double.PositiveInfinity
+      case None => Double.PositiveInfinity
+    }
+    val stale = drift >= driftThreshold
+    if (stale) {
+      if (columns.nonEmpty)
+        s.sql(s"ANALYZE TABLE `$table` COMPUTE STATISTICS FOR COLUMNS " +
+          columns.map(c => s"`$c`").mkString(", "))
+      else s.sql(s"ANALYZE TABLE `$table` COMPUTE STATISTICS")
+    }
+    StalenessReport(table, recorded, actual, drift, stale)
+  }
+
   /** Graded surface: the q5-family star join written in the WORST
     * textual order — fact ⋈ fact first (lineitem ⋈ orders), the
     * selective region filter last — then handed to CostBasedJoinReorder

@@ -149,6 +149,54 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("staleness probe: post-merge drift flips the join strategy only after refresh") {
+    // The library-path failure mode: a standing analyzed table absorbs a
+    // merge that bypasses the catalog. Its ANALYZE-time stats (50 rows,
+    // a few KB) keep overriding the file-size fallback, so the planner
+    // still broadcasts it long after it stopped being small — until
+    // refreshIfStale detects the row-count drift and re-ANALYZEs.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stale").toString
+    val full = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    full.limit(50).write.mode("overwrite").parquet(s"$tmp/grow.parquet")
+    val Seq(name) = Stats.registerAnalyzed(spark, tmp, Seq("grow"), "graft_statspec_")
+    val customer = spark.read.parquet("/root/testdata/sf0.01/customer.parquet")
+    val priorThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // Is the standing table the BUILD (broadcast) side of the join? Once
+    // it has grown, building on it is the mis-plan; the planner is free
+    // to broadcast the pruned other side instead.
+    def growIsBuildSide(): Boolean = {
+      import org.apache.spark.sql.functions.col
+      val df = spark.table(name).join(customer, col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey")
+      df.queryExecution.sparkPlan.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+          (b.buildSide match {
+            case org.apache.spark.sql.catalyst.optimizer.BuildLeft => b.left
+            case org.apache.spark.sql.catalyst.optimizer.BuildRight => b.right
+          }).toString.contains(name)
+      }.exists(identity)
+    }
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "8KB")
+      assert(growIsBuildSide(), "50-row analyzed table should be the broadcast build side")
+      // The merge: ~15k rows appended straight to the location — the
+      // catalog is not in the loop, exactly like a path-level ingest.
+      full.write.mode("append").parquet(s"$tmp/grow.parquet")
+      assert(growIsBuildSide(),
+        "stale stats must still (mis-)broadcast — that's the failure this API exists for")
+      val report = Stats.refreshIfStale(spark, name, driftThreshold = 0.2)
+      assert(report.refreshed && report.recordedRows.contains(50L))
+      assert(report.actualRows > 1000 && report.drift > 10)
+      assert(!growIsBuildSide(), "refreshed stats must stop building on the grown table")
+      // Second probe: no drift, no re-ANALYZE.
+      val again = Stats.refreshIfStale(spark, name, driftThreshold = 0.2)
+      assert(!again.refreshed && again.drift == 0.0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", priorThresh)
+      spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    }
+  }
+
   test("withCboTables restores confs and drops tables on exit") {
     val priorCbo = spark.conf.get("spark.sql.cbo.enabled")
     Stats.withCboTables(spark, D, Seq("nation"), "graft_statspec_")(_ => ())
