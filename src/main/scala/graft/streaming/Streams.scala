@@ -321,6 +321,137 @@ object Streams {
     }
   }
 
+  // -------------------------------------- state-schema evolution (upgrade)
+
+  /** Evolved dedup state: v1 stored only `firstSeenTs: Long`; v2 adds a
+    * suppressed-duplicate counter. The operational cliff this models:
+    * every long-running streaming deployment eventually needs a state
+    * field it didn't launch with.
+    */
+  case class DedupStateV2(firstSeenTs: Long, dupCount: Long)
+
+  /** One emitted row per expired key: the v2 payoff field (how many
+    * duplicates the key absorbed over its retention window).
+    */
+  case class DedupExpiry(user_id: Long, event_type: String, dup_count: Long)
+
+  /** v2 of [[FirstWinsDedupProcessor]] — same first-wins forwarding, but
+    * the state carries `dupCount` and expiry emits a per-key duplicate
+    * census.
+    *
+    * == The upgrade contract (StateEvolutionSpec) ==
+    *
+    * Restarting v2 FROM A V1 CHECKPOINT fails fast: the default
+    * (UnsafeRow) state encoding is positional, so the state store
+    * validates the stored schema against the processor's and aborts with
+    * `STATE_STORE_VALUE_SCHEMA_NOT_COMPATIBLE` rather than silently
+    * misreading v1 bytes as v2 rows — the spec pins that failure mode.
+    * The supported upgrade is DRAIN + RE-SEED via the batch twin:
+    *
+    *  1. drain v1 (process pending input, stop; the sink now holds every
+    *     v1 emission),
+    *  2. derive v2 state from the PROCESSED PREFIX with the batch twin
+    *     [[dedupStateSeedV2]] (a pure aggregation — exactly the
+    *     batch/streaming-parity discipline the rest of this file pins),
+    *  3. start v2 at a FRESH checkpoint with that seed as
+    *     transformWithState INITIAL STATE, consuming post-cutover input.
+    *
+    * Keys seeded in step 3 keep deduplicating across the cutover (no
+    * re-emission, counters continue), so the upgrade is invisible
+    * downstream. (Spark's Avro state encoding can evolve SOME changes
+    * in place — add/remove/reorder nullable fields — but ties the
+    * deployment to Avro-compatible steps forever; the drain+re-seed
+    * recipe has no such constraint and re-uses the batch twin the
+    * parity specs already trust.)
+    */
+  class FirstWinsDedupProcessorV2(retentionMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        (Long, String), Event, Event, DedupStateV2] {
+    @transient private var seen:
+      org.apache.spark.sql.streaming.ValueState[DedupStateV2] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      // Deliberately the SAME state-variable name v1 uses: an upgrade
+      // evolves the VALUE SCHEMA of an existing variable (Long → struct),
+      // which is exactly the change the state store validates on restart.
+      seen = getHandle.getValueState[DedupStateV2]("firstSeenTs",
+        Encoders.product[DedupStateV2], TTLConfig.NONE)
+
+    override def handleInitialState(key: (Long, String), initial: DedupStateV2,
+        timerValues: TimerValues): Unit = {
+      seen.update(initial)
+      getHandle.registerTimer(
+        timerValues.getCurrentWatermarkInMs.max(initial.firstSeenTs) + retentionMs)
+    }
+
+    override def handleInputRows(key: (Long, String), rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[Event] = {
+      val rs = rows.toSeq
+      if (seen.exists()) {
+        val s = seen.get()
+        seen.update(s.copy(dupCount = s.dupCount + rs.size))
+        Iterator.empty
+      } else {
+        val first = rs.minBy(e => (e.ts.getTime, e.event_id))
+        seen.update(DedupStateV2(first.ts.getTime, rs.size - 1L))
+        getHandle.registerTimer(
+          timerValues.getCurrentWatermarkInMs.max(first.ts.getTime) + retentionMs)
+        Iterator.single(first)
+      }
+    }
+
+    override def handleExpiredTimer(key: (Long, String), timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[Event] = {
+      seen.clear()
+      Iterator.empty
+    }
+  }
+
+  /** Batch twin of the v2 state: per (user_id, event_type), the earliest
+    * (ts, event_id) arrival and the count of everything after it — the
+    * re-seed frame for the drain+re-seed upgrade. Pure aggregation over
+    * the processed prefix; one shuffle on the state key at any scale.
+    */
+  def dedupStateSeedV2(processed: Dataset[Event]): DataFrame = {
+    import processed.sparkSession.implicits._
+    processed
+      .groupByKey(e => (e.user_id, e.event_type))
+      .mapGroups { (k, it) =>
+        val rs = it.toSeq
+        val first = rs.minBy(e => (e.ts.getTime, e.event_id))
+        (k._1, k._2, DedupStateV2(first.ts.getTime, rs.size - 1L))
+      }
+      .toDF("user_id", "event_type", "state")
+  }
+
+  /** v2 stateful dedup with optional migrated initial state (None → a
+    * fresh deployment; Some(seed) → the drain+re-seed upgrade path).
+    */
+  def dedupStatefulV2(events: Dataset[Event], delay: String = "1 hour",
+      retentionMs: Long = 3600L * 1000,
+      initialState: Option[DataFrame] = None): Dataset[Event] = {
+    import events.sparkSession.implicits._
+    val keyed = events
+      .withWatermark("ts", delay)
+      .groupByKey(e => (e.user_id, e.event_type))
+    initialState match {
+      case None =>
+        keyed.transformWithState(new FirstWinsDedupProcessorV2(retentionMs),
+          TimeMode.EventTime(), OutputMode.Append())
+      case Some(seed) =>
+        // groupByKey on the (user_id, event_type) pair — the SAME key
+        // function shape as the input side (state co-partitions by key).
+        val seedByKey = seed
+          .select(col("user_id"), col("event_type"), col("state"))
+          .as[(Long, String, DedupStateV2)]
+          .map(t => ((t._1, t._2), t._3))
+          .groupByKey(_._1)
+          .mapValues(_._2)
+        keyed.transformWithState(new FirstWinsDedupProcessorV2(retentionMs),
+          TimeMode.EventTime(), OutputMode.Append(), seedByKey)
+    }
+  }
+
   /** Running current-value-per-key table (KTable view) of the event log. */
   def ktableStream(events: Dataset[Event]): Dataset[LatestRow] = {
     import events.sparkSession.implicits._
