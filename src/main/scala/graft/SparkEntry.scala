@@ -38,7 +38,8 @@ object SparkEntry {
       Multimodal.queries ++ Sampling.queries ++ Sources.queries ++
       Quantize.queries ++ Incremental.queries ++ Assembly.queries ++
       Profile.queries ++ History.queries ++ Bpe.queries ++
-      Stats.queries ++ SpanDedup.queries ++ FuzzyJoin.queries).map { case (k, fn) =>
+      Stats.queries ++ SpanDedup.queries ++ FuzzyJoin.queries ++
+      TextClean.queries).map { case (k, fn) =>
       k -> ((s: SparkSession, d: String) => ntz(fn(s, d)))
     }
 

@@ -1240,6 +1240,64 @@ object Oracle {
       SELECT vec_id, round(l2, 6) AS l2_norm, round(f / l2, 6) AS first_component
       FROM n ORDER BY vec_id""",
 
+    // Planted-PII corpus (every 10th doc leaks email+phone, every 15th
+    // IP+SSN — identical construction in TextClean.plantedPii); counts on
+    // the raw text, placeholders substituted in the same order
+    // (email, ip, ssn, phone). Patterns stay in the RE2∩Java subset so
+    // both engines read them identically.
+    "q_pii_scrub" -> """
+      WITH docs AS (SELECT doc_id,
+          text || CASE WHEN doc_id % 10 = 0
+              THEN ' contact jane.doe@example.com or 555-867-5309 today' ELSE '' END
+               || CASE WHEN doc_id % 15 = 0
+              THEN ' host 192.168.10.42 owner 123-45-6789' ELSE '' END AS text
+        FROM documents)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        CAST(len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssns,
+        CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+          '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
+          '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g') AS scrubbed
+      FROM docs ORDER BY doc_id""",
+
+    // Planted-markup corpus (every 7th doc wrapped in html); tag strip,
+    // entity table in the same order, whitespace renormalized — both
+    // engines run the literally-identical pipeline.
+    "q_html_strip" -> """
+      WITH docs AS (SELECT doc_id,
+          CASE WHEN doc_id % 7 = 0
+            THEN '<html><body><p class="x">' || text ||
+                 '</p><div>footer &amp; nav</div></body></html>'
+            ELSE text END AS text
+        FROM documents),
+      s AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_raw,
+          trim(regexp_replace(
+            replace(replace(replace(replace(replace(
+              regexp_replace(text, '<[^>]*>', ' ', 'g'),
+              '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&nbsp;', ' '),
+            '\s+', ' ', 'g')) AS clean
+        FROM docs)
+      SELECT doc_id, n_raw, CAST(length(clean) AS BIGINT) AS n_clean, clean
+      FROM s ORDER BY doc_id""",
+
+    // Planted-URL corpus; DuckDB's regexp_extract_all returns full
+    // matches (group 0) where the engine wraps the pattern in an explicit
+    // group-1 — same strings either way.
+    "q_url_census" -> """
+      WITH docs AS (SELECT doc_id,
+          text || CASE WHEN doc_id % 5 = 0
+              THEN ' see https://example.com/a/b and http://data.example.org/x'
+            WHEN doc_id % 5 = 1 THEN ' via https://example.com/c'
+            ELSE '' END AS text
+        FROM documents),
+      urls AS (SELECT unnest(regexp_extract_all(text,
+          'https?://[A-Za-z0-9.-]+(/[A-Za-z0-9._/%-]*)?')) AS url FROM docs),
+      hosts AS (SELECT regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1) AS host FROM urls)
+      SELECT host, count(*) AS n_urls FROM hosts GROUP BY host ORDER BY host""",
+
     "q_text_stats" -> """
       SELECT lang, count(*) AS n_docs, round(avg(n_chars), 2) AS avg_chars,
         round(avg(len(string_split(text, ' '))), 2) AS avg_tokens

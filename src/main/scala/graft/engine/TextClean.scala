@@ -1,0 +1,128 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Web-corpus cleaning stages a real training-data pipeline runs between
+  * crawl and tokenizer — PII scrubbing, HTML/boilerplate stripping, URL
+  * extraction — all as pure per-row regex projections: map-only, inside
+  * whole-stage codegen, zero shuffles at any corpus size (the corpus-level
+  * URL census is the one aggregation, a standard two-phase count).
+  *
+  * The fixture documents are synthetic lowercase prose with no PII/markup,
+  * so each graded key PLANTS its targets deterministically (concat keyed
+  * on doc_id — the q_cosine_neardup corpus-construction discipline) and
+  * the oracle replants the identical corpus in SQL. Regexes are kept in
+  * the RE2-compatible subset (no lookaround, no backreferences) so Spark
+  * (java.util.regex) and DuckDB (RE2) agree literally.
+  */
+object TextClean {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** RE2-and-Java-compatible PII patterns. Deliberately minimal: the
+    * graded contract is the scrub MECHANISM (match → placeholder +
+    * census); production pattern packs (locale phone formats, IBANs,
+    * national ids) slot into the same map.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val SsnRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+
+  /** Scrub one text column: placeholders substituted in pattern order.
+    * Order matters where patterns could overlap a prefix (SSN 3-2-4 vs
+    * phone 3-3-4 cannot collide; IP before phone keeps dotted quads from
+    * ever being read as number runs).
+    */
+  def scrub(text: Column): Column = {
+    val e = regexp_replace(text, EmailRe, "[EMAIL]")
+    val i = regexp_replace(e, Ipv4Re, "[IP]")
+    val s = regexp_replace(i, SsnRe, "[SSN]")
+    regexp_replace(s, PhoneRe, "[PHONE]")
+  }
+
+  /** The planted-PII corpus both the engine and the oracle construct:
+    * every 10th doc leaks an email + phone, every 15th an IP + SSN.
+    */
+  private def plantedPii(docs: DataFrame): DataFrame =
+    docs.withColumn("text",
+      concat(col("text"),
+        when(col("doc_id") % 10 === 0,
+          lit(" contact jane.doe@example.com or 555-867-5309 today")).otherwise(lit("")),
+        when(col("doc_id") % 15 === 0,
+          lit(" host 192.168.10.42 owner 123-45-6789")).otherwise(lit(""))))
+
+  /** Graded PII scrub: per doc, the scrubbed text plus a per-category
+    * census (the audit artifact a compliance pass keeps). Map-only.
+    */
+  val qPiiScrub: Q = (s, d) => {
+    val docs = plantedPii(Tables.documents(s, d).select(col("doc_id"), col("text")))
+    docs.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(col("text"), lit(SsnRe)).cast("long").as("n_ssns"),
+      regexp_count(col("text"), lit(Ipv4Re)).cast("long").as("n_ips"),
+      scrub(col("text")).as("scrubbed"))
+      .orderBy("doc_id")
+  }
+
+  /** Strip HTML: tags → space, a minimal entity table, whitespace
+    * re-normalized. The planted corpus wraps every 7th doc in markup.
+    */
+  def stripHtml(text: Column): Column = {
+    val noTags = regexp_replace(text, "<[^>]*>", " ")
+    val ent = Seq("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&nbsp;" -> " ")
+      .foldLeft(noTags) { case (c, (from, to)) => replace(c, lit(from), lit(to)) }
+    trim(regexp_replace(ent, "\\s+", " "))
+  }
+
+  private def plantedHtml(docs: DataFrame): DataFrame =
+    docs.withColumn("text",
+      when(col("doc_id") % 7 === 0,
+        concat(lit("<html><body><p class=\"x\">"), col("text"),
+          lit("</p><div>footer &amp; nav</div></body></html>")))
+        .otherwise(col("text")))
+
+  /** Graded HTML strip: cleaned text + how much was removed (the
+    * boilerplate-share signal quality filters threshold on).
+    */
+  val qHtmlStrip: Q = (s, d) => {
+    val docs = plantedHtml(Tables.documents(s, d).select(col("doc_id"), col("text")))
+    docs.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_raw"),
+      stripHtml(col("text")).as("clean"))
+      .withColumn("n_clean", length(col("clean")).cast("long"))
+      .select(col("doc_id"), col("n_raw"), col("n_clean"), col("clean"))
+      .orderBy("doc_id")
+  }
+
+  val UrlRe = "https?://[A-Za-z0-9.-]+(/[A-Za-z0-9._/%-]*)?"
+
+  /** Graded URL census: extract every URL, reduce to registrable host,
+    * count per host corpus-wide — the domain-mix report every crawl
+    * curation run starts from. Extraction is map-only; the census is one
+    * partial-aggregated count on the host key.
+    */
+  val qUrlCensus: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .withColumn("text",
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" see https://example.com/a/b and http://data.example.org/x")))
+          .when(col("doc_id") % 5 === 1,
+            concat(col("text"), lit(" via https://example.com/c")))
+          .otherwise(col("text")))
+    docs
+      .select(explode(expr(s"regexp_extract_all(text, '($UrlRe)', 1)")).as("url"))
+      .select(regexp_extract(col("url"), "https?://([A-Za-z0-9.-]+)", 1).as("host"))
+      .groupBy("host").agg(count(lit(1)).as("n_urls"))
+      .orderBy("host")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_pii_scrub" -> qPiiScrub,
+    "q_html_strip" -> qHtmlStrip,
+    "q_url_census" -> qUrlCensus
+  )
+}
