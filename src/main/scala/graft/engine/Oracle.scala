@@ -1631,6 +1631,19 @@ object Oracle {
       FROM tf JOIN df USING (term), n
       ORDER BY tfidf DESC, doc_id, term LIMIT 20""",
 
+    // Corpus-unigram-LM mean NLL via the entropy trick (ln N − Σ tf·ln cf
+    // / n — single trailing division, identical op sequence both engines).
+    "q_lm_score" -> """
+      WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        tt AS (SELECT doc_id, term FROM t WHERE term <> ''),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM tt GROUP BY doc_id, term),
+        cf AS (SELECT term, sum(tf) AS cf FROM tf GROUP BY term),
+        n AS (SELECT sum(cf) AS n_total FROM cf)
+      SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
+        round(ln(n_total) - sum(tf * ln(cf)) / sum(tf), 6) AS nll
+      FROM tf JOIN cf USING (term), n
+      GROUP BY doc_id, n_total ORDER BY doc_id""",
+
     // Shannon entropy via ln N − Σ c·ln c / N (single trailing division
     // — identical op sequence in both engines, drift ≪ round-6).
     "q_token_entropy" -> """

@@ -88,6 +88,42 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** Corpus-unigram-LM quality score — the CCNet-style filter stage
+    * (public: Wenzek et al., "CCNet: Extracting High Quality Monolingual
+    * Datasets from Web Crawl Data"): score each document by its mean
+    * negative log-likelihood under the corpus's own unigram model; text
+    * whose vocabulary is atypical for the corpus (gibberish, boilerplate,
+    * wrong language) scores high and gets filtered/bucketed. (CCNet uses
+    * a 5-gram KenLM; the unigram form is the same mechanism with the
+    * model the engine can train in two aggregates.)
+    *
+    * nll(d) = −(1/n_d)·Σ_{t∈d} ln(c_t/N) = ln N − (Σ_t c_dt·ln c_t)/n_d
+    * — the entropy trick (single trailing division, q_token_entropy's G2
+    * discipline) so both engines run the identical op sequence and float
+    * drift stays far below the round-6 grain.
+    *
+    * Shapes for 100 TB: two hash aggregates (per-doc tf, then corpus
+    * frequency — both map-side partial), a SHUFFLE join of tf with the
+    * vocabulary-sized frequency table on the term key (a vocabulary is
+    * NOT broadcast-sized at web scale), and a broadcast one-row total.
+    */
+  val qLmScore: Q = (s, d) => {
+    val terms = documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .where(col("term") =!= "")
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val cf = tf.groupBy(col("term")).agg(sum(col("tf")).as("cf"))
+    val total = cf.select(sum(col("cf")).as("n_total"))
+    tf.join(cf, "term")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * log(col("cf"))).as("__stlc"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("n_tokens"),
+        round(log(col("n_total")) - col("__stlc") / col("n_tokens"), 6).as("nll"))
+      .orderBy("doc_id")
+  }
+
   /** Per-language token-distribution (Shannon) entropy — the vocabulary
     * diversity score a corpus-quality dashboard tracks (collapsed or
     * template-spam slices show up as low entropy). Computed as
@@ -371,6 +407,7 @@ object TextAnalysis {
     "q_token_count" -> qTokenCount,
     "q_token_topk" -> qTokenTopk,
     "q_tfidf_topk" -> qTfidfTopk,
+    "q_lm_score" -> qLmScore,
     "q_token_entropy" -> qTokenEntropy,
     "q_text_quality" -> qTextQuality,
     "q_repetition" -> qRepetition,

@@ -50,6 +50,24 @@ class TextCleanSpec extends AnyFunSuite {
     assert(wrapped.where(!col("clean").contains("footer & nav")).count() == 0)
   }
 
+  test("scrub is a stateless projection: the streaming face equals the batch twin") {
+    // The cleaning stages are pure per-row maps, so they lift onto
+    // readStream unchanged — no watermark, no state; this pins that the
+    // column expression actually planalyzes under the streaming engine.
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)](spark)
+    val q = ms.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"), TextClean.scrub(col("text")).as("text"))
+      .writeStream.format("memory").queryName("clean_stream").start()
+    val rows = Seq((1L, "mail a@b.io now"), (2L, "ip 10.0.0.1"), (3L, "plain"))
+    try { ms.addData(rows); q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("clean_stream").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val batch = rows.toDF("doc_id", "text")
+      .select(col("doc_id"), TextClean.scrub(col("text")).as("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamed == batch)
+  }
+
   test("url census sees exactly the planted hosts with the planted multiplicities") {
     val docs = graft.engine.Tables.documents(spark, sfDir)
     val n0 = docs.where(col("doc_id") % 5 === 0).count()
