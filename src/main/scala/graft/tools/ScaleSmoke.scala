@@ -149,11 +149,27 @@ object ScaleSmoke {
     ((System.nanoTime() - t0) / 1e9, rows.value, flags)
   }
 
+  /** Is the N× plan shape acceptable relative to 1×? Identical is ideal.
+    * The one tolerated difference is broadcast DEMOTION — a BHJ at 1×
+    * re-planning as a shuffle join once its side outgrew the threshold
+    * (strictly fewer BHJ, no new nested loop / cartesian): that is the
+    * planner doing its job at scale. Any new BHJ / BNLJ / Cartesian at
+    * N× is the corpus-sized-broadcast failure this gate exists to catch.
+    */
+  def planShapeOk(f1: Map[String, Int], fN: Map[String, Int]): Boolean = {
+    def g(m: Map[String, Int], k: String) = m.getOrElse(k, 0)
+    if (f1 == fN) true
+    else g(fN, "BHJ") < g(f1, "BHJ") &&
+      g(fN, "BNLJ") <= g(f1, "BNLJ") &&
+      g(fN, "CartesianProduct") <= g(f1, "CartesianProduct")
+  }
+
   /** The heaviest graded keys — the suite's scale story in one list. */
   val heavyKeys: Seq[String] = Seq(
     "q_neardup_lsh", "q_neardup_lsh_salted", "q_neardup_components",
     "q_neardup_resolve", "q_containment_pairs", "q_substring_dedup",
-    "q_ann_ivfpq", "q_skew_join", "q_curation_pipeline", "q_sessionize")
+    "q_ann_ivfpq", "q_skew_join", "q_curation_pipeline", "q_sessionize",
+    "q_lm_score", "q_fuzzy_match_scaled")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SCALE_SMOKE_SRC", "/root/testdata/sf0.01")
@@ -187,7 +203,7 @@ object ScaleSmoke {
         val again = runKey(spark, k, scaledDir); if (again._1 < tN) { tN = again._1; rowsN = again._2 }
       }
       val ratio = tN / floor
-      val flip = flags1 != flagsN
+      val flip = !planShapeOk(flags1, flagsN)
       val over = ratio > factor * slack
       if (flip || over) fail = true
       val fj = (m: Map[String, Int]) => m.toSeq.sorted.map { case (a, b) => s""""$a":$b""" }.mkString("{", ",", "}")

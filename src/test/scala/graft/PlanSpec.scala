@@ -299,6 +299,23 @@ class PlanSpec extends AnyFunSuite {
       s"norms recomputed above the join: $aboveJoin")
   }
 
+  test("q_lm_score past the broadcast cap: only the one-row total broadcasts") {
+    // The tf ⋈ cf join must ride the term-key shuffle when the
+    // vocabulary-sized frequency table cannot broadcast (web-scale
+    // vocabularies don't); the single legitimate broadcast is the hinted
+    // one-row corpus total.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan("q_lm_score")
+      val broadcasts = "BroadcastExchange".r.findAllIn(p).size
+      assert(broadcasts == 1, s"expected exactly the one-row-total broadcast, got $broadcasts:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"tf-cf join must shuffle on the term key:\n$p")
+      assert(!p.contains("CartesianProduct"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q_lateral_topk decorrelates to a windowed top-k, not a per-row loop") {
     // The correlated LATERAL ... ORDER BY ... LIMIT must rewrite to a
     // partitioned Window + filter below a join (the same one-shuffle

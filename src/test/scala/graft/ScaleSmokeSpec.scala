@@ -97,13 +97,24 @@ class ScaleSmokeSpec extends AnyFunSuite {
     assert(pN <= (factor + 1) * p1, s"lsh pairs superlinear: $p1 -> $pN")
   }
 
-  test("no heavy key flips plan shape at N×") {
+  test("no heavy key flips plan shape at N× (broadcast demotion tolerated)") {
     ScaleSmoke.heavyKeys.foreach { k =>
       val f1 = ScaleSmoke.planFlags(SparkEntry.queries(k)(spark, TestSpark.sfDir)
         .queryExecution.executedPlan.toString)
       val fN = ScaleSmoke.planFlags(SparkEntry.queries(k)(spark, outDir)
         .queryExecution.executedPlan.toString)
-      assert(f1 === fN, s"$k plan shape flipped at ${factor}×")
+      assert(ScaleSmoke.planShapeOk(f1, fN), s"$k plan shape flipped at ${factor}×: $f1 -> $fN")
     }
+  }
+
+  test("planShapeOk accepts only identity or strict broadcast demotion") {
+    val base = Map("BHJ" -> 2, "Exchange" -> 4)
+    assert(ScaleSmoke.planShapeOk(base, base))
+    // Demotion: fewer BHJ (the side outgrew the threshold) — allowed.
+    assert(ScaleSmoke.planShapeOk(base, Map("BHJ" -> 1, "SMJ" -> 1, "Exchange" -> 6)))
+    // Promotion: MORE broadcasts at scale — the failure the gate catches.
+    assert(!ScaleSmoke.planShapeOk(base, Map("BHJ" -> 3, "Exchange" -> 4)))
+    // A nested loop appearing at scale is never acceptable.
+    assert(!ScaleSmoke.planShapeOk(base, Map("BHJ" -> 1, "BNLJ" -> 1, "Exchange" -> 4)))
   }
 }
