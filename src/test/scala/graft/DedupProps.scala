@@ -124,4 +124,39 @@ object DedupProps extends Properties("graft.dedup") {
     forAll(token, token) { (a, b) =>
       (TextAnalysis.fnv1a64(a) != TextAnalysis.fnv1a64(b)) ==> (a != b)
     }
+
+  // ---- PassJoin banding (FuzzyJoin): the pigeonhole recall guarantee ----
+
+  /** Apply up to d random single-char edits (insert/delete/substitute). */
+  private def edits(s: String, d: Int): Gen[String] = {
+    def step(cur: String): Gen[String] = for {
+      op <- Gen.choose(0, 2)
+      pos <- Gen.choose(0, math.max(cur.length - 1, 0))
+      ch <- Gen.alphaLowerChar
+    } yield op match {
+      case 0 if cur.nonEmpty => cur.updated(math.min(pos, cur.length - 1), ch) // substitute
+      case 1 => cur.take(pos) + ch + cur.drop(pos) // insert
+      case _ if cur.length > 1 => cur.take(pos) + cur.drop(pos + 1) // delete
+      case _ => cur
+    }
+    Gen.choose(0, d).flatMap { n =>
+      (1 to n).foldLeft(Gen.const(s)) { (g, _) => g.flatMap(step) }
+    }
+  }
+
+  property("PassJoin candidates contain every probe within dmax of a name (pigeonhole)") = {
+    val dmax = 3
+    val name: Gen[String] = Gen.choose(4, 20).flatMap(n => Gen.stringOfN(n, Gen.alphaLowerChar))
+    forAll(Gen.listOfN(6, name.flatMap(n => edits(n, dmax).map(n -> _)))) { pairs =>
+      val names = pairs.map(_._1).distinct.zipWithIndex
+        .map { case (n, i) => (i.toLong, n) }.toDF("id", "name")
+      val probes = pairs.map(_._2).distinct.map(Tuple1(_)).toDF("probe")
+      // Ground truth: every (probe, name) pair actually within dmax.
+      val truth = names.crossJoin(probes)
+        .where(levenshtein(col("probe"), col("name")) <= dmax)
+        .select("probe", "id", "name")
+      val cand = graft.engine.FuzzyJoin.candidates(names, probes, dmax)
+      truth.except(cand).count() == 0L
+    }
+  }
 }
