@@ -61,6 +61,23 @@ class IvfDeltaSpec extends AnyFunSuite {
     assert(drifted.retrainRecommended)
   }
 
+  test("index artifacts survive a parquet persist/reload roundtrip") {
+    // The library lifecycle: train once, persist the centroid frame and
+    // the (vec_id, cell) assignment as parquet artifacts, reload in a
+    // later job, search — identical results to the in-memory index.
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-artifact").toString
+    val cells = Ivf.assign(embs, centroids)
+    centroids.write.mode("overwrite").parquet(s"$dir/centroids.parquet")
+    cells.write.mode("overwrite").parquet(s"$dir/cells.parquet")
+    val cLoaded = spark.read.parquet(s"$dir/centroids.parquet")
+    val aLoaded = spark.read.parquet(s"$dir/cells.parquet")
+    val fresh = Ivf.search(embs, centroids, queryVecId = 7L, nprobe = 3, topK = 10,
+      cellsIn = Some(cells)).collect().toSeq
+    val loaded = Ivf.search(embs, cLoaded, queryVecId = 7L, nprobe = 3, topK = 10,
+      cellsIn = Some(aLoaded)).collect().toSeq
+    assert(loaded == fresh)
+  }
+
   test("q_ann_delta: the grown index reproduces the exact global top-15") {
     val got = SparkEntry.queries("q_ann_delta")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
