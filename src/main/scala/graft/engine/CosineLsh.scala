@@ -183,7 +183,11 @@ object CosineLsh {
     * the LSH recall loss is far below the oracle's resolution, which is
     * what makes an exact-match gate sound for a probabilistic operator.
     */
-  val qCosineNeardup: Q = (s, d) => {
+  /** The planted-near-dup corpus both graded keys (and their oracles)
+    * construct: every 10th vector duplicated with its first component
+    * ×1.1 — cos(v, copy) ≥ 0.99 by construction, background max 0.60.
+    */
+  private def plantedNearDupCorpus(s: SparkSession, d: String): DataFrame = {
     val base = Tables.embeddings(s, d)
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("embedding"))
@@ -191,11 +195,33 @@ object CosineLsh {
       .select((col("vec_id") + 1000000L).as("vec_id"),
         transform(col("embedding"),
           (x, i) => when(i === 0, x * lit(1.1)).otherwise(x)).as("embedding"))
-    nearDup(base.unionByName(planted), dim = 64, threshold = 0.99,
+    base.unionByName(planted)
+  }
+
+  val qCosineNeardup: Q = (s, d) =>
+    nearDup(plantedNearDupCorpus(s, d), dim = 64, threshold = 0.99,
       shapeIn = Dedup.Auto())
+
+  /** Embedding-cluster RESOLUTION — the vector twin of the text-side
+    * detect → cluster → resolve chain (`q_neardup_resolve`): hyperplane-
+    * LSH cosine pairs → connected components (min-label + pointer
+    * jumping, the shared `Dedup.nearDupComponents` loop) → one canonical
+    * vec per cluster with its group size. This is the frame a semantic-
+    * dedup job joins back to the corpus to keep one representative per
+    * embedding cluster. Identical physical story to the text chain:
+    * banded candidates, broadcast-free iterative rounds.
+    */
+  val qCosineResolve: Q = (s, d) => {
+    val corpus = plantedNearDupCorpus(s, d)
+    val pairs = nearDup(corpus, dim = 64, threshold = 0.99, shapeIn = Dedup.Auto())
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val comp = Dedup.nearDupComponents(pairs)
+    Dedup.resolveToCanonical(corpus.select(col("vec_id").as("doc_id")), comp)
+      .orderBy("canonical")
   }
 
   val queries: Map[String, Q] = Map(
-    "q_cosine_neardup" -> qCosineNeardup
+    "q_cosine_neardup" -> qCosineNeardup,
+    "q_cosine_resolve" -> qCosineResolve
   )
 }

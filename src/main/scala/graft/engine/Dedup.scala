@@ -319,6 +319,49 @@ object Dedup {
     lshNearDupPairs(signatures(blockedDocSets(documents(s, d), normTokens(col("text")), "toks")),
       "toks", 9, 10, 0.9, Auto(), blockCols = DocBlockCols)
 
+  /** Sorted-neighborhood dedup — the record-linkage blocking discipline
+    * (Hernández & Stolfo's merge/purge, public knowledge) the LSH/banding
+    * families don't cover: sort each block by a sort key, compare only
+    * rows within a rank window of w. Where LSH candidates come from hash
+    * collisions, these come from sort adjacency — which catches the
+    * "same prefix, diverged tail" near-dups a banding miss can drop, and
+    * costs O(w·n) candidate pairs deterministically (no collision
+    * distribution to reason about).
+    *
+    * Scale shape: the rank is a PARTITIONED window (per (lang, source)
+    * block — never a global sort); the neighborhood join is a pure
+    * EQUI-join on (block, rank) with the lower side exploded to its w
+    * probe ranks — linear ×w fan-out, shuffle on the block+rank key, no
+    * per-block quadratic pair scan (an |rn_a − rn_b| ≤ w range predicate
+    * over a block equi-join would compute O(block²) pairs first). The
+    * known boundary weakness of the method (true dups > w apart in sort
+    * order) is the documented trade; production runs multi-pass with
+    * rotated sort keys.
+    */
+  val qSortedNeighborhood: Q = (s, d) => {
+    val w = 3
+    val win = Window.partitionBy(col("lang"), col("source"))
+      .orderBy(col("text"), col("doc_id"))
+    val ranked = fanOut(documents(s, d))
+      .withColumn("rn", row_number().over(win))
+      .select(col("lang"), col("source"), col("rn"), col("doc_id"),
+        array_distinct(split(col("text"), " ")).as("toks"))
+    // Left side probes each of its w successor ranks — candidate =
+    // (block, rank) equi-match; jaccard confirms.
+    val probes = ranked
+      .withColumn("rn", explode(sequence(col("rn") + 1, col("rn") + w)))
+      .select(col("lang"), col("source"), col("rn"),
+        col("doc_id").as("doc_a"), col("toks").as("toks_a"))
+    probes.join(ranked, Seq("lang", "source", "rn"))
+      .select(col("doc_a"), col("doc_id").as("doc_b"),
+        round(
+          size(array_intersect(col("toks_a"), col("toks"))).cast("double") /
+            size(array_distinct(array_union(col("toks_a"), col("toks")))), 6)
+          .as("jaccard"))
+      .where(col("jaccard") >= 0.9)
+      .orderBy("doc_a", "doc_b")
+  }
+
   // ---------------------------------------------------------------- LSH core
 
   /** The blocking key of the blocked near-dup keys: same language, same
@@ -1117,6 +1160,7 @@ object Dedup {
     "q_dedup_windowed" -> qDedupWindowed,
     "q_dedup_docs" -> qDedupDocs,
     "q_neardup_pairs" -> qNeardupPairs,
+    "q_sorted_neighborhood" -> qSortedNeighborhood,
     "q_ngram_jaccard" -> qNgramJaccard,
     "q_neardup_lsh" -> qNeardupLsh,
     "q_neardup_lsh_salted" -> qNeardupLshSalted,

@@ -1023,6 +1023,22 @@ object Oracle {
       SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.9
       ORDER BY doc_a, doc_b""",
 
+    // Sorted-neighborhood dedup: rank within (lang, source) by (text,
+    // doc_id), candidate pairs are 1..3 ranks apart, jaccard ≥ 0.9
+    // confirms. doc_a is always the LOWER-RANK doc (sort-order identity,
+    // deterministic via the doc_id tiebreak).
+    "q_sorted_neighborhood" -> """
+      WITH r AS (SELECT doc_id, lang, source,
+          row_number() OVER (PARTITION BY lang, source ORDER BY text, doc_id) rn,
+          list_distinct(string_split(text, ' ')) toks FROM documents),
+        p AS (SELECT a.doc_id doc_a, b.doc_id doc_b,
+            round(len(list_intersect(a.toks, b.toks)) * 1.0 /
+                  len(list_distinct(list_concat(a.toks, b.toks))), 6) jaccard
+          FROM r a JOIN r b ON a.lang = b.lang AND a.source = b.source
+            AND b.rn - a.rn BETWEEN 1 AND 3)
+      SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.9
+      ORDER BY doc_a, doc_b""",
+
     // Exact-substring span dedup (SpanDedup.scala): fixed-L = 8 token
     // grams, duplicated = present in ≥ 2 distinct docs, ALL occurrences
     // excised, overlapping-or-adjacent intervals merged. Positions here
@@ -1214,6 +1230,32 @@ object Oracle {
           FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
       SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= 0.99
       ORDER BY vec_a, vec_b""",
+
+    // Embedding-cluster resolution: recursive-CTE transitive closure over
+    // the exact all-pairs ≥0.99 cosine edge list on the SAME planted
+    // corpus — the independent fixpoint formulation the iterative
+    // min-label loop is checked against (the q_neardup_resolve pattern,
+    // on vectors).
+    "q_cosine_resolve" -> """
+      WITH RECURSIVE base AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        planted AS (SELECT vec_id + 1000000 AS vec_id,
+            list_transform(range(1, 65), i -> CASE WHEN i = 1 THEN v[i] * 1.1 ELSE v[i] END) AS v
+          FROM base WHERE vec_id % 10 = 0),
+        corpus AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+        p AS (SELECT a.vec_id va, b.vec_id vb
+          FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+          WHERE round(list_dot_product(a.v, b.v) /
+                (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.99),
+        e AS (SELECT va s, vb d FROM p UNION ALL SELECT vb, va FROM p),
+        reach(vv, lbl) AS (
+          SELECT s, s FROM e
+          UNION
+          SELECT e.s, reach.lbl FROM e JOIN reach ON reach.vv = e.d),
+        lbl AS (SELECT vv, min(lbl) AS canonical FROM reach GROUP BY vv),
+        lab AS (SELECT c.vec_id, coalesce(l.canonical, c.vec_id) AS canonical
+          FROM corpus c LEFT JOIN lbl l ON l.vv = c.vec_id)
+      SELECT canonical, count(*) AS group_size
+      FROM lab GROUP BY canonical ORDER BY canonical""",
 
     "q_similarity_join" -> """
       WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),

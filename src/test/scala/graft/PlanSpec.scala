@@ -299,6 +299,18 @@ class PlanSpec extends AnyFunSuite {
       s"norms recomputed above the join: $aboveJoin")
   }
 
+  test("q_sorted_neighborhood joins on (block, rank) — no per-block pair scan") {
+    // The neighborhood must be an EQUI-join against the exploded probe
+    // ranks; a range predicate over a block-only join would compute
+    // O(block²) pairs before filtering.
+    val p = plan("q_sorted_neighborhood")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    val joinLine = p.linesIterator.find(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin")).getOrElse("")
+    assert(joinLine.contains("rn"), s"join must key on the rank: $joinLine")
+  }
+
   test("q_lm_score past the broadcast cap: only the one-row total broadcasts") {
     // The tf ⋈ cf join must ride the term-key shuffle when the
     // vocabulary-sized frequency table cannot broadcast (web-scale
