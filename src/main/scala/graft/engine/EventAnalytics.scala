@@ -1,0 +1,79 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Event-analytics staples over the events stream table — the funnel and
+  * cohort-retention reports every product-analytics deployment runs, as
+  * pure relational compositions (each step a hash aggregate or an
+  * equi-join on user_id; no window over a global order, no state).
+  *
+  * Scale: everything keys on user_id (or the derived cohort day) — the
+  * natural shuffle key; step frames are per-user single rows (bounded),
+  * so the joins are 1:1 after map-side-partial min aggregates.
+  */
+object EventAnalytics {
+  import Tables.events
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Ordered-funnel step times per user: earliest `view`, the earliest
+    * `click` AFTER that view, and the earliest `purchase` AFTER that
+    * click, each within `windowHours` of the previous step. The
+    * strictly-increasing-time constraint is what makes it a FUNNEL
+    * rather than three independent filters.
+    */
+  private def funnelSteps(ev: DataFrame, windowHours: Int): DataFrame = {
+    val horizon = expr(s"INTERVAL $windowHours HOURS")
+    val s1 = ev.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t1"))
+    val s2 = ev.where(col("event_type") === "click")
+      .join(s1, "user_id")
+      .where(col("ts") > col("t1") && col("ts") <= col("t1") + horizon)
+      .groupBy("user_id").agg(min(col("t1")).as("t1"), min(col("ts")).as("t2"))
+    val s3 = ev.where(col("event_type") === "purchase")
+      .join(s2, "user_id")
+      .where(col("ts") > col("t2") && col("ts") <= col("t2") + horizon)
+      .groupBy("user_id").agg(min(col("t2")).as("t2"), min(col("ts")).as("t3"))
+    s1.join(s2.select(col("user_id"), col("t2")), Seq("user_id"), "left")
+      .join(s3.select(col("user_id"), col("t3")), Seq("user_id"), "left")
+  }
+
+  /** Graded funnel report: users entering each step and the step-to-step
+    * conversion rates (the drop-off chart). One row — the report head a
+    * dashboard renders.
+    */
+  val qFunnel: Q = (s, d) => {
+    val steps = funnelSteps(events(s, d), windowHours = 24)
+    steps.agg(
+      count(lit(1)).as("n_view"),
+      count(col("t2")).as("n_click"),
+      count(col("t3")).as("n_purchase"),
+      round(count(col("t2")).cast("double") / count(lit(1)), 6).as("view_to_click"),
+      round(count(col("t3")).cast("double") / greatest(count(col("t2")), lit(1L)), 6)
+        .as("click_to_purchase"))
+  }
+
+  /** Graded cohort retention: users grouped by first-seen day (their
+    * cohort), counted by how many distinct later days they came back —
+    * the (cohort_day, day_offset, n_users) triangle. Two aggregates and
+    * one user-keyed join; day offsets beyond `maxOffset` are truncated
+    * (the report is a fixed-width triangle, not an unbounded matrix).
+    */
+  val qCohortRetention: Q = (s, d) => {
+    val ev = events(s, d).select(col("user_id"), to_date(col("ts")).as("day"))
+    val cohort = ev.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    ev.join(cohort, "user_id")
+      .select(col("cohort_day"), col("user_id"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+      .where(col("day_offset") <= 14)
+      .distinct()
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_funnel" -> qFunnel,
+    "q_cohort_retention" -> qCohortRetention
+  )
+}

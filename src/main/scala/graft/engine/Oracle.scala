@@ -1023,6 +1023,44 @@ object Oracle {
       SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.9
       ORDER BY doc_a, doc_b""",
 
+    // Ordered funnel within a 24h per-step horizon: earliest view, the
+    // earliest click strictly after it, the earliest purchase strictly
+    // after that — stepwise min-after-join CTEs, the same op sequence
+    // the engine runs.
+    "q_funnel" -> """
+      WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+          WHERE event_type = 'view' GROUP BY user_id),
+        s2 AS (SELECT e.user_id, min(s1.t1) AS t1, min(e.ts) AS t2
+          FROM events e JOIN s1 ON e.user_id = s1.user_id
+          WHERE e.event_type = 'click' AND e.ts > s1.t1
+            AND e.ts <= s1.t1 + INTERVAL 24 HOURS
+          GROUP BY e.user_id),
+        s3 AS (SELECT e.user_id, min(e.ts) AS t3
+          FROM events e JOIN s2 ON e.user_id = s2.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+            AND e.ts <= s2.t2 + INTERVAL 24 HOURS
+          GROUP BY e.user_id),
+        j AS (SELECT s1.user_id, s2.t2, s3.t3
+          FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+            LEFT JOIN s3 ON s1.user_id = s3.user_id)
+      SELECT count(*) AS n_view, count(t2) AS n_click, count(t3) AS n_purchase,
+        round(count(t2) * 1.0 / count(*), 6) AS view_to_click,
+        round(count(t3) * 1.0 / greatest(count(t2), 1), 6) AS click_to_purchase
+      FROM j""",
+
+    // Cohort retention triangle: first-seen day per user, distinct
+    // (user, day-offset) activity within 14 days, counted per cell.
+    "q_cohort_retention" -> """
+      WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        c AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id),
+        o AS (SELECT DISTINCT c.cohort_day, ev.user_id,
+            datediff('day', c.cohort_day, ev.day) AS day_offset
+          FROM ev JOIN c ON ev.user_id = c.user_id
+          WHERE datediff('day', c.cohort_day, ev.day) <= 14)
+      SELECT cohort_day, day_offset, count(*) AS n_users
+      FROM o GROUP BY cohort_day, day_offset
+      ORDER BY cohort_day, day_offset""",
+
     // Sorted-neighborhood dedup: rank within (lang, source) by (text,
     // doc_id), candidate pairs are 1..3 ranks apart, jaccard ≥ 0.9
     // confirms. doc_a is always the LOWER-RANK doc (sort-order identity,
