@@ -387,8 +387,72 @@ object Assembly {
       .orderBy("shard")
   }
 
+  // -------------------------------------------- token-budget selection
+
+  /** Fill a token budget with the best documents: select the prefix of
+    * the corpus ordered by (quality DESC, doc_id ASC) whose cumulative
+    * token count stays within `budget` — the "we can afford N tokens,
+    * take the best" curation step between scoring and assembly.
+    *
+    * The naive form is a running sum over a GLOBAL sort — a
+    * single-partition window at any scale. This is the distributed
+    * two-phase prefix sum instead:
+    *
+    *  1. bucket by quality with `width_bucket` — a pure function of the
+    *     quality VALUE, so equal qualities always share a bucket and
+    *     the bucket order is exactly the quality order across buckets;
+    *  2. per-bucket token totals (one map-side-partial aggregate,
+    *     nBuckets rows) get a running offset via a window over that
+    *     TINY frame (single partition of ≤ nBuckets rows — bounded by
+    *     construction, not by data);
+    *  3. the within-bucket running sum is a window PARTITIONED by
+    *     bucket — every partition bounded by its bucket's share.
+    *
+    * offset(bucket) + within-bucket cumsum ≡ the global prefix sum over
+    * (quality DESC, doc_id) exactly, because the bucket function is
+    * monotone in quality (boundary ties impossible: equal values share
+    * a bucket). The oracle states the SAME result as one flat window
+    * cumsum, so the decomposition is hash-checked against the direct
+    * formulation.
+    */
+  def budgetSelect(docs: DataFrame, budget: Long, nBuckets: Int = 32): DataFrame = {
+    val bucketed = docs.withColumn("__b",
+      width_bucket(col("quality"), lit(0.0), lit(1.0000001), lit(nBuckets)))
+    val offsets = bucketed.groupBy(col("__b")).agg(sum(col("n_tokens")).as("__bt"))
+      .withColumn("__off",
+        coalesce(sum(col("__bt")).over(
+          Window.orderBy(desc("__b")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("__b"), col("__off"))
+    val within = Window.partitionBy(col("__b"))
+      .orderBy(desc("quality"), asc("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed.join(broadcast(offsets), "__b")
+      .withColumn("cum_tokens", col("__off") + sum(col("n_tokens")).over(within))
+      .where(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col("quality"), col("n_tokens"), col("cum_tokens"))
+  }
+
+  /** Graded budget selection over the q_text_quality score (rounded to
+    * its 4-decimal grain BEFORE ordering — both engines order identical
+    * values, G2/G4) with whitespace token counts; budget 15k tokens ≈
+    * the best ~30% of the sf0.01 corpus.
+    */
+  val qBudgetSelect: Q = (s, d) => {
+    val toks = split(col("text"), " ")
+    val stop = array(lit("the"), lit("a"), lit("of"), lit("and"))
+    val scored = Tables.documents(s, d)
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("__stop", size(filter(toks, t => array_contains(stop, t))).cast("double"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(least(col("n_tokens") / 100.0, lit(1.0)) *
+          (lit(1.0) - col("__stop") / col("n_tokens")), 4).as("quality"))
+    budgetSelect(scored, budget = 15000L).orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_pipeline_assembly" -> qPipelineAssembly,
+    "q_budget_select" -> qBudgetSelect,
     "q_decontaminate" -> qDecontaminate,
     "q_decontaminate_fuzzy" -> qDecontaminateFuzzy,
     "q_shard_assign" -> qShardAssign,

@@ -831,6 +831,24 @@ object Oracle {
     // Concat-and-chunk packing (Assembly.qSeqPacking): running token sum
     // per shard in shuffled (hash) order, 512-token cuts; // is integer
     // division, matching Spark's `div`.
+    // Token-budget selection: the oracle is the DIRECT flat prefix sum
+    // over (quality DESC, doc_id) — the engine's bucketed two-phase
+    // decomposition must reproduce it exactly (quality rounded to its
+    // 4-decimal grain BEFORE ordering, G2/G4).
+    "q_budget_select" -> """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        q AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tokens,
+            round(least(len(l) / 100.0, 1.0) *
+              (1.0 - len(list_filter(l, x -> x IN ('the','a','of','and'))) * 1.0 / len(l)),
+              4) AS quality
+          FROM t),
+        c AS (SELECT doc_id, quality, n_tokens,
+            CAST(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+          FROM q)
+      SELECT doc_id, quality, n_tokens, cum_tokens
+      FROM c WHERE cum_tokens <= 15000 ORDER BY doc_id""",
+
     "q_seq_packing" -> """
       WITH t AS (SELECT doc_id,
           len(string_split(text, ' '))::BIGINT AS n_tokens,
