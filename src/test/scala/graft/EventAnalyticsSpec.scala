@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.streaming.Streams.Event
+
+/** Funnel/cohort semantics the mirrored oracle cannot independently
+  * witness (both sides run the same CTE shape, so a shared semantic slip
+  * would hash-match): step ORDER must matter, horizons must bind, and
+  * cohort offsets must count distinct active days, not events.
+  */
+class EventAnalyticsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
+
+  private def run(evs: Seq[Event], key: String) = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ea").toString
+    // Write with the fixture's events schema (the loaders adapt on ts dtype).
+    evs.toDF().select(col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), col("value"), lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    SparkEntry.queries(key)(spark, tmp)
+  }
+
+  test("funnel counts require strict step order within the horizon") {
+    val evs = Seq(
+      // user 1: view -> click -> purchase, in order: full conversion.
+      Event(1L, 1L, "view", ts("2024-01-01 10:00:00"), 0),
+      Event(2L, 1L, "click", ts("2024-01-01 11:00:00"), 0),
+      Event(3L, 1L, "purchase", ts("2024-01-01 12:00:00"), 0),
+      // user 2: purchase BEFORE click — no purchase conversion.
+      Event(4L, 2L, "view", ts("2024-01-01 10:00:00"), 0),
+      Event(5L, 2L, "purchase", ts("2024-01-01 10:30:00"), 0),
+      Event(6L, 2L, "click", ts("2024-01-01 11:00:00"), 0),
+      // user 3: click 30h after view — outside the 24h horizon.
+      Event(7L, 3L, "view", ts("2024-01-01 10:00:00"), 0),
+      Event(8L, 3L, "click", ts("2024-01-02 16:00:00"), 0),
+      // user 4: click with NO view — never enters the funnel.
+      Event(9L, 4L, "click", ts("2024-01-01 10:00:00"), 0))
+    val r = run(evs, "q_funnel").head()
+    assert(r.getAs[Long]("n_view") == 3) // users 1, 2, 3
+    assert(r.getAs[Long]("n_click") == 2) // users 1, 2 (3 is out of horizon)
+    assert(r.getAs[Long]("n_purchase") == 1) // only user 1 (2 is out of order)
+  }
+
+  test("cohort retention counts distinct active days, not raw events") {
+    val evs = Seq(
+      // user 1: 3 events on day 0, 2 on day 2 — one cell each.
+      Event(1L, 1L, "view", ts("2024-01-01 08:00:00"), 0),
+      Event(2L, 1L, "view", ts("2024-01-01 09:00:00"), 0),
+      Event(3L, 1L, "click", ts("2024-01-01 10:00:00"), 0),
+      Event(4L, 1L, "view", ts("2024-01-03 08:00:00"), 0),
+      Event(5L, 1L, "view", ts("2024-01-03 09:00:00"), 0),
+      // user 2: joins a day later, returns on its day 1.
+      Event(6L, 2L, "view", ts("2024-01-02 08:00:00"), 0),
+      Event(7L, 2L, "view", ts("2024-01-03 08:00:00"), 0))
+    val got = run(evs, "q_cohort_retention").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+      ("2024-01-01", 0L, 1L), ("2024-01-01", 2L, 1L),
+      ("2024-01-02", 0L, 1L), ("2024-01-02", 1L, 1L)))
+  }
+
+  test("funnel is monotone on the fixture: n_view >= n_click >= n_purchase > 0") {
+    val r = SparkEntry.queries("q_funnel")(spark, TestSpark.sfDir).head()
+    val (v, c, p) = (r.getAs[Long]("n_view"), r.getAs[Long]("n_click"),
+      r.getAs[Long]("n_purchase"))
+    assert(v >= c && c >= p && p > 0, s"$v >= $c >= $p")
+  }
+}
