@@ -22,7 +22,7 @@ object EventAnalytics {
     * strictly-increasing-time constraint is what makes it a FUNNEL
     * rather than three independent filters.
     */
-  private def funnelSteps(ev: DataFrame, windowHours: Int): DataFrame = {
+  private[graft] def funnelSteps(ev: DataFrame, windowHours: Int): DataFrame = {
     val horizon = expr(s"INTERVAL $windowHours HOURS")
     val s1 = ev.where(col("event_type") === "view")
       .groupBy("user_id").agg(min(col("ts")).as("t1"))

@@ -273,6 +273,72 @@ object Streams {
       .transformWithState(new UserProfileProcessor, TimeMode.None(), OutputMode.Append())
   }
 
+  // ------------------------------------------ streaming funnel (analytics)
+
+  /** Per-user funnel progress snapshot: step timestamps in epoch millis
+    * (-1 = step not reached); `version` counts the user's state updates,
+    * so max-version rows per user form the CURRENT funnel table (the
+    * TopKRow changelog discipline).
+    */
+  case class FunnelRow(user_id: Long, version: Long, t1: Long, t2: Long, t3: Long)
+
+  /** Streaming face of `EventAnalytics.funnelSteps` — the per-user
+    * view→click→purchase state machine as a transformWithState
+    * processor: THREE longs of state per user (bounded forever), each
+    * event folded through the strict-order/step-horizon rules the batch
+    * twin expresses with min-after joins.
+    *
+    * Parity scope (the FirstWinsDedupProcessor discipline): within one
+    * micro-batch events are folded in (ts, event_id) order; across
+    * batches processing is arrival-ordered, so a later batch carrying an
+    * EARLIER view does not retroactively lower t1 the way the batch
+    * twin's global min would. Streaming/batch parity therefore requires
+    * arrival order ~ event-time order, which is how the spec stages
+    * input — the same contract every stateful operator here documents.
+    */
+  class FunnelProcessor(windowMs: Long)
+      extends StatefulProcessor[Long, Event, FunnelRow] {
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[(Long, Long, Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Long, Long)]("funnel",
+        Encoders.product[(Long, Long, Long, Long)], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[FunnelRow] = {
+      val (v0, p1, p2, p3) =
+        if (st.exists()) st.get() else (0L, -1L, -1L, -1L)
+      val next = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        .foldLeft((p1, p2, p3)) { case ((t1, t2, t3), e) =>
+          val ts = e.ts.getTime
+          e.event_type match {
+            case "view" if t1 < 0 => (ts, t2, t3)
+            case "click" if t1 >= 0 && t2 < 0 && ts > t1 && ts <= t1 + windowMs =>
+              (t1, ts, t3)
+            case "purchase" if t2 >= 0 && t3 < 0 && ts > t2 && ts <= t2 + windowMs =>
+              (t1, t2, ts)
+            case _ => (t1, t2, t3)
+          }
+        }
+      if (next == ((p1, p2, p3))) Iterator.empty
+      else {
+        st.update((v0 + 1, next._1, next._2, next._3))
+        Iterator.single(FunnelRow(key, v0 + 1, next._1, next._2, next._3))
+      }
+    }
+  }
+
+  /** Running funnel table changelog (append-mode; current rows = max
+    * version per user).
+    */
+  def funnelStream(events: Dataset[Event], windowHours: Int = 24): Dataset[FunnelRow] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessor(windowHours * 3600L * 1000L),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** One emitted KTable changelog row: the key's NEW current record;
     * per-key `version` makes max-version rows the current table.
     */

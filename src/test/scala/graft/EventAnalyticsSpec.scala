@@ -63,6 +63,53 @@ class EventAnalyticsSpec extends AnyFunSuite {
       ("2024-01-02", 0L, 1L), ("2024-01-02", 1L, 1L)))
   }
 
+  test("streaming funnel snapshot equals the batch min-after-join twin") {
+    // Event-time-ordered arrival (the documented parity discipline for
+    // every stateful processor here), split across two micro-batches at
+    // an awkward seam: user 1's purchase lands a batch after its click.
+    val b1 = Seq(
+      Event(1L, 1L, "view", ts("2024-01-01 10:00:00"), 0),
+      Event(2L, 2L, "view", ts("2024-01-01 10:10:00"), 0),
+      Event(3L, 1L, "click", ts("2024-01-01 11:00:00"), 0))
+    val b2 = Seq(
+      Event(4L, 2L, "purchase", ts("2024-01-01 11:30:00"), 0), // no click yet: blocked
+      Event(5L, 1L, "purchase", ts("2024-01-01 12:00:00"), 0),
+      Event(6L, 3L, "click", ts("2024-01-01 12:30:00"), 0)) // no view: never enters
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event](
+      graft.streaming.Streams.sessionConf(spark))
+    val q = graft.streaming.Streams.start(
+      graft.streaming.Streams.funnelStream(ms.toDS()).toDF(),
+      graft.streaming.Streams.MemoryStreamSink("funnel_stream",
+        Some(java.nio.file.Files.createTempDirectory("graft-funnel").toString)))
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    // Current table = max-version row per user; -1 = step not reached.
+    val cur = spark.table("funnel_stream")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          .orderBy(desc("version"))))
+      .where(col("rn") === 1)
+      .select("user_id", "t1", "t2", "t3")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // Batch twin over the union, same horizon.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-funnel-b").toString
+    (b1 ++ b2).toDF().select(col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), col("value"), lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val twin = graft.engine.EventAnalytics.funnelSteps(
+      graft.engine.Tables.events(spark, tmp), windowHours = 24)
+      .collect().map { r =>
+        def t(i: Int) = if (r.isNullAt(i)) -1L else r.getTimestamp(i).getTime
+        r.getLong(0) -> (t(1), t(2), t(3))
+      }.toMap
+    // The streaming table only carries users whose state ever moved
+    // (user 3 never entered); the batch twin only carries users with a
+    // view — identical key sets here, identical step times.
+    assert(cur == twin, s"stream $cur vs batch $twin")
+  }
+
   test("funnel is monotone on the fixture: n_view >= n_click >= n_purchase > 0") {
     val r = SparkEntry.queries("q_funnel")(spark, TestSpark.sfDir).head()
     val (v, c, p) = (r.getAs[Long]("n_view"), r.getAs[Long]("n_click"),
