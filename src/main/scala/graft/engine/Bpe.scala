@@ -290,10 +290,15 @@ object Bpe {
       * reassemble the exact input — runs of spaces, tabs, newlines and
       * all. Never emits a special id.
       */
+    /** Ids of ONE pre-tokenized segment — no re-segmentation; the
+      * ByteEncoder memo path calls this per cached-miss segment.
+      */
+    private[engine] def encodeSegmentIds(seg: String): List[Int] =
+      core.encodeWord(byteMapped(seg)).map(tokenId)
+
     def encodeIds(text: String): List[Int] =
       if (text == null || text.isEmpty) Nil
-      else segments(text).flatMap(seg =>
-        core.encodeWord(byteMapped(seg)).map(tokenId)).toList
+      else segments(text).flatMap(encodeSegmentIds).toList
 
     /** Inverse of [[encodeIds]] on valid-UTF-8 input: concatenate the
       * mapped-char surfaces of non-special ids, unmap to bytes, decode
@@ -365,7 +370,7 @@ object Bpe {
       val hit = memo.get(seg)
       if (hit != null) hit
       else {
-        val out = model.encodeIds(seg)
+        val out = model.encodeSegmentIds(seg)
         if (memo.size < MemoCap) memo.put(seg, out)
         out
       }

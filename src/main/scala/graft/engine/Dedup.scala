@@ -356,7 +356,7 @@ object Dedup {
       .select(col("doc_a"), col("doc_id").as("doc_b"),
         round(
           size(array_intersect(col("toks_a"), col("toks"))).cast("double") /
-            size(array_distinct(array_union(col("toks_a"), col("toks")))), 6)
+            size(array_union(col("toks_a"), col("toks"))), 6) // union is already distinct
           .as("jaccard"))
       .where(col("jaccard") >= 0.9)
       .orderBy("doc_a", "doc_b")

@@ -45,10 +45,12 @@ object FuzzyJoin {
 
   /** Per-name segment rows: (nlen, seg, token) plus carried (id, name).
     * Even split of the name into dmax+1 contiguous segments — floor
-    * arithmetic, 1-based `substring`; empty segments (nlen < dmax+1)
-    * are dropped (a short name's remaining segments still pigeonhole:
-    * edits can destroy at most dmax of the dmax+1 NON-EMPTY-or-empty
-    * segments, and an empty segment is trivially "contained").
+    * arithmetic, 1-based `substring`. Only names LONGER than dmax take
+    * this path: a name with nlen ≤ dmax has empty segments, and an empty
+    * segment matches vacuously — the pigeonhole guarantee ("some segment
+    * survives untouched and matches exactly") says nothing once the
+    * surviving segment can be empty. Those short names go through
+    * [[shortNameCandidates]] instead.
     */
   private def nameSegments(names: DataFrame, dmax: Int): DataFrame = {
     val p = dmax + 1
@@ -86,14 +88,41 @@ object FuzzyJoin {
       .select(col("nlen"), col("seg"), col("token"), col("probe"))
   }
 
+  /** Names with nlen ≤ dmax pair with every probe in their length window
+    * (|plen − nlen| ≤ dmax — the necessary condition edit distance
+    * imposes) via an EQUI-join on the length key. Sound without any
+    * segment matching: a ≤-dmax-char name is within dmax edits of MANY
+    * strings (delete it entirely, insert the other — cost nlen + plen ≤
+    * dmax + plen), so length banding is the only filter that prunes
+    * anything; and it is a bounded fan-out — each short name meets only
+    * the probes in 2·dmax+1 length classes, and at web scale the
+    * ≤-dmax-char slice of an entity corpus is a sliver.
+    */
+  private def shortNameCandidates(names: DataFrame, probes: DataFrame, dmax: Int): DataFrame =
+    names
+      .withColumn("nlen", length(col("name")))
+      .where(col("nlen") <= dmax)
+      .join(probes
+        .withColumn("plen", length(col("probe")))
+        .withColumn("nlen", explode(sequence(
+          greatest(col("plen") - dmax, lit(1)), col("plen") + dmax)))
+        .select(col("nlen"), col("probe")),
+        Seq("nlen"))
+      .select(col("probe"), col("id"), col("name"))
+
   /** Banded candidate (probe, id, name) pairs — superset of every pair
-    * within edit distance dmax (pigeonhole), deduplicated across the
-    * multiple slots a pair can collide in.
+    * within edit distance dmax: segment pigeonhole for names longer than
+    * dmax, length-window pairing for the short-name sliver (where the
+    * pigeonhole is vacuous — FuzzyScaleSpec and DedupProps cover both
+    * regimes). Deduplicated across the multiple slots a pair can collide
+    * in.
     */
   def candidates(names: DataFrame, probes: DataFrame, dmax: Int): DataFrame =
-    nameSegments(names, dmax)
+    nameSegments(names.withColumn("__nl", length(col("name")))
+        .where(col("__nl") > dmax).drop("__nl"), dmax)
       .join(probeSubstrings(probes, dmax), Seq("nlen", "seg", "token"))
       .select(col("probe"), col("id"), col("name"))
+      .unionByName(shortNameCandidates(names, probes, dmax))
       .distinct()
 
   /** Top-k closest names per probe by (levenshtein ASC, id ASC).
@@ -146,9 +175,7 @@ object FuzzyJoin {
     * broadcast twin, so the same exact oracle grades both.
     */
   val qFuzzyMatchScaled: Q = (s, d) => {
-    val probes = s.createDataFrame(Seq(
-      Tuple1("smal ring"), Tuple1("red wdget"), Tuple1("blu bolt"),
-      Tuple1("hot gearz"), Tuple1("grean gizmo"))).toDF("probe")
+    val probes = TextAnalysis.fuzzyProbesDf(s) // the twin's exact probe set
     val names = Dedup.fanOut(Tables.part(s, d))
       .select(col("p_partkey").as("id"), col("p_name").as("name"))
     fuzzyTopK(names, probes, k = 3, dmax = 8)

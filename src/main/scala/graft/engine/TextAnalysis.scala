@@ -229,10 +229,17 @@ object TextAnalysis {
     * candidates + bounded TopKAgg, broadcast-free, same contract
     * (FuzzyScaleSpec pins the equality).
     */
+  /** The typo-probe fixture BOTH fuzzy keys (and their shared oracle)
+    * use — one definition so the twin contract cannot drift.
+    */
+  private[engine] val FuzzyProbes: Seq[String] =
+    Seq("smal ring", "red wdget", "blu bolt", "hot gearz", "grean gizmo")
+
+  private[engine] def fuzzyProbesDf(s: SparkSession): DataFrame =
+    s.createDataFrame(FuzzyProbes.map(Tuple1(_))).toDF("probe")
+
   val qFuzzyMatch: Q = (s, d) => {
-    val probes = s.createDataFrame(Seq(
-      Tuple1("smal ring"), Tuple1("red wdget"), Tuple1("blu bolt"),
-      Tuple1("hot gearz"), Tuple1("grean gizmo"))).toDF("probe")
+    val probes = fuzzyProbesDf(s)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("probe")).orderBy(asc("dist"), asc("p_partkey"))
     graft.engine.Dedup.fanOut(Tables.part(s, d)).crossJoin(broadcast(probes))

@@ -83,6 +83,11 @@ object Streams {
       // Footer-only batch peek (bounded, no data read) so the declared
       // stream schema matches whichever ts encoding this fixture
       // generation used; readStream requires an explicit schema.
+      // Operational caveat: an EMPTY watch dir at definition time has no
+      // footer to peek, so the fallback assumes the int64-nanos
+      // generation — a deployment whose MICROS files only arrive after
+      // start should create the stream once data exists (or declare the
+      // schema itself via readStream directly).
       val tsType = scala.util.Try(spark.read.parquet(dir).schema("ts").dataType)
         .getOrElse(LongType)
       val schema = StructType(rawEventSchema.map(f =>

@@ -57,7 +57,8 @@ import org.apache.spark.sql.functions._
 object ScaleSmoke {
 
   /** Copy-stride added to every key column: far above any fixture id, far
-    * below Long overflow at factor ≤ 1000.
+    * below Long overflow at any permitted factor (the binding limit is
+    * the 26-copy rotation alphabet — see `synthesize`).
     */
   val Stride = 100000000L
 
@@ -111,6 +112,13 @@ object ScaleSmoke {
     * source schema byte-for-byte semantics.
     */
   def synthesize(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
+    // The per-copy letter rotation has 25 distinct non-identity values
+    // (c % 25 + 1): factor 26 = copies 0..25, all rotations distinct.
+    // Past that, copies would collide into exact cross-copy duplicates
+    // and the disjoint-copy invariants (and with them the linearity
+    // gates) silently break — refuse rather than mismeasure.
+    require(factor >= 1 && factor <= 26,
+      s"factor $factor outside [1, 26]: the copy-rotation alphabet supports at most 26 disjoint copies")
     Tables.configure(spark) // nanosAsLong for events.ts int64
     keyCols.keys.toSeq.sorted.foreach { name =>
       val src = spark.read.parquet(s"$srcDir/$name.parquet")
@@ -137,8 +145,12 @@ object ScaleSmoke {
   /** Build + force one graded key against `dir`. Construction is INSIDE the
     * timed region: the iterative keys (components, IVF/PQ training) execute
     * bounded jobs while the DataFrame is being built, and that cost is part
-    * of the operator. Forcing goes through the `noop` sink so the full
-    * physical plan (final sort included) runs without writer overhead.
+    * of the operator. Forcing runs `foreachPartition` with a row-count
+    * accumulator — the full physical plan (final sort included) executes
+    * with no writer, plus a per-row deserialization term that Bench's
+    * noop-sink methodology does not pay; it is identical at BOTH scales,
+    * so the RATIO this harness gates on is unaffected (absolute times are
+    * not comparable to BENCH records).
     */
   def runKey(spark: SparkSession, name: String, dir: String): (Double, Long, Map[String, Int]) = {
     val t0 = System.nanoTime()

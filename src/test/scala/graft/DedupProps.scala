@@ -146,7 +146,10 @@ object DedupProps extends Properties("graft.dedup") {
 
   property("PassJoin candidates contain every probe within dmax of a name (pigeonhole)") = {
     val dmax = 3
-    val name: Gen[String] = Gen.choose(4, 20).flatMap(n => Gen.stringOfN(n, Gen.alphaLowerChar))
+    // Lengths 1..20 COVER the short-name regime (nlen <= dmax), where the
+    // segment pigeonhole is vacuous and the length-window branch must
+    // carry recall.
+    val name: Gen[String] = Gen.choose(1, 20).flatMap(n => Gen.stringOfN(n, Gen.alphaLowerChar))
     forAll(Gen.listOfN(6, name.flatMap(n => edits(n, dmax).map(n -> _)))) { pairs =>
       val names = pairs.map(_._1).distinct.zipWithIndex
         .map { case (n, i) => (i.toLong, n) }.toDF("id", "name")

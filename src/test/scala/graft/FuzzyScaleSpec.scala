@@ -31,6 +31,36 @@ class FuzzyScaleSpec extends AnyFunSuite {
       "a within-dmax pair escaped the banded candidate set")
   }
 
+  test("short names (nlen <= dmax) stay reachable: no silent wrong top-k") {
+    // "cap" has only empty-or-tiny segments at dmax=8 — the segment
+    // pigeonhole says nothing about it, yet it IS within dmax of the
+    // probe, and with enough banded long-name candidates around, a
+    // segments-only candidate set would pass the satisfied gate and
+    // silently drop the true closest match. The short-name length-window
+    // branch must carry it.
+    // dmax=4; "cap" (nlen 3 <= dmax) is the rank-3 true match at dist 3,
+    // and three LONG names are also within dmax — so the probe passes
+    // the satisfied gate and a segments-only candidate set would return
+    // a confident, wrong top-3 omitting "cap".
+    val dmax = 4
+    val corpus = spark.createDataFrame(Seq(
+      (1L, "cap"), (2L, "mugab"), (3L, "mugxy"), (4L, "mugs123")) ++
+      (5L to 10L).map(i => (i, s"a much longer product name $i")))
+      .toDF("id", "name")
+    val probes = probesDf("mug")
+    val got = FuzzyJoin.fuzzyTopK(corpus, probes, k = 3, dmax = dmax, fallback = false)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe")).orderBy(asc("dist"), asc("id"))
+    val truth = corpus.crossJoin(probes)
+      .withColumn("dist", levenshtein(col("probe"), col("name")))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= 3)
+      .select(col("probe"), col("rn").cast("long").as("rank"), col("name"),
+        col("dist").cast("long").as("dist"))
+    assert(got.except(truth).count() == 0 && truth.except(got).count() == 0,
+      "banded top-k must equal the exhaustive top-k with a short name in range")
+    assert(got.where(col("name") === "cap").count() == 1, "the short name must rank")
+  }
+
   test("q_fuzzy_match_scaled equals the broadcast twin row for row") {
     val scaled = SparkEntry.queries("q_fuzzy_match_scaled")(spark, sfDir).collect().toSeq
     val bcast = SparkEntry.queries("q_fuzzy_match")(spark, sfDir).collect().toSeq
