@@ -72,8 +72,33 @@ object EventAnalytics {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** DAU/WAU engagement report: per day, the distinct actives that day,
+    * the distinct actives over the trailing 7 days, and the stickiness
+    * ratio. A DISTINCT count cannot ride a sliding window aggregate
+    * (distinct is not decomposable over overlapping frames), so each
+    * active (user, day) fans out to the ≤7 report days it supports —
+    * linear ×7, then two plain distinct-counts. Report days are
+    * restricted to days with actual activity (no calendar scaffold).
+    */
+  val qDauWau: Q = (s, d) => {
+    val active = events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val days = active.select(col("day")).distinct()
+    val dau = active.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = active
+      .withColumn("report_day", explode(sequence(col("day"), date_add(col("day"), 6))))
+      .join(days.withColumnRenamed("day", "report_day"), Seq("report_day"))
+      .select(col("report_day").as("day"), col("user_id")).distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_funnel" -> qFunnel,
-    "q_cohort_retention" -> qCohortRetention
+    "q_cohort_retention" -> qCohortRetention,
+    "q_dau_wau" -> qDauWau
   )
 }

@@ -1066,6 +1066,20 @@ object Oracle {
         round(count(t3) * 1.0 / greatest(count(t2), 1), 6) AS click_to_purchase
       FROM j""",
 
+    // DAU/WAU stickiness: distinct actives per day and per trailing
+    // 7 days (the fan-out-then-distinct formulation — distinct cannot
+    // ride a sliding frame), report days restricted to active days.
+    "q_dau_wau" -> """
+      WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        days AS (SELECT DISTINCT day FROM a),
+        dau AS (SELECT day, count(*) AS dau FROM a GROUP BY day),
+        f AS (SELECT DISTINCT a.user_id, d.day
+          FROM a JOIN days d ON d.day BETWEEN a.day AND a.day + 6),
+        wau AS (SELECT day, count(*) AS wau FROM f GROUP BY day)
+      SELECT dau.day, dau.dau, wau.wau,
+        round(dau.dau * 1.0 / wau.wau, 6) AS stickiness
+      FROM dau JOIN wau ON dau.day = wau.day ORDER BY dau.day""",
+
     // Cohort retention triangle: first-seen day per user, distinct
     // (user, day-offset) activity within 14 days, counted per cell.
     "q_cohort_retention" -> """

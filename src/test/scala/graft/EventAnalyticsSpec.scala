@@ -110,6 +110,24 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(cur == twin, s"stream $cur vs batch $twin")
   }
 
+  test("dau/wau counts distinct users; wau covers the trailing 7 active days") {
+    val evs = Seq(
+      // day 1: users 1,2 (user 1 twice — must count once).
+      Event(1L, 1L, "view", ts("2024-01-01 08:00:00"), 0),
+      Event(2L, 1L, "click", ts("2024-01-01 09:00:00"), 0),
+      Event(3L, 2L, "view", ts("2024-01-01 10:00:00"), 0),
+      // day 5: user 3 only; trailing window still sees day 1's users.
+      Event(4L, 3L, "view", ts("2024-01-05 08:00:00"), 0),
+      // day 20: far past any window — wau = dau.
+      Event(5L, 1L, "view", ts("2024-01-20 08:00:00"), 0))
+    val got = run(evs, "q_dau_wau").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toList
+    assert(got == List(
+      ("2024-01-01", 2L, 2L), // dau 2; window [1..1]: users 1,2
+      ("2024-01-05", 1L, 3L), // dau 1; window [-1..5] active days {1,5}: users 1,2,3
+      ("2024-01-20", 1L, 1L)))
+  }
+
   test("funnel is monotone on the fixture: n_view >= n_click >= n_purchase > 0") {
     val r = SparkEntry.queries("q_funnel")(spark, TestSpark.sfDir).head()
     val (v, c, p) = (r.getAs[Long]("n_view"), r.getAs[Long]("n_click"),
