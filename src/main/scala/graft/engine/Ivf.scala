@@ -171,7 +171,11 @@ object Ivf {
     * decision is [[driftProbe]]'s job, not this method's.
     */
   def assignDelta(existing: DataFrame, deltaEmbs: DataFrame, centroids: DataFrame): DataFrame = {
-    val fresh = deltaEmbs.join(existing.select(col("vec_id")), Seq("vec_id"), "left_anti")
+    // Idempotency must hold WITHIN the batch too: a delta that carries the
+    // same vec_id twice (replayed upstream, unioned feeds) would otherwise
+    // survive the anti-join in duplicate and break one-row-per-vector.
+    val fresh = deltaEmbs.dropDuplicates("vec_id")
+      .join(existing.select(col("vec_id")), Seq("vec_id"), "left_anti")
     existing.unionByName(assign(fresh, centroids))
   }
 

@@ -126,7 +126,10 @@ object Pq {
     * codebooks — not this method's.
     */
   def encodeDelta(existing: DataFrame, deltaEmbs: DataFrame, model: PqModel): DataFrame = {
-    val fresh = deltaEmbs.join(existing.select(col("vec_id")), Seq("vec_id"), "left_anti")
+    // Dedupe inside the batch before the anti-join: a replayed delta row
+    // would otherwise produce two code rows for one vec_id.
+    val fresh = deltaEmbs.dropDuplicates("vec_id")
+      .join(existing.select(col("vec_id")), Seq("vec_id"), "left_anti")
     existing.unionByName(encode(fresh, model))
   }
 

@@ -126,10 +126,16 @@ object Stats {
     */
   def refreshIfStale(s: SparkSession, table: String, driftThreshold: Double = 0.2,
       columns: Seq[String] = Nil): StalenessReport = {
-    val ident = org.apache.spark.sql.catalyst.TableIdentifier(table)
+    // Parse the name so a qualified `db.tbl` resolves as (db, tbl) rather
+    // than a single bare identifier literally named "db.tbl" — and quote
+    // each PART when rebuilding SQL, so both forms hit the same table the
+    // catalog probe below reads.
+    val ident = s.sessionState.sqlParser.parseTableIdentifier(table)
+    val quoted = (ident.database.toSeq :+ ident.table)
+      .map(p => s"`${p.replace("`", "``")}`").mkString(".")
     // REFRESH first: the cached file listing predates the merge, and both
     // the count probe and any re-ANALYZE must see the post-merge files.
-    s.sql(s"REFRESH TABLE `$table`")
+    s.sql(s"REFRESH TABLE $quoted")
     val recorded = s.sessionState.catalog.getTableMetadata(ident)
       .stats.flatMap(_.rowCount).map(_.toLong)
     val actual = s.table(table).count()
@@ -141,9 +147,9 @@ object Stats {
     val stale = drift >= driftThreshold
     if (stale) {
       if (columns.nonEmpty)
-        s.sql(s"ANALYZE TABLE `$table` COMPUTE STATISTICS FOR COLUMNS " +
+        s.sql(s"ANALYZE TABLE $quoted COMPUTE STATISTICS FOR COLUMNS " +
           columns.map(c => s"`$c`").mkString(", "))
-      else s.sql(s"ANALYZE TABLE `$table` COMPUTE STATISTICS")
+      else s.sql(s"ANALYZE TABLE $quoted COMPUTE STATISTICS")
     }
     StalenessReport(table, recorded, actual, drift, stale)
   }

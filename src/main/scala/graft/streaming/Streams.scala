@@ -84,12 +84,24 @@ object Streams {
       // stream schema matches whichever ts encoding this fixture
       // generation used; readStream requires an explicit schema.
       // Operational caveat: an EMPTY watch dir at definition time has no
-      // footer to peek, so the fallback assumes the int64-nanos
-      // generation — a deployment whose MICROS files only arrive after
-      // start should create the stream once data exists (or declare the
-      // schema itself via readStream directly).
-      val tsType = scala.util.Try(spark.read.parquet(dir).schema("ts").dataType)
-        .getOrElse(LongType)
+      // footer to peek, so ONLY the cannot-infer-schema case falls back
+      // to the int64-nanos assumption (logged) — a deployment whose
+      // MICROS files only arrive after start should create the stream
+      // once data exists (or declare the schema itself via readStream
+      // directly). Genuine IO/permission failures PROPAGATE: silently
+      // assuming an encoding on an unreadable dir would fail, or worse
+      // misread, only at runtime.
+      val tsType =
+        try spark.read.parquet(dir).schema("ts").dataType
+        catch {
+          case e: org.apache.spark.sql.AnalysisException
+              if Option(e.getCondition).exists(c =>
+                c.contains("UNABLE_TO_INFER_SCHEMA") || c.contains("PATH_NOT_FOUND")) =>
+            System.err.println(
+              s"[graft] no parquet footer under $dir to peek; assuming " +
+                "int64-nanos ts encoding for the stream schema")
+            LongType
+        }
       val schema = StructType(rawEventSchema.map(f =>
         if (f.name == "ts") f.copy(dataType = tsType) else f))
       graft.engine.Tables.normalizeEventsTs(
@@ -401,14 +413,32 @@ object Streams {
     */
   case class DedupStateV2(firstSeenTs: Long, dupCount: Long)
 
-  /** One emitted row per expired key: the v2 payoff field (how many
-    * duplicates the key absorbed over its retention window).
+  /** One row per LIVE dedup key in a v2 checkpoint: the duplicate census
+    * (how many arrivals the key has suppressed so far). Produced by
+    * [[dupCensus]] from the state store OFFLINE — the output stream stays
+    * `Event`-typed, and expiry only clears state.
     */
-  case class DedupExpiry(user_id: Long, event_type: String, dup_count: Long)
+  case class DedupCensus(user_id: Long, event_type: String, dup_count: Long)
+
+  /** The v2 payoff read path: the per-key duplicate census, read from the
+    * checkpoint's state store with Spark's `statestore` batch source
+    * rather than emitted into the dedup output (which would force a sum
+    * output type on every downstream consumer). Point it at a STOPPED or
+    * quiescent v2 query's checkpoint; it reflects the last committed
+    * batch. Scale: the state source reads each store shard in place — one
+    * task per state partition, nothing driver-sized.
+    */
+  def dupCensus(spark: SparkSession, checkpointLocation: String): DataFrame =
+    spark.read.format("statestore")
+      .option("path", checkpointLocation)
+      .option("stateVarName", "firstSeenTs")
+      .load()
+      .select(col("key._1").as("user_id"), col("key._2").as("event_type"),
+        col("value.dupCount").as("dup_count"))
 
   /** v2 of [[FirstWinsDedupProcessor]] — same first-wins forwarding, but
-    * the state carries `dupCount` and expiry emits a per-key duplicate
-    * census.
+    * the state carries `dupCount`; the census is read offline from the
+    * state store by [[dupCensus]] (expiry itself only clears state).
     *
     * == The upgrade contract (StateEvolutionSpec) ==
     *
@@ -471,6 +501,9 @@ object Streams {
       }
     }
 
+    // Expiry ONLY clears state (retention, reference op R5). The census
+    // the state accumulated is not emitted here — the output stays
+    // Event-typed; [[dupCensus]] reads it from the store offline.
     override def handleExpiredTimer(key: (Long, String), timerValues: TimerValues,
         expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[Event] = {
       seen.clear()

@@ -37,6 +37,18 @@ class IvfDeltaSpec extends AnyFunSuite {
     assert(twice.except(once).count() == 0)
   }
 
+  test("a delta that repeats a vec_id WITHIN the batch still yields one index row") {
+    // Replayed upstream feeds hand the maintenance path the same id twice
+    // in one batch; the anti-join alone can't see that.
+    val doubled = delta.unionAll(delta)
+    val grown = Ivf.assignDelta(Ivf.assign(base, centroids), doubled, centroids)
+    assert(grown.count() == embs.count())
+    assert(grown.groupBy(col("vec_id")).count().where(col("count") > 1).count() == 0)
+    val model = Pq.train(base, dim = 64, m = 8, ksub = 16, iters = 2)
+    val codes = Pq.encodeDelta(Pq.encode(base, model), doubled, model)
+    assert(codes.count() == embs.count())
+  }
+
   test("encodeDelta on (base codes, delta) equals a full encode over the union") {
     val model = Pq.train(base, dim = 64, m = 8, ksub = 16, iters = 2)
     val grown = Pq.encodeDelta(Pq.encode(base, model), delta, model)

@@ -94,11 +94,18 @@ class StateEvolutionSpec extends AnyFunSuite {
   }
 
   test("v2 from a fresh start (no seed) behaves like v1 plus the dup census state") {
+    val ckpt = tmp("graft-evolve-f")
     val ms = MemoryStream[Event](spark)
     val q = Streams.start(Streams.dedupStatefulV2(ms.toDS(), "10 minutes").toDF(),
-      Streams.MemoryStreamSink("evolve_fresh", Some(tmp("graft-evolve-f"))))
+      Streams.MemoryStreamSink("evolve_fresh", Some(ckpt)))
     try { ms.addData(batch1); q.processAllAvailable() } finally q.stop()
     assert(spark.table("evolve_fresh").select("event_id")
       .as[Long].collect().toSet == Set(10L, 12L))
+    // The v2 payoff read path: the census comes OUT OF THE STATE STORE
+    // (offline batch read), not out of the dedup output stream.
+    val census = Streams.dupCensus(spark, ckpt)
+      .as[(Long, String, Long)].collect()
+      .map { case (u, t, c) => ((u, t), c) }.toMap
+    assert(census == Map((1L, "click") -> 1L, (2L, "view") -> 0L))
   }
 }

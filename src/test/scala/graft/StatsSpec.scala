@@ -191,6 +191,10 @@ class StatsSpec extends AnyFunSuite {
       // Second probe: no drift, no re-ANALYZE.
       val again = Stats.refreshIfStale(spark, name, driftThreshold = 0.2)
       assert(!again.refreshed && again.drift == 0.0)
+      // A db-qualified name parses as (db, table) and hits the SAME
+      // table — not a bare identifier literally named "default.x".
+      val qualified = Stats.refreshIfStale(spark, s"default.$name", driftThreshold = 0.2)
+      assert(!qualified.refreshed && qualified.actualRows == again.actualRows)
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", priorThresh)
       spark.sql(s"DROP TABLE IF EXISTS `$name`")
