@@ -451,6 +451,37 @@ object Dedup {
         col("pos").cast("long").as("band_idx"), col("col").as("band_hash"))
       .orderBy("doc_id", "band_idx")
 
+  /** ORACLE-GRADED recall check for the q_minhash_sig artifact (which is
+    * itself hash-valued, so rows-only): does every EXACT J ≥ 0.9 pair —
+    * blocked brute force, the same definition the q_neardup_pairs oracle
+    * brute-forces in DuckDB — collide in at least one LSH band of the
+    * signatures? n_exact cross-checks the Spark block-brute join against
+    * DuckDB's independent one; n_missed is the band-recall claim (oracle
+    * expects 0 — per-pair miss probability at J ≥ 0.9 under 16×2 banding
+    * is (1−J²)¹⁶ ≤ 3e-12, so a nonzero count means the signature kernel
+    * broke, not bad luck). The block-brute join is the VALIDATION-scale
+    * formulation (exactly what the oracle runs); the production path
+    * stays the banded q_neardup_pairs itself.
+    */
+  val qMinhashRecall: Q = (s, d) => {
+    val sigs = signatures(blockedDocSets(documents(s, d), normTokens(col("text")), "toks"))
+      .where(size(col("toks")) > 0).localCheckpoint()
+    def side(sfx: String) = sigs.select(
+      col("doc_id").as(s"id_$sfx"), col("lang"), col("len_bucket"),
+      col("toks").as(s"toks_$sfx"), size(col("toks")).as(s"n_$sfx"))
+    val exact = side("a").join(side("b"), Seq("lang", "len_bucket"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("inter", intersectSize(col("toks_a"), col("toks_b"), barrier = true))
+      .where(col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")).cast("double") >= 0.9)
+      .select(col("id_a"), col("id_b"))
+    val cands = bandedCandidates(sigs, "doc_id", "bands", Broadcast, DocBlockCols)
+    val missed = exact.join(cands, Seq("id_a", "id_b"), "left_anti")
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(missed.agg(count(lit(1)).as("n_missed")))
+      .select(col("n_exact"), col("n_missed"), (col("n_missed") === 0).as("recall_ok"))
+  }
+
   /** Physical shape of the LSH candidate/confirm joins — same logical
     * result either way (equivalence-tested in LshSaltedSpec).
     */
@@ -464,14 +495,26 @@ object Dedup {
     */
   case object Broadcast extends LshShape
   /** No broadcasts anywhere — the shape past broadcast limits: the band
-    * join salts the (band_idx, band_hash) key with hash(doc_id) % salts on
-    * the stream side and replicates the build side `salts`× (the
-    * Skew.saltedJoin pattern), so a hot band bucket's O(|bucket|²) pair
-    * fan-out is split across `salts` sort-merge tasks instead of one; the
-    * confirm joins are doc-id co-partitioned sort-merge (`merge` hint —
-    * sort-based, spillable, no in-memory build side at any scale).
+    * join salts ADAPTIVELY, two-level. A slim per-bucket census (band_idx,
+    * band_hash, blocks → member count m) decides each bucket's salt count
+    * `nsalts = ⌈m / cap⌉`; the stream side takes one deterministic salt
+    * `hash(doc_id) % nsalts` and the other side replicates `nsalts`× —
+    * so the TYPICAL bucket (m ≤ cap) pays ZERO replication, while a hot
+    * band bucket's O(|bucket|²) pair fan-out splits across ⌈m/cap⌉
+    * sort-merge tasks, each generating ≤ cap·m pairs. (The r9 fixed-16×
+    * scheme replicated EVERY bucket 16×, which made the dual SMJ sort of
+    * the replicated side the measured ×10 bottleneck — 19.5× at sf1-eq;
+    * replication proportional to skew removes that constant while
+    * keeping a STRICTLY better worst-case task bound: a 10⁶-member
+    * bucket used to land 6×10¹⁰ pairs on each of 16 tasks, now ≤ cap·m
+    * = 6×10⁷ on each of ~16k.) The census joins ride the same band-key
+    * partitioning as the main join (merge-hinted — sort-based,
+    * spillable, no in-memory build side at any scale), and the confirm
+    * joins stay doc-id co-partitioned sort-merge.
     */
-  final case class Salted(salts: Int = 16) extends LshShape
+  final case class Salted(cap: Int = 64) extends LshShape {
+    require(cap >= 1, s"salt cap must be >= 1, got $cap")
+  }
   /** Size-dispatched: Broadcast while the signature corpus is small
     * enough to broadcast safely, Salted beyond. The decisive broadcast is
     * the per-doc SET dictionary (~KB/doc for token arrays), so the
@@ -616,10 +659,11 @@ object Dedup {
     * ordering. Broadcast broadcasts the RIGHT side (= the whole corpus
     * for self joins, the persisted corpus index for ingest — the side a
     * production deployment keeps built); Salted salts the left and
-    * replicates the right `salts`× under sort-merge (`merge` hint: the
-    * join with no in-memory build side at 100 TB) — each left id keeps
-    * one deterministic salt (stable under task retry), so every pair
-    * joins exactly once, in sub-key salt(a).
+    * replicates the right per-bucket `⌈m/cap⌉`× under sort-merge
+    * (`merge` hint: the join with no in-memory build side at 100 TB) —
+    * each left id keeps one deterministic salt (stable under task retry,
+    * census-derived), so every pair joins exactly once, in sub-key
+    * salt(a).
     */
   private def bandedCandidatesImpl(leftSigs: DataFrame, rightSigs: DataFrame,
       idCol: String, bandsCol: String, shape: LshShape, blockCols: Seq[String],
@@ -643,10 +687,28 @@ object Dedup {
         // over its partitions with no further shuffle.
         explodeBands(leftSigs).alias("a")
           .join(broadcast(explodeBands(rightSigs).alias("b")), joinKey("a", "b"))
-      case Salted(salts) =>
-        val bandedA = explodeBands(leftSigs).withColumn("__salt", Skew.salt(col(idCol), salts))
+      case Salted(cap) =>
+        // Two-level adaptive salting (see Salted scaladoc): a slim census
+        // of LEFT bucket sizes fixes each bucket's nsalts; both sides
+        // join it merge-hinted on the band key — the same clustering the
+        // main join needs, so the census attach adds sorts of SLIM
+        // frames, not exchanges of the corpus. Buckets with no left
+        // member drop out of the right side too (inner join): no left
+        // partner ⇒ no pair, a free prune for the cross-corpus variant.
+        val bKey = Seq("__band_idx", "__band_hash") ++ blockCols
+        val census = explodeBands(leftSigs)
+          .groupBy(bKey.map(col): _*)
+          .agg(count(lit(1)).as("__m"))
+          .select(bKey.map(col) :+
+            ceil(col("__m").cast("double") / cap).cast("long").as("__nsalts"): _*)
+        val bandedA = explodeBands(leftSigs)
+          .join(census.hint("merge"), bKey)
+          .withColumn("__salt", pmod(xxhash64(col(idCol)), col("__nsalts")))
+          .drop("__nsalts")
         val bandedB = explodeBands(rightSigs)
-          .withColumn("__salt", explode(sequence(lit(0L), lit(salts - 1L))))
+          .join(census.hint("merge"), bKey)
+          .withColumn("__salt", explode(sequence(lit(0L), col("__nsalts") - 1)))
+          .drop("__nsalts")
         bandedA.alias("a")
           .join(bandedB.alias("b").hint("merge"),
             joinKey("a", "b") && col("a.__salt") === col("b.__salt"))
@@ -1170,6 +1232,7 @@ object Dedup {
     "q_simhash_delta" -> qSimhashDelta,
     "q_neardup_delta" -> qNeardupDelta,
     "q_containment_pairs" -> qContainmentPairs,
-    "q_minhash_sig" -> qMinhashSig
+    "q_minhash_sig" -> qMinhashSig,
+    "q_minhash_recall" -> qMinhashRecall
   )
 }

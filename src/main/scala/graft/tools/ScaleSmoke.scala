@@ -200,10 +200,17 @@ object ScaleSmoke {
     spark.sparkContext.setLogLevel("ERROR")
 
     val scaledDir = s"$out/x$factor"
-    synthesize(spark, src, scaledDir, factor)
+    // SCALE_SMOKE_REUSE=1 skips re-synthesis when the mirror already
+    // exists (iterating on one key's plan, not on the synthesizer).
+    if (!(sys.env.contains("SCALE_SMOKE_REUSE") &&
+        new java.io.File(s"$scaledDir/documents.parquet").exists()))
+      synthesize(spark, src, scaledDir, factor)
 
+    // SCALE_SMOKE_KEYS=q_a,q_b restricts to a subset for local iteration.
+    val keys = sys.env.get("SCALE_SMOKE_KEYS")
+      .map(_.split(",").map(_.trim).toSeq).getOrElse(heavyKeys)
     var fail = false
-    val results = heavyKeys.map { k =>
+    val results = keys.map { k =>
       val _ = runKey(spark, k, src) // warm: JIT + parquet footer + catalyst caches
       val (t1a, rows1, flags1) = runKey(spark, k, src)
       val (t1b, _, _) = runKey(spark, k, src)

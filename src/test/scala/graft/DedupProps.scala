@@ -99,7 +99,7 @@ object DedupProps extends Properties("graft.dedup") {
         if j >= 0.9
       } yield (ia, ib)).toSet
       val broad = run(Dedup.Broadcast)
-      val salted = run(Dedup.Salted(salts = 4))
+      val salted = run(Dedup.Salted(cap = 4))
       Prop(broad == brute) :| s"broadcast shape: got $broad want $brute" &&
         Prop(salted == brute) :| s"salted shape: got $salted want $brute"
     }

@@ -59,9 +59,9 @@ class LshSaltedSpec extends AnyFunSuite {
 
   test("salted shape is insensitive to the salt count") {
     val one = rows(Dedup.lshNearDupPairs(Dedup.minhashBands(spark, sfDir),
-      "toks", 9, 10, 0.9, Dedup.Salted(salts = 1)))
+      "toks", 9, 10, 0.9, Dedup.Salted(cap = 1)))
     val many = rows(Dedup.lshNearDupPairs(Dedup.minhashBands(spark, sfDir),
-      "toks", 9, 10, 0.9, Dedup.Salted(salts = 7)))
+      "toks", 9, 10, 0.9, Dedup.Salted(cap = 7)))
     assert(one.nonEmpty, "no pairs at sf0.01 — vacuous test")
     assert(one == many)
   }
