@@ -559,6 +559,49 @@ object Oracle {
         FROM events WHERE event_type = 'purchase'
       ORDER BY key""",
 
+    // KLL check frame (Sketches.qSketchKllCheck): the exact interpolated
+    // percentiles are recomputed here independently; the sketch-side
+    // rank booleans are expected TRUE (the published ±1.65%·2 guarantee
+    // band — a sketch outside it flips the boolean and fails the hash).
+    "q_sketch_kll_check" -> """
+      SELECT CAST(0.5 AS DOUBLE) AS quantile,
+        round(quantile_cont(l_quantity, 0.5), 6) AS exact_value,
+        TRUE AS rank_ok FROM lineitem
+      UNION ALL
+      SELECT CAST(0.9 AS DOUBLE), round(quantile_cont(l_quantity, 0.9), 6),
+        TRUE FROM lineitem
+      UNION ALL
+      SELECT CAST(0.99 AS DOUBLE), round(quantile_cont(l_quantity, 0.99), 6),
+        TRUE FROM lineitem
+      ORDER BY quantile""",
+
+    // HLL check frame (Sketches.qSketchHllCheck): slice counts and exact
+    // distinct users recomputed independently; the ±3% estimate boolean
+    // is expected TRUE.
+    "q_sketch_hll_check" -> """
+      SELECT event_type,
+        count(DISTINCT CAST(ts AS DATE))::BIGINT AS n_slices,
+        count(DISTINCT user_id)::BIGINT AS exact_users,
+        TRUE AS est_ok
+      FROM events GROUP BY event_type ORDER BY event_type""",
+
+    // MinHash band-recall check (Dedup.qMinhashRecall): n_exact is the
+    // independent blocked brute-force pair count (same CTE discipline as
+    // q_neardup_pairs); n_missed = 0 is the banding-recall claim — at
+    // J >= 0.9 under 16x2 banding a true pair misses every band with
+    // probability <= 3e-12, so the expectation is exact.
+    "q_minhash_recall" -> """
+      WITH docs AS (SELECT doc_id, lang, CAST(n_chars // 64 AS BIGINT) lb,
+          list_distinct(string_split(text, ' ')) toks FROM documents),
+        pairs AS (SELECT a.doc_id doc_a, b.doc_id doc_b,
+          len(list_intersect(a.toks, b.toks)) * 1.0 /
+          len(list_distinct(list_concat(a.toks, b.toks))) j
+        FROM docs a JOIN docs b
+          ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id)
+      SELECT count(*)::BIGINT AS n_exact, CAST(0 AS BIGINT) AS n_missed,
+        TRUE AS recall_ok
+      FROM pairs WHERE j >= 0.9""",
+
     // Exact novelty tier: NOT EXISTS on the shared normalized key.
     "q_delta_new_docs" -> """
       WITH n AS (SELECT doc_id,

@@ -146,10 +146,65 @@ object Sketches {
     s.createDataFrame(rows).toDF("quantile", "estimate").orderBy("quantile")
   }
 
+  /** ORACLE-GRADED check frame for the KLL sketch (the q_sketch_kll
+    * estimates themselves are partition-order dependent, so that key is
+    * rows-only): per quantile, the EXACT interpolated percentile (which
+    * DuckDB recomputes independently — a real cross-engine value check)
+    * and whether the sketch estimate's exact rank — the fraction of rows
+    * ≤ estimate, computed in one distributed pass — sits within the
+    * published two-sided KLL bound (±1.65% · 2 at k = 200, the same band
+    * SketchSpec pins). The oracle expects TRUE: a sketch whose error
+    * escaped its guarantee band flips the boolean and fails the hash
+    * compare. `l_quantity` (integral values) keeps the exact percentile
+    * off round-6 boundaries, per the qAggPercentileExact discipline.
+    */
+  val qSketchKllCheck: Q = (s, d) => {
+    import org.apache.datasketches.kll.KllDoublesSketch
+    val li = Tables.lineitem(s, d).localCheckpoint()
+    val sk = KllDoublesSketch.heapify(org.apache.datasketches.memory.Memory.wrap(
+      kllSketchBytes(li, "l_quantity")))
+    val qs = Seq(0.5, 0.9, 0.99)
+    val ests = qs.map(q => q -> sk.getQuantile(q))
+    val eps = 0.0165 * 2
+    // One pass: exact rank of each estimate + the exact percentile values.
+    val rankCols = ests.zipWithIndex.map { case ((_, est), i) =>
+      avg(when(col("l_quantity") <= est, 1.0).otherwise(0.0)).as(s"__r$i")
+    }
+    val exactCols = qs.zipWithIndex.map { case (q, i) =>
+      round(percentile(col("l_quantity"), lit(q)), 6).as(s"__p$i")
+    }
+    val r = li.agg((rankCols ++ exactCols).head, (rankCols ++ exactCols).tail: _*).head()
+    val out = ests.zipWithIndex.map { case ((q, _), i) =>
+      (q, r.getDouble(qs.size + i), math.abs(r.getDouble(i) - q) <= eps)
+    }
+    s.createDataFrame(out).toDF("quantile", "exact_value", "rank_ok")
+      .orderBy("quantile")
+  }
+
+  /** ORACLE-GRADED check frame for the HLL union pipeline: per event
+    * type, the slice count and EXACT distinct users (both recomputed
+    * independently by DuckDB) plus whether the merged-HLL estimate lands
+    * within the ±3% band SketchSpec pins. HLL register state is a
+    * max-merge — order-insensitive — so the estimate, and with it the
+    * boolean, is deterministic for fixed data.
+    */
+  val qSketchHllCheck: Q = (s, d) => {
+    val est = qSketchHllUnion(s, d)
+    val exact = Tables.events(s, d).groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    est.join(exact, "event_type")
+      .select(col("event_type"), col("n_slices"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")) <=
+          col("exact_users") * 0.03).as("est_ok"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_sketch_theta" -> qSketchTheta,
     "q_sketch_kll" -> qSketchKll,
+    "q_sketch_kll_check" -> qSketchKllCheck,
     "q_sketch_hll_union" -> qSketchHllUnion,
+    "q_sketch_hll_check" -> qSketchHllCheck,
     "q_sketch_countmin" -> qSketchCountmin
   )
 }
