@@ -1846,6 +1846,22 @@ object Oracle {
       FROM events e JOIN dim d USING (event_type)
       GROUP BY e.event_type ORDER BY e.event_type""",
 
+    // The AQE-split probe: a planted power-law key (top value ~half of
+    // all rows); runtime skew mitigation, like salting, must be
+    // invisible in the result — the oracle is the plain join on the
+    // same derived key (log2 exact at powers of two in both engines).
+    "q_skew_join_aqe" -> """
+      WITH e AS (SELECT event_id, user_id, value,
+          CAST(floor(log2(1 + (event_id % 1024))) AS BIGINT) AS zipf_key
+        FROM events),
+        dim AS (SELECT CAST(range AS BIGINT) AS zipf_key,
+          CAST(power(2.0, range) AS BIGINT) AS key_weight FROM range(0, 11))
+      SELECT e.zipf_key, count(*) AS n_events,
+        round(sum(e.value), 2) AS sum_value,
+        max(d.key_weight) AS key_weight
+      FROM e JOIN dim d USING (zipf_key)
+      GROUP BY e.zipf_key ORDER BY e.zipf_key""",
+
     "q_skew_collect" -> """
       SELECT event_type, count(*) AS n_events,
         array_to_string(list(event_id ORDER BY event_id), ',') AS ids

@@ -171,9 +171,89 @@ object Skew {
         max(col("n_type_users")).as("n_type_users"))
       .orderBy("event_type")
 
+  /** AQE-skew confs scoped to `body`, restored after. Thresholds are
+    * sized for the data under test — production values are per-cluster
+    * tuning; the MECHANISM (a skewed SMJ partition splitting into
+    * parallel task slices at runtime) is the contract. Broadcast is
+    * disabled so the join stays shuffle-based (a broadcast side never
+    * exhibits reducer skew to begin with). Execution must happen INSIDE
+    * `body` (collect/localCheckpoint): AQE reads these at execution
+    * time, not at DataFrame construction.
+    */
+  private[graft] def withAqeSkewConfs[T](s: SparkSession,
+      threshold: String = "256KB", advisory: String = "128KB")(body: => T): T = {
+    val kvs = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> threshold,
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> advisory,
+      // The probe aggregates ON the join key, so the join's hash
+      // partitioning is reused downstream and the default rule would
+      // veto the split (it refuses to introduce the repair shuffle).
+      // Force = "skew dominates; buy the extra exchange" — the knob a
+      // 100 TB deployment flips for exactly this shape.
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prior = kvs.map { case (k, _) => k -> s.conf.getOption(k) }
+    kvs.foreach { case (k, v) => s.conf.set(k, v) }
+    try body
+    finally prior.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  /** The UNSALTED power-law join + aggregate — shared with ScaleSmoke
+    * (which executes it under [[withAqeSkewConfs]] and pins that the
+    * runtime skew split fires at the scaled run) and SkewSpec. The
+    * event-type key is near-uniform across its 5 values, which exercises
+    * hot KEYS but not hot PARTITIONS; this probe derives a genuinely
+    * power-law key — `⌊log₂(1 + event_id mod 1024)⌋`, whose top value
+    * holds ~half of ALL rows, the next ~a quarter, … — so one reducer
+    * partition dwarfs the median and AQE's OptimizeSkewedJoin criterion
+    * (size > max(factor · median, threshold)) is actually met. log₂ is
+    * exact at powers of two in both engines, so the oracle floors
+    * identically.
+    */
+  private[graft] def aqeSkewJoinFrame(s: SparkSession, d: String): DataFrame = {
+    // Both join inputs must be DIRECT shuffles: OptimizeSkewedJoin
+    // pattern-matches SMJ(Sort(Shuffle), Sort(Shuffle)) — an aggregate
+    // interposed between shuffle and join (e.g. a dim derived by
+    // groupBy) makes the rule not apply at all, which is itself a
+    // scale lesson: derive skew-exposed dims in a separate stage
+    // (here a checkpoint-free literal decode table).
+    // fanOut matters twice here: single-partition fixture scans are the
+    // standing hazard, AND AQE's skew split divides a reduce partition
+    // at MAP-BLOCK boundaries — a one-mapper upstream stage is
+    // unsplittable no matter how skewed the reducer is.
+    val ev = Dedup.fanOut(Tables.events(s, d))
+      .select(col("event_id"), col("user_id"), col("value"),
+        floor(log2(lit(1) + col("event_id") % 1024)).cast("long").as("zipf_key"))
+    val dim = s.range(0, 11).select(col("id").as("zipf_key"),
+      pow(lit(2.0), col("id")).cast("long").as("key_weight"))
+    ev.hint("merge").join(dim.hint("merge"), "zipf_key")
+      .groupBy(col("zipf_key"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"),
+        max(col("key_weight")).as("key_weight"))
+      .orderBy("zipf_key")
+  }
+
+  /** Graded surface for the AUTOMATIC skew path (qSkewJoin covers the
+    * explicit salted one): the same hot-key join left unsalted, executed
+    * under scoped AQE-skew thresholds so Spark's OptimizeSkewedJoin
+    * splits the hot reducer at runtime. Execution happens inside the
+    * conf scope via localCheckpoint (the returned frame reads the
+    * materialized partitions); the oracle is the plain join — equal iff
+    * the runtime split, like salting, is invisible in the result.
+    */
+  val qSkewJoinAqe: Q = (s, d) =>
+    withAqeSkewConfs(s)(aqeSkewJoinFrame(s, d).localCheckpoint())
+
   val queries: Map[String, Q] = Map(
     "q_skew_collect" -> qSkewCollect,
     "q_skew_join" -> qSkewJoin,
+    "q_skew_join_aqe" -> qSkewJoinAqe,
     "q_bloom_prejoin" -> qBloomPrejoin
   )
 }

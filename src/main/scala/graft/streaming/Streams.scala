@@ -356,6 +356,69 @@ object Streams {
         TimeMode.None(), OutputMode.Append())
   }
 
+  // ------------------------------ streaming cohort retention (analytics)
+
+  /** One emitted row per (user, NEW day-offset): the user's cohort day
+    * and the distinct offset being recorded. Each (user, offset) emits
+    * AT MOST ONCE (bitmask-deduped in state), so the retention triangle
+    * is a plain count over the emitted changelog —
+    * `groupBy(cohort_day, day_offset).count()` ≡ the batch
+    * q_cohort_retention distinct-user triangle (spec-pinned).
+    */
+  case class CohortRow(user_id: Long, cohort_day: java.sql.Date, day_offset: Long)
+
+  /** Streaming face of `EventAnalytics.qCohortRetention` — the
+    * incremental form of the batch self-join: per-user state is TWO
+    * longs forever (first-seen epoch day + a seen-offset bitmask;
+    * offsets past `maxOffset` are dropped, exactly the batch
+    * truncation), each event folds in O(1). Same arrival-order parity
+    * contract as FunnelProcessor: a later batch carrying an EARLIER
+    * first day does not retroactively re-cohort the user — parity holds
+    * when arrival order ~ event-time order, as the spec stages input.
+    * Day boundaries are UTC epoch-day arithmetic on the absolute
+    * timestamp — the same instant→day map the batch twin's session-UTC
+    * `to_date` applies.
+    */
+  class CohortRetentionProcessor(maxOffset: Int)
+      extends StatefulProcessor[Long, Event, CohortRow] {
+    require(maxOffset >= 0 && maxOffset <= 62, s"bitmask offset cap: $maxOffset")
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long)]("cohort",
+        Encoders.product[(Long, Long)], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[CohortRow] = {
+      var (first, mask) = if (st.exists()) st.get() else (-1L, 0L)
+      val out = scala.collection.mutable.ArrayBuffer.empty[CohortRow]
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        val day = Math.floorDiv(e.ts.getTime, 86400000L)
+        if (first < 0) first = day
+        val off = day - first
+        if (off >= 0 && off <= maxOffset && (mask & (1L << off)) == 0L) {
+          mask |= 1L << off
+          out += CohortRow(key,
+            java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(first)), off)
+        }
+      }
+      if (out.nonEmpty) st.update((first, mask))
+      out.iterator
+    }
+  }
+
+  /** Retention changelog stream; aggregate it with
+    * `groupBy(cohort_day, day_offset).count()` for the triangle.
+    */
+  def cohortRetentionStream(events: Dataset[Event],
+      maxOffset: Int = 14): Dataset[CohortRow] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new CohortRetentionProcessor(maxOffset),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** One emitted KTable changelog row: the key's NEW current record;
     * per-key `version` makes max-version rows the current table.
     */

@@ -63,6 +63,37 @@ class EventAnalyticsSpec extends AnyFunSuite {
       ("2024-01-02", 0L, 1L), ("2024-01-02", 1L, 1L)))
   }
 
+  test("streaming cohort retention changelog aggregates to the batch triangle") {
+    // The full fixture in event-time arrival order, split across two
+    // micro-batches: per-user bitmask state must carry the seam (a
+    // return visit in batch 2 lands in the cohort its batch-1 first-seen
+    // day fixed).
+    val fixture = graft.engine.Tables.events(spark, TestSpark.sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"), col("value"))
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id)).toSeq
+    val (b1, b2) = fixture.splitAt(fixture.size / 2)
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event](
+      graft.streaming.Streams.sessionConf(spark))
+    val q = graft.streaming.Streams.start(
+      graft.streaming.Streams.cohortRetentionStream(ms.toDS()).toDF(),
+      graft.streaming.Streams.MemoryStreamSink("cohort_stream",
+        Some(java.nio.file.Files.createTempDirectory("graft-cohort").toString)))
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    // Each (user, offset) emitted at most once -> the triangle is a
+    // plain count over the changelog.
+    val triangle = spark.table("cohort_stream")
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSet
+    val batch = graft.engine.EventAnalytics.queries("q_cohort_retention")(
+      spark, TestSpark.sfDir)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSet
+    assert(triangle == batch, s"stream ${triangle.size} cells vs batch ${batch.size}")
+  }
+
   test("streaming funnel snapshot equals the batch min-after-join twin") {
     // Event-time-ordered arrival (the documented parity discipline for
     // every stateful processor here), split across two micro-batches at
