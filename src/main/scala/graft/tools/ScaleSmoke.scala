@@ -168,6 +168,33 @@ object ScaleSmoke {
   val smokeFrames: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_skew_join_aqe" -> ((s, d) => graft.engine.Skew.aqeSkewJoinFrame(s, d)))
 
+  /** Cumulative executor spill counters, fed by a stage-completion
+    * listener; per-run deltas anchor the "fits in executor memory at
+    * this scale" claim with measured bytes. Listener delivery is async —
+    * the short settle sleep before snapshotting makes the counters
+    * telemetry-grade (not exact), which is all a spill trend needs.
+    */
+  private val memSpill = new java.util.concurrent.atomic.AtomicLong
+  private val diskSpill = new java.util.concurrent.atomic.AtomicLong
+  @volatile private var listenerOn = false
+  private def ensureSpillListener(spark: SparkSession): Unit = synchronized {
+    if (!listenerOn) {
+      listenerOn = true
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            memSpill.addAndGet(s.stageInfo.taskMetrics.memoryBytesSpilled)
+            diskSpill.addAndGet(s.stageInfo.taskMetrics.diskBytesSpilled)
+          }
+        })
+    }
+  }
+  private def spillSnapshot(): (Long, Long) = {
+    Thread.sleep(200) // let the listener bus drain
+    (memSpill.get, diskSpill.get)
+  }
+
   def runKey(spark: SparkSession, name: String, dir: String): (Double, Long, Map[String, Int]) = {
     def run(): (Double, Long, Map[String, Int]) = {
       val t0 = System.nanoTime()
@@ -249,11 +276,13 @@ object ScaleSmoke {
     val keys = sys.env.get("SCALE_SMOKE_KEYS")
       .map(_.split(",").map(_.trim).toSeq).getOrElse(heavyKeys)
     var fail = false
+    ensureSpillListener(spark)
     val results = keys.map { k =>
       val _ = runKey(spark, k, src) // warm: JIT + parquet footer + catalyst caches
       val (t1a, rows1, flags1) = runKey(spark, k, src)
       val (t1b, _, _) = runKey(spark, k, src)
       val t1 = math.min(t1a, t1b)
+      val (mem0, disk0) = spillSnapshot()
       var (tN, rowsN, flagsN) = runKey(spark, k, scaledDir)
       // One serial re-run absorbs a co-tenant spike before declaring fail.
       val floor = math.max(t1, 0.5) // don't amplify fixed overheads of sub-second keys
@@ -261,6 +290,7 @@ object ScaleSmoke {
         val again = runKey(spark, k, scaledDir); if (again._1 < tN) { tN = again._1; rowsN = again._2 }
       }
       val ratio = tN / floor
+      val (mem1, disk1) = spillSnapshot()
       val flip = !planShapeOk(flags1, flagsN)
       val over = ratio > factor * slack
       // The planted-skew gate: at N× the hot partitions are far past the
@@ -270,6 +300,7 @@ object ScaleSmoke {
       val fj = (m: Map[String, Int]) => m.toSeq.sorted.map { case (a, b) => s""""$a":$b""" }.mkString("{", ",", "}")
       println(s"""{"key":"$k","t1_sec":${f"$t1%.2f"},"tN_sec":${f"$tN%.2f"},"ratio":${f"$ratio%.2f"},""" +
         s""""rows1":$rows1,"rowsN":$rowsN,"flags1":${fj(flags1)},"flagsN":${fj(flagsN)},""" +
+        s""""spillN_mem_mb":${(mem1 - mem0) / 1000000},"spillN_disk_mb":${(disk1 - disk0) / 1000000},""" +
         s""""plan_flip":$flip,"over_budget":$over}""")
       (k, t1, tN, ratio, flip, over)
     }
