@@ -1,7 +1,11 @@
 #!/usr/bin/env python3
 """Local replica of the driver's DuckDB-oracle correctness gate.
 
-Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
+Usage: python3 tools/compare.py <sfDir> <verifyOutDir> [onlyKeys]
+
+onlyKeys (optional): comma-separated key names — restricts the compare
+to a subset so slow oracles (quadratic brute-force pair CTEs at bench
+scale) can run sharded across processes.
 
 For each key in <verifyOutDir>/oracle_sql.json:
   - read the Spark result parquet from <verifyOutDir>/<key>/
@@ -32,6 +36,9 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
+    if len(sys.argv) > 3:
+        keep = set(sys.argv[3].split(","))
+        oracle = {k: v for k, v in oracle.items() if k in keep}
     n_pass = n_fail = 0
     for name in sorted(oracle):
         sql = oracle[name]
