@@ -585,6 +585,24 @@ object Oracle {
         TRUE AS est_ok
       FROM events GROUP BY event_type ORDER BY event_type""",
 
+    // approx_count_distinct check frame (Relational.qAggApproxCheck):
+    // exact distincts recomputed independently; the 2x-rsd booleans are
+    // expected TRUE.
+    "q_agg_approx_check" -> """
+      SELECT l_returnflag,
+        count(DISTINCT l_partkey)::BIGINT AS exact_parts,
+        count(DISTINCT l_orderkey)::BIGINT AS exact_orders,
+        TRUE AS parts_ok, TRUE AS orders_ok
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    // Count-min check frame (Sketches.qSketchCmsCheck): exact counts
+    // recomputed independently; the one-sided guarantee booleans are
+    // expected TRUE.
+    "q_sketch_cms_check" -> """
+      SELECT event_type, count(*)::BIGINT AS exact_count,
+        TRUE AS lower_ok, TRUE AS upper_ok
+      FROM events GROUP BY event_type ORDER BY event_type""",
+
     // MinHash band-recall check (Dedup.qMinhashRecall): n_exact is the
     // independent blocked brute-force pair count (same CTE discipline as
     // q_neardup_pairs); n_missed = 0 is the banding-recall claim — at

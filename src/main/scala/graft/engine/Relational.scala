@@ -428,6 +428,26 @@ object Relational {
         approx_count_distinct(col("l_orderkey")).as("approx_orders"))
       .orderBy("l_returnflag")
 
+  /** ORACLE-GRADED check frame for q_agg_approx (whose raw HLL++
+    * estimates are engine-specific, so that key is rows-only): exact
+    * distinct counts recomputed independently by DuckDB, plus booleans
+    * the oracle expects TRUE — each estimate within the documented
+    * `approx_count_distinct` default rsd (5%) ×2 of its exact count.
+    * HLL++ register merge is order-insensitive, so the booleans are
+    * deterministic for fixed data.
+    */
+  val qAggApproxCheck: Q = (s, d) =>
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        (abs(approx_count_distinct(col("l_partkey")) - countDistinct(col("l_partkey"))) <=
+          countDistinct(col("l_partkey")) * 0.1).as("parts_ok"),
+        (abs(approx_count_distinct(col("l_orderkey")) - countDistinct(col("l_orderkey"))) <=
+          countDistinct(col("l_orderkey")) * 0.1).as("orders_ok"))
+      .orderBy("l_returnflag")
+
   /** Approximate percentiles (approx_percentile's mergeable quantile
     * sketch) — the quantile member of the sketch family next to HLL
     * distinct: O(accuracy) state per group instead of q_agg_stats'
@@ -861,6 +881,7 @@ object Relational {
     "q_agg_grouping_sets" -> qAggGroupingSets,
     "q_agg_collect" -> qAggCollect,
     "q_agg_approx" -> qAggApprox,
+    "q_agg_approx_check" -> qAggApproxCheck,
     "q_agg_approx_quantile" -> qAggApproxQuantile,
     "q_agg_percentile_exact" -> qAggPercentileExact,
     "q_agg_minmax_by" -> qAggMinmaxBy,

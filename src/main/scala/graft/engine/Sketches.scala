@@ -199,12 +199,30 @@ object Sketches {
       .orderBy("event_type")
   }
 
+  /** ORACLE-GRADED check frame for the count-min sketch (estimates are
+    * seed-dependent → the raw key is rows-only): exact per-type counts
+    * recomputed independently by DuckDB, plus the one-sided guarantee
+    * booleans the oracle expects TRUE — estimate ≥ exact always (CMS
+    * never undercounts), and ≤ exact + eps·N with eps = 0.001 at the
+    * build parameters (SketchSpec pins the same two sides; the sketch is
+    * a fixed-seed additive merge, so the booleans are deterministic).
+    */
+  val qSketchCmsCheck: Q = (s, d) => {
+    val est = qSketchCountmin(s, d).localCheckpoint() // (event_type, exact_count, cms_estimate)
+    val total = est.agg(sum(col("exact_count"))).head().getLong(0)
+    est.select(col("event_type"), col("exact_count"),
+      (col("cms_estimate") >= col("exact_count")).as("lower_ok"),
+      (col("cms_estimate") <= col("exact_count") + lit(0.001 * total)).as("upper_ok"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_sketch_theta" -> qSketchTheta,
     "q_sketch_kll" -> qSketchKll,
     "q_sketch_kll_check" -> qSketchKllCheck,
     "q_sketch_hll_union" -> qSketchHllUnion,
     "q_sketch_hll_check" -> qSketchHllCheck,
-    "q_sketch_countmin" -> qSketchCountmin
+    "q_sketch_countmin" -> qSketchCountmin,
+    "q_sketch_cms_check" -> qSketchCmsCheck
   )
 }
