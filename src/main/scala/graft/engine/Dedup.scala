@@ -507,7 +507,10 @@ object Dedup {
     * replication proportional to skew removes that constant while
     * keeping a STRICTLY better worst-case task bound: a 10⁶-member
     * bucket used to land 6×10¹⁰ pairs on each of 16 tasks, now ≤ cap·m
-    * = 6×10⁷ on each of ~16k.) The census joins ride the same band-key
+    * = 6×10⁷ on each of ~16k. Total replication for a bucket is m·⌈m/cap⌉
+    * ≈ m²/cap rows — dominated, for cap ≥ 2, by the bucket's own O(m²)
+    * candidate-pair output, so the scheme never shuffles more than the
+    * join itself is about to emit.) The census joins ride the same band-key
     * partitioning as the main join (merge-hinted — sort-based,
     * spillable, no in-memory build side at any scale), and the confirm
     * joins stay doc-id co-partitioned sort-merge.
