@@ -191,8 +191,11 @@ object Bench {
     // truncated the ~12 KB per-key line from BOTH ends across rounds
     // (r8 lost the head totals, r9 lost every key before q_pii_redact).
     // This file is the authoritative per-key record a judge can read off
-    // the working tree regardless of what stdout capture kept.
-    Files.writeString(Paths.get("BENCH.full.json"), line + "\n")
+    // the working tree regardless of what stdout capture kept. FULL runs
+    // only: a SPARK_GRAFT_ONLY iteration subset must not truncate the
+    // committed full map down to its own keys (BENCH.local.json still
+    // carries every run).
+    if (only.isEmpty) Files.writeString(Paths.get("BENCH.full.json"), line + "\n")
     Files.writeString(Paths.get(RecordsPath),
       s"""{"sf":${jstr(sfDir)},"cpus":${jstr(cpus)},"queries":${jmap(merged)}}\n""")
     // Compact summary (headline totals + the BASELINE.md-comparable

@@ -560,8 +560,34 @@ object Bpe {
       .orderBy("lang")
   }
 
+  /** ORACLE-GRADED check frame for the byte-BPE stack (whose id/merge
+    * artifacts are model-valued, so those keys are rows-only): per doc,
+    * the utf8 byte length — recomputed independently by DuckDB
+    * (`octet_length`), a real cross-engine value pinning that the text
+    * survives the UDF encode path intact — plus two booleans the oracle
+    * expects TRUE: `ids_le_bytes` (byte-BPE starts from byte symbols and
+    * merges only shrink, so |ids| ≤ |bytes| always) and `roundtrip_ok`
+    * (decode(encode(text)) is byte-identical — the no-UNK losslessness
+    * contract). A tokenizer that dropped, reordered, or mismapped a
+    * single byte anywhere in the corpus flips a boolean and fails the
+    * hash gate; BpeSpec carries the same contract on arbitrary UTF-8.
+    */
+  val qBpeRoundtripCheck: Q = (s, d) => {
+    val docs = Dedup.fanOut(documents(s, d))
+    val model = trainBytesOnCorpus(docs, "text", GradedMerges, GradedVocab)
+    docs
+      .select(col("doc_id"), col("text"), byteTokenIds(model, col("text")).as("__ids"))
+      .select(col("doc_id"),
+        expr("octet_length(text)").cast("long").as("n_bytes"),
+        (size(col("__ids")).cast("long") <= expr("octet_length(text)").cast("long"))
+          .as("ids_le_bytes"),
+        (byteDecode(model, col("__ids")) === col("text")).as("roundtrip_ok"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_bpe_train" -> qBpeTrain,
+    "q_bpe_roundtrip_check" -> qBpeRoundtripCheck,
     "q_bpe_tokenize" -> qBpeTokenize,
     "q_bpe_mixture" -> qBpeMixture,
     "q_bpe_packing" -> qBpePacking,

@@ -956,6 +956,41 @@ object Dedup {
       docs.select(col("doc_id"), col("text")), maxHamming = 3)
   }
 
+  /** ORACLE-GRADED check frame for the SimHash family (whose signature
+    * values are engine-specific FNV-1a, so q_simhash_neardup/delta/
+    * q_udf_scalar are rows-only): plant an exact relabeled copy of every
+    * 10th document (the qNeardupDelta corpus construction, which DuckDB
+    * replants identically — the pair list IS the cross-engine value) and
+    * expect TRUE on two booleans per pair: `pair_found` — the copy
+    * collides with its original through the ENTIRE banded pipeline
+    * (signature → band split → candidate join → hamming confirm) at
+    * hamming 0, guaranteed, not probabilistic: identical text ⇒
+    * identical signature ⇒ every band equal — and `udf_expr_agree` —
+    * the Scala-UDF surface (q_udf_scalar's `udf(simhash64)`) and the
+    * codegen'd Catalyst expression compute the same signature, pinning
+    * the two execution paths against each other inside the gate. A
+    * signature kernel that became partition-, order-, or
+    * codegen-path-dependent flips a boolean and fails the hash compare.
+    */
+  val qSimhashCheck: Q = (s, d) => {
+    val docs = documents(s, d)
+    val orig = docs.where(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("text"))
+    val copies = orig.select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    val found = simHashNearDupAgainst(copies,
+        docs.select(col("doc_id"), col("text")), maxHamming = 0)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("__hit"))
+    val simUdf = udf((t: String) => graft.functions.GraftOps.simhash64(t))
+    orig
+      .select((col("doc_id") + 100000L).as("doc_a"), col("doc_id").as("doc_b"),
+        (simUdf(col("text")) ===
+          graft.functions.GraftExpressions.simhash64(col("text"))).as("udf_expr_agree"))
+      .join(found, Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"),
+        col("__hit").isNotNull.as("pair_found"), col("udf_expr_agree"))
+      .orderBy("doc_a")
+  }
+
   /** Directional CONTAINMENT pairs: (doc_a, doc_b) where
     * |A∩B| / |A| ≥ τ — doc_a's token set is (near-)contained in doc_b's.
     * The subset-duplicate detector the Jaccard family structurally
@@ -1233,6 +1268,7 @@ object Dedup {
     "q_neardup_resolve" -> qNeardupResolve,
     "q_simhash_neardup" -> qSimhashNeardup,
     "q_simhash_delta" -> qSimhashDelta,
+    "q_simhash_check" -> qSimhashCheck,
     "q_neardup_delta" -> qNeardupDelta,
     "q_containment_pairs" -> qContainmentPairs,
     "q_minhash_sig" -> qMinhashSig,

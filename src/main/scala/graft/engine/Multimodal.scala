@@ -143,9 +143,30 @@ object Multimodal {
         hex(col("payload")).as("frame_head_hex"))
       .orderBy("media_id", "frame_idx")
 
+  /** ORACLE-GRADED check frame for the stub-decode keys (whose
+    * checksum/dimension values are the stub's own hash, so those are
+    * rows-only): per media row, `kind` and `n_bytes` — which DuckDB
+    * recomputes independently (`lang`, `octet_length(text)`), a real
+    * cross-engine check that the payload bytes survive the binary cast,
+    * the Dataset encoder, and the mapPartitions batch path intact — plus
+    * the decode-contract booleans the oracle expects TRUE: dimensions
+    * inside the stub's documented ranges (width ∈ [64, 1983], height ∈
+    * [64, 1143]) and frame count ∈ [1, 240]. A payload corrupted
+    * anywhere in the plumbing changes `n_bytes` (or, via the hash, the
+    * derived dims) and fails the gate.
+    */
+  val qMultimodalCheck: Q = (s, d) =>
+    extractFeatures(mediaFromDocs(s, d)).toDF()
+      .select(col("media_id"), col("kind"), col("n_bytes"),
+        (col("width").between(64, 64 + 1919) &&
+          col("height").between(64, 64 + 1079)).as("dims_ok"),
+        col("n_frames").between(1, 240).as("frames_ok"))
+      .orderBy("media_id")
+
   val queries: Map[String, Q] = Map(
     "q_multimodal_features" -> qMultimodalFeatures,
     "q_multimodal_decode" -> qMultimodalDecode,
-    "q_multimodal_frames" -> qMultimodalFrames
+    "q_multimodal_frames" -> qMultimodalFrames,
+    "q_multimodal_check" -> qMultimodalCheck
   )
 }

@@ -620,6 +620,82 @@ object Oracle {
         TRUE AS recall_ok
       FROM pairs WHERE j >= 0.9""",
 
+    // Byte-BPE check frame (Bpe.qBpeRoundtripCheck): the utf8 byte
+    // length is recomputed independently; the merges-only-shrink and
+    // decode∘encode = id booleans are expected TRUE.
+    "q_bpe_roundtrip_check" -> """
+      SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
+        TRUE AS ids_le_bytes, TRUE AS roundtrip_ok
+      FROM documents ORDER BY doc_id""",
+
+    // Multimodal check frame (Multimodal.qMultimodalCheck): kind and
+    // payload byte length recomputed independently (payload = utf8 text
+    // bytes, kind = lang); the stub-decode range booleans are expected
+    // TRUE.
+    "q_multimodal_check" -> """
+      SELECT doc_id AS media_id, lang AS kind,
+        octet_length(encode(text))::BIGINT AS n_bytes,
+        TRUE AS dims_ok, TRUE AS frames_ok
+      FROM documents ORDER BY media_id""",
+
+    // SimHash check frame (Dedup.qSimhashCheck): the planted copy→
+    // original pair list is replanted here identically; the
+    // banded-pipeline-collision and UDF≡expression booleans are
+    // expected TRUE.
+    "q_simhash_check" -> """
+      SELECT doc_id + 100000 AS doc_a, doc_id AS doc_b,
+        TRUE AS pair_found, TRUE AS udf_expr_agree
+      FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_a""",
+
+    // Rolling-fingerprint check frame (TextAnalysis.qFingerprintCheck):
+    // same planted pair list; the equal-text ⇒ equal-fingerprint
+    // boolean is expected TRUE.
+    "q_fingerprint_check" -> """
+      SELECT doc_id + 100000 AS doc_a, doc_id AS doc_b, TRUE AS fp_match
+      FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_a""",
+
+    // approx_percentile check frame (Relational.qApproxQuantileCheck):
+    // exact interpolated percentiles recomputed independently; the
+    // rank-interval booleans (±2/accuracy) are expected TRUE.
+    "q_approx_quantile_check" -> """
+      SELECT l_returnflag,
+        round(quantile_cont(l_quantity, 0.5), 6) AS exact_p50,
+        round(quantile_cont(l_quantity, 0.9), 6) AS exact_p90,
+        TRUE AS p50_ok, TRUE AS p90_ok
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    // Boilerplate census (TextClean.qBoilerplateGrams): exact
+    // cross-document 5-gram document frequencies — DuckDB's list
+    // comprehension over the token array is the independent n-gram
+    // formulation of the Spark transform(sequence(...))+explode.
+    "q_boilerplate_grams" -> """
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+        g AS (SELECT doc_id,
+            unnest([array_to_string(t[i:i+4], ' ')
+                    for i in generate_series(1, len(t) - 4)]) AS gram
+          FROM toks WHERE len(t) >= 5)
+      SELECT gram, count(DISTINCT doc_id)::BIGINT AS n_docs
+      FROM g GROUP BY gram HAVING n_docs >= 3
+      ORDER BY n_docs DESC, gram""",
+
+    // Boilerplate strip report (TextClean.qBoilerplateStrip): per-lang
+    // gram/boilerplate accounting with the integer 20% flag threshold.
+    "q_boilerplate_strip" -> """
+      WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') t FROM documents),
+        g AS (SELECT doc_id, lang,
+            unnest([array_to_string(t[i:i+4], ' ')
+                    for i in generate_series(1, len(t) - 4)]) AS gram
+          FROM toks WHERE len(t) >= 5),
+        census AS (SELECT gram FROM g GROUP BY gram
+          HAVING count(DISTINCT doc_id) >= 2),
+        perdoc AS (SELECT d.doc_id, d.lang, count(*) AS n_grams,
+            count(c.gram) AS n_hits
+          FROM g d LEFT JOIN census c USING (gram) GROUP BY d.doc_id, d.lang)
+      SELECT lang, count(*)::BIGINT AS n_docs,
+        sum(n_grams)::BIGINT AS n_grams, sum(n_hits)::BIGINT AS n_boiler,
+        count(*) FILTER (5 * n_hits >= n_grams)::BIGINT AS n_flagged
+      FROM perdoc GROUP BY lang ORDER BY lang""",
+
     // Exact novelty tier: NOT EXISTS on the shared normalized key.
     "q_delta_new_docs" -> """
       WITH n AS (SELECT doc_id,

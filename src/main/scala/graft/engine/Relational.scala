@@ -464,6 +464,41 @@ object Relational {
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
 
+  /** ORACLE-GRADED check frame for q_agg_approx_quantile (whose raw
+    * estimates are merge-order dependent, so that key is rows-only):
+    * per return flag, the exact interpolated percentiles — recomputed
+    * independently by DuckDB (quantile_cont), real cross-engine values —
+    * plus booleans the oracle expects TRUE: the approx_percentile
+    * estimate's exact rank interval [F(<v), F(≤v)] intersects
+    * [q − ε, q + ε] with ε = 2/accuracy (2× the documented 1/accuracy
+    * bound). The bound holds for EVERY merge order, so the booleans are
+    * deterministic even though the estimates aren't. `l_quantity`
+    * (integral values) keeps the exact interpolation off round-6
+    * boundaries, per the qAggPercentileExact discipline; the estimate
+    * frame joined back is one row per return flag — bounded by group
+    * cardinality, broadcast by contract.
+    */
+  val qApproxQuantileCheck: Q = (s, d) => {
+    val li = lineitem(s, d).select(col("l_returnflag"), col("l_quantity"))
+    val est = li.groupBy(col("l_returnflag"))
+      .agg(percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("__e50"),
+        percentile_approx(col("l_quantity"), lit(0.9), lit(10000)).as("__e90"))
+    val eps = 2.0 / 10000
+    li.join(broadcast(est), "l_returnflag")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(percentile(col("l_quantity"), lit(0.5)), 6).as("exact_p50"),
+        round(percentile(col("l_quantity"), lit(0.9)), 6).as("exact_p90"),
+        avg(when(col("l_quantity") <= col("__e50"), 1.0).otherwise(0.0)).as("__le50"),
+        avg(when(col("l_quantity") < col("__e50"), 1.0).otherwise(0.0)).as("__lt50"),
+        avg(when(col("l_quantity") <= col("__e90"), 1.0).otherwise(0.0)).as("__le90"),
+        avg(when(col("l_quantity") < col("__e90"), 1.0).otherwise(0.0)).as("__lt90"))
+      .select(col("l_returnflag"), col("exact_p50"), col("exact_p90"),
+        (col("__le50") >= 0.5 - eps && col("__lt50") <= 0.5 + eps).as("p50_ok"),
+        (col("__le90") >= 0.9 - eps && col("__lt90") <= 0.9 + eps).as("p90_ok"))
+      .orderBy("l_returnflag")
+  }
+
   /** Exact interpolated percentiles — the ground-truth twin of
     * [[qAggApproxQuantile]]: percentile() buffers and sorts each group's
     * values (O(group) state — exactly the cost the approx key's
@@ -883,6 +918,7 @@ object Relational {
     "q_agg_approx" -> qAggApprox,
     "q_agg_approx_check" -> qAggApproxCheck,
     "q_agg_approx_quantile" -> qAggApproxQuantile,
+    "q_approx_quantile_check" -> qApproxQuantileCheck,
     "q_agg_percentile_exact" -> qAggPercentileExact,
     "q_agg_minmax_by" -> qAggMinmaxBy,
     "q_resample" -> qResample,

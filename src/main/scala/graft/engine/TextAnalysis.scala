@@ -321,6 +321,28 @@ object TextAnalysis {
         graft.functions.GraftExpressions.rollingFingerprint(col("text")).as("fingerprint"))
       .orderBy("doc_id")
 
+  /** ORACLE-GRADED check frame for q_doc_fingerprint (whose hash values
+    * are engine-specific, so that key is rows-only): plant a relabeled
+    * copy of every 10th document (DuckDB replants the identical pair
+    * list — the cross-engine value) and expect `fp_match` TRUE: the two
+    * sides of a self-join evaluate RollingFingerprint independently, so
+    * equal text must yield equal fingerprints regardless of which task,
+    * partition, or codegen instance computed each side. A fingerprint
+    * that picked up any per-row, per-partition, or per-evaluation state
+    * flips the boolean and fails the hash gate.
+    */
+  val qFingerprintCheck: Q = (s, d) => {
+    val fp = graft.functions.GraftExpressions.rollingFingerprint(col("text"))
+    val tenth = documents(s, d).where(col("doc_id") % 10 === 0)
+    val orig = tenth.select(col("doc_id").as("doc_b"), fp.as("__fp_b"))
+    val copies = tenth.select((col("doc_id") + 100000L).as("doc_a"),
+      col("doc_id").as("doc_b"), fp.as("__fp_a"))
+    copies.join(orig, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("__fp_a") === col("__fp_b")).as("fp_match"))
+      .orderBy("doc_a")
+  }
+
   /** Graded end-to-end curation composition — the PipelineMain core as a
     * single oracled key: per language, how many documents survive (a) the
     * quality gate and (b) set-normalized dedup among the survivors. The
@@ -421,6 +443,7 @@ object TextAnalysis {
     "q_fuzzy_match" -> qFuzzyMatch,
     "q_lang_id" -> qLangId,
     "q_udf_scalar" -> qUdfScalar,
-    "q_doc_fingerprint" -> qDocFingerprint
+    "q_doc_fingerprint" -> qDocFingerprint,
+    "q_fingerprint_check" -> qFingerprintCheck
   )
 }

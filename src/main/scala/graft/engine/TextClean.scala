@@ -120,9 +120,83 @@ object TextClean {
       .orderBy("host")
   }
 
+  // ------------------------------------------- cross-document boilerplate
+
+  /** N-gram length for the boilerplate census. 5 balances specificity
+    * (a 5-token phrase repeated verbatim across documents is template
+    * text, not coincidence) against recall on short boilerplate.
+    */
+  val BoilerGramN = 5
+
+  /** Token n-gram stream: one row per (doc, position) n-gram. Map-only —
+    * the explode is a per-row fan-out of ≤ |tokens| rows, no shuffle;
+    * documents shorter than `n` tokens contribute nothing (and are
+    * excluded from downstream per-doc accounting, matching the oracle).
+    */
+  private[graft] def gramStream(docs: DataFrame, n: Int): DataFrame =
+    docs
+      .withColumn("__t", split(col("text"), " "))
+      .where(size(col("__t")) >= n)
+      .select(col("doc_id"), col("lang"),
+        explode(expr(
+          s"transform(sequence(0, size(__t) - $n), i -> array_join(slice(__t, i + 1, $n), ' '))"))
+          .as("gram"))
+
+  /** Corpus-wide boilerplate census: n-grams appearing in at least
+    * `minDocs` DISTINCT documents — the cross-document repeated-phrase
+    * detector (the token-stream rendering of RefinedWeb/CCNet's
+    * "remove lines repeated across pages"; the fixture corpus is
+    * single-line, so the repetition unit is the n-gram, not the line).
+    * Two-phase: partial-aggregated distinct-doc count on the gram key —
+    * one shuffle, output bounded by the distinct-gram count.
+    */
+  def boilerplateCensus(grams: DataFrame, minDocs: Long): DataFrame =
+    grams.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
+
+  /** Graded census surface: every 5-gram shared by ≥ 3 documents with
+    * its document frequency — the phrase blocklist a cleaning run
+    * materializes before stripping.
+    */
+  val qBoilerplateGrams: Q = (s, d) =>
+    boilerplateCensus(gramStream(Tables.documents(s, d), BoilerGramN), 3L)
+      .orderBy(desc("n_docs"), col("gram"))
+
+  /** Graded strip report: per language, how much of the gram stream is
+    * boilerplate (≥ 2-doc grams) and how many documents exceed a 20%
+    * boilerplate share — the flag-for-removal set. The threshold is
+    * integer cross-multiplication (`5·hits ≥ grams`), so no float sits
+    * at the decision boundary (the qCurationPipeline discipline).
+    *
+    * Scale shape: the census is corpus-derived — at web scale it does
+    * NOT fit a broadcast (millions of templated phrases), so the
+    * gram→census membership join is a plain shuffle join on the gram
+    * key, the same deliberate no-broadcast discipline as q_lm_score's
+    * vocabulary join; at fixture scale AQE may demote it to broadcast,
+    * which is the planner's call, not a baked-in collect.
+    */
+  val qBoilerplateStrip: Q = (s, d) => {
+    val grams = gramStream(Tables.documents(s, d), BoilerGramN)
+    val census = boilerplateCensus(grams, 2L)
+      .select(col("gram"), lit(1L).as("__boiler"))
+    grams.join(census, Seq("gram"), "left")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("__grams"),
+        count(col("__boiler")).as("__hits"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__grams")).as("n_grams"),
+        sum(col("__hits")).as("n_boiler"),
+        count(when(col("__hits") * 5 >= col("__grams"), lit(1))).as("n_flagged"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_pii_scrub" -> qPiiScrub,
     "q_html_strip" -> qHtmlStrip,
-    "q_url_census" -> qUrlCensus
+    "q_url_census" -> qUrlCensus,
+    "q_boilerplate_grams" -> qBoilerplateGrams,
+    "q_boilerplate_strip" -> qBoilerplateStrip
   )
 }

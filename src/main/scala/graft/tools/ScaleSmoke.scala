@@ -247,7 +247,8 @@ object ScaleSmoke {
     "q_neardup_lsh", "q_neardup_lsh_salted", "q_neardup_components",
     "q_neardup_resolve", "q_containment_pairs", "q_substring_dedup",
     "q_ann_ivfpq", "q_skew_join", "q_skew_join_aqe", "q_curation_pipeline",
-    "q_sessionize", "q_lm_score", "q_fuzzy_match_scaled")
+    "q_sessionize", "q_lm_score", "q_fuzzy_match_scaled",
+    "q_boilerplate_strip")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SCALE_SMOKE_SRC", "/root/testdata/sf0.01")

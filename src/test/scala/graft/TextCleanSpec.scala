@@ -78,4 +78,56 @@ class TextCleanSpec extends AnyFunSuite {
       "example.com" -> (n0 + n1),
       "data.example.org" -> n0))
   }
+
+  test("boilerplate census finds exactly the planted cross-doc phrase") {
+    val docs = Seq(
+      (1L, "en", "alpha beta this footer repeats every page gamma"),
+      (2L, "en", "delta this footer repeats every page epsilon zeta"),
+      (3L, "en", "this footer repeats every page"),
+      (4L, "en", "totally unrelated words with no shared phrase here"),
+      (5L, "en", "short one")).toDF("doc_id", "lang", "text")
+    val census = TextClean.boilerplateCensus(
+      TextClean.gramStream(docs, TextClean.BoilerGramN), 3L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // Only the planted 5-token phrase itself crosses 3 documents (its
+    // 6-token supergrams exist in at most one doc each).
+    assert(census == Map("this footer repeats every page" -> 3L))
+  }
+
+  test("gram stream emits len-n+1 grams per doc and skips short docs") {
+    val docs = Seq(
+      (1L, "en", "a b c d e f"),     // 6 tokens → 2 grams
+      (2L, "en", "a b c d"),         // 4 tokens → excluded
+      (3L, "en", "a b c d e")        // 5 tokens → 1 gram
+    ).toDF("doc_id", "lang", "text")
+    val grams = TextClean.gramStream(docs, 5)
+    assert(grams.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == Map(1L -> 2L, 3L -> 1L))
+    assert(grams.where(col("doc_id") === 3L).head().getString(2) == "a b c d e")
+  }
+
+  test("strip report flags exactly the docs at or above the 20% share") {
+    // doc 1: 5 grams, phrase shared with doc 2 gives it 1 boiler gram
+    // (20% — flagged, boundary inclusive); doc 3: 10 grams, 1 shared
+    // (10% — not flagged); doc 4: isolated (0%).
+    val shared = "common shared footer phrase here"
+    val docs = Seq(
+      (1L, "en", s"$shared u1 u2 u3 u4"),
+      (2L, "en", s"$shared v1 v2 v3 v4 v5 v6 v7 v8 v9"),
+      (3L, "fr", "w1 w2 w3 w4 w5 w6 w7 w8 w9"),
+      (4L, "fr", "w1 w2 w3 w4 w5 x6 x7 x8 x9")).toDF("doc_id", "lang", "text")
+    val grams = TextClean.gramStream(docs, TextClean.BoilerGramN)
+    val census = TextClean.boilerplateCensus(grams, 2L)
+      .select(col("gram"), lit(1L).as("__boiler"))
+    val perDoc = grams.join(census, Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("g"), count(col("__boiler")).as("h"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    // docs 1/2 share the 5-token phrase (1 gram each); docs 3/4 share
+    // their leading 5 tokens (1 gram each).
+    assert(perDoc(1L) == (5L, 1L) && perDoc(2L) == (10L, 1L))
+    assert(perDoc(3L) == (5L, 1L) && perDoc(4L) == (5L, 1L))
+    val flagged = perDoc.collect { case (id, (g, h)) if h * 5 >= g => id }.toSet
+    assert(flagged == Set(1L, 3L, 4L))
+  }
 }
