@@ -32,6 +32,21 @@ object Oracle {
       FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
       GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"""
 
+  /** Shared by q_boilerplate_grams and q_boilerplate_delta: the
+    * incremental snapshot+delta merge is graded against the identical
+    * from-scratch census definition, so the additive-merge algebra
+    * cannot diverge from the batch operator silently.
+    */
+  private val BoilerplateCensusSql = """
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+        g AS (SELECT doc_id,
+            unnest([array_to_string(t[i:i+4], ' ')
+                    for i in generate_series(1, len(t) - 4)]) AS gram
+          FROM toks WHERE len(t) >= 5)
+      SELECT gram, count(DISTINCT doc_id)::BIGINT AS n_docs
+      FROM g GROUP BY gram HAVING n_docs >= 3
+      ORDER BY n_docs DESC, gram"""
+
   private val NeardupLshSql = """
       WITH docs AS (SELECT doc_id, list_distinct(string_split(text, ' ')) toks FROM documents),
         pairs AS (SELECT a.doc_id doc_a, b.doc_id doc_b,
@@ -668,15 +683,14 @@ object Oracle {
     // cross-document 5-gram document frequencies — DuckDB's list
     // comprehension over the token array is the independent n-gram
     // formulation of the Spark transform(sequence(...))+explode.
-    "q_boilerplate_grams" -> """
-      WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
-        g AS (SELECT doc_id,
-            unnest([array_to_string(t[i:i+4], ' ')
-                    for i in generate_series(1, len(t) - 4)]) AS gram
-          FROM toks WHERE len(t) >= 5)
-      SELECT gram, count(DISTINCT doc_id)::BIGINT AS n_docs
-      FROM g GROUP BY gram HAVING n_docs >= 3
-      ORDER BY n_docs DESC, gram""",
+    "q_boilerplate_grams" -> BoilerplateCensusSql,
+
+    // Incremental census maintenance (TextClean.qBoilerplateDelta):
+    // SAME oracle string as q_boilerplate_grams by construction — the
+    // snapshot-census + delta-census additive merge must hash-match the
+    // from-scratch batch census (the shared-oracle structural-identity
+    // discipline of q_neardup_lsh/_salted).
+    "q_boilerplate_delta" -> BoilerplateCensusSql,
 
     // Boilerplate strip report (TextClean.qBoilerplateStrip): per-lang
     // gram/boilerplate accounting with the integer 20% flag threshold.

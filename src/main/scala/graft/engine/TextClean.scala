@@ -192,11 +192,44 @@ object TextClean {
       .orderBy("lang")
   }
 
+  /** Incremental census maintenance: per-gram document frequencies are
+    * ADDITIVE across disjoint document sets (each doc contributes 1 to
+    * each of its distinct grams, and a doc is in exactly one batch), so
+    * ingesting a delta batch costs one census over the DELTA plus an
+    * outer count-merge with the stored snapshot census — never a
+    * recompute over the corpus. At 100 TB the snapshot census is a
+    * parquet artifact partitioned on the gram key; the merge is one
+    * shuffle of census-sized (not corpus-sized) frames.
+    *
+    * Graded as a STRUCTURAL IDENTITY: the key splits the fixture into a
+    * 7/8 snapshot and a 1/8 delta, maintains incrementally, and is
+    * graded by the SAME oracle string as q_boilerplate_grams — the
+    * incremental result must hash-match the from-scratch batch census
+    * exactly (the q_neardup_lsh/salted shared-oracle discipline).
+    */
+  def mergeCensus(snapshot: DataFrame, deltaCensus: DataFrame): DataFrame =
+    snapshot.unionByName(deltaCensus)
+      .groupBy(col("gram"))
+      .agg(sum(col("n_docs")).as("n_docs"))
+
+  val qBoilerplateDelta: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    def census(part: DataFrame): DataFrame =
+      gramStream(part, BoilerGramN).groupBy(col("gram"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
+    val snapshot = census(docs.where(col("doc_id") % 8 =!= 0))
+    val delta = census(docs.where(col("doc_id") % 8 === 0))
+    mergeCensus(snapshot, delta)
+      .where(col("n_docs") >= 3)
+      .orderBy(desc("n_docs"), col("gram"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_pii_scrub" -> qPiiScrub,
     "q_html_strip" -> qHtmlStrip,
     "q_url_census" -> qUrlCensus,
     "q_boilerplate_grams" -> qBoilerplateGrams,
-    "q_boilerplate_strip" -> qBoilerplateStrip
+    "q_boilerplate_strip" -> qBoilerplateStrip,
+    "q_boilerplate_delta" -> qBoilerplateDelta
   )
 }

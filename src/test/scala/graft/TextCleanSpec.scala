@@ -130,4 +130,11 @@ class TextCleanSpec extends AnyFunSuite {
     val flagged = perDoc.collect { case (id, (g, h)) if h * 5 >= g => id }.toSet
     assert(flagged == Set(1L, 3L, 4L))
   }
+
+  test("incremental census merge is identical to the batch census") {
+    val batch = SparkEntry.queries("q_boilerplate_grams")(spark, sfDir)
+    val incr = SparkEntry.queries("q_boilerplate_delta")(spark, sfDir)
+    assert(batch.count() > 0, "fixture must produce a non-empty census")
+    assert(incr.except(batch).count() == 0 && batch.except(incr).count() == 0)
+  }
 }
