@@ -212,6 +212,26 @@ object TextClean {
       .groupBy(col("gram"))
       .agg(sum(col("n_docs")).as("n_docs"))
 
+  /** Streaming-ready census transform — the update-mode streaming face
+    * of [[boilerplateCensus]], shared verbatim by batch and stream:
+    * each document contributes its DISTINCT grams once (array_distinct
+    * per row — in-row, map-side, no dedup state), so a plain count per
+    * gram IS the document frequency, provided each doc_id arrives
+    * exactly once (the upstream exact-dedup contract the R2 dedup
+    * stage guarantees). Streaming state = the census itself
+    * (gram → count) — the same artifact [[qBoilerplateDelta]]'s
+    * additive merge maintains offline; the two are the online/offline
+    * renderings of one algebra. Batch-equivalence and streaming parity
+    * are spec'd in TextCleanSpec.
+    */
+  def censusUpdates(docs: DataFrame, n: Int = BoilerGramN): DataFrame =
+    docs.withColumn("__t", split(col("text"), " "))
+      .where(size(col("__t")) >= n)
+      .select(explode(array_distinct(expr(
+        s"transform(sequence(0, size(__t) - $n), i -> array_join(slice(__t, i + 1, $n), ' '))")))
+        .as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("n_docs"))
+
   val qBoilerplateDelta: Q = (s, d) => {
     val docs = Tables.documents(s, d)
     def census(part: DataFrame): DataFrame =

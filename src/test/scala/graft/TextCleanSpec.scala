@@ -131,6 +131,36 @@ class TextCleanSpec extends AnyFunSuite {
     assert(flagged == Set(1L, 3L, 4L))
   }
 
+  test("streaming census parity: update-mode counts converge to the batch census") {
+    // Batch equivalence of the shared transform first: per-doc distinct
+    // grams counted once ≡ countDistinct(doc_id) per gram.
+    val docs = graft.engine.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val viaUpdates = TextClean.censusUpdates(docs)
+    val viaDistinct = TextClean.boilerplateCensus(
+      TextClean.gramStream(docs, TextClean.BoilerGramN), 1L)
+    assert(viaUpdates.except(viaDistinct).count() == 0 &&
+      viaDistinct.except(viaUpdates).count() == 0)
+    // Streaming face: two ingest batches, update mode; counts are
+    // monotone, so max-per-gram across emitted updates is the final
+    // census.
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String)](spark)
+    val q = TextClean.censusUpdates(ms.toDF().toDF("doc_id", "lang", "text"))
+      .writeStream.outputMode("update").format("memory")
+      .queryName("census_stream").start()
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("census_stream")
+      .groupBy("gram").agg(max("n_docs").as("n_docs"))
+    val batch = viaDistinct
+    assert(streamed.except(batch).count() == 0 && batch.except(streamed).count() == 0)
+  }
+
   test("incremental census merge is identical to the batch census") {
     val batch = SparkEntry.queries("q_boilerplate_grams")(spark, sfDir)
     val incr = SparkEntry.queries("q_boilerplate_delta")(spark, sfDir)
