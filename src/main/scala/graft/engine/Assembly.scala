@@ -450,9 +450,49 @@ object Assembly {
     budgetSelect(scored, budget = 15000L).orderBy("doc_id")
   }
 
+  // ------------------------------------- overlapping context chunking
+
+  /** Overlapping token-window chunking — the context-window prep an
+    * embedding/retrieval corpus needs (distinct from [[packChunks]],
+    * which concatenates ACROSS documents; this splits WITHIN a document
+    * with overlap so no retrieval context straddles a hard cut).
+    * `size`-token windows every `stride` tokens; the final window may be
+    * shorter (the tail), and a doc shorter than `size` yields exactly
+    * one whole-doc chunk: n_chunks = ⌈max(len − size, 0) / stride⌉ + 1,
+    * all in integer arithmetic (⌈a/b⌉ = (a+b−1) div b) so both engines
+    * compute the identical chunk set. Map-only: a per-row fan-out of
+    * ≤ len/stride + 1 rows, no shuffle at any corpus size.
+    */
+  def chunkDocs(docs: DataFrame, window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window; got window=$window stride=$stride")
+    docs
+      .withColumn("__t", split(col("text"), " "))
+      .withColumn("__len", size(col("__t")))
+      .withColumn("__nc",
+        expr(s"(greatest(__len - $window, 0) + $stride - 1) div $stride + 1"))
+      .select(col("doc_id"),
+        explode(expr(s"""transform(sequence(0, __nc - 1), i -> struct(
+            CAST(i AS BIGINT) AS chunk_idx,
+            CAST(least(__len - i * $stride, $window) AS BIGINT) AS n_tokens,
+            array_join(slice(__t, i * $stride + 1, $window), ' ') AS chunk_text))"""))
+          .as("c"))
+      .select(col("doc_id"), col("c.chunk_idx"), col("c.n_tokens"), col("c.chunk_text"))
+  }
+
+  /** Graded surface: 32-token windows, stride 24 (25% overlap) over the
+    * documents fixture — every chunk row with its exact text, so the
+    * oracle pins offsets, tail handling, and the short-doc case all at
+    * once.
+    */
+  val qDocChunks: Q = (s, d) =>
+    chunkDocs(Tables.documents(s, d).select(col("doc_id"), col("text")), 32, 24)
+      .orderBy("doc_id", "chunk_idx")
+
   val queries: Map[String, Q] = Map(
     "q_pipeline_assembly" -> qPipelineAssembly,
     "q_budget_select" -> qBudgetSelect,
+    "q_doc_chunks" -> qDocChunks,
     "q_decontaminate" -> qDecontaminate,
     "q_decontaminate_fuzzy" -> qDecontaminateFuzzy,
     "q_shard_assign" -> qShardAssign,

@@ -692,6 +692,21 @@ object Oracle {
     // discipline of q_neardup_lsh/_salted).
     "q_boilerplate_delta" -> BoilerplateCensusSql,
 
+    // Overlapping context chunking (Assembly.qDocChunks): 32-token
+    // windows every 24 tokens, shorter tail, one whole-doc chunk for
+    // short docs — pure integer arithmetic, so the chunk set is exact
+    // in both engines.
+    "q_doc_chunks" -> """
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        d AS (SELECT doc_id, t, len(t) AS l FROM toks),
+        e AS (SELECT doc_id, t, l,
+            unnest(generate_series(0, (greatest(l - 32, 0) + 23) // 24)) AS i
+          FROM d)
+      SELECT doc_id, i::BIGINT AS chunk_idx,
+        least(l - i * 24, 32)::BIGINT AS n_tokens,
+        array_to_string(t[i*24+1 : i*24+32], ' ') AS chunk_text
+      FROM e ORDER BY doc_id, chunk_idx""",
+
     // Boilerplate strip report (TextClean.qBoilerplateStrip): per-lang
     // gram/boilerplate accounting with the integer 20% flag threshold.
     "q_boilerplate_strip" -> """

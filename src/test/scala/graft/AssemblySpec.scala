@@ -134,4 +134,28 @@ class AssemblySpec extends AnyFunSuite {
     assert(ids == Assembly.rebalanceUniform(df, "lang", "doc_id")
       .select("doc_id").as[Long].collect().toSet)
   }
+
+  test("chunkDocs: coverage, overlap, tail and short-doc edge cases vs brute force") {
+    val cases = Seq(
+      (1L, (1 to 5).map(i => s"t$i").mkString(" ")),     // shorter than window
+      (2L, (1 to 8).map(i => s"t$i").mkString(" ")),     // exactly one window
+      (3L, (1 to 9).map(i => s"t$i").mkString(" ")),     // window + 1 → 2 chunks
+      (4L, (1 to 14).map(i => s"t$i").mkString(" ")),    // window + stride → tail = window
+      (5L, (1 to 30).map(i => s"t$i").mkString(" ")))    // several chunks
+    val (w, s) = (8, 6)
+    val got = Assembly.chunkDocs(cases.toDF("doc_id", "text"), w, s)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    cases.foreach { case (id, text) =>
+      val t = text.split(" ")
+      val nc = (math.max(t.length - w, 0) + s - 1) / s + 1
+      val exp = (0 until nc).map(i =>
+        (id, i.toLong, math.min(t.length - i * s, w).toLong,
+          t.slice(i * s, i * s + w).mkString(" ")))
+      assert(got(id).toSeq == exp, s"doc $id")
+      // Chunks tile the doc: first starts at 0, consecutive starts differ
+      // by stride, last chunk reaches the final token.
+      assert(got(id).last._2 * s + got(id).last._3 == t.length, s"doc $id tail")
+    }
+  }
 }
