@@ -176,19 +176,31 @@ object TextClean {
     * vocabulary join; at fixture scale AQE may demote it to broadcast,
     * which is the planner's call, not a baked-in collect.
     */
-  val qBoilerplateStrip: Q = (s, d) => {
-    val grams = gramStream(Tables.documents(s, d), BoilerGramN)
-    val census = boilerplateCensus(grams, 2L)
-      .select(col("gram"), lit(1L).as("__boiler"))
-    grams.join(census, Seq("gram"), "left")
+  /** Per-doc boilerplate tagging against a GIVEN census frame — the
+    * shared core of the batch strip report and the online streaming
+    * gate ([[graft.streaming.Streams]] `boilerplateGateBatch`): each
+    * doc's gram stream left-joins census membership, then one per-doc
+    * aggregate yields (n_grams, n_hits, flagged) with the integer 20%
+    * threshold. The census side is corpus-derived, so no broadcast is
+    * baked in.
+    */
+  def tagBoilerplate(docs: DataFrame, census: DataFrame,
+      n: Int = BoilerGramN): DataFrame =
+    gramStream(docs, n)
+      .join(census.select(col("gram"), lit(1L).as("__boiler")), Seq("gram"), "left")
       .groupBy(col("doc_id"), col("lang"))
-      .agg(count(lit(1)).as("__grams"),
-        count(col("__boiler")).as("__hits"))
+      .agg(count(lit(1)).as("n_grams"), count(col("__boiler")).as("n_hits"))
+      .withColumn("flagged", col("n_hits") * 5 >= col("n_grams"))
+
+  val qBoilerplateStrip: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val census = boilerplateCensus(gramStream(docs, BoilerGramN), 2L)
+    tagBoilerplate(docs, census)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(col("__grams")).as("n_grams"),
-        sum(col("__hits")).as("n_boiler"),
-        count(when(col("__hits") * 5 >= col("__grams"), lit(1))).as("n_flagged"))
+        sum(col("n_grams")).as("n_grams"),
+        sum(col("n_hits")).as("n_boiler"),
+        count(when(col("flagged"), lit(1))).as("n_flagged"))
       .orderBy("lang")
   }
 

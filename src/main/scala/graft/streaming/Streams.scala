@@ -732,6 +732,26 @@ object Streams {
     batch.join(broadcast(batch.sparkSession.read.parquet(dimDir)),
       Seq(keyCol), joinType)
 
+  /** Online boilerplate gate — the production split of the
+    * [[graft.engine.TextClean]] census family: the census is built
+    * offline (`boilerplateCensus`), kept fresh by the ADDITIVE delta
+    * merge (`mergeCensus` / q_boilerplate_delta), and each incoming
+    * micro-batch of documents is TAGGED against the stored artifact
+    * here (per-doc n_grams / n_hits / flagged via the shared
+    * [[graft.engine.TextClean.tagBoilerplate]] core). Re-read fresh
+    * per batch like [[refreshingEnrich]], but — unlike a dim
+    * snapshot — the census is corpus-derived and NOT broadcast by
+    * contract: the batch's gram fan-out joins it on the gram key.
+    * Compose with [[ForeachBatchSink]]; per-doc tags depend only on
+    * the doc and the census state at batch time, so replays under the
+    * same census are idempotent.
+    */
+  def boilerplateGateBatch(censusDir: String, minDocs: Long = 2L)
+      (batch: DataFrame): DataFrame =
+    graft.engine.TextClean.tagBoilerplate(batch,
+      batch.sparkSession.read.parquet(censusDir)
+        .where(col("n_docs") >= minDocs))
+
   // ------------------------------------------------------------ R4: sinks
 
   sealed trait StreamSink

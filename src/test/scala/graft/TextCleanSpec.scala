@@ -161,6 +161,39 @@ class TextCleanSpec extends AnyFunSuite {
     assert(streamed.except(batch).count() == 0 && batch.except(streamed).count() == 0)
   }
 
+  test("online boilerplate gate: streamed per-doc tags equal the batch tags") {
+    val docs = graft.engine.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("text"))
+    // Build + store the census artifact (the offline half).
+    val censusDir = java.nio.file.Files.createTempDirectory("graft-census").toString
+    TextClean.boilerplateCensus(
+        TextClean.gramStream(docs, TextClean.BoilerGramN), 1L)
+      .write.mode("overwrite").parquet(censusDir)
+    // Stream the docs through the gate in two micro-batches.
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String)](spark)
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Boolean)]
+    val q = ms.toDF().toDF("doc_id", "lang", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= graft.streaming.Streams.boilerplateGateBatch(censusDir, 2L)(b)
+          .collect().map(r => (r.getLong(0), r.getAs[Long]("n_grams"),
+            r.getAs[Long]("n_hits"), r.getAs[Boolean]("flagged")))
+        ()
+      }.start()
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val batch = TextClean.tagBoilerplate(docs,
+        spark.read.parquet(censusDir).where(col("n_docs") >= 2L))
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("n_grams"),
+        r.getAs[Long]("n_hits"), r.getAs[Boolean]("flagged"))).toSet
+    assert(got.toSet == batch)
+    assert(batch.exists(_._4), "fixture must flag at least one doc")
+  }
+
   test("incremental census merge is identical to the batch census") {
     val batch = SparkEntry.queries("q_boilerplate_grams")(spark, sfDir)
     val incr = SparkEntry.queries("q_boilerplate_delta")(spark, sfDir)
