@@ -96,9 +96,35 @@ object EventAnalytics {
       .orderBy("day")
   }
 
+  /** Event-transition matrix — the Markov/Sankey artifact next to the
+    * funnel: per (from_type → to_type), how many consecutive-event
+    * transitions occur across all user timelines and each destination's
+    * share of its source's outflow. `lead` over (ts, event_id) within
+    * user — a deterministic total order because (user_id, ts, event_id)
+    * is unique in the fixture (and event_id breaks ts ties in general).
+    * Scale: ONE window partitioned by user_id (the natural high-
+    * cardinality shuffle key — no global order anywhere), then a hash
+    * aggregate on the 5×5-bounded type-pair key; the share window runs
+    * over ≤ |event types| rows.
+    */
+  val qEventTransitions: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val byFrom = org.apache.spark.sql.expressions.Window.partitionBy(col("from_type"))
+    events(s, d)
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .where(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n").cast("double") /
+        sum(col("n")).over(byFrom).cast("double"), 6))
+      .orderBy("from_type", "to_type")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_funnel" -> qFunnel,
     "q_cohort_retention" -> qCohortRetention,
-    "q_dau_wau" -> qDauWau
+    "q_dau_wau" -> qDauWau,
+    "q_event_transitions" -> qEventTransitions
   )
 }

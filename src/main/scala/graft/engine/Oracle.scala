@@ -1246,6 +1246,22 @@ object Oracle {
         round(dau.dau * 1.0 / wau.wau, 6) AS stickiness
       FROM dau JOIN wau ON dau.day = wau.day ORDER BY dau.day""",
 
+    // Event-transition matrix: lead over the per-user (ts, event_id)
+    // total order (unique key — deterministic), counts per type pair,
+    // destination share of the source's outflow.
+    "q_event_transitions" -> """
+      WITH seq AS (SELECT user_id, event_type,
+          lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS next_type
+        FROM events),
+        t AS (SELECT event_type AS from_type, next_type AS to_type,
+            count(*) AS n
+          FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2)
+      SELECT from_type, to_type, n::BIGINT AS n,
+        round(CAST(n AS DOUBLE) /
+          CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
+      FROM t ORDER BY from_type, to_type""",
+
     // Cohort retention triangle: first-seen day per user, distinct
     // (user, day-offset) activity within 14 days, counted per cell.
     "q_cohort_retention" -> """

@@ -165,4 +165,18 @@ class EventAnalyticsSpec extends AnyFunSuite {
       r.getAs[Long]("n_purchase"))
     assert(v >= c && c >= p && p > 0, s"$v >= $c >= $p")
   }
+
+  test("transition matrix: totals and outflow shares are conserved") {
+    val ev = graft.engine.Tables.events(spark, TestSpark.sfDir)
+    val t = SparkEntry.queries("q_event_transitions")(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    // Every user timeline of k events contributes exactly k−1 transitions.
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(t.map(_._3).sum == expected)
+    // Each source's destination shares sum to 1 (round-6 grain).
+    t.groupBy(_._1).foreach { case (from, rows) =>
+      assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-4, s"outflow of $from")
+    }
+  }
 }
