@@ -419,6 +419,53 @@ object Streams {
         TimeMode.None(), OutputMode.Append())
   }
 
+  // ---------------------------- streaming transition matrix (analytics)
+
+  /** One consecutive-event transition on a user's timeline. */
+  case class TransitionRow(user_id: Long, from_type: String, to_type: String)
+
+  /** Streaming face of `EventAnalytics.qEventTransitions` — per-user
+    * state is ONE string forever (the last event type); each arriving
+    * event emits exactly one (from, to) pair against it, so the
+    * transition matrix is a plain count over the changelog:
+    * `groupBy(from_type, to_type).count()` ≡ the batch lead-window
+    * aggregate. Same arrival-order parity contract as the funnel and
+    * cohort processors (Kafka's per-key ordering semantic): within a
+    * batch rows fold in (ts, event_id) order; across batches parity
+    * holds when arrival order ~ event-time order, as the spec stages
+    * input.
+    */
+  class TransitionProcessor extends StatefulProcessor[Long, Event, TransitionRow] {
+    @transient private var last:
+      org.apache.spark.sql.streaming.ValueState[String] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      last = getHandle.getValueState[String]("last", Encoders.STRING, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[TransitionRow] = {
+      var prev = if (last.exists()) last.get() else null
+      val out = scala.collection.mutable.ArrayBuffer.empty[TransitionRow]
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        if (prev != null) out += TransitionRow(key, prev, e.event_type)
+        prev = e.event_type
+      }
+      // Eager update before returning (the UserProfileProcessor rule): a
+      // half-consumed output iterator must not skip the state write.
+      if (prev != null) last.update(prev)
+      out.iterator
+    }
+  }
+
+  /** Transition changelog stream; count it per (from_type, to_type) for
+    * the matrix.
+    */
+  def transitionStream(events: Dataset[Event]): Dataset[TransitionRow] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new TransitionProcessor, TimeMode.None(), OutputMode.Append())
+  }
+
   /** One emitted KTable changelog row: the key's NEW current record;
     * per-key `version` makes max-version rows the current table.
     */

@@ -166,6 +166,33 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(v >= c && c >= p && p > 0, s"$v >= $c >= $p")
   }
 
+  test("streaming transition changelog aggregates to the batch matrix") {
+    // Event-time arrival order across a two-batch seam: each user's last
+    // type must carry over so the seam transition (batch-1 tail →
+    // batch-2 head) is emitted exactly once.
+    val fixture = graft.engine.Tables.events(spark, TestSpark.sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"), col("value"))
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id)).toSeq
+    val (b1, b2) = fixture.splitAt(fixture.size / 2)
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event](
+      graft.streaming.Streams.sessionConf(spark))
+    val q = graft.streaming.Streams.start(
+      graft.streaming.Streams.transitionStream(ms.toDS()).toDF(),
+      graft.streaming.Streams.MemoryStreamSink("transition_stream",
+        Some(java.nio.file.Files.createTempDirectory("graft-trans").toString)))
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("transition_stream")
+      .groupBy(col("from_type"), col("to_type")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val batch = SparkEntry.queries("q_event_transitions")(spark, TestSpark.sfDir)
+      .select(col("from_type"), col("to_type"), col("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch, s"stream ${streamed.size} cells vs batch ${batch.size}")
+  }
+
   test("transition matrix: totals and outflow shares are conserved") {
     val ev = graft.engine.Tables.events(spark, TestSpark.sfDir)
     val t = SparkEntry.queries("q_event_transitions")(spark, TestSpark.sfDir)
