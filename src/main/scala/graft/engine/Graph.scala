@@ -1,0 +1,154 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over corpus-derived graphs — the two staples a data
+  * pipeline actually runs on its OWN artifacts rather than on an external
+  * graph store: PageRank over the event-transition graph (which screen /
+  * event type accumulates attention once transition structure, not raw
+  * counts, decides) and triangle counting over the near-duplicate pair
+  * graph (the density/clique metric that validates a dedup threshold —
+  * a near-dup graph whose triangle mass explodes is template families,
+  * not chance collisions).
+  *
+  * Scale shape, deliberately split in two:
+  *   - corpus → graph is the only corpus-scale stage (one window shuffle
+  *     on user_id for transitions; banded LSH candidate generation for
+  *     near-dup edges — never all-pairs);
+  *   - the iteration/enumeration then runs on the DERIVED graph: the
+  *     transition graph is bounded by |event types|² (model-state sized,
+  *     like Stats' ≤25-nation frame), while the triangle join shuffles on
+  *     vertex keys with per-task fan-out bounded by the max clique size.
+  *   [[pagerank]] itself is a plain DataFrame loop — on an UNBOUNDED node
+  *   set (user-level graphs) the identical loop runs fully distributed;
+  *   checkpoint cadence would then follow Dedup.nearDupComponents.
+  */
+object Graph {
+  import Tables.events
+  type Q = (SparkSession, String) => DataFrame
+
+  val Damping = 0.85
+  val PrIters = 10
+
+  /** Weighted directed edge list of consecutive-event transitions,
+    * (src, dst, n) — the same per-user (ts, event_id) total order as
+    * EventAnalytics.qEventTransitions (deterministic: that key is unique).
+    */
+  private[graft] def transitionEdges(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ev.withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .where(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
+      .agg(count(lit(1)).cast("double").as("n"))
+  }
+
+  /** PageRank with uniform teleport and uniform dangling redistribution:
+    *   r₀(v) = 1/N;  r_{t+1}(v) = (1−d)/N + d·Σ_u r_t(u)·P(u,v)
+    * where P rows sum to 1 — dangling nodes (no outgoing edges) get
+    * explicit uniform edges to every node, so total rank mass is
+    * conserved exactly (spec-asserted) instead of leaking per iteration.
+    *
+    * Determinism contract: each iteration's rank is rounded to 12
+    * decimals IN BOTH ENGINES (the oracle unrolls the same iterations),
+    * so float-summation-order noise (~1e-16 per ≤N-term sum) is absorbed
+    * at every step instead of compounding across iterations — the same
+    * discipline as the cosine keys' round-then-compare, applied per
+    * iteration because the computation is iterative.
+    *
+    * `nodesIn` must carry a `node` column; N = |distinct nodes| is
+    * counted on the driver — bounded model state by contract here
+    * (event-type cardinality), NOT corpus-sized.
+    */
+  def pagerank(edges: DataFrame, nodesIn: DataFrame,
+      damping: Double = Damping, iters: Int = PrIters): DataFrame = {
+    val nodes = nodesIn.select(col("node")).distinct().localCheckpoint()
+    val n = nodes.count().toDouble
+    val outw = edges.groupBy(col("src")).agg(sum(col("n")).as("w"))
+    val real = edges.join(outw, "src")
+      .select(col("src"), col("dst"), (col("n") / col("w")).as("p"))
+    val dangling = nodes
+      .join(edges.select(col("src")).distinct(), col("node") === col("src"), "left_anti")
+      .crossJoin(nodes.select(col("node").as("dst")))
+      .select(col("node").as("src"), col("dst"), lit(1.0 / n).as("p"))
+    // Row-stochastic transition frame — scanned once per iteration.
+    val p = real.unionByName(dangling).localCheckpoint()
+    var ranks = nodes.select(col("node"), round(lit(1.0 / n), 12).as("r"))
+    var i = 0
+    while (i < iters) {
+      val contrib = ranks.join(p, col("node") === col("src"))
+        .groupBy(col("dst")).agg(sum(col("r") * col("p")).as("m"))
+        .select(col("dst").as("cnode"), col("m"))
+      ranks = nodes.join(contrib, col("node") === col("cnode"), "left")
+        .select(col("node"),
+          round(lit((1 - damping) / n) +
+            lit(damping) * coalesce(col("m"), lit(0.0)), 12).as("r"))
+      i += 1
+    }
+    ranks
+  }
+
+  /** Graded PageRank over the event-transition type graph: (node, pr),
+    * pr rounded to 8 decimals. Oracle: the identical 10 iterations
+    * unrolled as SQL CTE stages with the same per-iteration rounding.
+    */
+  val qGraphPagerank: Q = (s, d) => {
+    val ev = events(s, d)
+    pagerank(transitionEdges(ev), ev.select(col("event_type").as("node")))
+      .select(col("node"), round(col("r"), 8).as("pr"))
+      .orderBy("node")
+  }
+
+  /** Jaccard threshold for the triangle graph — 0.97 keeps the near-dup
+    * graph sparse enough that triangle enumeration is output-bounded
+    * (sf0.1: 36k edges / 2.5M triangles vs 965k / 308M at the dedup
+    * keys' 0.9), while still being served EXACTLY by the 0.9-tuned LSH
+    * banding: pairs ≥ 0.97 are a subset of pairs ≥ 0.9, and band
+    * collision probability is monotone in similarity, so the candidate
+    * set that is exhaustive at 0.9 (q_minhash_recall pins zero misses)
+    * is exhaustive a fortiori here.
+    */
+  val TriangleTau = 0.97
+
+  /** Per-node triangle counts over an undirected edge list given as
+    * (a, b) with a < b: enumerate wedges a→b→c (the id-orientation makes
+    * each triangle appear exactly once as a < b < c), close them against
+    * the edge list, then credit all three corners. Two equi-joins on
+    * vertex keys — no all-pairs stage anywhere; per-task fan-out is
+    * bounded by the max out-degree under the orientation (for heavily
+    * skewed graphs, re-orienting by (degree, id) bounds it by √(2m)
+    * without changing the counts — counts are orientation-invariant).
+    */
+  def triangleCounts(edgesIn: DataFrame): DataFrame = {
+    // One artifact, three plan consumers.
+    val e = edgesIn.select(col("a"), col("b")).localCheckpoint()
+    val wedges = e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("a"), col("e1.b").as("b"), col("e2.b").as("c"))
+    val closing = e.select(col("a").as("ca"), col("b").as("cb"))
+    val tri = wedges
+      .join(closing, col("a") === col("ca") && col("c") === col("cb"))
+      .select(col("a"), col("b"), col("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Graded triangle census of the document near-dup graph at τ = 0.97:
+    * (doc_id, n_triangles) for every document in ≥ 1 triangle. Edges come
+    * from the SAME banded MinHash-LSH pipeline as q_neardup_lsh (exact
+    * Jaccard confirm, so the edge set equals the brute-force oracle's).
+    */
+  val qGraphTriangles: Q = (s, d) => {
+    val edges = Dedup.lshNearDupPairs(Dedup.minhashBands(s, d), "toks",
+        97, 100, TriangleTau, Dedup.Broadcast)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    triangleCounts(edges)
+      .orderBy(desc("n_triangles"), col("doc_id"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_graph_pagerank" -> qGraphPagerank,
+    "q_graph_triangles" -> qGraphTriangles
+  )
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.engine.Graph
+
+/** Semantics the mirrored PageRank/triangle oracles cannot independently
+  * witness (both sides share the iteration/enumeration shape): rank mass
+  * must be conserved EXACTLY under dangling nodes, the stationary
+  * ordering must reflect link structure (not raw degree), and triangle
+  * credit must hit each corner of each triangle exactly once.
+  */
+class GraphSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def edges(rows: (String, String, Double)*) =
+    rows.toDF("src", "dst", "n")
+  private def nodes(ns: String*) = ns.toDF("node")
+
+  test("pagerank conserves total rank mass to 1 with a dangling node") {
+    // c has no outgoing edges — without explicit uniform dangling
+    // redistribution its mass would leak every iteration and the total
+    // would decay below 1.
+    val r = Graph.pagerank(
+      edges(("a", "b", 1.0), ("b", "c", 1.0)), nodes("a", "b", "c"))
+      .select(sum(col("r"))).as[Double].head()
+    assert(math.abs(r - 1.0) < 1e-9, s"rank mass $r != 1")
+  }
+
+  test("pagerank ranks a pure sink above its feeders in a star graph") {
+    // a, b, d all point at hub; hub is dangling (redistributes uniformly).
+    val r = Graph.pagerank(
+      edges(("a", "hub", 1.0), ("b", "hub", 1.0), ("d", "hub", 1.0)),
+      nodes("a", "b", "d", "hub"))
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r("hub") > r("a") && r("a") == r("b") && r("b") == r("d"),
+      s"star ranks wrong: $r")
+  }
+
+  test("pagerank weights edges: a 9:1 outflow split ranks targets 9:1-ish") {
+    // s splits outflow 90/10 between x and y; x must end well above y.
+    val r = Graph.pagerank(
+      edges(("s", "x", 9.0), ("s", "y", 1.0), ("x", "s", 1.0), ("y", "s", 1.0)),
+      nodes("s", "x", "y"))
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r("x") > 2 * r("y"), s"weighted split not reflected: $r")
+  }
+
+  test("triangle counts credit each corner of each triangle exactly once") {
+    // K4 on {1,2,3,4}: 4 triangles, each node in exactly 3 of them.
+    // The pendant edge (4,9) creates no triangle and node 9 must be absent.
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 9L)).toDF("a", "b")
+    val got = Graph.triangleCounts(e)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"got $got")
+  }
+
+  test("graded triangle key matches brute-force exact-Jaccard on sf0.001") {
+    val docs = graft.engine.Tables.documents(spark, TestSpark.sfDir)
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+      .localCheckpoint()
+    val brute = docs.as("x").join(docs.as("y"), col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        (size(array_intersect(col("x.toks"), col("y.toks"))).cast("double") /
+          size(array_union(col("x.toks"), col("y.toks")))).as("j"))
+      .where(col("j") >= Graph.TriangleTau)
+      .select(col("a"), col("b"))
+    val expected = Graph.triangleCounts(brute)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = SparkEntry.queries("q_graph_triangles")(spark, TestSpark.sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected, s"LSH-edge triangles differ from brute force")
+  }
+}
