@@ -39,7 +39,8 @@ object SparkEntry {
       Quantize.queries ++ Incremental.queries ++ Assembly.queries ++
       Profile.queries ++ History.queries ++ Bpe.queries ++
       Stats.queries ++ SpanDedup.queries ++ FuzzyJoin.queries ++
-      TextClean.queries ++ EventAnalytics.queries).map { case (k, fn) =>
+      TextClean.queries ++ EventAnalytics.queries ++ Graph.queries ++
+      Index.queries).map { case (k, fn) =>
       k -> ((s: SparkSession, d: String) => ntz(fn(s, d)))
     }
 

@@ -1,0 +1,176 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Full-text retrieval infrastructure over the document corpus — the
+  * index a curation pipeline materializes so that decontamination
+  * lookups, boilerplate audits, and eval-set leak hunts don't re-scan
+  * 100 TB of text per query: blocked posting lists, conjunctive lookup
+  * through the index artifact, exact BM25 ranking, and additive
+  * incremental maintenance (same algebra as TextClean's census delta).
+  *
+  * Scale shape: term-frequency extraction is a per-row explode (map-only)
+  * followed by ONE shuffle on the (token, doc) key with map-side partial
+  * counts; posting lists are then assembled per (token, doc-block) — the
+  * block key bounds every row to `BlockSize` postings, so a stopword's
+  * posting list is many bounded rows instead of one corpus-sized array
+  * (the Lucene-segment discipline; an unblocked collect_list over a
+  * common token would concentrate the corpus in single rows). Queries
+  * touch only their terms' rows — predicate pushdown on the token column
+  * prunes the index scan to |query| keys.
+  */
+object Index {
+  import Tables.documents
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Posting-list block width in doc_id space. Fixture-friendly small;
+    * at corpus scale pick ~64–256k so a block row stays well under the
+    * shuffle page size yet the per-token row count stays manageable.
+    */
+  val BlockSize = 1024L
+
+  /** (doc_id, tok) token stream, duplicates preserved (tf source). */
+  private[graft] def tokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+
+  /** Structured index rows: (tok, block, posts: array<struct<doc_id,tf>>)
+    * with posts sorted by doc_id — the internal representation deltas
+    * merge on; [[render]] flattens it for the graded/hashable surface.
+    */
+  private[graft] def postingsStruct(docs: DataFrame): DataFrame =
+    tokens(docs)
+      .groupBy(col("tok"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+      .groupBy(col("tok"), floor(col("doc_id") / BlockSize).as("block"))
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("tf")))).as("posts"))
+
+  /** Graded rendering: postings as a "doc:tf,doc:tf" string (the harness
+    * hash-compares scalar columns; struct arrays don't hash portably).
+    */
+  private[graft] def render(idx: DataFrame): DataFrame =
+    idx.select(col("tok"), col("block"),
+      size(col("posts")).cast("long").as("n_docs"),
+      array_join(expr("transform(posts, s -> concat(s.doc_id, ':', s.tf))"), ",")
+        .as("postings"))
+
+  /** Graded inverted index of the documents table. */
+  val qInvertedIndex: Q = (s, d) =>
+    render(postingsStruct(documents(s, d)))
+      .orderBy("tok", "block")
+
+  /** Additive incremental maintenance: posting rows for DISJOINT doc
+    * batches never share a doc_id, so ingesting a delta is a union +
+    * per-(tok, block) array merge of index-sized (not corpus-sized)
+    * frames — never a corpus recompute. Mirrors TextClean.mergeCensus.
+    */
+  def mergeIndex(snapshot: DataFrame, delta: DataFrame): DataFrame =
+    snapshot.unionByName(delta)
+      .groupBy(col("tok"), col("block"))
+      .agg(array_sort(flatten(collect_list(col("posts")))).as("posts"))
+
+  /** Graded structural identity (the q_boilerplate_delta discipline):
+    * 7/8 snapshot + 1/8 delta maintained incrementally, graded by the
+    * SAME oracle string as q_inverted_index — incremental ≡ batch is
+    * hash-gated, not asserted.
+    */
+  val qIndexDelta: Q = (s, d) => {
+    val docs = documents(s, d)
+    val snapshot = postingsStruct(docs.where(col("doc_id") % 8 =!= 0))
+    val delta = postingsStruct(docs.where(col("doc_id") % 8 === 0))
+    render(mergeIndex(snapshot, delta)).orderBy("tok", "block")
+  }
+
+  /** Conjunctive-AND lookup THROUGH the index artifact: prune the index
+    * scan to the query terms (token-key pushdown), explode the pruned
+    * posting blocks back to (doc, term) pairs, and keep docs matching
+    * ALL terms — a |query|-key scan plus one bounded aggregate, never a
+    * corpus text re-scan.
+    */
+  def lookupAll(idx: DataFrame, terms: Seq[String]): DataFrame =
+    idx.where(col("tok").isin(terms: _*))
+      .select(col("tok"), explode(col("posts")).as("p"))
+      .groupBy(col("p.doc_id").as("doc_id"))
+      .agg(countDistinct(col("tok")).as("n_terms"),
+        sum(col("p.tf")).as("total_tf"))
+      .where(col("n_terms") === terms.size)
+      .select(col("doc_id"), col("total_tf"))
+
+  /** Query terms for the graded lookup/BM25 keys: one rare token ("dup",
+    * df ≈ 5% of docs — the fixture vocabulary's only low-df member) and
+    * common ones — the mix that makes idf weighting and posting-list
+    * pruning visible.
+    */
+  val LookupTerms = Seq("dup", "join")
+  val Bm25Terms = Seq("dup", "spark", "join")
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+
+  val qIndexLookup: Q = (s, d) =>
+    lookupAll(postingsStruct(documents(s, d)), LookupTerms)
+      .orderBy("doc_id")
+
+  /** Exact BM25 (Robertson k1/b form, Lucene's (k1+1) numerator and the
+    * non-negative idf = ln(1 + (N − df + ½)/(df + ½))) for a fixed
+    * conjunctive-OR query, top 10 by rounded score. The per-(doc, term)
+    * score is a single arithmetic expression mirrored literally in the
+    * oracle; ordering uses the ROUNDED score (ties → doc_id) so the
+    * top-10 cut is deterministic and engine-independent.
+    *
+    * Plan: the token stream is filtered to the query terms BEFORE the
+    * tf aggregate (pushdown — corpus rows for other tokens never reach
+    * a shuffle); df/N/avgdl are query- and corpus-stat-sized frames
+    * (≤|query| rows and 1 row), joined broadcast — bounded by the query,
+    * not the corpus.
+    */
+  val qBm25TopK: Q = (s, d) => {
+    val docs = documents(s, d)
+    val dl = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("double").as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("nn"),
+      avg(col("dl")).as("avgdl"))
+    val tf = tokens(docs).where(col("tok").isin(Bm25Terms: _*))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df = tf.groupBy(col("tok"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    val scored = tf
+      .join(broadcast(df), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log(lit(1.0) + (col("nn") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("s",
+        col("idf") * (col("tf") * lit(Bm25K1 + 1)) /
+          (col("tf") + lit(Bm25K1) * (lit(1 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id")).agg(round(sum(col("s")), 6).as("score"))
+    scored.orderBy(desc("score"), col("doc_id")).limit(10)
+  }
+
+  /** Streaming face of the index: the SAME postings transform run as an
+    * update-mode streaming aggregation — state per (tok, block) IS the
+    * posting block, the online rendering of [[mergeIndex]]'s offline
+    * additive merge (docs arrive exactly once under the upstream R2
+    * dedup contract, so collect_list accumulates each posting once).
+    * Rendered here (string postings) because the memory-sink parity
+    * check compares scalar rows; n_docs is strictly monotone per key, so
+    * the latest update per key is max_by(n_docs). Spec'd in IndexSpec.
+    */
+  def postingsUpdates(docs: DataFrame): DataFrame =
+    docs.withColumn("__t", split(col("text"), " "))
+      // Per-row term frequencies (no per-(doc, term) aggregation state —
+      // a streaming query allows ONE aggregation, and it must be the
+      // posting-block one; the same in-row trick as censusUpdates).
+      .select(col("doc_id"), explode(expr(
+        "transform(array_distinct(__t), x -> struct(x AS tok, cast(size(filter(__t, y -> y = x)) AS bigint) AS tf))"))
+        .as("p"))
+      .select(col("doc_id"), col("p.tok").as("tok"), col("p.tf").as("tf"))
+      .groupBy(col("tok"), floor(col("doc_id") / BlockSize).as("block"))
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("tf")))).as("posts"))
+
+  val queries: Map[String, Q] = Map(
+    "q_inverted_index" -> qInvertedIndex,
+    "q_index_delta" -> qIndexDelta,
+    "q_index_lookup" -> qIndexLookup,
+    "q_bm25_topk" -> qBm25TopK
+  )
+}

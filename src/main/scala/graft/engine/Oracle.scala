@@ -47,6 +47,61 @@ object Oracle {
       FROM g GROUP BY gram HAVING n_docs >= 3
       ORDER BY n_docs DESC, gram"""
 
+  /** PageRank oracle: Graph.pagerank's 10 iterations UNROLLED as CTE
+    * stages r1..r10, each rounding to 12 decimals exactly as the engine
+    * does per iteration (drift is reset at every step, so the two
+    * engines' float-summation-order noise never compounds). The
+    * transition frame `p` carries explicit uniform dangling edges, the
+    * same mass-conserving convention as the engine.
+    */
+  private val PagerankSql: String = {
+    val base = """
+      WITH seq AS (SELECT user_id, event_type,
+          lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS next_type
+        FROM events),
+        base AS (SELECT event_type AS src, next_type AS dst,
+            CAST(count(*) AS DOUBLE) AS n
+          FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        nodes AS (SELECT DISTINCT event_type AS node FROM events),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS nN FROM nodes),
+        outw AS (SELECT src, sum(n) AS w FROM base GROUP BY src),
+        p AS (SELECT src, dst, n / w AS p FROM base JOIN outw USING (src)
+          UNION ALL
+          SELECT dang.node AS src, n2.node AS dst, 1.0 / nn.nN AS p
+          FROM (SELECT node FROM nodes
+                WHERE node NOT IN (SELECT src FROM base)) dang
+            CROSS JOIN nodes n2 CROSS JOIN nn),
+        r0 AS (SELECT node, round(1.0 / nn.nN, 12) AS r
+          FROM nodes CROSS JOIN nn)"""
+    val iters = (1 to graft.engine.Graph.PrIters).map { i =>
+      s""",
+        r$i AS (SELECT nd.node,
+            round((1 - 0.85) / nn.nN + 0.85 * COALESCE(c.m, 0), 12) AS r
+          FROM nodes nd CROSS JOIN nn
+            LEFT JOIN (SELECT p.dst AS node, sum(pr.r * p.p) AS m
+                       FROM r${i - 1} pr JOIN p ON pr.node = p.src
+                       GROUP BY p.dst) c
+            ON nd.node = c.node)"""
+    }.mkString
+    base + iters +
+      s"\n      SELECT node, round(r, 8) AS pr FROM r${graft.engine.Graph.PrIters} ORDER BY node"
+  }
+
+  /** Shared by q_inverted_index and q_index_delta (structural identity —
+    * see the map entries). Block width mirrors Index.BlockSize.
+    */
+  private val InvertedIndexSql = """
+      WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM documents),
+        tf AS (SELECT tok, doc_id, count(*)::BIGINT AS tf
+          FROM toks GROUP BY 1, 2)
+      SELECT tok, CAST(floor(doc_id / 1024) AS BIGINT) AS block,
+        count(*)::BIGINT AS n_docs,
+        string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
+      FROM tf GROUP BY tok, block
+      ORDER BY tok, block"""
+
   private val NeardupLshSql = """
       WITH docs AS (SELECT doc_id, list_distinct(string_split(text, ' ')) toks FROM documents),
         pairs AS (SELECT a.doc_id doc_a, b.doc_id doc_b,
@@ -2058,6 +2113,65 @@ object Oracle {
       SELECT lang, count(*) AS n_raw,
         count(CASE WHEN ok THEN 1 END) AS n_quality,
         count(DISTINCT CASE WHEN ok THEN norm END) AS n_unique
-      FROM f GROUP BY lang ORDER BY lang"""
+      FROM f GROUP BY lang ORDER BY lang""",
+
+    "q_graph_pagerank" -> PagerankSql,
+
+    "q_inverted_index" -> InvertedIndexSql,
+    // SAME oracle string as q_inverted_index by construction — the
+    // snapshot+delta additive merge must hash-match the from-scratch
+    // index exactly (the q_boilerplate_delta structural-identity
+    // discipline).
+    "q_index_delta" -> InvertedIndexSql,
+
+    "q_index_lookup" -> """
+      WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM documents),
+        tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf
+          FROM toks WHERE tok IN ('dup', 'join') GROUP BY 1, 2)
+      SELECT doc_id, sum(tf)::BIGINT AS total_tf
+      FROM tf GROUP BY doc_id HAVING count(DISTINCT tok) = 2
+      ORDER BY doc_id""",
+
+    // BM25 mirrored literally: constants appear as the same arithmetic
+    // ((1.2 + 1), (1 - 0.75)) so both engines evaluate identical double
+    // expressions; ordering is on the ROUNDED score (ties → doc_id), so
+    // the top-10 cut cannot depend on sub-1e-6 float noise.
+    "q_bm25_topk" -> """
+      WITH dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+          FROM documents),
+        stats AS (SELECT CAST(count(*) AS DOUBLE) AS nn, avg(dl) AS avgdl FROM dl),
+        toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM documents),
+        tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+          FROM toks WHERE tok IN ('dup', 'spark', 'join') GROUP BY 1, 2),
+        df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok),
+        sc AS (SELECT tf.doc_id,
+            ln(1.0 + (nn - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1)) /
+              (tf + 1.2 * ((1 - 0.75) + 0.75 * dl.dl / avgdl)) AS s
+          FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats)
+      SELECT doc_id, round(sum(s), 6) AS score
+      FROM sc GROUP BY doc_id
+      ORDER BY score DESC, doc_id LIMIT 10""",
+
+    // Triangle census of the near-dup graph at τ = 0.97: the oracle
+    // recomputes the exact-Jaccard edge list brute-force (a < b), closes
+    // wedges a→b→c against it, and credits all three corners — the
+    // engine's banded-LSH edge generation must therefore be exhaustive
+    // at 0.97 (it is a fortiori, per the q_minhash_recall argument).
+    "q_graph_triangles" -> """
+      WITH docs AS (SELECT doc_id, list_distinct(string_split(text, ' ')) toks FROM documents),
+        p AS (SELECT a.doc_id a, b.doc_id b,
+            len(list_intersect(a.toks, b.toks)) * 1.0 /
+            len(list_distinct(list_concat(a.toks, b.toks))) j
+          FROM docs a JOIN docs b ON a.doc_id < b.doc_id),
+        e AS (SELECT a, b FROM p WHERE j >= 0.97),
+        tri AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c
+          FROM e e1 JOIN e e2 ON e1.b = e2.a
+            JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b),
+        corners AS (SELECT unnest([a, b, c]) AS doc_id FROM tri)
+      SELECT doc_id, count(*)::BIGINT AS n_triangles
+      FROM corners GROUP BY doc_id
+      ORDER BY n_triangles DESC, doc_id"""
   )
 }
