@@ -2117,6 +2117,53 @@ object Oracle {
 
     "q_graph_pagerank" -> PagerankSql,
 
+    // SemDeDup graded END-TO-END, clustering included: the oracle
+    // replants the near-copy corpus, re-runs the id-order-seeded Lloyd
+    // update with the same 9-decimal centroid rounding, re-assigns with
+    // the same Σ(v[i]−c[i])² distance (ties → lowest cell), and
+    // re-derives every keep/prune decision at τ = 0.8 — so a drifting
+    // centroid, a flipped assignment, or a wrong dominator all fail the
+    // hash gate (τ sits in the measured empty band 0.61…≈1, so no
+    // decision rides on float noise).
+    "q_semdedup" -> """
+      WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        corpus AS (
+          SELECT vec_id, v FROM base
+          UNION ALL
+          SELECT 1000000 + vec_id AS vec_id,
+            list_transform(v, x -> x * 1.02 + 0.001) AS v
+          FROM base WHERE vec_id % 25 = 0),
+        seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+          FROM (SELECT * FROM corpus ORDER BY vec_id LIMIT 8)),
+        d0 AS (SELECT c.vec_id, s.cell,
+            (SELECT sum((c.v[i] - s.cv[i]) * (c.v[i] - s.cv[i]))
+             FROM generate_series(1, 64) t(i)) AS d2
+          FROM corpus c CROSS JOIN seeds s),
+        a0 AS (SELECT vec_id, cell FROM d0
+          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) = 1),
+        c1 AS (SELECT cell, list(m ORDER BY i) AS cv FROM (
+            SELECT a0.cell, t.i, round(avg(c.v[t.i]), 9) AS m
+            FROM a0 JOIN corpus c USING (vec_id),
+              generate_series(1, 64) t(i)
+            GROUP BY a0.cell, t.i) GROUP BY cell),
+        d1 AS (SELECT c.vec_id, s.cell,
+            (SELECT sum((c.v[i] - s.cv[i]) * (c.v[i] - s.cv[i]))
+             FROM generate_series(1, 64) t(i)) AS d2
+          FROM corpus c CROSS JOIN c1 s),
+        a1 AS (SELECT vec_id, cell::BIGINT AS cell FROM d1
+          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) = 1),
+        pairs AS (SELECT x.vec_id AS i, y.vec_id AS j
+          FROM a1 x JOIN a1 y ON x.cell = y.cell AND y.vec_id < x.vec_id
+            JOIN corpus cx ON cx.vec_id = x.vec_id
+            JOIN corpus cy ON cy.vec_id = y.vec_id
+          WHERE list_dot_product(cx.v, cy.v) /
+              (sqrt(list_dot_product(cx.v, cx.v)) *
+               sqrt(list_dot_product(cy.v, cy.v))) >= 0.8),
+        reps AS (SELECT i AS vec_id, min(j) AS rep FROM pairs GROUP BY i)
+      SELECT a1.vec_id, a1.cell, reps.rep, reps.rep IS NOT NULL AS pruned
+      FROM a1 LEFT JOIN reps USING (vec_id)
+      ORDER BY a1.vec_id""",
+
     "q_inverted_index" -> InvertedIndexSql,
     // SAME oracle string as q_inverted_index by construction — the
     // snapshot+delta additive merge must hash-match the from-scratch

@@ -1,0 +1,141 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster the
+  * embedding space coarsely with k-means, then prune near-duplicate
+  * vectors WITHIN each cluster — the cluster step bounds the pair search
+  * so the corpus never sees an all-pairs join, at the documented price of
+  * missing cross-cluster duplicates (the paper's recall trade).
+  *
+  * Prune rule (the common implementation rendering): vector i is pruned
+  * iff some SAME-CELL vector j < i has cos(i, j) ≥ τ; the kept
+  * representative is the smallest such j. Not transitive-closure
+  * resolution (that is q_cosine_resolve's contract) — SemDeDup keeps one
+  * member per DOMINATED set, deterministically by id.
+  *
+  * Cross-engine replication contract (what lets the DuckDB oracle grade
+  * the whole pipeline end-to-end, clustering included — unlike
+  * q_ann_ivf_trained, whose k-means is engine model state graded through
+  * an exact-recall argument):
+  *   - seeds are the k SMALLEST vec_ids (id-order, not Ivf.train's
+  *     xxhash64 sample — xxhash64 has no DuckDB twin);
+  *   - each Lloyd update ROUNDS the centroid means to 9 decimals in both
+  *     engines, absorbing float-summation-order noise per iteration
+  *     (the Graph.pagerank per-iteration discipline) — without it,
+  *     Spark's partial-agg avg order alone makes centroids run-unstable
+  *     in the last bits;
+  *   - assignment distance is the literal Σ(v[i]−c[i])² fold, mirrored
+  *     in SQL, ties to the lowest cell.
+  * Ivf.train remains the production trainer for the ANN keys; this
+  * variant exists because here the CLUSTERING ITSELF is hash-graded.
+  *
+  * Scale shape: assignment materializes corpus×k rows against a
+  * broadcast k-row centroid frame (k is model-state sized; the map-only
+  * NearestCell projection is the production alternative when k is
+  * large); the update is the posexplode → (cell, pos) partial-avg shape
+  * from Ivf.train; the within-cell pair join shuffles on the cell key —
+  * at corpus scale k is chosen to bound members-per-cell, and a hot
+  * cell splits by the Dedup.Salted discipline. Nothing corpus-sized is
+  * ever collected or broadcast.
+  *
+  * The fixture's natural pairwise cosines top out at 0.61 (measured, both
+  * SFs), so the graded key PLANTS near-copies (every 25th vector, id
+  * 1000000 + vec_id, v·1.02 + 0.001 element-wise — direction preserved,
+  * cos ≈ 1) and the oracle replants them in SQL; τ = 0.8 sits in the
+  * wide empty band between planted (≈1) and natural (≤0.61) similarity,
+  * so no pair's keep/prune decision rides on float noise.
+  */
+object SemDedup {
+  import graft.functions.GraftExpressions.dotProduct
+  type Q = (SparkSession, String) => DataFrame
+
+  val K = 8
+  val Iters = 1
+  val Tau = 0.8
+  /** Centroid rounding width per Lloyd update (see contract above). */
+  val CentroidRound = 9
+
+  private def vec(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Σ(v[i]−c[i])² as an ordered left fold — the exact arithmetic the
+    * oracle mirrors with its generate_series sum.
+    */
+  private def sqDist(v: Column, cv: Column): Column =
+    aggregate(zip_with(v, cv, (x, c) => (x - c) * (x - c)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** (vec_id, v) corpus with planted near-copies of every 25th vector. */
+  private[graft] def plantedCorpus(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.embeddings(s, d)
+      .select(col("vec_id"), vec(col("embedding")).as("v"))
+    val copies = base.where(col("vec_id") % 25 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("v"), x => x * lit(1.02) + lit(0.001)).as("v"))
+    base.unionByName(copies).localCheckpoint()
+  }
+
+  /** One cell per corpus vector after `Iters` deterministic Lloyd
+    * updates from id-order seeds: (vec_id, cell). With Iters = 1 no cell
+    * can empty out (a seed is always distance-0 to its own centroid at
+    * assignment 0 — spec-asserted); deeper replication would need the
+    * empty-cell carry-forward both here and in the oracle.
+    */
+  private[graft] def deterministicCells(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    val seeds = corpus.orderBy(col("vec_id")).limit(k)
+      .select(row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("vec_id"))).cast("long").minus(1L).as("cell"),
+        col("v").as("cv"))
+    def assignTo(cents: DataFrame): DataFrame =
+      corpus.crossJoin(broadcast(cents))
+        .withColumn("d2", sqDist(col("v"), col("cv")))
+        .groupBy(col("vec_id"))
+        .agg(min_by(col("cell"), struct(col("d2"), col("cell"))).as("cell"))
+    var cents = seeds
+    var it = 0
+    while (it < iters) {
+      cents = assignTo(cents).join(corpus, "vec_id")
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(round(avg(col("x")), CentroidRound).as("m"))
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("cv"))
+      it += 1
+    }
+    assignTo(cents)
+  }
+
+  /** Graded key: (vec_id, cell, rep, pruned) for the whole planted
+    * corpus — cell from the replicated k-means, rep = smallest same-cell
+    * dominator at cos ≥ τ (null when kept). The full decision trace, so
+    * the oracle hash-gates clustering AND pruning.
+    */
+  val qSemdedup: Q = (s, d) => {
+    val corpus = plantedCorpus(s, d)
+    val cells = deterministicCells(corpus, K, Iters)
+    val sides = corpus.join(cells, "vec_id")
+      .withColumn("n2", dotProduct(col("v"), col("v")))
+      .localCheckpoint()
+    val x = sides.select(col("vec_id").as("i"), col("cell"),
+      col("v").as("vi"), col("n2").as("ni2"))
+    val y = sides.select(col("vec_id").as("j"), col("cell"),
+      col("v").as("vj"), col("n2").as("nj2"))
+    val reps = x.join(y, Seq("cell"))
+      .where(col("j") < col("i"))
+      .where(dotProduct(col("vi"), col("vj")) /
+        (sqrt(col("ni2")) * sqrt(col("nj2"))) >= Tau)
+      .groupBy(col("i").as("vec_id"))
+      .agg(min(col("j")).as("rep"))
+    cells.join(reps, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("rep"),
+        col("rep").isNotNull.as("pruned"))
+      .orderBy("vec_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_semdedup" -> qSemdedup
+  )
+}

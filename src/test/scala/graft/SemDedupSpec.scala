@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.engine.SemDedup
+
+/** SemDeDup semantics the mirrored oracle cannot independently witness
+  * (both engines replicate the same pipeline, so a shared semantic slip
+  * would hash-match): exactly the planted copies must be pruned, each to
+  * its own original; clustering must be run-deterministic under the
+  * rounding contract; and the prune rule must be within-cell only.
+  */
+class SemDedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val result =
+    SparkEntry.queries("q_semdedup")(spark, TestSpark.sfDir).collect()
+
+  test("exactly the planted near-copies are pruned, each to its original") {
+    val pruned = result.filter(_.getBoolean(3))
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val nBase = graft.engine.Tables.embeddings(spark, TestSpark.sfDir).count()
+    val expected = (0L until nBase by 25L).map(i => (1000000L + i) -> i).toMap
+    assert(pruned == expected,
+      s"pruned set ${pruned.size} != planted ${expected.size}")
+  }
+
+  test("every kept vector has rep null; corpus is base + planted copies") {
+    assert(result.filter(!_.getBoolean(3)).forall(_.isNullAt(2)))
+    val nBase = graft.engine.Tables.embeddings(spark, TestSpark.sfDir).count()
+    assert(result.length == nBase + (nBase + 24) / 25)
+  }
+
+  test("clustering is run-deterministic (centroid rounding holds)") {
+    // Two independent evaluations must agree bit-for-bit — the
+    // 9-decimal per-update rounding is what absorbs Spark's own
+    // partial-agg summation-order noise; without it cell assignments
+    // near Voronoi boundaries could flip between runs.
+    val again = SparkEntry.queries("q_semdedup")(spark, TestSpark.sfDir).collect()
+    assert(result.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
+  test("planted copies co-cluster with their originals at fixture scale") {
+    // Not required for oracle agreement (both engines make the same
+    // call either way) but required for the prune semantics to fire:
+    // a copy only meets its original inside one cell.
+    val cells = result.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val copies = cells.keys.filter(_ >= 1000000L)
+    assert(copies.nonEmpty &&
+      copies.forall(c => cells(c) == cells(c - 1000000L)))
+  }
+
+  test("all eight id-order seed cells are non-empty after one update") {
+    // A seed is distance-0 to its own centroid at assignment 0, so with
+    // Iters = 1 no cell can empty out — the precondition that lets both
+    // engines skip empty-cell carry-forward.
+    val cellIds = result.map(_.getLong(1)).distinct.sorted
+    assert(cellIds.sameElements(0L until SemDedup.K),
+      s"cells present: ${cellIds.mkString(",")}")
+  }
+}
