@@ -61,8 +61,13 @@ object Graph {
     * counted on the driver — bounded model state by contract here
     * (event-type cardinality), NOT corpus-sized.
     */
-  def pagerank(edges: DataFrame, nodesIn: DataFrame,
+  def pagerank(edgesIn: DataFrame, nodesIn: DataFrame,
       damping: Double = Damping, iters: Int = PrIters): DataFrame = {
+    // Materialize the |nodes|²-bounded edge list ONCE — it feeds three
+    // plan branches (outflow totals, normalized edges, dangling
+    // detection); unpinned, the corpus-scale window behind it would run
+    // three times.
+    val edges = edgesIn.localCheckpoint()
     val nodes = nodesIn.select(col("node")).distinct().localCheckpoint()
     val n = nodes.count().toDouble
     val outw = edges.groupBy(col("src")).agg(sum(col("n")).as("w"))

@@ -124,16 +124,23 @@ object Index {
     * not the corpus.
     */
   val qBm25TopK: Q = (s, d) => {
-    val docs = documents(s, d)
-    val dl = docs.select(col("doc_id"),
-      size(split(col("text"), " ")).cast("double").as("dl"))
+    // Everything rides the INDEX artifact, not the corpus: doc lengths
+    // are Σtf over each doc's postings, df is Σ|posting block| per term
+    // — the IR-engine discipline (one corpus pass builds the index;
+    // scoring never re-reads text). localCheckpoint stands in for the
+    // persisted parquet index a production deployment reads instead.
+    val idx = postingsStruct(documents(s, d)).localCheckpoint()
+    val dl = idx.select(explode(col("posts")).as("p"))
+      .groupBy(col("p.doc_id").as("doc_id"))
+      .agg(sum(col("p.tf")).cast("double").as("dl"))
     val stats = dl.agg(count(lit(1)).cast("double").as("nn"),
       avg(col("dl")).as("avgdl"))
-    val tf = tokens(docs).where(col("tok").isin(Bm25Terms: _*))
-      .groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).cast("double").as("tf"))
-    val df = tf.groupBy(col("tok"))
-      .agg(count(lit(1)).cast("double").as("df"))
+    val pruned = idx.where(col("tok").isin(Bm25Terms: _*))
+    val tf = pruned.select(col("tok"), explode(col("posts")).as("p"))
+      .select(col("p.doc_id").as("doc_id"), col("tok"),
+        col("p.tf").cast("double").as("tf"))
+    val df = pruned.groupBy(col("tok"))
+      .agg(sum(size(col("posts"))).cast("double").as("df"))
     val scored = tf
       .join(broadcast(df), "tok")
       .join(dl, "doc_id")
