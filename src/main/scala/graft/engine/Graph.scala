@@ -67,8 +67,13 @@ object Graph {
     // plan branches (outflow totals, normalized edges, dangling
     // detection); unpinned, the corpus-scale window behind it would run
     // three times.
-    val edges = edgesIn.localCheckpoint()
-    val nodes = nodesIn.select(col("node")).distinct().localCheckpoint()
+    // The |nodes|²-bounded frames ride ONE partition through the
+    // iteration loop: at 32 shuffle partitions every tiny stage would
+    // otherwise pay 32 task launches × iterations — pure overhead for
+    // ≤|types|² rows. (For an UNBOUNDED node set — user-level graphs —
+    // keep natural partitioning and drop the coalesce.)
+    val edges = edgesIn.coalesce(1).localCheckpoint()
+    val nodes = nodesIn.select(col("node")).distinct().coalesce(1).localCheckpoint()
     val n = nodes.count().toDouble
     val outw = edges.groupBy(col("src")).agg(sum(col("n")).as("w"))
     val real = edges.join(outw, "src")
@@ -85,10 +90,15 @@ object Graph {
       val contrib = ranks.join(p, col("node") === col("src"))
         .groupBy(col("dst")).agg(sum(col("r") * col("p")).as("m"))
         .select(col("dst").as("cnode"), col("m"))
+      // Eager tiny materialization per iteration: keeps the loop's plan
+      // depth constant (a 10-deep nested join/agg plan costs more in
+      // analysis than these ≤|nodes|-row jobs cost to run) — the same
+      // reason Dedup.nearDupComponents checkpoints every round.
       ranks = nodes.join(contrib, col("node") === col("cnode"), "left")
         .select(col("node"),
           round(lit((1 - damping) / n) +
             lit(damping) * coalesce(col("m"), lit(0.0)), 12).as("r"))
+        .localCheckpoint()
       i += 1
     }
     ranks
