@@ -153,6 +153,37 @@ object Index {
     scored.orderBy(desc("score"), col("doc_id")).limit(10)
   }
 
+  /** Positional token stream (doc_id, pos, tok), pos 1-based to match
+    * SQL list indexing in the oracle.
+    */
+  private[graft] def positions(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos0", "tok")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("tok"))
+
+  /** Exact-phrase match via POSITIONAL postings: prune the position
+    * stream to the two phrase terms, then equi-join the first term's
+    * positions against the second term's shifted by one — the classic
+    * positional-index phrase algorithm (adjacency as intersection, no
+    * text re-scan). (doc_id, n_hits) per matching doc; overlapping
+    * occurrences each count (spec'd with a repeated-term phrase).
+    */
+  def phraseSearch(docs: DataFrame, t1: String, t2: String): DataFrame = {
+    // Bounded by the phrase terms' postings size, not the corpus.
+    val pos = positions(docs).where(col("tok").isin(t1, t2)).localCheckpoint()
+    val a = pos.where(col("tok") === t1).select(col("doc_id"), col("pos"))
+    val b = pos.where(col("tok") === t2)
+      .select(col("doc_id"), (col("pos") - 1).as("pos"))
+    a.join(b, Seq("doc_id", "pos"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+  }
+
+  val PhraseTerms = Seq("spark", "join")
+
+  val qPhraseSearch: Q = (s, d) =>
+    phraseSearch(documents(s, d), PhraseTerms(0), PhraseTerms(1))
+      .orderBy("doc_id")
+
   /** Streaming face of the index: the SAME postings transform run as an
     * update-mode streaming aggregation — state per (tok, block) IS the
     * posting block, the online rendering of [[mergeIndex]]'s offline
@@ -178,6 +209,7 @@ object Index {
     "q_inverted_index" -> qInvertedIndex,
     "q_index_delta" -> qIndexDelta,
     "q_index_lookup" -> qIndexLookup,
-    "q_bm25_topk" -> qBm25TopK
+    "q_bm25_topk" -> qBm25TopK,
+    "q_phrase_search" -> qPhraseSearch
   )
 }

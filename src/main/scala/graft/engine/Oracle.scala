@@ -2171,6 +2171,15 @@ object Oracle {
     // discipline).
     "q_index_delta" -> InvertedIndexSql,
 
+    "q_phrase_search" -> """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        h AS (SELECT doc_id,
+            CAST(len([i for i in generate_series(1, len(t) - 1)
+                      if t[i] = 'spark' AND t[i + 1] = 'join']) AS BIGINT)
+              AS n_hits
+          FROM t)
+      SELECT doc_id, n_hits FROM h WHERE n_hits > 0 ORDER BY doc_id""",
+
     "q_index_lookup" -> """
       WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
           FROM documents),

@@ -62,6 +62,21 @@ class IndexSpec extends AnyFunSuite {
       s"rare-term doc not dominant: ${scored(11L)} vs ${scored(1L)}")
   }
 
+  test("phrase search counts adjacency, including overlapping occurrences") {
+    val d = docs(
+      (1L, "x spark join spark join join"), // matches at pos 2 and 4
+      (2L, "join spark"),                   // reversed — no match
+      (3L, "spark x join"))                 // gap — no match
+    val got = Index.phraseSearch(d, "spark", "join")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L), s"got $got")
+    // Self-adjacent phrase: "a a a" has TWO overlapping "a a" matches —
+    // the position-shift join must not dedup them.
+    val rep = Index.phraseSearch(docs((7L, "a a a")), "a", "a")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rep == Map(7L -> 2L), s"got $rep")
+  }
+
   test("incremental index merge equals the from-scratch batch index") {
     val d = graft.engine.Tables.documents(spark, TestSpark.sfDir)
     val whole = Index.render(Index.postingsStruct(d))
