@@ -57,6 +57,40 @@ class GraphSpec extends AnyFunSuite {
     assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"got $got")
   }
 
+  test("pagerank over the streamed transition changelog equals the batch key") {
+    // The online rendering: edges maintained by transitionStream's
+    // per-user state (two-batch seam), the bounded iteration then runs
+    // on the changelog aggregate — graph analytics fed by streaming
+    // state rather than a corpus re-scan.
+    import graft.streaming.Streams
+    import graft.streaming.Streams.Event
+    val fixture = graft.engine.Tables.events(spark, TestSpark.sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"), col("value"))
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id)).toSeq
+    val (b1, b2) = fixture.splitAt(fixture.size / 2)
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event](
+      Streams.sessionConf(spark))
+    val q = Streams.start(
+      Streams.transitionStream(ms.toDS()).toDF(),
+      Streams.MemoryStreamSink("pr_transition_stream",
+        Some(java.nio.file.Files.createTempDirectory("graft-prs").toString)))
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val edges = spark.table("pr_transition_stream")
+      .groupBy(col("from_type").as("src"), col("to_type").as("dst"))
+      .agg(count(lit(1)).cast("double").as("n"))
+    val nodes = graft.engine.Tables.events(spark, TestSpark.sfDir)
+      .select(col("event_type").as("node"))
+    val online = Graph.pagerank(edges, nodes)
+      .select(col("node"), round(col("r"), 8).as("pr"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val batch = SparkEntry.queries("q_graph_pagerank")(spark, TestSpark.sfDir)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(online == batch, s"online $online vs batch $batch")
+  }
+
   test("graded triangle key matches brute-force exact-Jaccard on sf0.001") {
     val docs = graft.engine.Tables.documents(spark, TestSpark.sfDir)
       .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
