@@ -1594,6 +1594,28 @@ object Oracle {
     // the raw text, placeholders substituted in the same order
     // (email, ip, ssn, phone). Patterns stay in the RE2∩Java subset so
     // both engines read them identically.
+    // Canonical-URL dedup: DuckDB's regexp_replace is first-match-only
+    // (no 'g') while Spark's is global — safe HERE because every
+    // canonicalization pattern is anchored (^ or $), so first == all.
+    "q_url_dedup" -> """
+      WITH u AS (SELECT doc_id,
+          CASE WHEN doc_id % 4 = 0 THEN 'https://Example.COM/a/b?utm=1'
+               WHEN doc_id % 4 = 1 THEN 'http://example.com/a/b/'
+               WHEN doc_id % 4 = 2 THEN 'https://example.com/a/b#frag'
+               ELSE 'https://crawl.example.org/doc/' || doc_id END AS url
+        FROM documents),
+        x AS (SELECT doc_id,
+            regexp_replace(regexp_replace(url, '^https?://', ''),
+              '[?#].*$', '') AS x
+          FROM u),
+        c AS (SELECT doc_id,
+            lower(regexp_extract(x, '^[^/]+')) ||
+              regexp_replace(regexp_replace(x, '^[^/]+', ''), '/+$', '')
+              AS canon_url
+          FROM x)
+      SELECT canon_url, count(*)::BIGINT AS n_docs, min(doc_id) AS keeper
+      FROM c GROUP BY canon_url ORDER BY canon_url""",
+
     "q_pii_scrub" -> """
       WITH docs AS (SELECT doc_id,
           text || CASE WHEN doc_id % 10 = 0

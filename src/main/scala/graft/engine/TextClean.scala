@@ -256,7 +256,51 @@ object TextClean {
       .orderBy(desc("n_docs"), col("gram"))
   }
 
+  // ------------------------------------------------- canonical-URL dedup
+
+  /** URL pattern ADMITTING query/fragment (unlike UrlRe, which the census
+    * deliberately keeps path-only) — canonicalization must see them to
+    * strip them.
+    */
+  val FullUrlRe = "https?://[A-Za-z0-9.-]+(/[A-Za-z0-9._/%=&#?-]*)?"
+
+  /** Canonical form of a URL for identity purposes — the Common-Crawl
+    * dedup key: scheme dropped (http ≡ https), host lowercased, query
+    * string and fragment dropped, trailing slashes trimmed. All steps
+    * regex-only in the RE2∩Java subset so Spark and DuckDB agree
+    * literally (the TextClean module contract).
+    */
+  def canonicalUrl(url: Column): Column = {
+    val noScheme = regexp_replace(url, "^https?://", "")
+    val noQuery = regexp_replace(noScheme, "[?#].*$", "")
+    val host = lower(regexp_extract(noQuery, "^[^/]+", 0))
+    val path = regexp_replace(regexp_replace(noQuery, "^[^/]+", ""), "/+$", "")
+    concat(host, path)
+  }
+
+  /** Graded canonical-URL dedup: each planted crawl record carries a URL
+    * variant (scheme/case/query/fragment/trailing-slash noise around two
+    * canonical targets, plus per-doc distinct URLs); group by canonical
+    * form, keep the FIRST (min doc_id) — the crawl-level "same page
+    * fetched twice" dedup that runs BEFORE any content hashing, i.e. the
+    * cheapest rung of the dedup ladder. Map-only extraction +
+    * canonicalization, then one count/min aggregate on the canonical key.
+    */
+  val qUrlDedup: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+      .withColumn("url",
+        when(col("doc_id") % 4 === 0, lit("https://Example.COM/a/b?utm=1"))
+          .when(col("doc_id") % 4 === 1, lit("http://example.com/a/b/"))
+          .when(col("doc_id") % 4 === 2, lit("https://example.com/a/b#frag"))
+          .otherwise(concat(lit("https://crawl.example.org/doc/"), col("doc_id"))))
+    docs.select(col("doc_id"), canonicalUrl(col("url")).as("canon_url"))
+      .groupBy(col("canon_url"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))
+      .orderBy("canon_url")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_url_dedup" -> qUrlDedup,
     "q_pii_scrub" -> qPiiScrub,
     "q_html_strip" -> qHtmlStrip,
     "q_url_census" -> qUrlCensus,

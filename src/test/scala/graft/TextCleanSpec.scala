@@ -200,4 +200,32 @@ class TextCleanSpec extends AnyFunSuite {
     assert(batch.count() > 0, "fixture must produce a non-empty census")
     assert(incr.except(batch).count() == 0 && batch.except(incr).count() == 0)
   }
+
+  test("URL canonicalization folds scheme, host case, query, fragment, slash") {
+    import spark.implicits._
+    val variants = Seq(
+      "https://Example.COM/a/b?utm=1", "http://example.com/a/b/",
+      "https://example.com/a/b#frag", "HTTPS is not matched here").toDF("url")
+      .where(col("url").startsWith("http"))
+      .select(TextClean.canonicalUrl(col("url")).as("c"))
+      .distinct().as[String].collect()
+    assert(variants.sameElements(Array("example.com/a/b")), variants.mkString("|"))
+    // Host-only URL (empty path) and repeated trailing slashes.
+    val edge = Seq("https://Host.Org", "http://host.org///").toDF("url")
+      .select(TextClean.canonicalUrl(col("url")).as("c"))
+      .distinct().as[String].collect()
+    assert(edge.sameElements(Array("host.org")), edge.mkString("|"))
+  }
+
+  test("url dedup keeps the first doc per canonical target") {
+    val rows = SparkEntry.queries("q_url_dedup")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val target = rows.filter(_._1 == "example.com/a/b")
+    val n = graft.engine.Tables.documents(spark, sfDir).count()
+    // doc_id % 4 ∈ {0,1,2} all canonicalize to the shared target; keeper
+    // is doc 0; every other doc keeps its own distinct crawl URL.
+    assert(target.length == 1 && target.head._2 == (n - n / 4) && target.head._3 == 0L,
+      s"target row: ${target.mkString}")
+    assert(rows.length.toLong == 1 + n / 4, s"rows ${rows.length}")
+  }
 }
