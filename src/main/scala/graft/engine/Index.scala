@@ -52,7 +52,15 @@ object Index {
     idx.select(col("tok"), col("block"),
       size(col("posts")).cast("long").as("n_docs"),
       array_join(expr("transform(posts, s -> concat(s.doc_id, ':', s.tf))"), ",")
-        .as("postings"))
+        .as("postings"),
+      // Delta-gap encoding (first id absolute, then successive gaps) —
+      // the storage format real posting lists compress to (small ints →
+      // varint-friendly); emitted beside the absolute form so the gap
+      // arithmetic itself is hash-gated against the oracle's independent
+      // recomputation.
+      array_join(expr(
+        "transform(posts, (s, i) -> IF(i = 0, s.doc_id, s.doc_id - posts[i - 1].doc_id))"),
+        ",").as("gaps"))
 
   /** Graded inverted index of the documents table. */
   val qInvertedIndex: Q = (s, d) =>

@@ -95,12 +95,17 @@ object Oracle {
       WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
           FROM documents),
         tf AS (SELECT tok, doc_id, count(*)::BIGINT AS tf
-          FROM toks GROUP BY 1, 2)
-      SELECT tok, CAST(floor(doc_id / 1024) AS BIGINT) AS block,
-        count(*)::BIGINT AS n_docs,
-        string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
-      FROM tf GROUP BY tok, block
-      ORDER BY tok, block"""
+          FROM toks GROUP BY 1, 2),
+        blk AS (SELECT tok, CAST(floor(doc_id / 1024) AS BIGINT) AS block,
+            count(*)::BIGINT AS n_docs,
+            string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings,
+            list(doc_id ORDER BY doc_id) AS ids
+          FROM tf GROUP BY tok, block)
+      SELECT tok, block, n_docs, postings,
+        array_to_string([CASE WHEN i = 1 THEN ids[i]
+                              ELSE ids[i] - ids[i - 1] END
+                         for i in generate_series(1, len(ids))], ',') AS gaps
+      FROM blk ORDER BY tok, block"""
 
   private val NeardupLshSql = """
       WITH docs AS (SELECT doc_id, list_distinct(string_split(text, ' ')) toks FROM documents),

@@ -110,8 +110,10 @@ class IndexSpec extends AnyFunSuite {
     } finally q.stop()
     val streamed = spark.table("postings_stream")
       .groupBy("tok", "block")
-      .agg(max_by(struct(col("n_docs"), col("postings")), col("n_docs")).as("s"))
-      .select(col("tok"), col("block"), col("s.n_docs"), col("s.postings"))
+      .agg(max_by(struct(col("n_docs"), col("postings"), col("gaps")),
+        col("n_docs")).as("s"))
+      .select(col("tok"), col("block"), col("s.n_docs"), col("s.postings"),
+        col("s.gaps"))
     assert(streamed.except(viaBatch).count() == 0 &&
       viaBatch.except(streamed).count() == 0)
   }
