@@ -258,12 +258,6 @@ object TextClean {
 
   // ------------------------------------------------- canonical-URL dedup
 
-  /** URL pattern ADMITTING query/fragment (unlike UrlRe, which the census
-    * deliberately keeps path-only) — canonicalization must see them to
-    * strip them.
-    */
-  val FullUrlRe = "https?://[A-Za-z0-9.-]+(/[A-Za-z0-9._/%=&#?-]*)?"
-
   /** Canonical form of a URL for identity purposes — the Common-Crawl
     * dedup key: scheme dropped (http ≡ https), host lowercased, query
     * string and fragment dropped, trailing slashes trimmed. All steps
