@@ -1,0 +1,89 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Probabilistic record linkage (Fellegi–Sunter 1969) — entity resolution
+  * across STRUCTURED records, the dedup-family member the string/embedding
+  * operators don't cover: two observations of the same real-world entity
+  * rarely agree on every field, so identity is decided by a log-likelihood
+  * score over per-field agreement patterns, not by any single key.
+  *
+  * Per field i with match/unmatch agreement probabilities (mᵢ, uᵢ):
+  *   agree    → wᵢ = ln(mᵢ/uᵢ)            (positive evidence)
+  *   disagree → wᵢ = ln((1−mᵢ)/(1−uᵢ))    (negative evidence)
+  * and a pair links when Σwᵢ clears the decision threshold. The m/u
+  * parameters here are FIXED model constants (in production they come
+  * from EM over the match/unmatch mixtures — the estimation step is
+  * orthogonal to the scoring operator and deliberately out of scope).
+  *
+  * Scale shape: candidate pairs come from BLOCKING on a stable key
+  * (c_nationkey here) — the corpus never sees an all-pairs join, only
+  * same-block pairs via one shuffle equi-join on the block key; a skewed
+  * block (one giant nation) splits by the Dedup.Salted discipline. The
+  * scoring itself is a map-only projection over the pair stream.
+  *
+  * The graded key plants a corrupted re-observation of every customer
+  * (deterministic per-field corruptions keyed on c_custkey; the oracle
+  * replants identically) and links original × twin. Weight margins are
+  * engineered: the eight possible agreement-pattern scores are
+  * {12.81, 8.47, 6.46, 3.70, 2.13, −0.63, −2.64, −7.0}, so the 3.0
+  * threshold sits ≥ 0.7 from every attainable score — no decision rides
+  * on the ~1-ulp libm divergence of ln between engines.
+  */
+object Linkage {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** (m, u) per compared field. */
+  val NameM = 0.9; val NameU = 0.001
+  val AcctM = 0.85; val AcctU = 0.01
+  val SegM = 0.95; val SegU = 0.2
+  val Threshold = 3.0
+
+  private def w(agree: Column, m: Double, u: Double): Column =
+    when(agree, log(lit(m) / lit(u))).otherwise(log(lit(1 - m) / lit(1 - u)))
+
+  /** The corrupted re-observation: every 5th name gets a typo, every 7th
+    * balance drifts, every 3rd segment is miskeyed — overlapping, so some
+    * twins carry multiple corruptions (a %105 key corrupts all three and
+    * is correctly LOST by the model: score −7.0 — the realistic miss).
+    */
+  private[graft] def corruptedTwin(cust: DataFrame): DataFrame =
+    cust.select(col("c_custkey"), col("c_nationkey"),
+      when(col("c_custkey") % 5 === 0, concat(col("c_name"), lit("x")))
+        .otherwise(col("c_name")).as("c_name"),
+      when(col("c_custkey") % 7 === 0, col("c_acctbal") + lit(1.0))
+        .otherwise(col("c_acctbal")).as("c_acctbal"),
+      when(col("c_custkey") % 3 === 0, concat(lit("X"), col("c_mktsegment")))
+        .otherwise(col("c_mktsegment")).as("c_mktsegment"))
+
+  /** Score all same-block (original, twin) pairs; emit links above the
+    * threshold. Kept general over any two record frames sharing the
+    * compared fields + block key.
+    */
+  def linkPairs(a: DataFrame, b: DataFrame, blockCol: String): DataFrame = {
+    val left = a.select(col(blockCol),
+      col("c_custkey").as("key_a"), col("c_name").as("name_a"),
+      col("c_acctbal").as("acct_a"), col("c_mktsegment").as("seg_a"))
+    val right = b.select(col(blockCol),
+      col("c_custkey").as("key_b"), col("c_name").as("name_b"),
+      col("c_acctbal").as("acct_b"), col("c_mktsegment").as("seg_b"))
+    left.join(right, blockCol)
+      .withColumn("score",
+        w(col("name_a") === col("name_b"), NameM, NameU) +
+          w(col("acct_a") === col("acct_b"), AcctM, AcctU) +
+          w(col("seg_a") === col("seg_b"), SegM, SegU))
+      .where(col("score") > Threshold)
+      .select(col("key_a"), col("key_b"), round(col("score"), 6).as("score"))
+  }
+
+  val qRecordLinkage: Q = (s, d) => {
+    val cust = Tables.customer(s, d)
+    linkPairs(cust, corruptedTwin(cust), "c_nationkey")
+      .orderBy("key_a", "key_b")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_record_linkage" -> qRecordLinkage
+  )
+}

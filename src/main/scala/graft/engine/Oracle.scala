@@ -2142,6 +2142,32 @@ object Oracle {
         count(DISTINCT CASE WHEN ok THEN norm END) AS n_unique
       FROM f GROUP BY lang ORDER BY lang""",
 
+    // Fellegi–Sunter linkage: weights appear as the same literal
+    // arithmetic (ln(0.9 / 0.001), ln((1 - 0.9) / (1 - 0.001)), ...) so
+    // both engines evaluate identical double expressions up to ~1 ulp of
+    // libm ln — and the eight attainable pattern scores sit ≥ 0.7 from
+    // the 3.0 threshold, so no link decision can ride on that ulp.
+    "q_record_linkage" -> """
+      WITH twin AS (SELECT c_custkey, c_nationkey,
+          CASE WHEN c_custkey % 5 = 0 THEN c_name || 'x'
+               ELSE c_name END AS c_name,
+          CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 1.0
+               ELSE c_acctbal END AS c_acctbal,
+          CASE WHEN c_custkey % 3 = 0 THEN 'X' || c_mktsegment
+               ELSE c_mktsegment END AS c_mktsegment
+        FROM customer),
+        p AS (SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+            (CASE WHEN a.c_name = b.c_name THEN ln(0.9 / 0.001)
+                  ELSE ln((1 - 0.9) / (1 - 0.001)) END
+             + CASE WHEN a.c_acctbal = b.c_acctbal THEN ln(0.85 / 0.01)
+                    ELSE ln((1 - 0.85) / (1 - 0.01)) END
+             + CASE WHEN a.c_mktsegment = b.c_mktsegment THEN ln(0.95 / 0.2)
+                    ELSE ln((1 - 0.95) / (1 - 0.2)) END) AS score
+          FROM customer a JOIN twin b ON a.c_nationkey = b.c_nationkey)
+      SELECT key_a, key_b, round(score, 6) AS score
+      FROM p WHERE score > 3.0
+      ORDER BY key_a, key_b""",
+
     "q_graph_pagerank" -> PagerankSql,
 
     // SemDeDup graded END-TO-END, clustering included: the oracle
