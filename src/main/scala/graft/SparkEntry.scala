@@ -40,7 +40,8 @@ object SparkEntry {
       Profile.queries ++ History.queries ++ Bpe.queries ++
       Stats.queries ++ SpanDedup.queries ++ FuzzyJoin.queries ++
       TextClean.queries ++ EventAnalytics.queries ++ Graph.queries ++
-      Index.queries ++ SemDedup.queries ++ Linkage.queries).map { case (k, fn) =>
+      Index.queries ++ SemDedup.queries ++ Linkage.queries ++
+      Pca.queries).map { case (k, fn) =>
       k -> ((s: SparkSession, d: String) => ntz(fn(s, d)))
     }
 

@@ -2142,6 +2142,30 @@ object Oracle {
         count(DISTINCT CASE WHEN ok THEN norm END) AS n_unique
       FROM f GROUP BY lang ORDER BY lang""",
 
+    // Distributed covariance accumulation graded exact: DuckDB
+    // recomputes Σxy / Σx / n independently over the raw embeddings.
+    "q_pca_covariance" -> """
+      WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+        sums AS (SELECT i, sum(v[i]) AS sx, CAST(count(*) AS DOUBLE) AS n
+          FROM e, generate_series(1, 64) t(i) GROUP BY i),
+        xy AS (SELECT i, j, sum(v[i] * v[j]) AS sxy
+          FROM e, generate_series(1, 64) t(i), generate_series(1, 64) u(j)
+          WHERE i <= j GROUP BY i, j)
+      SELECT xy.i, xy.j,
+        round((sxy - a.sx * b.sx / a.n) / (a.n - 1), 6) + 0 AS cov
+      FROM xy JOIN sums a ON xy.i = a.i JOIN sums b ON xy.j = b.i
+      ORDER BY xy.i, xy.j""",
+
+    // Norm preservation through the engine's FULL eigenbasis: DuckDB
+    // computes ‖v‖² from the raw parquet; the engine row is Σ over the
+    // 64 projected coordinates squared — equal only if the Jacobi basis
+    // is orthonormal and complete (rotation round-off ~1e-13 ≪ 1e-6).
+    "q_pca_check" -> """
+      SELECT vec_id,
+        round(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]), 6)
+          AS norm2
+      FROM embeddings ORDER BY vec_id""",
+
     // Fellegi–Sunter linkage: weights appear as the same literal
     // arithmetic (ln(0.9 / 0.001), ln((1 - 0.9) / (1 - 0.001)), ...) so
     // both engines evaluate identical double expressions up to ~1 ulp of

@@ -1,0 +1,214 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PCA over the embedding corpus — the whitening/compression step ahead
+  * of clustering and semantic dedup (SemDeDup §4 runs k-means in a
+  * PCA-reduced space at scale).
+  *
+  * Split to match Spark's execution model:
+  *   - the COVARIANCE accumulation is the distributed stage: each row
+  *     expands in-row to its 2080 upper-triangle (i, j, x·y) products
+  *     (no self-join — the pair stream never shuffles corpus×corpus,
+  *     and map-side partial aggregation reduces every partition to
+  *     ≤ 2080 rows before the one shuffle on the (i, j) key);
+  *   - the EIGENDECOMPOSITION runs on the driver over the 64×64 matrix
+  *     — bounded model state by contract (the k-means-centroid rule),
+  *     via a deterministic cyclic Jacobi solver (no native LAPACK — the
+  *     same arithmetic on every platform, sign-fixed eigenvectors, so
+  *     reruns are bit-identical; spec-pinned);
+  *   - the PROJECTION is map-only again: the k×64 basis folds into
+  *     dot-product expressions against a broadcast basis frame.
+  *
+  * Grading: the covariance frame is ORACLE-EXACT (DuckDB recomputes
+  * Σxy/Σx/n independently); the eigenbasis itself has no SQL twin, so
+  * its correctness is gated two ways — PcaSpec verifies A·v = λ·v,
+  * orthonormality, and descending order directly, and `q_pca_check` is
+  * an oracle-graded NORM-PRESERVATION frame: ‖Vᵀv‖² re-derived through
+  * the full 64-component projection must hash-match DuckDB's ‖v‖² from
+  * the raw parquet — a non-orthonormal or mass-dropping basis fails the
+  * driver's hash gate, not just a spec.
+  */
+object Pca {
+  import graft.functions.GraftExpressions.dotProduct
+  type Q = (SparkSession, String) => DataFrame
+
+  val Dim = 64
+  val TopK = 8
+
+  private def vec(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Upper-triangle sample covariance, 1-based (i ≤ j): one in-row pair
+    * expansion + one (i, j)-keyed aggregate; Σx arrives from a 64-row
+    * broadcast side. cov = (Σxy − Σx·Σy/n) / (n−1), mirrored literally
+    * in the oracle.
+    */
+  def covarianceFrame(embs: DataFrame): DataFrame = {
+    val e = embs.select(vec(col("embedding")).as("v"))
+    val sums = e.select(posexplode(col("v")).as(Seq("i0", "x")))
+      .groupBy((col("i0") + 1).as("i"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).cast("double").as("n"))
+    val xy = e.select(explode(expr(
+      """filter(flatten(transform(v, (x, i) -> transform(v, (y, j) ->
+         struct(i + 1 AS i, j + 1 AS j, x * y AS xy)))), s -> s.i <= s.j)"""))
+      .as("s"))
+      .groupBy(col("s.i").as("i"), col("s.j").as("j"))
+      .agg(sum(col("s.xy")).as("sxy"))
+    xy.join(broadcast(sums.select(col("i"), col("sx").as("sxi"), col("n"))), "i")
+      .join(broadcast(sums.select(col("i").as("j"), col("sx").as("sxj"))), "j")
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        // + 0.0 folds IEEE −0.0 to +0.0: near-zero covariances otherwise
+        // round to −0.0 in one engine and +0.0 in the other, and the
+        // harness's stringified row sort sees those as different keys.
+        (round((col("sxy") - col("sxi") * col("sxj") / col("n")) / (col("n") - 1), 6)
+          + lit(0.0)).as("cov"))
+  }
+
+  val qPcaCovariance: Q = (s, d) =>
+    covarianceFrame(Tables.embeddings(s, d)).orderBy("i", "j")
+
+  /** Deterministic cyclic Jacobi eigendecomposition of a symmetric
+    * matrix: fixed sweep order, fixed sweep count, no pivot-by-magnitude
+    * — the same rotations in the same order every run on every platform.
+    * Returns (eigenvalues desc, row-major eigenvectors), each vector
+    * sign-fixed so its first coordinate with |x| > 1e-9 is positive.
+    */
+  private[graft] def jacobiEigSym(aIn: Array[Array[Double]],
+      sweeps: Int = 16): (Array[Double], Array[Array[Double]]) = {
+    val n = aIn.length
+    val a = aIn.map(_.clone())
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    while (sweep < sweeps) {
+      var p = 0
+      while (p < n - 1) {
+        var q = p + 1
+        while (q < n) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > 1e-300) {
+            val theta = (a(q)(q) - a(p)(p)) / (2 * apq)
+            val t = (if (theta >= 0) 1.0 else -1.0) /
+              (math.abs(theta) + math.sqrt(theta * theta + 1))
+            val c = 1 / math.sqrt(t * t + 1)
+            val s = t * c
+            var k = 0
+            while (k < n) { // column rotation A·J
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - s * akq
+              a(k)(q) = s * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < n) { // row rotation Jᵀ·A
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - s * aqk
+              a(q)(k) = s * apk + c * aqk
+              k += 1
+            }
+            k = 0
+            while (k < n) { // accumulate V·J
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - s * vkq
+              v(k)(q) = s * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    val order = (0 until n).sortBy(i => (-a(i)(i), i))
+    val values = order.map(i => a(i)(i)).toArray
+    val vectors = order.map { c =>
+      val col = Array.tabulate(n)(r => v(r)(c))
+      val lead = col.indexWhere(x => math.abs(x) > 1e-9)
+      if (lead >= 0 && col(lead) < 0) col.map(-_) else col
+    }.toArray
+    (values, vectors)
+  }
+
+  /** (means, eigenvalues desc, eigenvectors) of the corpus covariance —
+    * all bounded model state (64 + 64 + 64×64 doubles on the driver).
+    */
+  private[graft] def fitModel(embs: DataFrame): (Array[Double], Array[Double], Array[Array[Double]]) = {
+    val cov = Array.ofDim[Double](Dim, Dim)
+    // Unrounded covariance for the model fit (the graded frame rounds
+    // for hash stability; the eigensolver wants full precision).
+    val e = embs.select(vec(col("embedding")).as("v"))
+    val sums = e.select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("i")).agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val n = sums(0)._2.toDouble
+    val means = Array.tabulate(Dim)(i => sums(i)._1 / n)
+    e.select(explode(expr(
+      """filter(flatten(transform(v, (x, i) -> transform(v, (y, j) ->
+         struct(i AS i, j AS j, x * y AS xy)))), s -> s.i <= s.j)""")).as("s"))
+      .groupBy(col("s.i").as("i"), col("s.j").as("j"))
+      .agg(sum(col("s.xy")).as("sxy"))
+      .collect().foreach { r =>
+        val (i, j) = (r.getInt(0), r.getInt(1))
+        val c = (r.getDouble(2) - n * means(i) * means(j)) / (n - 1)
+        cov(i)(j) = c; cov(j)(i) = c
+      }
+    val (values, vectors) = jacobiEigSym(cov)
+    (means, values, vectors)
+  }
+
+  private def basisFrame(s: SparkSession, vectors: Array[Array[Double]],
+      k: Int): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("comp",
+        org.apache.spark.sql.types.LongType, false),
+      org.apache.spark.sql.types.StructField("bv",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, false), false)))
+    val rows = vectors.take(k).zipWithIndex.map { case (b, i) =>
+      Row(i.toLong, b.toSeq)
+    }
+    s.createDataFrame(rows.toSeq.asJava, schema)
+  }
+
+  /** Top-k principal coordinates of every (mean-centered) vector, long
+    * form (vec_id, comp, coord) — map-only against the broadcast basis.
+    * No SQL twin (the basis is engine model state) → rows-only graded;
+    * the basis itself is gated by q_pca_check + PcaSpec.
+    */
+  val qPcaProject: Q = (s, d) => {
+    val embs = Tables.embeddings(s, d)
+    val (means, _, vectors) = fitModel(embs)
+    val mu = typedLit(means.toSeq)
+    embs.select(col("vec_id"),
+        zip_with(vec(col("embedding")), mu, (x, m) => x - m).as("v"))
+      .crossJoin(broadcast(basisFrame(s, vectors, TopK)))
+      .select(col("vec_id"), col("comp"),
+        round(dotProduct(col("v"), col("bv")), 6).as("coord"))
+      .orderBy("vec_id", "comp")
+  }
+
+  /** Oracle-graded norm-preservation check: ‖Vᵀv‖² through the FULL
+    * 64-component projection of the RAW vector must equal DuckDB's
+    * independently computed ‖v‖² (orthonormal transforms preserve
+    * norms; rotation round-off ~1e-13 ≪ the 6-decimal grid). A skewed,
+    * non-orthogonal, or truncated basis breaks the hash.
+    */
+  val qPcaCheck: Q = (s, d) => {
+    val embs = Tables.embeddings(s, d)
+    val (_, _, vectors) = fitModel(embs)
+    embs.select(col("vec_id"), vec(col("embedding")).as("v"))
+      .crossJoin(broadcast(basisFrame(s, vectors, Dim)))
+      .select(col("vec_id"), dotProduct(col("v"), col("bv")).as("c"))
+      .groupBy(col("vec_id"))
+      .agg(round(sum(col("c") * col("c")), 6).as("norm2"))
+      .orderBy("vec_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_pca_covariance" -> qPcaCovariance,
+    "q_pca_project" -> qPcaProject,
+    "q_pca_check" -> qPcaCheck
+  )
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.engine.Pca
+
+/** Eigensolver semantics the oracle can't see (the basis has no SQL
+  * twin — only the covariance frame and the norm-preservation check are
+  * hash-gated): A·v = λ·v must actually hold, the basis must be
+  * orthonormal with descending non-negative eigenvalues, projections
+  * must carry the eigenvalue as their variance, and the whole fit must
+  * be run-deterministic.
+  */
+class PcaSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def covOf(d: String): Array[Array[Double]] = {
+    val rows = Pca.covarianceFrame(
+      graft.engine.Tables.embeddings(spark, d)).collect()
+    val a = Array.ofDim[Double](Pca.Dim, Pca.Dim)
+    rows.foreach { r =>
+      val (i, j) = (r.getLong(0).toInt - 1, r.getLong(1).toInt - 1)
+      a(i)(j) = r.getDouble(2); a(j)(i) = r.getDouble(2)
+    }
+    a
+  }
+
+  test("jacobi solves a known 2x2 and a fixture-sized symmetric system") {
+    // [[2,1],[1,2]] → λ = 3, 1 with eigenvectors (1,1)/√2 and (1,−1)/√2.
+    val (vals, vecs) = Pca.jacobiEigSym(Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    assert(math.abs(vals(0) - 3) < 1e-12 && math.abs(vals(1) - 1) < 1e-12)
+    assert(math.abs(vecs(0)(0) - vecs(0)(1)) < 1e-12)
+    // Residual ‖A·v − λ·v‖∞ on the real covariance matrix.
+    val a = covOf(TestSpark.sfDir)
+    val (values, vectors) = Pca.jacobiEigSym(a)
+    for (k <- 0 until Pca.Dim) {
+      val v = vectors(k)
+      val res = (0 until Pca.Dim).map { r =>
+        math.abs((0 until Pca.Dim).map(c => a(r)(c) * v(c)).sum - values(k) * v(r))
+      }.max
+      assert(res < 1e-9, s"eigenpair $k residual $res")
+    }
+    // Descending, PSD (covariance), orthonormal.
+    assert(values.sliding(2).forall(p => p(0) >= p(1) - 1e-12))
+    assert(values.forall(_ > -1e-9))
+    for (i <- 0 until Pca.Dim; j <- i until Pca.Dim) {
+      val dot = (0 until Pca.Dim).map(c => vectors(i)(c) * vectors(j)(c)).sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-10,
+        s"basis not orthonormal at ($i,$j): $dot")
+    }
+  }
+
+  test("projected coordinates carry the eigenvalue as their variance") {
+    val a = covOf(TestSpark.sfDir)
+    val (values, _) = Pca.jacobiEigSym(a)
+    val varByComp = SparkEntry.queries("q_pca_project")(spark, TestSpark.sfDir)
+      .groupBy("comp").agg(var_samp(col("coord")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for (k <- 0 until Pca.TopK) {
+      assert(math.abs(varByComp(k.toLong) - values(k)) < 1e-3,
+        s"component $k variance ${varByComp(k.toLong)} != eigenvalue ${values(k)}")
+    }
+  }
+
+  test("the fit is run-deterministic (fixed sweep order, sign-fixed vectors)") {
+    val a = SparkEntry.queries("q_pca_project")(spark, TestSpark.sfDir)
+      .collect().map(_.toString)
+    val b = SparkEntry.queries("q_pca_project")(spark, TestSpark.sfDir)
+      .collect().map(_.toString)
+    assert(a.sameElements(b))
+  }
+}
