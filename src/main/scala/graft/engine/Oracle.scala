@@ -107,6 +107,22 @@ object Oracle {
                          for i in generate_series(1, len(ids))], ',') AS gaps
       FROM blk ORDER BY tok, block"""
 
+  /** Shared by q_pca_covariance and q_pca_cov_delta (structural
+    * identity — see the map entries). `+ 0` folds −0.0 → +0.0 (the
+    * engine does the same; the harness row sort stringifies).
+    */
+  private val PcaCovarianceSql = """
+      WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+        sums AS (SELECT i, sum(v[i]) AS sx, CAST(count(*) AS DOUBLE) AS n
+          FROM e, generate_series(1, 64) t(i) GROUP BY i),
+        xy AS (SELECT i, j, sum(v[i] * v[j]) AS sxy
+          FROM e, generate_series(1, 64) t(i), generate_series(1, 64) u(j)
+          WHERE i <= j GROUP BY i, j)
+      SELECT xy.i, xy.j,
+        round((sxy - a.sx * b.sx / a.n) / (a.n - 1), 6) + 0 AS cov
+      FROM xy JOIN sums a ON xy.i = a.i JOIN sums b ON xy.j = b.i
+      ORDER BY xy.i, xy.j"""
+
   private val NeardupLshSql = """
       WITH docs AS (SELECT doc_id, list_distinct(string_split(text, ' ')) toks FROM documents),
         pairs AS (SELECT a.doc_id doc_a, b.doc_id doc_b,
@@ -2144,17 +2160,10 @@ object Oracle {
 
     // Distributed covariance accumulation graded exact: DuckDB
     // recomputes Σxy / Σx / n independently over the raw embeddings.
-    "q_pca_covariance" -> """
-      WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
-        sums AS (SELECT i, sum(v[i]) AS sx, CAST(count(*) AS DOUBLE) AS n
-          FROM e, generate_series(1, 64) t(i) GROUP BY i),
-        xy AS (SELECT i, j, sum(v[i] * v[j]) AS sxy
-          FROM e, generate_series(1, 64) t(i), generate_series(1, 64) u(j)
-          WHERE i <= j GROUP BY i, j)
-      SELECT xy.i, xy.j,
-        round((sxy - a.sx * b.sx / a.n) / (a.n - 1), 6) + 0 AS cov
-      FROM xy JOIN sums a ON xy.i = a.i JOIN sums b ON xy.j = b.i
-      ORDER BY xy.i, xy.j""",
+    "q_pca_covariance" -> PcaCovarianceSql,
+    // SAME oracle string — the snapshot+delta moment-frame merge must
+    // hash-match the from-scratch covariance (structural identity).
+    "q_pca_cov_delta" -> PcaCovarianceSql,
 
     // Norm preservation through the engine's FULL eigenbasis: DuckDB
     // computes ‖v‖² from the raw parquet; the engine row is Σ over the
