@@ -2160,6 +2160,14 @@ object Oracle {
 
     // Distributed covariance accumulation graded exact: DuckDB
     // recomputes Σxy / Σx / n independently over the raw embeddings.
+    "q_agg_regression" -> """
+      SELECT l_returnflag, count(*)::BIGINT AS n,
+        round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+        round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+        round(regr_avgx(l_extendedprice, l_quantity), 6) AS avg_qty
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
     "q_pca_covariance" -> PcaCovarianceSql,
     // SAME oracle string — the snapshot+delta moment-frame merge must
     // hash-match the from-scratch covariance (structural identity).

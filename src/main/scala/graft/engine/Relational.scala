@@ -376,6 +376,24 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Per-group ordinary least squares via the regr_* aggregate family —
+    * closed-form simple linear regression (price on quantity per return
+    * flag) computed in ONE grouped aggregate pass with map-side partials,
+    * exactly like any other moment aggregate; no iterative fitting, no
+    * driver math. Both engines implement the same textbook formulas, so
+    * the oracle is exact under rounding.
+    */
+  val qAggRegression: Q = (s, d) =>
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
+        round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4).as("intercept"),
+        round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6).as("r2"),
+        round(regr_avgx(col("l_extendedprice"), col("l_quantity")), 6).as("avg_qty"))
+      .orderBy("l_returnflag")
+
   /** ROLLUP hierarchy totals: region → nation customer counts. */
   val qAggRollup: Q = (s, d) =>
     customer(s, d)
@@ -911,6 +929,7 @@ object Relational {
     "q1_pricing_summary" -> q1PricingSummary,
     "q_agg_distinct" -> qAggDistinct,
     "q_agg_stats" -> qAggStats,
+    "q_agg_regression" -> qAggRegression,
     "q_agg_rollup" -> qAggRollup,
     "q_agg_cube" -> qAggCube,
     "q_agg_grouping_sets" -> qAggGroupingSets,
