@@ -248,7 +248,8 @@ object ScaleSmoke {
     "q_neardup_resolve", "q_containment_pairs", "q_substring_dedup",
     "q_ann_ivfpq", "q_skew_join", "q_skew_join_aqe", "q_curation_pipeline",
     "q_sessionize", "q_lm_score", "q_fuzzy_match_scaled",
-    "q_boilerplate_strip", "q_graph_triangles", "q_inverted_index")
+    "q_boilerplate_strip", "q_graph_triangles", "q_inverted_index",
+    "q_pca_covariance")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SCALE_SMOKE_SRC", "/root/testdata/sf0.01")
