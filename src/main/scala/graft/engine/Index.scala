@@ -131,13 +131,15 @@ object Index {
     * (≤|query| rows and 1 row), joined broadcast — bounded by the query,
     * not the corpus.
     */
-  val qBm25TopK: Q = (s, d) => {
+  /** Full BM25 score frame (doc_id, score — rounded 6) for every doc
+    * matching ≥1 query term; the ranking keys cut it down. */
+  private[graft] def bm25Scores(docs: DataFrame): DataFrame = {
     // Everything rides the INDEX artifact, not the corpus: doc lengths
     // are Σtf over each doc's postings, df is Σ|posting block| per term
     // — the IR-engine discipline (one corpus pass builds the index;
     // scoring never re-reads text). localCheckpoint stands in for the
     // persisted parquet index a production deployment reads instead.
-    val idx = postingsStruct(documents(s, d)).localCheckpoint()
+    val idx = postingsStruct(docs).localCheckpoint()
     val dl = idx.select(explode(col("posts")).as("p"))
       .groupBy(col("p.doc_id").as("doc_id"))
       .agg(sum(col("p.tf")).cast("double").as("dl"))
@@ -158,7 +160,66 @@ object Index {
         col("idf") * (col("tf") * lit(Bm25K1 + 1)) /
           (col("tf") + lit(Bm25K1) * (lit(1 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
       .groupBy(col("doc_id")).agg(round(sum(col("s")), 6).as("score"))
-    scored.orderBy(desc("score"), col("doc_id")).limit(10)
+    scored
+  }
+
+  val qBm25TopK: Q = (s, d) =>
+    bm25Scores(documents(s, d)).orderBy(desc("score"), col("doc_id")).limit(10)
+
+  /** Hybrid-retrieval fusion depth (per-branch candidate list length)
+    * and the standard RRF dampening constant (Cormack et al. 2009). */
+  val HybridDepth = 20
+  val RrfK = 60
+
+  /** Reciprocal-rank fusion of the lexical (BM25) and dense (cosine)
+    * retrieval lists — the standard hybrid-search merge a RAG corpus
+    * runs per query: score(d) = Σ_lists 1/(k + rank_list(d)).
+    *
+    * The corpus-scale work is entirely inside the two branches, each
+    * already in its scaled shape (BM25 through the pruned index
+    * artifact; cosine vs a broadcast 1-row query vector). Each branch
+    * then cuts to `HybridDepth` rows via TakeOrdered (distributed
+    * top-k — no global sort materializes), so the fusion join is a
+    * bounded-by-depth frame join, independent of corpus size. Ranks are
+    * assigned AFTER the cut, over the ≤20-row frame (the single-
+    * partition window is bounded by HybridDepth, not the corpus), on
+    * (rounded score desc, id) so both engines rank identically. Absent
+    * ranks surface as 0 ("not retrieved by this branch") to keep the
+    * output all-integer and NULL-free; doc 0 is the dense query's own
+    * document and is excluded from both branches.
+    */
+  val qHybridRrf: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val byLex = Window.orderBy(desc("score"), col("doc_id"))
+    val lex = bm25Scores(documents(s, d))
+      .where(col("doc_id") =!= 0)
+      .orderBy(desc("score"), col("doc_id")).limit(HybridDepth)
+      .withColumn("lex_rank", row_number().over(byLex).cast("long"))
+      .select(col("doc_id"), col("lex_rank"))
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val qv = e.where(col("vec_id") === 0).select(col("v").as("qv"))
+    import graft.functions.GraftExpressions.dotProduct
+    val byCos = Window.orderBy(desc("cos_sim"), col("doc_id"))
+    val dense = e.crossJoin(broadcast(qv))
+      .where(col("vec_id") =!= 0)
+      .select(col("vec_id").as("doc_id"),
+        round(dotProduct(col("v"), col("qv")) /
+          (sqrt(dotProduct(col("v"), col("v"))) * sqrt(dotProduct(col("qv"), col("qv")))), 6)
+          .as("cos_sim"))
+      .orderBy(desc("cos_sim"), col("doc_id")).limit(HybridDepth)
+      .withColumn("dense_rank", row_number().over(byCos).cast("long"))
+      .select(col("doc_id"), col("dense_rank"))
+    lex.join(dense, Seq("doc_id"), "full_outer")
+      .select(
+        col("doc_id"),
+        coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+        coalesce(col("dense_rank"), lit(0L)).as("dense_rank"))
+      .withColumn("rrf_score", round(
+        when(col("lex_rank") > 0, lit(1.0) / (lit(RrfK) + col("lex_rank"))).otherwise(lit(0.0)) +
+          when(col("dense_rank") > 0, lit(1.0) / (lit(RrfK) + col("dense_rank"))).otherwise(lit(0.0)),
+        6))
+      .orderBy(desc("rrf_score"), col("doc_id")).limit(15)
   }
 
   /** Positional token stream (doc_id, pos, tok), pos 1-based to match
@@ -218,6 +279,7 @@ object Index {
     "q_index_delta" -> qIndexDelta,
     "q_index_lookup" -> qIndexLookup,
     "q_bm25_topk" -> qBm25TopK,
+    "q_hybrid_rrf" -> qHybridRrf,
     "q_phrase_search" -> qPhraseSearch
   )
 }

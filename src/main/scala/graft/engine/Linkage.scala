@@ -83,7 +83,68 @@ object Linkage {
       .orderBy("key_a", "key_b")
   }
 
+  /** A second, independently-corrupted observation (the "import" feed)
+    * plus a priority tag per source — the three-observation set
+    * survivorship resolves. The master feed additionally PLANTS
+    * missingness (every 11th segment NULL) so the source-priority rule
+    * has to fall through, not just echo the master.
+    */
+  private[graft] def observations(cust: DataFrame): DataFrame = {
+    val master = cust.select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+      when(col("c_custkey") % 11 === 0, lit(null).cast("string"))
+        .otherwise(col("c_mktsegment")).as("c_mktsegment"),
+      lit(1).as("prio"))
+    val crawl = corruptedTwin(cust)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("c_mktsegment"), lit(2).as("prio"))
+    val imported = cust.select(col("c_custkey"),
+      when(col("c_custkey") % 4 === 0, concat(col("c_name"), lit("y")))
+        .otherwise(col("c_name")).as("c_name"),
+      when(col("c_custkey") % 6 === 0, col("c_acctbal") + lit(2.0))
+        .otherwise(col("c_acctbal")).as("c_acctbal"),
+      when(col("c_custkey") % 5 === 0, concat(lit("Y"), col("c_mktsegment")))
+        .otherwise(col("c_mktsegment")).as("c_mktsegment"),
+      lit(3).as("prio"))
+    master.unionByName(crawl).unionByName(imported)
+  }
+
+  /** Golden-record construction (survivorship) — the step AFTER linkage:
+    * each entity cluster's observations collapse to one record under
+    * per-field rules: name by MODE (ties → lowest source priority among
+    * holders, then lexicographic — fully deterministic), balance by MAX
+    * (recency proxy for monotone fields), segment by SOURCE PRIORITY
+    * with NULL fall-through.
+    *
+    * Scale shape: the observation union is map-only; the mode census and
+    * the field aggregate are each ONE shuffle on the entity key, joined
+    * back entity-to-entity (same key — no extra repartitioning at scale
+    * if the cluster id is the table's bucket key). The per-entity window
+    * ranks only that entity's distinct candidate values (≤ sources), so
+    * no partition ever holds more than the observation fan-in.
+    */
+  val qDedupSurvivorship: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val obs = observations(Tables.customer(s, d))
+    val byEntity = Window.partitionBy(col("c_custkey"))
+      .orderBy(desc("cnt"), col("mp"), col("c_name"))
+    val nameMode = obs.groupBy(col("c_custkey"), col("c_name"))
+      .agg(count(lit(1)).as("cnt"), min(col("prio")).as("mp"))
+      .withColumn("rn", row_number().over(byEntity))
+      .where(col("rn") === 1)
+      .select(col("c_custkey"), col("c_name").as("name"),
+        col("cnt").as("name_support"))
+    val fields = obs.groupBy(col("c_custkey"))
+      .agg(
+        max(col("c_acctbal")).as("acctbal"),
+        coalesce(
+          max(when(col("prio") === 1, col("c_mktsegment"))),
+          max(when(col("prio") === 2, col("c_mktsegment"))),
+          max(when(col("prio") === 3, col("c_mktsegment")))).as("mktsegment"))
+    nameMode.join(fields, "c_custkey").orderBy("c_custkey")
+  }
+
   val queries: Map[String, Q] = Map(
-    "q_record_linkage" -> qRecordLinkage
+    "q_record_linkage" -> qRecordLinkage,
+    "q_dedup_survivorship" -> qDedupSurvivorship
   )
 }

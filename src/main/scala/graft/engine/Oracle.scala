@@ -2209,6 +2209,43 @@ object Oracle {
       FROM p WHERE score > 3.0
       ORDER BY key_a, key_b""",
 
+    // Survivorship: the three observation feeds replanted verbatim
+    // (master with planted NULL segments, the linkage twin, a second
+    // independent corruption), then the same per-field rules — name by
+    // mode with (count DESC, min-priority, lexicographic) tie-break,
+    // balance by max, segment by source-priority NULL fall-through.
+    "q_dedup_survivorship" -> """
+      WITH master AS (SELECT c_custkey, c_name, c_acctbal,
+          CASE WHEN c_custkey % 11 = 0 THEN NULL
+               ELSE c_mktsegment END AS c_mktsegment, 1 AS prio
+        FROM customer),
+        crawl AS (SELECT c_custkey,
+          CASE WHEN c_custkey % 5 = 0 THEN c_name || 'x' ELSE c_name END,
+          CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 1.0 ELSE c_acctbal END,
+          CASE WHEN c_custkey % 3 = 0 THEN 'X' || c_mktsegment ELSE c_mktsegment END,
+          2 FROM customer),
+        imp AS (SELECT c_custkey,
+          CASE WHEN c_custkey % 4 = 0 THEN c_name || 'y' ELSE c_name END,
+          CASE WHEN c_custkey % 6 = 0 THEN c_acctbal + 2.0 ELSE c_acctbal END,
+          CASE WHEN c_custkey % 5 = 0 THEN 'Y' || c_mktsegment ELSE c_mktsegment END,
+          3 FROM customer),
+        obs AS (SELECT * FROM master UNION ALL SELECT * FROM crawl
+                UNION ALL SELECT * FROM imp),
+        nm AS (SELECT c_custkey, c_name, count(*) AS cnt, min(prio) AS mp
+          FROM obs GROUP BY 1, 2),
+        pick AS (SELECT c_custkey, c_name AS name, cnt AS name_support,
+            row_number() OVER (PARTITION BY c_custkey
+              ORDER BY cnt DESC, mp, c_name) AS rn
+          FROM nm),
+        f AS (SELECT c_custkey, max(c_acctbal) AS acctbal,
+            coalesce(max(CASE WHEN prio = 1 THEN c_mktsegment END),
+                     max(CASE WHEN prio = 2 THEN c_mktsegment END),
+                     max(CASE WHEN prio = 3 THEN c_mktsegment END)) AS mktsegment
+          FROM obs GROUP BY 1)
+      SELECT p.c_custkey, name, name_support, acctbal, mktsegment
+      FROM pick p JOIN f USING (c_custkey)
+      WHERE rn = 1 ORDER BY c_custkey""",
+
     "q_graph_pagerank" -> PagerankSql,
 
     // SemDeDup graded END-TO-END, clustering included: the oracle
@@ -2304,6 +2341,51 @@ object Oracle {
       FROM sc GROUP BY doc_id
       ORDER BY score DESC, doc_id LIMIT 10""",
 
+    // Reciprocal-rank fusion: both branches replayed independently (the
+    // BM25 CTE chain verbatim from q_bm25_topk, the cosine chain from
+    // q_cosine_topk), each cut to depth 20 on (rounded score DESC, id)
+    // BEFORE ranks are assigned — mirroring the engine's TakeOrdered-
+    // then-rank order so rank numbers agree even at the cut boundary.
+    // Absent ranks are 0, divisions forced to DOUBLE (1.0 alone is
+    // DECIMAL in DuckDB).
+    "q_hybrid_rrf" -> """
+      WITH dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+          FROM documents),
+        stats AS (SELECT CAST(count(*) AS DOUBLE) AS nn, avg(dl) AS avgdl FROM dl),
+        toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM documents),
+        tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+          FROM toks WHERE tok IN ('dup', 'spark', 'join') GROUP BY 1, 2),
+        df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok),
+        sc AS (SELECT tf.doc_id,
+            ln(1.0 + (nn - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1)) /
+              (tf + 1.2 * ((1 - 0.75) + 0.75 * dl.dl / avgdl)) AS s
+          FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats),
+        lexs AS (SELECT doc_id, round(sum(s), 6) AS score FROM sc
+          WHERE doc_id <> 0 GROUP BY doc_id),
+        lex AS (SELECT doc_id,
+            CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rank
+          FROM (SELECT * FROM lexs ORDER BY score DESC, doc_id LIMIT 20)),
+        e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        sims AS (SELECT vec_id AS doc_id,
+            round(list_dot_product(v, qv) /
+              (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
+          FROM e, q WHERE vec_id <> 0),
+        dense AS (SELECT doc_id,
+            CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS BIGINT) AS dense_rank
+          FROM (SELECT * FROM sims ORDER BY cos_sim DESC, doc_id LIMIT 20))
+      SELECT doc_id,
+        coalesce(lex_rank, 0) AS lex_rank,
+        coalesce(dense_rank, 0) AS dense_rank,
+        round(CASE WHEN coalesce(lex_rank, 0) > 0
+                THEN CAST(1 AS DOUBLE) / (60 + lex_rank) ELSE CAST(0 AS DOUBLE) END +
+              CASE WHEN coalesce(dense_rank, 0) > 0
+                THEN CAST(1 AS DOUBLE) / (60 + dense_rank) ELSE CAST(0 AS DOUBLE) END, 6)
+          AS rrf_score
+      FROM lex FULL OUTER JOIN dense USING (doc_id)
+      ORDER BY rrf_score DESC, doc_id LIMIT 15""",
+
     // Triangle census of the near-dup graph at τ = 0.97: the oracle
     // recomputes the exact-Jaccard edge list brute-force (a < b), closes
     // wedges a→b→c against it, and credits all three corners — the
@@ -2322,6 +2404,32 @@ object Oracle {
         corners AS (SELECT unnest([a, b, c]) AS doc_id FROM tri)
       SELECT doc_id, count(*)::BIGINT AS n_triangles
       FROM corners GROUP BY doc_id
-      ORDER BY n_triangles DESC, doc_id"""
+      ORDER BY n_triangles DESC, doc_id""",
+
+    // k-anonymity under the suppression model: DuckDB's floor() returns
+    // DOUBLE, so the band is cast back to BIGINT to match Spark's
+    // integral floor; the census window and the release share one pass.
+    "q_k_anonymity" -> """
+      WITH q AS (SELECT c_custkey, c_nationkey, c_mktsegment,
+          CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS band
+        FROM customer),
+        g AS (SELECT c_custkey, c_nationkey, c_mktsegment, band,
+            count(*) OVER (PARTITION BY c_nationkey, c_mktsegment, band) AS grp_n
+          FROM q)
+      SELECT c_custkey, c_nationkey, c_mktsegment, band, grp_n
+      FROM g WHERE grp_n >= 5 ORDER BY c_custkey""",
+
+    "q_l_diversity" -> """
+      WITH q AS (SELECT c_custkey, c_nationkey, c_mktsegment,
+          CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS band
+        FROM customer),
+        j AS (SELECT q.c_nationkey, q.c_mktsegment, q.band, o.o_orderpriority
+          FROM q JOIN orders o ON o.o_custkey = q.c_custkey)
+      SELECT c_nationkey, c_mktsegment, band,
+        count(*) AS n_orders,
+        count(DISTINCT o_orderpriority) AS n_sensitive,
+        count(DISTINCT o_orderpriority) >= 3 AS diverse
+      FROM j GROUP BY 1, 2, 3
+      ORDER BY 1, 2, 3"""
   )
 }
