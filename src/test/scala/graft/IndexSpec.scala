@@ -62,6 +62,28 @@ class IndexSpec extends AnyFunSuite {
       s"rare-term doc not dominant: ${scored(11L)} vs ${scored(1L)}")
   }
 
+  test("hybrid RRF fuses branch ranks by the reciprocal-rank formula") {
+    val rows = SparkEntry.queries("q_hybrid_rrf")(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty && rows.length <= 15)
+    def contrib(rank: Long) = if (rank > 0) 1.0 / (Index.RrfK + rank) else 0.0
+    rows.foreach { case (doc, lex, dense, rrf) =>
+      assert(lex >= 0 && lex <= Index.HybridDepth && dense >= 0 && dense <= Index.HybridDepth)
+      assert(lex > 0 || dense > 0, s"doc $doc retrieved by neither branch")
+      val exp = BigDecimal(contrib(lex) + contrib(dense))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(rrf == exp, s"doc $doc rrf $rrf != $exp")
+    }
+    // Fusion must actually fuse: a doc ranked by BOTH branches beats the
+    // winner of either single branch iff ranks are jointly strong — at
+    // minimum the output is sorted and carries some single-branch docs.
+    val scores = rows.map(_._4)
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, "sorted")
+    assert(rows.exists(r => r._2 > 0 && r._3 == 0) ||
+      rows.exists(r => r._2 == 0 && r._3 > 0),
+      "expected at least one single-branch doc in the fused list")
+  }
+
   test("phrase search counts adjacency, including overlapping occurrences") {
     val d = docs(
       (1L, "x spark join spark join join"), // matches at pos 2 and 4

@@ -48,6 +48,39 @@ class LinkageSpec extends AnyFunSuite {
     assert(!links.contains((15L, 15L)), "double-corrupt name+seg must be lost")
   }
 
+  test("survivorship applies each field rule, including NULL fall-through") {
+    val cust = graft.engine.Tables.customer(spark, TestSpark.sfDir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getDouble(3), r.getString(4))).toMap
+    val golden = SparkEntry.queries("q_dedup_survivorship")(spark, TestSpark.sfDir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getDouble(3), r.getString(4))).toMap
+    assert(golden.keySet == cust.keySet, "one golden record per entity")
+    golden.foreach { case (k, (name, support, acct, seg)) =>
+      val (mName, mAcct, mSeg) = cust(k)
+      // Name mode: corrupted only when BOTH feeds corrupt it (%5 and %4)
+      // — then the three candidates are distinct and priority keeps the
+      // master's; so the master name always survives, with support =
+      // count of agreeing feeds.
+      assert(name == mName, s"key $k name")
+      val expSupport = 3L - Seq(k % 5 == 0, k % 4 == 0).count(identity)
+      assert(support == expSupport, s"key $k support $support")
+      // Balance max: the largest planted drift wins (+2.0 at %6 beats
+      // +1.0 at %7 when both fire, e.g. key 42).
+      val expAcct = mAcct +
+        (if (k % 6 == 0) 2.0 else if (k % 7 == 0) 1.0 else 0.0)
+      assert(acct == expAcct, s"key $k acct")
+      // Segment priority: master unless its planted NULL (%11) falls
+      // through to the crawl feed — whose own %3 corruption then leaks
+      // into the golden record (e.g. key 33: 'X'-prefixed survives).
+      val expSeg =
+        if (k % 11 != 0) mSeg
+        else if (k % 3 == 0) "X" + mSeg
+        else mSeg
+      assert(seg == expSeg, s"key $k segment")
+    }
+  }
+
   test("cross-entity links require coincident balance AND segment") {
     // name never agrees across distinct custkeys (names embed the key),
     // so any cross link must carry exactly the acct+seg-agree score.
