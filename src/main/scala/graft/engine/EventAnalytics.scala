@@ -121,10 +121,56 @@ object EventAnalytics {
       .orderBy("from_type", "to_type")
   }
 
+  /** Truncated-EWMA smoothing parameters: α = 0.3, horizon 14 days.
+    * Weights are FIXED-POINT (1e-8 units): double weights summed in
+    * arbitrary partial-aggregation order strayed 1 ulp across the
+    * round-6 boundary at sf0.1 (measured — 609.5352945), so the
+    * convolution instead accumulates n·w exactly in BIGINT, order-free,
+    * and divides by the scale once at the end. The integer weight list
+    * is interpolated into the oracle, so both engines share it by
+    * construction.
+    */
+  val EwmaAlpha = 0.3
+  val EwmaHorizon = 14
+  val EwmaScale = 100000000L
+  val EwmaWeightsFixed: IndexedSeq[Long] =
+    Iterator.iterate(EwmaAlpha)(_ * (1 - EwmaAlpha)).take(EwmaHorizon)
+      .map(w => math.round(w * EwmaScale)).toIndexedSeq
+
+  /** Exponentially-weighted smoothing of the per-type daily event series
+    * — the trend-monitoring staple (ingest-volume dashboards, drift
+    * alarms). The recursive EWMA s_t = αx_t + (1−α)s_{t−1} is
+    * deliberately re-expressed as its TRUNCATED convolution
+    * Σ_{k<14} α(1−α)^k · x_{t−k} (tail weight 0.7¹⁴ ≈ 0.7 %): the
+    * recursion is a sequential scan — the convolution is a bounded
+    * 14-way fan-out (explode) into ONE shuffle on the (type, day) key,
+    * embarrassingly parallel at any scale. Days with no events
+    * contribute nothing and are not reported (observed-day smoothing);
+    * the final join keeps only real days and rides the same key as the
+    * fan-in aggregate.
+    */
+  val qEwma: Q = (s, d) => {
+    val daily = events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val wArr = array(EwmaWeightsFixed.map(lit): _*)
+    val fan = daily
+      .select(col("event_type"), col("day"), col("n"),
+        explode(sequence(lit(0), lit(EwmaHorizon - 1))).as("k"))
+      .select(col("event_type"),
+        date_add(col("day"), col("k")).as("day"),
+        (col("n") * element_at(wArr, col("k") + 1)).as("c"))
+    val sm = fan.groupBy(col("event_type"), col("day"))
+      .agg(round(sum(col("c")).cast("double") / lit(EwmaScale.toDouble), 6).as("ewma"))
+    daily.join(sm, Seq("event_type", "day"))
+      .orderBy("event_type", "day")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_funnel" -> qFunnel,
     "q_cohort_retention" -> qCohortRetention,
     "q_dau_wau" -> qDauWau,
-    "q_event_transitions" -> qEventTransitions
+    "q_event_transitions" -> qEventTransitions,
+    "q_ewma" -> qEwma
   )
 }

@@ -2419,6 +2419,44 @@ object Oracle {
       SELECT c_custkey, c_nationkey, c_mktsegment, band, grp_n
       FROM g WHERE grp_n >= 5 ORDER BY c_custkey""",
 
+    // Winsorization: fences are exact interpolated percentiles rounded
+    // to the data's 2-decimal width (quantile_cont ↔ percentile, the
+    // q_agg_percentile_exact pairing); the winsorized sum accumulates in
+    // DECIMAL (exact, order-independent) and casts once to DOUBLE.
+    "q_winsorize" -> """
+      WITH f AS (SELECT l_returnflag,
+          round(quantile_cont(l_extendedprice, 0.05), 2) AS lo,
+          round(quantile_cont(l_extendedprice, 0.95), 2) AS hi
+        FROM lineitem GROUP BY 1),
+        j AS (SELECT l.l_returnflag, l.l_extendedprice AS x, f.lo, f.hi
+          FROM lineitem l JOIN f USING (l_returnflag))
+      SELECT l_returnflag, count(*) AS n,
+        CAST(sum(CASE WHEN x < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+        CAST(sum(CASE WHEN x > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+        min(lo) AS lo, min(hi) AS hi,
+        CAST(sum(CAST(least(greatest(x, lo), hi) AS DECIMAL(28,2))) AS DOUBLE)
+          AS sum_winsorized
+      FROM j GROUP BY 1 ORDER BY 1""",
+
+    // Truncated EWMA: fixed-point 1e-8 integer weights interpolated from
+    // the engine's constant, so the convolution accumulates EXACTLY in
+    // BIGINT (order-independent — double accumulation strayed 1 ulp
+    // across round-6 at sf0.1) and divides by the scale once.
+    "q_ewma" -> s"""
+      WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+          count(*) AS n FROM events GROUP BY 1, 2),
+        w(k, w) AS (VALUES ${EventAnalytics.EwmaWeightsFixed.zipWithIndex
+          .map { case (wt, k) => s"($k, $wt)" }.mkString(", ")}),
+        fan AS (SELECT d.event_type, d.day + CAST(w.k AS INTEGER) AS day,
+            d.n * w.w AS c
+          FROM daily d CROSS JOIN w),
+        sm AS (SELECT event_type, day,
+            round(CAST(sum(c) AS DOUBLE) / 100000000.0, 6) AS ewma
+          FROM fan GROUP BY 1, 2)
+      SELECT d.event_type, d.day, d.n, s.ewma
+      FROM daily d JOIN sm s ON d.event_type = s.event_type AND d.day = s.day
+      ORDER BY d.event_type, d.day""",
+
     "q_l_diversity" -> """
       WITH q AS (SELECT c_custkey, c_nationkey, c_mktsegment,
           CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS band

@@ -169,8 +169,41 @@ object Profile {
       "event_type", "value")
       .orderBy("event_type")
 
+  /** Per-group winsorization (quantile clipping) — the feature-cleanup
+    * step ahead of normalization/training: values outside the group's
+    * [p05, p95] are clamped to the fence, not dropped (the outlier keys
+    * REPORT extremes; winsorize REPAIRS them).
+    *
+    * Determinism contract: fences are exact interpolated percentiles
+    * (percentile ↔ quantile_cont, the q_agg_percentile_exact pairing)
+    * ROUNDED to the data's own 2-decimal width before clamping, and the
+    * winsorized sum accumulates in DECIMAL — exact and summation-order-
+    * independent — then casts once to double. The fence frame is
+    * |groups| rows, joined broadcast by that bound (the centroid rule);
+    * clamping is map-only, so the whole operator is the two aggregates.
+    */
+  val qWinsorize: Q = (s, d) => {
+    val rows = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_extendedprice").as("x"))
+    val fences = rows.groupBy(col("l_returnflag"))
+      .agg(round(percentile(col("x"), lit(0.05)), 2).as("lo"),
+        round(percentile(col("x"), lit(0.95)), 2).as("hi"))
+    val w = least(greatest(col("x"), col("lo")), col("hi"))
+    rows.join(broadcast(fences), "l_returnflag")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("x") < col("lo"), 1L).otherwise(0L)).as("n_lo"),
+        sum(when(col("x") > col("hi"), 1L).otherwise(0L)).as("n_hi"),
+        first(col("lo")).as("lo"),
+        first(col("hi")).as("hi"),
+        sum(w.cast("decimal(28,2)")).cast("double").as("sum_winsorized"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_profile_corpus" -> qProfileCorpus,
     "q_dq_checks" -> qDqChecks,
-    "q_outlier_mad" -> qOutlierMad)
+    "q_outlier_mad" -> qOutlierMad,
+    "q_winsorize" -> qWinsorize)
 }

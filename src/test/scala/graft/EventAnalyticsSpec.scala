@@ -206,4 +206,38 @@ class EventAnalyticsSpec extends AnyFunSuite {
       assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-4, s"outflow of $from")
     }
   }
+
+  test("ewma: truncated convolution over observed days, gaps contribute nothing") {
+    import graft.engine.EventAnalytics._
+    // One type, counts 2/3/4 on Jan 1-3, gap on Jan 4, 5 on Jan 5.
+    val counts = Map(1 -> 2, 2 -> 3, 3 -> 4, 5 -> 5)
+    val evs = counts.toSeq.flatMap { case (day, n) =>
+      (1 to n).map(i => Event(day * 100L + i, 1L, "click",
+        ts(f"2024-01-0$day 12:00:00"), 1.0))
+    }
+    val got = run(evs, "q_ewma")
+      .collect().map(r => (r.getDate(1).toString, r.getLong(2), r.getDouble(3)))
+    def expected(day: Int): Double = {
+      val fixed = (0 until EwmaHorizon).map { k =>
+        counts.get(day - k).fold(0L)(_ * EwmaWeightsFixed(k))
+      }.sum
+      BigDecimal(fixed.toDouble / EwmaScale.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got.map(_._1).toSeq ==
+      Seq("2024-01-01", "2024-01-02", "2024-01-03", "2024-01-05"),
+      "only observed days are reported, in order")
+    got.foreach { case (day, n, ewma) =>
+      val d = day.takeRight(2).toInt
+      assert(n == counts(d).toLong)
+      assert(ewma == expected(d), s"day $d: $ewma != ${expected(d)}")
+    }
+    // Day 5's smoothing must skip the absent day 4 but still reach back
+    // to days 3/2/1 (k = 2/3/4) — the observed-day semantics.
+    assert(expected(5) > counts(5) * EwmaWeightsFixed(0).toDouble / EwmaScale)
+    // Weights are a proper normalized-geometric truncation: Σw < 1,
+    // tail mass below 1 %.
+    assert(EwmaWeightsFixed.sum < EwmaScale &&
+      EwmaWeightsFixed.sum > (EwmaScale * 0.99).toLong)
+  }
 }

@@ -109,4 +109,37 @@ class ProfileSpec extends AnyFunSuite {
     assert("Scan parquet".r.findAllIn(p2).size == 1, p2)
     assert(!p2.contains("Expand"))
   }
+
+  test("winsorize matches an independent in-JVM percentile/clip/decimal-sum") {
+    val data = Tables.lineitem(spark, TestSpark.sfDir)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    // Spark's exact percentile: rank = p(n−1), linear interpolation.
+    def pct(xs: Array[Double], p: Double): Double = {
+      val rank = p * (xs.length - 1)
+      val lo = rank.toInt
+      val frac = rank - lo
+      val v = if (lo + 1 < xs.length) xs(lo) + (xs(lo + 1) - xs(lo)) * frac
+              else xs(lo)
+      BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val got = SparkEntry.queries("q_winsorize")(spark, TestSpark.sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6))).toMap
+    assert(got.keySet == data.keySet)
+    data.foreach { case (flag, xs) =>
+      val (lo, hi) = (pct(xs, 0.05), pct(xs, 0.95))
+      val sum = xs.map(x => BigDecimal(math.min(math.max(x, lo), hi))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum
+      val (n, nLo, nHi, gLo, gHi, gSum) = got(flag)
+      assert(n == xs.length.toLong, s"$flag n")
+      assert(nLo == xs.count(_ < lo).toLong && nHi == xs.count(_ > hi).toLong,
+        s"$flag clip counts")
+      assert(gLo == lo && gHi == hi, s"$flag fences $gLo/$gHi != $lo/$hi")
+      assert(gSum == sum.toDouble, s"$flag sum")
+      assert(nLo > 0 && nHi > 0, s"$flag must actually clip at 5/95")
+    }
+  }
 }
