@@ -149,8 +149,8 @@ object EventAnalytics {
     * the final join keeps only real days and rides the same key as the
     * fan-in aggregate.
     */
-  val qEwma: Q = (s, d) => {
-    val daily = events(s, d)
+  private[graft] def smoothedDaily(ev: DataFrame): DataFrame = {
+    val daily = ev
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("n"))
     val wArr = array(EwmaWeightsFixed.map(lit): _*)
@@ -163,6 +163,34 @@ object EventAnalytics {
     val sm = fan.groupBy(col("event_type"), col("day"))
       .agg(round(sum(col("c")).cast("double") / lit(EwmaScale.toDouble), 6).as("ewma"))
     daily.join(sm, Seq("event_type", "day"))
+  }
+
+  val qEwma: Q = (s, d) =>
+    smoothedDaily(events(s, d)).orderBy("event_type", "day")
+
+  /** Volume-anomaly day flagging: each day's count against YESTERDAY'S
+    * smoothed level (lag of the EWMA — the day must not predict itself).
+    * The deviation ratio is computed on the already-rounded EWMA, so
+    * both engines divide identical doubles and the ±20 % flag never
+    * rides a summation ulp. The lag window partitions by event type and
+    * orders by day — a per-type series bounded by the calendar, never by
+    * corpus size (the time dimension doesn't scale with data volume; the
+    * per-day aggregation upstream did the corpus-sized work).
+    */
+  /** Thresholds as LITERAL doubles (not 1 ± band arithmetic): parsing
+    * "1.2" and computing 1 + 0.2 land on ADJACENT doubles, and the
+    * oracle parses. */
+  val AnomalyHi = 1.2
+  val AnomalyLo = 0.8
+  val qAnomalyDays: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("day"))
+    smoothedDaily(events(s, d))
+      .withColumn("ewma_prev", lag(col("ewma"), 1).over(w))
+      .where(col("ewma_prev").isNotNull)
+      .withColumn("ratio", round(col("n").cast("double") / col("ewma_prev"), 6))
+      .withColumn("anomaly",
+        col("ratio") > lit(AnomalyHi) || col("ratio") < lit(AnomalyLo))
       .orderBy("event_type", "day")
   }
 
@@ -171,6 +199,7 @@ object EventAnalytics {
     "q_cohort_retention" -> qCohortRetention,
     "q_dau_wau" -> qDauWau,
     "q_event_transitions" -> qEventTransitions,
-    "q_ewma" -> qEwma
+    "q_ewma" -> qEwma,
+    "q_anomaly_days" -> qAnomalyDays
   )
 }

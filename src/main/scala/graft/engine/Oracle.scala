@@ -2457,6 +2457,31 @@ object Oracle {
       FROM daily d JOIN sm s ON d.event_type = s.event_type AND d.day = s.day
       ORDER BY d.event_type, d.day""",
 
+    // Anomaly days: same smoothing chain, then each day vs the LAGGED
+    // EWMA — the ratio divides already-rounded values, so the ±20 % flag
+    // is ulp-proof by construction.
+    "q_anomaly_days" -> s"""
+      WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+          count(*) AS n FROM events GROUP BY 1, 2),
+        w(k, w) AS (VALUES ${EventAnalytics.EwmaWeightsFixed.zipWithIndex
+          .map { case (wt, k) => s"($k, $wt)" }.mkString(", ")}),
+        fan AS (SELECT d.event_type, d.day + CAST(w.k AS INTEGER) AS day,
+            d.n * w.w AS c
+          FROM daily d CROSS JOIN w),
+        sm AS (SELECT event_type, day,
+            round(CAST(sum(c) AS DOUBLE) / 100000000.0, 6) AS ewma
+          FROM fan GROUP BY 1, 2),
+        j AS (SELECT d.event_type, d.day, d.n, s.ewma,
+            lag(s.ewma) OVER (PARTITION BY d.event_type ORDER BY d.day)
+              AS ewma_prev
+          FROM daily d JOIN sm s ON d.event_type = s.event_type AND d.day = s.day)
+      SELECT event_type, day, n, ewma, ewma_prev,
+        round(n / ewma_prev, 6) AS ratio,
+        round(n / ewma_prev, 6) > 1.2 OR round(n / ewma_prev, 6) < 0.8
+          AS anomaly
+      FROM j WHERE ewma_prev IS NOT NULL
+      ORDER BY event_type, day""",
+
     "q_l_diversity" -> """
       WITH q AS (SELECT c_custkey, c_nationkey, c_mktsegment,
           CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS band
