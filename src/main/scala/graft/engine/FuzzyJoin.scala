@@ -183,7 +183,52 @@ object FuzzyJoin {
       .orderBy("probe", "rank")
   }
 
+  /** Jaro–Winkler linkage threshold: a one-char deletion of a 8–12-char
+    * name scores ≳ 0.93 while distinct same-brand names top out ~0.84
+    * (shared adjective prefix + Winkler boost) — 0.85 splits the bands.
+    */
+  val JwThreshold = 0.85
+
+  /** Similarity-scored entity matching with the JARO–WINKLER comparator
+    * (the record-linkage standard for short names, where edit distance
+    * over-penalizes transpositions): a corrupted feed of part names
+    * (deterministic one-char deletion keyed on p_partkey, replanted
+    * identically by the oracle) re-links to the catalog through
+    *
+    *   1. BLOCKING on the stable p_brand key — one shuffle equi-join,
+    *      never all-pairs (the Linkage.linkPairs discipline);
+    *   2. per-pair scoring by the codegen'd [[graft.functions
+    *      .GraftExpressions.jaroWinkler]] expression — map-only over the
+    *      candidate stream, validated value-for-value against DuckDB's
+    *      `jaro_winkler_similarity` BY the oracle compare itself (every
+    *      fixture pair, both SFs);
+    *   3. best-match-per-probe on the ROUNDED score (ties → lowest
+    *      catalog key), kept only above [[JwThreshold]].
+    *
+    * The per-probe window ranks one brand block (bounded by blocking-key
+    * selectivity, not corpus size); a skewed mega-brand would move to
+    * the bounded TopKAgg of [[qFuzzyMatchScaled]] unchanged.
+    */
+  val qFuzzyLinkage: Q = (s, d) => {
+    import graft.functions.GraftExpressions.jaroWinkler
+    val part = Tables.part(s, d)
+    val k0 = (col("p_partkey") % length(col("p_name"))).cast("int")
+    val feed = part.select(
+      col("p_partkey").as("f_key"), col("p_brand"),
+      concat(col("p_name").substr(lit(1), k0),
+        col("p_name").substr(k0 + lit(2), lit(10000))).as("f_name"))
+    val cat = part.select(col("p_partkey"), col("p_name"), col("p_brand"))
+    val w = Window.partitionBy(col("f_key")).orderBy(desc("score"), col("p_partkey"))
+    feed.join(cat, "p_brand")
+      .withColumn("score", round(jaroWinkler(col("f_name"), col("p_name")), 6))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1 && col("score") >= JwThreshold)
+      .select(col("f_key"), col("p_partkey").as("match_key"), col("score"))
+      .orderBy("f_key")
+  }
+
   val queries: Map[String, Q] = Map(
-    "q_fuzzy_match_scaled" -> qFuzzyMatchScaled
+    "q_fuzzy_match_scaled" -> qFuzzyMatchScaled,
+    "q_fuzzy_linkage" -> qFuzzyLinkage
   )
 }

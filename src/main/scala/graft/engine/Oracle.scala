@@ -2406,6 +2406,26 @@ object Oracle {
       FROM corners GROUP BY doc_id
       ORDER BY n_triangles DESC, doc_id""",
 
+    // Jaro-Winkler linkage: the corrupted feed replanted verbatim
+    // (one-char deletion at p_partkey % len), scored by DuckDB's OWN
+    // jaro_winkler_similarity — which therefore cross-validates the
+    // engine's codegen'd comparator on every fixture pair.
+    "q_fuzzy_linkage" -> """
+      WITH feed AS (SELECT p_partkey AS f_key, p_brand,
+          substr(p_name, 1, CAST(p_partkey % length(p_name) AS INTEGER))
+            || substr(p_name, CAST(p_partkey % length(p_name) AS INTEGER) + 2)
+            AS f_name
+        FROM part),
+        cand AS (SELECT f.f_key, c.p_partkey,
+            round(jaro_winkler_similarity(f.f_name, c.p_name), 6) AS score
+          FROM feed f JOIN part c USING (p_brand)),
+        ranked AS (SELECT f_key, p_partkey AS match_key, score,
+            row_number() OVER (PARTITION BY f_key
+              ORDER BY score DESC, p_partkey) AS rn
+          FROM cand)
+      SELECT f_key, match_key, score FROM ranked
+      WHERE rn = 1 AND score >= 0.85 ORDER BY f_key""",
+
     // k-anonymity under the suppression model: DuckDB's floor() returns
     // DOUBLE, so the band is cast back to BIGINT to match Spark's
     // integral floor; the census window and the release share one pass.

@@ -109,6 +109,14 @@ object GraftExpressions {
   def simhash64(text: Column): Column =
     ExpressionUtils.column(SimHash64(ExpressionUtils.expression(text)))
 
+  /** Jaro–Winkler similarity of two strings (codegen'd; DuckDB
+    * `jaro_winkler_similarity` semantics — see GraftOps.jaroWinkler).
+    * The per-pair hot path of probabilistic-linkage scoring.
+    */
+  def jaroWinkler(a: Column, b: Column, barrier: Boolean = false): Column =
+    ExpressionUtils.column(JaroWinkler(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b), barrier))
+
   /** Index of the nearest centroid (squared-L2 argmin, ties to the lowest
     * cell) for a double vector — centroids ride along as a flattened
     * k×dim model-state array, so cell assignment is a map-only projection
@@ -167,6 +175,63 @@ object GraftOps {
     var i = 0
     while (i + k <= n) { set.add(text.substring(i, i + k)); i += 1 }
     new GenericArrayData(set.toArray())
+  }
+
+  /** Jaro–Winkler similarity (Winkler 1990), the record-linkage string
+    * comparator: Jaro match-window counting with INTEGER-FLOORED
+    * transposition halving (t = ⌊out-of-order/2⌋ — the RapidFuzz/DuckDB
+    * convention; a fractional 0.5 here diverged on every odd-count pair,
+    * measured −0.015 on 'blu gear'/'blue gear'), then the common-prefix
+    * boost l·0.1·(1−j) for l ≤ 4, applied only above the 0.7 boost
+    * threshold — the semantics of DuckDB's `jaro_winkler_similarity`,
+    * which the oracle uses and thereby cross-validates on every fixture
+    * pair. Operates on UTF-16 code units (== code points for the
+    * fixtures' ASCII).
+    */
+  def jaroWinkler(ua: UTF8String, ub: UTF8String): Double = {
+    val a = ua.toString
+    val b = ub.toString
+    val la = a.length
+    val lb = b.length
+    if (la == 0 && lb == 0) return 1.0
+    if (la == 0 || lb == 0) return 0.0
+    val window = math.max(0, math.max(la, lb) / 2 - 1)
+    val aM = new Array[Boolean](la)
+    val bM = new Array[Boolean](lb)
+    var m = 0
+    var i = 0
+    while (i < la) {
+      val hi = math.min(lb - 1, i + window)
+      var j = math.max(0, i - window)
+      var found = false
+      while (j <= hi && !found) {
+        if (!bM(j) && a.charAt(i) == b.charAt(j)) {
+          aM(i) = true; bM(j) = true; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var half = 0
+    var k = 0
+    i = 0
+    while (i < la) {
+      if (aM(i)) {
+        while (!bM(k)) k += 1
+        if (a.charAt(i) != b.charAt(k)) half += 1
+        k += 1
+      }
+      i += 1
+    }
+    val md = m.toDouble
+    val t = (half / 2).toDouble
+    val j = (md / la + md / lb + (md - t) / md) / 3.0
+    if (j <= 0.7) return j
+    var l = 0
+    val maxL = math.min(4, math.min(la, lb))
+    while (l < maxL && a.charAt(l) == b.charAt(l)) l += 1
+    j + l * 0.1 * (1.0 - j)
   }
 
   /** Sign matrix for [[cosineLshSigs]], memoized per (nTables, bits, dim):
@@ -591,6 +656,28 @@ case class RollingFingerprint(child: Expression, k: Int)
 /** SimHash-64 of a string (GraftOps.simhash64) — codegen'd form used by
   * the simhash near-dup operator's signature pass.
   */
+/** Jaro–Winkler similarity — kernel in [[GraftOps.jaroWinkler]], shared
+  * by the interpreted and generated paths. `barrier`: see
+  * GraftExpressions (stops Catalyst duplicating the per-pair call into a
+  * pushed threshold filter).
+  */
+case class JaroWinkler(left: Expression, right: Expression,
+    barrier: Boolean = false) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override lazy val deterministic: Boolean = !barrier && children.forall(_.deterministic)
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GraftOps.jaroWinkler(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.GraftOps.jaroWinkler($a, $b);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
 

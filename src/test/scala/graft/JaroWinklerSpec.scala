@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import graft.functions.{GraftOps, GraftExpressions}
+
+/** Jaro–Winkler comparator contract. The oracle gate already
+  * cross-validates the kernel against DuckDB's jaro_winkler_similarity
+  * on every fixture pair; this spec pins the literature values, the
+  * convention corners (boost threshold, prefix cap, INTEGER transposition
+  * floor), and codegen/interpreted agreement.
+  */
+class JaroWinklerSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def jw(a: String, b: String): Double =
+    GraftOps.jaroWinkler(UTF8String.fromString(a), UTF8String.fromString(b))
+
+  private def near(x: Double, y: Double) = math.abs(x - y) < 1e-12
+
+  test("literature and DuckDB reference values") {
+    assert(near(jw("martha", "marhta"), 0.9611111111111111))
+    assert(near(jw("dixon", "dicksonx"), 0.8133333333333332))
+    assert(near(jw("duane", "dwayne"), 0.8400000000000001))
+    assert(near(jw("jellyfish", "smellyfish"), 0.8962962962962964))
+  }
+
+  test("boost threshold, prefix cap, and degenerate inputs") {
+    // jaro 0.7467 > 0.7 → boosted with l capped at 4: 0.848.
+    assert(near(jw("prefix", "prefixxxxxxxxxxxxxxxxxxxx"), 0.8480000000000001))
+    // jaro ≤ 0.7 → NO boost despite the shared prefix.
+    assert(near(jw("ab", "az"), 0.6666666666666666))
+    assert(near(jw("abcd", "abzz"), 0.6666666666666666))
+    assert(jw("", "") == 1.0 && jw("", "abc") == 0.0 && jw("a", "b") == 0.0)
+    assert(jw("same", "same") == 1.0)
+  }
+
+  test("transpositions floor to integers (the DuckDB/RapidFuzz convention)") {
+    // 'blu gear' vs 'blue gear': 3 out-of-order matches → t = 1, not 1.5.
+    assert(near(jw("blu gear", "blue gear"), 0.9449074074074074))
+  }
+
+  test("codegen path agrees with the interpreted kernel") {
+    val pairs = Seq(("martha", "marhta"), ("blu gear", "blue gear"),
+      ("small ring", "small gizmo"), ("red widget", "blue bolt"))
+    val got = pairs.toDF("a", "b")
+      .select(GraftExpressions.jaroWinkler(col("a"), col("b")))
+      .collect().map(_.getDouble(0))
+    pairs.map { case (a, b) => jw(a, b) }.zip(got).foreach { case (e, g) =>
+      assert(e == g)
+    }
+  }
+
+  test("fuzzy linkage re-links corrupted names to an identically-named part") {
+    val names = graft.engine.Tables.part(spark, TestSpark.sfDir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = SparkEntry.queries("q_fuzzy_linkage")(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty)
+    got.foreach { case (f, m, score) =>
+      assert(score >= graft.engine.FuzzyJoin.JwThreshold)
+      // Part names repeat (small adjective×noun vocabulary), so the
+      // correct-match criterion is NAME identity, with ties resolved to
+      // the lowest catalog key — which can differ from f itself.
+      assert(names(m) == names(f),
+        s"feed $f (${names(f)}) matched $m (${names(m)}) at $score")
+      assert(m <= f, "tie-break must pick the lowest identically-named key")
+    }
+  }
+}
