@@ -111,36 +111,36 @@ object Linkage {
   /** Golden-record construction (survivorship) — the step AFTER linkage:
     * each entity cluster's observations collapse to one record under
     * per-field rules: name by MODE (ties → lowest source priority among
-    * holders, then lexicographic — fully deterministic), balance by MAX
-    * (recency proxy for monotone fields), segment by SOURCE PRIORITY
+    * holders — fully deterministic with the 3-feed fan-in), balance by
+    * MAX (recency proxy for monotone fields), segment by SOURCE PRIORITY
     * with NULL fall-through.
     *
-    * Scale shape: the observation union is map-only; the mode census and
-    * the field aggregate are each ONE shuffle on the entity key, joined
-    * back entity-to-entity (same key — no extra repartitioning at scale
-    * if the cluster id is the table's bucket key). The per-entity window
-    * ranks only that entity's distinct candidate values (≤ sources), so
-    * no partition ever holds more than the observation fan-in.
+    * Scale shape: ONE shuffle on the entity key, total. The observations
+    * collect into a per-entity array BOUNDED by the source count (3 —
+    * the one place collect_list is safe by construction), sorted by
+    * priority in-row, and every field rule is then a scalar expression
+    * over that array: no census join, no window, no second aggregate —
+    * the two-aggregate + join formulation read the corpus 12× where this
+    * reads each feed once. The mode logic is specialized to the 3-feed
+    * contract (any 2-agreement wins, else the master), which IS the
+    * generic (count DESC, priority) rule at fan-in 3 — the oracle keeps
+    * the generic formulation and the hash gate pins the equivalence.
     */
   val qDedupSurvivorship: Q = (s, d) => {
-    import org.apache.spark.sql.expressions.Window
     val obs = observations(Tables.customer(s, d))
-    val byEntity = Window.partitionBy(col("c_custkey"))
-      .orderBy(desc("cnt"), col("mp"), col("c_name"))
-    val nameMode = obs.groupBy(col("c_custkey"), col("c_name"))
-      .agg(count(lit(1)).as("cnt"), min(col("prio")).as("mp"))
-      .withColumn("rn", row_number().over(byEntity))
-      .where(col("rn") === 1)
-      .select(col("c_custkey"), col("c_name").as("name"),
-        col("cnt").as("name_support"))
-    val fields = obs.groupBy(col("c_custkey"))
-      .agg(
-        max(col("c_acctbal")).as("acctbal"),
-        coalesce(
-          max(when(col("prio") === 1, col("c_mktsegment"))),
-          max(when(col("prio") === 2, col("c_mktsegment"))),
-          max(when(col("prio") === 3, col("c_mktsegment")))).as("mktsegment"))
-    nameMode.join(fields, "c_custkey").orderBy("c_custkey")
+    val chosen = "CASE WHEN o[1].c_name = o[2].c_name AND o[0].c_name <> o[1].c_name" +
+      " THEN o[1].c_name ELSE o[0].c_name END"
+    obs.groupBy(col("c_custkey"))
+      .agg(array_sort(collect_list(struct(col("prio"), col("c_name"),
+        col("c_acctbal"), col("c_mktsegment")))).as("o"))
+      .selectExpr(
+        "c_custkey",
+        s"$chosen AS name",
+        s"size(filter(o, x -> x.c_name = $chosen)) AS name_support",
+        "greatest(o[0].c_acctbal, o[1].c_acctbal, o[2].c_acctbal) AS acctbal",
+        "coalesce(o[0].c_mktsegment, o[1].c_mktsegment, o[2].c_mktsegment) AS mktsegment")
+      .withColumn("name_support", col("name_support").cast("long"))
+      .orderBy("c_custkey")
   }
 
   val queries: Map[String, Q] = Map(

@@ -63,7 +63,10 @@ object GraftSql {
         ArrayIntersectSize(a, b) }),
     ("graft_shingles", "graft_shingles(text, k) - distinct k-char shingles of a string",
       args => { val (t, k) = twoArgs("graft_shingles", args)
-        CharShingles(t, intLit("graft_shingles", k)) }))
+        CharShingles(t, intLit("graft_shingles", k)) }),
+    ("graft_jaro_winkler", "graft_jaro_winkler(a, b) - Jaro-Winkler similarity (DuckDB/RapidFuzz convention)",
+      args => { val (a, b) = twoArgs("graft_jaro_winkler", args)
+        JaroWinkler(a, b) }))
 
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo("graft.functions.GraftSql", null, name, usage, "")

@@ -102,6 +102,13 @@ object ScaleSmoke {
         // Small per-copy shift: distinct vectors, same cluster geometry.
         keyed.withColumn("embedding",
           transform(col("embedding"), x => x + lit((c % 97) * 1e-3f)))
+      case "part" if c > 0 =>
+        // Per-copy brand suffix: a real catalog grows by ADDING brands,
+        // not by multiplying each brand's shelf ×N — without this the
+        // brand-blocked keys (q_fuzzy_linkage) see blocks grow ×N and
+        // candidate pairs ×N², a quadratic the real corpus lacks (the
+        // documents-rotation argument on the blocking key).
+        keyed.withColumn("p_brand", concat(col("p_brand"), lit(s"#$c")))
       case _ => keyed
     }
   }
@@ -249,7 +256,7 @@ object ScaleSmoke {
     "q_ann_ivfpq", "q_skew_join", "q_skew_join_aqe", "q_curation_pipeline",
     "q_sessionize", "q_lm_score", "q_fuzzy_match_scaled",
     "q_boilerplate_strip", "q_graph_triangles", "q_inverted_index",
-    "q_pca_covariance")
+    "q_pca_covariance", "q_fuzzy_linkage", "q_k_anonymity")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SCALE_SMOKE_SRC", "/root/testdata/sf0.01")

@@ -82,12 +82,14 @@ class GraftSqlSpec extends AnyFunSuite {
         graft_fingerprint('abcdefghijklmnopqrstuvwxyz', 16) f,
         graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) d,
         graft_intersect_size(array('a','b'), array('b','c')) i,
-        size(graft_shingles('abcd', 3)) n
+        size(graft_shingles('abcd', 3)) n,
+        graft_jaro_winkler('martha', 'marhta') jw
     """).collect()(0)
     assert(r.getDouble(2) == 11.0)
     assert(r.getInt(3) == 1)
     assert(r.getInt(4) == 2)
     assert(r.getLong(0) == graft.functions.GraftOps.simhash64("a b c"))
     assert(r.getLong(1) == graft.functions.GraftOps.rollingFingerprint("abcdefghijklmnopqrstuvwxyz", 16))
+    assert(math.abs(r.getDouble(5) - 0.9611111111111111) < 1e-12)
   }
 }
