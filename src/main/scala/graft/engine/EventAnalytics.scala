@@ -149,10 +149,24 @@ object EventAnalytics {
     * the final join keeps only real days and rides the same key as the
     * fan-in aggregate.
     */
-  private[graft] def smoothedDaily(ev: DataFrame): DataFrame = {
-    val daily = ev
-      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+  /** The per-(type, day) count table — the ONLY corpus-scale aggregation
+    * of the smoothing family; everything downstream is calendar-bounded.
+    * Shared verbatim with the streaming face (Streams.dailyCountStream),
+    * where this same aggregation runs in update mode and the count table
+    * IS the state.
+    */
+  private[graft] def dailyCounts(ev: DataFrame): DataFrame =
+    ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("n"))
+
+  private[graft] def smoothedDaily(ev: DataFrame): DataFrame =
+    smoothFromDaily(dailyCounts(ev))
+
+  /** EWMA convolution over an existing daily-count frame — bounded by
+    * the calendar, so it runs identically over the batch aggregate or a
+    * streaming state snapshot (the parity spec feeds it both).
+    */
+  private[graft] def smoothFromDaily(daily: DataFrame): DataFrame = {
     val wArr = array(EwmaWeightsFixed.map(lit): _*)
     val fan = daily
       .select(col("event_type"), col("day"), col("n"),
@@ -182,17 +196,25 @@ object EventAnalytics {
     * oracle parses. */
   val AnomalyHi = 1.2
   val AnomalyLo = 0.8
-  val qAnomalyDays: Q = (s, d) => {
+
+  /** The full daily→smoothed→flagged derivation over a count frame —
+    * calendar-bounded, shared by the graded key and the streaming-state
+    * parity (the online monitor re-derives this over its count state
+    * each batch).
+    */
+  private[graft] def anomalyFromDaily(daily: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("event_type")).orderBy(col("day"))
-    smoothedDaily(events(s, d))
+    smoothFromDaily(daily)
       .withColumn("ewma_prev", lag(col("ewma"), 1).over(w))
       .where(col("ewma_prev").isNotNull)
       .withColumn("ratio", round(col("n").cast("double") / col("ewma_prev"), 6))
       .withColumn("anomaly",
         col("ratio") > lit(AnomalyHi) || col("ratio") < lit(AnomalyLo))
-      .orderBy("event_type", "day")
   }
+
+  val qAnomalyDays: Q = (s, d) =>
+    anomalyFromDaily(dailyCounts(events(s, d))).orderBy("event_type", "day")
 
   val queries: Map[String, Q] = Map(
     "q_funnel" -> qFunnel,

@@ -457,6 +457,21 @@ object Streams {
     }
   }
 
+  /** Streaming face of the volume monitor: the per-(type, day) count
+    * table maintained as an UPDATE-mode aggregation — the state IS
+    * EventAnalytics.dailyCounts (one shared transform), and n is
+    * strictly monotone per key, so the latest update per (type, day) is
+    * max(n) over the sink (the censusUpdates discipline). The EWMA
+    * convolution and anomaly flags are then a calendar-bounded
+    * DERIVATION over that state (EventAnalytics.anomalyFromDaily),
+    * re-run per batch by the monitor — never a corpus recompute, because
+    * the state already holds the corpus reduced to (type, day) counts.
+    * Two-batch parity with the batch q_anomaly_days spec'd in
+    * EventAnalyticsSpec.
+    */
+  def dailyCountStream(events: DataFrame): DataFrame =
+    graft.engine.EventAnalytics.dailyCounts(events)
+
   /** Transition changelog stream; count it per (from_type, to_type) for
     * the matrix.
     */

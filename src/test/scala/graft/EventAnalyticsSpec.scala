@@ -276,4 +276,47 @@ class EventAnalyticsSpec extends AnyFunSuite {
     // the truncated tail makes day 1's level low — assert directly.
     assert(got(3)._4 && got(5)._4, "spike and crash must flag")
   }
+
+  test("streaming daily-count state derives the batch anomaly report") {
+    import graft.engine.EventAnalytics
+    // A planted multi-type series across a two-batch seam, including a
+    // day whose count is SPLIT across the batches (the update-mode state
+    // must merge it before the derivation sees it).
+    val evs = Seq(
+      (1, "click", 8), (2, "click", 8), (3, "click", 30), (4, "click", 8),
+      (1, "view", 20), (2, "view", 4), (3, "view", 20)
+    ).flatMap { case (day, ty, n) =>
+      (1 to n).map(i => Event(day * 1000L + i, i.toLong, ty,
+        ts(f"2024-02-0$day 09:00:00"), 1.0))
+    }
+    val (b1, b2) = evs.splitAt(evs.size / 2)
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Event](spark)
+    val q = graft.streaming.Streams.dailyCountStream(ms.toDF())
+      .writeStream.outputMode("update").format("memory")
+      .queryName("daily_stream").start()
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    // Counts are monotone per (type, day): latest state = max(n).
+    // localCheckpoint: anomalyFromDaily self-joins its input, and the
+    // memory-sink view's attributes would otherwise conflict.
+    val state = spark.table("daily_stream")
+      .groupBy("event_type", "day").agg(max("n").as("n"))
+      .localCheckpoint()
+    val viaStream = EventAnalytics.anomalyFromDaily(state)
+      .collect().map(r => (r.getString(0), r.getDate(1).toString,
+        r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+        r.getBoolean(6))).toSet
+    val viaBatch = EventAnalytics.anomalyFromDaily(
+        EventAnalytics.dailyCounts(evs.toDF()))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString,
+        r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+        r.getBoolean(6))).toSet
+    assert(viaStream == viaBatch)
+    assert(viaStream.nonEmpty && viaStream.exists(_._7), "a flag must fire")
+    // The seam-split day must carry its MERGED count on both paths.
+    assert(viaStream.exists(r => r._1 == "click" && r._3 == 30L))
+  }
 }
