@@ -2406,6 +2406,24 @@ object Oracle {
       FROM corners GROUP BY doc_id
       ORDER BY n_triangles DESC, doc_id""",
 
+    // Batched k-NN: every 50th vector as query, exact cosine top-10 per
+    // query (the window-rank form — the engine's bounded TopKAgg must
+    // agree with it exactly under the (rounded sim DESC, id) order).
+    "q_knn_batch" -> """
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+        sims AS (SELECT q_id, vec_id,
+            round(list_dot_product(v, qv) /
+              (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6)
+              AS cos_sim
+          FROM e, q WHERE vec_id <> q_id),
+        ranked AS (SELECT q_id, vec_id, cos_sim,
+            CAST(row_number() OVER (PARTITION BY q_id
+              ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
+          FROM sims)
+      SELECT q_id, rank, vec_id, cos_sim FROM ranked WHERE rank <= 10
+      ORDER BY q_id, rank""",
+
     // Jaro-Winkler linkage: the corrupted feed replanted verbatim
     // (one-char deletion at p_partkey % len), scored by DuckDB's OWN
     // jaro_winkler_similarity — which therefore cross-validates the

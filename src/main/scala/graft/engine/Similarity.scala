@@ -112,10 +112,46 @@ object Similarity {
         round(element_at(col("v"), 1) / col("l2_norm"), 6).as("first_component"))
       .orderBy("vec_id")
 
+  /** Batched exact k-NN: top-k neighbors for EVERY query in a query set
+    * in one corpus pass — the many-queries form [[qCosineTopk]]'s single
+    * broadcast vector doesn't cover, and the ground-truth generator ANN
+    * recall is measured against.
+    *
+    * Scale shape: the query set (every 50th vector — a bounded panel by
+    * contract, like the fuzzy probe set) broadcasts; the corpus streams
+    * through ONE scan scoring |Q| pairs per row map-side; per-query
+    * top-k rides the bounded [[graft.functions.TopKAgg]], so the
+    * shuffle carries ≤ partitions·|Q|·k rows — never corpus·|Q| (the
+    * window-rank form would sort every scored pair). Ranking on the
+    * ROUNDED similarity with id tie-break keeps the cut deterministic
+    * and engine-independent.
+    */
+  val KnnK = 10
+  val KnnQueryStride = 50
+  val qKnnBatch: Q = (s, d) => {
+    val top = udaf(new graft.functions.TopKAgg(KnnK))
+    val e = embeddings(s, d)
+      .repartition(s.sessionState.conf.numShufflePartitions)
+      .select(col("vec_id"), vec(col("embedding")).as("v"))
+    val queries = e.where(col("vec_id") % KnnQueryStride === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    e.crossJoin(broadcast(queries))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosine(col("v"), col("qv")), 6).as("cos_sim"))
+      .groupBy(col("q_id"))
+      .agg(top(col("cos_sim"), col("vec_id")).as("topk"))
+      .select(col("q_id"), posexplode(col("topk")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col._2").as("vec_id"), col("col._1").as("cos_sim"))
+      .orderBy("q_id", "rank")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_cosine_topk" -> qCosineTopk,
     "q_ann_ivf" -> qAnnIvf,
     "q_similarity_join" -> qSimilarityJoin,
-    "q_vector_norm" -> qVectorNorm
+    "q_vector_norm" -> qVectorNorm,
+    "q_knn_batch" -> qKnnBatch
   )
 }

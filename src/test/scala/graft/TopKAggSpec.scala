@@ -49,4 +49,30 @@ class TopKAggSpec extends AnyFunSuite {
       .map(x => (x.getDouble(0), x.getLong(1)))
     assert(out == Seq((5.0, 10L), (5.0, 20L)))
   }
+
+  test("knn batch: every query's list is its true cosine top-k, self excluded") {
+    val vecs = Tables.embeddings(spark, TestSpark.sfDir)
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val got = SparkEntry.queries("q_knn_batch")(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    val queryIds = vecs.keys.filter(_ % graft.engine.Similarity.KnnQueryStride == 0)
+    assert(got.keySet == queryIds.toSet, "one list per panel query")
+    got.foreach { case (q, rows) =>
+      val truth = vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(vecs(q), v)) }
+        .sortBy { case (id, c) => (-c, id) }
+        .take(graft.engine.Similarity.KnnK)
+      val gotList = rows.sortBy(_._2).map(r => (r._3, r._4)).toSeq
+      assert(gotList == truth, s"query $q")
+      assert(rows.map(_._2).sorted.toSeq == (1L to rows.length), s"query $q ranks")
+    }
+  }
 }
