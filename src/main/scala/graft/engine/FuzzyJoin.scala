@@ -227,8 +227,40 @@ object FuzzyJoin {
       .orderBy("f_key")
   }
 
+  /** Self-join similarity threshold: high enough (0.92) that the
+    * [[graft.functions.JwLengthPruning]] length bound is non-vacuous
+    * (min ≥ 0.6·max) and the survivors are near-identical names.
+    */
+  val JwJoinTau = 0.92
+
+  /** Threshold similarity self-join — all same-brand name pairs with
+    * Jaro–Winkler ≥ τ. The graded face of the OPTIMIZER-RULE path:
+    * the filter is written as the naive `round(jw(a, b), 6) ≥ τ` and
+    * [[graft.functions.JwLengthPruning]] (registered on the live
+    * session here) injects the provable length-ratio prefilter in
+    * front of the comparator — results are identical BY THEOREM, which
+    * the oracle (no rule, DuckDB's own comparator) hash-checks; the
+    * plan-shape spec pins that the bound actually lands in the plan.
+    * Blocking on brand keeps the pair stream linear (one shuffle).
+    */
+  val qJwThresholdJoin: Q = (s, d) => {
+    import graft.functions.GraftExpressions.jaroWinkler
+    graft.functions.JwLengthPruning.ensure(s)
+    val p = Tables.part(s, d)
+    val a = p.select(col("p_partkey").as("a_key"), col("p_name").as("a_name"),
+      col("p_brand"))
+    val b = p.select(col("p_partkey").as("b_key"), col("p_name").as("b_name"),
+      col("p_brand"))
+    a.join(b, "p_brand").where(col("a_key") < col("b_key"))
+      .withColumn("jw", round(jaroWinkler(col("a_name"), col("b_name")), 6))
+      .where(col("jw") >= lit(JwJoinTau))
+      .select(col("a_key"), col("b_key"), col("jw"))
+      .orderBy("a_key", "b_key")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_fuzzy_match_scaled" -> qFuzzyMatchScaled,
-    "q_fuzzy_linkage" -> qFuzzyLinkage
+    "q_fuzzy_linkage" -> qFuzzyLinkage,
+    "q_jw_threshold_join" -> qJwThresholdJoin
   )
 }

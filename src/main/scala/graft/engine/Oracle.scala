@@ -2444,6 +2444,17 @@ object Oracle {
       SELECT f_key, match_key, score FROM ranked
       WHERE rn = 1 AND score >= 0.85 ORDER BY f_key""",
 
+    // Threshold similarity self-join: the oracle runs WITHOUT the
+    // engine's length-pruning optimizer rule — the hash match is the
+    // proof the injected bound never drops a qualifying pair.
+    "q_jw_threshold_join" -> """
+      SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+        round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+      FROM part a JOIN part b
+        ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+      WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.92
+      ORDER BY a_key, b_key""",
+
     // k-anonymity under the suppression model: DuckDB's floor() returns
     // DOUBLE, so the band is cast back to BIGINT to match Spark's
     // integral floor; the census window and the release share one pass.

@@ -659,10 +659,13 @@ case class RollingFingerprint(child: Expression, k: Int)
 /** Jaro–Winkler similarity — kernel in [[GraftOps.jaroWinkler]], shared
   * by the interpreted and generated paths. `barrier`: see
   * GraftExpressions (stops Catalyst duplicating the per-pair call into a
-  * pushed threshold filter).
+  * pushed threshold filter). `pruned` is a REWRITE MARKER, not a
+  * semantic flag: [[JwLengthPruning]] sets it on the copy it wraps so
+  * the to-fixpoint optimizer cannot re-inject the length bound — value
+  * and codegen are identical either way.
   */
 case class JaroWinkler(left: Expression, right: Expression,
-    barrier: Boolean = false) extends BinaryExpression {
+    barrier: Boolean = false, pruned: Boolean = false) extends BinaryExpression {
   override def dataType: DataType = DoubleType
 
   override lazy val deterministic: Boolean = !barrier && children.forall(_.deterministic)

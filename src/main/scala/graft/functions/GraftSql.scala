@@ -111,6 +111,8 @@ object GraftSql {
   * GraftExtensions)` or `--conf spark.sql.extensions=graft.functions.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftSql.injectInto(ext)
+    ext.injectOptimizerRule(_ => JwLengthPruning)
+  }
 }

@@ -53,6 +53,62 @@ class JaroWinklerSpec extends AnyFunSuite {
     }
   }
 
+  test("length-pruning rule lands in the optimized plan and changes nothing") {
+    import graft.engine.FuzzyJoin
+    val df = SparkEntry.queries("q_jw_threshold_join")(spark, TestSpark.sfDir)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("least(") && plan.contains("greatest("),
+      s"injected length bound missing from plan:\n$plan")
+    // Ground truth without any rule: brute-force the same blocked pairs
+    // in-JVM through the shared kernel.
+    val parts = graft.engine.Tables.part(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val expected = (for {
+      a <- parts; b <- parts
+      if a._3 == b._3 && a._1 < b._1
+      s = BigDecimal(jw(a._2, b._2)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if s >= FuzzyJoin.JwJoinTau
+    } yield (a._1, b._1, s)).toSet
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected, s"${got.size} vs ${expected.size}")
+    assert(expected.nonEmpty, "fixture must exercise the threshold join")
+  }
+
+  test("length bound is conservative: never excludes a qualifying pair") {
+    import graft.functions.JwLengthPruning
+    val f = JwLengthPruning.factor(graft.engine.FuzzyJoin.JwJoinTau)
+    assert(f > 0, "0.92 must yield a non-vacuous bound")
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abcdefg "
+    var checked = 0
+    (1 to 2000).foreach { _ =>
+      val a = Seq.fill(2 + rnd.nextInt(14))(alphabet(rnd.nextInt(alphabet.length))).mkString
+      // Random edit neighborhood: deletions/insertions/swaps of a.
+      val b = rnd.nextInt(3) match {
+        case 0 =>
+          val i = rnd.nextInt(a.length)
+          a.take(i) + a.drop(i + 1 + rnd.nextInt(3))
+        case 1 => a.patch(rnd.nextInt(a.length), Seq.fill(1 + rnd.nextInt(4))(
+          alphabet(rnd.nextInt(alphabet.length))).mkString, 0)
+        case 2 => a.reverse
+      }
+      if (b.nonEmpty && jw(a, b) >= graft.engine.FuzzyJoin.JwJoinTau - 1e-6) {
+        checked += 1
+        val (lo, hi) = (math.min(a.length, b.length), math.max(a.length, b.length))
+        assert(lo >= f * hi, s"bound dropped qualifying pair '$a' / '$b'")
+      }
+    }
+    assert(checked > 0, "neighborhood must produce qualifying pairs")
+  }
+
+  test("pruning rule is idempotent on its own output") {
+    import graft.functions.JwLengthPruning
+    val df = SparkEntry.queries("q_jw_threshold_join")(spark, TestSpark.sfDir)
+    val once = df.queryExecution.optimizedPlan
+    assert(JwLengthPruning(once).toString == once.toString,
+      "re-applying the rule must not re-inject the bound")
+  }
+
   test("fuzzy linkage re-links corrupted names to an identically-named part") {
     val names = graft.engine.Tables.part(spark, TestSpark.sfDir)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
