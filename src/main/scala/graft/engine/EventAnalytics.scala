@@ -216,12 +216,46 @@ object EventAnalytics {
   val qAnomalyDays: Q = (s, d) =>
     anomalyFromDaily(dailyCounts(events(s, d))).orderBy("event_type", "day")
 
+  /** Last-touch conversion attribution: each purchase credits the most
+    * recent view/click by the same user within the preceding 7 days
+    * (ties — simultaneous touches — to the highest event_id, so the
+    * credit is a deterministic function of the data).
+    *
+    * Scale shape: one shuffle equi-join on user_id between the two
+    * filtered event streams (both filters reach the scan); the in-window
+    * band predicate prunes the per-user pairs, and the per-purchase rank
+    * window holds only that purchase's in-horizon touches — bounded by a
+    * user's 7-day activity, never by the corpus. A bot-grade hot user
+    * would split by the Dedup.Salted discipline before the join.
+    */
+  val AttributionDays = 7
+  val qAttribution: Q = (s, d) => {
+    val ev = events(s, d)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+    val touches = ev.where(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("event_id").as("touch_id"),
+        col("event_type").as("touch_type"), col("ts").as("t_ts"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("purchase_id")).orderBy(desc("t_ts"), desc("touch_id"))
+    purchases.join(touches, "user_id")
+      .where(col("t_ts") < col("p_ts") &&
+        col("t_ts") >= col("p_ts") - expr(s"INTERVAL $AttributionDays DAYS"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("purchase_id"), col("user_id"), col("touch_id"),
+        col("touch_type"), col("t_ts"), col("p_ts"))
+      .orderBy("purchase_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_funnel" -> qFunnel,
     "q_cohort_retention" -> qCohortRetention,
     "q_dau_wau" -> qDauWau,
     "q_event_transitions" -> qEventTransitions,
     "q_ewma" -> qEwma,
-    "q_anomaly_days" -> qAnomalyDays
+    "q_anomaly_days" -> qAnomalyDays,
+    "q_attribution" -> qAttribution
   )
 }

@@ -2468,6 +2468,23 @@ object Oracle {
       SELECT c_custkey, c_nationkey, c_mktsegment, band, grp_n
       FROM g WHERE grp_n >= 5 ORDER BY c_custkey""",
 
+    // Last-touch attribution: per purchase, the latest view/click by the
+    // same user within the trailing 7 days, ties to the higher event_id.
+    "q_attribution" -> """
+      WITH p AS (SELECT user_id, event_id AS purchase_id, ts AS p_ts
+          FROM events WHERE event_type = 'purchase'),
+        t AS (SELECT user_id, event_id AS touch_id,
+            event_type AS touch_type, ts AS t_ts
+          FROM events WHERE event_type IN ('view', 'click')),
+        j AS (SELECT p.purchase_id, p.user_id, t.touch_id, t.touch_type,
+            t.t_ts, p.p_ts,
+            row_number() OVER (PARTITION BY p.purchase_id
+              ORDER BY t.t_ts DESC, t.touch_id DESC) AS rn
+          FROM p JOIN t ON p.user_id = t.user_id
+            AND t.t_ts < p.p_ts AND t.t_ts >= p.p_ts - INTERVAL 7 DAY)
+      SELECT purchase_id, user_id, touch_id, touch_type, t_ts, p_ts
+      FROM j WHERE rn = 1 ORDER BY purchase_id""",
+
     // Winsorization: fences are exact interpolated percentiles rounded
     // to the data's 2-decimal width (quantile_cont ↔ percentile, the
     // q_agg_percentile_exact pairing); the winsorized sum accumulates in

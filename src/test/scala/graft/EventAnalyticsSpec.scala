@@ -277,6 +277,28 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(got(3)._4 && got(5)._4, "spike and crash must flag")
   }
 
+  test("attribution credits the LAST in-horizon touch; ties to higher id") {
+    val evs = Seq(
+      // User 1: view then click then purchase → click (last touch) wins.
+      Event(10L, 1L, "view", ts("2024-03-01 10:00:00"), 1.0),
+      Event(11L, 1L, "click", ts("2024-03-02 10:00:00"), 1.0),
+      Event(12L, 1L, "purchase", ts("2024-03-03 10:00:00"), 1.0),
+      // User 2: only touch is 8 days old → outside horizon, no credit.
+      Event(20L, 2L, "view", ts("2024-03-01 10:00:00"), 1.0),
+      Event(21L, 2L, "purchase", ts("2024-03-09 11:00:00"), 1.0),
+      // User 3: two touches at the SAME instant → higher event_id wins.
+      Event(30L, 3L, "view", ts("2024-03-05 09:00:00"), 1.0),
+      Event(31L, 3L, "click", ts("2024-03-05 09:00:00"), 1.0),
+      Event(32L, 3L, "purchase", ts("2024-03-05 10:00:00"), 1.0),
+      // User 4: touch AFTER the purchase, and a signup (never a touch).
+      Event(40L, 4L, "signup", ts("2024-03-04 09:00:00"), 1.0),
+      Event(41L, 4L, "purchase", ts("2024-03-04 10:00:00"), 1.0),
+      Event(42L, 4L, "view", ts("2024-03-04 11:00:00"), 1.0))
+    val got = run(evs, "q_attribution")
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(got == Map(12L -> (11L, "click"), 32L -> (31L, "click")))
+  }
+
   test("streaming daily-count state derives the batch anomaly report") {
     import graft.engine.EventAnalytics
     // A planted multi-type series across a two-batch seam, including a
