@@ -229,8 +229,7 @@ object EventAnalytics {
     * would split by the Dedup.Salted discipline before the join.
     */
   val AttributionDays = 7
-  val qAttribution: Q = (s, d) => {
-    val ev = events(s, d)
+  private[graft] def attribution(ev: DataFrame): DataFrame = {
     val purchases = ev.where(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("purchase_id"),
         col("ts").as("p_ts"))
@@ -248,6 +247,8 @@ object EventAnalytics {
         col("touch_type"), col("t_ts"), col("p_ts"))
       .orderBy("purchase_id")
   }
+
+  val qAttribution: Q = (s, d) => attribution(events(s, d))
 
   val queries: Map[String, Q] = Map(
     "q_funnel" -> qFunnel,

@@ -472,6 +472,73 @@ object Streams {
   def dailyCountStream(events: DataFrame): DataFrame =
     graft.engine.EventAnalytics.dailyCounts(events)
 
+  /** One attribution credit: a purchase resolved to its last in-horizon
+    * touch (the streaming face's output row ≡ the batch key's row).
+    */
+  case class AttributionRow(purchase_id: Long, user_id: Long, touch_id: Long,
+      touch_type: String, t_ts: java.sql.Timestamp, p_ts: java.sql.Timestamp)
+
+  /** Streaming face of last-touch attribution (EventAnalytics
+    * .qAttribution): per-user state is ONE value — the most recent
+    * touch (id, type, second-faithful ts) — replaced as views/clicks
+    * arrive; a purchase reads it, checks strict-before + the 7-day
+    * horizon, and emits at most one credit. Within a micro-batch a
+    * key's rows process in the batch twin's (ts, event_id) total order;
+    * across batches arrival must respect event time (the R5 watermark
+    * contract — late touches lose, exactly like every stateful face
+    * here). Constant state per user vs the batch join's per-window
+    * candidate set — the online rendering. Two-batch seam parity spec'd
+    * in EventAnalyticsSpec.
+    */
+  class AttributionProcessor
+      extends StatefulProcessor[Long, Event, AttributionRow] {
+    // (touch_id, touch_type, epoch_seconds, nanos)
+    @transient private var touch:
+      org.apache.spark.sql.streaming.ValueState[(Long, String, Long, Int)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      touch = getHandle.getValueState[(Long, String, Long, Int)]("touch",
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, String, Long, Int)](),
+        TTLConfig.NONE)
+
+    private def order(e: Event) = (e.ts.getTime / 1000, e.ts.getNanos, e.event_id)
+    private def totalNanos(sec: Long, ns: Int) = sec * 1000000000L + ns
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[AttributionRow] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[AttributionRow]
+      rows.toSeq.sortBy(order).foreach { e =>
+        val (sec, ns) = (e.ts.getTime / 1000, e.ts.getNanos)
+        e.event_type match {
+          case "view" | "click" =>
+            val replace = !touch.exists() || {
+              val (id, _, s0, n0) = touch.get()
+              Ordering[(Long, Int, Long)].lt((s0, n0, id), (sec, ns, e.event_id))
+            }
+            if (replace) touch.update((e.event_id, e.event_type, sec, ns))
+          case "purchase" if touch.exists() =>
+            val (tid, tty, ts0, tn0) = touch.get()
+            val t = totalNanos(ts0, tn0)
+            val p = totalNanos(sec, ns)
+            if (t < p && t >= p - 7L * 86400 * 1000000000L) {
+              val tts = new java.sql.Timestamp(ts0 * 1000)
+              tts.setNanos(tn0)
+              out += AttributionRow(e.event_id, key, tid, tty, tts, e.ts)
+            }
+          case _ => ()
+        }
+      }
+      out.iterator
+    }
+  }
+
+  /** Attribution credits as an append stream, keyed per user. */
+  def attributionStream(events: Dataset[Event]): Dataset[AttributionRow] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new AttributionProcessor, TimeMode.None(), OutputMode.Append())
+  }
+
   /** Transition changelog stream; count it per (from_type, to_type) for
     * the matrix.
     */

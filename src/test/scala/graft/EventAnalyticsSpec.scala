@@ -299,6 +299,45 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(got == Map(12L -> (11L, "click"), 32L -> (31L, "click")))
   }
 
+  test("streaming attribution: one-touch state equals the batch band join") {
+    // Multi-user interleaved series with repeat purchases, a same-instant
+    // tie, an out-of-horizon touch, and touches that arrive in the FIRST
+    // batch for purchases in the SECOND (the state must carry them over
+    // the seam).
+    val evs = Seq(
+      Event(1L, 1L, "view", ts("2024-03-01 10:00:00"), 1.0),
+      Event(2L, 2L, "click", ts("2024-03-01 11:00:00"), 1.0),
+      Event(3L, 1L, "click", ts("2024-03-02 10:00:00"), 1.0),
+      Event(4L, 3L, "view", ts("2024-03-02 12:00:00"), 1.0),
+      Event(5L, 3L, "click", ts("2024-03-02 12:00:00"), 1.0), // tie with 4
+      Event(6L, 2L, "purchase", ts("2024-03-03 09:00:00"), 1.0),
+      // ---- batch seam ----
+      Event(7L, 1L, "purchase", ts("2024-03-04 10:00:00"), 1.0),
+      Event(8L, 3L, "purchase", ts("2024-03-05 10:00:00"), 1.0),
+      Event(9L, 1L, "purchase", ts("2024-03-05 11:00:00"), 1.0), // same touch twice
+      Event(10L, 2L, "purchase", ts("2024-03-12 12:00:00"), 1.0)) // >7d: no credit
+    val (b1, b2) = evs.splitAt(6)
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Event](spark)
+    val q = graft.streaming.Streams.attributionStream(ms.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("attr_stream").start()
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getTimestamp(4), r.getTimestamp(5))).toSet
+    val streamed = rows(spark.table("attr_stream"))
+    val batch = rows(graft.engine.EventAnalytics.attribution(evs.toDF())
+      .select("purchase_id", "user_id", "touch_id", "touch_type", "t_ts", "p_ts"))
+    assert(streamed == batch, s"streamed $streamed\nbatch $batch")
+    // The scenario must exercise every corner it plants.
+    assert(batch.map(_._1) == Set(6L, 7L, 8L, 9L))
+    assert(batch.find(_._1 == 8L).get._3 == 5L, "tie must credit higher id")
+  }
+
   test("streaming daily-count state derives the batch anomaly report") {
     import graft.engine.EventAnalytics
     // A planted multi-type series across a two-batch seam, including a
