@@ -250,6 +250,33 @@ object EventAnalytics {
 
   val qAttribution: Q = (s, d) => attribution(events(s, d))
 
+  /** Linear (equal-credit) multi-touch attribution — the sibling model:
+    * every in-horizon touch of a purchase shares the credit 1/n. Same
+    * user-keyed band join as the last-touch key; the per-purchase count
+    * window is bounded by a user's horizon activity. The share divides
+    * 1 by an exact integer, so every credit is a single deterministic
+    * expression.
+    */
+  val qAttributionLinear: Q = (s, d) => {
+    val ev = events(s, d)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+    val touches = ev.where(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("event_id").as("touch_id"),
+        col("event_type").as("touch_type"), col("ts").as("t_ts"))
+    val byPurchase = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("purchase_id"))
+    purchases.join(touches, "user_id")
+      .where(col("t_ts") < col("p_ts") &&
+        col("t_ts") >= col("p_ts") - expr(s"INTERVAL $AttributionDays DAYS"))
+      .withColumn("n_touches", count(lit(1)).over(byPurchase))
+      .select(col("purchase_id"), col("user_id"), col("touch_id"),
+        col("touch_type"), col("n_touches"),
+        round(lit(1.0) / col("n_touches"), 6).as("credit"))
+      .orderBy("purchase_id", "touch_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_funnel" -> qFunnel,
     "q_cohort_retention" -> qCohortRetention,
@@ -257,6 +284,7 @@ object EventAnalytics {
     "q_event_transitions" -> qEventTransitions,
     "q_ewma" -> qEwma,
     "q_anomaly_days" -> qAnomalyDays,
-    "q_attribution" -> qAttribution
+    "q_attribution" -> qAttribution,
+    "q_attribution_linear" -> qAttributionLinear
   )
 }

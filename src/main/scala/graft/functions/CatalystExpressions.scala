@@ -189,8 +189,61 @@ object GraftOps {
     * fixtures' ASCII).
     */
   def jaroWinkler(ua: UTF8String, ub: UTF8String): Double = {
-    val a = ua.toString
-    val b = ub.toString
+    // ASCII fast path (numBytes == numChars ⇒ every byte is a code
+    // point): compare raw bytes in place — the generic path's two
+    // String materializations dominated the 16M-pair hot loop of the
+    // brand-blocked keys at sf0.1.
+    val la = ua.numChars()
+    val lb = ub.numChars()
+    if (la == ua.numBytes() && lb == ub.numBytes()) jaroWinklerAscii(ua, ub)
+    else jaroWinklerChars(ua.toString, ub.toString)
+  }
+
+  private def jaroWinklerAscii(ua: UTF8String, ub: UTF8String): Double = {
+    val la = ua.numBytes()
+    val lb = ub.numBytes()
+    if (la == 0 && lb == 0) return 1.0
+    if (la == 0 || lb == 0) return 0.0
+    val window = math.max(0, math.max(la, lb) / 2 - 1)
+    val aM = new Array[Boolean](la)
+    val bM = new Array[Boolean](lb)
+    var m = 0
+    var i = 0
+    while (i < la) {
+      val hi = math.min(lb - 1, i + window)
+      var j = math.max(0, i - window)
+      var found = false
+      while (j <= hi && !found) {
+        if (!bM(j) && ua.getByte(i) == ub.getByte(j)) {
+          aM(i) = true; bM(j) = true; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var half = 0
+    var k = 0
+    i = 0
+    while (i < la) {
+      if (aM(i)) {
+        while (!bM(k)) k += 1
+        if (ua.getByte(i) != ub.getByte(k)) half += 1
+        k += 1
+      }
+      i += 1
+    }
+    val md = m.toDouble
+    val t = (half / 2).toDouble
+    val j = (md / la + md / lb + (md - t) / md) / 3.0
+    if (j <= 0.7) return j
+    var l = 0
+    val maxL = math.min(4, math.min(la, lb))
+    while (l < maxL && ua.getByte(l) == ub.getByte(l)) l += 1
+    j + l * 0.1 * (1.0 - j)
+  }
+
+  private def jaroWinklerChars(a: String, b: String): Double = {
     val la = a.length
     val lb = b.length
     if (la == 0 && lb == 0) return 1.0
