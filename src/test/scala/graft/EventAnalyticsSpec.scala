@@ -299,6 +299,22 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(got == Map(12L -> (11L, "click"), 32L -> (31L, "click")))
   }
 
+  test("linear attribution splits credit equally across in-horizon touches") {
+    val evs = Seq(
+      Event(1L, 1L, "view", ts("2024-03-01 10:00:00"), 1.0),
+      Event(2L, 1L, "click", ts("2024-03-02 10:00:00"), 1.0),
+      Event(3L, 1L, "view", ts("2024-03-20 10:00:00"), 1.0), // out of horizon
+      Event(4L, 1L, "purchase", ts("2024-03-03 09:00:00"), 1.0),
+      Event(5L, 2L, "purchase", ts("2024-03-03 09:00:00"), 1.0)) // no touches
+    val got = run(evs, "q_attribution_linear")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(4), r.getDouble(5)))
+    assert(got.map(_._1).toSet == Set(4L), "only the touched purchase appears")
+    assert(got.map(_._2).toSet == Set(1L, 2L))
+    got.foreach { case (_, _, n, credit) =>
+      assert(n == 2L && credit == 0.5)
+    }
+  }
+
   test("streaming attribution: one-touch state equals the batch band join") {
     // Multi-user interleaved series with repeat purchases, a same-instant
     // tie, an out-of-horizon touch, and touches that arrive in the FIRST

@@ -142,4 +142,39 @@ class ProfileSpec extends AnyFunSuite {
       assert(nLo > 0 && nHi > 0, s"$flag must actually clip at 5/95")
     }
   }
+
+  test("fd violations: witness pair is real and the flag tracks distinctness") {
+    val parts = Tables.part(spark, TestSpark.sfDir)
+      .collect().map(r => r.getString(2) -> r.getString(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val got = SparkEntry.queries("q_fd_violations")(spark, TestSpark.sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getString(4), r.getBoolean(5)))
+      .toMap
+    assert(got.keySet == parts.keySet)
+    got.foreach { case (brand, (n, nd, lo, hi, v)) =>
+      val names = parts(brand)
+      assert(n == names.length.toLong && nd == names.distinct.length.toLong)
+      assert(lo == names.min && hi == names.max)
+      assert(v == (nd > 1))
+    }
+    assert(got.values.exists(_._5), "the brand→name FD must actually be violated")
+  }
+
+  test("benford: digit census is exact, shares sum to 1, terms non-negative") {
+    val digits = Tables.orders(spark, TestSpark.sfDir)
+      .collect().map(r => math.round(r.getDouble(3) * 100).toString.head.asDigit)
+    val got = SparkEntry.queries("q_benford")(spark, TestSpark.sfDir)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val truth = digits.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got.keySet == truth.keySet && got.keySet.subsetOf((1 to 9).toSet))
+    got.foreach { case (d, (n, share, exp, chi)) =>
+      assert(n == truth(d), s"digit $d")
+      assert(chi >= 0 && exp > 0 && share > 0)
+    }
+    assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-4, "shares sum to 1")
+    // Expected shares are the Benford distribution, which itself sums to 1.
+    assert(math.abs(Profile.BenfordExp.map(_._2).sum - 1.0) < 1e-12)
+  }
 }
