@@ -2527,6 +2527,22 @@ object Oracle {
       FROM counts c CROSS JOIN t JOIN ed e ON c.digit = e.digit
       ORDER BY c.digit""",
 
+    // Equi-depth histogram: the winsorize fence discipline ×9, bucket
+    // by comparison count on identical rounded fences.
+    "q_histogram_equidepth" -> s"""
+      WITH f AS (SELECT l_returnflag,
+          ${(1 to 9).map(i =>
+            s"round(quantile_cont(l_extendedprice, 0.$i), 2) AS f$i")
+            .mkString(",\n          ")}
+        FROM lineitem GROUP BY 1),
+        j AS (SELECT l.l_returnflag,
+            1 + ${(1 to 9).map(i =>
+              s"(CASE WHEN l.l_extendedprice > f.f$i THEN 1 ELSE 0 END)")
+              .mkString(" + ")} AS bucket
+          FROM lineitem l JOIN f USING (l_returnflag))
+      SELECT l_returnflag, bucket, count(*) AS n
+      FROM j GROUP BY 1, 2 ORDER BY 1, 2""",
+
     // Winsorization: fences are exact interpolated percentiles rounded
     // to the data's 2-decimal width (quantile_cont ↔ percentile, the
     // q_agg_percentile_exact pairing); the winsorized sum accumulates in

@@ -201,6 +201,32 @@ object Profile {
       .orderBy("l_returnflag")
   }
 
+  /** Equi-depth (decile) histogram per group — the distribution summary
+    * CBO histograms and drift monitors consume, and the companion of
+    * [[qWinsorize]]: exact decile fences rounded to the data's 2-decimal
+    * width (the same percentile ↔ quantile_cont pairing), then bucket
+    * assignment as the map-only rank-by-comparison 1 + Σᵢ(x > fᵢ) —
+    * ties at a fence all land on the same side in both engines because
+    * the comparisons run on identical rounded doubles. The fence frame
+    * is |groups| rows (broadcast by that bound); the corpus-scale work
+    * is the two aggregates.
+    */
+  val qHistogramEquidepth: Q = (s, d) => {
+    val rows = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_extendedprice").as("x"))
+    val fenceCols = (1 to 9).map(i =>
+      round(percentile(col("x"), lit(i / 10.0)), 2).as(s"f$i"))
+    val fences = rows.groupBy(col("l_returnflag"))
+      .agg(fenceCols.head, fenceCols.tail: _*)
+    val bucket = (1 to 9).map(i =>
+      when(col("x") > col(s"f$i"), 1).otherwise(0)).reduce(_ + _) + 1
+    rows.join(broadcast(fences), "l_returnflag")
+      .withColumn("bucket", bucket)
+      .groupBy(col("l_returnflag"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "bucket")
+  }
+
   /** Functional-dependency violation report for a DECLARED candidate FD
     * (here brand → name, deliberately violated by the catalog): per
     * determinant value, the dependent's distinct count and the witness
@@ -257,5 +283,6 @@ object Profile {
     "q_outlier_mad" -> qOutlierMad,
     "q_winsorize" -> qWinsorize,
     "q_fd_violations" -> qFdViolations,
-    "q_benford" -> qBenford)
+    "q_benford" -> qBenford,
+    "q_histogram_equidepth" -> qHistogramEquidepth)
 }

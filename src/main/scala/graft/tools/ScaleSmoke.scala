@@ -256,7 +256,8 @@ object ScaleSmoke {
     "q_ann_ivfpq", "q_skew_join", "q_skew_join_aqe", "q_curation_pipeline",
     "q_sessionize", "q_lm_score", "q_fuzzy_match_scaled",
     "q_boilerplate_strip", "q_graph_triangles", "q_inverted_index",
-    "q_pca_covariance", "q_fuzzy_linkage", "q_k_anonymity")
+    "q_pca_covariance", "q_fuzzy_linkage", "q_k_anonymity",
+    "q_jw_threshold_join")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SCALE_SMOKE_SRC", "/root/testdata/sf0.01")

@@ -143,6 +143,25 @@ class ProfileSpec extends AnyFunSuite {
     }
   }
 
+  test("equi-depth histogram: 10 near-equal buckets that partition each group") {
+    val sizes = Tables.lineitem(spark, TestSpark.sfDir)
+      .collect().map(r => r.getString(8)).groupBy(identity).view.mapValues(_.length).toMap
+    val got = SparkEntry.queries("q_histogram_equidepth")(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1)
+    assert(got.keySet == sizes.keySet)
+    got.foreach { case (flag, rows) =>
+      assert(rows.map(_._3).sum == sizes(flag).toLong, s"$flag partition")
+      assert(rows.map(_._2).toSet.subsetOf((1 to 10).toSet), s"$flag buckets")
+      // Equi-depth: with 2-decimal ties the buckets cannot be exactly
+      // n/10, but no bucket should stray past 2x the ideal depth.
+      val ideal = sizes(flag) / 10.0
+      rows.foreach { case (_, b, n) =>
+        assert(n <= ideal * 2 + 1, s"$flag bucket $b depth $n vs ideal $ideal")
+      }
+    }
+  }
+
   test("fd violations: witness pair is real and the flag tracks distinctness") {
     val parts = Tables.part(spark, TestSpark.sfDir)
       .collect().map(r => r.getString(2) -> r.getString(1))
