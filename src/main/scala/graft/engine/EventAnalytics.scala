@@ -72,6 +72,25 @@ object EventAnalytics {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** Normalized retention curve — the percentage rendering of the
+    * cohort triangle dashboards actually plot: each (cohort, offset)
+    * cell divided by its cohort's day-0 size (every user is active on
+    * their own first-seen day, so the offset-0 cell IS the cohort size
+    * — no second aggregate; the division joins cohort-keyed frames on
+    * the key they already share). Rates divide two exact integers.
+    */
+  val qRetentionCurve: Q = (s, d) => {
+    val tri = qCohortRetention(s, d)
+    val size = tri.where(col("day_offset") === 0)
+      .select(col("cohort_day"), col("n_users").as("cohort_size"))
+    tri.join(size, "cohort_day")
+      .select(col("cohort_day"), col("day_offset"), col("n_users"),
+        col("cohort_size"),
+        round(col("n_users").cast("double") / col("cohort_size"), 6)
+          .as("retention"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   /** DAU/WAU engagement report: per day, the distinct actives that day,
     * the distinct actives over the trailing 7 days, and the stickiness
     * ratio. A DISTINCT count cannot ride a sliding window aggregate
@@ -280,6 +299,7 @@ object EventAnalytics {
   val queries: Map[String, Q] = Map(
     "q_funnel" -> qFunnel,
     "q_cohort_retention" -> qCohortRetention,
+    "q_retention_curve" -> qRetentionCurve,
     "q_dau_wau" -> qDauWau,
     "q_event_transitions" -> qEventTransitions,
     "q_ewma" -> qEwma,

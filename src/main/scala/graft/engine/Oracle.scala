@@ -2485,6 +2485,25 @@ object Oracle {
       SELECT purchase_id, user_id, touch_id, touch_type, t_ts, p_ts
       FROM j WHERE rn = 1 ORDER BY purchase_id""",
 
+    // Retention curve: the triangle normalized by the offset-0 cell
+    // (every user is active on their own first day, so it IS the
+    // cohort size).
+    "q_retention_curve" -> """
+      WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        c AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id),
+        o AS (SELECT DISTINCT c.cohort_day, ev.user_id,
+            datediff('day', c.cohort_day, ev.day) AS day_offset
+          FROM ev JOIN c ON ev.user_id = c.user_id
+          WHERE datediff('day', c.cohort_day, ev.day) <= 14),
+        tri AS (SELECT cohort_day, day_offset, count(*) AS n_users
+          FROM o GROUP BY cohort_day, day_offset),
+        sz AS (SELECT cohort_day, n_users AS cohort_size FROM tri
+          WHERE day_offset = 0)
+      SELECT t.cohort_day, t.day_offset, t.n_users, s.cohort_size,
+        round(CAST(t.n_users AS DOUBLE) / s.cohort_size, 6) AS retention
+      FROM tri t JOIN sz s ON t.cohort_day = s.cohort_day
+      ORDER BY t.cohort_day, t.day_offset""",
+
     "q_attribution_linear" -> """
       WITH p AS (SELECT user_id, event_id AS purchase_id, ts AS p_ts
           FROM events WHERE event_type = 'purchase'),

@@ -214,10 +214,13 @@ object Profile {
   val qHistogramEquidepth: Q = (s, d) => {
     val rows = Tables.lineitem(s, d)
       .select(col("l_returnflag"), col("l_extendedprice").as("x"))
-    val fenceCols = (1 to 9).map(i =>
-      round(percentile(col("x"), lit(i / 10.0)), 2).as(s"f$i"))
+    // ONE array-percentile call: nine scalar percentile() aggs each
+    // buffer + sort the group independently (measured 8.2 s at sf0.1);
+    // the array form pays the buffer once and interpolates nine times.
     val fences = rows.groupBy(col("l_returnflag"))
-      .agg(fenceCols.head, fenceCols.tail: _*)
+      .agg(percentile(col("x"), lit((1 to 9).map(_ / 10.0).toArray)).as("fs"))
+      .select(col("l_returnflag") +:
+        (1 to 9).map(i => round(element_at(col("fs"), i), 2).as(s"f$i")): _*)
     val bucket = (1 to 9).map(i =>
       when(col("x") > col(s"f$i"), 1).otherwise(0)).reduce(_ + _) + 1
     rows.join(broadcast(fences), "l_returnflag")

@@ -299,6 +299,22 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(got == Map(12L -> (11L, "click"), 32L -> (31L, "click")))
   }
 
+  test("retention curve: offset-0 is exactly 1.0 and rates never exceed it") {
+    val got = SparkEntry.queries("q_retention_curve")(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.nonEmpty)
+    got.foreach { case (cd, off, n, size, rate) =>
+      if (off == 0L) assert(n == size && rate == 1.0, s"$cd day-0")
+      assert(rate > 0 && rate <= 1.0 && n <= size, s"$cd offset $off")
+      val exp = BigDecimal(n.toDouble / size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(rate == exp, s"$cd offset $off rate")
+    }
+    assert(got.exists(r => r._2 > 0 && r._5 < 1.0),
+      "fixture must exercise decayed retention")
+  }
+
   test("linear attribution splits credit equally across in-horizon touches") {
     val evs = Seq(
       Event(1L, 1L, "view", ts("2024-03-01 10:00:00"), 1.0),
