@@ -2411,7 +2411,8 @@ object Oracle {
     // agree with it exactly under the (rounded sim DESC, id) order).
     "q_knn_batch" -> """
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
-        q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+        q AS (SELECT vec_id AS q_id, v AS qv FROM e
+          WHERE vec_id % 50 = 0 AND vec_id < 1600),
         sims AS (SELECT q_id, vec_id,
             round(list_dot_product(v, qv) /
               (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6)

@@ -117,8 +117,9 @@ object Similarity {
     * broadcast vector doesn't cover, and the ground-truth generator ANN
     * recall is measured against.
     *
-    * Scale shape: the query set (every 50th vector — a bounded panel by
-    * contract, like the fuzzy probe set) broadcasts; the corpus streams
+    * Scale shape: the query set (stride ids below a HARD cap —
+    * |Q| ≤ [[KnnPanelCap]] enforced in the predicate, not by contract)
+    * broadcasts; the corpus streams
     * through ONE scan scoring |Q| pairs per row map-side; per-query
     * top-k rides the bounded [[graft.functions.TopKAgg]], so the
     * shuffle carries ≤ partitions·|Q|·k rows — never corpus·|Q| (the
@@ -128,12 +129,22 @@ object Similarity {
     */
   val KnnK = 10
   val KnnQueryStride = 50
+  /** Hard bound on the broadcast query panel: |Q| ≤ 32 at ANY scale. */
+  val KnnPanelCap = 32
   val qKnnBatch: Q = (s, d) => {
     val top = udaf(new graft.functions.TopKAgg(KnnK))
     val e = embeddings(s, d)
       .repartition(s.sessionState.conf.numShufflePartitions)
       .select(col("vec_id"), vec(col("embedding")).as("v"))
-    val queries = e.where(col("vec_id") % KnnQueryStride === 0)
+    // Panel = stride ids BELOW the cap: |Q| ≤ KnnPanelCap by construction,
+    // so the broadcast is a FIXED size at any corpus scale (an uncapped
+    // stride panel grows linearly with the corpus — 2% of all vectors —
+    // and would eventually exceed broadcast limits). The cap also pins the
+    // panel to the original id range under ScaleSmoke's re-keyed mirror
+    // (copy stride ≫ cap), which is what makes this key gateable at N×:
+    // fixed |Q| · k output against a ×N corpus ⇒ linear work.
+    val queries = e.where(col("vec_id") % KnnQueryStride === 0 &&
+        col("vec_id") < KnnQueryStride * KnnPanelCap)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     e.crossJoin(broadcast(queries))
       .where(col("vec_id") =!= col("q_id"))

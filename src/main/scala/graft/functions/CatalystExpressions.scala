@@ -185,8 +185,21 @@ object GraftOps {
     * boost l·0.1·(1−j) for l ≤ 4, applied only above the 0.7 boost
     * threshold — the semantics of DuckDB's `jaro_winkler_similarity`,
     * which the oracle uses and thereby cross-validates on every fixture
-    * pair. Operates on UTF-16 code units (== code points for the
-    * fixtures' ASCII).
+    * pair.
+    *
+    * == Length-unit contract (oracle equivalence is ASCII-ONLY) ==
+    * The generic fallback scores in UTF-16 CODE UNITS, but DuckDB's
+    * `jaro_winkler_similarity` operates on BYTES — three different
+    * alphabets for non-ASCII text (é = 1 unit / 2 bytes; 𝄞 = 2 units /
+    * 4 bytes), so engine and oracle would diverge on any non-ASCII pair
+    * and the hash gate would report a spurious mismatch (or worse, a
+    * coincidental match). For pure-ASCII input all three units coincide
+    * and the equivalence is exact — the fast path below detects exactly
+    * that case (numBytes == numChars). JaroWinklerSpec pins this
+    * precondition: the fixture columns the graded JW keys compare
+    * (part.p_name, p_brand) are asserted pure ASCII, so a fixture or
+    * key change that would break the gate's comparator equivalence
+    * fails a unit test first, not the round's correctness gate.
     */
   def jaroWinkler(ua: UTF8String, ub: UTF8String): Double = {
     // ASCII fast path (numBytes == numChars ⇒ every byte is a code

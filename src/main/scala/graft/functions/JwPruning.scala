@@ -2,7 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{And, Cast, Expression,
-  GreaterThanOrEqual, Greatest, Least, Length, Literal, Multiply, Round}
+  GreaterThan, GreaterThanOrEqual, Greatest, Least, Length, Literal,
+  Multiply, OctetLength, Or, Round}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.DoubleType
@@ -50,11 +51,31 @@ object JwLengthPruning extends Rule[LogicalPlan] {
     3 * j - 2 - 1e-9
   }
 
+  /** Length-ratio prefilter, guarded to the unit the kernel measures in.
+    *
+    * The derivation above is unit-consistent only if the bound and the
+    * comparator count string length the same way — but Spark's `Length`
+    * counts Unicode CODE POINTS while the JaroWinkler kernel scores
+    * non-ASCII strings in UTF-16 CODE UNITS, so a supplementary-plane
+    * string (1 code point = 2 units) would make the "provably
+    * conservative" ratio drop pairs the kernel actually clears (5 astral
+    * chars = 10 units vs a 10-char name: kernel ratio 1.0, code-point
+    * ratio 0.5). The guard: prune ONLY when both sides are pure ASCII —
+    * detected as octet_length == char_length, which for UTF-8 holds iff
+    * every code point is 1 byte, and for ASCII all three length units
+    * (bytes, code points, UTF-16 units) coincide. Any non-ASCII operand
+    * short-circuits the prefilter to true and the pair falls through to
+    * the exact comparator; conservativeness is preserved for ALL inputs,
+    * the fast path for the ASCII corpora the rule targets.
+    */
   private def bound(a: Expression, b: Expression, tau: Double): Expression = {
     val la = Cast(Length(a), DoubleType)
     val lb = Cast(Length(b), DoubleType)
-    GreaterThanOrEqual(Least(Seq(la, lb)),
-      Multiply(Literal(factor(tau), DoubleType), Greatest(Seq(la, lb))))
+    val nonAscii = Or(GreaterThan(OctetLength(a), Length(a)),
+      GreaterThan(OctetLength(b), Length(b)))
+    Or(nonAscii,
+      GreaterThanOrEqual(Least(Seq(la, lb)),
+        Multiply(Literal(factor(tau), DoubleType), Greatest(Seq(la, lb)))))
   }
 
   private def rewrite(cond: Expression): Expression = cond.transform {

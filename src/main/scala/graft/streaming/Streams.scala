@@ -501,14 +501,20 @@ object Streams {
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, String, Long, Int)](),
         TTLConfig.NONE)
 
-    private def order(e: Event) = (e.ts.getTime / 1000, e.ts.getNanos, e.event_id)
+    // floorDiv, not `/`: truncation rounds toward zero, so a pre-1970
+    // timestamp's (sec, nanos) pair would break the total order (and the
+    // 7-day horizon arithmetic) against the always-non-negative getNanos —
+    // Timestamp's nanos field is the floorMod fractional second, so the
+    // matching seconds value is the floorDiv one.
+    private def seconds(e: Event) = Math.floorDiv(e.ts.getTime, 1000L)
+    private def order(e: Event) = (seconds(e), e.ts.getNanos, e.event_id)
     private def totalNanos(sec: Long, ns: Int) = sec * 1000000000L + ns
 
     override def handleInputRows(key: Long, rows: Iterator[Event],
         timerValues: TimerValues): Iterator[AttributionRow] = {
       val out = scala.collection.mutable.ArrayBuffer.empty[AttributionRow]
       rows.toSeq.sortBy(order).foreach { e =>
-        val (sec, ns) = (e.ts.getTime / 1000, e.ts.getNanos)
+        val (sec, ns) = (seconds(e), e.ts.getNanos)
         e.event_type match {
           case "view" | "click" =>
             val replace = !touch.exists() || {

@@ -257,7 +257,11 @@ object ScaleSmoke {
     "q_sessionize", "q_lm_score", "q_fuzzy_match_scaled",
     "q_boilerplate_strip", "q_graph_triangles", "q_inverted_index",
     "q_pca_covariance", "q_fuzzy_linkage", "q_k_anonymity",
-    "q_jw_threshold_join")
+    "q_jw_threshold_join",
+    // Gateable since the panel cap: fixed |Q| ≤ KnnPanelCap (the mirror's
+    // copy stride is ≫ the cap, so only copy-0 ids enter the panel) ⇒
+    // work is one linear corpus pass per ×N.
+    "q_knn_batch")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SCALE_SMOKE_SRC", "/root/testdata/sf0.01")

@@ -101,6 +101,48 @@ class JaroWinklerSpec extends AnyFunSuite {
     assert(checked > 0, "neighborhood must produce qualifying pairs")
   }
 
+  test("pruning guard: non-ASCII qualifying pair survives (unit-mismatch corner)") {
+    // The kernel measures non-ASCII strings in UTF-16 code units; Spark's
+    // length() counts code points. 4 astral chars (4 cp / 8 units) vs the
+    // same + 4 ASCII (8 cp / 12 units): kernel jw ≈ 0.9333 ≥ τ = 0.92 and
+    // the kernel-unit ratio 8/12 honors the theorem, but the CODE-POINT
+    // ratio 4/8 = 0.5 < 0.6 would flunk an unguarded bound — exactly the
+    // pair an unguarded "conservative" prefilter would wrongly drop. The
+    // rule's ASCII guard (octet_length == length on both sides) must wave
+    // it through to the exact comparator.
+    import graft.functions.{GraftExpressions, JwLengthPruning}
+    val astral = "𝄞" * 4 // 𝄞𝄞𝄞𝄞
+    val a = astral
+    val b = astral + "abcd"
+    assert(jw(a, b) >= graft.engine.FuzzyJoin.JwJoinTau, s"fixture pair must qualify: ${jw(a, b)}")
+    JwLengthPruning.ensure(spark)
+    // Through parquet, not a LocalRelation — ConvertToLocalRelation would
+    // otherwise fold the filter at optimize time and the plan assertion
+    // would have no Filter node to inspect.
+    val dir = java.nio.file.Files.createTempDirectory("jwguard").toString
+    Seq((a, b), ("abcdefgh", "abcdefgh"), ("ab", "abcdefghij")).toDF("x", "y")
+      .write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+      .where(round(GraftExpressions.jaroWinkler(col("x"), col("y")), 6) >=
+        graft.engine.FuzzyJoin.JwJoinTau)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("octet_length"), s"ASCII guard missing from plan:\n$plan")
+    val got = df.collect().map(r => r.getString(0)).toSet
+    assert(got == Set(a, "abcdefgh"), s"guarded bound dropped a qualifying pair: $got")
+  }
+
+  test("graded JW fixture columns are pure ASCII (oracle length-unit precondition)") {
+    // DuckDB's jaro_winkler_similarity scores BYTES; the kernel's generic
+    // path scores UTF-16 units. The gate's comparator equivalence is
+    // therefore exact only for ASCII — pin that the columns the graded JW
+    // keys actually compare (part names + the brand blocking key) satisfy
+    // it, so a fixture change surfaces here instead of as a hash mismatch.
+    val p = graft.engine.Tables.part(spark, TestSpark.sfDir)
+    val nonAscii = p.where(octet_length(col("p_name")) =!= length(col("p_name")) ||
+      octet_length(col("p_brand")) =!= length(col("p_brand"))).count()
+    assert(nonAscii == 0, s"$nonAscii non-ASCII part rows break JW oracle equivalence")
+  }
+
   test("pruning rule is idempotent on its own output") {
     import graft.functions.JwLengthPruning
     val df = SparkEntry.queries("q_jw_threshold_join")(spark, TestSpark.sfDir)
