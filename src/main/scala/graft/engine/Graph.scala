@@ -131,9 +131,10 @@ object Graph {
     * each triangle appear exactly once as a < b < c), close them against
     * the edge list, then credit all three corners. Two equi-joins on
     * vertex keys — no all-pairs stage anywhere; per-task fan-out is
-    * bounded by the max out-degree under the orientation (for heavily
-    * skewed graphs, re-orienting by (degree, id) bounds it by √(2m)
-    * without changing the counts — counts are orientation-invariant).
+    * bounded by the max out-degree under the id orientation — fine for
+    * near-uniform graphs, but a low-id HUB fans out to its whole
+    * neighborhood (wedges ~ deg², the scale-killer
+    * [[triangleCountsDegreeOriented]] exists for).
     */
   def triangleCounts(edgesIn: DataFrame): DataFrame = {
     // One artifact, three plan consumers.
@@ -149,6 +150,59 @@ object Graph {
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Undirected edges (a, b) re-oriented low→high by (degree, id) rank —
+    * the Schank–Wagner orientation: every out-neighbor of u outranks u,
+    * so out-degree(u) ≤ √(2m) for ALL u (if out-degree(u) = k, each of
+    * u's k higher-ranked out-neighbors has degree ≥ k, giving ≥ k²/2
+    * edges ⇒ k ≤ √(2m)) — degree is carried on both endpoints so the
+    * wedge stage can order dst pairs without another join.
+    */
+  private[graft] def orientByDegree(e: DataFrame): DataFrame = {
+    val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val withDeg = e
+      .join(deg.withColumnRenamed("v", "a").withColumnRenamed("deg", "dega"), "a")
+      .join(deg.withColumnRenamed("v", "b").withColumnRenamed("deg", "degb"), "b")
+    val aLower = col("dega") < col("degb") ||
+      (col("dega") === col("degb") && col("a") < col("b"))
+    withDeg.select(
+      when(aLower, col("a")).otherwise(col("b")).as("src"),
+      when(aLower, col("b")).otherwise(col("a")).as("dst"),
+      when(aLower, col("degb")).otherwise(col("dega")).as("dst_deg"))
+  }
+
+  /** Skew-proof triangle census: the (degree, id) re-orientation of
+    * [[triangleCounts]]. Wedges form at the LOWEST-ranked corner of each
+    * triangle — two out-edges (src→d1, src→d2) with rank(d1) < rank(d2)
+    * — and close against the oriented edge (d1→d2), which exists with
+    * exactly that orientation because rank ordering is total; each
+    * triangle is therefore enumerated exactly once and per-node counts
+    * equal the id-oriented form's (GraphSpec pins hash-equality on the
+    * fixture graph and on planted corners).
+    *
+    * Scale contract: per-center wedge fan-out is bounded by
+    * out-degree ≤ √(2m) REGARDLESS of the degree distribution — on a
+    * planted hub/star graph the id-orientation's wedge stage grows
+    * ~deg(hub)² while this form's stays linear in m (ScaleSmoke gates
+    * the planted-skew frame at ×N). This is the form the graded key
+    * runs; the id-oriented sibling remains for the invariance spec.
+    */
+  def triangleCountsDegreeOriented(edgesIn: DataFrame): DataFrame = {
+    // One artifact, three plan consumers (wedge sides + closure).
+    val o = orientByDegree(edgesIn.select(col("a"), col("b"))).localCheckpoint()
+    val d1LowerThanD2 = col("e1.dst_deg") < col("e2.dst_deg") ||
+      (col("e1.dst_deg") === col("e2.dst_deg") && col("e1.dst") < col("e2.dst"))
+    val wedges = o.as("e1")
+      .join(o.as("e2"), col("e1.src") === col("e2.src") && d1LowerThanD2)
+      .select(col("e1.src").as("u"), col("e1.dst").as("v"), col("e2.dst").as("w"))
+    val closing = o.select(col("src").as("cv"), col("dst").as("cw"))
+    val tri = wedges
+      .join(closing, col("v") === col("cv") && col("w") === col("cw"))
+      .select(col("u"), col("v"), col("w"))
+    tri.select(explode(array(col("u"), col("v"), col("w"))).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_triangles"))
+  }
+
   /** Graded triangle census of the document near-dup graph at τ = 0.97:
     * (doc_id, n_triangles) for every document in ≥ 1 triangle. Edges come
     * from the SAME banded MinHash-LSH pipeline as q_neardup_lsh (exact
@@ -158,8 +212,27 @@ object Graph {
     val edges = Dedup.lshNearDupPairs(Dedup.minhashBands(s, d), "toks",
         97, 100, TriangleTau, Dedup.Broadcast)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
-    triangleCounts(edges)
+    triangleCountsDegreeOriented(edges)
       .orderBy(desc("n_triangles"), col("doc_id"))
+  }
+
+  /** Planted-skew probe frame (ScaleSmoke-only, not graded): a hub
+    * vertex (-1) adjacent to EVERY doc id plus the consecutive-id chain
+    * (i, i+1) — so deg(hub) = n while every triangle (hub, i, i+1)
+    * needs one chain edge, making the output linear in n. Under id
+    * orientation the hub (lowest id) would center ~n²/2 wedges — the
+    * star-graph blowup the degree orientation exists to kill: here the
+    * hub outranks everything, every edge points INTO it, and wedges
+    * form only at chain nodes (out-degree ≤ 3). ScaleSmoke gates the
+    * ratio at ×N; the n² form would blow its budget by ~N.
+    */
+  def starTriangleFrame(s: SparkSession, d: String): DataFrame = {
+    val ids = Tables.documents(s, d).select(col("doc_id"))
+    val star = ids.select(lit(-1L).as("a"), col("doc_id").as("b"))
+    val chain = ids.as("l")
+      .join(ids.as("r"), col("l.doc_id") + 1 === col("r.doc_id"))
+      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
+    triangleCountsDegreeOriented(star.union(chain))
   }
 
   val queries: Map[String, Q] = Map(

@@ -382,14 +382,18 @@ object Oracle {
     // Ratio-to-report over the 25-row aggregate; the share divides two
     // independently-ordered sums — relative drift ~1e-15, far below the
     // 4-decimal grain on a percent.
+    // DECIMAL revenue accumulation (order-free exact), double math only
+    // after the sums — the ×10-mirror gate caught the double-sum form
+    // drifting ~5e-3 across a round(2) boundary at ≈sf1 (round 11).
     "q_share_of_total" -> """
-      WITH r AS (SELECT n_name, sum(o_totalprice) AS rev
+      WITH r AS (SELECT n_name,
+          sum(o_totalprice::DECIMAL(18,2)) AS rev
         FROM customer
         JOIN orders ON c_custkey = o_custkey
         JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name)
-      SELECT n_name, round(rev, 2) AS revenue,
-        round(rev / sum(rev) OVER () * 100.0, 4) AS share_pct
+      SELECT n_name, rev::DOUBLE AS revenue,
+        round(rev::DOUBLE / (sum(rev) OVER ())::DOUBLE * 100.0, 4) AS share_pct
       FROM r ORDER BY n_name""",
 
     // The bounded top-k Aggregator ≡ the window row_number form — same

@@ -649,13 +649,20 @@ object Relational {
     */
   val qShareOfTotal: Q = (s, d) => {
     val w = Window.partitionBy()
+    // DECIMAL accumulation, not double: at ≈sf1 partition counts the
+    // double sum's partial-agg tree order drifted ~5e-3 from DuckDB's
+    // sequential fold and crossed a round(2) boundary (…189.0 vs
+    // …188.99 — caught by the ×10-mirror hash gate, round 11). The
+    // 2-decimal prices are exact in DECIMAL(18,2); sums are then exact
+    // and order-free, and both engines divide identical doubles.
     customer(s, d)
       .join(orders(s, d), col("c_custkey") === col("o_custkey"))
       .join(nation(s, d), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
-      .agg(sum(col("o_totalprice")).as("rev"))
-      .withColumn("revenue", round(col("rev"), 2))
-      .withColumn("share_pct", round(col("rev") / sum(col("rev")).over(w) * 100.0, 4))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+      .withColumn("revenue", col("rev").cast("double"))
+      .withColumn("share_pct", round(col("rev").cast("double") /
+        sum(col("rev")).over(w).cast("double") * 100.0, 4))
       .select(col("n_name"), col("revenue"), col("share_pct"))
       .orderBy("n_name")
   }

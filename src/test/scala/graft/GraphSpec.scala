@@ -91,6 +91,53 @@ class GraphSpec extends AnyFunSuite {
     assert(online == batch, s"online $online vs batch $batch")
   }
 
+  test("degree orientation is count-invariant vs id orientation (K4 + fixture graph)") {
+    // Counts are a property of the undirected graph; the orientation only
+    // decides WHERE wedges form. Pin equality on the planted K4+pendant
+    // and on the real fixture near-dup graph.
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 9L)).toDF("a", "b")
+    val gotK4 = Graph.triangleCountsDegreeOriented(e)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotK4 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"got $gotK4")
+    val edges = graft.engine.Dedup.lshNearDupPairs(
+        graft.engine.Dedup.minhashBands(spark, TestSpark.sfDir), "toks",
+        97, 100, Graph.TriangleTau, graft.engine.Dedup.Broadcast)
+      .select(col("doc_a").as("a"), col("doc_b").as("b")).localCheckpoint()
+    val idOriented = Graph.triangleCounts(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val degOriented = Graph.triangleCountsDegreeOriented(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(idOriented == degOriented,
+      s"orientation changed counts: ${idOriented.size} vs ${degOriented.size}")
+    assert(degOriented.nonEmpty, "fixture graph must contain triangles")
+  }
+
+  test("planted star: degree orientation bounds wedge fan-out where id orientation explodes") {
+    // Hub 0 adjacent to every leaf 1..n, chain (i, i+1) between leaves:
+    // one triangle (0, i, i+1) per chain edge. Under id orientation the
+    // hub (lowest id) centers C(n,2) wedges; under (degree, id) rank the
+    // hub outranks everything, every edge points INTO it, and the max
+    // out-degree — the per-task fan-out bound — stays ≤ √(2m).
+    val n = 200L
+    val star = (1L to n).map(i => (0L, i))
+    val chain = (1L until n).map(i => (i, i + 1))
+    val e = (star ++ chain).toDF("a", "b")
+    val m = star.size + chain.size
+    val maxOut = Graph.orientByDegree(e)
+      .groupBy(col("src")).agg(count(lit(1)).as("out"))
+      .agg(max(col("out"))).head().getLong(0)
+    assert(maxOut <= math.ceil(math.sqrt(2.0 * m)).toLong,
+      s"degree-oriented max out-degree $maxOut exceeds sqrt(2m)")
+    // id orientation: the hub's out-degree IS n — the deg² wedge source.
+    val counts = Graph.triangleCountsDegreeOriented(e)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts(0L) == n - 1, s"hub must corner one triangle per chain edge: $counts")
+    assert(counts == Graph.triangleCounts(e)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap,
+      "star counts must be orientation-invariant")
+  }
+
   test("graded triangle key matches brute-force exact-Jaccard on sf0.001") {
     val docs = graft.engine.Tables.documents(spark, TestSpark.sfDir)
       .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))

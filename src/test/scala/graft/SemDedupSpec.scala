@@ -51,6 +51,23 @@ class SemDedupSpec extends AnyFunSuite {
       copies.forall(c => cells(c) == cells(c - 1000000L)))
   }
 
+  test("scaled-k prune agrees with fixed-k on the planted near-copy set") {
+    // The production mode (k ∝ n, Ivf-trained cells, map-only NearestCell
+    // assignment) partitions space differently from the graded fixed-k=8
+    // clustering, so full outputs differ — but the DECISIONS on the
+    // planted near-copies must coincide: every copy pruned, each to its
+    // own original, and nothing else pruned (natural cosines top out at
+    // 0.61, far under τ = 0.8, regardless of the cell structure).
+    val scaled = SemDedup.scaledPrune(spark, TestSpark.sfDir).collect()
+    val prunedScaled = scaled.filter(_.getBoolean(3))
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val prunedFixed = result.filter(_.getBoolean(3))
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(prunedScaled == prunedFixed,
+      s"scaled ${prunedScaled.size} vs fixed ${prunedFixed.size} prune decisions")
+    assert(scaled.length == result.length, "same corpus must be traced")
+  }
+
   test("all eight id-order seed cells are non-empty after one update") {
     // A seed is distance-0 to its own centroid at assignment 0, so with
     // Iters = 1 no cell can empty out — the precondition that lets both

@@ -1,11 +1,15 @@
 #!/usr/bin/env python3
 """Local replica of the driver's DuckDB-oracle correctness gate.
 
-Usage: python3 tools/compare.py <sfDir> <verifyOutDir> [onlyKeys]
+Usage: python3 tools/compare.py <sfDir> <verifyOutDir> [onlyKeys] [jsonOut]
 
 onlyKeys (optional): comma-separated key names — restricts the compare
 to a subset so slow oracles (quadratic brute-force pair CTEs at bench
-scale) can run sharded across processes.
+scale) can run sharded across processes. Pass "-" for the full surface.
+
+jsonOut (optional): path to write a driver-shaped correctness JSON
+({key: {rows_match, schema_match, hash_match, spark_rows, oracle_rows,
+err}}) — used to assemble CORRECTNESS_x10_r11.json from sharded runs.
 
 For each key in <verifyOutDir>/oracle_sql.json:
   - read the Spark result parquet from <verifyOutDir>/<key>/
@@ -33,29 +37,47 @@ def norm(df):
 def main():
     sf, out = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
+    import os
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+        # Fixture tables are single files; Spark-written mirrors (MakeMirror)
+        # are directories of part files — glob those.
+        path = f"{sf}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
-    if len(sys.argv) > 3:
+    if len(sys.argv) > 3 and sys.argv[3] != "-":
         keep = set(sys.argv[3].split(","))
         oracle = {k: v for k, v in oracle.items() if k in keep}
+    json_out = sys.argv[4] if len(sys.argv) > 4 else None
+    report = {}
     n_pass = n_fail = 0
     for name in sorted(oracle):
         sql = oracle[name]
+        rec = {"rows_match": False, "schema_match": False, "hash_match": False,
+               "spark_rows": None, "oracle_rows": None, "err": None}
+        report[name] = rec
         try:
             files = glob.glob(f"{out}/{name}/*.parquet")
             if not files:
+                rec["err"] = "no spark output"
                 print(f"FAIL {name}: no spark output"); n_fail += 1; continue
             sdf = con.execute(f"SELECT * FROM '{out}/{name}/*.parquet'").fetchdf()
             ddf = con.execute(sql).fetchdf()
         except Exception as e:
+            rec["err"] = f"{type(e).__name__}: {e}"
             print(f"FAIL {name}: {type(e).__name__}: {e}"); n_fail += 1; continue
         sdf, ddf = norm(sdf), norm(ddf)
+        rec["spark_rows"], rec["oracle_rows"] = len(sdf), len(ddf)
         if list(sdf.columns) != list(ddf.columns):
-            print(f"FAIL {name}: columns spark={list(sdf.columns)} duck={list(ddf.columns)}")
+            rec["err"] = f"columns spark={list(sdf.columns)} duck={list(ddf.columns)}"
+            print(f"FAIL {name}: {rec['err']}")
             n_fail += 1; continue
+        rec["schema_match"] = True
         if len(sdf) != len(ddf):
-            print(f"FAIL {name}: rows spark={len(sdf)} duck={len(ddf)}"); n_fail += 1; continue
+            rec["err"] = f"rows spark={len(sdf)} duck={len(ddf)}"
+            print(f"FAIL {name}: {rec['err']}"); n_fail += 1; continue
+        rec["rows_match"] = True
         bad = []
         for c in sdf.columns:
             a, b = sdf[c], ddf[c]
@@ -69,9 +91,13 @@ def main():
             except Exception as e:
                 bad.append(f"{c}: compare error {e}")
         if bad:
+            rec["err"] = "; ".join(bad[:4])
             print(f"FAIL {name}: " + "; ".join(bad[:4])); n_fail += 1
         else:
+            rec["hash_match"] = True
             print(f"PASS {name} ({len(sdf)} rows)"); n_pass += 1
+    if json_out:
+        json.dump(report, open(json_out, "w"), indent=1)
     print(f"\n{n_pass} pass, {n_fail} fail, {len(oracle)} oracled")
 
 if __name__ == "__main__":
