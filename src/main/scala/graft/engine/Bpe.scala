@@ -519,6 +519,31 @@ object Bpe {
     Assembly.auditMixtureByWeight(weighted, "n_tokens")
   }
 
+  /** ORACLE-GRADED check twin for [[qBpeMixture]] (whose token counts
+    * are model-tokenizer values → rows-only): per language, `n_orig` —
+    * which DuckDB recomputes independently as count(*), a real
+    * cross-engine check that no document is lost or duplicated anywhere
+    * in the train → weigh → rebalance path — plus the conservation
+    * booleans the oracle expects TRUE: kept counts within [0, n_orig],
+    * kept tokens within [0, tok_orig], and keep-all coherence
+    * (n_kept = n_orig ⇔ tok_kept = tok_orig — sound because every
+    * fixture document is non-empty, so its BPE weight is ≥ 1 and a
+    * dropped doc always shows in the token sum).
+    */
+  val qBpeMixtureCheck: Q = (s, d) => {
+    val docs = Dedup.fanOut(documents(s, d))
+    val model = trainOnCorpus(docs, "text", GradedMerges, GradedVocab)
+    val weighted = docs.select(col("doc_id"), col("lang"),
+      tokenCount(model, col("text")).as("n_tokens"))
+    Assembly.auditMixtureByWeight(weighted, "n_tokens")
+      .select(col("lang"), col("n_orig"),
+        col("n_kept").between(0, col("n_orig")).as("kept_bounds_ok"),
+        col("tok_kept").between(0, col("tok_orig")).as("tok_bounds_ok"),
+        ((col("n_kept") === col("n_orig")) ===
+          (col("tok_kept") === col("tok_orig"))).as("keep_all_coherent"))
+      .orderBy("lang")
+  }
+
   /** Sequence packing in BPE units — [[Assembly.packChunks]]'s algebra
     * with `budget` measured in model-tokenizer tokens, the unit a
     * training run's context window actually enforces (whitespace
@@ -590,6 +615,7 @@ object Bpe {
     "q_bpe_roundtrip_check" -> qBpeRoundtripCheck,
     "q_bpe_tokenize" -> qBpeTokenize,
     "q_bpe_mixture" -> qBpeMixture,
+    "q_bpe_mixture_check" -> qBpeMixtureCheck,
     "q_bpe_packing" -> qBpePacking,
     "q_bpe_bytes" -> qBpeBytes)
 }

@@ -163,10 +163,42 @@ object Multimodal {
         col("n_frames").between(1, 240).as("frames_ok"))
       .orderBy("media_id")
 
+  /** ORACLE-GRADED check twin for [[qMultimodalFrames]] (whose
+    * width/height/payload values are the stub's own hash → rows-only):
+    * one row per media with the SAMPLING INVARIANTS as booleans the
+    * oracle expects TRUE — the k sampled indices must be exactly
+    * {0, 30, …, 30·(k−1)} (pinned by min/max/sum: min = 0,
+    * max = 30·(k−1), Σ = 15·k·(k−1) — any dropped, duplicated, or
+    * off-stride frame breaks one of the three), every frame slice
+    * non-empty, and dims in the decode contract's ranges. The row SET
+    * itself is the cross-engine half: DuckDB independently asserts one
+    * row per document (every payload decodes to ≥ 1 frame ⇒ index 0 is
+    * always sampled), so a lost or duplicated media in the fan-out path
+    * fails the hash gate, not just a spec.
+    */
+  val qMultimodalFramesCheck: Q = (s, d) =>
+    sampleFrames(mediaFromDocs(s, d), everyN = 30).toDF()
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("k"),
+        min(col("frame_idx")).as("mini"),
+        max(col("frame_idx")).as("maxi"),
+        sum(col("frame_idx")).as("sumi"),
+        min(length(col("payload"))).as("minb"),
+        min(col("width")).as("minw"), max(col("width")).as("maxw"),
+        min(col("height")).as("minh"), max(col("height")).as("maxh"))
+      .select(col("media_id"),
+        (col("mini") === 0 && col("maxi") === (col("k") - 1) * 30 &&
+          col("sumi") === lit(15) * col("k") * (col("k") - 1)).as("stride_ok"),
+        (col("minb") > 0).as("bytes_ok"),
+        (col("minw") >= 64 && col("maxw") <= 64 + 1919 &&
+          col("minh") >= 64 && col("maxh") <= 64 + 1079).as("dims_ok"))
+      .orderBy("media_id")
+
   val queries: Map[String, Q] = Map(
     "q_multimodal_features" -> qMultimodalFeatures,
     "q_multimodal_decode" -> qMultimodalDecode,
     "q_multimodal_frames" -> qMultimodalFrames,
-    "q_multimodal_check" -> qMultimodalCheck
+    "q_multimodal_check" -> qMultimodalCheck,
+    "q_multimodal_frames_check" -> qMultimodalFramesCheck
   )
 }

@@ -733,6 +733,22 @@ object Oracle {
         TRUE AS dims_ok, TRUE AS frames_ok
       FROM documents ORDER BY media_id""",
 
+    // Frame-sampling check twin (Multimodal.qMultimodalFramesCheck):
+    // every document yields exactly one media row (index 0 always
+    // sampled); the stride/bytes/dims invariants are expected TRUE.
+    "q_multimodal_frames_check" -> """
+      SELECT doc_id AS media_id,
+        TRUE AS stride_ok, TRUE AS bytes_ok, TRUE AS dims_ok
+      FROM documents ORDER BY media_id""",
+
+    // BPE mixture check twin (Bpe.qBpeMixtureCheck): per-language doc
+    // census recomputed from raw parquet; conservation booleans TRUE.
+    "q_bpe_mixture_check" -> """
+      SELECT lang, count(*)::BIGINT AS n_orig,
+        TRUE AS kept_bounds_ok, TRUE AS tok_bounds_ok,
+        TRUE AS keep_all_coherent
+      FROM documents GROUP BY lang ORDER BY lang""",
+
     // SimHash check frame (Dedup.qSimhashCheck): the planted copy→
     // original pair list is replanted here identically; the
     // banded-pipeline-collision and UDF≡expression booleans are

@@ -71,6 +71,44 @@ object Pca {
     (xy, sums)
   }
 
+  /** The moment frames as ONE keyed table — the shape streaming state
+    * can hold: (i, j, m) with pair moments at 1 ≤ i ≤ j (m = Σx·y),
+    * per-dim sums at (i, 0) (m = Σx), and the row count at (0, 0).
+    * All three are plain sums, so the SAME transform runs as a batch
+    * aggregate or an update-mode streaming aggregation whose state IS
+    * this table (2145 keys — bounded model-state size regardless of
+    * corpus size; the censusUpdates discipline applied to moments).
+    * Streaming face: [[graft.streaming.Streams.pcaMomentStream]];
+    * two-batch seam parity spec'd in PcaSpec.
+    */
+  private[graft] def unifiedMoments(embs: DataFrame): DataFrame =
+    embs.select(vec(col("embedding")).as("v"))
+      .select(explode(expr(
+        """concat(
+             filter(flatten(transform(v, (x, i) -> transform(v, (y, j) ->
+               struct(i + 1 AS i, j + 1 AS j, x * y AS m)))), s -> s.i <= s.j),
+             transform(v, (x, i) -> struct(i + 1 AS i, 0 AS j, x AS m)),
+             array(struct(0 AS i, 0 AS j, cast(1.0 AS double) AS m)))"""))
+        .as("s"))
+      .groupBy(col("s.i").as("i"), col("s.j").as("j"))
+      .agg(sum(col("s.m")).as("sm"))
+
+  /** Covariance derived from a [[unifiedMoments]] table — the
+    * calendar-bounded-derivation half of the streaming split: the state
+    * already holds the corpus reduced to 2145 sums, so re-deriving the
+    * covariance per batch costs O(dim²), never a corpus re-scan.
+    */
+  private[graft] def covFromMoments(mom: DataFrame): DataFrame = {
+    val n = mom.where(col("i") === 0 && col("j") === 0)
+      .select(col("sm").as("n"))
+    val sums = mom.where(col("i") > 0 && col("j") === 0)
+      .select(col("i"), col("sm").as("sx"))
+      .crossJoin(broadcast(n))
+    val xy = mom.where(col("j") > 0)
+      .select(col("i"), col("j"), col("sm").as("sxy"))
+    finalize(xy, sums)
+  }
+
   private def finalize(xy: DataFrame, sums: DataFrame): DataFrame =
     xy.join(broadcast(sums.select(col("i"), col("sx").as("sxi"), col("n"))), "i")
       .join(broadcast(sums.select(col("i").as("j"), col("sx").as("sxj"))), "j")

@@ -472,6 +472,21 @@ object Streams {
   def dailyCountStream(events: DataFrame): DataFrame =
     graft.engine.EventAnalytics.dailyCounts(events)
 
+  /** Streaming face of the PCA covariance: the unified (i, j, m) moment
+    * table maintained as an UPDATE-mode aggregation — the state IS
+    * Pca.unifiedMoments (one shared transform), 2145 keys of additive
+    * sums regardless of corpus size, so ingest updates moments instead
+    * of recomputing them (the q_pca_cov_delta merge algebra, online).
+    * The covariance is then Pca.covFromMoments over that state — an
+    * O(dim²) derivation re-run per batch, never a corpus re-scan. Unlike
+    * the census counts the pair moments are NOT monotone (negative x·y
+    * terms), so readers take the LATEST update per key (foreachBatch
+    * upsert), not max-over-sink. Two-batch seam parity with the batch
+    * q_pca_covariance spec'd in PcaSpec under the RocksDB provider.
+    */
+  def pcaMomentStream(embs: DataFrame): DataFrame =
+    graft.engine.Pca.unifiedMoments(embs)
+
   /** One attribution credit: a purchase resolved to its last in-horizon
     * touch (the streaming face's output row ≡ the batch key's row).
     */

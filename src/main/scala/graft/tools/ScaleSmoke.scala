@@ -191,6 +191,12 @@ object ScaleSmoke {
     */
   private val memSpill = new java.util.concurrent.atomic.AtomicLong
   private val diskSpill = new java.util.concurrent.atomic.AtomicLong
+  /** Max over stages of the stage-aggregate peak execution memory —
+    * the complementary signal to spill deltas: a key can avoid spill at
+    * N× simply by ballooning its in-memory hash maps, and only the peak
+    * shows it. Reset per timed region (runs are serial).
+    */
+  private val stagePeakMem = new java.util.concurrent.atomic.AtomicLong
   @volatile private var listenerOn = false
   private def ensureSpillListener(spark: SparkSession): Unit = synchronized {
     if (!listenerOn) {
@@ -201,6 +207,8 @@ object ScaleSmoke {
               s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
             memSpill.addAndGet(s.stageInfo.taskMetrics.memoryBytesSpilled)
             diskSpill.addAndGet(s.stageInfo.taskMetrics.diskBytesSpilled)
+            stagePeakMem.getAndAccumulate(
+              s.stageInfo.taskMetrics.peakExecutionMemory, math.max)
           }
         })
     }
@@ -209,6 +217,8 @@ object ScaleSmoke {
     Thread.sleep(200) // let the listener bus drain
     (memSpill.get, diskSpill.get)
   }
+  private def resetPeak(): Unit = { Thread.sleep(200); stagePeakMem.set(0) }
+  private def peakSnapshot(): Long = { Thread.sleep(200); stagePeakMem.get }
 
   def runKey(spark: SparkSession, name: String, dir: String): (Double, Long, Map[String, Int]) = {
     def run(): (Double, Long, Map[String, Int]) = {
@@ -305,10 +315,13 @@ object ScaleSmoke {
     ensureSpillListener(spark)
     val results = keys.map { k =>
       val _ = runKey(spark, k, src) // warm: JIT + parquet footer + catalyst caches
+      resetPeak()
       val (t1a, rows1, flags1) = runKey(spark, k, src)
       val (t1b, _, _) = runKey(spark, k, src)
       val t1 = math.min(t1a, t1b)
+      val peak1 = peakSnapshot()
       val (mem0, disk0) = spillSnapshot()
+      resetPeak()
       var (tN, rowsN, flagsN) = runKey(spark, k, scaledDir)
       // One serial re-run absorbs a co-tenant spike before declaring fail.
       val floor = math.max(t1, 0.5) // don't amplify fixed overheads of sub-second keys
@@ -317,23 +330,35 @@ object ScaleSmoke {
       }
       val ratio = tN / floor
       val (mem1, disk1) = spillSnapshot()
+      val peakN = peakSnapshot()
       val flip = !planShapeOk(flags1, flagsN)
       val over = ratio > factor * slack
+      // Peak-memory budget: a key may trade spill for resident hash state,
+      // so peak execution memory must also grow at most ~linearly. The
+      // fixed 32-partition local mode concentrates a ×N corpus into ×N
+      // bigger partitions, so ≤ factor × slack is the right ceiling (on a
+      // cluster, partition COUNT would grow instead and the per-task peak
+      // would stay ~flat). 64 MB floor: sub-floor peaks are scheduler
+      // noise, not data structures.
+      val peakFloor = math.max(peak1, 64L * 1000000)
+      val memOver = peakN > peakFloor * factor * slack
       // The planted-skew gate: at N× the hot partitions are far past the
       // scoped threshold — the runtime split MUST have fired.
       val skewMissing = k == "q_skew_join_aqe" && flagsN.getOrElse("skew", 0) == 0
-      if (flip || over || skewMissing) fail = true
+      if (flip || over || skewMissing || memOver) fail = true
       val fj = (m: Map[String, Int]) => m.toSeq.sorted.map { case (a, b) => s""""$a":$b""" }.mkString("{", ",", "}")
       println(s"""{"key":"$k","t1_sec":${f"$t1%.2f"},"tN_sec":${f"$tN%.2f"},"ratio":${f"$ratio%.2f"},""" +
         s""""rows1":$rows1,"rowsN":$rowsN,"flags1":${fj(flags1)},"flagsN":${fj(flagsN)},""" +
         s""""spillN_mem_mb":${(mem1 - mem0) / 1000000},"spillN_disk_mb":${(disk1 - disk0) / 1000000},""" +
+        s""""peak1_mb":${peak1 / 1000000},"peakN_mb":${peakN / 1000000},"mem_over":$memOver,""" +
         s""""plan_flip":$flip,"over_budget":$over}""")
-      (k, t1, tN, ratio, flip, over)
+      (k, t1, tN, ratio, flip, over, memOver)
     }
     val maxR = results.map(_._4).max
     println(s"""{"scale_smoke":{"src":"$src","factor":$factor,"slack":$slack,""" +
       s""""n_keys":${results.size},"n_flips":${results.count(_._5)},""" +
-      s""""n_over":${results.count(_._6)},"max_ratio":${f"$maxR%.2f"},"pass":${!fail}}}""")
+      s""""n_over":${results.count(_._6)},"n_mem_over":${results.count(_._7)},""" +
+      s""""max_ratio":${f"$maxR%.2f"},"pass":${!fail}}}""")
     spark.stop()
     if (fail) sys.exit(1)
   }

@@ -25,6 +25,43 @@ class PcaSpec extends AnyFunSuite {
     a
   }
 
+  test("streamed moment state derives the batch covariance (two-batch seam, RocksDB)") {
+    // The moment table IS the streaming state: feed the fixture corpus in
+    // two batches through the update-mode aggregation (RocksDB provider
+    // via sessionConf), upsert emitted updates per (i, j) — pair moments
+    // are NOT monotone, so latest-write-wins, not max — then derive the
+    // covariance from the final state and compare to the graded batch key
+    // on its own 6-decimal grid. The vec_id % 8 split puts a seam through
+    // every moment (both batches touch all 2145 keys).
+    import graft.streaming.Streams
+    import spark.implicits._
+    val embs = graft.engine.Tables.embeddings(spark, TestSpark.sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val rows = embs.collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val (b1, b2) = rows.partition(_._1 % 8 != 0)
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Double])](Streams.sessionConf(spark))
+    val state = new scala.collection.concurrent.TrieMap[(Int, Int), Double]
+    val q = Streams.start(
+      Streams.pcaMomentStream(ms.toDF().toDF("vec_id", "embedding")),
+      Streams.ForeachBatchSink((df, _) => df.collect().foreach(r =>
+        state.put((r.getInt(0), r.getInt(1)), r.getDouble(2)))),
+      mode = org.apache.spark.sql.streaming.OutputMode.Update())
+    try {
+      ms.addData(b1.toSeq); q.processAllAvailable()
+      ms.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    assert(state.size == 64 * 65 / 2 + 64 + 1, s"moment keys: ${state.size}")
+    val momentDf = state.toSeq.map { case ((i, j), m) => (i, j, m) }
+      .toDF("i", "j", "sm")
+    val derived = graft.engine.Pca.covFromMoments(momentDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val batch = SparkEntry.queries("q_pca_covariance")(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(derived == batch,
+      s"streamed-state covariance differs from batch on ${derived.count { case (k, v) => batch(k) != v }} cells")
+  }
+
   test("jacobi solves a known 2x2 and a fixture-sized symmetric system") {
     // [[2,1],[1,2]] → λ = 3, 1 with eigenvectors (1,1)/√2 and (1,−1)/√2.
     val (vals, vecs) = Pca.jacobiEigSym(Array(Array(2.0, 1.0), Array(1.0, 2.0)))
