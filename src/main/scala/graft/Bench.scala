@@ -64,7 +64,7 @@ object Bench {
     * 10-query set) — summed into the trailing summary line so the
     * baseline ratio survives even when only the tail of stdout does.
     */
-  private val BaselineSubset = Seq("q1_pricing_summary", "q3_join_topk",
+  private[graft] val BaselineSubset = Seq("q1_pricing_summary", "q3_join_topk",
     "q5_5way_join", "q_window_rank", "q_dedup_events", "q_tumbling_window",
     "q_sessionize", "q_dedup_docs", "q_cosine_topk", "q_text_stats")
 
@@ -107,10 +107,23 @@ object Bench {
     // Optional comma-separated subset for local iteration, e.g.
     // SPARK_GRAFT_ONLY=q_neardup_lsh,q_similarity_join
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // SPARK_GRAFT_SINCE=1: bench only keys ABSENT from the committed
+    // BENCH.full.json map (i.e. added since the last full refresh) plus
+    // the baseline subset for the 2× gate — the growth knob: at 200+
+    // keys × ~1 s a full refresh costs minutes, and mid-round iteration
+    // only needs the new keys measured against a stable baseline anchor.
+    // Full refreshes (no ONLY, no SINCE) remain the only writers of
+    // BENCH.full.json, so the committed record keeps whole-surface
+    // fidelity and the closing-sweep cadence is unchanged.
+    val since = sys.env.contains("SPARK_GRAFT_SINCE")
+    val sinceOld = if (since) previousRecords("BENCH.full.json", sfDir, cpus)
+      else Map.empty[String, Double]
     // Min of N passes (default 2) + record-triggered reruns (above).
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt.max(1)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+      .filter { case (n, _) => !since || sinceOld.isEmpty ||
+        !sinceOld.contains(n) || BaselineSubset.contains(n) }
     // Records live in BENCH.records.json; fall back to the last run's
     // output for machines that predate the records file. Both reads are
     // config-scoped (same sfDir + cpus) — see previousRecords.
@@ -195,7 +208,7 @@ object Bench {
     // only: a SPARK_GRAFT_ONLY iteration subset must not truncate the
     // committed full map down to its own keys (BENCH.local.json still
     // carries every run).
-    if (only.isEmpty) Files.writeString(Paths.get("BENCH.full.json"), line + "\n")
+    if (only.isEmpty && !since) Files.writeString(Paths.get("BENCH.full.json"), line + "\n")
     Files.writeString(Paths.get(RecordsPath),
       s"""{"sf":${jstr(sfDir)},"cpus":${jstr(cpus)},"queries":${jmap(merged)}}\n""")
     // Compact summary (headline totals + the BASELINE.md-comparable

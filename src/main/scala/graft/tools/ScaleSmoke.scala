@@ -181,7 +181,11 @@ object ScaleSmoke {
     "q_graph_triangles_star" -> ((s, d) => graft.engine.Graph.starTriangleFrame(s, d)),
     // Production-scaled SemDeDup (k ∝ n, cells bounded): the linear
     // sibling of the deliberately-quadratic graded fixed-k key.
-    "q_semdedup_scaled" -> ((s, d) => graft.engine.SemDedup.scaledPrune(s, d)))
+    "q_semdedup_scaled" -> ((s, d) => graft.engine.SemDedup.scaledPrune(s, d)),
+    // Compound-blocked linkage: block count grows with the corpus, block
+    // size stays bounded — the linear sibling of the nationkey-blocked
+    // graded key (whose fixed block cardinality is quadratic at ×N).
+    "q_record_linkage_blocked" -> ((s, d) => graft.engine.Linkage.scaledLinkageFrame(s, d)))
 
   /** Cumulative executor spill counters, fed by a stage-completion
     * listener; per-run deltas anchor the "fits in executor memory at
@@ -283,7 +287,9 @@ object ScaleSmoke {
     // Planted-skew triangle probe (smokeFrames-only, see above).
     "q_graph_triangles_star",
     // k ∝ n SemDeDup (smokeFrames-only, see above).
-    "q_semdedup_scaled")
+    "q_semdedup_scaled",
+    // Compound-blocked linkage (smokeFrames-only, see above).
+    "q_record_linkage_blocked")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SCALE_SMOKE_SRC", "/root/testdata/sf0.01")
