@@ -99,9 +99,13 @@ class ScaleSmokeSpec extends AnyFunSuite {
 
   test("no heavy key flips plan shape at N× (broadcast demotion tolerated)") {
     ScaleSmoke.heavyKeys.foreach { k =>
-      val f1 = ScaleSmoke.planFlags(SparkEntry.queries(k)(spark, TestSpark.sfDir)
+      // Same dispatch as ScaleSmoke.runKey: smoke-only frames (planted
+      // star, scaled semdedup, compound-blocked linkage) live in
+      // smokeFrames, not the graded query map.
+      val fn = ScaleSmoke.smokeFrames.getOrElse(k, SparkEntry.queries(k))
+      val f1 = ScaleSmoke.planFlags(fn(spark, TestSpark.sfDir)
         .queryExecution.executedPlan.toString)
-      val fN = ScaleSmoke.planFlags(SparkEntry.queries(k)(spark, outDir)
+      val fN = ScaleSmoke.planFlags(fn(spark, outDir)
         .queryExecution.executedPlan.toString)
       assert(ScaleSmoke.planShapeOk(f1, fN), s"$k plan shape flipped at ${factor}×: $f1 -> $fN")
     }
