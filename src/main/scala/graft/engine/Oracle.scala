@@ -186,9 +186,12 @@ object Oracle {
       GROUP BY l_orderkey, o_orderdate, o_orderpriority
       ORDER BY revenue DESC, l_orderkey LIMIT 10""",
 
+    // DECIMAL revenue accumulation — exact, order-free (the ×10-mirror
+    // gate caught the double form drifting past round(2) at ≈sf1).
     "q5_5way_join" -> """
       SELECT r_name, n_name,
-        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        round(sum(l_extendedprice::DECIMAL(18,2) *
+          (1 - l_discount::DECIMAL(4,2))), 2)::DOUBLE AS revenue,
         count(*) AS n_lines
       FROM customer
       JOIN orders ON c_custkey = o_custkey
@@ -202,7 +205,8 @@ object Oracle {
     // reorder itself is pinned Spark-side in StatsSpec.
     "q_cbo_join_reorder" -> """
       SELECT n_name,
-        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        round(sum(l_extendedprice::DECIMAL(18,2) *
+          (1 - l_discount::DECIMAL(4,2))), 2)::DOUBLE AS revenue,
         count(*) AS n_items
       FROM lineitem
       JOIN orders ON l_orderkey = o_orderkey
@@ -332,7 +336,8 @@ object Oracle {
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "q_agg_rollup" -> """
-      SELECT r_name, n_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS sum_bal
+      SELECT r_name, n_name, count(*) AS n_customers,
+        round(sum(c_acctbal::DECIMAL(18,2)), 2)::DOUBLE AS sum_bal
       FROM customer
       JOIN nation ON c_nationkey = n_nationkey
       JOIN region ON n_regionkey = r_regionkey

@@ -88,8 +88,14 @@ object Relational {
       .join(n, col("s_nationkey") === col("n_nationkey"))
       .join(r, col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
+      // DECIMAL accumulation (the q_share_of_total lesson, caught by the
+      // same ×10-mirror gate): price is exact in DECIMAL(18,2) and the
+      // discount factor in DECIMAL(4,2), so the 4-decimal products sum
+      // exactly and order-free; double only at the very end.
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        round(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount").cast("decimal(4,2)"))), 2)
+          .cast("double").as("revenue"),
         count(lit(1)).as("n_lines"))
       .orderBy("r_name", "n_name")
   }
@@ -400,7 +406,12 @@ object Relational {
       .join(nation(s, d), col("c_nationkey") === col("n_nationkey"))
       .join(region(s, d), col("n_regionkey") === col("r_regionkey"))
       .rollup(col("r_name"), col("n_name"))
-      .agg(count(lit(1)).as("n_customers"), round(sum(col("c_acctbal")), 2).as("sum_bal"))
+      // DECIMAL balance sum: exact and summation-order-free (the grand
+      // rollup total spans every customer — the widest sum in the key —
+      // and drifted past round(2) at ×10-mirror scale as a double).
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("c_acctbal").cast("decimal(18,2)")), 2)
+          .cast("double").as("sum_bal"))
       .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
 
   /** CUBE over two dims. */

@@ -60,7 +60,15 @@ object Stats {
     try tables.map { t =>
       val name = s"$prefix$t"
       s.sql(s"DROP TABLE IF EXISTS `$name`")
-      s.sql(s"CREATE TABLE `$name` USING parquet LOCATION '$sfDir/$t.parquet'")
+      // LOCATION resolves RELATIVE paths against the warehouse dir, not
+      // the process CWD that spark.read.parquet uses — a relative sfDir
+      // (the ×10-mirror gate passes target/mirror_x10) would register an
+      // empty location and fail schema inference. Absolutize local
+      // paths; URIs with a scheme (hdfs://, s3a://) pass through.
+      val loc0 = s"$sfDir/$t.parquet"
+      val loc = if (loc0.startsWith("/") || loc0.matches("^[A-Za-z][A-Za-z0-9+.-]*:.*")) loc0
+        else new java.io.File(loc0).getAbsolutePath
+      s.sql(s"CREATE TABLE `$name` USING parquet LOCATION '$loc'")
       columns.get(t) match {
         case None =>
           s.sql(s"ANALYZE TABLE `$name` COMPUTE STATISTICS FOR ALL COLUMNS")
@@ -182,7 +190,8 @@ object Stats {
       case Seq(l, o, c, n, r) =>
         val joined = s.sql(s"""
           SELECT n_name,
-            round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+            CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+              (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
             count(*) AS n_items
           FROM `$l` JOIN `$o` ON l_orderkey = o_orderkey
             JOIN `$c` ON o_custkey = c_custkey
