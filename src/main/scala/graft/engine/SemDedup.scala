@@ -167,8 +167,81 @@ object SemDedup {
     val embs = corpus.select(col("vec_id"), col("v").as("embedding"))
     val n = corpus.count()
     val k = math.max(K, math.ceil(n.toDouble / TargetCellSize).toInt)
-    val cents = Ivf.train(embs, k, iters = 2)
-    val cells = Ivf.assign(embs, cents)
+    val cells = Ivf.assign(embs, Ivf.train(embs, k, iters = 2))
+    prune(corpus, cells)
+  }
+
+  /** Two-level cell assignment — the form [[scaledPrune]]'s scaladoc
+    * promises for when k outgrows task broadcast (~10⁵ centroids): the
+    * flat k×dim matrix is replaced by k1 = ⌈√k⌉ COARSE centroids
+    * (trained by Ivf.train, broadcast — √k-sized, bounded) plus
+    * k2 = ⌈k/k1⌉ SUB-centroids per coarse cell living in a DISTRIBUTED
+    * (coarse, sub, cv) frame that never touches the driver after its
+    * one Lloyd update. Per-row probe cost is O(√k·dim) at each level —
+    * coarse via the map-only NearestCell argmin, sub via an equi-join
+    * on the coarse cell (per-row fan-out exactly the ~√k sub-centroids
+    * of its own coarse cell, never k). Sub-seeds are the k2 smallest
+    * vec_ids per coarse cell (the per-cell sort is a bounded-partition
+    * window: one coarse cell ≈ n/√k rows); the Lloyd mean rounds to
+    * [[CentroidRound]] decimals for run-determinism, same as the
+    * graded clustering.
+    *
+    * Single-probe caveat (the standard IVF trade, stated not hidden): a
+    * vector near a coarse boundary is quantized within ITS coarse cell
+    * only, so the combined partition differs from flat k-means near
+    * boundaries. The prune semantics that matter — planted near-copies
+    * land with their originals (cos ≈ 1 ⇒ same coarse AND sub cell)
+    * and natural pairs stay below τ in ANY cell structure — are
+    * preserved, and SemDedupSpec pins the planted decisions equal to
+    * both the flat-scaled and the graded fixed-k forms.
+    */
+  def twoLevelCells(corpus: DataFrame, k: Int): DataFrame = {
+    val k1 = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val k2 = math.max(1, math.ceil(k.toDouble / k1).toInt)
+    val embs = corpus.select(col("vec_id"), col("v").as("embedding"))
+    val coarse = Ivf.assign(embs, Ivf.train(embs, k1, iters = 2))
+      .withColumnRenamed("cell", "ccell")
+    val withC = corpus.join(coarse, "vec_id").localCheckpoint()
+    val byId = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ccell")).orderBy(col("vec_id"))
+    val seeds = withC.withColumn("rn", row_number().over(byId))
+      .where(col("rn") <= k2)
+      .select(col("ccell"), (col("rn") - 1).as("sub"), col("v").as("cv"))
+    def assignSub(cents: DataFrame): DataFrame =
+      withC.join(cents, Seq("ccell"))
+        .withColumn("d2", sqDist(col("v"), col("cv")))
+        .groupBy(col("vec_id"), col("ccell"))
+        .agg(min_by(col("sub"), struct(col("d2"), col("sub"))).as("sub"))
+    val updated = assignSub(seeds)
+      .join(withC.select(col("vec_id"), col("v")), "vec_id")
+      .select(col("ccell"), col("sub"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("ccell"), col("sub"), col("pos"))
+      .agg(round(avg(col("x")), CentroidRound).as("m"))
+      .groupBy(col("ccell"), col("sub"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("cv"))
+    assignSub(updated)
+      .select(col("vec_id"),
+        (col("ccell").cast("long") * k2 + col("sub")).as("cell"))
+  }
+
+  /** [[scaledPrune]] with the two-level assignment — the full
+    * beyond-broadcast scale path: same k ∝ n cell budget, same j < i
+    * dominator prune, no single structure anywhere larger than
+    * O(√k·dim) on the driver or in a broadcast.
+    */
+  def scaledPruneTwoLevel(s: SparkSession, d: String): DataFrame = {
+    val corpus = plantedCorpus(s, d)
+    val n = corpus.count()
+    val k = math.max(K, math.ceil(n.toDouble / TargetCellSize).toInt)
+    val cells = twoLevelCells(corpus, k)
+    prune(corpus, cells)
+  }
+
+  /** Shared within-cell dominator prune over any (vec_id, cell)
+    * assignment — the body both scaled modes and the graded key use.
+    */
+  private def prune(corpus: DataFrame, cells: DataFrame): DataFrame = {
     val sides = corpus.join(cells, "vec_id")
       .withColumn("n2", dotProduct(col("v"), col("v")))
       .localCheckpoint()

@@ -68,6 +68,21 @@ class SemDedupSpec extends AnyFunSuite {
     assert(scaled.length == result.length, "same corpus must be traced")
   }
 
+  test("two-level prune agrees with flat-scaled and fixed-k on the planted set") {
+    // The beyond-broadcast path (coarse sqrt(k) + per-coarse sub-cells,
+    // single probe) partitions space differently near coarse boundaries,
+    // but planted near-copies sit at cos ~ 1 from their originals - same
+    // coarse AND sub cell - so the prune decisions must be identical.
+    val two = SemDedup.scaledPruneTwoLevel(spark, TestSpark.sfDir).collect()
+    val prunedTwo = two.filter(_.getBoolean(3))
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val prunedFixed = result.filter(_.getBoolean(3))
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(prunedTwo == prunedFixed,
+      s"two-level ${prunedTwo.size} vs fixed ${prunedFixed.size} prune decisions")
+    assert(two.length == result.length, "same corpus must be traced")
+  }
+
   test("all eight id-order seed cells are non-empty after one update") {
     // A seed is distance-0 to its own centroid at assignment 0, so with
     // Iters = 1 no cell can empty out — the precondition that lets both
