@@ -65,7 +65,12 @@ object Bench {
     * baseline ratio survives even when only the tail of stdout does.
     */
   private[graft] val BaselineSubset = Seq("q1_pricing_summary", "q3_join_topk",
-    "q5_5way_join", "q_window_rank", "q_dedup_events", "q_tumbling_window",
+    // BASELINE.md's "q_dedup_events (first-wins row_number)" is this
+    // key map's q_dedup_first_wins — the old q_dedup_events name silently
+    // dropped out of the sum (flatMap skips missing keys), understating
+    // the subset by one query. Fixed round 11: the subset is a true
+    // 10-query total again.
+    "q5_5way_join", "q_window_rank", "q_dedup_first_wins", "q_tumbling_window",
     "q_sessionize", "q_dedup_docs", "q_cosine_topk", "q_text_stats")
 
   private def previousRecords(path: String, sfDir: String, cpus: String): Map[String, Double] =

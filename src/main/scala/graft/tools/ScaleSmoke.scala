@@ -185,7 +185,10 @@ object ScaleSmoke {
     // Compound-blocked linkage: block count grows with the corpus, block
     // size stays bounded — the linear sibling of the nationkey-blocked
     // graded key (whose fixed block cardinality is quadratic at ×N).
-    "q_record_linkage_blocked" -> ((s, d) => graft.engine.Linkage.scaledLinkageFrame(s, d)))
+    "q_record_linkage_blocked" -> ((s, d) => graft.engine.Linkage.scaledLinkageFrame(s, d)),
+    // Two-level (coarse √k + per-coarse sub-cells) SemDeDup assignment —
+    // the beyond-broadcast sibling of the flat k ∝ n frame above.
+    "q_semdedup_scaled2" -> ((s, d) => graft.engine.SemDedup.scaledPruneTwoLevel(s, d)))
 
   /** Cumulative executor spill counters, fed by a stage-completion
     * listener; per-run deltas anchor the "fits in executor memory at
@@ -286,8 +289,8 @@ object ScaleSmoke {
     "q_knn_batch",
     // Planted-skew triangle probe (smokeFrames-only, see above).
     "q_graph_triangles_star",
-    // k ∝ n SemDeDup (smokeFrames-only, see above).
-    "q_semdedup_scaled",
+    // k ∝ n SemDeDup, flat and two-level (smokeFrames-only, see above).
+    "q_semdedup_scaled", "q_semdedup_scaled2",
     // Compound-blocked linkage (smokeFrames-only, see above).
     "q_record_linkage_blocked")
 
