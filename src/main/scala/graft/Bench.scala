@@ -123,6 +123,14 @@ object Bench {
     val since = sys.env.contains("SPARK_GRAFT_SINCE")
     val sinceOld = if (since) previousRecords("BENCH.full.json", sfDir, cpus)
       else Map.empty[String, Double]
+    // Config-scope mismatch (different sf/cpus than the committed full
+    // record) degrades SINCE to a de facto full run — say so, and let
+    // the full-record write below happen (the measurement IS full).
+    val sinceDegraded = since && sinceOld.isEmpty
+    if (sinceDegraded)
+      System.err.println("[bench] WARN SPARK_GRAFT_SINCE set but no prior " +
+        s"BENCH.full.json record matches sf=$sfDir cpus=$cpus — running ALL " +
+        "keys and writing BENCH.full.json as a full refresh")
     // Min of N passes (default 2) + record-triggered reruns (above).
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt.max(1)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -213,7 +221,8 @@ object Bench {
     // only: a SPARK_GRAFT_ONLY iteration subset must not truncate the
     // committed full map down to its own keys (BENCH.local.json still
     // carries every run).
-    if (only.isEmpty && !since) Files.writeString(Paths.get("BENCH.full.json"), line + "\n")
+    if (only.isEmpty && (!since || sinceDegraded))
+      Files.writeString(Paths.get("BENCH.full.json"), line + "\n")
     Files.writeString(Paths.get(RecordsPath),
       s"""{"sf":${jstr(sfDir)},"cpus":${jstr(cpus)},"queries":${jmap(merged)}}\n""")
     // Compact summary (headline totals + the BASELINE.md-comparable

@@ -77,7 +77,30 @@ object Linkage {
       .select(col("key_a"), col("key_b"), round(col("score"), 6).as("score"))
   }
 
-  val qRecordLinkage: Q = (s, d) => {
+  /** GRADED key — the compound-block (scale-shaped) face, promoted in
+    * round 12: candidate pairs come from blocking on
+    * (c_nationkey, ⌊c_custkey / [[ScaleBlockSize]]⌋), so block COUNT
+    * grows with the corpus while block SIZE stays bounded and the pair
+    * stream is LINEAR in n — the shape that survives 100 TB. A
+    * re-observed record shares its original's custkey, so every planted
+    * twin stays co-blocked (recall on twins is exact — LinkageSpec pins
+    * it against the coarse frame); only incidental cross-customer
+    * acctbal-collision links whose keys straddle buckets are lost — the
+    * standard blocking recall trade, mirrored exactly in the oracle's
+    * join predicate. The nation-only coarse block survives as
+    * [[coarseLinkageFrame]], a documented fixture shape (its pair
+    * stream grows ×N² with corpus growth — measured ×400 at ×20).
+    */
+  val qRecordLinkage: Q = (s, d) =>
+    scaledLinkageFrame(s, d).orderBy("key_a", "key_b")
+
+  /** Fixture/demonstration face (NOT graded, NOT scale-shaped): blocks
+    * on c_nationkey alone — fixed cardinality, so blocks grow with the
+    * corpus and candidate pairs grow quadratically. Kept for
+    * LinkageSpec's recall comparison and the ScaleSmoke quadratic
+    * demonstration frame.
+    */
+  def coarseLinkageFrame(s: SparkSession, d: String): DataFrame = {
     val cust = Tables.customer(s, d)
     linkPairs(cust, corruptedTwin(cust), "c_nationkey")
       .orderBy("key_a", "key_b")
@@ -143,20 +166,13 @@ object Linkage {
       .orderBy("c_custkey")
   }
 
-  /** Production-blocked linkage (ScaleSmoke-only, not graded): the
-    * graded key blocks on c_nationkey — a FIXED-cardinality key, so
-    * when the corpus grows ×N each block grows ×N and the candidate
-    * pair stream grows ×N² (measured at sf0.1×20; the honest cost of
-    * coarse blocking, and why real linkage systems block on
-    * growing-cardinality keys: postcode, phonetic code, name n-grams).
-    * The scale path compounds the nation block with a custkey-range
-    * bucket: block COUNT now grows with the corpus, block SIZE stays
-    * bounded (~[[ScaleBlockSize]] candidates), and the pair stream is
-    * linear — a re-observed record shares its original's custkey, so
-    * every true twin stays co-blocked (recall on the planted twins is
-    * exact; only the incidental cross-customer acctbal-collision links
-    * whose keys straddle buckets are lost — the standard blocking
-    * recall trade, documented not hidden).
+  /** Compound-block candidate generation — the body behind the graded
+    * [[qRecordLinkage]]: the nation block compounded with a
+    * custkey-range bucket, so block COUNT grows with the corpus, block
+    * SIZE stays bounded (~[[ScaleBlockSize]] candidates), and the pair
+    * stream is linear (rows exactly ×N in the ×N mirror, wall ratio
+    * 1.03 — SURVEY §19.1). This is why real linkage systems block on
+    * growing-cardinality keys: postcode, phonetic code, name n-grams.
     */
   val ScaleBlockSize = 1000L
   def scaledLinkageFrame(s: SparkSession, d: String): DataFrame = {

@@ -2213,6 +2213,11 @@ object Oracle {
     // both engines evaluate identical double expressions up to ~1 ulp of
     // libm ln — and the eight attainable pattern scores sit ≥ 0.7 from
     // the 3.0 threshold, so no link decision can ride on that ulp.
+    // Round 12: the graded key is the COMPOUND block (nation +
+    // custkey//1000 bucket — the linear-scale face); the extra join
+    // predicate mirrors Linkage.scaledLinkageFrame's bucket exactly
+    // (DuckDB // is integer floor division ≡ Spark's (x/1000)::long
+    // truncation for the positive keys).
     "q_record_linkage" -> """
       WITH twin AS (SELECT c_custkey, c_nationkey,
           CASE WHEN c_custkey % 5 = 0 THEN c_name || 'x'
@@ -2229,7 +2234,8 @@ object Oracle {
                     ELSE ln((1 - 0.85) / (1 - 0.01)) END
              + CASE WHEN a.c_mktsegment = b.c_mktsegment THEN ln(0.95 / 0.2)
                     ELSE ln((1 - 0.95) / (1 - 0.2)) END) AS score
-          FROM customer a JOIN twin b ON a.c_nationkey = b.c_nationkey)
+          FROM customer a JOIN twin b ON a.c_nationkey = b.c_nationkey
+            AND (a.c_custkey // 1000) = (b.c_custkey // 1000))
       SELECT key_a, key_b, round(score, 6) AS score
       FROM p WHERE score > 3.0
       ORDER BY key_a, key_b""",
@@ -2319,6 +2325,138 @@ object Oracle {
       SELECT a1.vec_id, a1.cell, reps.rep, reps.rep IS NOT NULL AS pruned
       FROM a1 LEFT JOIN reps USING (vec_id)
       ORDER BY a1.vec_id""",
+
+    // GRADED scaled SemDeDup (flat, r12): same replication contract as
+    // q_semdedup but k ∝ n — k = greatest(8, ceil(n/64)) computed from
+    // the same corpus both engines build (64 = 2⁶ so n/64.0 is exact),
+    // seeds = the k smallest vec_ids, one 9-decimal-rounded Lloyd
+    // update, argmin with ties to the lowest cell. The engine assigns
+    // via the map-only NearestCell codegen argmin whose ascending-index
+    // Σ(v[i]−c[i])² loop is the same ordered fold as this SQL's
+    // generate_series sum — identical double arithmetic, so cell ids
+    // match bit-for-bit, and τ = 0.8 keeps prune decisions in the
+    // planted-vs-natural empty band as before.
+    "q_semdedup_scaled" -> """
+      WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        corpus AS (
+          SELECT vec_id, v FROM base
+          UNION ALL
+          SELECT 1000000 + vec_id AS vec_id,
+            list_transform(v, x -> x * 1.02 + 0.001) AS v
+          FROM base WHERE vec_id % 25 = 0),
+        kk AS (SELECT greatest(8, CAST(ceil(count(*) / 64.0) AS BIGINT)) AS k
+          FROM corpus),
+        seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+          FROM corpus CROSS JOIN kk QUALIFY cell < k),
+        d0 AS (SELECT c.vec_id, s.cell,
+            (SELECT sum((c.v[i] - s.cv[i]) * (c.v[i] - s.cv[i]))
+             FROM generate_series(1, 64) t(i)) AS d2
+          FROM corpus c CROSS JOIN seeds s),
+        a0 AS (SELECT vec_id, cell FROM d0
+          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) = 1),
+        c1 AS (SELECT cell, list(m ORDER BY i) AS cv FROM (
+            SELECT a0.cell, t.i, round(avg(c.v[t.i]), 9) AS m
+            FROM a0 JOIN corpus c USING (vec_id),
+              generate_series(1, 64) t(i)
+            GROUP BY a0.cell, t.i) GROUP BY cell),
+        d1 AS (SELECT c.vec_id, s.cell,
+            (SELECT sum((c.v[i] - s.cv[i]) * (c.v[i] - s.cv[i]))
+             FROM generate_series(1, 64) t(i)) AS d2
+          FROM corpus c CROSS JOIN c1 s),
+        a1 AS (SELECT vec_id, cell::BIGINT AS cell FROM d1
+          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) = 1),
+        pairs AS (SELECT x.vec_id AS i, y.vec_id AS j
+          FROM a1 x JOIN a1 y ON x.cell = y.cell AND y.vec_id < x.vec_id
+            JOIN corpus cx ON cx.vec_id = x.vec_id
+            JOIN corpus cy ON cy.vec_id = y.vec_id
+          WHERE list_dot_product(cx.v, cy.v) /
+              (sqrt(list_dot_product(cx.v, cx.v)) *
+               sqrt(list_dot_product(cy.v, cy.v))) >= 0.8),
+        reps AS (SELECT i AS vec_id, min(j) AS rep FROM pairs GROUP BY i)
+      SELECT a1.vec_id, a1.cell, reps.rep, reps.rep IS NOT NULL AS pruned
+      FROM a1 LEFT JOIN reps USING (vec_id)
+      ORDER BY a1.vec_id""",
+
+    // GRADED scaled SemDeDup (two-level, r12): k1 = ceil(sqrt(k)) coarse
+    // cells via the flat deterministic clustering above, then k2 =
+    // ceil(k/k1) sub-cells PER coarse cell — sub-seeds are the k2
+    // smallest vec_ids of each coarse cell, one 9-decimal-rounded sub
+    // Lloyd update, sub-assignment ties to the lowest sub. Combined
+    // cell = ccell·k2 + sub. Missing (ccell, sub) cells after the
+    // update are symmetric (neither engine carries forward), so no
+    // special-casing. Division k/k1 is forced DOUBLE to mirror Scala's
+    // k.toDouble / k1; sqrt/ceil on these small ints are exact.
+    "q_semdedup_scaled2" -> """
+      WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        corpus AS (
+          SELECT vec_id, v FROM base
+          UNION ALL
+          SELECT 1000000 + vec_id AS vec_id,
+            list_transform(v, x -> x * 1.02 + 0.001) AS v
+          FROM base WHERE vec_id % 25 = 0),
+        kk0 AS (SELECT greatest(8, CAST(ceil(count(*) / 64.0) AS BIGINT)) AS k
+          FROM corpus),
+        kk AS (SELECT k, CAST(ceil(sqrt(k)) AS BIGINT) AS k1,
+            CAST(ceil(CAST(k AS DOUBLE) / CAST(ceil(sqrt(k)) AS BIGINT))
+              AS BIGINT) AS k2
+          FROM kk0),
+        cseeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ccell,
+            v AS cv
+          FROM corpus CROSS JOIN kk QUALIFY ccell < k1),
+        cd0 AS (SELECT c.vec_id, s.ccell,
+            (SELECT sum((c.v[i] - s.cv[i]) * (c.v[i] - s.cv[i]))
+             FROM generate_series(1, 64) t(i)) AS d2
+          FROM corpus c CROSS JOIN cseeds s),
+        ca0 AS (SELECT vec_id, ccell FROM cd0
+          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, ccell) = 1),
+        cc1 AS (SELECT ccell, list(m ORDER BY i) AS cv FROM (
+            SELECT ca0.ccell, t.i, round(avg(c.v[t.i]), 9) AS m
+            FROM ca0 JOIN corpus c USING (vec_id),
+              generate_series(1, 64) t(i)
+            GROUP BY ca0.ccell, t.i) GROUP BY ccell),
+        cd1 AS (SELECT c.vec_id, s.ccell,
+            (SELECT sum((c.v[i] - s.cv[i]) * (c.v[i] - s.cv[i]))
+             FROM generate_series(1, 64) t(i)) AS d2
+          FROM corpus c CROSS JOIN cc1 s),
+        wc AS (SELECT ca1.vec_id, ca1.ccell, c.v
+          FROM (SELECT vec_id, ccell FROM cd1
+            QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, ccell) = 1) ca1
+          JOIN corpus c USING (vec_id)),
+        sseeds AS (SELECT ccell,
+            row_number() OVER (PARTITION BY ccell ORDER BY vec_id) - 1 AS sub,
+            v AS cv
+          FROM wc CROSS JOIN kk QUALIFY sub < k2),
+        sd0 AS (SELECT w.vec_id, w.ccell, s.sub,
+            (SELECT sum((w.v[i] - s.cv[i]) * (w.v[i] - s.cv[i]))
+             FROM generate_series(1, 64) t(i)) AS d2
+          FROM wc w JOIN sseeds s ON w.ccell = s.ccell),
+        sa0 AS (SELECT vec_id, ccell, sub FROM sd0
+          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, sub) = 1),
+        sc1 AS (SELECT ccell, sub, list(m ORDER BY i) AS cv FROM (
+            SELECT sa0.ccell, sa0.sub, t.i, round(avg(w.v[t.i]), 9) AS m
+            FROM sa0 JOIN wc w USING (vec_id),
+              generate_series(1, 64) t(i)
+            GROUP BY sa0.ccell, sa0.sub, t.i) GROUP BY ccell, sub),
+        sd1 AS (SELECT w.vec_id, w.ccell, s.sub,
+            (SELECT sum((w.v[i] - s.cv[i]) * (w.v[i] - s.cv[i]))
+             FROM generate_series(1, 64) t(i)) AS d2
+          FROM wc w JOIN sc1 s ON w.ccell = s.ccell),
+        sa1 AS (SELECT vec_id, ccell, sub FROM sd1
+          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, sub) = 1),
+        cells AS (SELECT vec_id,
+            CAST(ccell * k2 + sub AS BIGINT) AS cell
+          FROM sa1 CROSS JOIN kk),
+        pairs AS (SELECT x.vec_id AS i, y.vec_id AS j
+          FROM cells x JOIN cells y ON x.cell = y.cell AND y.vec_id < x.vec_id
+            JOIN corpus cx ON cx.vec_id = x.vec_id
+            JOIN corpus cy ON cy.vec_id = y.vec_id
+          WHERE list_dot_product(cx.v, cy.v) /
+              (sqrt(list_dot_product(cx.v, cx.v)) *
+               sqrt(list_dot_product(cy.v, cy.v))) >= 0.8),
+        reps AS (SELECT i AS vec_id, min(j) AS rep FROM pairs GROUP BY i)
+      SELECT cells.vec_id, cells.cell, reps.rep, reps.rep IS NOT NULL AS pruned
+      FROM cells LEFT JOIN reps USING (vec_id)
+      ORDER BY cells.vec_id""",
 
     "q_inverted_index" -> InvertedIndexSql,
     // SAME oracle string as q_inverted_index by construction — the

@@ -201,6 +201,18 @@ object SemDedup {
     val embs = corpus.select(col("vec_id"), col("v").as("embedding"))
     val coarse = Ivf.assign(embs, Ivf.train(embs, k1, iters = 2))
       .withColumnRenamed("cell", "ccell")
+    subdivide(corpus, coarse, k2)
+  }
+
+  /** Per-coarse-cell subdivision shared by the Ivf-trained and the
+    * deterministic (graded) two-level faces: sub-seeds = the k2 smallest
+    * vec_ids of each coarse cell, one Lloyd update with
+    * [[CentroidRound]]-decimal rounding, re-assignment via an equi-join
+    * on the coarse cell (per-row fan-out exactly its own ~√k
+    * sub-centroids, never k; the sub-centroid frame is distributed —
+    * never driver-resident). Returns (vec_id, cell = ccell·k2 + sub).
+    */
+  private def subdivide(corpus: DataFrame, coarse: DataFrame, k2: Int): DataFrame = {
     val withC = corpus.join(coarse, "vec_id").localCheckpoint()
     val byId = org.apache.spark.sql.expressions.Window
       .partitionBy(col("ccell")).orderBy(col("vec_id"))
@@ -238,6 +250,78 @@ object SemDedup {
     prune(corpus, cells)
   }
 
+  /** The k ∝ n cell budget shared by all scaled faces. */
+  private[graft] def scaledK(n: Long): Int =
+    math.max(K, math.ceil(n.toDouble / TargetCellSize).toInt)
+
+  /** Deterministic flat scaled cells — the ORACLE-GRADABLE rendering of
+    * [[scaledPrune]]'s scale shape (round-12 promotion): same k ∝ n
+    * budget and bounded cells, but id-order seeds + the
+    * [[CentroidRound]]-decimal Lloyd rounding replace Ivf.train's
+    * xxhash64 sample (which has no DuckDB twin), so the DuckDB oracle
+    * replays the clustering bit-for-bit. Assignment is the MAP-ONLY
+    * codegen'd NearestCell argmin over the collected k×dim centroid
+    * matrix — O(k·dim) per row with NO corpus×k row materialization
+    * (the graded fixed-k face's crossJoin-broadcast assignment is the
+    * fixture shape, not this one's). NearestCell's ascending-index
+    * Σ(v[i]−c[i])² loop is the same ordered fold as [[sqDist]] and the
+    * oracle's generate_series sum, ties to the lowest cell in all
+    * three — assignment parity is exact arithmetic, not luck.
+    * Centroids are the only collected state (k×dim — the faiss-flat
+    * bound; beyond task broadcast the two-level face below takes over).
+    */
+  private[graft] def deterministicScaledCells(corpus: DataFrame, k: Int): DataFrame = {
+    def assignTo(cents: Array[Array[Double]]): DataFrame =
+      corpus.withColumn("cell",
+        graft.functions.GraftExpressions.nearestCell(col("v"), cents).cast("long"))
+    val seeds: Array[Array[Double]] = corpus.orderBy(col("vec_id")).limit(k)
+      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+    val updated = assignTo(seeds)
+      .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(round(avg(col("x")), CentroidRound).as("m"))
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("cv"))
+      .orderBy("cell").collect()
+    // One update from distinct seed vectors cannot empty a cell (each
+    // seed is distance-0 to its own centroid; ties break identically in
+    // both engines) — assert rather than silently diverge from the
+    // oracle's no-carry-forward Lloyd step.
+    require(updated.length == k,
+      s"deterministic scaled SemDeDup: ${k - updated.length} empty cells " +
+        "after one update — seed vectors must be distinct")
+    val next = new Array[Array[Double]](k)
+    updated.foreach(r => next(r.getLong(0).toInt) = r.getSeq[Double](1).toArray)
+    assignTo(next).select(col("vec_id"), col("cell"))
+  }
+
+  /** GRADED scaled flat face: k ∝ n deterministic cells + the shared
+    * dominator prune — linear pair work (cells bounded at
+    * ~[[TargetCellSize]] members), hash-graded end-to-end vs DuckDB,
+    * clustering included.
+    */
+  val qSemdedupScaled: Q = (s, d) => {
+    val corpus = plantedCorpus(s, d)
+    prune(corpus, deterministicScaledCells(corpus, scaledK(corpus.count())))
+  }
+
+  /** GRADED scaled two-level face: deterministic ⌈√k⌉ coarse cells (the
+    * flat deterministic clustering at k1) + the shared [[subdivide]]
+    * sub-assignment (distributed sub-centroid frame, equi-join probe),
+    * same dominator prune — the beyond-broadcast scale path, also
+    * hash-graded end-to-end.
+    */
+  val qSemdedupScaled2: Q = (s, d) => {
+    val corpus = plantedCorpus(s, d)
+    val k = scaledK(corpus.count())
+    val k1 = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val k2 = math.max(1, math.ceil(k.toDouble / k1).toInt)
+    val coarse = deterministicScaledCells(corpus, k1)
+      .withColumnRenamed("cell", "ccell")
+    prune(corpus, subdivide(corpus, coarse, k2))
+  }
+
   /** Shared within-cell dominator prune over any (vec_id, cell)
     * assignment — the body both scaled modes and the graded key use.
     */
@@ -262,6 +346,8 @@ object SemDedup {
   }
 
   val queries: Map[String, Q] = Map(
-    "q_semdedup" -> qSemdedup
+    "q_semdedup" -> qSemdedup,
+    "q_semdedup_scaled" -> qSemdedupScaled,
+    "q_semdedup_scaled2" -> qSemdedupScaled2
   )
 }

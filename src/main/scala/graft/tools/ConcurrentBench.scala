@@ -69,9 +69,11 @@ object ConcurrentBench {
       }
       threads.foreach(_.start()); threads.foreach(_.join())
     }
+    // Field names are N-agnostic (the `clients` field records N); the
+    // old t_*_4x names lied whenever SPARK_GRAFT_CLIENTS != 4.
     val line =
-      f"""{"clients":$clients,"t_serial_1x":$tSerial1%.2f,"t_serial_4x":$tSerial4%.2f,""" +
-      f""""t_concurrent_4x":$tConc%.2f,"interference":${tConc / tSerial4}%.2f,""" +
+      f"""{"clients":$clients,"t_serial_1x":$tSerial1%.2f,"t_serial_nx":$tSerial4%.2f,""" +
+      f""""t_concurrent_nx":$tConc%.2f,"interference":${tConc / tSerial4}%.2f,""" +
       f""""speedup_vs_1x":${tConc / tSerial1}%.2f,"sf":"$sfDir"}"""
     println(line)
     java.nio.file.Files.writeString(

@@ -82,20 +82,21 @@ class LinkageSpec extends AnyFunSuite {
   }
 
   test("compound blocking keeps every planted twin link (scale-path recall)") {
-    // The scaledLinkageFrame sub-blocks each nation by custkey range; a
-    // twin shares its original's custkey, so every TWIN link (key_a ==
-    // key_b) from the graded key must survive intact — only incidental
+    // The graded key (compound block since r12) sub-blocks each nation
+    // by custkey range; a twin shares its original's custkey, so every
+    // TWIN link (key_a == key_b) the coarse nation-block finds must
+    // survive intact in the graded result — only incidental
     // cross-customer collision links may straddle buckets (the
     // documented blocking recall trade).
+    val coarse = graft.engine.Linkage.coarseLinkageFrame(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     val graded = SparkEntry.queries("q_record_linkage")(spark, TestSpark.sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
-    val blocked = graft.engine.Linkage.scaledLinkageFrame(spark, TestSpark.sfDir)
-      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val coarseTwins = coarse.filter { case ((a, b), _) => a == b }
     val gradedTwins = graded.filter { case ((a, b), _) => a == b }
-    val blockedTwins = blocked.filter { case ((a, b), _) => a == b }
-    assert(gradedTwins.nonEmpty && blockedTwins == gradedTwins,
-      s"twin links ${blockedTwins.size} vs graded ${gradedTwins.size}")
-    assert(blocked.keySet.subsetOf(graded.keySet),
+    assert(coarseTwins.nonEmpty && gradedTwins == coarseTwins,
+      s"twin links ${gradedTwins.size} vs coarse ${coarseTwins.size}")
+    assert(graded.keySet.subsetOf(coarse.keySet),
       "sub-blocking must never invent a pair the nation block lacks")
   }
 

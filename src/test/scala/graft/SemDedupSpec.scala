@@ -83,6 +83,25 @@ class SemDedupSpec extends AnyFunSuite {
     assert(two.length == result.length, "same corpus must be traced")
   }
 
+  test("graded scaled faces agree with their Ivf-trained production twins") {
+    // The r12 graded keys replace Ivf.train's xxhash64 seed sample with
+    // id-order seeds + rounded Lloyd (the oracle-replicable discipline)
+    // but keep the identical scale shape (k ∝ n, map-only / equi-join
+    // assignment, bounded cells). Different cell structures ⇒ different
+    // full traces, but the planted prune DECISIONS must coincide with
+    // the production faces AND the fixed-k key.
+    val prunedFixed = result.filter(_.getBoolean(3))
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    for (key <- Seq("q_semdedup_scaled", "q_semdedup_scaled2")) {
+      val det = SparkEntry.queries(key)(spark, TestSpark.sfDir).collect()
+      val prunedDet = det.filter(_.getBoolean(3))
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(prunedDet == prunedFixed,
+        s"$key ${prunedDet.size} vs fixed ${prunedFixed.size} prune decisions")
+      assert(det.length == result.length, s"$key must trace the same corpus")
+    }
+  }
+
   test("all eight id-order seed cells are non-empty after one update") {
     // A seed is distance-0 to its own centroid at assignment 0, so with
     // Iters = 1 no cell can empty out — the precondition that lets both
