@@ -7,9 +7,16 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Partition-count sensitivity knob (round-12 verdict item #4): the
+    // cheap local proxy for cluster-scale partition counts — shuffle
+    // partitions >> cpus exposes summation-order / tie-break
+    // nondeterminism that 32-partition runs never sample. The driver
+    // sets no env, so its gate keeps partitions = cpus.
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

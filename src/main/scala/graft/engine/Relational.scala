@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -13,6 +13,16 @@ object Relational {
   import Tables._
 
   type Q = (SparkSession, String) => DataFrame
+
+  /** Exact fixed-point money: a 2-decimal double → integer cents (LONG).
+    * Same 2-decimal-exactness contract the r11 DECIMAL(18,2) cast relied
+    * on, but the downstream sum is primitive long arithmetic — order-free
+    * like the decimal form (integer addition is associative) without its
+    * per-row heap-Decimal cost (round-12 item #5). `round` first: the
+    * double nearest 36485.38 × 100 is 3648537.999…, and a bare cast
+    * would truncate it.
+    */
+  private[engine] def cents(c: Column): Column = round(c * 100).cast("long")
 
   /** Parquet scan + column pruning + pushdown filter. At 100 TB the WHERE
     * and SELECT both reach the parquet reader (PushedFilters / ReadSchema)
@@ -88,15 +98,24 @@ object Relational {
       .join(n, col("s_nationkey") === col("n_nationkey"))
       .join(r, col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
-      // DECIMAL accumulation (the q_share_of_total lesson, caught by the
-      // same ×10-mirror gate): price is exact in DECIMAL(18,2) and the
-      // discount factor in DECIMAL(4,2), so the 4-decimal products sum
-      // exactly and order-free; double only at the very end.
+      // Fixed-point LONG accumulation (round-12 item #5, replacing the
+      // r11 DECIMAL form at ~40% hot-loop cost): 2-decimal price →
+      // exact integer cents, 2-decimal discount → percent points, so
+      // the per-row product is an exact integer in 1e-4 currency units
+      // and the sum is order-free in primitive codegen arithmetic.
+      // `+50 div 100` is round-half-up at the 1e-4 → cent boundary
+      // (sums are positive by fixture contract); the final scale shift
+      // runs in DECIMAL so the double conversion is single-rounded —
+      // identical to DuckDB's round(DECIMAL, 2)::DOUBLE. Same exact
+      // value as the DECIMAL form, mirror-gate-verified.
       .agg(
-        round(sum(col("l_extendedprice").cast("decimal(18,2)") *
-          (lit(1) - col("l_discount").cast("decimal(4,2)"))), 2)
-          .cast("double").as("revenue"),
+        sum(cents(col("l_extendedprice")) *
+          (lit(100L) - cents(col("l_discount")))).as("__rev4"),
         count(lit(1)).as("n_lines"))
+      .withColumn("revenue",
+        expr("CAST(CAST((__rev4 + 50) div 100 AS DECIMAL(38,2)) / 100 AS DOUBLE)"))
+      .drop("__rev4")
+      .select(col("r_name"), col("n_name"), col("revenue"), col("n_lines"))
       .orderBy("r_name", "n_name")
   }
 
@@ -406,12 +425,18 @@ object Relational {
       .join(nation(s, d), col("c_nationkey") === col("n_nationkey"))
       .join(region(s, d), col("n_regionkey") === col("r_regionkey"))
       .rollup(col("r_name"), col("n_name"))
-      // DECIMAL balance sum: exact and summation-order-free (the grand
-      // rollup total spans every customer — the widest sum in the key —
-      // and drifted past round(2) at ×10-mirror scale as a double).
+      // Fixed-point LONG balance sum (item #5; was DECIMAL(18,2) since
+      // the r11 mirror gate caught the double grand-total drifting past
+      // round(2)): exact integer cents sum order-free in primitive
+      // arithmetic; a sum of 2-decimal values has exactly 2 decimals, so
+      // the r11 round(…, 2) was an identity and no half-up is needed —
+      // just the exact DECIMAL scale shift before the double cast.
       .agg(count(lit(1)).as("n_customers"),
-        round(sum(col("c_acctbal").cast("decimal(18,2)")), 2)
-          .cast("double").as("sum_bal"))
+        sum(cents(col("c_acctbal"))).as("__balc"))
+      .withColumn("sum_bal",
+        expr("CAST(CAST(__balc AS DECIMAL(38,2)) / 100 AS DOUBLE)"))
+      .drop("__balc")
+      .select(col("r_name"), col("n_name"), col("n_customers"), col("sum_bal"))
       .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
 
   /** CUBE over two dims. */
@@ -660,20 +685,20 @@ object Relational {
     */
   val qShareOfTotal: Q = (s, d) => {
     val w = Window.partitionBy()
-    // DECIMAL accumulation, not double: at ≈sf1 partition counts the
-    // double sum's partial-agg tree order drifted ~5e-3 from DuckDB's
-    // sequential fold and crossed a round(2) boundary (…189.0 vs
-    // …188.99 — caught by the ×10-mirror hash gate, round 11). The
-    // 2-decimal prices are exact in DECIMAL(18,2); sums are then exact
-    // and order-free, and both engines divide identical doubles.
+    // Fixed-point LONG accumulation (item #5; DECIMAL since the r11
+    // mirror gate caught the double sum's partial-agg tree order
+    // drifting ~5e-3 past a round(2) boundary at ≈sf1 partition
+    // counts): exact integer cents, order-free primitive sum; the
+    // DECIMAL scale shift keeps the double conversion single-rounded,
+    // and both engines then divide identical doubles for the share.
     customer(s, d)
       .join(orders(s, d), col("c_custkey") === col("o_custkey"))
       .join(nation(s, d), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
-      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
-      .withColumn("revenue", col("rev").cast("double"))
-      .withColumn("share_pct", round(col("rev").cast("double") /
-        sum(col("rev")).over(w).cast("double") * 100.0, 4))
+      .agg(sum(cents(col("o_totalprice"))).as("revc"))
+      .withColumn("revenue", expr("CAST(CAST(revc AS DECIMAL(38,2)) / 100 AS DOUBLE)"))
+      .withColumn("share_pct", round(col("revenue") /
+        expr("CAST(CAST(sum(revc) OVER () AS DECIMAL(38,2)) / 100 AS DOUBLE)") * 100.0, 4))
       .select(col("n_name"), col("revenue"), col("share_pct"))
       .orderBy("n_name")
   }

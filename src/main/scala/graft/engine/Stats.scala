@@ -190,8 +190,14 @@ object Stats {
       case Seq(l, o, c, n, r) =>
         val joined = s.sql(s"""
           SELECT n_name,
-            CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-              (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
+            -- Fixed-point LONG accumulation (item #5; DECIMAL since the
+            -- r11 mirror gate): exact cents × percent-points products in
+            -- 1e-4 units, order-free primitive sum; +50 div 100 is
+            -- round-half-up at the cent boundary (positive sums), and
+            -- the DECIMAL scale shift single-rounds the double.
+            CAST(CAST((sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+              (100 - CAST(round(l_discount * 100) AS BIGINT))) + 50) div 100
+              AS DECIMAL(38,2)) / 100 AS DOUBLE) AS revenue,
             count(*) AS n_items
           FROM `$l` JOIN `$o` ON l_orderkey = o_orderkey
             JOIN `$c` ON o_custkey = c_custkey
