@@ -1,0 +1,103 @@
+package graft.tools
+
+import graft.SparkEntry
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Concurrent-CORRECTNESS probe (round-12 verdict item #8): the FAIR-pool
+  * interference of N simultaneous clients is measured (ConcurrentBench);
+  * this tool pins that their ANSWERS are stable — every key, evaluated by
+  * N concurrent clients sharing one session, must hash-match the serial
+  * run.
+  *
+  * Hashing: (row count, Σ xxhash64(all columns) as DECIMAL(38,0)) — an
+  * order-independent multiset hash (decimal sum: no long overflow under
+  * ANSI, duplicate rows still shift the sum, unlike an XOR fold), so the
+  * comparison is insensitive to partition/emission order, which genuinely
+  * varies across concurrent runs, and sensitive to any value or
+  * multiplicity drift. All values the engine emits are deterministic by
+  * the repo's G-rules, so a stable multiset hash is exactly the driver
+  * gate's sorted-rows contract.
+  *
+  * Excluded (documented, not silent):
+  *  - q_cbo_join_reorder — registers fixed-name catalog tables + ANALYZE
+  *    and flips session CBO flags; concurrent DDL against one shared
+  *    catalog is an operator error by contract (the key exists to grade
+  *    the reorderer, not catalog concurrency);
+  *  - q_bucketed_join — persists fixed-name bucketed tables
+  *    (saveAsTable overwrite); same shared-catalog DDL contract.
+  * Both stay under the serial driver gate; every other key runs here.
+  *
+  * Env: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CLIENTS (4),
+  * SPARK_GRAFT_ONLY for subsets. One JSON line per mismatch plus a
+  * summary; exit 1 on any mismatch.
+  */
+object ConcurrentVerify {
+
+  val Excluded: Set[String] = Set("q_cbo_join_reorder", "q_bucketed_join")
+
+  private def contentHash(df: DataFrame): (Long, java.math.BigDecimal) = {
+    val r = df
+      .select(xxhash64(df.columns.map(col).toIndexedSeq: _*).as("__h"))
+      .agg(count(lit(1)), sum(col("__h").cast("decimal(38,0)"))).head()
+    (r.getLong(0), if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val clients = sys.env.getOrElse("SPARK_GRAFT_CLIENTS", "4").toInt
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.scheduler.mode", "FAIR")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val keys = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(Excluded)
+      .filter(k => only.forall(_.contains(k)))
+
+    // Serial reference pass (also the warm pass: JIT, footers, codegen).
+    val serial: Map[String, (Long, java.math.BigDecimal)] =
+      keys.map(k => k -> contentHash(SparkEntry.queries(k)(spark, sfDir))).toMap
+
+    // N clients, each a FAIR pool, each running EVERY key concurrently
+    // with the others — the full-surface version of ConcurrentBench.
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String, Long, java.math.BigDecimal, String)]
+    val threads = (1 to clients).map { i =>
+      new Thread(() => {
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"client$i")
+        keys.foreach { k =>
+          try {
+            val (n, h) = contentHash(SparkEntry.queries(k)(spark, sfDir))
+            results.add((i, k, n, h, null))
+          } catch {
+            case e: Throwable => results.add((i, k, -1L, null, s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+          }
+        }
+      })
+    }
+    val t0 = System.nanoTime()
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val wall = (System.nanoTime() - t0) / 1e9
+
+    var mismatches = 0
+    results.forEach { case (i, k, n, h, err) =>
+      val (n0, h0) = serial(k)
+      val ok = err == null && n == n0 && h0.compareTo(h) == 0
+      if (!ok) {
+        mismatches += 1
+        println(s"""{"client":$i,"key":"$k","rows":[$n0,$n],""" +
+          s""""serial_hash":"$h0","client_hash":"$h","err":${if (err == null) "null" else "\"" + err + "\""}}""")
+      }
+    }
+    println(s"""{"concurrent_verify":{"clients":$clients,"n_keys":${keys.size},""" +
+      s""""excluded":${Excluded.toSeq.sorted.mkString("[\"", "\",\"", "\"]")},""" +
+      s""""checks":${keys.size * clients},"mismatches":$mismatches,""" +
+      s""""wall_concurrent_sec":${f"$wall%.1f"},"sf":"$sfDir","pass":${mismatches == 0}}}""")
+    spark.stop()
+    if (mismatches > 0) sys.exit(1)
+  }
+}
