@@ -58,7 +58,7 @@ object ScaleSmoke {
 
   /** Copy-stride added to every key column: far above any fixture id, far
     * below Long overflow at any permitted factor (the binding limit is
-    * the 26-copy rotation alphabet — see `synthesize`).
+    * the embeddings shift modulus — see `synthesize`).
     */
   val Stride = 100000000L
 
@@ -82,6 +82,22 @@ object ScaleSmoke {
   private val lower = "abcdefghijklmnopqrstuvwxyz"
   private val upper = lower.toUpperCase
 
+  /** Letter map for copy `c`: the original rotation for c ≤ 25 (keeps
+    * every measured gate byte-identical), a DETERMINISTIC seeded
+    * permutation of the alphabet past that — any 1:1 letter map
+    * preserves within-copy structure exactly, and two distinct maps
+    * keep cross-copy vocabularies token-disjoint (a multi-char token
+    * collides only if the two permutations agree on every character),
+    * so the disjoint-copy invariants survive factors the 26-rotation
+    * alphabet could not reach (the ×100 ≈ sf10 decade, round-12 item
+    * #7). Distinctness of all maps in play is asserted in `synthesize`,
+    * not assumed.
+    */
+  private[graft] def letterMap(c: Int): String =
+    if (c <= 25) { val r = c % 25 + 1; lower.drop(r) + lower.take(r) }
+    else new scala.util.Random(0x9E3779B97F4A7C15L ^ c.toLong)
+      .shuffle(lower.toList).mkString
+
   /** One copy of `name` transformed for copy index `c` (c = 0 is the
     * identity). Pure column expressions — the whole synthesis is a single
     * codegen'd scan→project per copy, no UDF, no collect.
@@ -92,12 +108,12 @@ object ScaleSmoke {
     }
     name match {
       case "documents" if c > 0 =>
-        // Per-copy letter rotation: 1:1 map ⇒ n_chars, whitespace and
-        // within-copy dup structure preserved; cross-copy vocab disjoint.
-        val r = c % 25 + 1 // never identity for c > 0
-        val rotL = lower.drop(r) + lower.take(r)
-        val rotU = upper.drop(r) + upper.take(r)
-        keyed.withColumn("text", translate(col("text"), lower + upper, rotL + rotU))
+        // Per-copy letter map (rotation ≤ 25, seeded permutation past —
+        // see letterMap): 1:1 ⇒ n_chars, whitespace and within-copy dup
+        // structure preserved; cross-copy vocab disjoint.
+        val mapL = letterMap(c)
+        keyed.withColumn("text",
+          translate(col("text"), lower + upper, mapL + mapL.toUpperCase))
       case "embeddings" if c > 0 =>
         // Small per-copy shift: distinct vectors, same cluster geometry.
         keyed.withColumn("embedding",
@@ -119,13 +135,21 @@ object ScaleSmoke {
     * source schema byte-for-byte semantics.
     */
   def synthesize(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
-    // The per-copy letter rotation has 25 distinct non-identity values
-    // (c % 25 + 1): factor 26 = copies 0..25, all rotations distinct.
-    // Past that, copies would collide into exact cross-copy duplicates
-    // and the disjoint-copy invariants (and with them the linearity
-    // gates) silently break — refuse rather than mismeasure.
-    require(factor >= 1 && factor <= 26,
-      s"factor $factor outside [1, 26]: the copy-rotation alphabet supports at most 26 disjoint copies")
+    // Copies 1..25 use distinct rotations; past that, seeded alphabet
+    // permutations (letterMap). Identical maps on two copies would
+    // collide them into exact cross-copy duplicates and silently break
+    // the disjoint-copy invariants (and with them the linearity gates) —
+    // assert distinctness instead of trusting the seeds. Cap at 97: the
+    // embeddings shift is (c % 97)·1e-3, so copy 97 would carry vectors
+    // VALUE-identical to copy 0 — exact cross-copy duplicates of the
+    // kind the letter maps exist to prevent, just on the vector side.
+    require(factor >= 1 && factor <= 97,
+      s"factor $factor outside [1, 97]: the embeddings shift modulus (97) binds")
+    locally {
+      val maps = (0 until factor).map(c => if (c == 0) lower else letterMap(c))
+      require(maps.distinct.size == maps.size,
+        s"letter maps collide at factor $factor: two copies would be exact duplicates")
+    }
     Tables.configure(spark) // nanosAsLong for events.ts int64
     keyCols.keys.toSeq.sorted.foreach { name =>
       val src = spark.read.parquet(s"$srcDir/$name.parquet")

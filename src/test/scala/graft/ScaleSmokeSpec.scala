@@ -31,6 +31,18 @@ class ScaleSmokeSpec extends AnyFunSuite {
     }
   }
 
+  test("letter maps: permutations past the rotation alphabet, all distinct to 97") {
+    val maps = (1 until 97).map(ScaleSmoke.letterMap)
+    maps.foreach { m =>
+      assert(m.sorted == "abcdefghijklmnopqrstuvwxyz", s"not a permutation: $m")
+    }
+    // Deterministic (same map on re-derivation) and pairwise distinct —
+    // identical maps on two copies would collide them into exact
+    // cross-copy duplicates and break every disjointness invariant.
+    assert(ScaleSmoke.letterMap(60) == ScaleSmoke.letterMap(60))
+    assert((maps :+ "abcdefghijklmnopqrstuvwxyz").distinct.size == maps.size + 1)
+  }
+
   test("re-keying keeps ids unique and join keys consistent per copy") {
     val docs = big("documents")
     assert(docs.select("doc_id").distinct.count() === docs.count())
