@@ -10,14 +10,33 @@ import org.apache.spark.sql.functions._
   * N concurrent clients sharing one session, must hash-match the serial
   * run.
   *
+  * Client isolation: each client thread runs in its own
+  * `spark.newSession()` — the Thrift-server model (per-connection session
+  * over one shared SparkContext/cache). That is both the realistic
+  * concurrency shape AND what makes fixed-name temp-view registration
+  * (q_sql_*, q_lateral_topk) safe: temp views and session conf are
+  * session-scoped, so concurrent clients never race each other's
+  * catalog. (The first run of this gate shared one session across
+  * threads and caught exactly that race — 3 keys failing
+  * TABLE_OR_VIEW_NOT_FOUND when client A's view replace/drop interleaved
+  * client B's resolve.)
+  *
   * Hashing: (row count, Σ xxhash64(all columns) as DECIMAL(38,0)) — an
   * order-independent multiset hash (decimal sum: no long overflow under
   * ANSI, duplicate rows still shift the sum, unlike an XOR fold), so the
   * comparison is insensitive to partition/emission order, which genuinely
   * varies across concurrent runs, and sensitive to any value or
-  * multiplicity drift. All values the engine emits are deterministic by
-  * the repo's G-rules, so a stable multiset hash is exactly the driver
-  * gate's sorted-rows contract.
+  * multiplicity drift.
+  *
+  * Per-key contract strength: keys absent from `SparkEntry.oracleSql`
+  * are rows-only graded by the driver BECAUSE their values are
+  * estimate-nondeterministic by design (e.g. q_sketch_kll: DataSketches
+  * KLL compaction draws from a JVM-shared Random, so concurrent builds
+  * interleave draws and the p50/p90/p99 estimates legitimately drift
+  * within the ±1.65%·2 band the check twin q_sketch_kll_check — which IS
+  * value-hashed here and stable — pins). This gate mirrors the driver:
+  * full multiset hash for oracled keys, row-count-only for no-oracle
+  * keys; the summary reports both populations.
   *
   * Excluded (documented, not silent):
   *  - q_cbo_join_reorder — registers fixed-name catalog tables + ANALYZE
@@ -58,20 +77,23 @@ object ConcurrentVerify {
     val keys = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(Excluded)
       .filter(k => only.forall(_.contains(k)))
+    val oracled = SparkEntry.oracleSql.keySet
 
     // Serial reference pass (also the warm pass: JIT, footers, codegen).
     val serial: Map[String, (Long, java.math.BigDecimal)] =
       keys.map(k => k -> contentHash(SparkEntry.queries(k)(spark, sfDir))).toMap
 
-    // N clients, each a FAIR pool, each running EVERY key concurrently
-    // with the others — the full-surface version of ConcurrentBench.
+    // N clients, each its own session (Thrift-server model: isolated
+    // temp views + conf over the shared context), each a FAIR pool, each
+    // running EVERY key concurrently with the others.
     val results = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String, Long, java.math.BigDecimal, String)]
     val threads = (1 to clients).map { i =>
       new Thread(() => {
-        spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"client$i")
+        val sess = spark.newSession()
+        sess.sparkContext.setLocalProperty("spark.scheduler.pool", s"client$i")
         keys.foreach { k =>
           try {
-            val (n, h) = contentHash(SparkEntry.queries(k)(spark, sfDir))
+            val (n, h) = contentHash(SparkEntry.queries(k)(sess, sfDir))
             results.add((i, k, n, h, null))
           } catch {
             case e: Throwable => results.add((i, k, -1L, null, s"${e.getClass.getSimpleName}: ${e.getMessage}"))
@@ -84,18 +106,22 @@ object ConcurrentVerify {
     val wall = (System.nanoTime() - t0) / 1e9
 
     var mismatches = 0
+    var rowsOnlyChecks = 0
     results.forEach { case (i, k, n, h, err) =>
       val (n0, h0) = serial(k)
-      val ok = err == null && n == n0 && h0.compareTo(h) == 0
+      val hashGraded = oracled(k)
+      if (!hashGraded) rowsOnlyChecks += 1
+      val ok = err == null && n == n0 && (!hashGraded || h0.compareTo(h) == 0)
       if (!ok) {
         mismatches += 1
-        println(s"""{"client":$i,"key":"$k","rows":[$n0,$n],""" +
+        println(s"""{"client":$i,"key":"$k","rows":[$n0,$n],"hash_graded":$hashGraded,""" +
           s""""serial_hash":"$h0","client_hash":"$h","err":${if (err == null) "null" else "\"" + err + "\""}}""")
       }
     }
     println(s"""{"concurrent_verify":{"clients":$clients,"n_keys":${keys.size},""" +
       s""""excluded":${Excluded.toSeq.sorted.mkString("[\"", "\",\"", "\"]")},""" +
-      s""""checks":${keys.size * clients},"mismatches":$mismatches,""" +
+      s""""checks":${keys.size * clients},"hash_graded_checks":${keys.size * clients - rowsOnlyChecks},""" +
+      s""""rows_only_checks":$rowsOnlyChecks,"session_per_client":true,"mismatches":$mismatches,""" +
       s""""wall_concurrent_sec":${f"$wall%.1f"},"sf":"$sfDir","pass":${mismatches == 0}}}""")
     spark.stop()
     if (mismatches > 0) sys.exit(1)
