@@ -19,15 +19,24 @@ object Oracle {
     * one string makes the oracle identity structural — a threshold or
     * tokenization tweak cannot diverge them silently.
     */
+  // Exact-cents money sums (q1PricingSummary's discipline): BIGINT cents
+  // sums are order-free exact in both engines (DuckDB sums BIGINT into
+  // HUGEINT). The round-2 happens in INTEGER space — (Σ+half) floor-div
+  // scale (HALF_UP for positive sums) → exact cents → ÷100.0, an exact
+  // double below 2⁵³ — because round(double, 2) of the divided sum is
+  // not cross-engine stable past 2⁵³ (the ×97 gate measured a one-cent
+  // sum_charge flip at a half-cent boundary: ulp(5·10¹⁷ µ$) = 64 µ$).
+  // DuckDB `//` here ≡ Spark SQL `div` in qSqlFullQuery (positive sums,
+  // so floor ≡ truncate); otherwise the texts are kept identical.
   private val Q1Sql = """
       SELECT l_returnflag, l_linestatus,
         round(sum(l_quantity), 2) AS sum_qty,
-        round(sum(l_extendedprice), 2) AS sum_base_price,
-        round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 2) AS sum_base_price,
+        (sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) + 50) // 100 / 100.0 AS sum_disc_price,
+        (sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT)) * (100 + CAST(round(l_tax * 100) AS BIGINT))) + 5000) // 10000 / 100.0 AS sum_charge,
         round(avg(l_quantity), 2) AS avg_qty,
-        round(avg(l_extendedprice), 2) AS avg_price,
-        round(avg(l_discount), 4) AS avg_disc,
+        round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 / count(*), 2) AS avg_price,
+        round(sum(CAST(round(l_discount * 100) AS BIGINT)) / 100.0 / count(*), 4) AS avg_disc,
         count(*) AS count_order
       FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
       GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"""

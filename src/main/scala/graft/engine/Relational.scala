@@ -318,21 +318,44 @@ object Relational {
   /** TPC-H Q1 — the flagship: two-phase hash aggregation with partial
     * (map-side) combine; group-by keys are low-cardinality so the shuffle
     * moves only #groups × #partitions rows at any scale.
+    *
+    * Money sums are exact integer fixed-point (the `cents` discipline):
+    * price/discount/tax are 2-decimal, so cents·(100−discCents)·
+    * (100+taxCents) is an exact integer in 10⁻⁶ dollar units and the LONG
+    * sum is summation-order-free — the ×97 mirror gate (≈sf10, 58M rows)
+    * caught the raw double sums drifting past the round-2 boundary
+    * (…020.28 vs …020.27 at Σ≈5·10¹¹), invisible at sf0.1 AND the ×10
+    * mirror. Headroom: |Σ| ≈ 5·10¹⁷ µ$ at ≈sf10 → LONG overflows near
+    * sf180; past that the final merge becomes sum(cents · DECIMAL(38,0))
+    * with unchanged map-side LONG partials. avg_qty stays avg(): quantity
+    * is integral-valued, its double sum is exact below 2⁵³.
+    *
+    * The round-2 itself ALSO happens in integer space: `(Σ + 5000) div
+    * 10⁴` (HALF_UP for positive sums) → exact cents → ÷100.0 (exact
+    * double below 2⁵³). round(double, 2) of the divided sum is NOT
+    * cross-engine stable once Σ exceeds 2⁵³: the same ×97 gate caught a
+    * residual one-cent flip on sum_charge at a half-cent boundary —
+    * Spark rounds the double's exact decimal expansion HALF_UP while
+    * DuckDB scales-and-rounds, and at ulp(5·10¹⁷)=64 µ$ the two see
+    * different sides of .xx5 (the Oracle.scala rounding trap).
     */
-  val q1PricingSummary: Q = (s, d) =>
+  val q1PricingSummary: Q = (s, d) => {
+    val pc = cents(col("l_extendedprice"))
+    val dc = cents(col("l_discount"))
     lineitem(s, d)
       .where(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(sum(pc) / 100.0, 2).as("sum_base_price"),
+        (expr("(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) + 50) div 100") / 100.0).as("sum_disc_price"),
+        (expr("(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT)) * (100 + CAST(round(l_tax * 100) AS BIGINT))) + 5000) div 10000") / 100.0).as("sum_charge"),
         round(avg(col("l_quantity")), 2).as("avg_qty"),
-        round(avg(col("l_extendedprice")), 2).as("avg_price"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
+        round(sum(pc) / 100.0 / count(lit(1)), 2).as("avg_price"),
+        round(sum(dc) / 100.0 / count(lit(1)), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
+  }
 
   /** COUNT(DISTINCT) + SUM(DISTINCT): expand + two-phase aggregate. */
   val qAggDistinct: Q = (s, d) =>

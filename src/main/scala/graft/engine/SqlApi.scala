@@ -61,15 +61,24 @@ object SqlApi {
     * Spark and DuckDB texts are near-identical by construction.
     */
   val qSqlFullQuery: Q = (s, d) => {
+    // Same exact-cents discipline as q1PricingSummary, with the round-2
+    // done in INTEGER space ((Σ+half) div scale → cents → ÷100.0): the
+    // Spark text uses `div` and `100.0D`, the DuckDB oracle Q1Sql uses
+    // `//` and `100.0` — the only dialect differences. In Spark SQL a
+    // bare `100.0` is a DECIMAL literal (unlike the DataFrame API's
+    // Scala-Double lit), which silently turns every division DECIMAL and
+    // flips the output schema; the `D` suffix keeps the contract DOUBLE.
+    // Every value both engines compute is an exact integer until the
+    // final exact ÷100.0 (see q1PricingSummary doc).
     withViews(s, d, Seq("lineitem"))("""
       SELECT l_returnflag, l_linestatus,
         round(sum(l_quantity), 2) AS sum_qty,
-        round(sum(l_extendedprice), 2) AS sum_base_price,
-        round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0D, 2) AS sum_base_price,
+        (sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) + 50) div 100 / 100.0D AS sum_disc_price,
+        (sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT)) * (100 + CAST(round(l_tax * 100) AS BIGINT))) + 5000) div 10000 / 100.0D AS sum_charge,
         round(avg(l_quantity), 2) AS avg_qty,
-        round(avg(l_extendedprice), 2) AS avg_price,
-        round(avg(l_discount), 4) AS avg_disc,
+        round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0D / count(*), 2) AS avg_price,
+        round(sum(CAST(round(l_discount * 100) AS BIGINT)) / 100.0D / count(*), 4) AS avg_disc,
         count(*) AS count_order
       FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
       GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
