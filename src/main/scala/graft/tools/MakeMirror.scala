@@ -18,20 +18,25 @@ import org.apache.spark.sql.SparkSession
   * input — a full engine-vs-oracle hash gate at ×N scale.
   *
   * Run: MIRROR_SRC (default /root/testdata/sf0.1), MIRROR_FACTOR
-  * (default 10), MIRROR_OUT (default target/mirror_x10).
+  * (default 10), MIRROR_OUT (default target/mirror_x10), MIRROR_TABLES
+  * (comma list; default all — the fifth-decade gate restricts to the
+  * relational tables its money-aggregate keys read).
   */
 object MakeMirror {
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("MIRROR_SRC", "/root/testdata/sf0.1")
     val factor = sys.env.getOrElse("MIRROR_FACTOR", "10").toInt
     val out = sys.env.getOrElse("MIRROR_OUT", "target/mirror_x10")
+    val tables = sys.env.get("MIRROR_TABLES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(ScaleSmoke.keyCols.keys.toSet)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    ScaleSmoke.synthesize(spark, src, out, factor)
+    ScaleSmoke.synthesize(spark, src, out, factor, tables)
     println(s"""{"mirror":"$out","src":"$src","factor":$factor}""")
     spark.stop()
   }

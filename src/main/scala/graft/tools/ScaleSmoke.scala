@@ -134,7 +134,16 @@ object ScaleSmoke {
     * RAW parquet (no events-ts conversion) so the written files carry the
     * source schema byte-for-byte semantics.
     */
-  def synthesize(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
+  def synthesize(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit =
+    synthesize(spark, srcDir, outDir, factor, keyCols.keys.toSet)
+
+  /** As above, restricted to `tables` — the fifth-decade money-aggregate
+    * gate mirrors a ×97 mirror a further ×10 (≈ sf97), where the full
+    * table set would be ~15 GB; only the relational tables its keys
+    * read need materializing.
+    */
+  def synthesize(spark: SparkSession, srcDir: String, outDir: String, factor: Int,
+                 tables: Set[String]): Unit = {
     // Copies 1..25 use distinct rotations; past that, seeded alphabet
     // permutations (letterMap). Identical maps on two copies would
     // collide them into exact cross-copy duplicates and silently break
@@ -150,8 +159,10 @@ object ScaleSmoke {
       require(maps.distinct.size == maps.size,
         s"letter maps collide at factor $factor: two copies would be exact duplicates")
     }
+    val unknown = tables -- keyCols.keys
+    require(unknown.isEmpty, s"unknown mirror tables: ${unknown.mkString(",")}")
     Tables.configure(spark) // nanosAsLong for events.ts int64
-    keyCols.keys.toSeq.sorted.foreach { name =>
+    keyCols.keys.toSeq.sorted.filter(tables).foreach { name =>
       val src = spark.read.parquet(s"$srcDir/$name.parquet")
       val scaled = (0 until factor).map(c => scaleCopy(src, name, c)).reduce(_ union _)
       scaled.write.mode("overwrite").parquet(s"$outDir/$name.parquet")

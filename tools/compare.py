@@ -17,10 +17,54 @@ For each key in <verifyOutDir>/oracle_sql.json:
   - sort columns by name, compare row counts, column names, and values
     (exact; report near-miss stats when values differ)
 """
-import sys, json, glob, math
+import sys, json, glob, math, os
 import duckdb
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+# Above this row count the pandas string-sort compare is too heavy (at the
+# x97 mirror some keys emit ~10M rows); switch to an in-DuckDB multiset
+# compare (EXCEPT ALL both ways on native values) — same strictness, bounded
+# memory. Tunable for experiments via COMPARE_BIG_ROWS.
+BIG_ROWS = int(os.environ.get("COMPARE_BIG_ROWS", "2000000"))
+
+
+def big_compare(con, name, sql, spark_glob, rec):
+    """Multiset-exact compare entirely inside DuckDB for big outputs.
+
+    Column names are checked first, then both sides are projected in
+    sorted-column-name order and diffed with EXCEPT ALL in both
+    directions — NULLs compare equal under set-op semantics, values
+    compare exactly (no string formatting involved). Unlike the pandas
+    path this does not flag dtype-width differences (EXCEPT coerces
+    int32/int64); the graded small-scale path keeps that check."""
+    scols = [d[0] for d in con.execute(
+        f"SELECT * FROM '{spark_glob}' LIMIT 0").description]
+    ocols = [d[0] for d in con.execute(
+        f"SELECT * FROM ({sql}) LIMIT 0").description]
+    if sorted(scols) != sorted(ocols):
+        rec["err"] = f"columns spark={sorted(scols)} duck={sorted(ocols)}"
+        return False
+    rec["schema_match"] = True
+    cols = ", ".join(f'"{c}"' for c in sorted(scols))
+    con.execute(f"CREATE OR REPLACE TEMP VIEW _sp AS SELECT {cols} FROM '{spark_glob}'")
+    con.execute(f"CREATE OR REPLACE TEMP VIEW _or AS SELECT {cols} FROM ({sql})")
+    n_s = con.execute("SELECT count(*) FROM _sp").fetchone()[0]
+    n_o = con.execute("SELECT count(*) FROM _or").fetchone()[0]
+    rec["spark_rows"], rec["oracle_rows"] = n_s, n_o
+    if n_s != n_o:
+        rec["err"] = f"rows spark={n_s} duck={n_o}"
+        return False
+    rec["rows_match"] = True
+    d1 = con.execute(
+        "SELECT count(*) FROM (SELECT * FROM _sp EXCEPT ALL SELECT * FROM _or)").fetchone()[0]
+    d2 = con.execute(
+        "SELECT count(*) FROM (SELECT * FROM _or EXCEPT ALL SELECT * FROM _sp)").fetchone()[0]
+    if d1 or d2:
+        rec["err"] = f"multiset diff: spark-only={d1} oracle-only={d2}"
+        return False
+    rec["hash_match"] = True
+    return True
 
 def norm(df):
     # Sort columns by name AND rows by all columns (as the driver gate
@@ -62,7 +106,18 @@ def main():
             if not files:
                 rec["err"] = "no spark output"
                 print(f"FAIL {name}: no spark output"); n_fail += 1; continue
-            sdf = con.execute(f"SELECT * FROM '{out}/{name}/*.parquet'").fetchdf()
+            spark_glob = f"{out}/{name}/*.parquet"
+            n_quick = con.execute(
+                f"SELECT count(*) FROM '{spark_glob}'").fetchone()[0]
+            if n_quick > BIG_ROWS:
+                ok = big_compare(con, name, sql, spark_glob, rec)
+                if ok:
+                    print(f"PASS {name} ({rec['spark_rows']} rows, duckdb multiset path)")
+                    n_pass += 1
+                else:
+                    print(f"FAIL {name}: {rec['err']}"); n_fail += 1
+                continue
+            sdf = con.execute(f"SELECT * FROM '{spark_glob}'").fetchdf()
             ddf = con.execute(sql).fetchdf()
         except Exception as e:
             rec["err"] = f"{type(e).__name__}: {e}"
