@@ -24,6 +24,33 @@ object Relational {
     */
   private[engine] def cents(c: Column): Column = round(c * 100).cast("long")
 
+  /** 100 TB form of the corpus-spanning money sums (the path §20 #7b
+    * documented and the ×97 mirror's ANSI `long overflow` on
+    * q_cbo_join_reorder made concrete): accumulate per-(group, input
+    * partition) partials in primitive LONG — codegen'd, order-free,
+    * bounded by partition size (a 2⁶³ partial needs ~10¹⁰ max-price rows
+    * in ONE task's partition; a 200 MB split holds ~5·10⁶, a 40×-headroom
+    * contract even for the 10⁻⁶-unit charge product) — then merge ONLY
+    * the tiny groups×partitions partial frame in DECIMAL(38,0), where the
+    * corpus-wide total never overflows. Cost: one extra exchange over
+    * G×P one-row partials; the per-row hot loop stays LONG.
+    *
+    * Grouping by `spark_partition_id()` is safe here because the VALUE of
+    * an exact integer sum is independent of how rows are sliced into
+    * partials; the id only names the slice. The final `div`'s BIGINT
+    * quotient (exact cents) binds next at ~10 PB of money volume — far
+    * past the DOUBLE output's own 2⁵³ representability.
+    */
+  private[engine] def widePartials(df: DataFrame, keys: Seq[Column],
+      partials: Seq[Column]): DataFrame =
+    df.groupBy(keys :+ spark_partition_id().as("__wp"): _*)
+      .agg(partials.head, partials.tail: _*)
+
+  /** DECIMAL(38,0) merge of a LONG partial column (stage 2 of
+    * [[widePartials]]). */
+  private[engine] def wideSum(partial: String): Column =
+    expr(s"sum(CAST($partial AS DECIMAL(38,0)))")
+
   /** Parquet scan + column pruning + pushdown filter. At 100 TB the WHERE
     * and SELECT both reach the parquet reader (PushedFilters / ReadSchema)
     * so only 4 columns and matching row groups are read.
@@ -97,24 +124,28 @@ object Relational {
       .join(su, col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
       .join(n, col("s_nationkey") === col("n_nationkey"))
       .join(r, col("n_regionkey") === col("r_regionkey"))
-      .groupBy(col("r_name"), col("n_name"))
       // Fixed-point LONG accumulation (round-12 item #5, replacing the
       // r11 DECIMAL form at ~40% hot-loop cost): 2-decimal price →
       // exact integer cents, 2-decimal discount → percent points, so
       // the per-row product is an exact integer in 1e-4 currency units
-      // and the sum is order-free in primitive codegen arithmetic.
-      // `+50 div 100` is round-half-up at the 1e-4 → cent boundary
-      // (sums are positive by fixture contract); the final scale shift
-      // runs in DECIMAL so the double conversion is single-rounded —
-      // identical to DuckDB's round(DECIMAL, 2)::DOUBLE. Same exact
-      // value as the DECIMAL form, mirror-gate-verified.
-      .agg(
-        sum(cents(col("l_extendedprice")) *
-          (lit(100L) - cents(col("l_discount")))).as("__rev4"),
-        count(lit(1)).as("n_lines"))
+      // and the sum is order-free in primitive codegen arithmetic; the
+      // corpus-spanning merge is DECIMAL(38,0) over the LONG partials
+      // (widePartials — the ×97-mirror overflow lesson). `+50 div 100`
+      // is round-half-up at the 1e-4 → cent boundary (sums positive by
+      // fixture contract); the final scale shift runs in DECIMAL so the
+      // double conversion is single-rounded — identical to DuckDB's
+      // round(DECIMAL, 2)::DOUBLE. Same exact value as the DECIMAL
+      // form, mirror-gate-verified.
+      .transform(j => widePartials(j, Seq(col("r_name"), col("n_name")),
+        Seq(
+          sum(cents(col("l_extendedprice")) *
+            (lit(100L) - cents(col("l_discount")))).as("__rev4"),
+          count(lit(1)).as("__np"))))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(wideSum("__rev4").as("__rev4w"), sum(col("__np")).as("n_lines"))
       .withColumn("revenue",
-        expr("CAST(CAST((__rev4 + 50) div 100 AS DECIMAL(38,2)) / 100 AS DOUBLE)"))
-      .drop("__rev4")
+        expr("CAST(CAST((__rev4w + 50) div 100 AS DECIMAL(38,2)) / 100 AS DOUBLE)"))
+      .drop("__rev4w")
       .select(col("r_name"), col("n_name"), col("revenue"), col("n_lines"))
       .orderBy("r_name", "n_name")
   }
@@ -325,10 +356,11 @@ object Relational {
     * sum is summation-order-free — the ×97 mirror gate (≈sf10, 58M rows)
     * caught the raw double sums drifting past the round-2 boundary
     * (…020.28 vs …020.27 at Σ≈5·10¹¹), invisible at sf0.1 AND the ×10
-    * mirror. Headroom: |Σ| ≈ 5·10¹⁷ µ$ at ≈sf10 → LONG overflows near
-    * sf180; past that the final merge becomes sum(cents · DECIMAL(38,0))
-    * with unchanged map-side LONG partials. avg_qty stays avg(): quantity
-    * is integral-valued, its double sum is exact below 2⁵³.
+    * mirror. The corpus-spanning merge runs in DECIMAL(38,0) over LONG
+    * per-partition partials ([[widePartials]]) so no total ever touches
+    * the 2⁶³ limit the single-phase form would hit near sf180 (and the
+    * charge product near sf10⁵ ≈ the 100 TB target itself). Quantity
+    * sums stay double: integral-valued, exact below 2⁵³.
     *
     * The round-2 itself ALSO happens in integer space: `(Σ + 5000) div
     * 10⁴` (HALF_UP for positive sums) → exact cents → ÷100.0 (exact
@@ -342,18 +374,29 @@ object Relational {
   val q1PricingSummary: Q = (s, d) => {
     val pc = cents(col("l_extendedprice"))
     val dc = cents(col("l_discount"))
-    lineitem(s, d)
-      .where(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+    val tc = cents(col("l_tax"))
+    val partials = widePartials(
+      lineitem(s, d)
+        .where(col("l_shipdate") <= lit("2001-09-01").cast("timestamp")),
+      Seq(col("l_returnflag"), col("l_linestatus")),
+      Seq(
+        sum(col("l_quantity")).as("__qty"),
+        sum(pc).as("__pc"),
+        sum(dc).as("__dc"),
+        sum(pc * (lit(100L) - dc)).as("__rev4"),
+        sum(pc * (lit(100L) - dc) * (lit(100L) + tc)).as("__rev6"),
+        count(lit(1)).as("__n")))
+    partials
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(pc) / 100.0, 2).as("sum_base_price"),
-        (expr("(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) + 50) div 100") / 100.0).as("sum_disc_price"),
-        (expr("(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT)) * (100 + CAST(round(l_tax * 100) AS BIGINT))) + 5000) div 10000") / 100.0).as("sum_charge"),
-        round(avg(col("l_quantity")), 2).as("avg_qty"),
-        round(sum(pc) / 100.0 / count(lit(1)), 2).as("avg_price"),
-        round(sum(dc) / 100.0 / count(lit(1)), 4).as("avg_disc"),
-        count(lit(1)).as("count_order"))
+        round(sum(col("__qty")), 2).as("sum_qty"),
+        round(wideSum("__pc").cast("double") / 100.0, 2).as("sum_base_price"),
+        (expr("(sum(CAST(__rev4 AS DECIMAL(38,0))) + 50) div 100") / 100.0).as("sum_disc_price"),
+        (expr("(sum(CAST(__rev6 AS DECIMAL(38,0))) + 5000) div 10000") / 100.0).as("sum_charge"),
+        round(sum(col("__qty")) / sum(col("__n")), 2).as("avg_qty"),
+        round(wideSum("__pc").cast("double") / 100.0 / sum(col("__n")), 2).as("avg_price"),
+        round(wideSum("__dc").cast("double") / 100.0 / sum(col("__n")), 4).as("avg_disc"),
+        sum(col("__n")).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
 
@@ -447,15 +490,20 @@ object Relational {
     customer(s, d)
       .join(nation(s, d), col("c_nationkey") === col("n_nationkey"))
       .join(region(s, d), col("n_regionkey") === col("r_regionkey"))
-      .rollup(col("r_name"), col("n_name"))
       // Fixed-point LONG balance sum (item #5; was DECIMAL(18,2) since
       // the r11 mirror gate caught the double grand-total drifting past
       // round(2)): exact integer cents sum order-free in primitive
       // arithmetic; a sum of 2-decimal values has exactly 2 decimals, so
       // the r11 round(…, 2) was an identity and no half-up is needed —
-      // just the exact DECIMAL scale shift before the double cast.
-      .agg(count(lit(1)).as("n_customers"),
-        sum(cents(col("c_acctbal"))).as("__balc"))
+      // just the exact DECIMAL scale shift before the double cast. The
+      // rollup itself runs over the widePartials frame — hierarchy
+      // totals merge pre-aggregated (group, partition) rows, so the
+      // grand total is a DECIMAL merge of LONG partials AND the rollup's
+      // own input shrinks from |customer| to groups × partitions.
+      .transform(j => widePartials(j, Seq(col("r_name"), col("n_name")),
+        Seq(count(lit(1)).as("__np"), sum(cents(col("c_acctbal"))).as("__balp"))))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(sum(col("__np")).as("n_customers"), wideSum("__balp").as("__balc"))
       .withColumn("sum_bal",
         expr("CAST(CAST(__balc AS DECIMAL(38,2)) / 100 AS DOUBLE)"))
       .drop("__balc")
@@ -717,8 +765,10 @@ object Relational {
     customer(s, d)
       .join(orders(s, d), col("c_custkey") === col("o_custkey"))
       .join(nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .transform(j => widePartials(j, Seq(col("n_name")),
+        Seq(sum(cents(col("o_totalprice"))).as("__revp"))))
       .groupBy(col("n_name"))
-      .agg(sum(cents(col("o_totalprice"))).as("revc"))
+      .agg(wideSum("__revp").as("revc"))
       .withColumn("revenue", expr("CAST(CAST(revc AS DECIMAL(38,2)) / 100 AS DOUBLE)"))
       .withColumn("share_pct", round(col("revenue") /
         expr("CAST(CAST(sum(revc) OVER () AS DECIMAL(38,2)) / 100 AS DOUBLE)") * 100.0, 4))

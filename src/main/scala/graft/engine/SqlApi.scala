@@ -62,25 +62,41 @@ object SqlApi {
     */
   val qSqlFullQuery: Q = (s, d) => {
     // Same exact-cents discipline as q1PricingSummary, with the round-2
-    // done in INTEGER space ((Σ+half) div scale → cents → ÷100.0): the
-    // Spark text uses `div` and `100.0D`, the DuckDB oracle Q1Sql uses
-    // `//` and `100.0` — the only dialect differences. In Spark SQL a
-    // bare `100.0` is a DECIMAL literal (unlike the DataFrame API's
-    // Scala-Double lit), which silently turns every division DECIMAL and
-    // flips the output schema; the `D` suffix keeps the contract DOUBLE.
-    // Every value both engines compute is an exact integer until the
-    // final exact ÷100.0 (see q1PricingSummary doc).
+    // done in INTEGER space ((Σ+half) div scale → cents → ÷100.0) and
+    // the corpus-spanning merge in DECIMAL(38,0) over per-(group, input
+    // partition) LONG partials — the SQL-text spelling of widePartials
+    // (GROUP BY …, spark_partition_id(): the id only names the slice, an
+    // exact integer sum's VALUE is slice-independent). The Spark text
+    // uses `div` and `100.0D`, the DuckDB oracle Q1Sql uses `//` and
+    // `100.0` — the only dialect differences (the oracle needs no
+    // partial stage: DuckDB sums in 128-bit HUGEINT natively). In Spark
+    // SQL a bare `100.0` is a DECIMAL literal (unlike the DataFrame
+    // API's Scala-Double lit), which silently turns every division
+    // DECIMAL and flips the output schema; the `D` suffix keeps the
+    // contract DOUBLE. Every value both engines compute is an exact
+    // integer until the final exact ÷100.0 (see q1PricingSummary doc).
     withViews(s, d, Seq("lineitem"))("""
+      WITH __wp AS (
+        SELECT l_returnflag, l_linestatus,
+          sum(l_quantity) AS __qty,
+          sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS __pc,
+          sum(CAST(round(l_discount * 100) AS BIGINT)) AS __dc,
+          sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS __rev4,
+          sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT)) * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS __rev6,
+          count(*) AS __n
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+        GROUP BY l_returnflag, l_linestatus, spark_partition_id()
+      )
       SELECT l_returnflag, l_linestatus,
-        round(sum(l_quantity), 2) AS sum_qty,
-        round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0D, 2) AS sum_base_price,
-        (sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) + 50) div 100 / 100.0D AS sum_disc_price,
-        (sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT)) * (100 + CAST(round(l_tax * 100) AS BIGINT))) + 5000) div 10000 / 100.0D AS sum_charge,
-        round(avg(l_quantity), 2) AS avg_qty,
-        round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0D / count(*), 2) AS avg_price,
-        round(sum(CAST(round(l_discount * 100) AS BIGINT)) / 100.0D / count(*), 4) AS avg_disc,
-        count(*) AS count_order
-      FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+        round(sum(__qty), 2) AS sum_qty,
+        round(CAST(sum(CAST(__pc AS DECIMAL(38,0))) AS DOUBLE) / 100.0D, 2) AS sum_base_price,
+        (sum(CAST(__rev4 AS DECIMAL(38,0))) + 50) div 100 / 100.0D AS sum_disc_price,
+        (sum(CAST(__rev6 AS DECIMAL(38,0))) + 5000) div 10000 / 100.0D AS sum_charge,
+        round(sum(__qty) / sum(__n), 2) AS avg_qty,
+        round(CAST(sum(CAST(__pc AS DECIMAL(38,0))) AS DOUBLE) / 100.0D / sum(__n), 2) AS avg_price,
+        round(CAST(sum(CAST(__dc AS DECIMAL(38,0))) AS DOUBLE) / 100.0D / sum(__n), 4) AS avg_disc,
+        sum(__n) AS count_order
+      FROM __wp
       GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
     """)
   }

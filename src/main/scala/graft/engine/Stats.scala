@@ -189,21 +189,33 @@ object Stats {
       columns = statCols) {
       case Seq(l, o, c, n, r) =>
         val joined = s.sql(s"""
+          -- Fixed-point LONG accumulation (item #5) in its 100 TB form
+          -- (#7b): per-(group, partition) partials sum exact cents ×
+          -- percent-points products (1e-4 units) in primitive LONG,
+          -- bounded by partition size; only the tiny partial frame
+          -- merges in DECIMAL(38,0) — the ×97 mirror's ANSI `long
+          -- overflow` (Σ ≈ 7.9e18 under the un-offset-dimension ×97²
+          -- fan-out) is exactly what the single-phase form dies on.
+          -- +50 div 100 is round-half-up at the cent boundary (positive
+          -- sums; BIGINT quotient exact to ~10 PB money volume), and
+          -- the DECIMAL scale shift single-rounds the double.
+          WITH __wp AS (
+            SELECT n_name,
+              sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                (100 - CAST(round(l_discount * 100) AS BIGINT))) AS __rev4p,
+              count(*) AS __np
+            FROM `$l` JOIN `$o` ON l_orderkey = o_orderkey
+              JOIN `$c` ON o_custkey = c_custkey
+              JOIN `$n` ON c_nationkey = n_nationkey
+              JOIN `$r` ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+            GROUP BY n_name, spark_partition_id()
+          )
           SELECT n_name,
-            -- Fixed-point LONG accumulation (item #5; DECIMAL since the
-            -- r11 mirror gate): exact cents × percent-points products in
-            -- 1e-4 units, order-free primitive sum; +50 div 100 is
-            -- round-half-up at the cent boundary (positive sums), and
-            -- the DECIMAL scale shift single-rounds the double.
-            CAST(CAST((sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
-              (100 - CAST(round(l_discount * 100) AS BIGINT))) + 50) div 100
+            CAST(CAST((sum(CAST(__rev4p AS DECIMAL(38,0))) + 50) div 100
               AS DECIMAL(38,2)) / 100 AS DOUBLE) AS revenue,
-            count(*) AS n_items
-          FROM `$l` JOIN `$o` ON l_orderkey = o_orderkey
-            JOIN `$c` ON o_custkey = c_custkey
-            JOIN `$n` ON c_nationkey = n_nationkey
-            JOIN `$r` ON n_regionkey = r_regionkey
-          WHERE r_name = 'EUROPE'
+            sum(__np) AS n_items
+          FROM __wp
           GROUP BY n_name
           ORDER BY n_name
         """)

@@ -20,13 +20,16 @@ import org.apache.spark.sql.SparkSession
   * Run: MIRROR_SRC (default /root/testdata/sf0.1), MIRROR_FACTOR
   * (default 10), MIRROR_OUT (default target/mirror_x10), MIRROR_TABLES
   * (comma list; default all — the fifth-decade gate restricts to the
-  * relational tables its money-aggregate keys read).
+  * relational tables its money-aggregate keys read), MIRROR_SINGLE_DIMS
+  * (=1 writes nation/region once instead of ×N — the TPC-H-shaped
+  * growth profile; see ScaleSmoke.synthesize).
   */
 object MakeMirror {
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("MIRROR_SRC", "/root/testdata/sf0.1")
     val factor = sys.env.getOrElse("MIRROR_FACTOR", "10").toInt
     val out = sys.env.getOrElse("MIRROR_OUT", "target/mirror_x10")
+    val singleDims = sys.env.get("MIRROR_SINGLE_DIMS").contains("1")
     val tables = sys.env.get("MIRROR_TABLES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(ScaleSmoke.keyCols.keys.toSet)
@@ -36,8 +39,8 @@ object MakeMirror {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    ScaleSmoke.synthesize(spark, src, out, factor, tables)
-    println(s"""{"mirror":"$out","src":"$src","factor":$factor}""")
+    ScaleSmoke.synthesize(spark, src, out, factor, tables, singleDims)
+    println(s"""{"mirror":"$out","src":"$src","factor":$factor,"singleDims":$singleDims}""")
     spark.stop()
   }
 }

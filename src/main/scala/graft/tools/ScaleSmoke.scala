@@ -138,23 +138,41 @@ object ScaleSmoke {
     synthesize(spark, srcDir, outDir, factor, keyCols.keys.toSet)
 
   /** As above, restricted to `tables` — the fifth-decade money-aggregate
-    * gate mirrors a ×97 mirror a further ×10 (≈ sf97), where the full
-    * table set would be ~15 GB; only the relational tables its keys
-    * read need materializing.
+    * gate needs ≈ sf97 of the relational tables only, where the full
+    * table set would be ~15 GB; only the tables its keys read need
+    * materializing.
+    *
+    * `singleDims = true` writes dimension tables (those with no key
+    * columns: nation, region) ONCE instead of ×N. Real corpora grow
+    * FACTS, not `nation` — replicated dims fan every customer⋈nation
+    * match out ×N (the measured artifact: ×97² ≈ 9409 row products at
+    * the fourth decade, an un-TPC-H-shaped quadratic that ANSI-overflowed
+    * the single-phase LONG cents sum on q_cbo_join_reorder before the
+    * widePartials merge landed). Default false: every committed ≤×97
+    * artifact was measured on replicated dims and stays reproducible.
     */
   def synthesize(spark: SparkSession, srcDir: String, outDir: String, factor: Int,
-                 tables: Set[String]): Unit = {
-    // Copies 1..25 use distinct rotations; past that, seeded alphabet
-    // permutations (letterMap). Identical maps on two copies would
-    // collide them into exact cross-copy duplicates and silently break
-    // the disjoint-copy invariants (and with them the linearity gates) —
-    // assert distinctness instead of trusting the seeds. Cap at 97: the
-    // embeddings shift is (c % 97)·1e-3, so copy 97 would carry vectors
-    // VALUE-identical to copy 0 — exact cross-copy duplicates of the
-    // kind the letter maps exist to prevent, just on the vector side.
-    require(factor >= 1 && factor <= 97,
-      s"factor $factor outside [1, 97]: the embeddings shift modulus (97) binds")
-    locally {
+                 tables: Set[String], singleDims: Boolean = false): Unit = {
+    // The factor cap is TABLE-AWARE — each constraint binds only when the
+    // table it protects is being mirrored:
+    //  - embeddings: the per-copy shift is (c % 97)·1e-3, so copy 97
+    //    would carry vectors VALUE-identical to copy 0 — exact cross-copy
+    //    duplicates of the kind the letter maps exist to prevent, just on
+    //    the vector side ⇒ factor ≤ 97.
+    //  - documents: copies 1..25 use distinct rotations; past that,
+    //    seeded alphabet permutations (letterMap). Identical maps on two
+    //    copies would collide them into exact cross-copy duplicates and
+    //    silently break the disjoint-copy invariants (and with them the
+    //    linearity gates) — assert distinctness instead of trusting the
+    //    seeds.
+    //  - all tables: ids stay unique while (factor-1)·Stride + max fixture
+    //    id < 2⁶³; cap at 1000 (1e11 ids) — far past the fifth decade,
+    //    far under overflow.
+    require(factor >= 1 && factor <= 1000,
+      s"factor $factor outside [1, 1000]")
+    require(factor <= 97 || !tables("embeddings"),
+      s"factor $factor > 97: the embeddings shift modulus (97) binds when embeddings are mirrored")
+    if (tables("documents")) {
       val maps = (0 until factor).map(c => if (c == 0) lower else letterMap(c))
       require(maps.distinct.size == maps.size,
         s"letter maps collide at factor $factor: two copies would be exact duplicates")
@@ -164,7 +182,8 @@ object ScaleSmoke {
     Tables.configure(spark) // nanosAsLong for events.ts int64
     keyCols.keys.toSeq.sorted.filter(tables).foreach { name =>
       val src = spark.read.parquet(s"$srcDir/$name.parquet")
-      val scaled = (0 until factor).map(c => scaleCopy(src, name, c)).reduce(_ union _)
+      val copies = if (singleDims && keyCols(name).isEmpty) 1 else factor
+      val scaled = (0 until copies).map(c => scaleCopy(src, name, c)).reduce(_ union _)
       scaled.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
     }
   }
@@ -367,9 +386,13 @@ object ScaleSmoke {
 
     val scaledDir = s"$out/x$factor"
     // SCALE_SMOKE_REUSE=1 skips re-synthesis when the mirror already
-    // exists (iterating on one key's plan, not on the synthesizer).
-    if (!(sys.env.contains("SCALE_SMOKE_REUSE") &&
-        new java.io.File(s"$scaledDir/documents.parquet").exists()))
+    // exists (iterating on one key's plan, not on the synthesizer; also
+    // how a table-subset mirror — e.g. the ×970 relational fifth-decade
+    // one, which carries no documents.parquet — is pointed at: build it
+    // with MakeMirror, then smoke with REUSE=1).
+    val mirrorDir = new java.io.File(scaledDir)
+    if (!(sys.env.contains("SCALE_SMOKE_REUSE") && mirrorDir.isDirectory &&
+        mirrorDir.list() != null && mirrorDir.list().nonEmpty))
       synthesize(spark, src, scaledDir, factor)
 
     // SCALE_SMOKE_KEYS=q_a,q_b restricts to a subset for local iteration.

@@ -31,6 +31,35 @@ class ScaleSmokeSpec extends AnyFunSuite {
     }
   }
 
+  test("singleDims mirror: dims stay 1×, facts ×factor, dim joins fan out linearly") {
+    // The fifth-decade growth profile: real corpora grow FACTS, not
+    // `nation`. Replicated dims fan every customer⋈nation match ×factor
+    // (×factor² row products two dims deep — the shape that ANSI-
+    // overflowed the single-phase LONG cents sum at ×97); single-copy
+    // dims keep the TPC-H join graph exactly.
+    val d = java.nio.file.Files.createTempDirectory("graft-singledims").toString
+    val tables = Set("lineitem", "orders", "customer", "nation", "region")
+    ScaleSmoke.synthesize(spark, TestSpark.sfDir, d, factor, tables, singleDims = true)
+    def out(name: String) = spark.read.parquet(s"$d/$name.parquet")
+    assert(out("nation").count() === src("nation").count())
+    assert(out("region").count() === src("region").count())
+    assert(out("customer").count() === factor * src("customer").count())
+    val m1 = src("customer").join(src("nation"),
+      col("c_nationkey") === col("n_nationkey")).count()
+    val mN = out("customer").join(out("nation"),
+      col("c_nationkey") === col("n_nationkey")).count()
+    assert(mN === factor * m1, "customer⋈nation must fan out ×factor, not ×factor²")
+    // Past-97 factors are legal for relational-only mirrors (the 97 cap
+    // is the embeddings shift modulus; letter-map distinctness binds only
+    // when documents are mirrored).
+    ScaleSmoke.synthesize(spark, TestSpark.sfDir, s"$d/x101", 101,
+      Set("region"), singleDims = true)
+    assert(spark.read.parquet(s"$d/x101/region.parquet").count() === src("region").count())
+    assertThrows[IllegalArgumentException] {
+      ScaleSmoke.synthesize(spark, TestSpark.sfDir, s"$d/bad", 101, Set("embeddings"))
+    }
+  }
+
   test("letter maps: permutations past the rotation alphabet, all distinct to 97") {
     val maps = (1 until 97).map(ScaleSmoke.letterMap)
     maps.foreach { m =>

@@ -82,6 +82,10 @@ def main():
     sf, out = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
     import os
+    # Sharded big-mirror runs put 4-6 compare processes on one box; cap
+    # each one's DuckDB parallelism so shards share instead of thrash.
+    if os.environ.get("COMPARE_THREADS"):
+        con.execute(f"SET threads={int(os.environ['COMPARE_THREADS'])}")
     for t in TABLES:
         # Fixture tables are single files; Spark-written mirrors (MakeMirror)
         # are directories of part files — glob those.
