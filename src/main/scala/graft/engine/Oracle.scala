@@ -301,7 +301,7 @@ object Oracle {
     // plan-level only — the result must equal a plain join.
     "q_join_shuffle_hash" -> """
       SELECT c_mktsegment, count(*)::BIGINT AS n_orders,
-        round(sum(o_totalprice), 2) AS sum_price
+        round(sum(o_totalprice::DECIMAL(18,2)), 2)::DOUBLE AS sum_price
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 
@@ -361,7 +361,8 @@ object Oracle {
     "q_agg_grouping_sets" -> """
       SELECT o_orderstatus, o_orderpriority,
         CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
-        count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+        count(*) AS n,
+        round(sum(o_totalprice::DECIMAL(18,2)), 2)::DOUBLE AS sum_price
       FROM orders
       GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority))
       ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
@@ -425,7 +426,8 @@ object Oracle {
     // the oracle is the plain quarter-filtered join.
     "q_bloom_prejoin" -> """
       SELECT o_orderpriority,
-        round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        round(sum(l_extendedprice::DECIMAL(18,2) *
+          (1 - l_discount::DECIMAL(4,2))), 2)::DOUBLE AS revenue,
         count(*) AS n_items
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       WHERE o_orderdate >= TIMESTAMP '1996-01-01'
@@ -1638,10 +1640,13 @@ object Oracle {
       FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
       ORDER BY e.vec_id""",
 
+    // `+ 0.0` mirrors the engine's negative-zero normalization (DuckDB's
+    // round keeps -0.0's sign bit, Spark's HALF_UP round does not).
     "q_vector_norm" -> """
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
         n AS (SELECT vec_id, sqrt(list_dot_product(v, v)) l2, v[1] f FROM e)
-      SELECT vec_id, round(l2, 6) AS l2_norm, round(f / l2, 6) AS first_component
+      SELECT vec_id, round(l2, 6) AS l2_norm,
+        round(f / l2, 6) + 0.0 AS first_component
       FROM n ORDER BY vec_id""",
 
     // Planted-PII corpus (every 10th doc leaks email+phone, every 15th

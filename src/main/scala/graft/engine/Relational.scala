@@ -333,9 +333,17 @@ object Relational {
     orders(s, d)
       .join(customer(s, d).hint("shuffle_hash"),
         col("o_custkey") === col("c_custkey"))
+      // Exact-cents + widePartials money sum: 5 mktsegments each span
+      // ~n/5 orders, so the raw double sum drifted past round-2 at the
+      // ×97 mirror (Σ ≈ 7·10¹¹) like every other corpus-spanning money
+      // aggregate before it.
+      .transform(j => widePartials(j, Seq(col("c_mktsegment")),
+        Seq(count(lit(1)).as("__np"),
+          sum(cents(col("o_totalprice"))).as("__pp"))))
       .groupBy(col("c_mktsegment"))
-      .agg(count(lit(1)).as("n_orders"),
-        round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .agg(sum(col("__np")).as("n_orders"),
+        expr("CAST(CAST(sum(CAST(__pp AS DECIMAL(38,0))) AS DECIMAL(38,2)) / 100 AS DOUBLE)")
+          .as("sum_price"))
       .orderBy("c_mktsegment")
 
   /** Cartesian product (tiny dims only): region × nation. */
@@ -520,15 +528,26 @@ object Relational {
   /** Explicit GROUPING SETS + grouping() marker — the native Dataset API
     * (no temp view: a session-global view name would race when two
     * threads run this query against different directories on one session).
+    * Money sum follows the exact-cents + [[widePartials]] discipline: the
+    * ×97 gate (≈sf10) caught the raw double sum drifting past the round-2
+    * boundary at Σ ≈ 1.2·10¹² (…732.64 vs …732.60) — the same class the
+    * r11 ×10 gate caught on rollup, one decade later because orders is
+    * 4× smaller than lineitem. The grouping-set hierarchy re-aggregates
+    * the tiny (status, priority, partition) partial frame, so every
+    * grouping set's total is a DECIMAL merge of LONG partials.
     */
   val qAggGroupingSets: Q = (s, d) =>
-    orders(s, d)
+    widePartials(orders(s, d),
+        Seq(col("o_orderstatus"), col("o_orderpriority")),
+        Seq(count(lit(1)).as("__np"), sum(cents(col("o_totalprice"))).as("__pp")))
       .groupingSets(
         Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")),
           Seq(col("o_orderstatus"), col("o_orderpriority"))),
         col("o_orderstatus"), col("o_orderpriority"))
       .agg(grouping(col("o_orderstatus")).cast("long").as("g_status"),
-        count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+        sum(col("__np")).as("n"),
+        expr("CAST(CAST(sum(CAST(__pp AS DECIMAL(38,0))) AS DECIMAL(38,2)) / 100 AS DOUBLE)")
+          .as("sum_price"))
       .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
 
   /** Ordered collect per group, emitted as a joined string (deterministic

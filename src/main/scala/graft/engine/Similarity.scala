@@ -102,6 +102,14 @@ object Similarity {
 
   /** L2 normalization of the embedding column. Emits the norm and the first
     * normalized component (scalars hash-match more robustly than arrays).
+    * The `+ 0.0` normalizes IEEE negative zero: Spark's HALF_UP round of a
+    * component in (-5·10⁻⁷, 0) returns +0.0 while DuckDB's round keeps the
+    * sign bit (-0.0), and the two render differently in the hash gate —
+    * first seen at the ×97 mirror, where the (c%97)·10⁻³ copy shifts are
+    * dense enough that one shifted component lands in that bin. -0.0+0.0
+    * = +0.0 exactly (and x+0.0 = x for every other double), so both
+    * engines emit the same zero; Catalyst does not fold floating `+ 0.0`
+    * (doing so would be wrong for precisely this sign-of-zero reason).
     */
   val qVectorNorm: Q = (s, d) =>
     embeddings(s, d)
@@ -109,7 +117,8 @@ object Similarity {
       .withColumn("l2_norm", sqrt(dot(col("v"), col("v"))))
       .select(col("vec_id"),
         round(col("l2_norm"), 6).as("l2_norm"),
-        round(element_at(col("v"), 1) / col("l2_norm"), 6).as("first_component"))
+        (round(element_at(col("v"), 1) / col("l2_norm"), 6) + lit(0.0))
+          .as("first_component"))
       .orderBy("vec_id")
 
   /** Batched exact k-NN: top-k neighbors for EVERY query in a query set

@@ -115,10 +115,21 @@ object Skew {
       o.select(col("o_orderkey")), "o_orderkey", expectedItems = 100000L)
     pruned.hint("merge")
       .join(o, col("l_orderkey") === col("o_orderkey"))
+      // q5's exact fixed-point revenue discipline (cents × percent-points
+      // products summed LONG per partition, DECIMAL(38,0) merge, round at
+      // the cent boundary in integer space): 5 priorities each span ~n/5
+      // of the quarter's lineitems, and the raw double sum drifted one
+      // cent past round-2 at the ×97 mirror (Σ ≈ 2.3·10¹⁰).
+      .transform(j => Relational.widePartials(j, Seq(col("o_orderpriority")),
+        Seq(
+          sum(Relational.cents(col("l_extendedprice")) *
+            (lit(100L) - Relational.cents(col("l_discount")))).as("__rev4"),
+          count(lit(1)).as("__np"))))
       .groupBy(col("o_orderpriority"))
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
-        count(lit(1)).as("n_items"))
+        expr("CAST(CAST((sum(CAST(__rev4 AS DECIMAL(38,0))) + 50) div 100 AS DECIMAL(38,2)) / 100 AS DOUBLE)")
+          .as("revenue"),
+        sum(col("__np")).as("n_items"))
       .orderBy("o_orderpriority")
   }
 
