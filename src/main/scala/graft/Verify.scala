@@ -28,10 +28,17 @@ object Verify {
       .map(_.split(",").map(_.trim).toSet)
     val selected = only.fold(SparkEntry.queries)(ks =>
       SparkEntry.queries.filter { case (k, _) => ks(k) })
+    // Mirror-scale gates (×97/×970) dump keys whose outputs scale with
+    // the corpus (per-doc/per-user frames, 10⁷-10⁸ rows); a single-file
+    // coalesce would funnel those through one write thread. The driver
+    // sets no env and keeps the single-file contract.
+    val noCoalesce = sys.env.get("SPARK_GRAFT_NO_COALESCE").contains("1")
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        (if (noCoalesce) df else df.coalesce(1))
+          .write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

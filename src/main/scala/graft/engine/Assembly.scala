@@ -188,10 +188,25 @@ object Assembly {
       .withColumnRenamed("__shard", "shard").drop("__h")
   }
 
+  /** Permutation checksum Σ pos·doc_id mod (2⁶¹−1), emitted BIGINT. The
+    * raw BIGINT sum overflowed at the ×970 (≈sf97) mirror: per-shard
+    * Σ ≈ 3.5·10²² ≫ 2⁶³ — and per-partition LONG partials overflow too
+    * (one 600k-row shard partition already exceeds 2⁶³), so this is the
+    * one checksum the widePartials merge can't save; DuckDB's own
+    * BIGINT cast dies the same way. The mod-Mersenne form is scale-free:
+    * products run in DECIMAL(38,0) (exact to Σ ≈ 10³⁸ ≈ sf10¹²), the mod
+    * keeps the emitted value in BIGINT, and any transposition of two
+    * positions still flips it unless p divides (posᵢ−posⱼ)(idᵢ−idⱼ) — a
+    * ~2⁻⁶¹ checksum collision, which is what a checksum is.
+    */
+  private val ChecksumP = 2305843009213693951L // Mersenne prime 2^61 - 1
+  private def orderChecksum: Column =
+    expr(s"CAST(sum(CAST(pos AS DECIMAL(38,0)) * doc_id) % ${ChecksumP}L AS BIGINT)")
+
   /** Graded surface: per-shard doc/token counts, the first doc in shuffled
-    * order, and sum(pos·doc_id) — a checksum that pins the ENTIRE
-    * permutation (any swap of two positions changes it), so the oracle
-    * verifies the full shuffle order, not just membership.
+    * order, and the mod-p permutation checksum [[orderChecksum]] (any swap
+    * of two positions changes it), so the oracle verifies the full shuffle
+    * order, not just membership.
     */
   val qShardAssign: Q = (s, d) => {
     val base = documents(s, d)
@@ -202,7 +217,7 @@ object Assembly {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"),
         min_by(col("doc_id"), col("__h2")).as("first_doc"),
-        sum(col("pos") * col("doc_id")).as("order_checksum"))
+        orderChecksum.as("order_checksum"))
       .orderBy("shard")
   }
 
@@ -383,7 +398,7 @@ object Assembly {
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"),
-        sum(col("pos") * col("doc_id")).as("order_checksum"))
+        orderChecksum.as("order_checksum"))
       .orderBy("shard")
   }
 

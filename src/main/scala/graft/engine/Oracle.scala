@@ -1064,7 +1064,8 @@ object Oracle {
               AS pos FROM sh)
       SELECT shard, count(*)::BIGINT AS n_docs,
         CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-        CAST(sum(pos * doc_id) AS BIGINT) AS order_checksum
+        CAST(sum(pos::HUGEINT * doc_id) % 2305843009213693951 AS BIGINT)
+          AS order_checksum
       FROM p GROUP BY shard ORDER BY shard""",
 
     // Fuzzy decontamination (Assembly.qDecontaminateFuzzy): exact
@@ -1103,7 +1104,8 @@ object Oracle {
       SELECT shard, count(*)::BIGINT AS n_docs,
         CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
         arg_min(doc_id, h) AS first_doc,
-        CAST(sum(pos * doc_id) AS BIGINT) AS order_checksum
+        CAST(sum(pos::HUGEINT * doc_id) % 2305843009213693951 AS BIGINT)
+          AS order_checksum
       FROM s GROUP BY shard ORDER BY shard""",
 
     // Concat-and-chunk packing (Assembly.qSeqPacking): running token sum
