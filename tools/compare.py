@@ -78,10 +78,17 @@ def norm(df):
         df = df.loc[order].reset_index(drop=True)
     return df
 
-def main():
-    sf, out = sys.argv[1], sys.argv[2]
+def connect(sf):
+    """Fresh DuckDB connection with env-tuned settings and fixture views.
+
+    Extracted so a key whose oracle dies on an allocator/IO failure
+    (OOM past COMPARE_MEM, temp disk exhausted) doesn't poison the
+    shard: DuckDB leaves such a connection permanently failing every
+    later allocation ("bad allocation" on 8 KB blocks with 100 GB
+    free), so the loop reconnects and the remaining keys grade
+    normally.
+    """
     con = duckdb.connect()
-    import os
     # Sharded big-mirror runs put 4-6 compare processes on one box; cap
     # each one's DuckDB parallelism so shards share instead of thrash.
     if os.environ.get("COMPARE_THREADS"):
@@ -92,6 +99,10 @@ def main():
     # when the optimizer's fan-out misestimate picks a materializing plan.
     if os.environ.get("COMPARE_MEM"):
         con.execute(f"SET memory_limit='{os.environ['COMPARE_MEM']}'")
+        # Spill location must be PER PROCESS: concurrent shards sharing
+        # the default cwd/.tmp corrupt each other (one shard's cleanup
+        # deletes another's live blocks -> "Cannot open file ...block").
+        con.execute(f"SET temp_directory='.tmp-compare-{os.getpid()}'")
     if os.environ.get("COMPARE_DISABLED_OPT"):
         con.execute(f"SET disabled_optimizers='{os.environ['COMPARE_DISABLED_OPT']}'")
     for t in TABLES:
@@ -106,6 +117,12 @@ def main():
         elif not os.path.exists(path):
             continue
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    return con
+
+
+def main():
+    sf, out = sys.argv[1], sys.argv[2]
+    con = connect(sf)
     oracle = json.load(open(f"{out}/oracle_sql.json"))
     if len(sys.argv) > 3 and sys.argv[3] != "-":
         keep = set(sys.argv[3].split(","))
@@ -138,7 +155,13 @@ def main():
             ddf = con.execute(sql).fetchdf()
         except Exception as e:
             rec["err"] = f"{type(e).__name__}: {e}"
-            print(f"FAIL {name}: {type(e).__name__}: {e}"); n_fail += 1; continue
+            print(f"FAIL {name}: {type(e).__name__}: {e}"); n_fail += 1
+            if type(e).__name__ in ("OutOfMemoryException", "IOException",
+                                    "InternalException", "FatalException"):
+                try: con.close()
+                except Exception: pass
+                con = connect(sf)  # poisoned allocator — see connect()
+            continue
         sdf, ddf = norm(sdf), norm(ddf)
         rec["spark_rows"], rec["oracle_rows"] = len(sdf), len(ddf)
         if list(sdf.columns) != list(ddf.columns):
