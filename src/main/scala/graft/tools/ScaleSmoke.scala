@@ -186,6 +186,14 @@ object ScaleSmoke {
       val scaled = (0 until copies).map(c => scaleCopy(src, name, c)).reduce(_ union _)
       scaled.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
     }
+    // Completion manifest, written LAST: reuse paths (SCALE_SMOKE_REUSE,
+    // the gate runners' skip-rebuild guards) key on this file, so a
+    // crashed partial synthesis — some tables written, some missing or
+    // truncated — is never silently reused as a valid mirror.
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outDir, "_GRAFT_MIRROR.json"),
+      s"""{"src":"$srcDir","factor":$factor,"singleDims":$singleDims,""" +
+        s""""tables":[${tables.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}]}""")
   }
 
   /** Join-strategy histogram of a plan string — the "shape" that must not
@@ -390,9 +398,11 @@ object ScaleSmoke {
     // how a table-subset mirror — e.g. the ×970 relational fifth-decade
     // one, which carries no documents.parquet — is pointed at: build it
     // with MakeMirror, then smoke with REUSE=1).
-    val mirrorDir = new java.io.File(scaledDir)
-    if (!(sys.env.contains("SCALE_SMOKE_REUSE") && mirrorDir.isDirectory &&
-        mirrorDir.list() != null && mirrorDir.list().nonEmpty))
+    // Reuse keys on the completion manifest synthesize writes LAST — a
+    // crashed partial synthesis (some tables written, some missing) has
+    // no manifest and is rebuilt instead of silently reused.
+    val manifest = new java.io.File(scaledDir, "_GRAFT_MIRROR.json")
+    if (!(sys.env.contains("SCALE_SMOKE_REUSE") && manifest.isFile))
       synthesize(spark, src, scaledDir, factor)
 
     // SCALE_SMOKE_KEYS=q_a,q_b restricts to a subset for local iteration.

@@ -21,7 +21,7 @@ class SemDedupSpec extends AnyFunSuite {
     val pruned = result.filter(_.getBoolean(3))
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
     val nBase = graft.engine.Tables.embeddings(spark, TestSpark.sfDir).count()
-    val expected = (0L until nBase by 25L).map(i => (1000000L + i) -> i).toMap
+    val expected = (0L until nBase by 25L).map(i => (SemDedup.PlantOffset + i) -> i).toMap
     assert(pruned == expected,
       s"pruned set ${pruned.size} != planted ${expected.size}")
   }
@@ -46,9 +46,9 @@ class SemDedupSpec extends AnyFunSuite {
     // call either way) but required for the prune semantics to fire:
     // a copy only meets its original inside one cell.
     val cells = result.map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val copies = cells.keys.filter(_ >= 1000000L)
+    val copies = cells.keys.filter(_ >= SemDedup.PlantOffset)
     assert(copies.nonEmpty &&
-      copies.forall(c => cells(c) == cells(c - 1000000L)))
+      copies.forall(c => cells(c) == cells(c - SemDedup.PlantOffset)))
   }
 
   test("scaled-k prune agrees with fixed-k on the planted near-copy set") {

@@ -35,16 +35,26 @@ def big_compare(con, name, sql, spark_glob, rec):
     Column names are checked first, then both sides are projected in
     sorted-column-name order and diffed with EXCEPT ALL in both
     directions — NULLs compare equal under set-op semantics, values
-    compare exactly (no string formatting involved). Unlike the pandas
-    path this does not flag dtype-width differences (EXCEPT coerces
-    int32/int64); the graded small-scale path keeps that check."""
-    scols = [d[0] for d in con.execute(
-        f"SELECT * FROM '{spark_glob}' LIMIT 0").description]
-    ocols = [d[0] for d in con.execute(
-        f"SELECT * FROM ({sql}) LIMIT 0").description]
+    compare exactly (no string formatting involved). EXCEPT coerces
+    dtype widths (int32/int64), so the DuckDB-reported column types of
+    both projections are compared separately and recorded as a
+    type_match flag (type_diff lists the offenders)."""
+    sdesc = con.execute(f"SELECT * FROM '{spark_glob}' LIMIT 0").description
+    odesc = con.execute(f"SELECT * FROM ({sql}) LIMIT 0").description
+    scols, ocols = [d[0] for d in sdesc], [d[0] for d in odesc]
     if sorted(scols) != sorted(ocols):
         rec["err"] = f"columns spark={sorted(scols)} duck={sorted(ocols)}"
         return False
+    # EXCEPT ALL coerces integer widths, so an int32-vs-int64 schema
+    # regression would pass silently on exactly the large keys; surface
+    # the dtype comparison the pandas path does as an explicit flag.
+    stypes = {d[0]: str(d[1]) for d in sdesc}
+    otypes = {d[0]: str(d[1]) for d in odesc}
+    rec["type_match"] = stypes == otypes
+    if not rec["type_match"]:
+        diff = {c: (stypes[c], otypes[c]) for c in stypes
+                if stypes.get(c) != otypes.get(c)}
+        rec["type_diff"] = {c: f"spark={a} duck={b}" for c, (a, b) in diff.items()}
     rec["schema_match"] = True
     cols = ", ".join(f'"{c}"' for c in sorted(scols))
     con.execute(f"CREATE OR REPLACE TEMP VIEW _sp AS SELECT {cols} FROM '{spark_glob}'")
@@ -97,12 +107,14 @@ def connect(sf):
     # real memory budget or DuckDB spills its build sides to temp and can
     # exhaust the disk; optionally pin the textual left-deep join order
     # when the optimizer's fan-out misestimate picks a materializing plan.
+    # Spill location must be PER PROCESS unconditionally: concurrent
+    # shards sharing the default cwd/.tmp corrupt each other (one shard's
+    # cleanup deletes another's live blocks -> "Cannot open file
+    # ...block") even when no explicit memory_limit is set, since any
+    # shard can spill under its default budget.
+    con.execute(f"SET temp_directory='.tmp-compare-{os.getpid()}'")
     if os.environ.get("COMPARE_MEM"):
         con.execute(f"SET memory_limit='{os.environ['COMPARE_MEM']}'")
-        # Spill location must be PER PROCESS: concurrent shards sharing
-        # the default cwd/.tmp corrupt each other (one shard's cleanup
-        # deletes another's live blocks -> "Cannot open file ...block").
-        con.execute(f"SET temp_directory='.tmp-compare-{os.getpid()}'")
     if os.environ.get("COMPARE_DISABLED_OPT"):
         con.execute(f"SET disabled_optimizers='{os.environ['COMPARE_DISABLED_OPT']}'")
     for t in TABLES:

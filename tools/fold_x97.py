@@ -24,6 +24,13 @@ for p in sys.argv[3:]:
     for k, v in d.items():
         if k == "_meta":
             continue
+        if k in merged:
+            # Overrides are meant to be fix-reruns superseding stale FAIL
+            # rows; log each one so a stale FAIL file listed last (which
+            # would silently overwrite a passing rerun) is visible.
+            old = merged[k].get("hash_match") or merged[k].get("estimate_band_match")
+            new = v.get("hash_match") or v.get("estimate_band_match")
+            print(f"override {k}: pass={old} -> pass={new} (from {p})")
         merged[k] = v
 
 if theta is not None:
@@ -40,10 +47,11 @@ n_hash = sum(1 for v in merged.values() if v.get("hash_match"))
 n_band = sum(1 for v in merged.values() if v.get("estimate_band_match"))
 n_fail = sum(1 for v in merged.values()
              if not (v.get("hash_match") or v.get("estimate_band_match")))
+n_keys = len(merged)  # _meta not yet inserted: this IS the key count
 merged["_meta"] = {
-    "round": 12,
+    "round": 13,
     "what": note,
-    "keys": len(merged) - 1 + 1,  # minus _meta, plus itself once written
+    "keys": n_keys,
     "hash_pass": n_hash, "band_pass": n_band, "fail": n_fail,
 }
 json.dump(merged, open(out_path, "w"), indent=1, sort_keys=True)

@@ -12,7 +12,10 @@ OUT=${1:-/tmp/x97_gate.json}
 ADD_OPENS="--add-opens java.base/java.lang=ALL-UNNAMED --add-opens java.base/java.lang.invoke=ALL-UNNAMED --add-opens java.base/java.lang.reflect=ALL-UNNAMED --add-opens java.base/java.io=ALL-UNNAMED --add-opens java.base/java.net=ALL-UNNAMED --add-opens java.base/java.nio=ALL-UNNAMED --add-opens java.base/java.util=ALL-UNNAMED --add-opens java.base/java.util.concurrent=ALL-UNNAMED --add-opens java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens java.base/sun.nio.ch=ALL-UNNAMED --add-opens java.base/sun.nio.cs=ALL-UNNAMED --add-opens java.base/sun.security.action=ALL-UNNAMED --add-opens java.base/sun.util.calendar=ALL-UNNAMED"
 CP="target/scala-2.13/classes:/opt/spark/jars/*"
 
-[ -d target/mirror_x97/lineitem.parquet ] || \
+# Guard on the completion manifest synthesize writes LAST — a partially
+# built mirror (interrupted MakeMirror) has no manifest and is rebuilt
+# instead of feeding the whole 2-3 h gate incomplete data.
+[ -f target/mirror_x97/_GRAFT_MIRROR.json ] || \
   MIRROR_SRC=/root/testdata/sf0.1 MIRROR_FACTOR=97 MIRROR_OUT=target/mirror_x97 \
   java $ADD_OPENS -Xmx32g -cp "$CP" graft.tools.MakeMirror
 
