@@ -23,7 +23,12 @@ object Incremental {
   def writeDailyPartials(events: DataFrame, dir: String): Unit =
     events
       .groupBy(to_date(col("ts")).as("day"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      // Partials persist exact integer CENTS (LONG): a double partial sum
+      // is partition-order dependent, so the same day could persist
+      // different last-bits run to run and the merge would drift vs the
+      // oracle at scale. Cents partials merge exactly in any order.
+      .agg(count(lit(1)).as("n_events"),
+        sum(Relational.cents(col("value"))).as("sum_value_cents"))
       // Dynamic partition overwrite: a daily slice replaces ONLY its own
       // day directories — static mode would wipe every previously
       // persisted day on each run, silently shrinking later merges.
@@ -32,7 +37,7 @@ object Incremental {
       .partitionBy("day").parquet(dir)
 
   /** The merge algebra over any frame of (day, event_type, n_events,
-    * sum_value) partials: sum of counts, sum of sums, avg re-derived.
+    * sum_value_cents) partials: sum of counts, sum of cents, avg re-derived.
     * Associative and slice-agnostic — per-day partials, per-micro-batch
     * partials (Streams.incrementalPartialsIngest), or any mix merge to
     * the same totals.
@@ -41,8 +46,9 @@ object Incremental {
     partials
       .groupBy(col("event_type"))
       .agg(sum(col("n_events")).as("n_events"),
-        round(sum(col("sum_value")), 2).as("sum_value"),
-        round(sum(col("sum_value")) / sum(col("n_events")), 4).as("avg_value"))
+        round(sum(col("sum_value_cents")).cast("double") / 100.0, 2).as("sum_value"),
+        round(sum(col("sum_value_cents")).cast("double") / 100.0 /
+          sum(col("n_events")), 4).as("avg_value"))
       .orderBy("event_type")
 
   /** Merge the partials matching [from, until) into per-type totals.

@@ -187,7 +187,7 @@ object Oracle {
 
     "q3_join_topk" -> """
       SELECT l_orderkey, o_orderdate, o_orderpriority,
-        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        (sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) + 50) // 100 / 100.0 AS revenue
       FROM customer
       JOIN orders ON c_custkey = o_custkey
       JOIN lineitem ON o_orderkey = l_orderkey
@@ -455,7 +455,7 @@ object Oracle {
                 date_trunc('hour', max(ts)) AS h1 FROM ev GROUP BY user_id),
         grid AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM b),
         hourly AS (SELECT user_id, date_trunc('hour', ts) AS hour,
-                count(*) AS n_events, round(sum(value), 2) AS sum_value
+                count(*) AS n_events, round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS sum_value
               FROM ev GROUP BY user_id, hour)
       SELECT g.user_id, g.hour,
         coalesce(h.n_events, 0) AS n_events,
@@ -638,15 +638,16 @@ object Oracle {
       FROM w WHERE rn = 1 ORDER BY user_id, event_type""",
 
     // Incremental merge ≡ the same two-stage shape (per-day partials
-    // then merge) — equal to the direct aggregate by the merge algebra;
-    // staged SQL keeps the double-summation order comparable (G2).
+    // then merge) — equal to the direct aggregate by the merge algebra.
+    // Partials are exact integer CENTS (r13): order-free in both stages,
+    // so neither per-day partial order nor merge order can drift.
     "q_incremental_agg" -> """
       WITH p AS (SELECT CAST(ts AS DATE) AS day, event_type,
-          count(*) AS c, sum(value) AS sv
+          count(*) AS c, sum(CAST(round(value * 100) AS BIGINT)) AS svc
         FROM events GROUP BY 1, 2)
       SELECT event_type, CAST(sum(c) AS BIGINT) AS n_events,
-        round(sum(sv), 2) AS sum_value,
-        round(sum(sv) / sum(c), 4) AS avg_value
+        round(sum(svc) / 100.0, 2) AS sum_value,
+        round(sum(svc) / 100.0 / sum(c), 4) AS avg_value
       FROM p
       WHERE day >= DATE '2024-01-08' AND day < DATE '2024-01-22'
       GROUP BY event_type ORDER BY event_type""",
@@ -1772,14 +1773,14 @@ object Oracle {
 
     "q_tumbling_window" -> """
       SELECT date_trunc('hour', ts) AS window_start, event_type,
-        count(*) AS n, round(sum(value), 2) AS sum_value
+        count(*) AS n, round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS sum_value
       FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
 
     "q_sliding_window" -> """
       WITH ex AS (SELECT time_bucket(INTERVAL '15 minutes', ts) - INTERVAL (k * 15) MINUTE AS window_start,
           event_type, value
         FROM events, range(4) t(k))
-      SELECT window_start, event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+      SELECT window_start, event_type, count(*) AS n, round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS sum_value
       FROM ex GROUP BY 1, 2 ORDER BY window_start, event_type""",
 
     "q_sessionize" -> """
@@ -1794,7 +1795,7 @@ object Oracle {
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) session_id
         FROM f)
       SELECT user_id, session_id::BIGINT AS session_id, min(ts) AS session_start,
-        max(ts) AS session_end, count(*) AS n_events, round(sum(value), 2) AS sum_value
+        max(ts) AS session_end, count(*) AS n_events, round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS sum_value
       FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""",
 
     // Deterministic hash-mod stratified sampling: membership is pure
@@ -1818,19 +1819,19 @@ object Oracle {
     "q_source_csv" -> """
       SELECT event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
         min(event_id) AS min_event_id, max(event_id) AS max_event_id,
-        round(sum(value), 2) AS sum_value, max(ts) AS max_ts
+        round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS sum_value, max(ts) AS max_ts
       FROM events GROUP BY event_type ORDER BY event_type""",
 
     "q_source_json" -> """
       SELECT event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
         min(event_id) AS min_event_id, max(event_id) AS max_event_id,
-        round(sum(value), 2) AS sum_value, max(ts) AS max_ts
+        round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS sum_value, max(ts) AS max_ts
       FROM events GROUP BY event_type ORDER BY event_type""",
 
     "q_source_orc" -> """
       SELECT event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
         min(event_id) AS min_event_id, max(event_id) AS max_event_id,
-        round(sum(value), 2) AS sum_value, max(ts) AS max_ts
+        round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS sum_value, max(ts) AS max_ts
       FROM events GROUP BY event_type ORDER BY event_type""",
 
     // Compaction rewrites rows bit-exactly — oracle is the plain
@@ -1838,7 +1839,7 @@ object Oracle {
     "q_compact_roundtrip" -> """
       SELECT event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
         min(event_id) AS min_event_id, max(event_id) AS max_event_id,
-        round(sum(value), 2) AS sum_value, max(ts) AS max_ts
+        round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS sum_value, max(ts) AS max_ts
       FROM events GROUP BY event_type ORDER BY event_type""",
 
     // Orphan vacuum (Sources.qVacuumOrphans): the two committed batches
@@ -1848,7 +1849,7 @@ object Oracle {
     "q_vacuum_orphans" -> """
       SELECT event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
         min(event_id) AS min_event_id, max(event_id) AS max_event_id,
-        round(sum(value), 2) AS sum_value, max(ts) AS max_ts
+        round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS sum_value, max(ts) AS max_ts
       FROM events GROUP BY event_type ORDER BY event_type""",
 
     // Snapshot diff (Sources.qSnapshotDiff): the oracle re-derives v2
@@ -1889,7 +1890,7 @@ object Oracle {
     "q_delete_where" -> """
       SELECT event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
         min(event_id) AS min_event_id, max(event_id) AS max_event_id,
-        round(sum(value), 2) AS sum_value, max(ts) AS max_ts
+        round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS sum_value, max(ts) AS max_ts
       FROM events WHERE NOT (user_id % 7 = 0)
       GROUP BY event_type ORDER BY event_type""",
 
@@ -1897,7 +1898,7 @@ object Oracle {
     "q_retention_sweep" -> """
       SELECT event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
         min(event_id) AS min_event_id, max(event_id) AS max_event_id,
-        round(sum(value), 2) AS sum_value, max(ts) AS max_ts
+        round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS sum_value, max(ts) AS max_ts
       FROM events WHERE CAST(ts AS DATE) >= DATE '2024-01-10'
       GROUP BY event_type ORDER BY event_type""",
 
@@ -1909,14 +1910,14 @@ object Oracle {
     "q_source_dirty_csv" -> """
       SELECT event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
         min(event_id) AS min_event_id, max(event_id) AS max_event_id,
-        round(sum(value), 2) AS sum_value, max(ts) AS max_ts,
+        round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS sum_value, max(ts) AS max_ts,
         CAST(7 AS BIGINT) AS n_quarantined
       FROM events GROUP BY event_type ORDER BY event_type""",
 
     "q_source_dirty_json" -> """
       SELECT event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
         min(event_id) AS min_event_id, max(event_id) AS max_event_id,
-        round(sum(value), 2) AS sum_value, max(ts) AS max_ts,
+        round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS sum_value, max(ts) AS max_ts,
         CAST(7 AS BIGINT) AS n_quarantined
       FROM events GROUP BY event_type ORDER BY event_type""",
 
@@ -1928,7 +1929,7 @@ object Oracle {
         agg AS (SELECT user_id, count(*) AS n_events FROM ev GROUP BY user_id)
       SELECT event_type, count(*) AS n_rows,
         sum(a.n_events)::BIGINT AS sum_n_events,
-        round(sum(value), 2) AS sum_value
+        round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS sum_value
       FROM ev e JOIN agg a USING (user_id)
       GROUP BY event_type ORDER BY event_type""",
 
@@ -1940,7 +1941,7 @@ object Oracle {
     // two-dimension-filtered aggregate over the fixture.
     "q_zorder_scan" -> """
       SELECT event_type, count(*) AS n_events,
-        round(sum(value), 2) AS sum_value
+        round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS sum_value
       FROM events
       WHERE user_id BETWEEN 10 AND 20
         AND date_part('day', ts) BETWEEN 5 AND 10

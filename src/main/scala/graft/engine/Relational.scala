@@ -22,7 +22,18 @@ object Relational {
     * double nearest 36485.38 × 100 is 3648537.999…, and a bare cast
     * would truncate it.
     */
-  private[engine] def cents(c: Column): Column = round(c * 100).cast("long")
+  private[graft] def cents(c: Column): Column = round(c * 100).cast("long")
+
+  /** Order-free exact 2dp sum (the money-sum-lint discipline applied to
+    * every `sum(value)`-shaped aggregate): Σ integer cents in primitive
+    * LONG (exact, associative — headroom to ~9·10¹⁶ cents of volume),
+    * ÷100.0 (exact double below 2⁵³), round 2 (an identity on the exact
+    * quotient). Replaces `round(sum(<2dp double>), 2)`, whose partial-
+    * merge order drifts against the oracle once the sum spans enough
+    * partitions — the class every scale decade's first gate run caught.
+    */
+  private[graft] def sumValue2(c: Column): Column =
+    round(sum(cents(c)).cast("double") / 100.0, 2)
 
   /** 100 TB form of the corpus-spanning money sums (the path §20 #7b
     * documented and the ×97 mirror's ANSI `long overflow` on
@@ -107,7 +118,11 @@ object Relational {
     c.join(o, col("c_custkey") === col("o_custkey"))
       .join(l, col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      // Exact-cents revenue (q1's sum_disc_price discipline): 4dp integer
+      // product summed in LONG, HALF_UP to cents in integer space, /100.0.
+      .agg((expr("(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * " +
+        "(100 - CAST(round(l_discount * 100) AS BIGINT))) + 50) div 100") / 100.0)
+        .as("revenue"))
       .orderBy(desc("revenue"), asc("l_orderkey"))
       .limit(10)
   }
@@ -702,7 +717,7 @@ object Relational {
         explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hour"))
     val hourly = ev
       .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
-      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"), sumValue2(col("value")).as("sum_value"))
     grid.join(hourly, Seq("user_id", "hour"), "left")
       .select(col("user_id"), col("hour"),
         coalesce(col("n_events"), lit(0L)).as("n_events"),

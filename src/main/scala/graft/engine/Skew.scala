@@ -178,7 +178,7 @@ object Skew {
     skewJoinPlan(s, d)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("sum_value"),
+        Relational.sumValue2(col("value")).as("sum_value"),
         max(col("n_type_users")).as("n_type_users"))
       .orderBy("event_type")
 
@@ -245,7 +245,7 @@ object Skew {
     ev.hint("merge").join(dim.hint("merge"), "zipf_key")
       .groupBy(col("zipf_key"))
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("sum_value"),
+        Relational.sumValue2(col("value")).as("sum_value"),
         max(col("key_weight")).as("key_weight"))
       .orderBy("zipf_key")
   }

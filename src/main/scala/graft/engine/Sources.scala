@@ -31,7 +31,7 @@ object Sources {
         countDistinct(col("user_id")).as("n_users"),
         min(col("event_id")).as("min_event_id"),
         max(col("event_id")).as("max_event_id"),
-        round(sum(col("value")), 2).as("sum_value"),
+        Relational.sumValue2(col("value")).as("sum_value"),
         max(col("ts")).as("max_ts"))
       .orderBy("event_type")
 
@@ -330,7 +330,7 @@ object Sources {
       zOrderedEventsScan(s, d, dir)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_events"),
-          round(sum(col("value")), 2).as("sum_value"))
+          Relational.sumValue2(col("value")).as("sum_value"))
         .orderBy("event_type")
         .localCheckpoint()
     } finally deleteRecursively(new java.io.File(dir))
@@ -401,7 +401,7 @@ object Sources {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_rows"),
         sum(col("n_events")).as("sum_n_events"),
-        round(sum(col("value")), 2).as("sum_value"))
+        Relational.sumValue2(col("value")).as("sum_value"))
       .orderBy("event_type")
       .localCheckpoint()
     s.sql("DROP TABLE IF EXISTS graft_events_bkt")

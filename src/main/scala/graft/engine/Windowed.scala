@@ -21,7 +21,7 @@ object Windowed {
   def tumblingAgg(events: DataFrame): DataFrame =
     events
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n"), Relational.sumValue2(col("value")).as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
@@ -34,7 +34,7 @@ object Windowed {
   def slidingAgg(events: DataFrame): DataFrame =
     events
       .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n"), Relational.sumValue2(col("value")).as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
@@ -54,7 +54,7 @@ object Windowed {
         min(col("ts")).as("session_start"),
         max(col("ts")).as("session_end"),
         count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("sum_value"))
+        Relational.sumValue2(col("value")).as("sum_value"))
       .select(col("user_id"), col("session_start"), col("session_end"),
         col("n_events"), col("sum_value"))
 
@@ -77,7 +77,7 @@ object Windowed {
         min(col("ts")).as("session_start"),
         max(col("ts")).as("session_end"),
         count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("sum_value"))
+        Relational.sumValue2(col("value")).as("sum_value"))
       .orderBy("user_id", "session_id")
   }
 

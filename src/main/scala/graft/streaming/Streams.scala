@@ -1105,7 +1105,8 @@ object Streams {
     if (fs.exists(target)) fs.delete(target, true)
     batch
       .groupBy(to_date(col("ts")).as("day"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(graft.engine.Relational.cents(col("value"))).as("sum_value_cents"))
       .write.parquet(target.toString)
     fs.create(new Path(target, Marker), true).close()
   }

@@ -12,6 +12,12 @@ OUT=${1:-/tmp/x97_gate.json}
 ADD_OPENS="--add-opens java.base/java.lang=ALL-UNNAMED --add-opens java.base/java.lang.invoke=ALL-UNNAMED --add-opens java.base/java.lang.reflect=ALL-UNNAMED --add-opens java.base/java.io=ALL-UNNAMED --add-opens java.base/java.net=ALL-UNNAMED --add-opens java.base/java.nio=ALL-UNNAMED --add-opens java.base/java.util=ALL-UNNAMED --add-opens java.base/java.util.concurrent=ALL-UNNAMED --add-opens java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens java.base/sun.nio.ch=ALL-UNNAMED --add-opens java.base/sun.nio.cs=ALL-UNNAMED --add-opens java.base/sun.security.action=ALL-UNNAMED --add-opens java.base/sun.util.calendar=ALL-UNNAMED"
 CP="target/scala-2.13/classes:/opt/spark/jars/*"
 
+# Money-sum lint first: a new unhardened raw-double money sum should fail
+# in seconds here, not as a hash divergence hours into the dump.
+java $ADD_OPENS -Xmx6g -cp "$CP" graft.tools.MoneySumLint /root/testdata/sf0.001 \
+  2>/dev/null | grep "money-sum-lint"
+
+
 # Guard on the completion manifest synthesize writes LAST — a partially
 # built mirror (interrupted MakeMirror) has no manifest and is rebuilt
 # instead of feeding the whole 2-3 h gate incomplete data.
