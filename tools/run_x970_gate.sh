@@ -42,14 +42,32 @@ x10 = set(json.load(open('CORRECTNESS_x10_r11.json'))) - {'_meta'}
 done = set(json.load(open('CORRECTNESS_x970_r12.json'))) - {'_meta'}
 oracle = json.load(open('target/verify_x970de/oracle_sql.json'))
 emb = {k for k in x10 if 'embeddings' in oracle.get(k, '')}
-rest = sorted(x10 - done - emb)
+# The r13 money-sum hardening (integer cents) changed these keys' engine
+# AND oracle renderings — every x970 row for them must be re-dumped and
+# re-compared against the CURRENT code, overriding any r12 row (two of
+# them, q3/q_sessionize, were folded green at x970 under the old
+# raw-double form).
+money = {'q3_join_topk', 'q_sessionize', 'q_tumbling_window',
+         'q_sliding_window', 'q_resample', 'q_skew_join', 'q_skew_join_aqe',
+         'q_incremental_agg', 'q_source_csv', 'q_source_json', 'q_source_orc',
+         'q_source_dirty_csv', 'q_source_dirty_json', 'q_compact_roundtrip',
+         'q_vacuum_orphans', 'q_snapshot_diff', 'q_delete_where',
+         'q_retention_sweep', 'q_bucketed_join', 'q_zorder_scan'} & x10
+rest = sorted((x10 - done - emb) | money)
 de = set(os.listdir('target/verify_x970de')) - {'oracle_sql.json'}
-open('/tmp/x970g_reuse.txt', 'w').write(','.join(k for k in rest if k in de))
-open('/tmp/x970g_fresh.txt', 'w').write(','.join(k for k in rest if k not in de))
-print(f"{len(rest)} new keys: {len(de & set(rest))} reused dumps, "
-      f"{len(set(rest) - de)} fresh; {len(emb)} embedding-family excluded")
+fresh = [k for k in rest if k not in de or k in money]
+reuse = [k for k in rest if k in de and k not in money]
+have = set(os.listdir('target/verify_x970r13')) if os.path.isdir('target/verify_x970r13') else set()
+dump = [k for k in fresh if k not in have or k in money]
+open('/tmp/x970g_reuse.txt', 'w').write(','.join(reuse))
+open('/tmp/x970g_fresh.txt', 'w').write(','.join(fresh))
+open('/tmp/x970g_dump.txt', 'w').write(','.join(dump))
+print(f"{len(rest)} keys this run: {len(reuse)} reused r12 dumps, "
+      f"{len(fresh)} fresh ({len(dump)} to dump now); "
+      f"{len(emb)} embedding-family excluded")
 EOF
 REUSE=$(cat /tmp/x970g_reuse.txt); FRESH=$(cat /tmp/x970g_fresh.txt)
+DUMP=$(cat /tmp/x970g_dump.txt)
 
 # Reused r12 dumps compare immediately (4 shards) while the fresh dump runs.
 for i in 0 1; do
@@ -59,8 +77,8 @@ for i in 0 1; do
     > /tmp/x970g_de$i.log 2>&1 &
 done
 
-if [ "${SKIP_DUMP:-}" != "1" ]; then
-  SPARK_GRAFT_CPUS=32 SPARK_GRAFT_ONLY="$FRESH" SPARK_GRAFT_NO_COALESCE=1 \
+if [ "${SKIP_DUMP:-}" != "1" ] && [ -n "$DUMP" ]; then
+  SPARK_GRAFT_CPUS=32 SPARK_GRAFT_ONLY="$DUMP" SPARK_GRAFT_NO_COALESCE=1 \
     java $ADD_OPENS -Xmx80g -cp "$CP" graft.Verify target/mirror_x970 target/verify_x970r13
 fi
 wait
