@@ -210,32 +210,30 @@ object MirrorInvariants {
     }
 
     // q_doc_fingerprint: per-doc frame (doc_id, fingerprint). Values are
-    // rotation-specific (the rolling hash sees rotated bytes), so the
-    // census is structural: rows exactly ×N, and per-copy fingerprint
-    // multisets must be internally consistent — equal texts hash equal —
-    // which the distinct-(text-class) proxy below checks as
-    // |distinct fingerprints| per copy == |distinct| at 1×.
+    // rotation-specific (the winnowing hash sees rotated bytes, and which
+    // DIFFERENT texts share a min-window hash legitimately varies per
+    // rotation — measured at ×3: 448 distinct at 1× vs 422 in one copy),
+    // so distinct-count bands are NOT an invariant. What IS: rows exactly
+    // ×N per copy, and within every copy EQUAL TEXT ⇒ EQUAL FINGERPRINT
+    // (the rotation preserves text equality; the fingerprint is a pure
+    // function of the bytes, whichever task computed it).
     if (wanted("q_doc_fingerprint")) {
       val fn = SparkEntry.queries("q_doc_fingerprint")
       val n1 = fn(spark, src).count()
-      val d1 = fn(spark, src).select("fingerprint").distinct().count()
-      val m = fn(spark, dir).withColumn("copy", copyOf("doc_id"))
-      val agg = m.groupBy(col("copy"))
-        .agg(count(lit(1)).as("n"), countDistinct(col("fingerprint")).as("nd"))
-        .agg(count(lit(1)), sum(when(col("n") =!= n1, 1).otherwise(0)),
-          min(col("nd")), max(col("nd"))).head()
-      val (copies, badRows, ndMin, ndMax) =
-        (agg.getLong(0), agg.getLong(1), agg.getLong(2), agg.getLong(3))
-      // distinct counts may vary ±hash-collision noise per rotation; the
-      // bound is |distinct| ≤ rows-per-copy and ≥ d1 − small slack (two
-      // different 1× texts colliding AFTER rotation is possible but two
-      // EQUAL texts must always collide, so nd can only move DOWN by new
-      // collisions: allow 0.1% slack).
-      val ok = copies == factor && badRows == 0 &&
-        ndMax <= n1 && ndMin >= d1 - math.max(1L, d1 / 1000)
+      val m = fn(spark, dir)
+      val docs = graft.engine.Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"))
+      val joined = m.join(docs, "doc_id").withColumn("copy", copyOf("doc_id"))
+      val badCopies = joined.groupBy(col("copy"))
+        .agg(count(lit(1)).as("n")).where(col("n") =!= n1).count()
+      val splitGroups = joined.groupBy(col("copy"), col("text"))
+        .agg(countDistinct(col("fingerprint")).as("nf"))
+        .where(col("nf") > 1).count()
+      val nN = m.count()
+      val ok = nN == factor * n1 && badCopies == 0 && splitGroups == 0
       if (!ok) fail = true
-      println(s"""{"key":"q_doc_fingerprint","check":"per_copy_census","n1":$n1,""" +
-        s""""copies":$copies,"rows_bad_copies":$badRows,"nd1":$d1,"ndN":[$ndMin,$ndMax],"ok":$ok}""")
+      println(s"""{"key":"q_doc_fingerprint","check":"per_copy_census","n1":$n1,"nN":$nN,""" +
+        s""""bad_copies":$badCopies,"equal_text_split_groups":$splitGroups,"ok":$ok}""")
     }
 
     // q_minhash_recall: single-row frame (n_exact, n_missed, recall_ok).
