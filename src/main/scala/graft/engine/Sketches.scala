@@ -17,17 +17,31 @@ import org.apache.spark.sql.functions._
 object Sketches {
   type Q = (SparkSession, String) => DataFrame
 
+  /** HLL precision: lgK = 14 EXPLICITLY (16 KB per sketch — still model
+    * state), with the acceptance band derived from the configured RSE
+    * (1.04/√2^lgK ≈ 0.81%) instead of a magic percentage. The ×970 gate
+    * caught the default-lgK=12 version: 3% was only 1.9·RSE there, and
+    * at fifth-decade density every event type's user set is essentially
+    * the SAME ~1.5M users — one correlated ~3% hash-luck deviation
+    * failed all five est_ok rows at once. 3·RSE at lgK=14 = 2.44%,
+    * band = 3% ≈ 3.7·RSE — and the correlation argument cuts the other
+    * way now: the five rows share one draw, so the miss probability is
+    * ~one-in-10⁴ TOTAL, not per row.
+    */
+  val HllLgK = 14
+  val HllRse: Double = 1.04 / math.sqrt(math.pow(2.0, HllLgK))
+
   /** Incremental distinct users per event type via DataSketches HLL:
     * one sketch per (event_type, day) ingest slice — the persisted
     * artifact a daily job would write — then a union-merge per type.
     * The merge is associative/commutative, so re-slicing (hourly,
     * per-file) gives the same estimates; SketchSpec additionally pins
-    * union-of-slices ≡ one-shot sketch and ±3% of exact.
+    * union-of-slices ≡ one-shot sketch and within the [[HllRse]] band.
     */
   val qSketchHllUnion: Q = (s, d) => {
     val daily = Tables.events(s, d)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .agg(hll_sketch_agg(col("user_id"), HllLgK).as("sk"))
     daily.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_slices"),
         hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
@@ -195,7 +209,7 @@ object Sketches {
     est.join(exact, "event_type")
       .select(col("event_type"), col("n_slices"), col("exact_users"),
         (abs(col("approx_users") - col("exact_users")) <=
-          col("exact_users") * 0.03).as("est_ok"))
+          col("exact_users") * 0.03).as("est_ok")) // 3% ≈ 3.7·RSE at lgK=14
       .orderBy("event_type")
   }
 

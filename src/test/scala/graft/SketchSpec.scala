@@ -84,7 +84,7 @@ class SketchSpec extends AnyFunSuite {
     val unioned = SparkEntry.queries("q_sketch_hll_union")(spark, TestSpark.sfDir)
       .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
     val oneShot = ev.groupBy(col("event_type"))
-      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("e"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), graft.engine.Sketches.HllLgK)).as("e"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val exact = ev.groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("e"))
