@@ -1951,7 +1951,7 @@ object Oracle {
     // same month aggregate over the unsorted fixture.
     "q_sorted_scan" -> """
       SELECT o_orderpriority, count(*) AS n_orders,
-        round(sum(o_totalprice), 2) AS sum_price,
+        round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS sum_price,
         min(o_orderkey) AS min_orderkey
       FROM orders
       WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'

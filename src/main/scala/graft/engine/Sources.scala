@@ -295,7 +295,11 @@ object Sources {
       sortedOrdersScan(s, d, dir)
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_orders"),
-          round(sum(col("o_totalprice")), 2).as("sum_price"),
+          // exact cents (the ×970 gate caught this raw-double sum riding
+          // a half-cent boundary at Σ≈10¹¹ — the localCheckpoint at the
+          // end hides this plan from MoneySumLint, so the construction-
+          // site grep in MoneySumLintSpec covers ALL money columns now)
+          Relational.sumValue2(col("o_totalprice")).as("sum_price"),
           min(col("o_orderkey")).as("min_orderkey"))
         .orderBy("o_orderpriority")
         .localCheckpoint()

@@ -69,11 +69,17 @@ class MoneySumLintSpec extends AnyFunSuite {
       .filterNot(_.toString.endsWith("tools/MoneySumLint.scala"))
       .flatMap { f =>
         val text = java.nio.file.Files.readString(f)
-        if (text.contains("""round(sum(col("value")), 2)""") ||
-            text.contains("""sum(col("value")).as("sum_value")"""))
-          Some(f.toString)
-        else None
+        // every money column, not just `value` — the ×970 gate caught a
+        // checkpoint-hidden round(sum(o_totalprice)) the first version
+        // of this grep (value-only) let through
+        val dirty = MoneySumLint.MoneyColumns.exists { c =>
+          text.contains(s"""round(sum(col("$c"))""") ||
+            text.contains(s"""sum(col("$c")).as""")
+        }
+        if (dirty) Some(f.toString) else None
       }.toList
+    // (window sums like running_spend are `.over(...)`, matching neither
+    // pattern — the lint's documented frame-ordered exclusion)
     assert(offenders.isEmpty, offenders.mkString(", "))
   }
 }
