@@ -172,7 +172,19 @@ def main():
                                     "InternalException", "FatalException"):
                 try: con.close()
                 except Exception: pass
-                con = connect(sf)  # poisoned allocator — see connect()
+                # poisoned allocator — see connect(); the reconnect itself
+                # can fail while the dying process-level allocator is still
+                # holding pages, so retry with a short backoff instead of
+                # crashing the shard (the x970 run lost 13 keys to that).
+                for backoff in (1, 5, 15):
+                    try:
+                        con = connect(sf)
+                        break
+                    except Exception:
+                        import time
+                        time.sleep(backoff)
+                else:
+                    con = connect(sf)  # final attempt; raising here is fatal anyway
             continue
         sdf, ddf = norm(sdf), norm(ddf)
         rec["spark_rows"], rec["oracle_rows"] = len(sdf), len(ddf)
