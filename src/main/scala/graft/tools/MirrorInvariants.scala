@@ -96,15 +96,23 @@ object MirrorInvariants {
     "q_sorted_neighborhood" -> false, // window composition shifts as copies interleave in sort order
     "q_neardup_lsh" -> false,
     "q_neardup_lsh_salted" -> false,
-    // SimHash (r13): rotation rewrites token hashes, so each copy draws
-    // a DIFFERENT 64-bit signature landscape — borderline hamming-≤3
-    // pairs vary per copy (banded), but cross-copy docs share no tokens,
-    // so their signatures sit ~32 bits apart and cross-copy stays a hard
-    // zero. Delta's planted dups copy the rotated text verbatim
-    // (hamming 0 in every copy — those pairs replicate exactly); the
-    // band absorbs the natural-pair variation around them.
-    "q_simhash_neardup" -> false,
-    "q_simhash_delta" -> false)
+    )
+
+  /** SimHash keys get EXACT invariants instead of a count band — both
+    * measured unusable at ×97: per-copy hamming-≤3 counts vary up to
+    * ~2.5× n1 (rotation redraws the whole 64-bit signature landscape,
+    * so CHANCE pairs between non-near docs rise and fall with each
+    * alphabet's token-hash profile), and even hamming-0 counts drift
+    * (+~6 pairs/copy: 64-bit signature COLLISIONS between unequal
+    * texts are themselves rotation-dependent). What IS invariant:
+    *  - copy 0 is the identity rotation, so the ×N frame restricted to
+    *    copy-0 ids must equal the 1× output EXACTLY (multiset) — the
+    *    oracle-anchored signal, since the 1× frame is pinned at sf0.1;
+    *  - cross-copy pairs are a hard zero (disjoint vocab ⇒ signatures
+    *    ~32 bits apart, far past any usable hamming radius).
+    * Totals and hamming-0 counts are reported as telemetry, ungated.
+    */
+  val simhashKeys: Seq[String] = Seq("q_simhash_neardup", "q_simhash_delta")
 
   /** Structurally EXCLUDED from mirror invariants, with the reason the
     * mirror construction itself breaks the invariant (not an engine
@@ -163,6 +171,28 @@ object MirrorInvariants {
       println(s"""{"key":"$key","exact":$exact,"n1":$n1,"nN":$nN,""" +
         s""""expected":${if (exact) (factor * n1).toString else s""""[${n1}, ${(factor + 1) * n1}]""""},""" +
         s""""cross_copy_pairs":$cross,"ok":$ok}""")
+    }
+
+    simhashKeys.filter(wanted).foreach { key =>
+      val fn = SparkEntry.queries(key)
+      val r1 = fn(spark, src).localCheckpoint()
+      val rN = fn(spark, dir).localCheckpoint()
+      val cross = rN.where(copyOf("doc_a") =!= copyOf("doc_b")).count()
+      val copy0 = rN.where(copyOf("doc_a") === 0 && copyOf("doc_b") === 0)
+      val cols = r1.columns.toSeq
+      val mism = r1.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__c1"))
+        .join(copy0.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__cN")),
+          cols, "full_outer")
+        .where(coalesce(col("__cN"), lit(0L)) =!= coalesce(col("__c1"), lit(0L)))
+        .count()
+      val h0_1 = r1.where(col("hamming") === 0).count()
+      val h0_N = rN.where(col("hamming") === 0).count()
+      val (n1, nN) = (r1.count(), rN.count())
+      val ok = cross == 0 && mism == 0
+      if (!ok) fail = true
+      println(s"""{"key":"$key","check":"copy0_equality","n1":$n1,"nN":$nN,""" +
+        s""""cross_copy_pairs":$cross,"copy0_mismatched_groups":$mism,""" +
+        s""""hamming0_telemetry":[$h0_1,$h0_N],"ok":$ok}""")
     }
 
     // q_substring_dedup: per-doc frame; rotation preserves token/span
