@@ -181,6 +181,7 @@ object Bench {
       } catch {
         case e: Throwable =>
           passTimes.remove(name)
+          passMeta.remove(name) // keep spread_cause consistent with passTimes
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
     }

@@ -249,7 +249,9 @@ object Oracle {
       ORDER BY c_custkey""",
 
     "q_join_range" -> """
-      SELECT bucket, count(*) AS n_suppliers, round(avg(s_acctbal), 2) AS avg_bal
+      SELECT bucket, count(*) AS n_suppliers,
+        round(sum(CAST(round(s_acctbal * 100) AS BIGINT)) / 100.0
+              / count(s_acctbal), 2) AS avg_bal
       FROM supplier
       JOIN (VALUES ('negative', -100000.0, 0.0), ('low', 0.0, 2500.0),
                    ('mid', 2500.0, 5000.0), ('high', 5000.0, 7500.0),
@@ -260,7 +262,9 @@ object Oracle {
     // The bucketed rewrite is exact — identical semantics to
     // q_join_range, so the oracle is the same plain range join.
     "q_join_range_bucketed" -> """
-      SELECT bucket, count(*) AS n_suppliers, round(avg(s_acctbal), 2) AS avg_bal
+      SELECT bucket, count(*) AS n_suppliers,
+        round(sum(CAST(round(s_acctbal * 100) AS BIGINT)) / 100.0
+              / count(s_acctbal), 2) AS avg_bal
       FROM supplier
       JOIN (VALUES ('negative', -100000.0, 0.0), ('low', 0.0, 2500.0),
                    ('mid', 2500.0, 5000.0), ('high', 5000.0, 7500.0),
@@ -2000,13 +2004,16 @@ object Oracle {
             round(avg(l_quantity), 4) q_avg,
           count(l_extendedprice) p_nn, count(DISTINCT l_extendedprice) p_nd,
             round(min(l_extendedprice), 4) p_min, round(max(l_extendedprice), 4) p_max,
-            round(avg(l_extendedprice), 4) p_avg,
+            round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0
+                  / count(l_extendedprice), 4) p_avg,
           count(l_discount) d_nn, count(DISTINCT l_discount) d_nd,
             round(min(l_discount), 4) d_min, round(max(l_discount), 4) d_max,
-            round(avg(l_discount), 4) d_avg,
+            round(sum(CAST(round(l_discount * 100) AS BIGINT)) / 100.0
+                  / count(l_discount), 4) d_avg,
           count(l_tax) t_nn, count(DISTINCT l_tax) t_nd,
             round(min(l_tax), 4) t_min, round(max(l_tax), 4) t_max,
-            round(avg(l_tax), 4) t_avg
+            round(sum(CAST(round(l_tax * 100) AS BIGINT)) / 100.0
+                  / count(l_tax), 4) t_avg
         FROM lineitem)
       SELECT 'l_discount' AS "column", n_rows, d_nn AS n_nonnull, d_nd AS n_distinct,
         d_min AS min_value, d_max AS max_value, d_avg AS avg_value FROM s
@@ -2120,7 +2127,10 @@ object Oracle {
       WITH dim AS (SELECT event_type, count(DISTINCT user_id) AS n_type_users
         FROM events GROUP BY 1)
       SELECT e.event_type, count(*) AS n_events,
-        round(sum(e.value), 2) AS sum_value,
+        -- exact integer cents, mirroring the engine's Relational.sumValue2
+        -- (a raw double sum can drift at half-cent boundaries once the
+        -- aggregate spans enough partitions — r13 ADVICE item)
+        round(sum(CAST(round(e.value * 100) AS BIGINT)) / 100.0, 2) AS sum_value,
         max(d.n_type_users) AS n_type_users
       FROM events e JOIN dim d USING (event_type)
       GROUP BY e.event_type ORDER BY e.event_type""",
@@ -2136,7 +2146,7 @@ object Oracle {
         dim AS (SELECT CAST(range AS BIGINT) AS zipf_key,
           CAST(power(2.0, range) AS BIGINT) AS key_weight FROM range(0, 11))
       SELECT e.zipf_key, count(*) AS n_events,
-        round(sum(e.value), 2) AS sum_value,
+        round(sum(CAST(round(e.value * 100) AS BIGINT)) / 100.0, 2) AS sum_value,
         max(d.key_weight) AS key_weight
       FROM e JOIN dim d USING (zipf_key)
       GROUP BY e.zipf_key ORDER BY e.zipf_key""",

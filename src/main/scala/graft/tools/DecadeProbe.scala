@@ -40,6 +40,16 @@ import graft.engine.{Relational, Tables}
 object DecadeProbe {
   def main(args: Array[String]): Unit = {
     val factor = sys.env.getOrElse("PROBE_FACTOR", "9700").toInt
+    // Overflow guard (r13 ADVICE): the per-(group, partition) __rev6 LONG
+    // partial measures ~5-8·10¹⁷ at factor 9700 over 64 range partitions —
+    // ~11× headroom under 2⁶³. The partial scales with factor/partitions,
+    // so an unchecked 10× larger factor would silently wrap (ANSI off) and
+    // the DECIMAL(38,0) merge would faithfully sum wrong partials. Cap the
+    // per-partition copy count at ~2× the measured-safe regime and scale
+    // the partition count past it instead of letting the partial grow.
+    val parts = 64 * ((factor + 19399) / 19400) max 64
+    require(factor >= 1 && factor <= 194000,
+      s"PROBE_FACTOR $factor outside [1, 194000] (LONG-partial overflow guard)")
     val src = sys.env.getOrElse("PROBE_SRC", "/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
@@ -50,13 +60,15 @@ object DecadeProbe {
     Tables.configure(spark)
 
     // N value-identical copies, streamed not stored. The RANGE drives
-    // (64 partitions, ~N/64 copies each) and the 600k-row projected
+    // (`parts` partitions — 64 up to factor 19400, scaled past it to keep
+    // the per-partition LONG partial in the measured-safe regime) and the
+    // 600k-row projected
     // lineitem broadcasts — inverting the join keeps 5.8B rows spread
     // over 64 tasks instead of the handful of parquet scan splits, and
     // bounds each task's LONG rev6 partial at ~5·10¹⁷ ≪ 2⁶³. The copy
     // index is dropped immediately: nothing downstream keys on it.
     def inflated(): DataFrame =
-      spark.range(0, factor, 1, 64).select(col("id").as("__copy"))
+      spark.range(0, factor, 1, parts).select(col("id").as("__copy"))
         .crossJoin(broadcast(
           Tables.lineitem(spark, src)
             .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"),

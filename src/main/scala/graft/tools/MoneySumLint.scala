@@ -1,8 +1,8 @@
 package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Expression, ExprId, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Sum}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, CaseWhen, Expression, ExprId, If, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LeafNode, LogicalPlan, Project, Window}
 import org.apache.spark.sql.types.DoubleType
 
@@ -38,6 +38,21 @@ object MoneySumLint {
     "o_totalprice", "ps_supplycost", "p_retailprice",
     "c_acctbal", "s_acctbal", "value")
 
+  /** Attributes whose VALUES can flow into the expression's value —
+    * predicate children of If/CaseWhen are excluded: a money column used
+    * only as a null-guard (the regr_* family expands to
+    * `avg(IF(x IS NOT NULL AND y IS NOT NULL, y, NULL))`) selects WHICH
+    * rows are summed but contributes no inexact summand, so there is no
+    * merge-order drift through it.
+    */
+  private def valueRefs(e: Expression): Seq[Attribute] = e match {
+    case If(_, t, f) => valueRefs(t) ++ valueRefs(f)
+    case cw: CaseWhen =>
+      (cw.branches.map(_._2) ++ cw.elseValue.toSeq).flatMap(valueRefs)
+    case a: Attribute => Seq(a)
+    case _ => e.children.flatMap(valueRefs)
+  }
+
   /** Map each named-expression output to the set of LEAF (scan) column
     * names it transitively references — aliases in Project/Aggregate
     * layers are resolved through; attributes with no known origin (e.g.
@@ -47,7 +62,7 @@ object MoneySumLint {
     val fromChildren = plan.children.map(rootRefs)
       .foldLeft(Map.empty[ExprId, Set[String]])(_ ++ _)
     def resolve(e: Expression): Set[String] =
-      e.references.toSeq
+      valueRefs(e)
         .flatMap(a => fromChildren.getOrElse(a.exprId, Set(a.name))).toSet
     plan match {
       case l: LeafNode =>
@@ -68,15 +83,22 @@ object MoneySumLint {
   def violations(plan: LogicalPlan): Seq[String] = {
     val roots = rootRefs(plan)
     def resolve(e: Expression): Set[String] =
-      e.references.toSeq.flatMap(a => roots.getOrElse(a.exprId, Set(a.name))).toSet
+      valueRefs(e).flatMap(a => roots.getOrElse(a.exprId, Set(a.name))).toSet
+    def flag(kind: String, child: Expression): Seq[String] = {
+      val money = resolve(child).intersect(MoneyColumns)
+      if (money.nonEmpty)
+        Seq(s"$kind(${child.sql.take(80)}) over ${money.toSeq.sorted.mkString("[", ",", "]")}")
+      else Nil
+    }
     plan.collect { case agg: Aggregate =>
       agg.aggregateExpressions.flatMap(_.collect {
         case ae: AggregateExpression => ae.aggregateFunction match {
-          case s: Sum if s.child.dataType == DoubleType =>
-            val money = resolve(s.child).intersect(MoneyColumns)
-            if (money.nonEmpty)
-              Seq(s"sum(${s.child.sql.take(80)}) over ${money.toSeq.sorted.mkString("[", ",", "]")}")
-            else Nil
+          case s: Sum if s.child.dataType == DoubleType => flag("sum", s.child)
+          // A raw avg(<double money expr>) has the identical
+          // partial-merge-order drift class (its Sum buffer IS a double
+          // sum) — r13 verdict item #5. The hardened form — exact cents
+          // Sum over LongType ÷ count — is invisible here by construction.
+          case a: Average if a.child.dataType == DoubleType => flag("avg", a.child)
           case _ => Nil
         }
       }.flatten)

@@ -23,6 +23,27 @@ class MoneySumLintSpec extends AnyFunSuite {
     assert(v.nonEmpty && v.head.contains("l_extendedprice"), v.mkString("; "))
   }
 
+  test("lint fires on a raw double money AVERAGE (r13 item #5)") {
+    // avg's partial buffer IS a double Sum — identical merge-order drift
+    // class; the structural guarantee must cover it, not just Sum.
+    val dirty = graft.engine.Tables.lineitem(spark, TestSpark.sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(round(avg(col("l_extendedprice")), 2).as("avg_price"))
+    val v = MoneySumLint.violations(dirty)
+    assert(v.nonEmpty && v.head.startsWith("avg(") &&
+      v.head.contains("l_extendedprice"), v.mkString("; "))
+  }
+
+  test("exact-cents mean (cents Sum over Long / count) stays quiet") {
+    // The hardened mean the graded q1 uses: Sum over LongType is
+    // invisible to the lint by construction; the division is row-free.
+    val clean = graft.engine.Tables.lineitem(spark, TestSpark.sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(round(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+        .cast("double") / 100.0 / count(lit(1)), 2).as("avg_price"))
+    assert(MoneySumLint.violations(clean).isEmpty)
+  }
+
   test("lint stays quiet on the exact-cents rendering of the same sum") {
     val clean = graft.engine.Tables.lineitem(spark, TestSpark.sfDir)
       .groupBy(col("l_returnflag"))
