@@ -30,6 +30,10 @@ object MakeMirror {
     val factor = sys.env.getOrElse("MIRROR_FACTOR", "10").toInt
     val out = sys.env.getOrElse("MIRROR_OUT", "target/mirror_x10")
     val singleDims = sys.env.get("MIRROR_SINGLE_DIMS").contains("1")
+    // "shift" (historical additive, factor ≤ 97 for embeddings) or
+    // "signflip" (per-copy ±1 signs + disjoint labels, factor ≤ 1000) —
+    // see ScaleSmoke.signPattern.
+    val vectorMode = sys.env.getOrElse("MIRROR_VECTOR_MODE", "shift")
     val tables = sys.env.get("MIRROR_TABLES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(ScaleSmoke.keyCols.keys.toSet)
@@ -39,8 +43,9 @@ object MakeMirror {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    ScaleSmoke.synthesize(spark, src, out, factor, tables, singleDims)
-    println(s"""{"mirror":"$out","src":"$src","factor":$factor,"singleDims":$singleDims}""")
+    ScaleSmoke.synthesize(spark, src, out, factor, tables, singleDims, vectorMode)
+    println(s"""{"mirror":"$out","src":"$src","factor":$factor,""" +
+      s""""singleDims":$singleDims,"vectorMode":"$vectorMode"}""")
     spark.stop()
   }
 }

@@ -82,6 +82,51 @@ object ScaleSmoke {
   private val lower = "abcdefghijklmnopqrstuvwxyz"
   private val upper = lower.toUpperCase
 
+  /** Fixture embedding dimensionality (embeddings.embedding is a fixed
+    * 64-float list in every driver-generated sf). The sign-flip transform
+    * builds its per-copy pattern at this length; a different-dim corpus
+    * would surface as nulls from element_at past the literal (fail-fast
+    * in the invariant gates, which compare against copy 0).
+    */
+  val EmbeddingDim = 64
+
+  /** Per-copy label-block offset under the sign-flip vector mode: labels
+    * become copy-disjoint (`label + copy·LabelStride`), so label-blocked
+    * pair keys (q_similarity_join, q_ann_ivf's cell probe) never compare
+    * across copies — pair space replicates ×N (linear), exactly the
+    * documents-rotation argument applied to the vector side. Fixture
+    * labels are 0..9 ≪ 100; max mirrored label 999·100+9 ≪ 2³¹.
+    */
+  val LabelStride = 100
+
+  /** Per-copy ±1 sign pattern for the `signflip` vector mode (c = 0 is
+    * the identity — all +1 — so every committed copy-0 anchor still
+    * holds bit-for-bit). Seeded and deterministic like [[letterMap]];
+    * distinctness across the copies in play is ASSERTED in `synthesize`,
+    * not trusted to the seed.
+    *
+    * Why sign flips and not the additive shift: multiplying a float by
+    * ±1.0f is EXACT, and a dot product of two same-copy vectors computes
+    * the identical term sequence ((s·a)(s·b) = s²ab = ab per component,
+    * summed in the same order) — so every within-copy similarity,
+    * norm, and quantization value is bit-identical to copy 0, which is
+    * what per-copy-equality invariants need. Cross-copy, two independent
+    * random patterns agree on ~half the components, so cosines
+    * concentrate near 0 (±~1/√dim): near-dup thresholds (τ ≥ 0.99)
+    * would need patterns differing in ≲1 of 64 positions —
+    * P ≈ 65·2⁻⁶⁴ per pair — so cross-copy near-dups are absent, where
+    * the additive (c%97)·10⁻³ shift made every copy pair of the same
+    * base vector a near-duplicate (the reason the three cosine pair
+    * keys were EXCLUDED from ×97 invariants in r13, and the shift
+    * modulus capped embeddings mirrors at ×97).
+    */
+  private[graft] def signPattern(c: Int): Array[Float] =
+    if (c == 0) Array.fill(EmbeddingDim)(1.0f)
+    else {
+      val r = new scala.util.Random(0xC2B2AE3D27D4EB4FL ^ c.toLong)
+      Array.fill(EmbeddingDim)(if (r.nextBoolean()) 1.0f else -1.0f)
+    }
+
   /** Letter map for copy `c`: the original rotation for c ≤ 25 (keeps
     * every measured gate byte-identical), a DETERMINISTIC seeded
     * permutation of the alphabet past that — any 1:1 letter map
@@ -101,8 +146,16 @@ object ScaleSmoke {
   /** One copy of `name` transformed for copy index `c` (c = 0 is the
     * identity). Pure column expressions — the whole synthesis is a single
     * codegen'd scan→project per copy, no UDF, no collect.
+    *
+    * `vectorMode` selects the embeddings transform: `"shift"` (default,
+    * the historical (c%97)·10⁻³ additive shift every committed ≤×97
+    * artifact was measured on) or `"signflip"` (per-copy seeded ±1
+    * component signs + copy-disjoint labels — exact within-copy
+    * arithmetic, near-orthogonal cross-copy, factor cap 1000; see
+    * [[signPattern]]).
     */
-  def scaleCopy(df: DataFrame, name: String, c: Int): DataFrame = {
+  def scaleCopy(df: DataFrame, name: String, c: Int,
+      vectorMode: String = "shift"): DataFrame = {
     val keyed = keyCols.getOrElse(name, Seq()).foldLeft(df) { (d, k) =>
       d.withColumn(k, col(k) + lit(c * Stride))
     }
@@ -114,6 +167,17 @@ object ScaleSmoke {
         val mapL = letterMap(c)
         keyed.withColumn("text",
           translate(col("text"), lower + upper, mapL + mapL.toUpperCase))
+      case "embeddings" if vectorMode == "signflip" =>
+        // ±1 component signs (exact; identity at c = 0) + copy-disjoint
+        // label blocks. Multiplying by the ±1.0f literal array keeps
+        // every float bit-exact up to sign, so within-copy dot products
+        // and norms equal copy 0's bit-for-bit, while cross-copy cosines
+        // concentrate near 0 — the invariant-compatible vector mirror.
+        val signs = signPattern(c)
+        keyed
+          .withColumn("embedding", transform(col("embedding"),
+            (x, i) => x * element_at(lit(signs), i + 1)))
+          .withColumn("label", col("label") + lit(c * LabelStride))
       case "embeddings" if c > 0 =>
         // Small per-copy shift: distinct vectors, same cluster geometry.
         keyed.withColumn("embedding",
@@ -152,7 +216,10 @@ object ScaleSmoke {
     * artifact was measured on replicated dims and stays reproducible.
     */
   def synthesize(spark: SparkSession, srcDir: String, outDir: String, factor: Int,
-                 tables: Set[String], singleDims: Boolean = false): Unit = {
+                 tables: Set[String], singleDims: Boolean = false,
+                 vectorMode: String = "shift"): Unit = {
+    require(vectorMode == "shift" || vectorMode == "signflip",
+      s"unknown vectorMode '$vectorMode' (shift | signflip)")
     // The factor cap is TABLE-AWARE — each constraint binds only when the
     // table it protects is being mirrored:
     //  - embeddings: the per-copy shift is (c % 97)·1e-3, so copy 97
@@ -170,8 +237,16 @@ object ScaleSmoke {
     //    far under overflow.
     require(factor >= 1 && factor <= 1000,
       s"factor $factor outside [1, 1000]")
-    require(factor <= 97 || !tables("embeddings"),
-      s"factor $factor > 97: the embeddings shift modulus (97) binds when embeddings are mirrored")
+    require(factor <= 97 || !tables("embeddings") || vectorMode == "signflip",
+      s"factor $factor > 97: the embeddings shift modulus (97) binds when embeddings are " +
+        "mirrored in shift mode; use vectorMode=signflip for larger factors")
+    if (tables("embeddings") && vectorMode == "signflip") {
+      // Two copies with equal sign patterns would be exact cross-copy
+      // duplicates of every vector — assert distinctness like letterMap.
+      val pats = (0 until factor).map(c => signPattern(c).toSeq)
+      require(pats.distinct.size == pats.size,
+        s"sign patterns collide at factor $factor: two copies would be exact duplicates")
+    }
     if (tables("documents")) {
       val maps = (0 until factor).map(c => if (c == 0) lower else letterMap(c))
       require(maps.distinct.size == maps.size,
@@ -183,7 +258,7 @@ object ScaleSmoke {
     keyCols.keys.toSeq.sorted.filter(tables).foreach { name =>
       val src = spark.read.parquet(s"$srcDir/$name.parquet")
       val copies = if (singleDims && keyCols(name).isEmpty) 1 else factor
-      val scaled = (0 until copies).map(c => scaleCopy(src, name, c)).reduce(_ union _)
+      val scaled = (0 until copies).map(c => scaleCopy(src, name, c, vectorMode)).reduce(_ union _)
       scaled.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
     }
     // Completion manifest, written LAST: reuse paths (SCALE_SMOKE_REUSE,
@@ -193,6 +268,7 @@ object ScaleSmoke {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outDir, "_GRAFT_MIRROR.json"),
       s"""{"src":"$srcDir","factor":$factor,"singleDims":$singleDims,""" +
+        s""""vectorMode":"$vectorMode",""" +
         s""""tables":[${tables.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}]}""")
   }
 

@@ -72,6 +72,56 @@ class ScaleSmokeSpec extends AnyFunSuite {
     assert((maps :+ "abcdefghijklmnopqrstuvwxyz").distinct.size == maps.size + 1)
   }
 
+  test("signflip vector mode: copy 0 identity, within-copy dots bit-exact, " +
+      "cross-copy near-orthogonal, labels copy-disjoint") {
+    // Pattern determinism + distinctness to the full factor-1000 range
+    // (the synthesize guard asserts the copies in play; this pins all).
+    val pats = (0 until 1000).map(c => ScaleSmoke.signPattern(c).toSeq)
+    assert(pats.head.forall(_ == 1.0f)) // copy 0 = identity
+    assert(pats.forall(p => p.forall(x => x == 1.0f || x == -1.0f)))
+    assert(pats.distinct.size == pats.size)
+    assert(ScaleSmoke.signPattern(7).toSeq == ScaleSmoke.signPattern(7).toSeq)
+
+    val d = java.nio.file.Files.createTempDirectory("graft-signflip").toString
+    ScaleSmoke.synthesize(spark, TestSpark.sfDir, d, factor,
+      Set("embeddings"), vectorMode = "signflip")
+    val m = spark.read.parquet(s"$d/embeddings.parquet")
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("copy", floor(col("vec_id") / lit(ScaleSmoke.Stride)))
+      .withColumn("orig", pmod(col("vec_id"), lit(ScaleSmoke.Stride)))
+      .localCheckpoint()
+    // copy 0 is value-identical to the source (×1.0f is exact)
+    val srcE = src("embeddings")
+      .select(col("vec_id").as("orig"), col("label").as("label0"),
+        transform(col("embedding"), x => x.cast("double")).as("v0"))
+    assert(m.where(col("copy") === 0).join(srcE, "orig")
+      .where(col("v") =!= col("v0") || col("label") =!= col("label0"))
+      .count() === 0)
+    // labels land in copy-disjoint blocks: label = source + copy·LabelStride
+    assert(m.join(srcE, "orig")
+      .where(col("label") =!= col("label0") + col("copy") * lit(ScaleSmoke.LabelStride))
+      .count() === 0)
+    // within-copy norms (self-dots) are BIT-exact per copy: (±x)² = x²
+    // summed in the same order — the property per-copy-equality
+    // invariants for the cosine pair keys rest on
+    import graft.functions.GraftExpressions.dotProduct
+    val norms = m.select(col("copy"), col("orig"), dotProduct(col("v"), col("v")).as("n2"))
+    val n0 = norms.where(col("copy") === 0).select(col("orig"), col("n2").as("n2_0"))
+    assert(norms.join(n0, "orig").where(col("n2") =!= col("n2_0")).count() === 0)
+    // cross-copy same-base cosines far from the near-dup regime: the
+    // fixture-wide exhaustive bound is 0.938 at ×970 (r14 analysis);
+    // spot-pin it at this factor
+    val a = m.select(col("copy").as("ca"), col("orig"), col("v").as("va"))
+    val b = m.select(col("copy").as("cb"), col("orig"), col("v").as("vb"))
+    val mx = a.join(b, "orig").where(col("ca") < col("cb"))
+      .select(abs(dotProduct(col("va"), col("vb")) /
+        (sqrt(dotProduct(col("va"), col("va"))) * sqrt(dotProduct(col("vb"), col("vb")))))
+        .as("c"))
+      .agg(max(col("c"))).head().getDouble(0)
+    assert(mx < 0.99, s"cross-copy same-base cosine $mx reaches near-dup range")
+  }
+
   test("re-keying keeps ids unique and join keys consistent per copy") {
     val docs = big("documents")
     assert(docs.select("doc_id").distinct.count() === docs.count())
