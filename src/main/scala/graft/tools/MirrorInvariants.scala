@@ -45,32 +45,37 @@ object MirrorInvariants {
     * anchor to ≈sf1 — an engine-vs-oracle-anchored signal for the keys
     * whose direct DuckDB oracle is quadratic at this scale.
     *
-    * (key, idCols, mult): idCols are normalized per copy via
-    * `pmod(id, Stride)` (every fixture id and in-query offset is far
-    * below the copy stride, so mod recovers the 1× id exactly); all
-    * OTHER columns — jaccard/jw/cos rounded doubles, counts, names —
-    * must match verbatim. mult is the expected multiplicity of each 1×
-    * row in the normalized ×N frame: `factor` for replicated keys, 1
-    * for the fixed-probe fuzzy-match keys whose ×N answer must equal
-    * the 1× answer outright (names are copy-invariant and every
-    * distance tie breaks toward the lowest key = copy 0).
+    * (key, idCols, mult): idCols are (column, stride) pairs normalized
+    * per copy via `pmod(id, stride)` (every fixture id and in-query
+    * offset is far below its copy stride, so mod recovers the 1× id
+    * exactly — stride is [[ScaleSmoke.Stride]] for id columns and
+    * [[ScaleSmoke.LabelStride]] for the signflip mirror's label
+    * blocks); all OTHER columns — jaccard/jw/cos rounded doubles,
+    * counts, names — must match verbatim. mult is the expected
+    * multiplicity of each 1× row in the normalized ×N frame: `factor`
+    * for replicated keys, 1 for the fixed-probe fuzzy-match keys whose
+    * ×N answer must equal the 1× answer outright (names are
+    * copy-invariant and every distance tie breaks toward the lowest
+    * key = copy 0).
     */
-  def shiftKeys(factor: Long): Seq[(String, Seq[String], Long)] = Seq(
+  def shiftKeys(factor: Long): Seq[(String, Seq[(String, Long)], Long)] = {
+    def ids(cs: String*): Seq[(String, Long)] = cs.map(_ -> ScaleSmoke.Stride)
+    Seq(
     // LSH ≥0.9 delta-vs-corpus pairs: dup/novel id offsets (+1e5/+2e5)
     // stay far under the stride; jaccard is a ratio of set sizes the
     // rotation preserves exactly.
-    ("q_neardup_delta", Seq("doc_a", "doc_b"), factor),
+    ("q_neardup_delta", ids("doc_a", "doc_b"), factor),
     // Components/resolution over the exact-replicating ≥0.9 pair list:
     // labels are group-min doc ids, which shift with their copy.
-    ("q_neardup_components", Seq("doc_id", "component"), factor),
-    ("q_neardup_resolve", Seq("canonical"), factor),
+    ("q_neardup_components", ids("doc_id", "component"), factor),
+    ("q_neardup_resolve", ids("canonical"), factor),
     // Triangle census of the τ=0.97 near-dup graph: the edge list
     // replicates exactly (q_neardup_pairs' argument at a higher τ), so
     // per-node triangle counts replicate too.
-    ("q_graph_triangles", Seq("doc_id"), factor),
+    ("q_graph_triangles", ids("doc_id"), factor),
     // Same-brand JW self-join: names are copy-invariant, the brand
     // suffix makes blocks copy-disjoint, both keys shift together.
-    ("q_jw_threshold_join", Seq("a_key", "b_key"), factor),
+    ("q_jw_threshold_join", ids("a_key", "b_key"), factor),
     // Fixed 5-probe fuzzy top-3: the ×N corpus holds N identical copies
     // of every name; (dist ASC, key ASC) tie-break selects copy 0, and
     // the output carries names not keys — the ×N answer IS the 1×
@@ -78,6 +83,40 @@ object MirrorInvariants {
     // twins (same contract, different physical plans).
     ("q_fuzzy_match", Seq(), 1L),
     ("q_fuzzy_match_scaled", Seq(), 1L))
+  }
+
+  /** The cosine pair family's per-copy-equality invariants — valid ONLY
+    * on a `signflip` embeddings mirror (r14; the additive-shift mirror
+    * put cross-copy cosines ≈ 1, which is why these three sat in
+    * [[excludedKeys]] through r13). Under per-copy ±1 component signs:
+    *
+    *  - within-copy dot products, norms, and therefore every rounded
+    *    cosine are BIT-identical to copy 0 ((±a)(±b) = ab per component,
+    *    summed in the same order), so each copy's output must equal the
+    *    oracle-pinned 1× output with ids shifted — the full shiftKeys
+    *    contract, not a band;
+    *  - cross-copy pairs at τ = 0.99 are absent DETERMINISTICALLY, not
+    *    probabilistically: exhaustively computed over all 470k sign
+    *    pattern pairs × every base (and every base × its planted copy),
+    *    the max cross-copy same-base |cos| is 0.938, and a
+    *    sign-independent bound (max over different-base pairs of
+    *    Σ|vᵢwᵢ|/‖v‖‖w‖ = 0.866) covers every other combination — all
+    *    far below the 0.99 threshold;
+    *  - q_similarity_join never compares across copies at all: its
+    *    label blocks are copy-disjoint by the signflip transform
+    *    (label + copy·LabelStride), so τ = 0.4 needs no cosine bound.
+    *
+    * LSH recall keeps per-copy equality exact for the neardup keys: all
+    * true ≥0.99 pairs are the planted ones (background max 0.60), whose
+    * 12-table miss probability is ~1e-22 per copy.
+    */
+  def cosineKeys(factor: Long): Seq[(String, Seq[(String, Long)], Long)] = Seq(
+    ("q_cosine_neardup",
+      Seq("vec_a" -> ScaleSmoke.Stride, "vec_b" -> ScaleSmoke.Stride), factor),
+    ("q_cosine_resolve", Seq("canonical" -> ScaleSmoke.Stride), factor),
+    ("q_similarity_join",
+      Seq("vec_a" -> ScaleSmoke.Stride, "vec_b" -> ScaleSmoke.Stride,
+        "label" -> ScaleSmoke.LabelStride.toLong), factor))
 
   /** Pair-listing keys: (key, exact?). Exact ⇒ count must be exactly
     * factor × the 1× count; probabilistic ⇒ [1×, (factor+1)×] band.
@@ -131,9 +170,12 @@ object MirrorInvariants {
     *    oracle (r12) + ScaleSmoke ×N ratio under the graded name.
     */
   val excludedKeys: Map[String, String] = Map(
-    "q_cosine_neardup" -> "mirror vector shift puts cross-copy cosines ≈ 1",
-    "q_cosine_resolve" -> "mirror vector shift puts cross-copy cosines ≈ 1",
-    "q_similarity_join" -> "mirror vector shift puts cross-copy cosines ≈ 1",
+    // The cosine exclusions apply to SHIFT-mode mirrors only — a
+    // signflip mirror (r14) lifts them into full per-copy-equality
+    // checks (cosineKeys above).
+    "q_cosine_neardup" -> "shift-mode mirror puts cross-copy cosines ≈ 1 (run a signflip mirror)",
+    "q_cosine_resolve" -> "shift-mode mirror puts cross-copy cosines ≈ 1 (run a signflip mirror)",
+    "q_similarity_join" -> "shift-mode mirror puts cross-copy cosines ≈ 1 (run a signflip mirror)",
     "q_record_linkage" -> "corruption mask stride-dependent per copy",
     "q_fuzzy_linkage" -> "corruption mask stride-dependent per copy",
     "q_decontaminate_fuzzy" -> "plant mask stride-dependent per copy")
@@ -213,7 +255,14 @@ object MirrorInvariants {
     }
 
     // Exact per-copy replication equality (see shiftKeys scaladoc).
-    shiftKeys(factor).filter(k => wanted(k._1)).foreach { case (key, idCols, mult) =>
+    // The cosine family joins the list only on a signflip embeddings
+    // mirror (manifest vectorMode) — see cosineKeys scaladoc.
+    val manifest = try
+      java.nio.file.Files.readString(java.nio.file.Paths.get(dir, "_GRAFT_MIRROR.json"))
+    catch { case _: Throwable => "" }
+    val signflip = manifest.contains("\"vectorMode\":\"signflip\"")
+    val equalityKeys = shiftKeys(factor) ++ (if (signflip) cosineKeys(factor) else Nil)
+    equalityKeys.filter(k => wanted(k._1)).foreach { case (key, idCols, mult) =>
       val fn = SparkEntry.queries(key)
       val r1 = fn(spark, src).localCheckpoint()
       val rN = fn(spark, dir).localCheckpoint()
@@ -224,9 +273,9 @@ object MirrorInvariants {
       val cross =
         if (idCols.size < 2) 0L
         else rN.where(idCols.tail
-            .map(c => floor(col(c) / lit(ScaleSmoke.Stride)) =!= floor(col(idCols.head) / lit(ScaleSmoke.Stride)))
+            .map { case (c, s) => floor(col(c) / lit(s)) =!= floor(col(idCols.head._1) / lit(idCols.head._2)) }
             .reduce(_ || _)).count()
-      val norm = idCols.foldLeft(rN)((d, c) => d.withColumn(c, pmod(col(c), lit(ScaleSmoke.Stride))))
+      val norm = idCols.foldLeft(rN)((d, cs) => d.withColumn(cs._1, pmod(col(cs._1), lit(cs._2))))
       val c1 = r1.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__c1"))
       val cN = norm.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__cN"))
       val mism = c1.join(cN, cols, "full_outer")
@@ -281,9 +330,132 @@ object MirrorInvariants {
         s""""n_exact":[$e1,$eN],"n_missed":[$m1,$mN],"ok":$ok}""")
     }
 
-    excludedKeys.toSeq.sortBy(_._1).foreach { case (k, why) =>
-      println(s"""{"key":"$k","excluded":"$why"}""")
+    // ---- Closed-form fifth-decade checks for the three keys whose
+    // DuckDB oracle exceeds the ~100 GB box at ×970 (r13 verdict item
+    // #2: the engine dumps completed there; these replace the OOMing
+    // oracle with exact invariants, the DecadeProbe pattern).
+
+    // q_graph_pagerank: the node set is the event-TYPE alphabet (copy-
+    // invariant) and every transition count scales uniformly ×N per
+    // copy, so each row of the row-stochastic P is (N·n)/(N·w) — IEEE
+    // division of the same real value ⇒ bit-identical to the 1× P — and
+    // the ×N ranks must EQUAL the DuckDB-pinned 1× ranks outright.
+    // Plus conservation: total rank mass stays 1 (±8dp rounding ·|V|).
+    if (wanted("q_graph_pagerank")) {
+      val fn = SparkEntry.queries("q_graph_pagerank")
+      val r1 = fn(spark, src).localCheckpoint()
+      val rN = fn(spark, dir).localCheckpoint()
+      val cols = r1.columns.toSeq
+      val mism = r1.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__c1"))
+        .join(rN.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__cN")),
+          cols, "full_outer")
+        .where(coalesce(col("__cN"), lit(0L)) =!= coalesce(col("__c1"), lit(0L)))
+        .count()
+      val nodes = rN.count()
+      val mass = rN.agg(sum(col("pr"))).head().getDouble(0)
+      val massOk = math.abs(mass - 1.0) <= nodes * 5e-9 + 1e-12
+      val ok = mism == 0 && massOk
+      if (!ok) fail = true
+      println(s"""{"key":"q_graph_pagerank","check":"scale_invariance_equality","nodes":$nodes,""" +
+        s""""mismatched_groups":$mism,"rank_mass":$mass,"mass_ok":$massOk,"ok":$ok}""")
     }
+
+    // q_inverted_index: block boundaries (BlockSize 1024 ∤ the 10⁸ copy
+    // stride) cut each copy's doc space at different offsets, so row-
+    // level per-copy equality does NOT hold — the invariants live at the
+    // POSTING level, where the letter rotation is a 1:1 token map:
+    //  (a) structure: every rendered posting sits inside its block row,
+    //      n_docs equals the rendered list length, and the delta-gap
+    //      encoding reconstructs the absolute ids exactly;
+    //  (b) per-doc census: for every copy and every document, the
+    //      (Σtf, #distinct tokens) pair equals the 1× document's — a
+    //      lost, duplicated, or misplaced posting shifts some doc's
+    //      census;
+    //  (c) totals: posting mass and doc-slot count are exactly ×N.
+    def postingChecks(key: String, rendered: DataFrame): Unit = {
+      val idx = rendered.localCheckpoint()
+      val posts = idx.select(col("tok"), col("block"), col("n_docs"),
+          size(split(col("postings"), ",")).cast("long").as("__len"),
+          col("gaps"),
+          // gaps → running sum → must reproduce the absolute ids
+          expr("""array_join(transform(
+              aggregate(split(gaps, ','),
+                        CAST(array() AS ARRAY<BIGINT>),
+                        (acc, x) -> array_append(acc,
+                          coalesce(try_element_at(acc, -1), CAST(0 AS BIGINT)) + CAST(x AS BIGINT))),
+              d -> CAST(d AS STRING)), ',')""").as("__docs_from_gaps"),
+          explode(split(col("postings"), ",")).as("__p"))
+        .select(col("tok"), col("block"), col("n_docs"), col("__len"),
+          col("__docs_from_gaps"),
+          split(col("__p"), ":").getItem(0).cast("long").as("doc"),
+          split(col("__p"), ":").getItem(1).cast("long").as("tf"))
+        .localCheckpoint()
+      val badBlock = posts.where(floor(col("doc") / lit(graft.engine.Index.BlockSize))
+        =!= col("block") || col("n_docs") =!= col("__len")).count()
+      // posts are doc-sorted within a row by construction, so the sorted
+      // re-collect reproduces the rendered order exactly
+      val badGaps = posts.select(col("tok"), col("block"), col("__docs_from_gaps"),
+          col("doc")).groupBy(col("tok"), col("block"), col("__docs_from_gaps"))
+        .agg(array_join(transform(array_sort(collect_list(col("doc"))),
+          d => d.cast("string")), ",").as("__docs"))
+        .where(col("__docs") =!= col("__docs_from_gaps")).count()
+      // per-(copy, doc) census vs the 1× index's per-doc census
+      val perDocN = posts
+        .groupBy(floor(col("doc") / lit(ScaleSmoke.Stride)).as("__copy"),
+          pmod(col("doc"), lit(ScaleSmoke.Stride)).as("__orig"))
+        .agg(sum(col("tf")).as("__mass"), count(lit(1)).as("__ntoks"))
+        .localCheckpoint()
+      val fn1 = SparkEntry.queries("q_inverted_index")
+      val perDoc1 = fn1(spark, src)
+        .select(explode(split(col("postings"), ",")).as("__p"))
+        .select(split(col("__p"), ":").getItem(0).cast("long").as("__orig"),
+          split(col("__p"), ":").getItem(1).cast("long").as("tf"))
+        .groupBy(col("__orig"))
+        .agg(sum(col("tf")).as("__m1"), count(lit(1)).as("__n1"))
+        .localCheckpoint()
+      val censusMism = perDocN.join(perDoc1, Seq("__orig"), "full_outer")
+        .where(col("__copy").isNull || col("__m1").isNull ||
+          col("__mass") =!= col("__m1") || col("__ntoks") =!= col("__n1"))
+        .count()
+      val slotsN = perDocN.count()
+      val slots1 = perDoc1.count()
+      val ok = badBlock == 0 && badGaps == 0 && censusMism == 0 &&
+        slotsN == factor * slots1
+      if (!ok) fail = true
+      println(s"""{"key":"$key","check":"posting_census","bad_block_rows":$badBlock,""" +
+        s""""bad_gap_rows":$badGaps,"census_mismatches":$censusMism,""" +
+        s""""doc_slots":[$slots1,$slotsN],"ok":$ok}""")
+    }
+    if (wanted("q_inverted_index"))
+      postingChecks("q_inverted_index",
+        SparkEntry.queries("q_inverted_index")(spark, dir))
+
+    // q_index_delta: incremental ≡ batch is the key's whole contract —
+    // at ×N it must be multiset-IDENTICAL to q_inverted_index over the
+    // same mirror (whose own posting census is checked above).
+    if (wanted("q_index_delta")) {
+      val batch = SparkEntry.queries("q_inverted_index")(spark, dir).localCheckpoint()
+      val delta = SparkEntry.queries("q_index_delta")(spark, dir).localCheckpoint()
+      val cols = batch.columns.toSeq
+      val mism = batch.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__c1"))
+        .join(delta.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__cN")),
+          cols, "full_outer")
+        .where(coalesce(col("__cN"), lit(0L)) =!= coalesce(col("__c1"), lit(0L)))
+        .count()
+      val (nB, nD) = (batch.count(), delta.count())
+      val ok = mism == 0 && nB == nD
+      if (!ok) fail = true
+      println(s"""{"key":"q_index_delta","check":"incremental_equals_batch",""" +
+        s""""rows":[$nB,$nD],"mismatched_groups":$mism,"ok":$ok}""")
+    }
+
+    excludedKeys.toSeq.sortBy(_._1)
+      // A signflip mirror lifts the cosine family's exclusion — those
+      // keys run the full per-copy-equality check above instead.
+      .filterNot { case (k, _) => signflip && cosineKeys(factor).exists(_._1 == k) }
+      .foreach { case (k, why) =>
+        println(s"""{"key":"$k","excluded":"$why"}""")
+      }
     println(s"""{"mirror_invariants":{"src":"$src","dir":"$dir","factor":$factor,"pass":${!fail}}}""")
     spark.stop()
     if (fail) System.exit(1)
