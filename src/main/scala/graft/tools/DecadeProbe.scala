@@ -1,41 +1,58 @@
 package graft.tools
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.engine.{Relational, Tables}
+import graft.engine.{Dedup, Relational, Tables}
 
-/** SIXTH-decade probe (round-12 verdict item #7): ~sf970 ≈ 5.8 BILLION
-  * lineitem rows through the heaviest aggregation pipelines, hash-gated
-  * against DuckDB — without materializing a mirror.
+/** SIXTH-decade probes (round-12 item #7, widened per round-13 item #3):
+  * ~sf970 ≈ billions of rows through the heaviest pipelines, gated
+  * against CLOSED-FORM expectations — without materializing a mirror.
   *
   * Why not a real ×9700 mirror: the fifth-decade mirror measures
   * 14.4 GB for its table subset, so ×9700 needs ≈ 98 GB for lineitem
   * alone (+20 GB orders, + dump + DuckDB temp ⇒ ~150 GB peak). The box
-  * has 252 GB with ~55 GB free; deleting every other scale artifact
+  * has 252 GB with ~52 GB free; deleting every other scale artifact
   * frees at most ~80 GB. Exact blocker: ≥150 GB needed, ≤80 GB
   * available. (Documented per the round-12 verdict's ask.)
   *
-  * What a LAZY inflation still proves: `lineitem CROSS JOIN range(N)`
-  * streams N value-identical copies through the engine — 5.8B rows of
-  * real scan→project→filter→partial-agg→merge work with Σ(4dp revenue
-  * partials) ≈ 5·10¹⁷, an order past the fifth decade — exactly the
-  * regime where a LONG single-phase sum ANSI-overflows and a double sum
-  * drifts, so the widePartials DECIMAL(38,0) merge discipline is what is
-  * being gated. DuckDB replays the identical construction with
-  * generate_series. What it does NOT probe (stated, not hidden): group
-  * cardinality and shuffle layout stay at 1× — the materialized ×970
-  * mirror remains the strongest signal for those.
+  * What a LAZY inflation still proves, per probe family:
+  *  - q1:   5.8B rows of scan→filter→partial-agg→DECIMAL-merge with
+  *          Σ(4dp partials) ≈ 5·10¹⁷ — the widePartials regime.
+  *  - q3:   the 3-way join arithmetic: 5.8B inflated lineitem rows
+  *          broadcast-probe the 1× filtered orders⋈customer build side
+  *          (the join executes 5.8B times), exact-cents revenue per
+  *          group, top-10. Copies are NOT re-keyed, so every group's
+  *          integer revenue is exactly N× the 1× revenue — closed form
+  *          checked bit-exact by tools/decade_probe.py.
+  *  - q5:   the 5-way star join: same lazy inflation, all five dims
+  *          broadcast (the at-scale q5 plan shape), widePartials merge,
+  *          25 nation groups at N× the exact 1× cents.
+  *  - q_dedup_first_wins: 970M events (N identical copies per event)
+  *          through the window-ranked survivor pipeline — the survivor
+  *          set must equal the 1× output EXACTLY (all copies of the
+  *          minimum-rank row are value-identical). One real 970M-row
+  *          shuffle on the dedup key.
+  *  - q_sessionize: 970M events through the per-user session window —
+  *          duplicated events land at gap 0, so session boundaries are
+  *          the 1× boundaries and each session shows n_events ×N with
+  *          sum_value = (N · exact 1× cents)/100 — checked row-exact
+  *          against the transformed 1× frame (itself DuckDB-pinned at
+  *          three scales). One real 970M-row shuffle + per-user sort.
+  *
+  * What it does NOT probe (stated, not hidden): join-key cardinality
+  * and shuffle layout stay at 1× for q3/q5 — the materialized ×970
+  * mirror remains the strongest signal for those; the window probes DO
+  * shuffle the full inflated volume.
   *
   * Run: PROBE_FACTOR (default 9700), PROBE_SRC (default
-  * /root/testdata/sf0.1). Prints one JSON line per probe + summary;
-  * exit 1 on any mismatch with the DuckDB oracle printed alongside
-  * (oracle run separately by tools/decade_probe.py, which reads the
-  * JSON this emits — no DuckDB from the JVM).
-  *
-  * q1 here is the EXACT q1PricingSummary arithmetic (same cents columns,
-  * same widePartials partials, same DECIMAL merge and integer-space
-  * rounding) applied to the inflated frame.
+  * /root/testdata/sf0.1), PROBE_KEYS (comma list of q1,q3,q5,
+  * first_wins,sessionize; default q1). Prints one JSON line per probe
+  * row + a summary; q1/q3/q5 rows are verified by tools/decade_probe.py
+  * (exact integer closed forms, no at-scale oracle scan); the window
+  * probes self-verify against the 1× engine frame and fail the exit
+  * code directly.
   */
 object DecadeProbe {
   def main(args: Array[String]): Unit = {
@@ -51,8 +68,10 @@ object DecadeProbe {
     require(factor >= 1 && factor <= 194000,
       s"PROBE_FACTOR $factor outside [1, 194000] (LONG-partial overflow guard)")
     val src = sys.env.getOrElse("PROBE_SRC", "/root/testdata/sf0.1")
+    val keys = sys.env.getOrElse("PROBE_KEYS", "q1")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.shuffle.partitions", "256") // 970M-row window sorts: smaller per-task runs
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -62,52 +81,212 @@ object DecadeProbe {
     // N value-identical copies, streamed not stored. The RANGE drives
     // (`parts` partitions — 64 up to factor 19400, scaled past it to keep
     // the per-partition LONG partial in the measured-safe regime) and the
-    // 600k-row projected
-    // lineitem broadcasts — inverting the join keeps 5.8B rows spread
-    // over 64 tasks instead of the handful of parquet scan splits, and
-    // bounds each task's LONG rev6 partial at ~5·10¹⁷ ≪ 2⁶³. The copy
-    // index is dropped immediately: nothing downstream keys on it.
-    def inflated(): DataFrame =
+    // projected 1× frame broadcasts — inverting the join keeps the
+    // inflated rows spread over the range tasks instead of the handful of
+    // parquet scan splits. The copy index is dropped immediately: nothing
+    // downstream keys on it (the probes' closed forms are exactly the
+    // not-re-keyed algebra).
+    def inflate(df: DataFrame): DataFrame =
       spark.range(0, factor, 1, parts).select(col("id").as("__copy"))
-        .crossJoin(broadcast(
-          Tables.lineitem(spark, src)
-            .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"),
-              col("l_extendedprice"), col("l_discount"), col("l_tax"), col("l_shipdate"))))
+        .crossJoin(broadcast(df))
         .drop("__copy")
 
-    val t0 = System.nanoTime()
-    val pc = Relational.cents(col("l_extendedprice"))
-    val dc = Relational.cents(col("l_discount"))
-    val tc = Relational.cents(col("l_tax"))
-    val partials = inflated()
-      .where(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
-      .groupBy(col("l_returnflag"), col("l_linestatus"),
-        spark_partition_id().as("__wp"))
-      .agg(
-        sum(col("l_quantity")).as("__qty"),
-        sum(pc).as("__pc"),
-        sum(dc).as("__dc"),
-        sum(pc * (lit(100L) - dc)).as("__rev4"),
-        sum(pc * (lit(100L) - dc) * (lit(100L) + tc)).as("__rev6"),
-        count(lit(1)).as("__n"))
-    val out = partials
-      .groupBy(col("l_returnflag"), col("l_linestatus"))
-      .agg(
-        round(sum(col("__qty")), 2).as("sum_qty"),
-        (expr("sum(CAST(__pc AS DECIMAL(38,0)))") / 100.0).as("sum_base_price"),
-        (expr("(sum(CAST(__rev4 AS DECIMAL(38,0))) + 50) div 100") / 100.0).as("sum_disc_price"),
-        (expr("(sum(CAST(__rev6 AS DECIMAL(38,0))) + 5000) div 10000") / 100.0).as("sum_charge"),
-        sum(col("__n")).as("count_order"))
-      .orderBy("l_returnflag", "l_linestatus")
-      .collect()
-    val wall = (System.nanoTime() - t0) / 1e9
-    out.foreach { r =>
-      println(s"""{"probe":"q1_x$factor","l_returnflag":"${r.getString(0)}",""" +
-        s""""l_linestatus":"${r.getString(1)}","sum_qty":${r.getDouble(2)},""" +
-        s""""sum_base_price":${r.getDouble(3)},"sum_disc_price":${r.getDouble(4)},""" +
-        s""""sum_charge":${r.getDouble(5)},"count_order":${r.getLong(6)}}""")
+    var fail = false
+    def timed[T](what: String)(body: => (Long, Seq[String])): Unit = {
+      val t0 = System.nanoTime()
+      val (rows, lines) = body
+      val wall = (System.nanoTime() - t0) / 1e9
+      lines.foreach(println)
+      println(s"""{"decade_probe":{"probe":"$what","factor":$factor,"src":"$src",""" +
+        s""""rows_processed":$rows,"wall_sec":${f"$wall%.1f"}}}""")
     }
-    println(s"""{"decade_probe":{"factor":$factor,"src":"$src","rows_processed":${out.map(_.getLong(6)).sum},"wall_sec":${f"$wall%.1f"}}}""")
+
+    // ---------------------------------------------------------------- q1
+    // The EXACT q1PricingSummary arithmetic (same cents columns, same
+    // widePartials partials, same DECIMAL merge and integer-space
+    // rounding) applied to the inflated frame.
+    if (keys.contains("q1")) timed("q1") {
+      val pc = Relational.cents(col("l_extendedprice"))
+      val dc = Relational.cents(col("l_discount"))
+      val tc = Relational.cents(col("l_tax"))
+      val partials = inflate(
+          Tables.lineitem(spark, src)
+            .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"),
+              col("l_extendedprice"), col("l_discount"), col("l_tax"), col("l_shipdate")))
+        .where(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"),
+          spark_partition_id().as("__wp"))
+        .agg(
+          sum(col("l_quantity")).as("__qty"),
+          sum(pc).as("__pc"),
+          sum(dc).as("__dc"),
+          sum(pc * (lit(100L) - dc)).as("__rev4"),
+          sum(pc * (lit(100L) - dc) * (lit(100L) + tc)).as("__rev6"),
+          count(lit(1)).as("__n"))
+      val out = partials
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("__qty")), 2).as("sum_qty"),
+          (expr("sum(CAST(__pc AS DECIMAL(38,0)))") / 100.0).as("sum_base_price"),
+          (expr("(sum(CAST(__rev4 AS DECIMAL(38,0))) + 50) div 100") / 100.0).as("sum_disc_price"),
+          (expr("(sum(CAST(__rev6 AS DECIMAL(38,0))) + 5000) div 10000") / 100.0).as("sum_charge"),
+          sum(col("__n")).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+        .collect()
+      (out.map(_.getLong(6)).sum, out.toSeq.map { r =>
+        s"""{"probe":"q1_x$factor","l_returnflag":"${r.getString(0)}",""" +
+          s""""l_linestatus":"${r.getString(1)}","sum_qty":${r.getDouble(2)},""" +
+          s""""sum_base_price":${r.getDouble(3)},"sum_disc_price":${r.getDouble(4)},""" +
+          s""""sum_charge":${r.getDouble(5)},"count_order":${r.getLong(6)}}"""
+      })
+    }
+
+    // ---------------------------------------------------------------- q3
+    // Graded q3JoinTopk arithmetic on the inflated fact: the 1× filtered
+    // orders⋈customer side (≈30k rows) broadcasts and every inflated
+    // lineitem row probes it — revenue groups are exactly N× the 1×
+    // integer cents (verified closed-form by decade_probe.py).
+    if (keys.contains("q3")) timed("q3") {
+      val c = Tables.customer(spark, src).where(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val o = Tables.orders(spark, src)
+        .where(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_orderpriority"))
+      val oc = o.join(c, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      val l = Tables.lineitem(spark, src)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      val joined = inflate(l)
+        .join(broadcast(oc), col("l_orderkey") === col("o_orderkey"))
+      val out = joined
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"),
+          spark_partition_id().as("__wp"))
+        .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT) * " +
+          "(100 - CAST(round(l_discount * 100) AS BIGINT))")).as("__rev4"),
+          count(lit(1)).as("__n"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg((expr("(sum(CAST(__rev4 AS DECIMAL(38,0))) + 50) div 100") / 100.0).as("revenue"),
+          sum(col("__n")).as("__n"))
+        .orderBy(desc("revenue"), asc("l_orderkey"))
+        .limit(10)
+        .collect()
+      (out.map(_.getLong(4)).sum, out.toSeq.map { r =>
+        s"""{"probe":"q3_x$factor","l_orderkey":${r.getLong(0)},""" +
+          s""""o_orderdate":"${r.get(1)}","o_orderpriority":"${r.getString(2)}",""" +
+          s""""revenue":${r.getDouble(3)}}"""
+      })
+    }
+
+    // ---------------------------------------------------------------- q5
+    // Graded q5FiveWayJoin arithmetic: all five dims broadcast (the
+    // at-scale plan shape), inflated lineitem drives, widePartials
+    // DECIMAL merge, 25 nation groups at exactly N× the 1× cents.
+    if (keys.contains("q5")) timed("q5") {
+      val c = Tables.customer(spark, src).select(col("c_custkey"), col("c_nationkey"))
+      val o = Tables.orders(spark, src).select(col("o_orderkey"), col("o_custkey"))
+      val su = Tables.supplier(spark, src).select(col("s_suppkey"), col("s_nationkey"))
+      val n = Tables.nation(spark, src).select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      val r = Tables.region(spark, src).select(col("r_regionkey"), col("r_name"))
+      val l = Tables.lineitem(spark, src)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+      val out = inflate(l)
+        .join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"), spark_partition_id().as("__wp"))
+        .agg(sum(Relational.cents(col("l_extendedprice")) *
+          (lit(100L) - Relational.cents(col("l_discount")))).as("__rev4"),
+          count(lit(1)).as("__np"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(expr("sum(CAST(__rev4 AS DECIMAL(38,0)))").as("__rev4w"),
+          sum(col("__np")).as("n_lines"))
+        .withColumn("revenue",
+          expr("CAST(CAST((__rev4w + 50) div 100 AS DECIMAL(38,2)) / 100 AS DOUBLE)"))
+        .select(col("r_name"), col("n_name"), col("revenue"), col("n_lines"))
+        .orderBy("r_name", "n_name")
+        .collect()
+      (out.map(_.getLong(3)).sum, out.toSeq.map { r =>
+        s"""{"probe":"q5_x$factor","r_name":"${r.getString(0)}","n_name":"${r.getString(1)}",""" +
+          s""""revenue":${r.getDouble(2)},"n_lines":${r.getLong(3)}}"""
+      })
+    }
+
+    // ------------------------------------------------- q_dedup_first_wins
+    // N identical copies of every event through the graded window-ranked
+    // survivor pipeline: the survivor per (user, type) is value-identical
+    // in every copy, so the N× output must EQUAL the 1× output exactly.
+    if (keys.contains("first_wins")) timed("first_wins") {
+      val ev = Tables.events(spark, src)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"), col("value"))
+      def run(df: DataFrame) =
+        Dedup.firstWins(df, Seq("user_id", "event_type"), Seq("ts", "event_id"))
+          .select(col("user_id"), col("event_type"), col("event_id").as("first_event_id"),
+            col("ts").as("first_ts"), round(col("value"), 2).as("first_value"))
+      val rN = run(inflate(ev)).localCheckpoint()
+      val r1 = run(ev).localCheckpoint()
+      val cols = r1.columns.toSeq
+      val mism = r1.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__c1"))
+        .join(rN.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__cN")),
+          cols, "full_outer")
+        .where(coalesce(col("__cN"), lit(0L)) =!= coalesce(col("__c1"), lit(0L)))
+        .count()
+      val (n1, nN) = (r1.count(), rN.count())
+      val ok = mism == 0 && n1 == nN
+      if (!ok) fail = true
+      (factor.toLong * ev.count(), Seq(
+        s"""{"probe":"first_wins_x$factor","check":"survivors_equal_1x",""" +
+          s""""rows":[$n1,$nN],"mismatched_groups":$mism,"ok":$ok}"""))
+    }
+
+    // ------------------------------------------------------ q_sessionize
+    // Duplicated events sort adjacent (gap 0) so session boundaries are
+    // the 1× boundaries; each session must show n_events ×N and
+    // sum_value = (N · exact 1× cents)/100 — both computed closed-form
+    // from the 1× engine frame (itself DuckDB-pinned at three scales).
+    if (keys.contains("sessionize")) timed("sessionize") {
+      val ev = Tables.events(spark, src)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      def sessions(df: DataFrame) = {
+        val w = Window.partitionBy(col("user_id")).orderBy(asc("ts"), asc("event_id"))
+        df.withColumn("prev_ts", lag(col("ts"), 1).over(w))
+          .withColumn("new_session",
+            when(col("prev_ts").isNull ||
+              (unix_micros(col("ts")) - unix_micros(col("prev_ts"))) > 30L * 60 * 1000000, 1L)
+              .otherwise(0L))
+          .withColumn("session_id", sum(col("new_session")).over(w.rowsBetween(Long.MinValue, 0)))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(
+            min(col("ts")).as("session_start"),
+            max(col("ts")).as("session_end"),
+            count(lit(1)).as("n_events"),
+            Relational.sumValue2(col("value")).as("sum_value"))
+      }
+      val rN = sessions(inflate(ev)).localCheckpoint()
+      // Expected = the 1× frame with n_events ×N and the cents sum ×N
+      // (recovered exactly from the rounded 2dp value: cents are integral).
+      val exp = sessions(ev)
+        .withColumn("n_events", col("n_events") * factor)
+        .withColumn("sum_value",
+          round((round(col("sum_value") * 100) * factor).cast("double") / 100.0, 2))
+        .localCheckpoint()
+      val cols = exp.columns.toSeq
+      val mism = exp.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__c1"))
+        .join(rN.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__cN")),
+          cols, "full_outer")
+        .where(coalesce(col("__cN"), lit(0L)) =!= coalesce(col("__c1"), lit(0L)))
+        .count()
+      val (n1, nN) = (exp.count(), rN.count())
+      val ok = mism == 0 && n1 == nN
+      if (!ok) fail = true
+      (factor.toLong * ev.count(), Seq(
+        s"""{"probe":"sessionize_x$factor","check":"sessions_equal_scaled_1x",""" +
+          s""""sessions":[$n1,$nN],"mismatched_groups":$mism,"ok":$ok}"""))
+    }
+
     spark.stop()
+    if (fail) sys.exit(1)
   }
 }
