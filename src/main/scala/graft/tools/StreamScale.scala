@@ -33,6 +33,16 @@ import graft.streaming.Streams
   * streaming partial order cannot drift them — the money-sum discipline
   * is what MAKES full-column streaming parity assertable at this scale.
   *
+  * Round-14 extension (r13 verdict item #7): the six remaining
+  * transformWithState processors — top-k, profile, funnel, cohort,
+  * transitions, attribution — run the same ×97 file stream against
+  * their batch twins (the StreamingParitySpec / EventAnalyticsSpec
+  * contracts, at 97M events instead of fixture scale), and ONE
+  * mid-stream crash-injection: the session-window query is stopped at
+  * ~half the stream (≈50M events), restarted on the same checkpoint,
+  * and must still hit exact batch parity — exactly-once across the
+  * kill, proven by the file sink's commit log.
+  *
   * Run: STREAM_SRC (default target/mirror_x97), STREAM_OUT (default
   * target/streamscale), STREAM_SLICES (default 48), STREAM_KEYS
   * (subset). Emits one JSON line per processor + a summary line shaped
@@ -105,16 +115,35 @@ object StreamScale {
 
     def run(key: String, streaming: DataFrame => DataFrame,
         batchTwin: () => DataFrame, project: Seq[String],
-        dropSentinel: DataFrame => DataFrame): Result = {
+        dropSentinel: DataFrame => DataFrame,
+        crashAtRows: Long = 0L): Result = {
       val t0 = System.nanoTime()
       val outDir = s"$out/$key"
       val ckpt = s"$out/ckpt_$key"
       Seq(outDir, ckpt).foreach(p => Sources.deleteRecursively(new java.io.File(p)))
-      val q = streaming(stream()).writeStream.format("parquet")
+      def start() = streaming(stream()).writeStream.format("parquet")
         .option("path", outDir).option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
+      var progresses = Seq.empty[org.apache.spark.sql.streaming.StreamingQueryProgress]
+      if (crashAtRows > 0) {
+        // Crash injection: kill the query once ≥ crashAtRows input rows
+        // are ingested (mid-stream, ≈ half the 97M events), then restart
+        // on the SAME checkpoint + sink. The file sink's commit log must
+        // keep the final result exactly-once — parity below is the proof.
+        val q1 = start()
+        var ingested = 0L
+        while (q1.isActive && ingested < crashAtRows) {
+          Thread.sleep(500)
+          ingested = q1.recentProgress.toSeq.map(_.numInputRows).sum
+        }
+        val crashed = q1.isActive // false ⇒ the stream finished before the kill point
+        q1.stop()
+        progresses = q1.recentProgress.toSeq
+        println(s"""{"key":"$key","crash_injected":$crashed,"rows_before_kill":$ingested}""")
+      }
+      val q = start()
       q.awaitTermination()
-      val progresses = q.recentProgress.toSeq
+      progresses = progresses ++ q.recentProgress.toSeq
       val peakRows = progresses.flatMap(_.stateOperators.map(_.numRowsTotal)).maxOption.getOrElse(0L)
       val peakMem = progresses.flatMap(_.stateOperators.map(_.memoryUsedBytes)).maxOption.getOrElse(0L)
       val dropped = progresses.flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
@@ -204,6 +233,111 @@ object StreamScale {
         s""""batches":$nBatches,"wall_sec":${f"${(System.nanoTime() - t0) / 1e9}%.1f"}}""")
       if (!ok) evictFail = true
     }
+
+    // ---- the six transformWithState processors (r13 item #7) ----------
+    // Each runs the identical parity contract its fixture-scale spec
+    // pins (StreamingParitySpec / EventAnalyticsSpec), against the batch
+    // twin evaluated over the SAME ×97 mirror. TimeMode.None processors
+    // emit changelogs; snapshots are max-version/max-count extractions.
+    import graft.streaming.Streams.Event
+    Streams.sessionConf(spark)
+    import spark.implicits._
+    def asEvents(df: DataFrame) = df.as[Event]
+    val batchEv = ev // the mirror events frame (no sentinel — it lives only in the ingest dir)
+
+    // Bounded top-k per event type: current snapshot (max-version rows
+    // per key) ≡ batch TopKAgg.
+    if (wanted("s_topk_x97")) results += run("s_topk_x97",
+      st => Streams.topkStream(asEvents(st), k = 3).toDF(),
+      () => {
+        val top3 = udaf(new graft.functions.TopKAgg(3))
+        batchEv.groupBy(col("event_type"))
+          .agg(top3(col("value"), col("event_id")).as("top"))
+          .select(col("event_type"), posexplode(col("top")))
+          .select(col("event_type"), (col("pos") + 1).cast("int").as("rank"),
+            col("col._1").as("value"), col("col._2").as("event_id"))
+      },
+      Seq("event_type", "rank", "value", "event_id"),
+      df => {
+        val vmax = org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
+        df.where(col("event_type") =!= "sentinel")
+          .withColumn("__vmax", max(col("version")).over(vmax))
+          .where(col("version") === col("__vmax"))
+          .drop("__vmax")
+      })
+
+    // Per-(user, type) profile counts: monotone ⇒ max emission = total.
+    if (wanted("s_profile_x97")) results += run("s_profile_x97",
+      st => Streams.userProfileStream(asEvents(st)).toDF(),
+      () => batchEv.groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n_events")),
+      Seq("user_id", "event_type", "n_events"),
+      df => df.where(col("user_id") =!= -1L)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(max(col("n_events")).as("n_events")))
+
+    // Funnel step times: current row per user (max version) ≡ the batch
+    // min-after-join twin over the same 24 h horizon (-1 = not reached).
+    if (wanted("s_funnel_x97")) results += run("s_funnel_x97",
+      st => Streams.funnelStream(asEvents(st), windowHours = 24).toDF(),
+      () => graft.engine.EventAnalytics.funnelSteps(batchEv, windowHours = 24)
+        .select(col("user_id"),
+          coalesce(unix_millis(col("t1").cast("timestamp")), lit(-1L)).as("t1"),
+          coalesce(unix_millis(col("t2").cast("timestamp")), lit(-1L)).as("t2"),
+          coalesce(unix_millis(col("t3").cast("timestamp")), lit(-1L)).as("t3")),
+      Seq("user_id", "t1", "t2", "t3"),
+      df => {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+        df.where(col("user_id") =!= -1L)
+          .withColumn("__vmax", max(col("version")).over(w))
+          .where(col("version") === col("__vmax"))
+          .select(col("user_id"), col("t1"), col("t2"), col("t3"))
+      })
+
+    // Cohort retention: each (user, offset) emitted at most once ⇒ the
+    // changelog count IS the triangle ≡ the graded batch key.
+    if (wanted("s_cohort_x97")) results += run("s_cohort_x97",
+      st => Streams.cohortRetentionStream(asEvents(st)).toDF(),
+      () => graft.engine.EventAnalytics.queries("q_cohort_retention")(spark, src)
+        .select(col("cohort_day"), col("day_offset"), col("n_users")),
+      Seq("cohort_day", "day_offset", "n_users"),
+      df => df.where(col("user_id") =!= -1L)
+        .groupBy(col("cohort_day"), col("day_offset"))
+        .agg(count(lit(1)).as("n_users")))
+
+    // Transition matrix: changelog count per (from, to) ≡ the graded
+    // batch matrix (sentinel user has one event ⇒ no transition rows).
+    if (wanted("s_transitions_x97")) results += run("s_transitions_x97",
+      st => Streams.transitionStream(asEvents(st)).toDF(),
+      () => graft.SparkEntry.queries("q_event_transitions")(spark, src)
+        .select(col("from_type"), col("to_type"), col("n")),
+      Seq("from_type", "to_type", "n"),
+      df => df.where(col("user_id") =!= -1L)
+        .groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n")))
+
+    // Last-touch attribution: the append stream's credit rows ≡ the
+    // batch attribution over the same corpus, row-exact.
+    if (wanted("s_attribution_x97")) results += run("s_attribution_x97",
+      st => Streams.attributionStream(asEvents(st)).toDF(),
+      () => graft.engine.EventAnalytics.attribution(batchEv)
+        .select(col("purchase_id"), col("user_id"), col("touch_id"), col("touch_type"),
+          unix_millis(col("t_ts").cast("timestamp")).as("t_ms"),
+          unix_millis(col("p_ts").cast("timestamp")).as("p_ms")),
+      Seq("purchase_id", "user_id", "touch_id", "touch_type", "t_ms", "p_ms"),
+      df => df.where(col("user_id") =!= -1L)
+        .withColumn("t_ms", unix_millis(col("t_ts").cast("timestamp")))
+        .withColumn("p_ms", unix_millis(col("p_ts").cast("timestamp"))))
+
+    // Crash injection at ~50M events: the session-window aggregate —
+    // the heaviest watermark-evicting state here — killed mid-stream and
+    // restarted on its checkpoint; exact parity proves exactly-once.
+    if (wanted("s_session_crash_x97")) results += run("s_session_crash_x97",
+      st => Streams.sessionCounts(st, "2 hours"),
+      () => Windowed.sessionAgg(ev),
+      Seq("user_id", "session_start", "session_end", "n_events", "sum_value"),
+      df => df.where(col("user_id") =!= -1L),
+      crashAtRows = 48L * 1000 * 1000)
 
     results.foreach { r =>
       println(s"""{"key":"${r.key}","parity":${r.parity},"rows_stream":${r.rowsStream},""" +
