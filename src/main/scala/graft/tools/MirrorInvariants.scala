@@ -118,6 +118,17 @@ object MirrorInvariants {
       Seq("vec_a" -> ScaleSmoke.Stride, "vec_b" -> ScaleSmoke.Stride,
         "label" -> ScaleSmoke.LabelStride.toLong), factor))
 
+  /** Disk the key's ×97 run is known to need (shuffle spill + localCkpt),
+    * GiB — the budget the free-space probe gates on. The salted LSH twin
+    * is the outlier: its deliberately no-broadcast salted sort-merge
+    * signature join spilled past the box's ~52 GiB free ceiling three
+    * times in r13; with zstd shuffle compression (set in main) and the
+    * old dump dirs reclaimed it fits a ~55 GiB budget. Everything else
+    * stays under ~10 GiB.
+    */
+  val needGb: Map[String, Long] = Map("q_neardup_lsh_salted" -> 55L)
+    .withDefaultValue(10L)
+
   /** Pair-listing keys: (key, exact?). Exact ⇒ count must be exactly
     * factor × the 1× count; probabilistic ⇒ [1×, (factor+1)×] band.
     */
@@ -187,6 +198,11 @@ object MirrorInvariants {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
+      // zstd over the default lz4: the banded-signature shuffles here are
+      // highly repetitive, and the salted key's ×97 spill is what blew
+      // the disk budget in r13 — measured smaller under zstd at equal
+      // results (compression is value-neutral).
+      .config("spark.io.compression.codec", "zstd")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -196,8 +212,23 @@ object MirrorInvariants {
     val only = sys.env.get("MIRROR_KEYS").map(_.split(",").map(_.trim).toSet)
     def wanted(k: String) = only.forall(_.contains(k))
 
+    // Disk-budget probe (r13 verdict item #8): a spiller that would die
+    // on ENOSPC mid-run — poisoning the whole gate — is SKIPPED up front
+    // with an explicit blocked row when the filesystem can't cover its
+    // documented budget ([[needGb]]). Enabled via MIRROR_MIN_FREE=1;
+    // blocked ≠ failed (the row names the exact shortfall).
+    val diskGuard = sys.env.get("MIRROR_MIN_FREE").contains("1")
+    def freeGb: Long = new java.io.File(".").getUsableSpace >> 30
+    def diskOk(key: String): Boolean = {
+      val ok = !diskGuard || freeGb >= needGb(key)
+      if (!ok)
+        println(s"""{"key":"$key","blocked":"disk budget: need ${needGb(key)} GiB free, """ +
+          s"""have $freeGb GiB — reclaim target/ dumps and rerun"}""")
+      ok
+    }
+
     def copyOf(c: String) = floor(col(c) / lit(ScaleSmoke.Stride))
-    pairKeys.filter(p => wanted(p._1)).foreach { case (key, exact) =>
+    pairKeys.filter(p => wanted(p._1) && diskOk(p._1)).foreach { case (key, exact) =>
       val fn = SparkEntry.queries(key)
       val n1 = fn(spark, src).count()
       val m = fn(spark, dir)
