@@ -52,7 +52,9 @@ money = {'q3_join_topk', 'q_sessionize', 'q_tumbling_window',
          'q_incremental_agg', 'q_source_csv', 'q_source_json', 'q_source_orc',
          'q_source_dirty_csv', 'q_source_dirty_json', 'q_compact_roundtrip',
          'q_vacuum_orphans', 'q_snapshot_diff', 'q_delete_where',
-         'q_retention_sweep', 'q_bucketed_join', 'q_zorder_scan'} & x10
+         'q_retention_sweep', 'q_bucketed_join', 'q_zorder_scan',
+         # r14 avg-cents hardening (engine+oracle moved together)
+         'q_join_range', 'q_join_range_bucketed', 'q_profile'} & x10
 rest = sorted((x10 - done - emb) | money)
 de = set(os.listdir('target/verify_x970de')) - {'oracle_sql.json'}
 fresh = [k for k in rest if k not in de or k in money]
