@@ -2328,9 +2328,16 @@ object Oracle {
           FROM base WHERE vec_id % 25 = 0),
         seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
           FROM (SELECT * FROM corpus ORDER BY vec_id LIMIT 8)),
+        -- list_transform(range)+list_sum is the same ascending-index
+        -- ordered double fold as the generate_series subquery it
+        -- replaced (verified bit-identical over every (vector, seed)
+        -- pair at sf0.01), WITHOUT the dependent-join row explosion:
+        -- the subquery form materialized corpus x cells x 64 rows,
+        -- which at the x970 mirror (~1B rows) exhausted the box's temp
+        -- disk (r14) - the list form stays one row per (vector, cell).
         d0 AS (SELECT c.vec_id, s.cell,
-            (SELECT sum((c.v[i] - s.cv[i]) * (c.v[i] - s.cv[i]))
-             FROM generate_series(1, 64) t(i)) AS d2
+            list_sum(list_transform(range(1, 65),
+              i -> (c.v[i] - s.cv[i]) * (c.v[i] - s.cv[i]))) AS d2
           FROM corpus c CROSS JOIN seeds s),
         a0 AS (SELECT vec_id, cell FROM d0
           QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) = 1),
@@ -2340,8 +2347,8 @@ object Oracle {
               generate_series(1, 64) t(i)
             GROUP BY a0.cell, t.i) GROUP BY cell),
         d1 AS (SELECT c.vec_id, s.cell,
-            (SELECT sum((c.v[i] - s.cv[i]) * (c.v[i] - s.cv[i]))
-             FROM generate_series(1, 64) t(i)) AS d2
+            list_sum(list_transform(range(1, 65),
+              i -> (c.v[i] - s.cv[i]) * (c.v[i] - s.cv[i]))) AS d2
           FROM corpus c CROSS JOIN c1 s),
         a1 AS (SELECT vec_id, cell::BIGINT AS cell FROM d1
           QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) = 1),
