@@ -361,6 +361,62 @@ object MirrorInvariants {
         s""""n_exact":[$e1,$eN],"n_missed":[$m1,$mN],"ok":$ok}""")
     }
 
+    // ---- Fifth-decade cosine LSH at scale-appropriate signature width.
+    // The graded q_cosine_neardup pins bits = 8 (256 buckets/table):
+    // past ~1M vectors the buckets saturate — Σ n_b² ≥ n²/256 ≈ 2·10¹¹
+    // candidate enumerations at ×970 — a fundamental property of fixed-
+    // width sign-LSH, not an engine defect; production scales bits with
+    // log₂(n). This block runs the SAME operator at bits = 16 (65k
+    // buckets/table: ~8·10⁸ candidates at ×970, and the planted pairs'
+    // per-table collision rate p¹⁶ ≈ 0.97 keeps the 12-table miss at
+    // ~6e-19) and applies the identical per-copy-equality contract: the
+    // confirmed ≥0.99 pair set is the same set bits = 8 finds — all true
+    // pairs are planted, background max 0.60 — so each copy must equal
+    // the DuckDB-pinned 1× output re-keyed, and components/resolution
+    // over those pairs must replicate the same way.
+    if (signflip && wanted("q_cosine_neardup_b16")) {
+      def planted(dd: String) = {
+        val base = graft.engine.Tables.embeddings(spark, dd)
+          .select(col("vec_id"),
+            transform(col("embedding"), x => x.cast("double")).as("embedding"))
+        base.unionByName(base.where(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            transform(col("embedding"),
+              (x, i) => when(i === 0, x * lit(1.1)).otherwise(x)).as("embedding")))
+      }
+      def pairs(dd: String) = graft.engine.CosineLsh.nearDup(
+        planted(dd), dim = 64, threshold = 0.99, nTables = 12, bits = 16,
+        shapeIn = graft.engine.Dedup.Broadcast)
+      def resolve(dd: String) = {
+        val p = pairs(dd).select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+        graft.engine.Dedup.resolveToCanonical(
+          planted(dd).select(col("vec_id").as("doc_id")),
+          graft.engine.Dedup.nearDupComponents(p))
+      }
+      Seq(("q_cosine_neardup_b16", pairs _, Seq("vec_a", "vec_b")),
+          ("q_cosine_resolve_b16", resolve _, Seq("canonical"))).foreach {
+        case (key, fn, idCols) =>
+          val r1 = fn(src).localCheckpoint()
+          val rN = fn(dir).localCheckpoint()
+          val cols = r1.columns.toSeq
+          val cross = if (idCols.size < 2) 0L
+            else rN.where(copyOf(idCols.tail.head) =!= copyOf(idCols.head)).count()
+          val norm = idCols.foldLeft(rN)((d, c) =>
+            d.withColumn(c, pmod(col(c), lit(ScaleSmoke.Stride))))
+          val mism = r1.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__c1"))
+            .join(norm.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__cN")),
+              cols, "full_outer")
+            .where(coalesce(col("__cN"), lit(0L)) =!= coalesce(col("__c1"), lit(0L)) * lit(factor))
+            .count()
+          val (n1, nN) = (r1.count(), rN.count())
+          val ok = cross == 0 && mism == 0 && nN == factor * n1
+          if (!ok) fail = true
+          println(s"""{"key":"$key","check":"per_copy_equality","bits":16,"n1":$n1,""" +
+            s""""nN":$nN,"mult":$factor,"cross_copy_rows":$cross,""" +
+            s""""mismatched_groups":$mism,"ok":$ok}""")
+      }
+    }
+
     // ---- Closed-form fifth-decade checks for the three keys whose
     // DuckDB oracle exceeds the ~100 GB box at ×970 (r13 verdict item
     // #2: the engine dumps completed there; these replace the OOMing
