@@ -461,33 +461,32 @@ object MirrorInvariants {
     //  (c) totals: posting mass and doc-slot count are exactly ×N.
     def postingChecks(key: String, rendered: DataFrame): Unit = {
       val idx = rendered.localCheckpoint()
-      val posts = idx.select(col("tok"), col("block"), col("n_docs"),
-          size(split(col("postings"), ",")).cast("long").as("__len"),
-          col("gaps"),
-          // gaps → running sum → must reproduce the absolute ids
-          expr("""array_join(transform(
+      // Row-level structural checks stay UNEXPLODED (the first draft of
+      // this check carried the per-row gaps string through a 145M-row
+      // explode + checkpoint and ate ~25 GB of disk at ×970): every
+      // rendered posting must sit inside its block row, the count must
+      // match the list length, and the delta-gap running sum must
+      // reconstruct the absolute id string exactly.
+      val bs = graft.engine.Index.BlockSize
+      val badRows = idx.where(
+        size(split(col("postings"), ",")).cast("long") =!= col("n_docs") ||
+        !expr(s"""forall(transform(split(postings, ','),
+                    p -> CAST(floor(CAST(split(p, ':')[0] AS BIGINT) / $bs) AS BIGINT)),
+                  b -> b = block)""") ||
+        expr("""array_join(transform(
               aggregate(split(gaps, ','),
                         CAST(array() AS ARRAY<BIGINT>),
                         (acc, x) -> array_append(acc,
                           coalesce(try_element_at(acc, -1), CAST(0 AS BIGINT)) + CAST(x AS BIGINT))),
-              d -> CAST(d AS STRING)), ',')""").as("__docs_from_gaps"),
-          explode(split(col("postings"), ",")).as("__p"))
-        .select(col("tok"), col("block"), col("n_docs"), col("__len"),
-          col("__docs_from_gaps"),
-          split(col("__p"), ":").getItem(0).cast("long").as("doc"),
+              d -> CAST(d AS STRING)), ',')""") =!=
+          expr("array_join(transform(split(postings, ','), p -> split(p, ':')[0]), ',')"))
+        .count()
+      // per-(copy, doc) census vs the 1× index's per-doc census —
+      // explode ONLY the (doc, tf) pairs, nothing row-sized rides along
+      val perDocN = idx
+        .select(explode(split(col("postings"), ",")).as("__p"))
+        .select(split(col("__p"), ":").getItem(0).cast("long").as("doc"),
           split(col("__p"), ":").getItem(1).cast("long").as("tf"))
-        .localCheckpoint()
-      val badBlock = posts.where(floor(col("doc") / lit(graft.engine.Index.BlockSize))
-        =!= col("block") || col("n_docs") =!= col("__len")).count()
-      // posts are doc-sorted within a row by construction, so the sorted
-      // re-collect reproduces the rendered order exactly
-      val badGaps = posts.select(col("tok"), col("block"), col("__docs_from_gaps"),
-          col("doc")).groupBy(col("tok"), col("block"), col("__docs_from_gaps"))
-        .agg(array_join(transform(array_sort(collect_list(col("doc"))),
-          d => d.cast("string")), ",").as("__docs"))
-        .where(col("__docs") =!= col("__docs_from_gaps")).count()
-      // per-(copy, doc) census vs the 1× index's per-doc census
-      val perDocN = posts
         .groupBy(floor(col("doc") / lit(ScaleSmoke.Stride)).as("__copy"),
           pmod(col("doc"), lit(ScaleSmoke.Stride)).as("__orig"))
         .agg(sum(col("tf")).as("__mass"), count(lit(1)).as("__ntoks"))
@@ -506,11 +505,10 @@ object MirrorInvariants {
         .count()
       val slotsN = perDocN.count()
       val slots1 = perDoc1.count()
-      val ok = badBlock == 0 && badGaps == 0 && censusMism == 0 &&
-        slotsN == factor * slots1
+      val ok = badRows == 0 && censusMism == 0 && slotsN == factor * slots1
       if (!ok) fail = true
-      println(s"""{"key":"$key","check":"posting_census","bad_block_rows":$badBlock,""" +
-        s""""bad_gap_rows":$badGaps,"census_mismatches":$censusMism,""" +
+      println(s"""{"key":"$key","check":"posting_census","bad_structure_rows":$badRows,""" +
+        s""""census_mismatches":$censusMism,""" +
         s""""doc_slots":[$slots1,$slotsN],"ok":$ok}""")
     }
     if (wanted("q_inverted_index"))
