@@ -329,15 +329,17 @@ object StreamScale {
         .withColumn("t_ms", unix_millis(col("t_ts").cast("timestamp")))
         .withColumn("p_ms", unix_millis(col("p_ts").cast("timestamp"))))
 
-    // Crash injection at ~50M events: the session-window aggregate —
-    // the heaviest watermark-evicting state here — killed mid-stream and
-    // restarted on its checkpoint; exact parity proves exactly-once.
+    // Crash injection at mid-stream (~half the events — ≈4.85M of the
+    // 9.7M ×97 stream): the session-window aggregate — the heaviest
+    // watermark-evicting state here — killed once that many rows are
+    // ingested and restarted on its checkpoint; exact parity proves
+    // exactly-once across the kill.
     if (wanted("s_session_crash_x97")) results += run("s_session_crash_x97",
       st => Streams.sessionCounts(st, "2 hours"),
       () => Windowed.sessionAgg(ev),
       Seq("user_id", "session_start", "session_end", "n_events", "sum_value"),
       df => df.where(col("user_id") =!= -1L),
-      crashAtRows = 48L * 1000 * 1000)
+      crashAtRows = ev.count() / 2)
 
     results.foreach { r =>
       println(s"""{"key":"${r.key}","parity":${r.parity},"rows_stream":${r.rowsStream},""" +
