@@ -31,9 +31,16 @@ if [ ! -f $MIRROR/_GRAFT_MIRROR.json ]; then
     java $ADD_OPENS -Xmx16g -cp "$CP" graft.tools.MakeMirror
   # q_hybrid_rrf fuses BM25 over documents with cosine over embeddings:
   # the ×970 letter-rotation documents mirror is transform-identical to
-  # what MIRROR_TABLES=embeddings,documents would write — link, don't
-  # re-materialize 3 GB.
-  ln -sfn "$(pwd)/target/mirror_x970/documents.parquet" $MIRROR/documents.parquet
+  # what MIRROR_TABLES=embeddings,documents would write — link when the
+  # relational gate already built it, materialize otherwise.
+  if [ -d target/mirror_x970/documents.parquet ]; then
+    ln -sfn "$(pwd)/target/mirror_x970/documents.parquet" $MIRROR/documents.parquet
+  else
+    MIRROR_SRC=/root/testdata/sf0.1 MIRROR_FACTOR=970 MIRROR_OUT=$MIRROR/_docs \
+      MIRROR_TABLES=documents \
+      java $ADD_OPENS -Xmx16g -cp "$CP" graft.tools.MakeMirror
+    mv $MIRROR/_docs/documents.parquet $MIRROR/documents.parquet && rm -rf $MIRROR/_docs
+  fi
 fi
 
 if [ "${SKIP_DUMP:-}" != "1" ]; then
