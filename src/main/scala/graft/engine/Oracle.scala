@@ -2393,8 +2393,8 @@ object Oracle {
         seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
           FROM corpus CROSS JOIN kk QUALIFY cell < k),
         d0 AS (SELECT c.vec_id, s.cell,
-            (SELECT sum((c.v[i] - s.cv[i]) * (c.v[i] - s.cv[i]))
-             FROM generate_series(1, 64) t(i)) AS d2
+            list_sum(list_transform(range(1, 65),
+              i -> (c.v[i] - s.cv[i]) * (c.v[i] - s.cv[i]))) AS d2
           FROM corpus c CROSS JOIN seeds s),
         a0 AS (SELECT vec_id, cell FROM d0
           QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) = 1),
@@ -2404,8 +2404,8 @@ object Oracle {
               generate_series(1, 64) t(i)
             GROUP BY a0.cell, t.i) GROUP BY cell),
         d1 AS (SELECT c.vec_id, s.cell,
-            (SELECT sum((c.v[i] - s.cv[i]) * (c.v[i] - s.cv[i]))
-             FROM generate_series(1, 64) t(i)) AS d2
+            list_sum(list_transform(range(1, 65),
+              i -> (c.v[i] - s.cv[i]) * (c.v[i] - s.cv[i]))) AS d2
           FROM corpus c CROSS JOIN c1 s),
         a1 AS (SELECT vec_id, cell::BIGINT AS cell FROM d1
           QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) = 1),
@@ -2448,8 +2448,8 @@ object Oracle {
             v AS cv
           FROM corpus CROSS JOIN kk QUALIFY ccell < k1),
         cd0 AS (SELECT c.vec_id, s.ccell,
-            (SELECT sum((c.v[i] - s.cv[i]) * (c.v[i] - s.cv[i]))
-             FROM generate_series(1, 64) t(i)) AS d2
+            list_sum(list_transform(range(1, 65),
+              i -> (c.v[i] - s.cv[i]) * (c.v[i] - s.cv[i]))) AS d2
           FROM corpus c CROSS JOIN cseeds s),
         ca0 AS (SELECT vec_id, ccell FROM cd0
           QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, ccell) = 1),
@@ -2459,8 +2459,8 @@ object Oracle {
               generate_series(1, 64) t(i)
             GROUP BY ca0.ccell, t.i) GROUP BY ccell),
         cd1 AS (SELECT c.vec_id, s.ccell,
-            (SELECT sum((c.v[i] - s.cv[i]) * (c.v[i] - s.cv[i]))
-             FROM generate_series(1, 64) t(i)) AS d2
+            list_sum(list_transform(range(1, 65),
+              i -> (c.v[i] - s.cv[i]) * (c.v[i] - s.cv[i]))) AS d2
           FROM corpus c CROSS JOIN cc1 s),
         wc AS (SELECT ca1.vec_id, ca1.ccell, c.v
           FROM (SELECT vec_id, ccell FROM cd1
@@ -2471,8 +2471,8 @@ object Oracle {
             v AS cv
           FROM wc CROSS JOIN kk QUALIFY sub < k2),
         sd0 AS (SELECT w.vec_id, w.ccell, s.sub,
-            (SELECT sum((w.v[i] - s.cv[i]) * (w.v[i] - s.cv[i]))
-             FROM generate_series(1, 64) t(i)) AS d2
+            list_sum(list_transform(range(1, 65),
+              i -> (w.v[i] - s.cv[i]) * (w.v[i] - s.cv[i]))) AS d2
           FROM wc w JOIN sseeds s ON w.ccell = s.ccell),
         sa0 AS (SELECT vec_id, ccell, sub FROM sd0
           QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, sub) = 1),
@@ -2482,8 +2482,8 @@ object Oracle {
               generate_series(1, 64) t(i)
             GROUP BY sa0.ccell, sa0.sub, t.i) GROUP BY ccell, sub),
         sd1 AS (SELECT w.vec_id, w.ccell, s.sub,
-            (SELECT sum((w.v[i] - s.cv[i]) * (w.v[i] - s.cv[i]))
-             FROM generate_series(1, 64) t(i)) AS d2
+            list_sum(list_transform(range(1, 65),
+              i -> (w.v[i] - s.cv[i]) * (w.v[i] - s.cv[i]))) AS d2
           FROM wc w JOIN sc1 s ON w.ccell = s.ccell),
         sa1 AS (SELECT vec_id, ccell, sub FROM sd1
           QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, sub) = 1),
