@@ -11,7 +11,7 @@ Usage: python3 tools/fold_x97.py <out.json> <meta note> <shard.json>...
        (theta band json is recognized by its {key: {exact, estimate,..}}
         shape and folded as the q_sketch_theta row)
 """
-import sys, json
+import sys, json, os
 
 out_path, note = sys.argv[1], sys.argv[2]
 merged = {}
@@ -49,7 +49,7 @@ n_fail = sum(1 for v in merged.values()
              if not (v.get("hash_match") or v.get("estimate_band_match")))
 n_keys = len(merged)  # _meta not yet inserted: this IS the key count
 merged["_meta"] = {
-    "round": 13,
+    "round": int(os.environ.get("GRAFT_ROUND", "14")),
     "what": note,
     "keys": n_keys,
     "hash_pass": n_hash, "band_pass": n_band, "fail": n_fail,
