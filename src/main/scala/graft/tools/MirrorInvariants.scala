@@ -417,6 +417,77 @@ object MirrorInvariants {
       }
     }
 
+    // ---- Scaled-SemDeDup at ×97, engine-side (r14): the k ∝ n faces'
+    // DuckDB oracle materializes corpus × cells distance frames that
+    // exhaust the box's temp disk at this scale (three attempts,
+    // documented in SURVEY §22.1), so their at-scale contract is checked
+    // from the ENGINE output instead — on the geometry-preserving SHIFT
+    // mirror, where each copy's vectors stay near copy 0 and the trained
+    // cells stay balanced:
+    //  (a) totality: exactly one output row per corpus vector, every
+    //      cell id inside [0, k);
+    //  (b) plants: a planted near-copy (vec_id ≥ 10¹², cos ≈ 1 to its
+    //      original) that lands in the SAME cell as its original must be
+    //      PRUNED — the original is a smaller-id ≥τ partner by
+    //      construction, so survival means the dominator search missed
+    //      it. A plant can legitimately cross a Voronoi boundary (the
+    //      1.02x+0.001 move; the sf0.01 oracle mirrors the same
+    //      assignment), so cross-cell plants are telemetry, not
+    //      failures;
+    //  (c) rep validity: every pruned row's representative is a real
+    //      same-cell member with smaller id whose exact recomputed
+    //      cosine is ≥ τ = 0.8 — every prune decision re-confirmed
+    //      independently of the banding that produced it.
+    // NOT checked here (stated): completeness of pruning for unplanted
+    // pairs — that is what the sf0.01 DuckDB hash gate pins.
+    if (wanted("q_semdedup_scaled_check")) {
+      import graft.functions.GraftExpressions.dotProduct
+      val base = graft.engine.Tables.embeddings(spark, dir)
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      val corpus = base.unionByName(
+          base.where(col("vec_id") % 25 === 0)
+            .select((col("vec_id") + 1000000000000L).as("vec_id"),
+              transform(col("v"), x => x * lit(1.02) + lit(0.001)).as("v")))
+        .withColumn("n2", dotProduct(col("v"), col("v")))
+        .localCheckpoint()
+      val nCorpus = corpus.count()
+      Seq("q_semdedup_scaled", "q_semdedup_scaled2").foreach { key =>
+        val out = SparkEntry.queries(key)(spark, dir).localCheckpoint()
+        val rows = out.count()
+        val kCells = out.agg(max(col("cell"))).head().getLong(0) + 1
+        val cellBad = out.where(col("cell") < 0 || col("cell") >= kCells).count()
+        val plantCells = out.where(col("vec_id") >= 1000000000000L)
+          .select((col("vec_id") - 1000000000000L).as("__orig"),
+            col("cell"), col("pruned"))
+          .join(out.select(col("vec_id").as("__orig"), col("cell").as("__ocell")), "__orig")
+          .localCheckpoint()
+        val plantBad = plantCells
+          .where(col("cell") === col("__ocell") && !col("pruned")).count()
+        val crossCellPlants = plantCells.where(col("cell") =!= col("__ocell")).count()
+        val pruned = out.where(col("rep").isNotNull)
+          .select(col("vec_id"), col("cell"), col("rep"))
+        val orderBad = pruned.where(col("rep") >= col("vec_id")).count()
+        val cellMismatch = pruned
+          .join(out.select(col("vec_id").as("rep"), col("cell").as("__rcell")), "rep")
+          .where(col("__rcell") =!= col("cell")).count()
+        val cosBad = pruned
+          .join(corpus.select(col("vec_id"), col("v").as("__va"), col("n2").as("__na")), "vec_id")
+          .join(corpus.select(col("vec_id").as("rep"), col("v").as("__vb"), col("n2").as("__nb")), "rep")
+          .withColumn("__cos", round(dotProduct(col("__va"), col("__vb")) /
+            (sqrt(col("__na")) * sqrt(col("__nb"))), 6))
+          .where(col("__cos") < 0.8).count()
+        val nPruned = pruned.count()
+        val ok = rows == nCorpus && cellBad == 0 && plantBad == 0 &&
+          orderBad == 0 && cellMismatch == 0 && cosBad == 0
+        if (!ok) fail = true
+        println(s"""{"key":"$key","check":"engine_contract","rows":[$nCorpus,$rows],""" +
+          s""""cells":$kCells,"bad_cell_rows":$cellBad,"unpruned_colocated_plants":$plantBad,""" +
+          s""""cross_cell_plants_telemetry":$crossCellPlants,""" +
+          s""""pruned":$nPruned,"rep_order_violations":$orderBad,""" +
+          s""""rep_cell_mismatches":$cellMismatch,"rep_cos_below_tau":$cosBad,"ok":$ok}""")
+      }
+    }
+
     // ---- Closed-form fifth-decade checks for the three keys whose
     // DuckDB oracle exceeds the ~100 GB box at ×970 (r13 verdict item
     // #2: the engine dumps completed there; these replace the OOMing
