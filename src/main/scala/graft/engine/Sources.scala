@@ -382,15 +382,26 @@ object Sources {
     * write-time-amortized-shuffle contract of Tables.writeBucketed).
     * Writes both bucketed tables (mode overwrite — rerun-safe).
     */
+  /** The two bucketed table names, namespaced per session so concurrent
+    * clients (own `newSession()`, SHARED catalog) never race each
+    * other's saveAsTable/DROP — what lets ConcurrentVerify grade this
+    * key instead of excluding it.
+    */
+  private[graft] def bucketedNames(s: SparkSession): (String, String) = {
+    val ns = Tables.sessionNs(s)
+    (s"graft_events_bkt_$ns", s"graft_user_counts_bkt_$ns")
+  }
+
   private[graft] def bucketedJoin(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d).select("event_id", "user_id", "event_type", "value")
     val agg = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
-    Tables.writeBucketed(ev, "graft_events_bkt", 8, Seq("user_id"))
-    Tables.writeBucketed(agg, "graft_user_counts_bkt", 8, Seq("user_id"))
+    val (evName, aggName) = bucketedNames(s)
+    Tables.writeBucketed(ev, evName, 8, Seq("user_id"))
+    Tables.writeBucketed(agg, aggName, 8, Seq("user_id"))
     // merge hint: the per-user dim is small enough that the planner would
     // broadcast (also shuffle-free, but then the bucketing is unexercised).
-    s.table("graft_events_bkt").hint("merge")
-      .join(s.table("graft_user_counts_bkt"), "user_id")
+    s.table(evName).hint("merge")
+      .join(s.table(aggName), "user_id")
   }
 
   /** Bucketed-layout round trip — the join-side twin of
@@ -408,8 +419,9 @@ object Sources {
         Relational.sumValue2(col("value")).as("sum_value"))
       .orderBy("event_type")
       .localCheckpoint()
-    s.sql("DROP TABLE IF EXISTS graft_events_bkt")
-    s.sql("DROP TABLE IF EXISTS graft_user_counts_bkt")
+    val (evName, aggName) = bucketedNames(s)
+    s.sql(s"DROP TABLE IF EXISTS `$evName`")
+    s.sql(s"DROP TABLE IF EXISTS `$aggName`")
     out
   }
 

@@ -185,8 +185,11 @@ object Stats {
       "customer" -> Seq("c_custkey", "c_nationkey"),
       "nation" -> Seq("n_nationkey", "n_regionkey"),
       "region" -> Seq("r_regionkey", "r_name"))
+    // Prefix namespaced per session: the catalog is shared across
+    // newSession() clones, so concurrent clients must not race one
+    // fixed-name CREATE/ANALYZE/DROP (Tables.sessionNs).
     withCboTables(s, d, Seq("lineitem", "orders", "customer", "nation", "region"),
-      columns = statCols) {
+      prefix = s"graft_stats_${Tables.sessionNs(s)}_", columns = statCols) {
       case Seq(l, o, c, n, r) =>
         val joined = s.sql(s"""
           -- Fixed-point LONG accumulation (item #5) in its 100 TB form

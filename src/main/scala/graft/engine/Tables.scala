@@ -55,6 +55,20 @@ object Tables {
       case _ => df
     }
 
+  /** Per-session namespace token for catalog DDL issued by graded keys
+    * (q_bucketed_join, q_cbo_join_reorder). The catalog is SHARED across
+    * `newSession()` clones (it lives in SharedState, unlike temp views
+    * and conf), so concurrent clients writing fixed-name tables would
+    * race each other's CREATE/ANALYZE/DROP — the reason ConcurrentVerify
+    * used to exclude those two keys. The session's identity hash is
+    * stable for its lifetime (re-runs in one session overwrite their own
+    * tables; the in-memory catalog does not outlive the JVM) and
+    * distinct across concurrent client sessions, which is exactly the
+    * isolation the shared catalog lacks.
+    */
+  def sessionNs(s: SparkSession): String =
+    java.lang.Integer.toHexString(System.identityHashCode(s))
+
   /** Load one fixture table; `events.ts` is normalized to TIMESTAMP
     * (see [[normalizeEventsTs]]).
     */

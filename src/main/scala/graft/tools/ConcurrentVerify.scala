@@ -38,14 +38,13 @@ import org.apache.spark.sql.functions._
   * full multiset hash for oracled keys, row-count-only for no-oracle
   * keys; the summary reports both populations.
   *
-  * Excluded (documented, not silent):
-  *  - q_cbo_join_reorder — registers fixed-name catalog tables + ANALYZE
-  *    and flips session CBO flags; concurrent DDL against one shared
-  *    catalog is an operator error by contract (the key exists to grade
-  *    the reorderer, not catalog concurrency);
-  *  - q_bucketed_join — persists fixed-name bucketed tables
-  *    (saveAsTable overwrite); same shared-catalog DDL contract.
-  * Both stay under the serial driver gate; every other key runs here.
+  * DDL keys (r15): q_cbo_join_reorder and q_bucketed_join were excluded
+  * through r14 because they issued fixed-name DDL against the catalog,
+  * which — unlike temp views — is SHARED across newSession() clones.
+  * Their table names are now namespaced per session (Tables.sessionNs:
+  * CREATE/ANALYZE/saveAsTable/DROP each touch only the client's own
+  * names), so the gate covers every key — `excluded` stays in the
+  * summary line and must read `[]`.
   *
   * Env: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CLIENTS (4),
   * SPARK_GRAFT_ONLY for subsets. One JSON line per mismatch plus a
@@ -53,7 +52,7 @@ import org.apache.spark.sql.functions._
   */
 object ConcurrentVerify {
 
-  val Excluded: Set[String] = Set("q_cbo_join_reorder", "q_bucketed_join")
+  val Excluded: Set[String] = Set.empty
 
   private def contentHash(df: DataFrame): (Long, java.math.BigDecimal) = {
     val r = df
@@ -119,7 +118,7 @@ object ConcurrentVerify {
       }
     }
     println(s"""{"concurrent_verify":{"clients":$clients,"n_keys":${keys.size},""" +
-      s""""excluded":${Excluded.toSeq.sorted.mkString("[\"", "\",\"", "\"]")},""" +
+      s""""excluded":${if (Excluded.isEmpty) "[]" else Excluded.toSeq.sorted.mkString("[\"", "\",\"", "\"]")},""" +
       s""""checks":${keys.size * clients},"hash_graded_checks":${keys.size * clients - rowsOnlyChecks},""" +
       s""""rows_only_checks":$rowsOnlyChecks,"session_per_client":true,"mismatches":$mismatches,""" +
       s""""wall_concurrent_sec":${f"$wall%.1f"},"sf":"$sfDir","pass":${mismatches == 0}}}""")

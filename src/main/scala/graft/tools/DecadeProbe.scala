@@ -57,16 +57,7 @@ import graft.engine.{Dedup, Relational, Tables}
 object DecadeProbe {
   def main(args: Array[String]): Unit = {
     val factor = sys.env.getOrElse("PROBE_FACTOR", "9700").toInt
-    // Overflow guard (r13 ADVICE): the per-(group, partition) __rev6 LONG
-    // partial measures ~5-8·10¹⁷ at factor 9700 over 64 range partitions —
-    // ~11× headroom under 2⁶³. The partial scales with factor/partitions,
-    // so an unchecked 10× larger factor would silently wrap (ANSI off) and
-    // the DECIMAL(38,0) merge would faithfully sum wrong partials. Cap the
-    // per-partition copy count at ~2× the measured-safe regime and scale
-    // the partition count past it instead of letting the partial grow.
-    val parts = 64 * ((factor + 19399) / 19400) max 64
-    require(factor >= 1 && factor <= 194000,
-      s"PROBE_FACTOR $factor outside [1, 194000] (LONG-partial overflow guard)")
+    require(factor >= 1, s"PROBE_FACTOR $factor must be >= 1")
     val src = sys.env.getOrElse("PROBE_SRC", "/root/testdata/sf0.1")
     val keys = sys.env.getOrElse("PROBE_KEYS", "q1")
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
@@ -78,9 +69,37 @@ object DecadeProbe {
     spark.sparkContext.setLogLevel("ERROR")
     Tables.configure(spark)
 
+    // Overflow guard (r13 ADVICE; re-derived per r14 ADVICE — the old
+    // factor-only cap assumed the sf0.1 source): the per-(group,
+    // partition) __rev6 LONG partial is bounded by rowsPerPartition ×
+    // the worst-case per-row magnitude, and BOTH terms come from the
+    // SOURCE — a larger PROBE_SRC at the same factor grows the partial
+    // linearly, which a factor-only cap cannot see. Measure the source
+    // once (one column-pruned aggregate): worst per-row __rev6 =
+    // max(pc)·100·(100+max(tc)) dominates every other LONG partial in
+    // this file (__rev4 = __rev6/(100+tc); q3/q5 group finer), then
+    // size the range-partition count so even a single-group partition
+    // of worst-case rows keeps ≥2× headroom under 2⁶² — structural
+    // safety at ANY source size instead of a cap that assumes one.
+    val liGuard = Tables.lineitem(spark, src).agg(
+      count(lit(1)),
+      max(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")),
+      max(expr("CAST(round(l_tax * 100) AS BIGINT)"))).head()
+    val srcRows = liGuard.getLong(0)
+    val worstPerRow = math.max(1L,
+      liGuard.getLong(1) * 100L * (100L + liGuard.getLong(2)))
+    val rowsPerPartCap = (Long.MaxValue / 4) / worstPerRow
+    val inflatedRows = factor.toLong * srcRows
+    val parts = math.max(64L,
+      (inflatedRows + rowsPerPartCap - 1) / rowsPerPartCap).toInt
+    require(parts >= 64 && parts <= (1 << 20),
+      s"PROBE_FACTOR $factor × $srcRows source rows needs $parts range " +
+        s"partitions (≤ $rowsPerPartCap rows each for the __rev6 LONG " +
+        "partial) — outside the feasible [64, 2^20] range")
+
     // N value-identical copies, streamed not stored. The RANGE drives
-    // (`parts` partitions — 64 up to factor 19400, scaled past it to keep
-    // the per-partition LONG partial in the measured-safe regime) and the
+    // (`parts` partitions — sized above from the measured source so the
+    // per-partition LONG partial keeps ≥2× headroom) and the
     // projected 1× frame broadcasts — inverting the join keeps the
     // inflated rows spread over the range tasks instead of the handful of
     // parquet scan splits. The copy index is dropped immediately: nothing

@@ -425,7 +425,10 @@ object MirrorInvariants {
     // mirror, where each copy's vectors stay near copy 0 and the trained
     // cells stay balanced:
     //  (a) totality: exactly one output row per corpus vector, every
-    //      cell id inside [0, k);
+    //      cell id inside [0, k) with k RE-DERIVED from the same k ∝ n
+    //      budget formula the query uses (SemDedup.scaledK; the
+    //      two-level face's bound is k1·k2 ≥ k) — not read back from
+    //      the output, which made the upper bound vacuous (r14 ADVICE);
     //  (b) plants: a planted near-copy (vec_id ≥ 10¹², cos ≈ 1 to its
     //      original) that lands in the SAME cell as its original must be
     //      PRUNED — the original is a smaller-id ≥τ partner by
@@ -451,11 +454,23 @@ object MirrorInvariants {
         .withColumn("n2", dotProduct(col("v"), col("v")))
         .localCheckpoint()
       val nCorpus = corpus.count()
+      val kBudget = graft.engine.SemDedup.scaledK(nCorpus)
       Seq("q_semdedup_scaled", "q_semdedup_scaled2").foreach { key =>
         val out = SparkEntry.queries(key)(spark, dir).localCheckpoint()
         val rows = out.count()
+        // Bound from the query's own k ∝ n formula, not from max(cell)
+        // of the output (which is vacuous as an upper bound): flat face
+        // assigns into [0, k); the two-level face into [0, k1·k2) with
+        // k1 = ⌈√k⌉, k2 = ⌈k/k1⌉ (cell = ccell·k2 + sub).
+        val kBound: Long = key match {
+          case "q_semdedup_scaled" => kBudget.toLong
+          case _ =>
+            val k1 = math.max(1, math.ceil(math.sqrt(kBudget.toDouble)).toInt)
+            val k2 = math.max(1, math.ceil(kBudget.toDouble / k1).toInt)
+            k1.toLong * k2
+        }
         val kCells = out.agg(max(col("cell"))).head().getLong(0) + 1
-        val cellBad = out.where(col("cell") < 0 || col("cell") >= kCells).count()
+        val cellBad = out.where(col("cell") < 0 || col("cell") >= kBound).count()
         val plantCells = out.where(col("vec_id") >= 1000000000000L)
           .select((col("vec_id") - 1000000000000L).as("__orig"),
             col("cell"), col("pruned"))
@@ -481,7 +496,7 @@ object MirrorInvariants {
           orderBad == 0 && cellMismatch == 0 && cosBad == 0
         if (!ok) fail = true
         println(s"""{"key":"$key","check":"engine_contract","rows":[$nCorpus,$rows],""" +
-          s""""cells":$kCells,"bad_cell_rows":$cellBad,"unpruned_colocated_plants":$plantBad,""" +
+          s""""cells":$kCells,"k_bound":$kBound,"bad_cell_rows":$cellBad,"unpruned_colocated_plants":$plantBad,""" +
           s""""cross_cell_plants_telemetry":$crossCellPlants,""" +
           s""""pruned":$nPruned,"rep_order_violations":$orderBad,""" +
           s""""rep_cell_mismatches":$cellMismatch,"rep_cos_below_tau":$cosBad,"ok":$ok}""")

@@ -55,6 +55,42 @@ object StreamScale {
       peakStateRows: Long, peakStateMemMb: Long, dropped: Long,
       batches: Long, wallSec: Double)
 
+  /** Progress tracking via listener (r14 ADVICE): `recentProgress` is a
+    * ring buffer capped at spark.sql.streaming.numRecentProgressUpdates
+    * (default 100), so a >100-microbatch run (the ×970 slices) silently
+    * undercounts ingested rows — shifting or skipping the crash-inject
+    * kill point — and loses early state peaks; concatenating two runs'
+    * buffers across a restart also double-counts replayed batches'
+    * numRowsDroppedByWatermark. The listener sees EVERY progress event;
+    * keying by batchId keeps exactly one progress per batch across the
+    * restart (the replay overwrites the killed run's row). Listener
+    * delivery is async, so after termination the caller folds the
+    * query's own recentProgress tail in (same objects, same batchIds —
+    * idempotent under the map).
+    */
+  final class ProgressTracker extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    val byBatch = new java.util.concurrent.ConcurrentHashMap[
+      java.lang.Long, org.apache.spark.sql.streaming.StreamingQueryProgress]()
+    private val raw = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(e: QueryProgressEvent): Unit = {
+      raw.addAndGet(e.progress.numInputRows)
+      byBatch.put(e.progress.batchId, e.progress)
+    }
+    /** Cumulative input rows across all observed batches (incl. replays) —
+      * the crash-inject kill-point counter.
+      */
+    def rawIngested: Long = raw.get()
+    def fold(ps: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]): Unit =
+      ps.foreach(p => byBatch.put(p.batchId, p))
+    def progresses: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] = {
+      import scala.jdk.CollectionConverters._
+      byBatch.values.asScala.toSeq.sortBy(_.batchId)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("STREAM_SRC", "target/mirror_x97")
     val out = sys.env.getOrElse("STREAM_OUT", "target/streamscale")
@@ -124,26 +160,30 @@ object StreamScale {
       def start() = streaming(stream()).writeStream.format("parquet")
         .option("path", outDir).option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
-      var progresses = Seq.empty[org.apache.spark.sql.streaming.StreamingQueryProgress]
-      if (crashAtRows > 0) {
-        // Crash injection: kill the query once ≥ crashAtRows input rows
-        // are ingested (mid-stream, ≈ half the 97M events), then restart
-        // on the SAME checkpoint + sink. The file sink's commit log must
-        // keep the final result exactly-once — parity below is the proof.
-        val q1 = start()
-        var ingested = 0L
-        while (q1.isActive && ingested < crashAtRows) {
-          Thread.sleep(500)
-          ingested = q1.recentProgress.toSeq.map(_.numInputRows).sum
+      val tracker = new ProgressTracker
+      spark.streams.addListener(tracker)
+      try {
+        if (crashAtRows > 0) {
+          // Crash injection: kill the query once ≥ crashAtRows input rows
+          // are ingested (mid-stream, ≈ half the 97M events), then restart
+          // on the SAME checkpoint + sink. The file sink's commit log must
+          // keep the final result exactly-once — parity below is the proof.
+          // Ingestion is counted by the listener (every batch), not the
+          // capped recentProgress ring buffer (r14 ADVICE).
+          val q1 = start()
+          while (q1.isActive && tracker.rawIngested < crashAtRows) Thread.sleep(500)
+          val crashed = q1.isActive // false ⇒ the stream finished before the kill point
+          q1.stop()
+          tracker.fold(q1.recentProgress.toSeq)
+          println(s"""{"key":"$key","crash_injected":$crashed,"rows_before_kill":${tracker.rawIngested}}""")
         }
-        val crashed = q1.isActive // false ⇒ the stream finished before the kill point
-        q1.stop()
-        progresses = q1.recentProgress.toSeq
-        println(s"""{"key":"$key","crash_injected":$crashed,"rows_before_kill":$ingested}""")
-      }
-      val q = start()
-      q.awaitTermination()
-      progresses = progresses ++ q.recentProgress.toSeq
+        val q = start()
+        q.awaitTermination()
+        tracker.fold(q.recentProgress.toSeq)
+      } finally spark.streams.removeListener(tracker)
+      // One progress per batchId (replays overwrite — no drop-counter
+      // double count across the restart), every batch present.
+      val progresses = tracker.progresses
       val peakRows = progresses.flatMap(_.stateOperators.map(_.numRowsTotal)).maxOption.getOrElse(0L)
       val peakMem = progresses.flatMap(_.stateOperators.map(_.memoryUsedBytes)).maxOption.getOrElse(0L)
       val dropped = progresses.flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
@@ -205,13 +245,18 @@ object StreamScale {
       val t0 = System.nanoTime()
       val outDir = s"$out/s_dedup_evict_x97"; val ckpt = s"$out/ckpt_s_dedup_evict_x97"
       Seq(outDir, ckpt).foreach(p => Sources.deleteRecursively(new java.io.File(p)))
-      val q = Streams.dedupWithinWatermark(stream(), "24 hours", Seq("user_id", "event_type"))
-        .select(col("user_id"), col("event_type"), col("ts"))
-        .writeStream.format("parquet")
-        .option("path", outDir).option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      val progresses = q.recentProgress.toSeq
+      val tracker = new ProgressTracker
+      spark.streams.addListener(tracker)
+      try {
+        val q = Streams.dedupWithinWatermark(stream(), "24 hours", Seq("user_id", "event_type"))
+          .select(col("user_id"), col("event_type"), col("ts"))
+          .writeStream.format("parquet")
+          .option("path", outDir).option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        tracker.fold(q.recentProgress.toSeq)
+      } finally spark.streams.removeListener(tracker)
+      val progresses = tracker.progresses
       val peakRows = progresses.flatMap(_.stateOperators.map(_.numRowsTotal)).maxOption.getOrElse(0L)
       val peakMem = progresses.flatMap(_.stateOperators.map(_.memoryUsedBytes)).maxOption.getOrElse(0L)
       val dropped = progresses.flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum

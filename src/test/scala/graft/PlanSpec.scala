@@ -277,8 +277,9 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("SortMergeJoin"), p)
     assert(!p.contains("Exchange hashpartitioning"), p)
     assert(p.contains("Bucketed: true"), p)
-    spark.sql("DROP TABLE IF EXISTS graft_events_bkt")
-    spark.sql("DROP TABLE IF EXISTS graft_user_counts_bkt")
+    val (evName, aggName) = graft.engine.Sources.bucketedNames(spark)
+    spark.sql(s"DROP TABLE IF EXISTS `$evName`")
+    spark.sql(s"DROP TABLE IF EXISTS `$aggName`")
   }
 
   test("q_similarity_join computes each vector's norm below the join, not per pair") {

@@ -27,13 +27,26 @@ def load(p):
             return json.loads(line)
     d = json.load(open(p))
     if "tail" in d:
+        # The tail may truncate the bench line at either end. raw_decode
+        # parses the first balanced JSON object and ignores trailing data
+        # (r14 ADVICE: a naive json.loads raises on anything after the
+        # object, and the not-found path returned None, crashing later).
         t = d["tail"]
         i = t.find('{"metric"')
-        if i < 0:  # tail may be truncated at the front; find queries obj
-            i = t.find('"queries"')
-            t = "{" + t[i:]
-            # crop to the balanced object end
-        return json.loads(t[t.find('{'):]) if i >= 0 else None
+        if i < 0:  # front-truncated: rebuild from the queries object on
+            j = t.find('"queries"')
+            if j < 0:
+                raise SystemExit(f"no bench line found in {p} (tail has no "
+                                 '"metric"/"queries" marker)')
+            t, i = "{" + t[j:], 0
+        try:
+            obj, _ = json.JSONDecoder().raw_decode(t[i:])
+        except json.JSONDecodeError as e:
+            raise SystemExit(f"bench line in {p} is not parseable JSON: {e}")
+        if "queries" not in obj:
+            raise SystemExit(f"bench object in {p} carries no per-key "
+                             f"queries map (keys: {sorted(obj)})")
+        return obj
     raise SystemExit(f"no bench line in {p}")
 
 
@@ -56,7 +69,7 @@ unchanged_drift = (sum(qn[k] for k in common if k not in changed_keys) /
 changed_drift = (sum(qn[k] for k in chg) / max(1e-9, sum(qo[k] for k in chg))) if chg else None
 report = {
     "_meta": {
-        "round": 14,
+        "round": 15,
         "total_new_sec": round(tot_new, 1), "total_old_sec": round(tot_old, 1),
         "total_ratio": round(tot_new / tot_old, 4),
         "keys": len(common),
