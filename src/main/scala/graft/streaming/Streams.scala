@@ -73,6 +73,12 @@ object Streams {
   /** Production source — reference op R1 (`StreamsBuilder.stream(topic)`). */
   final case class KafkaStreamSource(bootstrapServers: String, topic: String,
       startingOffsets: String = "earliest") extends StreamSource
+  /** DataSourceV2 replay log (`graft-replay`, ReplaySource.scala): genuine
+    * offset/commit/admission-control semantics over a segment directory —
+    * the runnable analogue of R1 in a broker-less environment.
+    */
+  final case class ReplayStreamSource(dir: String,
+      maxFilesPerTrigger: Option[Int] = None) extends StreamSource
 
   /** Unbounded events DataFrame from either source, with the same columns
     * and event-time `ts` the batch loaders produce.
@@ -106,6 +112,9 @@ object Streams {
         if (f.name == "ts") f.copy(dataType = tsType) else f))
       graft.engine.Tables.normalizeEventsTs(
         spark.readStream.schema(schema).parquet(dir))
+    case ReplayStreamSource(dir, maxFiles) =>
+      val b = spark.readStream.format("graft-replay").option("path", dir)
+      maxFiles.foldLeft(b)((r, n) => r.option("maxFilesPerTrigger", n.toString)).load()
     case KafkaStreamSource(bootstrap, topic, offsets) =>
       spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap)

@@ -39,6 +39,38 @@ class StreamingParitySpec extends AnyFunSuite with BeforeAndAfterAll {
   private def ckpt(): String =
     java.nio.file.Files.createTempDirectory("graft-ckpt").toString
 
+  test("money-sum lint covers the streaming batch-twin plans: no raw double money aggregates") {
+    // r14 verdict item #6: MoneySumLint gated only SparkEntry.queries, so
+    // a money-typed STREAMING aggregation could have reintroduced the
+    // raw-double partial-merge-order class the batch side closed decade
+    // by decade. Lint every declarative streaming aggregation's optimized
+    // plan before the parity tests below execute them. (transformWithState
+    // processors carry no Aggregate node — their money math is imperative
+    // Scala over exact inputs — so the declarative windows/counts ARE the
+    // exposed surface.)
+    val ms = MemoryStream[Event](spark)
+    val ev = ms.toDF()
+    val msd = MemoryStream[Doc](spark)
+    val surfaces: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+      "dedupWithinWatermark" -> Streams.dedupWithinWatermark(ev),
+      "dedupDocsWithinWatermark" -> Streams.dedupDocsWithinWatermark(msd.toDF()),
+      "tumblingCounts" -> Streams.tumblingCounts(ev),
+      "slidingCounts" -> Streams.slidingCounts(ev),
+      "sessionCounts" -> Streams.sessionCounts(ev),
+      "dailyCountStream" -> Streams.dailyCountStream(ev))
+    // The ANALYZED plan (a streaming frame refuses batch optimization);
+    // the lint's Sum/Average walk sees the same aggregate expressions.
+    val dirty = surfaces.flatMap { case (name, df) =>
+      graft.tools.MoneySumLint.violations(df.queryExecution.analyzed).map(v => s"$name: $v")
+    }
+    assert(dirty.isEmpty, s"raw double money aggregate in streaming plan: ${dirty.mkString("; ")}")
+    // Positive control: the lint is not vacuous on ANALYZED streaming
+    // plans — a deliberately dirty raw-double sum must be flagged.
+    val dirtyPlan = ev.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour")).agg(sum(col("value")).as("s"))
+    assert(graft.tools.MoneySumLint.violations(dirtyPlan.queryExecution.analyzed).nonEmpty)
+  }
+
   test("streaming dedupWithinWatermark matches batch first-wins key set") {
     val ms = MemoryStream[Event](spark)
     ms.addData(fixtureEvents)
