@@ -102,6 +102,29 @@ class SemDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("planted-truth corpus (q=4): both scaled faces reproduce the closed form exactly") {
+    // CI face of tools/SemDedupPlant (r14 verdict item #1): a corpus whose
+    // every cell id and keep/prune decision is a closed-form function of
+    // the row index by construction margins — the INDEPENDENT oracle for
+    // the scaled faces whose DuckDB clustering oracle dies at mirror
+    // scale. q=4 → k=16 sites × 64 members = 1024 rows; the r15 artifact
+    // runs the same construction at q=56 (200,704 rows ≈ the ×97 scale).
+    import graft.tools.SemDedupPlant
+    val dir = java.nio.file.Files.createTempDirectory("graft-plant").toString
+    SemDedupPlant.corpus(spark, 4).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val exp = SemDedupPlant.expected(spark, 4).localCheckpoint()
+    for ((key, cellCol) <- Seq("q_semdedup_scaled" -> "cell_flat",
+        "q_semdedup_scaled2" -> "cell_two")) {
+      val got = SparkEntry.queries(key)(spark, dir)
+        .select(col("vec_id"), col("cell"), col("rep"), col("pruned"))
+      val e = exp.withColumnRenamed(cellCol, "cell")
+        .select(col("vec_id"), col("cell"), col("rep"), col("pruned"))
+      assert(got.exceptAll(e).count() == 0 && e.exceptAll(got).count() == 0,
+        s"$key diverges from the closed form")
+    }
+  }
+
   test("all eight id-order seed cells are non-empty after one update") {
     // A seed is distance-0 to its own centroid at assignment 0, so with
     // Iters = 1 no cell can empty out — the precondition that lets both
