@@ -46,13 +46,35 @@ import graft.engine.{Dedup, Relational, Tables}
   * mirror remains the strongest signal for those; the window probes DO
   * shuffle the full inflated volume.
   *
+  * Round-15 additions (r14 verdict item #4 — the window-function and
+  * pair families):
+  *  - q_window_rank: 1.455B rows through a real per-custkey partitioned
+  *    sort; inflated top-3 must equal the 1× rank-1 frame expanded to
+  *    rn ∈ {1,2,3} with rk = drk = quartile = 1 (ties among copies).
+  *  - q_window_frame: running sums in exact integer cents with __copy as
+  *    the order tiebreak, so every row's running value is deterministic;
+  *    per-(custkey, orderkey) min/max/Σ/count — four order-sensitive
+  *    exact integers — match the 1× prefix closed form.
+  *  - q_ngram_jaccard: per-copy banded candidates (band ∧ block ∧
+  *    size-prune verbatim) + the exact intersect/Jaccard kernel at N×
+  *    pair volume vs the DuckDB-pinned 1× pair list; the salted
+  *    no-broadcast shuffle layout is NOT re-proven here (that is the ×97
+  *    materialized mirror's signal). Run this probe at PROBE_FACTOR=970,
+  *    the pair family's first FIFTH-decade signal: sf0.1 carries ~350k
+  *    band∧block candidates per copy (measured via the ×9700 attempt),
+  *    so ×9700 materializes ~3.4B candidate rows ≈ 80 GB of
+  *    checkpoint+distinct shuffle — it exhausted this box's free disk
+  *    mid-stage (measured r15); ×970 fits at ~8 GB and still pushes
+  *    ~340M pairs through the exact kernel.
+  *
   * Run: PROBE_FACTOR (default 9700), PROBE_SRC (default
   * /root/testdata/sf0.1), PROBE_KEYS (comma list of q1,q3,q5,
-  * first_wins,sessionize; default q1). Prints one JSON line per probe
-  * row + a summary; q1/q3/q5 rows are verified by tools/decade_probe.py
-  * (exact integer closed forms, no at-scale oracle scan); the window
-  * probes self-verify against the 1× engine frame and fail the exit
-  * code directly.
+  * first_wins,sessionize,window_rank,window_frame,ngram_pairs; default
+  * q1). Prints one JSON line per probe row + a summary; q1/q3/q5 rows
+  * are verified by tools/decade_probe.py (exact integer closed forms, no
+  * at-scale oracle scan); the window/dedup/session/pair probes
+  * self-verify against the 1× engine frame and fail the exit code
+  * directly.
   */
 object DecadeProbe {
   def main(args: Array[String]): Unit = {
@@ -65,6 +87,10 @@ object DecadeProbe {
       .config("spark.sql.shuffle.partitions", "256") // 970M-row window sorts: smaller per-task runs
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Value-neutral; the window probes shuffle+spill ~1.5B highly
+      // repetitive rows (N value-identical copies), where zstd's ratio is
+      // the difference between fitting this box's free disk and not.
+      .config("spark.io.compression.codec", "zstd")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Tables.configure(spark)
@@ -303,6 +329,189 @@ object DecadeProbe {
       (factor.toLong * ev.count(), Seq(
         s"""{"probe":"sessionize_x$factor","check":"sessions_equal_scaled_1x",""" +
           s""""sessions":[$n1,$nN],"mismatched_groups":$mism,"ok":$ok}"""))
+    }
+
+    // ------------------------------------------------------ q_window_rank
+    // The graded ranking-window arithmetic over the FULL inflated orders
+    // (the graded key's o_custkey ≤ 200 filter dropped — Catalyst pushes
+    // partition-key predicates below the Window, so keeping it would
+    // shrink the probe to 2% of the volume): 1.455B rows through a real
+    // per-custkey partitioned sort. Closed form: every partition's top-3
+    // rows are copies of the 1× rank-1 order (copies tie), so the output
+    // is the 1× rn=1 frame expanded to rn ∈ {1,2,3} with rk = drk =
+    // quartile = 1 (tile 1 spans ceil(n·N/4) ≥ 3 rows whenever a
+    // partition has ≥ 12 rows — N alone guarantees that).
+    if (keys.contains("window_rank")) timed("window_rank") {
+      require(factor >= 12, "window_rank closed form needs partitions of >= 12 rows (quartile 1 spans the top 3)")
+      val o = Tables.orders(spark, src)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      def ranked(df: DataFrame): DataFrame = df
+        .withColumn("rn", row_number().over(w))
+        .withColumn("rk", rank().over(w))
+        .withColumn("drk", dense_rank().over(w))
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .where(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"),
+          col("rn").cast("long").as("rn"), col("rk").cast("long").as("rk"),
+          col("drk").cast("long").as("drk"), col("quartile"))
+      val rN = ranked(inflate(o)).localCheckpoint()
+      val exp = ranked(o).where(col("rn") === 1)
+        .drop("rn", "rk", "drk", "quartile")
+        .crossJoin(spark.range(1, 4).select(col("id").as("rn")))
+        .withColumn("rk", lit(1L)).withColumn("drk", lit(1L))
+        .withColumn("quartile", lit(1L))
+        .select(rN.columns.map(col).toIndexedSeq: _*)
+        .localCheckpoint()
+      val cols = exp.columns.toSeq
+      val mism = exp.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__c1"))
+        .join(rN.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__cN")),
+          cols, "full_outer")
+        .where(coalesce(col("__cN"), lit(0L)) =!= coalesce(col("__c1"), lit(0L)))
+        .count()
+      val (n1, nN) = (exp.count(), rN.count())
+      val ok = mism == 0 && n1 == nN
+      if (!ok) fail = true
+      (factor.toLong * o.count(), Seq(
+        s"""{"probe":"window_rank_x$factor","check":"top3_equals_1x_top1_expanded",""" +
+          s""""rows":[$n1,$nN],"mismatched_groups":$mism,"ok":$ok}"""))
+    }
+
+    // ----------------------------------------------------- q_window_frame
+    // The running-sum frame semantics at full inflated volume, in exact
+    // integer cents (the money-window production discipline — a double
+    // running sum over 145k-copy frames would accumulate ~1e-4 dollars of
+    // float error and the closed form would stop being exact). __copy
+    // stays as the ordering tiebreak, so EVERY row's running value is
+    // deterministic: copy m (1-based) of 1× row r has
+    // run = N·P(r−1) + m·v_r, with P the exact 1× cents prefix. Verified
+    // per (custkey, orderkey) group via min / max / Σ (DECIMAL) / count —
+    // four exact integers per group, every one order-sensitive.
+    if (keys.contains("window_frame")) timed("window_frame") {
+      val o = Tables.orders(spark, src)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          Relational.cents(col("o_totalprice")).as("__v"))
+      val infl = spark.range(0, factor, 1, parts).select(col("id").as("__copy"))
+        .crossJoin(broadcast(o))
+      val wN = Window.partitionBy(col("o_custkey"))
+        .orderBy(asc("o_orderdate"), asc("o_orderkey"), asc("__copy"))
+      val agg = infl
+        .withColumn("run", sum(col("__v")).over(wN.rowsBetween(Long.MinValue, 0)))
+        .groupBy(col("o_custkey"), col("o_orderkey"))
+        .agg(min(col("run")).as("run_min"), max(col("run")).as("run_max"),
+          sum(col("run").cast("decimal(38,0)")).as("run_sum"),
+          count(lit(1)).as("n"))
+        .localCheckpoint()
+      val w1 = Window.partitionBy(col("o_custkey"))
+        .orderBy(asc("o_orderdate"), asc("o_orderkey"))
+      val n = lit(factor.toLong)
+      val exp = o
+        .withColumn("__p", coalesce(
+          sum(col("__v")).over(w1.rowsBetween(Long.MinValue, -1)), lit(0L)))
+        .select(col("o_custkey"), col("o_orderkey"),
+          (n * col("__p") + col("__v")).as("run_min"),
+          (n * (col("__p") + col("__v"))).as("run_max"),
+          ((n * n).cast("decimal(38,0)") * col("__p") +
+            col("__v").cast("decimal(38,0)") * lit(factor.toLong * (factor + 1L) / 2))
+            .cast("decimal(38,0)").as("run_sum"),
+          n.as("n"))
+        .localCheckpoint()
+      val cols = exp.columns.toSeq
+      val mism = exp.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__c1"))
+        .join(agg.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__cN")),
+          cols, "full_outer")
+        .where(coalesce(col("__cN"), lit(0L)) =!= coalesce(col("__c1"), lit(0L)))
+        .count()
+      val (n1, nN) = (exp.count(), agg.count())
+      val ok = mism == 0 && n1 == nN
+      if (!ok) fail = true
+      (factor.toLong * o.count(), Seq(
+        s"""{"probe":"window_frame_x$factor","check":"running_cents_min_max_sum_per_order",""" +
+          s""""groups":[$n1,$nN],"mismatched_groups":$mism,"ok":$ok}"""))
+    }
+
+    // ------------------------------------------------------ q_ngram_jaccard
+    // The quadratic pair class at N× pair volume: per-copy candidates
+    // (band ∧ block ∧ size-prune, the graded predicate verbatim) and the
+    // exact intersect/Jaccard confirm kernel both execute N× the 1×
+    // volume, gated bit-exact against the DuckDB-pinned 1× pair list.
+    // Scope, stated like q3/q5's: the 1× band frame broadcasts and the
+    // inflated side probes it map-side — signature recompute per copy is
+    // skipped because the MinHash kernel is deterministic on identical
+    // text (property-tested), and the no-broadcast SALTED shuffle layout
+    // is not re-proven here (its ×97 materialized-mirror run is that
+    // signal; a lazy ×9700 self-join would sort ~2×50 GB of band rows —
+    // past this box's free disk, same blocker as the materialized mirror).
+    if (keys.contains("ngram_pairs")) timed("ngram_pairs") {
+      import graft.engine.Dedup
+      import graft.functions.GraftExpressions
+      val sigs1 = Dedup.signatures(
+          Dedup.blockedDocSets(Tables.documents(spark, src),
+            GraftExpressions.charShingles(col("text"), 3, barrier = true),
+            "grams", minChars = 3), "grams")
+        .where(size(col("grams")) > 0)
+        .select(col("doc_id"), col("lang"), col("len_bucket"),
+          col("grams"), size(col("grams")).as("__n"), col("bands"))
+        .localCheckpoint()
+      def bandRows(df: DataFrame, sfx: String, extra: Seq[Column] = Nil) = df.select(
+        extra ++ Seq(col("doc_id").as(s"id_$sfx"),
+          col("lang").as(s"lang_$sfx"), col("len_bucket").as(s"lb_$sfx"),
+          col("__n").as(s"__n_$sfx"),
+          posexplode(col("bands")).as(Seq(s"__bi_$sfx", s"__bh_$sfx"))): _*)
+      val left = spark.range(0, factor, 1, parts).select(col("id").as("__copy"))
+        .crossJoin(broadcast(sigs1.drop("grams")))
+      val cand = bandRows(left, "a", Seq(col("__copy")))
+        // the graded candidate predicate verbatim: same band position AND
+        // hash AND (lang, len_bucket) block, ordered pair, size prune
+        .join(broadcast(bandRows(sigs1, "b")),
+          col("__bi_a") === col("__bi_b") && col("__bh_a") === col("__bh_b") &&
+            col("lang_a") === col("lang_b") && col("lb_a") === col("lb_b") &&
+            col("id_a") < col("id_b"))
+        // the graded size-ratio prune for τ = 0.8 = 4/5: J ≤ min/max
+        .where(lit(5) * least(col("__n_a"), col("__n_b")) >=
+          lit(4) * greatest(col("__n_a"), col("__n_b")))
+        .select(col("__copy"), col("id_a"), col("id_b"))
+        .distinct() // once per (copy, pair) across shared bands
+        .localCheckpoint()
+      // Exact confirm at N× volume, dict attached from the broadcast 1×
+      // frame (ids are copy-invariant; the arrays exist once).
+      def dict(sfx: String) = sigs1.select(col("doc_id").as(s"id_$sfx"),
+        col("grams").as(s"grams_$sfx"), col("__n").as(s"__n_$sfx"))
+      val confirmed = cand
+        .join(broadcast(dict("a")), "id_a").join(broadcast(dict("b")), "id_b")
+        .withColumn("inter", GraftExpressions.intersectSize(
+          col("grams_a"), col("grams_b"), barrier = true))
+        .withColumn("jaccard", round(col("inter").cast("double") /
+          (col("__n_a") + col("__n_b") - col("inter")).cast("double"), 6))
+        .where(col("jaccard") >= 0.8)
+        .select(col("__copy"), col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+          col("jaccard"))
+        .localCheckpoint()
+      // Closed form: the graded 1× output (DuckDB-pinned), N times each.
+      val exp1 = Dedup.queries("q_ngram_jaccard")(spark, src)
+        .select(col("doc_a"), col("doc_b"), col("jaccard")).localCheckpoint()
+      val perPair = confirmed.groupBy(col("doc_a"), col("doc_b"), col("jaccard"))
+        .agg(count(lit(1)).as("__cN"))
+      val mism = exp1.withColumn("__c1", lit(factor.toLong))
+        .join(perPair, Seq("doc_a", "doc_b", "jaccard"), "full_outer")
+        .where(coalesce(col("__cN"), lit(0L)) =!= coalesce(col("__c1"), lit(0L)))
+        .count()
+      val (n1, nN) = (exp1.count(), confirmed.count())
+      // Every copy must confirm EXACTLY the 1× pair count — a copy whose
+      // count drifts pinpoints nondeterminism in the kernel path.
+      val badCopies = confirmed.groupBy(col("__copy")).count()
+        .where(col("count") =!= n1).count()
+      val copies = confirmed.select(col("__copy")).distinct().count()
+      val candN = cand.count()
+      val ok = mism == 0 && nN == n1 * factor && badCopies == 0 &&
+        copies == factor.toLong
+      if (!ok) fail = true
+      (candN, Seq(
+        s"""{"probe":"ngram_pairs_x$factor","check":"per_copy_pairs_equal_1x",""" +
+          s""""pairs_1x":$n1,"pairs_xN":$nN,"candidates_xN":$candN,""" +
+          s""""mismatched_groups":$mism,"bad_copies":$badCopies,"ok":$ok}"""))
     }
 
     spark.stop()

@@ -97,6 +97,14 @@ object StreamScale {
     val slices = sys.env.getOrElse("STREAM_SLICES", "48").toInt
     val only = sys.env.get("STREAM_KEYS").map(_.split(",").map(_.trim).toSet)
     def wanted(k: String) = only.forall(_.contains(k))
+    // r14 verdict item #3 — crash-injection BREADTH: with
+    // STREAM_CRASH_FRAC > 0 every processor below (not just the session
+    // face) is killed once that fraction of the stream has been ingested
+    // and restarted on its own checkpoint; parity after the restart is
+    // the exactly-once proof per processor. 0 (default) keeps the r14
+    // behavior where only s_session_crash_x97 injects.
+    val crashFrac = sys.env.getOrElse("STREAM_CRASH_FRAC", "0").toDouble
+    require(crashFrac >= 0 && crashFrac < 1, s"STREAM_CRASH_FRAC $crashFrac outside [0, 1)")
 
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -149,10 +157,13 @@ object StreamScale {
     def stream(): DataFrame = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 2).parquet(inputDir)
 
+    val evCount = ev.count()
+    val globalCrashRows = (evCount * crashFrac).toLong
+
     def run(key: String, streaming: DataFrame => DataFrame,
         batchTwin: () => DataFrame, project: Seq[String],
         dropSentinel: DataFrame => DataFrame,
-        crashAtRows: Long = 0L): Result = {
+        crashAtRows: Long = globalCrashRows): Result = {
       val t0 = System.nanoTime()
       val outDir = s"$out/$key"
       val ckpt = s"$out/ckpt_$key"
@@ -248,11 +259,23 @@ object StreamScale {
       val tracker = new ProgressTracker
       spark.streams.addListener(tracker)
       try {
-        val q = Streams.dedupWithinWatermark(stream(), "24 hours", Seq("user_id", "event_type"))
+        def start() = Streams.dedupWithinWatermark(stream(), "24 hours", Seq("user_id", "event_type"))
           .select(col("user_id"), col("event_type"), col("ts"))
           .writeStream.format("parquet")
           .option("path", outDir).option("checkpointLocation", ckpt)
           .trigger(Trigger.AvailableNow()).start()
+        if (globalCrashRows > 0) {
+          // Same kill seam as run(): the eviction band below must hold
+          // ACROSS the restart — replayed emissions are swallowed by the
+          // file-sink commit log, recovered state keeps suppressing.
+          val q1 = start()
+          while (q1.isActive && tracker.rawIngested < globalCrashRows) Thread.sleep(500)
+          val crashed = q1.isActive
+          q1.stop()
+          tracker.fold(q1.recentProgress.toSeq)
+          println(s"""{"key":"s_dedup_evict_x97","crash_injected":$crashed,"rows_before_kill":${tracker.rawIngested}}""")
+        }
+        val q = start()
         q.awaitTermination()
         tracker.fold(q.recentProgress.toSeq)
       } finally spark.streams.removeListener(tracker)
@@ -384,7 +407,7 @@ object StreamScale {
       () => Windowed.sessionAgg(ev),
       Seq("user_id", "session_start", "session_end", "n_events", "sum_value"),
       df => df.where(col("user_id") =!= -1L),
-      crashAtRows = ev.count() / 2)
+      crashAtRows = evCount / 2)
 
     results.foreach { r =>
       println(s"""{"key":"${r.key}","parity":${r.parity},"rows_stream":${r.rowsStream},""" +
