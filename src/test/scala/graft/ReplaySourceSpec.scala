@@ -122,6 +122,25 @@ class ReplaySourceSpec extends AnyFunSuite {
     assert(multiset(got) == multiset(batch)) // no loss, no dup
   }
 
+  test("replay source feeds a stateful operator: watermark dedup matches the batch key set") {
+    // Integration face: the DSv2 source driving a real watermarked
+    // stateful pipeline end-to-end (R1 source -> R2 dedup -> R4 sink),
+    // not just a pass-through scan.
+    val dir = tmp("graft-replay-dedup")
+    ReplaySource.stage(fixture, dir, segments = 3)
+    val ckpt = tmp("graft-replay-dedup-ckpt")
+    val events = Streams.events(spark, Streams.ReplayStreamSource(dir))
+    val out = Streams.dedupWithinWatermark(events, "40 days", Seq("user_id", "event_type"))
+    val q = Streams.start(out, Streams.MemoryStreamSink("replay_dedup", Some(ckpt)),
+      trigger = Some(Trigger.AvailableNow()))
+    try q.awaitTermination() finally q.stop()
+    val streamed = spark.table("replay_dedup")
+      .select("user_id", "event_type").as[(Long, String)].collect().toSet
+    val batch = graft.engine.Dedup.queries("q_dedup_first_wins")(spark, TestSpark.sfDir)
+      .select("user_id", "event_type").as[(Long, String)].collect().toSet
+    assert(streamed == batch)
+  }
+
   test("append-only contract: a mutated log fails loudly instead of lying") {
     val dir = tmp("graft-replay-mutate")
     ReplaySource.stage(fixture.limit(300), dir, segments = 3)
