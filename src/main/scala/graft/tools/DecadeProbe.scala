@@ -432,6 +432,55 @@ object DecadeProbe {
           s""""groups":[$n1,$nN],"mismatched_groups":$mism,"ok":$ok}"""))
     }
 
+    // ------------------------------------------------------ q_window_dist
+    // The distribution window functions under the HARDEST partition
+    // shape: 5 order-priority partitions of ~291M rows EACH — a
+    // deliberate few-huge-partitions stress (external sort + spill per
+    // window task), the regime where per-key windows degenerate at
+    // 100 TB. Closed form: ordering is total at 1× (orderkey tiebreak),
+    // so copies of 1× row r tie as a block — rank = N·(rn₁−1)+1 and
+    // cnt≤ = N·rn₁, giving pct = N·(rn₁−1)/(N·n_p−1) and
+    // cume = N·rn₁/(N·n_p). Both sides compute the same exactly-
+    // representable integer operands through one correctly-rounded
+    // division, so round-6 equality is exact, not approximate.
+    if (keys.contains("window_dist")) timed("window_dist") {
+      val o = Tables.orders(spark, src)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(asc("o_totalprice"), asc("o_orderkey"))
+      val perGroup = inflate(o)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+        .groupBy(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+          col("pct_rank"), col("cume"))
+        .agg(count(lit(1)).as("__cN"))
+        .localCheckpoint()
+      val n = lit(factor.toLong)
+      val wp = Window.partitionBy(col("o_orderpriority"))
+      val exp = o
+        .withColumn("__rn", row_number().over(w).cast("long"))
+        .withColumn("__np", count(lit(1)).over(wp))
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+          round((n * (col("__rn") - 1)).cast("double") /
+            (n * col("__np") - 1).cast("double"), 6).as("pct_rank"),
+          round((n * col("__rn")).cast("double") /
+            (n * col("__np")).cast("double"), 6).as("cume"))
+        .withColumn("__c1", n)
+        .localCheckpoint()
+      val cols = Seq("o_orderkey", "o_orderpriority", "o_totalprice", "pct_rank", "cume")
+      val mism = exp.join(perGroup, cols, "full_outer")
+        .where(coalesce(col("__cN"), lit(0L)) =!= coalesce(col("__c1"), lit(0L)))
+        .count()
+      val (n1, nG) = (exp.count(), perGroup.count())
+      val ok = mism == 0 && n1 == nG
+      if (!ok) fail = true
+      (factor.toLong * o.count(), Seq(
+        s"""{"probe":"window_dist_x$factor","check":"pct_cume_closed_form_per_group",""" +
+          s""""groups":[$n1,$nG],"mismatched_groups":$mism,"ok":$ok}"""))
+    }
+
     // ------------------------------------------------------ q_ngram_jaccard
     // The quadratic pair class at N× pair volume: per-copy candidates
     // (band ∧ block ∧ size-prune, the graded predicate verbatim) and the
