@@ -432,6 +432,65 @@ object DecadeProbe {
           s""""groups":[$n1,$nN],"mismatched_groups":$mism,"ok":$ok}"""))
     }
 
+    // --------------------------------------------------- q_window_analytic
+    // lag/lead/first/last at 970M rows with __copy as the order tiebreak,
+    // so every row's neighbors are deterministic: copy m of 1× row r sees
+    // prev = v_r (m > 0) or v_{r−1} (m = 0), symmetric for next; first/
+    // last are partition constants. Closed form: per 1× row, the N copies
+    // produce exactly three (prev, next) classes with counts
+    // (N−2, 1, 1) — built from the 1× lag/lead frame and merged by value
+    // (classes collide when adjacent values are equal, so BOTH sides
+    // canonicalize through the same groupBy).
+    if (keys.contains("window_analytic")) timed("window_analytic") {
+      require(factor >= 3, "window_analytic closed form needs N >= 3 (the N-2 interior class)")
+      val e = Tables.events(spark, src)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          round(col("value"), 2).as("v"))
+      val infl = spark.range(0, factor, 1, parts).select(col("id").as("__copy"))
+        .crossJoin(broadcast(e))
+      val wN = Window.partitionBy(col("user_id"))
+        .orderBy(asc("ts"), asc("event_id"), asc("__copy"))
+      val wNf = wN.rowsBetween(Long.MinValue, Long.MaxValue)
+      val got = infl
+        .withColumn("prev_v", round(coalesce(lag(col("v"), 1).over(wN), lit(0.0)), 2))
+        .withColumn("next_v", round(coalesce(lead(col("v"), 1).over(wN), lit(0.0)), 2))
+        .withColumn("first_v", round(first(col("v")).over(wNf), 2))
+        .withColumn("last_v", round(last(col("v")).over(wNf), 2))
+        .groupBy(col("user_id"), col("event_id"), col("v"),
+          col("prev_v"), col("next_v"), col("first_v"), col("last_v"))
+        .agg(count(lit(1)).as("__cN"))
+        .localCheckpoint()
+      val w1 = Window.partitionBy(col("user_id")).orderBy(asc("ts"), asc("event_id"))
+      val w1f = w1.rowsBetween(Long.MinValue, Long.MaxValue)
+      val n = lit(factor.toLong)
+      val exp = e
+        .withColumn("pv", round(coalesce(lag(col("v"), 1).over(w1), lit(0.0)), 2))
+        .withColumn("nv", round(coalesce(lead(col("v"), 1).over(w1), lit(0.0)), 2))
+        .withColumn("first_v", round(first(col("v")).over(w1f), 2))
+        .withColumn("last_v", round(last(col("v")).over(w1f), 2))
+        .select(col("user_id"), col("event_id"), col("v"), col("first_v"), col("last_v"),
+          explode(array(
+            struct(col("v").as("prev_v"), col("v").as("next_v"), (n - 2).as("__c")),
+            struct(col("pv").as("prev_v"), col("v").as("next_v"), lit(1L).as("__c")),
+            struct(col("v").as("prev_v"), col("nv").as("next_v"), lit(1L).as("__c")))).as("cls"))
+        .select(col("user_id"), col("event_id"), col("v"),
+          col("cls.prev_v"), col("cls.next_v"), col("first_v"), col("last_v"), col("cls.__c"))
+        .groupBy(col("user_id"), col("event_id"), col("v"),
+          col("prev_v"), col("next_v"), col("first_v"), col("last_v"))
+        .agg(sum(col("__c")).as("__c1"))
+        .localCheckpoint()
+      val cols = Seq("user_id", "event_id", "v", "prev_v", "next_v", "first_v", "last_v")
+      val mism = exp.join(got, cols, "full_outer")
+        .where(coalesce(col("__cN"), lit(0L)) =!= coalesce(col("__c1"), lit(0L)))
+        .count()
+      val (n1, nG) = (exp.count(), got.count())
+      val ok = mism == 0 && n1 == nG
+      if (!ok) fail = true
+      (factor.toLong * e.count(), Seq(
+        s"""{"probe":"window_analytic_x$factor","check":"lag_lead_first_last_classes",""" +
+          s""""groups":[$n1,$nG],"mismatched_groups":$mism,"ok":$ok}"""))
+    }
+
     // ------------------------------------------------------ q_window_dist
     // The distribution window functions under the HARDEST partition
     // shape: 5 order-priority partitions of ~291M rows EACH — a
