@@ -432,6 +432,38 @@ object DecadeProbe {
           s""""groups":[$n1,$nN],"mismatched_groups":$mism,"ok":$ok}"""))
     }
 
+    // --------------------------------------------------------- q_agg_cube
+    // The Expand operator at the sixth decade: CUBE over two columns
+    // multiplies every input row into its 4 grouping sets BEFORE the
+    // partial aggregate, so the inflated 1.455B lineitem rows become
+    // 5.82B expanded rows through map-side combine — the one
+    // physical shape (Expand → partial agg) the q1 probe does not
+    // exercise. Closed form: every cube cell's n and sum_qty are exactly
+    // N× the 1× cell (quantities are integral doubles, exact under any
+    // summation order below 2⁵³; ×N keeps Σ ≈ 3.7·10¹¹ ≪ 2⁵³).
+    if (keys.contains("cube")) timed("cube") {
+      val l = Tables.lineitem(spark, src)
+        .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"))
+      def run(df: DataFrame) = df
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+      val rN = run(inflate(l)).localCheckpoint()
+      val exp = run(l)
+        .withColumn("n", col("n") * factor)
+        .withColumn("sum_qty", round(col("sum_qty") * factor, 2))
+        .localCheckpoint()
+      val cols = Seq("l_returnflag", "l_linestatus", "n", "sum_qty")
+      val mism = exp.selectExpr(cols: _*)
+        .exceptAll(rN.selectExpr(cols: _*)).count() +
+        rN.selectExpr(cols: _*).exceptAll(exp.selectExpr(cols: _*)).count()
+      val (n1, nN) = (exp.count(), rN.count())
+      val ok = mism == 0 && n1 == nN
+      if (!ok) fail = true
+      (4L * factor * l.count(), Seq(
+        s"""{"probe":"cube_x$factor","check":"cells_equal_Nx_1x",""" +
+          s""""cells":[$n1,$nN],"mismatched_rows":$mism,"ok":$ok}"""))
+    }
+
     // --------------------------------------------------- q_window_analytic
     // lag/lead/first/last at 970M rows with __copy as the order tiebreak,
     // so every row's neighbors are deterministic: copy m of 1× row r sees
