@@ -77,6 +77,7 @@ object ReplayScale {
       .writeStream.format("parquet")
       .option("path", outDir).option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow()).start()
+    val crashWanted = crashFrac > 0
     var crashed = false
     var rowsBeforeKill = 0L
     try {
@@ -107,9 +108,14 @@ object ReplayScale {
     val onlyB = batch.exceptAll(streamed).count()
     val (nS, nB) = (streamed.count(), batch.count())
     val wall = (System.nanoTime() - t0) / 1e9
-    val pass = onlyS == 0 && onlyB == 0 && nS == nB && dropped == 0 && crashed
+    // A crash is required only when one was requested (REPLAY_CRASH_FRAC=0
+    // must be able to pass); a requested-but-missed kill (stream drained
+    // before the poll reached killAt) is distinguishable from a parity
+    // break via crash_missed.
+    val crashMissed = crashWanted && !crashed
+    val pass = onlyS == 0 && onlyB == 0 && nS == nB && dropped == 0 && !crashMissed
     println(s"""{"replay_scale":{"src":"$src","segments":$segments,"rows":$total,""" +
-      s""""crash_injected":$crashed,"rows_before_kill":$rowsBeforeKill,""" +
+      s""""crash_injected":$crashed,"crash_missed":$crashMissed,"rows_before_kill":$rowsBeforeKill,""" +
       s""""survivors_stream":$nS,"survivors_batch":$nB,"only_stream":$onlyS,"only_batch":$onlyB,""" +
       s""""peak_state_rows":$peakRows,"peak_state_mem_mb":${peakMem / 1000000},""" +
       s""""dropped_by_watermark":$dropped,"batches":$batches,""" +

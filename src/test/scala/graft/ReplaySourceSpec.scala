@@ -51,7 +51,7 @@ class ReplaySourceSpec extends AnyFunSuite {
         null.asInstanceOf[String], 1.25, null.asInstanceOf[String]))
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
     val staged = ReplaySource.stage(withNulls, dir, segments = 3)
-    assert(staged.size == 3 && staged == ReplaySource.listSegments(dir))
+    assert(staged.size == 3 && staged == ReplaySource.listSegments(dir).map(_.path))
     val back = spark.read.format("graft-replay").option("path", dir).load()
     assert(back.schema == ReplaySource.schema)
     assert(multiset(back) == multiset(withNulls))
@@ -150,14 +150,130 @@ class ReplaySourceSpec extends AnyFunSuite {
     assert(end == ReplayOffset(3))
     stream.commit(end)
     assert(stream.committedOffset.contains(ReplayOffset(3)))
-    // Truncate the log under the live stream: offsets already planned
-    // would silently map to different bytes — the source must refuse.
+    // Punch a HOLE in the log under the live stream (delete the middle
+    // segment): offsets already planned would silently map to different
+    // bytes — the source must refuse.
     val victim = new java.io.File(new java.net.URI(
-      ReplaySource.listSegments(dir).head).getPath)
+      ReplaySource.listSegments(dir)(1).path).getPath)
     assert(victim.delete())
     intercept[IllegalArgumentException] {
       stream.latestOffset(end,
         org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
     }
+  }
+
+  test("offsets are filename indices: archiving a committed prefix never remaps planned segments") {
+    // The r15 ADVICE medium scenario: positional offsets would silently
+    // mis-slice after an archive + append across a restart. Index-derived
+    // offsets make 'segments below a committed offset are archive-safe'
+    // genuinely true.
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val dir = tmp("graft-replay-archive")
+    ReplaySource.stage(fixture.limit(400), dir, segments = 4)
+    val s1 = new ReplayMicroBatchStream(dir, Some(2))
+    val end1 = s1.latestOffset(ReplayOffset(0), ReadLimit.maxFiles(2))
+    assert(end1 == ReplayOffset(2))
+    val planned1 = s1.planInputPartitions(ReplayOffset(0), end1)
+      .map(_.asInstanceOf[graft.streaming.ReplayInputPartition].file)
+    assert(planned1.toSeq == ReplaySource.listSegments(dir).take(2).map(_.path))
+    s1.commit(end1)
+    // Retention archives the committed prefix; the producer appends more.
+    val archived = new java.io.File(new java.net.URI(
+      ReplaySource.listSegments(dir).head.path).getPath)
+    assert(archived.delete())
+    ReplaySource.stage(fixture.limit(200), dir, segments = 2) // -> indices 4, 5
+    // Restart: a FRESH stream instance (empty `known`, as after a crash)
+    // replans the checkpointed range (2, 4] — it must map to segments
+    // 000002/000003 by NAME even though list positions shifted.
+    val s2 = new ReplayMicroBatchStream(dir, Some(2))
+    val planned2 = s2.planInputPartitions(ReplayOffset(2), ReplayOffset(4))
+      .map(f => new java.io.File(new java.net.URI(
+        f.asInstanceOf[graft.streaming.ReplayInputPartition].file).getPath).getName)
+    assert(planned2.toSeq == Seq("segment-000002.tsv", "segment-000003.tsv"))
+    // And admission continues past the archive point up to the real head.
+    assert(s2.latestOffset(ReplayOffset(4), ReadLimit.allAvailable()) == ReplayOffset(6))
+    // A fresh (no-checkpoint) stream on the archived log starts at the
+    // lowest SURVIVING index, not 0.
+    assert(new ReplayMicroBatchStream(dir, None).initialOffset() == ReplayOffset(1))
+  }
+
+  test("string fields with tabs/newlines/backslashes and a literal \\N round-trip exactly") {
+    val dir = tmp("graft-replay-escape")
+    val tricky = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-06-01 00:00:01"), 7L, "tab\there", 1.0, "a\tb\tc"),
+      (2L, java.sql.Timestamp.valueOf("2024-06-01 00:00:02"), 7L, "nl\nhere", 2.0, "line1\nline2\r\nline3"),
+      (3L, java.sql.Timestamp.valueOf("2024-06-01 00:00:03"), 8L, "back\\slash", 3.0, "c:\\temp\\x"),
+      (4L, java.sql.Timestamp.valueOf("2024-06-01 00:00:04"), 8L, "\\N", 4.0, null.asInstanceOf[String]))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    ReplaySource.stage(tricky, dir, segments = 1)
+    val back = spark.read.format("graft-replay").option("path", dir).load()
+    assert(multiset(back) == multiset(tricky))
+    // The literal two-char string "\N" survives as a VALUE (row 4), while
+    // the null props in the same row reads back as a genuine null.
+    val r4 = back.where(col("event_id") === 4L).collect().head
+    assert(r4.getString(3) == "\\N" && r4.isNullAt(5))
+  }
+
+  test("the driver's Hadoop conf (custom FS keys included) survives serialization to the reader") {
+    import graft.streaming.{ReplayReaderFactory, ReplayTable, SerializableHadoopConf}
+    val dir = tmp("graft-replay-conf")
+    ReplaySource.stage(fixture.limit(100), dir, segments = 1)
+    spark.sparkContext.hadoopConfiguration.set("graft.replay.probe", "r16")
+    try {
+      val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("path", dir))
+      val factory = new ReplayTable(opts).newScanBuilder(opts).build()
+        .toBatch.createReaderFactory().asInstanceOf[ReplayReaderFactory]
+      // Round-trip through Java serialization — exactly what Spark does to
+      // ship the factory to an executor; a reader rebuilding
+      // `new Configuration()` would lose the key (r15 verdict item #3).
+      val bytes = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bytes)
+      oos.writeObject(factory); oos.close()
+      val shipped = new java.io.ObjectInputStream(
+        new java.io.ByteArrayInputStream(bytes.toByteArray))
+        .readObject().asInstanceOf[ReplayReaderFactory]
+      assert(shipped.conf.value.get("graft.replay.probe") == "r16")
+      // And the shipped conf actually opens files: read one row through it.
+      val part = graft.streaming.ReplayInputPartition(
+        ReplaySource.listSegments(dir, shipped.conf.value).head.path)
+      val reader = shipped.createReader(part)
+      try assert(reader.next()) finally reader.close()
+      val conf2 = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+      assert(conf2.value.get("graft.replay.probe") == "r16")
+    } finally spark.sparkContext.hadoopConfiguration.unset("graft.replay.probe")
+  }
+
+  test("CompositeReadLimit unwraps to its most restrictive maxFiles; unhonorable caps throw") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val dir = tmp("graft-replay-composite")
+    ReplaySource.stage(fixture.limit(300), dir, segments = 3)
+    val stream = new ReplayMicroBatchStream(dir, Some(2))
+    // minRows is a lower-bound trigger hint — the maxFiles component must
+    // still cap admission (the r15 ADVICE low: a composite fell through
+    // to 'admit everything').
+    val composite = ReadLimit.compositeLimit(Array(
+      ReadLimit.minRows(5, 1000L), ReadLimit.maxFiles(1)))
+    assert(stream.latestOffset(ReplayOffset(0), composite) == ReplayOffset(1))
+    // Two maxFiles components: the most restrictive wins.
+    val twoCaps = ReadLimit.compositeLimit(Array(
+      ReadLimit.maxFiles(3), ReadLimit.maxFiles(2)))
+    assert(stream.latestOffset(ReplayOffset(0), twoCaps) == ReplayOffset(2))
+    // A cap the source cannot honor must refuse, not silently admit all.
+    intercept[UnsupportedOperationException] {
+      stream.latestOffset(ReplayOffset(0), ReadLimit.maxRows(10L))
+    }
+  }
+
+  test("batch face reports real segment byte sizes to the optimizer") {
+    val dir = tmp("graft-replay-stats")
+    ReplaySource.stage(fixture.limit(500), dir, segments = 2)
+    val expected = ReplaySource.listSegments(dir).map(_.bytes).sum
+    assert(expected > 0)
+    val df = spark.read.format("graft-replay").option("path", dir).load()
+    // SupportsReportStatistics feeds DataSourceV2Relation.computeStats —
+    // without it the relation defaults to 'unknown = huge' and AQE/join
+    // planning can never broadcast a small replay log.
+    assert(df.queryExecution.optimizedPlan.stats.sizeInBytes == BigInt(expected))
   }
 }
