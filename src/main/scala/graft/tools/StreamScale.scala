@@ -91,6 +91,50 @@ object StreamScale {
     }
   }
 
+  /** Stage `ev` as a ts-range-partitioned ingest directory whose file
+    * mtimes force the file source to replay near-chronologically, plus
+    * SENTINEL tail files — each inner seq of `sentinelFiles` becomes one
+    * parquet file of (event_id, user_id, event_type) rows placed
+    * `7·(i+1)` days past `maxTs`, mtime'd after every real slice (and
+    * after each other). One sentinel file flushes windowed aggregates;
+    * stream-stream OUTER joins need a SECOND tail batch, because the
+    * watermark raised by sentinel file i is only APPLIED (state evicted,
+    * nulls emitted) while processing a later batch. Idempotent via the
+    * `_GRAFT_STREAM_INPUT` marker.
+    */
+  def prepareTsOrderedInput(spark: SparkSession, ev: DataFrame, inputDir: String,
+      slices: Int, maxTs: java.sql.Timestamp,
+      sentinelFiles: Seq[Seq[(Long, Long, String)]], scratchDir: String): Unit = {
+    if (new java.io.File(s"$inputDir/_GRAFT_STREAM_INPUT").isFile) return
+    import spark.implicits._
+    ev.repartitionByRange(slices, col("ts"), col("event_id"))
+      .write.mode("overwrite").parquet(inputDir)
+    val sentTargets = sentinelFiles.zipWithIndex.map { case (rows, i) =>
+      val ts = new java.sql.Timestamp(maxTs.getTime + 7L * (i + 1) * 86400 * 1000)
+      rows.map { case (eid, uid, etype) => (eid, uid, etype, ts, 0.0) }
+        .toDF("event_id", "user_id", "event_type", "ts", "value")
+        .coalesce(1).write.mode("overwrite").parquet(scratchDir)
+      val part = new java.io.File(scratchDir).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      val target = new java.io.File(inputDir, f"zz-sentinel-$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, target.toPath)
+      Sources.deleteRecursively(new java.io.File(scratchDir))
+      target
+    }
+    // Force file mtimes into ts order: range partition i holds the i-th
+    // ts slice, and the file source replays by (mtime, path).
+    val parts = new java.io.File(inputDir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    val base = System.currentTimeMillis() - (parts.length + 2 * sentTargets.length + 4) * 4000L
+    parts.zipWithIndex.foreach { case (f, i) => f.setLastModified(base + i * 2000L) }
+    sentTargets.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(base + (parts.length + 2 * (i + 1)) * 2000L)
+    }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(inputDir, "_GRAFT_STREAM_INPUT"), s"slices=$slices")
+  }
+
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("STREAM_SRC", "target/mirror_x97")
     val out = sys.env.getOrElse("STREAM_OUT", "target/streamscale")
@@ -121,37 +165,8 @@ object StreamScale {
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("ts"), col("value"))
     val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
-
-    // ---- prep: ts-range-partitioned ingest dir + sentinel tail file ----
-    if (!new java.io.File(s"$inputDir/_GRAFT_STREAM_INPUT").isFile) {
-      ev.repartitionByRange(slices, col("ts"), col("event_id"))
-        .write.mode("overwrite").parquet(inputDir)
-      // Sentinel LAST: one event far past the stream, flushing windows.
-      // Written to a side dir, then moved in under a name that sorts (and
-      // is mtime'd) after every range slice.
-      val sentDir = s"$out/_sentinel"
-      spark.range(1).select(
-        lit(-1L).as("event_id"), lit(-1L).as("user_id"),
-        lit("sentinel").as("event_type"),
-        lit(new java.sql.Timestamp(maxTs.getTime + 7L * 86400 * 1000)).as("ts"),
-        lit(0.0).as("value"))
-        .coalesce(1).write.mode("overwrite").parquet(sentDir)
-      val sentPart = new java.io.File(sentDir).listFiles()
-        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
-      val sentTarget = new java.io.File(inputDir, "zz-sentinel.parquet")
-      java.nio.file.Files.move(sentPart.toPath, sentTarget.toPath)
-      Sources.deleteRecursively(new java.io.File(sentDir))
-      // Force file mtimes into ts order: range partition i holds the
-      // i-th ts slice, and the file source replays by (mtime, path).
-      val parts = new java.io.File(inputDir).listFiles()
-        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-        .sortBy(_.getName)
-      val base = System.currentTimeMillis() - (parts.length + 4) * 4000L
-      parts.zipWithIndex.foreach { case (f, i) => f.setLastModified(base + i * 2000L) }
-      sentTarget.setLastModified(base + (parts.length + 2) * 2000L)
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(inputDir, "_GRAFT_STREAM_INPUT"), s"slices=$slices")
-    }
+    prepareTsOrderedInput(spark, ev, inputDir, slices, maxTs,
+      Seq(Seq((-1L, -1L, "sentinel"))), s"$out/_sentinel")
 
     val schema = ev.schema
     def stream(): DataFrame = spark.readStream.schema(schema)
@@ -218,6 +233,16 @@ object StreamScale {
     if (wanted("s_tumbling_x97")) results += run("s_tumbling_x97",
       st => Streams.tumblingCounts(st, "2 hours"),
       () => Windowed.tumblingAgg(ev),
+      Seq("window_start", "event_type", "n", "sum_value"),
+      df => df.where(col("window_start") <= lit(maxTs)))
+
+    // Sliding windows (1 h wide, 15 min slide — every event lands in 4
+    // windows): the r15 verdict's one processor-shaped gap. Same closed-
+    // window flush discipline as tumbling; with STREAM_CRASH_FRAC > 0 it
+    // takes the same mid-stream kill as every other processor.
+    if (wanted("s_sliding_x97")) results += run("s_sliding_x97",
+      st => Streams.slidingCounts(st, "2 hours"),
+      () => Windowed.slidingAgg(ev),
       Seq("window_start", "event_type", "n", "sum_value"),
       df => df.where(col("window_start") <= lit(maxTs)))
 

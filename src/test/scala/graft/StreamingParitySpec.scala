@@ -306,6 +306,41 @@ class StreamingParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed == batch)
   }
 
+  test("interval join under an OUT-OF-ORDER multi-batch feed still matches the batch twin") {
+    // The fixture arrives in four hash-interleaved chunks, each spanning
+    // the full 30-day range — arrival order is wildly non-chronological
+    // ACROSS batches (a purchase routinely lands batches before its
+    // matching click and vice versa). A 40-day delay keeps every row
+    // inside the watermark (no legitimate drops), so the symmetric hash
+    // join must buffer BOTH sides and recover late partners from state —
+    // exact batch-twin parity is the contract.
+    val ms = MemoryStream[Event](spark)
+    val evs = ms.toDF()
+    val out = Streams.intervalJoin(
+      evs.where(col("event_type") === "purchase"),
+      evs.where(col("event_type") === "click"),
+      "user_id", before = "30 minutes", delay = "40 days")
+      .select(col("l.event_id").as("p_id"), col("r.event_id").as("c_id"))
+    val q = Streams.start(out, Streams.MemoryStreamSink("ssjoin_ooo", Some(ckpt())))
+    try {
+      (0 until 4).foreach { i =>
+        ms.addData(fixtureEvents.filter(e => math.floorMod(e.event_id, 4) == i))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.table("ssjoin_ooo").as[(Long, Long)].collect().toSeq.sorted
+    val ev = Tables.events(spark, TestSpark.sfDir)
+    val batch = ev.where(col("event_type") === "purchase").alias("l")
+      .join(ev.where(col("event_type") === "click").alias("r"),
+        col("l.user_id") === col("r.user_id") &&
+          col("r.ts") >= col("l.ts") - expr("INTERVAL 30 minutes") &&
+          col("r.ts") <= col("l.ts"))
+      .select(col("l.event_id"), col("r.event_id")).as[(Long, Long)]
+      .collect().toSeq.sorted
+    assert(batch.nonEmpty, "fixture has no purchase←click matches — vacuous test")
+    assert(streamed == batch)
+  }
+
   test("left-outer interval join: unmatched left rows emit null-padded EXACTLY once after the watermark") {
     val ms = MemoryStream[Event](spark)
     val evs = ms.toDF()
