@@ -754,6 +754,29 @@ object Oracle {
         TRUE AS dims_ok, TRUE AS frames_ok
       FROM documents ORDER BY media_id""",
 
+    // Real-parser closed loop (Multimodal.qMultimodalReal): the engine
+    // GENERATES a BMP/WAV/PPM payload per doc_id and parses it back with
+    // the real byte parsers; here every column is predicted from the
+    // same doc_id formulas — byte sizes included (BMP row stride padded
+    // to 4 bytes; PPM header length varies with the dimension digits).
+    "q_multimodal_real" -> """
+      SELECT doc_id AS media_id,
+        CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav' ELSE 'ppm' END AS format,
+        (CASE doc_id % 3 WHEN 0 THEN 1 + doc_id % 37 WHEN 1 THEN 0 ELSE 1 + doc_id % 41 END)::INT AS width,
+        (CASE doc_id % 3 WHEN 0 THEN 1 + doc_id % 29 WHEN 1 THEN 0 ELSE 1 + doc_id % 31 END)::INT AS height,
+        (CASE doc_id % 3 WHEN 1 THEN 1 + doc_id % 2 ELSE 3 END)::INT AS n_channels,
+        (CASE doc_id % 3 WHEN 1 THEN 8000 + (doc_id % 4) * 4000 ELSE 0 END)::INT AS sample_rate,
+        (CASE doc_id % 3 WHEN 1 THEN 100 + doc_id % 400 ELSE 0 END)::BIGINT AS n_samples,
+        (CASE doc_id % 3 WHEN 1 THEN ((100 + doc_id % 400) * 1000) // (8000 + (doc_id % 4) * 4000)
+          ELSE 0 END)::BIGINT AS duration_ms,
+        (CASE doc_id % 3
+          WHEN 0 THEN 54 + ((3 * (1 + doc_id % 37) + 3) // 4) * 4 * (1 + doc_id % 29)
+          WHEN 1 THEN 44 + (100 + doc_id % 400) * (1 + doc_id % 2) * 2
+          ELSE 9 + length((1 + doc_id % 41)::VARCHAR) + length((1 + doc_id % 31)::VARCHAR)
+            + 3 * (1 + doc_id % 41) * (1 + doc_id % 31)
+        END)::BIGINT AS n_bytes
+      FROM documents ORDER BY media_id""",
+
     // Frame-sampling check twin (Multimodal.qMultimodalFramesCheck):
     // every document yields exactly one media row (index 0 always
     // sampled); the stride/bytes/dims invariants are expected TRUE.

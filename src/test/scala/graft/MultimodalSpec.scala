@@ -79,4 +79,89 @@ class MultimodalSpec extends AnyFunSuite {
     assert(a.checksum != b.checksum)
     assert(a == Multimodal.decodeStub(MediaRecord(1L, "abc".getBytes, "image")))
   }
+
+  // ------------------------------- real parsers (r15 verdict item #4)
+
+  test("BMP parser: golden header bytes, stride padding, and top-down negative height") {
+    val bmp = Multimodal.makeBmp(2, 3, topDown = false, seed = 7L)
+    // Golden checks against the spec layout, independent of the parser:
+    // 'B','M', file size LE at 2, pixel offset 54 at 10, biSize 40 at 14.
+    assert(bmp(0) == 'B'.toByte && bmp(1) == 'M'.toByte)
+    assert(bmp.length == 54 + 8 * 3) // width 2 -> 6 pixel bytes -> stride 8
+    assert((bmp(2) & 0xff) == bmp.length && bmp(3) == 0 && bmp(10) == 54 && bmp(14) == 40)
+    val p = Multimodal.parseBmp(bmp).get
+    assert((p.format, p.width, p.height, p.n_channels) == (("bmp", 2, 3, 3)))
+    val down = Multimodal.parseBmp(Multimodal.makeBmp(5, 4, topDown = true, seed = 1L)).get
+    assert((down.width, down.height) == ((5, 4))) // |biHeight| reported
+  }
+
+  test("WAV parser: real chunk walk skips a LIST chunk before data; duration from sample rate") {
+    val wav = Multimodal.makeWav(2, 16000, 250, seed = 3L)
+    val p = Multimodal.parseWav(wav).get
+    assert((p.format, p.n_channels, p.sample_rate, p.n_samples, p.duration_ms) ==
+      (("wav", 2, 16000, 250L, 15L))) // 250/16000 s = 15.625 ms -> 15
+    // Splice a 7-byte LIST chunk (odd size -> pad byte) between fmt and
+    // data: a fixed-offset reader breaks, a real chunk walk doesn't.
+    val head = wav.take(36) // RIFF header + fmt chunk
+    val tail = wav.drop(36) // data chunk
+    val list = "LIST".getBytes ++ Array[Byte](7, 0, 0, 0) ++ "INFOxyz".getBytes ++ Array[Byte](0)
+    val spliced = head ++ list ++ tail
+    // Patch the RIFF size for the extra bytes (LE32 at offset 4).
+    val riffSize = spliced.length - 8
+    spliced(4) = (riffSize & 0xff).toByte; spliced(5) = ((riffSize >> 8) & 0xff).toByte
+    spliced(6) = ((riffSize >> 16) & 0xff).toByte; spliced(7) = ((riffSize >> 24) & 0xff).toByte
+    assert(Multimodal.parseWav(spliced).get == p)
+  }
+
+  test("PPM parser: tokenizer handles comments; byte-count mismatch rejects") {
+    val ppm = Multimodal.makePpm(4, 5, seed = 9L)
+    val p = Multimodal.parsePpm(ppm).get
+    assert((p.format, p.width, p.height) == (("ppm", 4, 5)))
+    // Same pixels behind a commented header — a fixed-layout slice breaks.
+    val commented = "P6\n# a comment\n4 5\n255\n".getBytes("US-ASCII") ++
+      ppm.drop("P6\n4 5\n255\n".length)
+    assert(Multimodal.parsePpm(commented).get == p)
+    // Truncated pixel data must reject, not misreport.
+    assert(Multimodal.parsePpm(ppm.dropRight(1)).isEmpty)
+  }
+
+  test("decode dispatches real formats and falls back to the stub on foreign or corrupt bytes") {
+    val bmp = Multimodal.makeBmp(17, 9, topDown = false, seed = 2L)
+    val real = Multimodal.decode(MediaRecord(1L, bmp, "image"))
+    assert((real.width, real.height, real.n_frames) == ((17, 9, 1)))
+    val wav = Multimodal.decode(MediaRecord(2L, Multimodal.makeWav(1, 8000, 400, 5L), "audio"))
+    assert((wav.width, wav.height, wav.n_frames) == ((0, 0, 400)))
+    // Magic matches but the structure is garbage -> stub, never a throw.
+    val corrupt = "BM then definitely not a bitmap header".getBytes
+    assert(Multimodal.decode(MediaRecord(3L, corrupt, "image")) ==
+      Multimodal.decodeStub(MediaRecord(3L, corrupt, "image")))
+    // Text payloads (the documents corpus) stay on the stub path, so the
+    // standing graded keys are unchanged by the real tier.
+    val text = "an ordinary document".getBytes
+    assert(Multimodal.decode(MediaRecord(4L, text, "en")) ==
+      Multimodal.decodeStub(MediaRecord(4L, text, "en")))
+  }
+
+  test("generated-corpus closed loop: parse(make(id)) matches the doc_id formulas for 300 ids") {
+    (0L until 300L).foreach { id =>
+      val payload = (id % 3) match {
+        case 0 => Multimodal.makeBmp((1 + id % 37).toInt, (1 + id % 29).toInt, id % 5 == 0, id)
+        case 1 => Multimodal.makeWav((1 + id % 2).toInt, (8000 + (id % 4) * 4000).toInt,
+          (100 + id % 400).toInt, id)
+        case _ => Multimodal.makePpm((1 + id % 41).toInt, (1 + id % 31).toInt, id)
+      }
+      val p = Multimodal.parseMedia(payload).get
+      (id % 3) match {
+        case 0 =>
+          assert((p.format, p.width, p.height) == (("bmp", (1 + id % 37).toInt, (1 + id % 29).toInt)), s"id=$id")
+          assert(payload.length == 54 + ((3 * (1 + id % 37) + 3) / 4 * 4 * (1 + id % 29)), s"id=$id")
+        case 1 =>
+          val (ch, sr, ns) = ((1 + id % 2).toInt, (8000 + (id % 4) * 4000).toInt, (100 + id % 400).toInt)
+          assert((p.format, p.n_channels, p.sample_rate, p.n_samples) == (("wav", ch, sr, ns.toLong)), s"id=$id")
+          assert(p.duration_ms == ns * 1000L / sr && payload.length == 44 + ns * ch * 2, s"id=$id")
+        case _ =>
+          assert((p.format, p.width, p.height) == (("ppm", (1 + id % 41).toInt, (1 + id % 31).toInt)), s"id=$id")
+      }
+    }
+  }
 }
