@@ -174,8 +174,13 @@ object Profile {
     * [p05, p95] are clamped to the fence, not dropped (the outlier keys
     * REPORT extremes; winsorize REPAIRS them).
     *
+    *
     * Determinism contract: fences are exact interpolated percentiles
-    * (percentile ↔ quantile_cont, the q_agg_percentile_exact pairing)
+    * (percentile ↔ quantile_cont, the q_agg_percentile_exact pairing —
+    * whose scaladoc carries the shared 100-TB cardinality guard: the
+    * percentile buffer is O(distinct cents), domain-bounded on 2-decimal
+    * money, so row-count scale-up grows counts, not buffer entries;
+    * arbitrary-precision columns go through the KLL path instead)
     * ROUNDED to the data's own 2-decimal width before clamping, and the
     * winsorized sum accumulates in DECIMAL — exact and summation-order-
     * independent — then casts once to double. The fence frame is
@@ -209,7 +214,9 @@ object Profile {
     * ties at a fence all land on the same side in both engines because
     * the comparisons run on identical rounded doubles. The fence frame
     * is |groups| rows (broadcast by that bound); the corpus-scale work
-    * is the two aggregates.
+    * is the two aggregates. Percentile state is O(distinct cents) —
+    * domain-bounded on 2-decimal money (the q_agg_percentile_exact
+    * cardinality guard); KLL is the arbitrary-precision route.
     */
   val qHistogramEquidepth: Q = (s, d) => {
     val rows = Tables.lineitem(s, d)
