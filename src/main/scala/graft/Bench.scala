@@ -81,6 +81,18 @@ object Bench {
     "q5_5way_join", "q_window_rank", "q_dedup_first_wins", "q_tumbling_window",
     "q_sessionize", "q_dedup_docs", "q_cosine_topk", "q_text_stats")
 
+  /** Keys the r14 AND r15 verdicts both flagged as >1.3× cross-round
+    * drifters with clean in-run attribution (sub-second, spread ≤ 1.19,
+    * no GC/JIT excess — box-state noise, not regressions). Per the r15
+    * verdict's "third consecutive round" rule they get PINNED: one
+    * dedicated untimed warm-up each (absorbs any residual first-touch
+    * codegen/page-cache component) plus a third timed pass (min-of-3
+    * tightens the cross-round floor). All four are sub-second, so the
+    * whole pin costs ~2 s of sweep time.
+    */
+  private val NoisePinned = Set("q_bpe_mixture_check", "q_date_funcs",
+    "q_anomaly_days", "q_agg_cube")
+
   private def previousRecords(path: String, sfDir: String, cpus: String): Map[String, Double] =
     try {
       val text = Files.readString(Paths.get(path))
@@ -186,7 +198,16 @@ object Bench {
       }
     }
 
+    // Dedicated untimed warm-up for the pinned cross-round noise keys
+    // (see NoisePinned) before any timed pass touches them.
+    for ((name, fn) <- queries if NoisePinned(name))
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
     for (_ <- 1 to passes; (name, fn) <- queries if !errors.contains(name))
+      runOnce(name, fn)
+    // Third timed pass for the pinned keys: min-of-3 on the known
+    // drifters, a few hundred ms total.
+    for ((name, fn) <- queries if NoisePinned(name) && !errors.contains(name))
       runOnce(name, fn)
     // Defense passes: a key far above its own record gets more serial
     // attempts — min-of-all is the reported number either way.

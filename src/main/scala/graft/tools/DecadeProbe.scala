@@ -654,6 +654,87 @@ object DecadeProbe {
           s""""mismatched_groups":$mism,"bad_copies":$badCopies,"ok":$ok}"""))
     }
 
+    // -------------------------------------------------- q_containment_pairs
+    // The prefix-filter pair family at N× pair volume (r15 verdict item
+    // #8 — extending the ngram_pairs per-copy invariant to the second
+    // pair kernel): the graded q_containment_pairs corpus (1/8 doc slice
+    // + planted half-truncations) is built ONCE at 1×; per copy, the
+    // graded candidate predicate runs verbatim — rarest-token prefix cut
+    // with the integer-ceil arithmetic, token join, id_a ≠ id_b, the
+    // lossless |B|·τden ≥ |A|·τnum size prune, per-copy distinct — and
+    // the exact merge-intersect confirm kernel executes N× the 1×
+    // volume. Gate: every copy's confirmed pair list ≡ the graded 1×
+    // output (DuckDB-pinned at the graded SFs), per (pair, containment),
+    // bad_copies must be 0. Scope, stated like ngram_pairs': the 1×
+    // prefix/index/dict frames broadcast (corpus slice ~1.2k docs — KB,
+    // not the corpus-sized inverted index the graded key shuffle-joins;
+    // that no-broadcast layout has its ×97 signal) — what scales N× here
+    // is the candidate join volume and the confirm kernel, which is the
+    // class under test.
+    if (keys.contains("containment_pairs")) timed("containment_pairs") {
+      import graft.engine.Dedup
+      import graft.functions.GraftExpressions
+      val base = Dedup.fanOut(Tables.documents(spark, src)).where(col("doc_id") % 8 === 0)
+        .select(col("doc_id"), Dedup.normTokens(col("text")).as("toks"))
+      val planted = base.select((col("doc_id") + 300000L).as("doc_id"),
+        slice(col("toks"), lit(1),
+          floor((size(col("toks")) + 1) / 2).cast("int")).as("toks"))
+      val corpus1 = base.unionByName(planted).where(size(col("toks")) > 0)
+        .select(col("doc_id"), col("toks"), size(col("toks")).as("__ns"))
+        .localCheckpoint()
+      val toks1 = corpus1.select(col("doc_id"), col("__ns"), explode(col("toks")).as("tok"))
+      val dfDict = toks1.groupBy(col("tok")).agg(count(lit(1)).as("__df"))
+      val byRarity = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(asc("__df"), asc("tok"))
+      val prefix1 = toks1.join(dfDict, "tok")
+        .withColumn("__rn", row_number().over(byRarity))
+        // k = |A| − ceil(τ·|A|) + 1 in true integer division — the graded
+        // key's exact recall arithmetic (Dedup.containmentPairs).
+        .where(col("__rn") <= expr("__ns - ((__ns * 9 + 9) div 10) + 1"))
+        .select(col("doc_id").as("id_a"), col("__ns").as("__na"), col("tok"))
+        .localCheckpoint()
+      val index1 = toks1.select(col("doc_id").as("id_b"), col("__ns").as("__nb"), col("tok"))
+      val cand = spark.range(0, factor, 1, parts).select(col("id").as("__copy"))
+        .crossJoin(broadcast(prefix1))
+        .join(broadcast(index1), "tok")
+        .where(col("id_a") =!= col("id_b") &&
+          col("__nb") * 10 >= col("__na") * 9)
+        .select(col("__copy"), col("id_a"), col("id_b"))
+        .distinct() // once per (copy, pair) across shared prefix tokens
+        .localCheckpoint()
+      def dict(sfx: String) = corpus1.select(col("doc_id").as(s"id_$sfx"),
+        col("toks").as(s"toks_$sfx"), col("__ns").as(s"__n$sfx"))
+      val confirmed = cand
+        .join(broadcast(dict("a")), "id_a").join(broadcast(dict("b")), "id_b")
+        .withColumn("inter", GraftExpressions.intersectSize(
+          col("toks_a"), col("toks_b"), barrier = true))
+        .where(col("inter") * 10 >= col("__na") * 9)
+        .select(col("__copy"), col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+          round(col("inter").cast("double") / col("__na").cast("double"), 6)
+            .as("containment"))
+        .localCheckpoint()
+      val exp1 = Dedup.queries("q_containment_pairs")(spark, src)
+        .select(col("doc_a"), col("doc_b"), col("containment")).localCheckpoint()
+      val perPair = confirmed.groupBy(col("doc_a"), col("doc_b"), col("containment"))
+        .agg(count(lit(1)).as("__cN"))
+      val mism = exp1.withColumn("__c1", lit(factor.toLong))
+        .join(perPair, Seq("doc_a", "doc_b", "containment"), "full_outer")
+        .where(coalesce(col("__cN"), lit(0L)) =!= coalesce(col("__c1"), lit(0L)))
+        .count()
+      val (n1, nN) = (exp1.count(), confirmed.count())
+      val badCopies = confirmed.groupBy(col("__copy")).count()
+        .where(col("count") =!= n1).count()
+      val copies = confirmed.select(col("__copy")).distinct().count()
+      val candN = cand.count()
+      val ok = mism == 0 && nN == n1 * factor && badCopies == 0 &&
+        copies == factor.toLong
+      if (!ok) fail = true
+      (candN, Seq(
+        s"""{"probe":"containment_pairs_x$factor","check":"per_copy_pairs_equal_1x",""" +
+          s""""pairs_1x":$n1,"pairs_xN":$nN,"candidates_xN":$candN,""" +
+          s""""mismatched_groups":$mism,"bad_copies":$badCopies,"ok":$ok}"""))
+    }
+
     spark.stop()
     if (fail) sys.exit(1)
   }
