@@ -735,6 +735,60 @@ object DecadeProbe {
           s""""mismatched_groups":$mism,"bad_copies":$badCopies,"ok":$ok}"""))
     }
 
+    // ------------------------------------------------- q_jw_threshold_join
+    // The edit-distance pair kernel at N× volume (r15 verdict item #8's
+    // optional extension): per copy, the graded brand-blocked self-join
+    // runs verbatim — a_key < b_key ordering, the codegen'd Jaro-Winkler
+    // kernel under the JwLengthPruning rewrite, τ = JwJoinTau — against
+    // the broadcast 1× part frame; every copy's confirmed pair list must
+    // equal the graded 1× output (DuckDB-pinned). Unlike the set-kernel
+    // probes the candidate space is NOT materialized (≈8M brand pairs ×
+    // N would be ~7.8G rows at ×970): the kernel consumes the lazy join
+    // and only confirmed pairs (n1 × N rows, KBs) persist — the
+    // candidate count reported is the closed form N · Σ_b n_b(n_b−1)/2.
+    if (keys.contains("jw_pairs")) timed("jw_pairs") {
+      import graft.engine.FuzzyJoin
+      import graft.functions.GraftExpressions.jaroWinkler
+      graft.functions.JwLengthPruning.ensure(spark)
+      val p1 = Tables.part(spark, src)
+        .select(col("p_partkey"), col("p_name"), col("p_brand")).localCheckpoint()
+      // c·(c−1) is even, so the integer-exact form is (c·(c−1)) div 2.
+      val pairs1 = p1.groupBy(col("p_brand")).agg(count(lit(1)).as("c"))
+        .agg(sum(expr("(c * (c - 1)) div 2"))).head().getLong(0)
+      val a = p1.select(col("p_partkey").as("a_key"), col("p_name").as("a_name"),
+        col("p_brand"))
+      val b = p1.select(col("p_partkey").as("b_key"), col("p_name").as("b_name"),
+        col("p_brand"))
+      val confirmed = spark.range(0, factor, 1, parts).select(col("id").as("__copy"))
+        .crossJoin(broadcast(a))
+        .join(broadcast(b), "p_brand")
+        .where(col("a_key") < col("b_key"))
+        .withColumn("jw", round(jaroWinkler(col("a_name"), col("b_name")), 6))
+        .where(col("jw") >= lit(FuzzyJoin.JwJoinTau))
+        .select(col("__copy"), col("a_key"), col("b_key"), col("jw"))
+        .localCheckpoint()
+      val exp1 = FuzzyJoin.queries("q_jw_threshold_join")(spark, src)
+        .select(col("a_key"), col("b_key"), col("jw")).localCheckpoint()
+      val perPair = confirmed.groupBy(col("a_key"), col("b_key"), col("jw"))
+        .agg(count(lit(1)).as("__cN"))
+      val mism = exp1.withColumn("__c1", lit(factor.toLong))
+        .join(perPair, Seq("a_key", "b_key", "jw"), "full_outer")
+        .where(coalesce(col("__cN"), lit(0L)) =!= coalesce(col("__c1"), lit(0L)))
+        .count()
+      val (n1, nN) = (exp1.count(), confirmed.count())
+      val badCopies = confirmed.groupBy(col("__copy")).count()
+        .where(col("count") =!= n1).count()
+      val copies = confirmed.select(col("__copy")).distinct().count()
+      val candN = factor.toLong * pairs1
+      val ok = mism == 0 && nN == n1 * factor && badCopies == 0 &&
+        copies == factor.toLong
+      if (!ok) fail = true
+      (candN, Seq(
+        s"""{"probe":"jw_pairs_x$factor","check":"per_copy_pairs_equal_1x",""" +
+          s""""pairs_1x":$n1,"pairs_xN":$nN,"candidates_xN":$candN,""" +
+          s""""mismatched_groups":$mism,"bad_copies":$badCopies,"ok":$ok}"""))
+    }
+
     spark.stop()
     if (fail) sys.exit(1)
   }
