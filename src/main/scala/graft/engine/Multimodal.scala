@@ -104,7 +104,9 @@ object Multimodal {
     while (o + 8 <= b.length && (fmt.isEmpty || dataBytes < 0)) {
       val id = tag(o)
       val size = le32(b, o + 4)
-      if (size < 0 || o + 8 + size > b.length) return None
+      // Long arithmetic: a near-Int.MaxValue declared size would wrap
+      // `o + 8 + size` negative, pass the guard, and index out of bounds.
+      if (size < 0 || o.toLong + 8L + size.toLong > b.length) return None
       id match {
         case "fmt " =>
           if (size < 16 || le16(b, o + 8) != 1) return None // PCM only
@@ -138,7 +140,10 @@ object Multimodal {
       }
       val start = o
       while (o < b.length && b(o) >= '0' && b(o) <= '9') o += 1
-      if (o == start || o >= b.length) None
+      // ≤9 digits: a longer run cannot be a sane dimension and an
+      // unguarded toInt would THROW on >Int.MaxValue — breaking the
+      // decode-never-throws contract on text that merely starts "P6 9…".
+      if (o == start || o - start > 9 || o >= b.length) None
       else Some(new String(b, start, o - start, java.nio.charset.StandardCharsets.US_ASCII).toInt)
     }
     (nextInt(), nextInt(), nextInt()) match {

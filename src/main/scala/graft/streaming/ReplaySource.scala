@@ -77,14 +77,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * and the join planner see a real sizeInBytes instead of the default
   * "unknown = huge".
   *
-  * Row format (one event per line, `\t`-separated, `\N` = null):
-  * `event_id \t ts_micros \t user_id \t event_type \t value \t props`.
-  * String fields are backslash-escaped (`\\`, `\t`, `\n`, `\r`), so a
-  * field VALUE containing a tab/newline/backslash — or the literal
-  * two-character string "\N" — round-trips exactly instead of breaking
-  * the 6-field frame (r15 ADVICE low). `value` is staged with
-  * `java.lang.Double.toString`, which round-trips bit-exactly through
-  * `parseDouble` — the parity tests are hash-exact, not approximate.
+  * Row format, VERSION 2 (one event per line, `\t`-separated, `\N` =
+  * null): `event_id \t ts_micros \t user_id \t event_type \t value \t
+  * props`. String fields are backslash-escaped (`\\`, `\t`, `\n`,
+  * `\r`), so a field VALUE containing a tab/newline/backslash — or the
+  * literal two-character string "\N" — round-trips exactly instead of
+  * breaking the 6-field frame (r15 ADVICE low). FORMAT NOTE: v1 logs
+  * (pre-escaping writer) stored raw backslashes; a v1 segment whose
+  * string values contain `\` must be re-staged before a v2 reader
+  * touches it (the reader rejects unknown escapes loudly rather than
+  * guessing). The `\N` null marker and all numeric fields are identical
+  * across versions. `value` is staged with `java.lang.Double.toString`,
+  * which round-trips bit-exactly through `parseDouble` — the parity
+  * tests are hash-exact, not approximate.
   */
 class ReplayDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-replay"

@@ -60,12 +60,8 @@ object ReplayScale {
     }
 
     val outDir = s"$out/dedup"; val ckpt = s"$out/ckpt_dedup"
-    Seq(outDir, ckpt).foreach { p =>
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-      }
-      rm(new java.io.File(p))
-    }
+    Seq(outDir, ckpt).foreach(p =>
+      StreamScale.Sources.deleteRecursively(new java.io.File(p)))
 
     val tracker = new StreamScale.ProgressTracker
     spark.streams.addListener(tracker)

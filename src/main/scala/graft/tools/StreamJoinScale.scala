@@ -66,6 +66,10 @@ object StreamJoinScale {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // Outer-join null emission depends on a batch RUNNING after the
+      // watermark rises; pin the default so a conf drift can't silently
+      // strand unmatched rows in state (see the sentinel note below).
+      .config("spark.sql.streaming.noDataMicroBatches.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -80,9 +84,17 @@ object StreamJoinScale {
     val crashWanted = crashFrac > 0
 
     val inputDir = s"$out/input"
+    // THREE sentinel tail files: with maxFilesPerTrigger=2, two tails can
+    // coalesce into ONE final micro-batch (96 slices + 2 = 49 two-file
+    // batches — measured in the first r16 run), which would leave outer
+    // null-emission to the implicit no-data batch alone. Three tails
+    // guarantee at least one DATA batch strictly after the batch that
+    // raised the watermark, at any slices/maxFiles alignment; the
+    // explicit noDataMicroBatches conf above is belt and braces.
     StreamScale.prepareTsOrderedInput(spark, ev, inputDir, slices, maxTs,
       Seq(Seq((-1L, -1L, "purchase"), (-2L, -1L, "click")),
-        Seq((-3L, -1L, "purchase"), (-4L, -1L, "click"))),
+        Seq((-3L, -1L, "purchase"), (-4L, -1L, "click")),
+        Seq((-5L, -1L, "purchase"), (-6L, -1L, "click"))),
       s"$out/_sentinel")
 
     val schema = ev.schema
@@ -113,12 +125,8 @@ object StreamJoinScale {
     def runFace(key: String, joinType: String): Face = {
       val t0 = System.nanoTime()
       val outDir = s"$out/$key"; val ckpt = s"$out/ckpt_$key"
-      Seq(outDir, ckpt).foreach { p =>
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-        }
-        rm(new java.io.File(p))
-      }
+      Seq(outDir, ckpt).foreach(p =>
+        StreamScale.Sources.deleteRecursively(new java.io.File(p)))
       def start() = joined(stream(), joinType).writeStream.format("parquet")
         .option("path", outDir).option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()

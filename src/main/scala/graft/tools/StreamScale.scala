@@ -97,9 +97,13 @@ object StreamScale {
     * parquet file of (event_id, user_id, event_type) rows placed
     * `7·(i+1)` days past `maxTs`, mtime'd after every real slice (and
     * after each other). One sentinel file flushes windowed aggregates;
-    * stream-stream OUTER joins need a SECOND tail batch, because the
-    * watermark raised by sentinel file i is only APPLIED (state evicted,
-    * nulls emitted) while processing a later batch. Idempotent via the
+    * stream-stream OUTER joins need a tail BATCH strictly after the one
+    * that raised the watermark, because a raised watermark is only
+    * APPLIED (state evicted, nulls emitted) while processing a later
+    * batch — and the file source coalesces up to maxFilesPerTrigger tail
+    * FILES into one batch, so callers must stage enough tail files that
+    * one lands in a later batch at their trigger setting (StreamJoinScale
+    * stages three for maxFilesPerTrigger = 2). Idempotent via the
     * `_GRAFT_STREAM_INPUT` marker.
     */
   def prepareTsOrderedInput(spark: SparkSession, ev: DataFrame, inputDir: String,
@@ -446,7 +450,7 @@ object StreamScale {
     if (!pass) System.exit(1)
   }
 
-  private object Sources {
+  private[tools] object Sources {
     def deleteRecursively(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
       f.delete()

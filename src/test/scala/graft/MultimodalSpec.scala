@@ -135,6 +135,20 @@ class MultimodalSpec extends AnyFunSuite {
     val corrupt = "BM then definitely not a bitmap header".getBytes
     assert(Multimodal.decode(MediaRecord(3L, corrupt, "image")) ==
       Multimodal.decodeStub(MediaRecord(3L, corrupt, "image")))
+    // Adversarial numeric edges (review findings): a P6 dimension token
+    // past Int.MaxValue and a RIFF chunk whose declared size would wrap
+    // Int arithmetic must both fall back, not throw.
+    val hugePpm = "P6 99999999999 5 255 ".getBytes
+    assert(Multimodal.decode(MediaRecord(5L, hugePpm, "image")) ==
+      Multimodal.decodeStub(MediaRecord(5L, hugePpm, "image")))
+    val wavBomb = {
+      val b = Multimodal.makeWav(1, 8000, 4, 1L)
+      // Declare a ~Int.MaxValue size on the fmt chunk (LE32 at offset 16).
+      b(16) = 0xf0.toByte; b(17) = 0xff.toByte; b(18) = 0xff.toByte; b(19) = 0x7f.toByte
+      b
+    }
+    assert(Multimodal.decode(MediaRecord(6L, wavBomb, "audio")) ==
+      Multimodal.decodeStub(MediaRecord(6L, wavBomb, "audio")))
     // Text payloads (the documents corpus) stay on the stub path, so the
     // standing graded keys are unchanged by the real tier.
     val text = "an ordinary document".getBytes
