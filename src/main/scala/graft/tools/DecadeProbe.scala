@@ -766,19 +766,34 @@ object DecadeProbe {
         .withColumn("jw", round(jaroWinkler(col("a_name"), col("b_name")), 6))
         .where(col("jw") >= lit(FuzzyJoin.JwJoinTau))
         .select(col("__copy"), col("a_key"), col("b_key"), col("jw"))
+      // ONE kernel pass (this is what unlocks ×9700, the pair family's
+      // sixth decade): the confirmed frame at ×9700 is ~1.5B rows — a
+      // localCheckpoint would spill ~45 GB, and separate per-pair /
+      // per-copy aggregations would re-run the 7.76B×10-pair kernel once
+      // each. GROUPING SETS computes both aggregations from a single
+      // kernel pass; map-side partial aggregation collapses each task's
+      // rows to ≤(n1 + copies-per-task) entries before any shuffle, so
+      // the exchange moves KBs, not the confirmed row set.
+      val agg = confirmed
+        .groupingSets(
+          Seq(Seq(col("a_key"), col("b_key"), col("jw")), Seq(col("__copy"))),
+          col("a_key"), col("b_key"), col("jw"), col("__copy"))
+        .agg(count(lit(1)).as("__cN"), grouping_id().as("__gid"))
         .localCheckpoint()
+      val perPair = agg.where(col("__gid") === 1) // grouped by (a,b,jw); __copy aggregated
+        .select(col("a_key"), col("b_key"), col("jw"), col("__cN"))
+      val perCopy = agg.where(col("__gid") =!= 1)
+        .select(col("__copy"), col("__cN")).localCheckpoint()
       val exp1 = FuzzyJoin.queries("q_jw_threshold_join")(spark, src)
         .select(col("a_key"), col("b_key"), col("jw")).localCheckpoint()
-      val perPair = confirmed.groupBy(col("a_key"), col("b_key"), col("jw"))
-        .agg(count(lit(1)).as("__cN"))
       val mism = exp1.withColumn("__c1", lit(factor.toLong))
         .join(perPair, Seq("a_key", "b_key", "jw"), "full_outer")
         .where(coalesce(col("__cN"), lit(0L)) =!= coalesce(col("__c1"), lit(0L)))
         .count()
-      val (n1, nN) = (exp1.count(), confirmed.count())
-      val badCopies = confirmed.groupBy(col("__copy")).count()
-        .where(col("count") =!= n1).count()
-      val copies = confirmed.select(col("__copy")).distinct().count()
+      val n1 = exp1.count()
+      val nN = perCopy.agg(coalesce(sum(col("__cN")), lit(0L))).head().getLong(0)
+      val badCopies = perCopy.where(col("__cN") =!= n1).count()
+      val copies = perCopy.count()
       val candN = factor.toLong * pairs1
       val ok = mism == 0 && nN == n1 * factor && badCopies == 0 &&
         copies == factor.toLong
