@@ -671,6 +671,18 @@ object DecadeProbe {
     // that no-broadcast layout has its ×97 signal) — what scales N× here
     // is the candidate join volume and the confirm kernel, which is the
     // class under test.
+    //
+    // ×9700 arithmetic (measured ×970 run: 757M candidates / 861 s): the
+    // blocker is NOT the kernel (×10 ≈ 2.2 h of intersect work, runnable)
+    // but the per-(copy, pair) `distinct` — 7.6B rows ≈ 180 GB of
+    // sort-spill, past this box. The recorded scale path: the range side
+    // is partitioned BY COPY and both joins broadcast, so rows never
+    // leave their copy's task — a mapPartitions in-task HashSet dedup
+    // (~780k pairs/copy ≈ 25 MB/task at one copy per task) plus the
+    // jw-probe grouping-sets single-pass aggregation would run ×9700
+    // with no corpus-sized shuffle at all; ~2.4 h kernel-bound on this
+    // box, not run this round for time. (jw_pairs below IS run at ×9700
+    // — its kernel consumes the lazy join with no distinct stage.)
     if (keys.contains("containment_pairs")) timed("containment_pairs") {
       import graft.engine.Dedup
       import graft.functions.GraftExpressions
