@@ -706,38 +706,87 @@ object DecadeProbe {
         .select(col("doc_id").as("id_a"), col("__ns").as("__na"), col("tok"))
         .localCheckpoint()
       val index1 = toks1.select(col("doc_id").as("id_b"), col("__ns").as("__nb"), col("tok"))
-      val cand = spark.range(0, factor, 1, parts).select(col("id").as("__copy"))
-        .crossJoin(broadcast(prefix1))
-        .join(broadcast(index1), "tok")
-        .where(col("id_a") =!= col("id_b") &&
-          col("__nb") * 10 >= col("__na") * 9)
-        .select(col("__copy"), col("id_a"), col("id_b"))
-        .distinct() // once per (copy, pair) across shared prefix tokens
-        .localCheckpoint()
+      // IN-TASK per-copy dedup (the ×9700 unlock — see the arithmetic
+      // note above): both joins broadcast, so every candidate row stays
+      // in its copy's range task, and the broadcast-hash-join chain
+      // streams the range side IN ORDER — each copy's candidate rows
+      // arrive as one contiguous run. A HashSet over (id_a, id_b) packed
+      // into one Long, RESET at each copy boundary, replaces the global
+      // `distinct` whose ×9700 sort-spill (~180 GB) was the recorded
+      // blocker; set size = one copy's candidates (~30 MB), and the
+      // contiguity assumption is GUARDED (a copy reappearing after its
+      // run ended fails loudly instead of under-deduping). Task count
+      // stays at `parts` (not `factor`): the downstream grouping-sets
+      // partial aggregation emits ≤ distinct-pair-groups rows PER TASK,
+      // so the shuffle is tasks × groups — 64 tasks keep it in the GBs
+      // where one-task-per-copy would make it tasks-squared-ish (~150 GB).
+      val candDedup = {
+        import spark.implicits._
+        spark.range(0, factor, 1, parts).select(col("id").as("__copy"))
+          .crossJoin(broadcast(prefix1))
+          .join(broadcast(index1), "tok")
+          .where(col("id_a") =!= col("id_b") &&
+            col("__nb") * 10 >= col("__na") * 9)
+          .select(col("__copy"), col("id_a"), col("id_b"))
+          .as[(Long, Long, Long)]
+          .mapPartitions { it =>
+            val seen = new java.util.HashSet[Long]()
+            val closedCopies = new java.util.HashSet[Long]()
+            var cur = Long.MinValue
+            it.flatMap { case (c, a, b) =>
+              if (c != cur) {
+                require(!closedCopies.contains(c),
+                  s"copy $c reappeared after its contiguous run — in-task dedup unsound here")
+                if (cur != Long.MinValue) closedCopies.add(cur)
+                cur = c; seen.clear()
+              }
+              require(a < (1L << 31) && b < (1L << 31), s"id pack overflow: $a,$b")
+              if (seen.add((a << 31) | b)) Some((c, a, b)) else None
+            }
+          }
+          .toDF("__copy", "id_a", "id_b")
+      }
       def dict(sfx: String) = corpus1.select(col("doc_id").as(s"id_$sfx"),
         col("toks").as(s"toks_$sfx"), col("__ns").as(s"__n$sfx"))
-      val confirmed = cand
+      val confirmed = candDedup
         .join(broadcast(dict("a")), "id_a").join(broadcast(dict("b")), "id_b")
         .withColumn("inter", GraftExpressions.intersectSize(
           col("toks_a"), col("toks_b"), barrier = true))
-        .where(col("inter") * 10 >= col("__na") * 9)
+        .withColumn("__isCand", lit(1L))
+        .withColumn("__isConf",
+          when(col("inter") * 10 >= col("__na") * 9, 1L).otherwise(0L))
         .select(col("__copy"), col("id_a").as("doc_a"), col("id_b").as("doc_b"),
-          round(col("inter").cast("double") / col("__na").cast("double"), 6)
-            .as("containment"))
+          when(col("__isConf") === 1L,
+            round(col("inter").cast("double") / col("__na").cast("double"), 6))
+            .as("containment"),
+          col("__isCand"), col("__isConf"))
+      // Single kernel pass (the jw_pairs grouping-sets discipline): the
+      // per-pair face counts CONFIRMED multiplicities; the per-copy face
+      // carries both candidate and confirmed sums, so the candidate
+      // count needs no second pass either.
+      val agg = confirmed
+        .groupingSets(
+          Seq(Seq(col("doc_a"), col("doc_b"), col("containment")), Seq(col("__copy"))),
+          col("doc_a"), col("doc_b"), col("containment"), col("__copy"))
+        .agg(sum(col("__isConf")).as("__cN"), sum(col("__isCand")).as("__candN"),
+          grouping_id().as("__gid"))
         .localCheckpoint()
+      val perPair = agg.where(col("__gid") === 1 && col("containment").isNotNull)
+        .select(col("doc_a"), col("doc_b"), col("containment"), col("__cN"))
+      val perCopy = agg.where(col("__gid") =!= 1)
+        .select(col("__copy"), col("__cN"), col("__candN")).localCheckpoint()
       val exp1 = Dedup.queries("q_containment_pairs")(spark, src)
         .select(col("doc_a"), col("doc_b"), col("containment")).localCheckpoint()
-      val perPair = confirmed.groupBy(col("doc_a"), col("doc_b"), col("containment"))
-        .agg(count(lit(1)).as("__cN"))
       val mism = exp1.withColumn("__c1", lit(factor.toLong))
         .join(perPair, Seq("doc_a", "doc_b", "containment"), "full_outer")
         .where(coalesce(col("__cN"), lit(0L)) =!= coalesce(col("__c1"), lit(0L)))
         .count()
-      val (n1, nN) = (exp1.count(), confirmed.count())
-      val badCopies = confirmed.groupBy(col("__copy")).count()
-        .where(col("count") =!= n1).count()
-      val copies = confirmed.select(col("__copy")).distinct().count()
-      val candN = cand.count()
+      val n1 = exp1.count()
+      val copyTotals = perCopy.agg(
+        coalesce(sum(col("__cN")), lit(0L)), coalesce(sum(col("__candN")), lit(0L))).head()
+      val (nN, candN) = (copyTotals.getLong(0), copyTotals.getLong(1))
+      val badCopies = perCopy.where(col("__cN") =!= n1).count()
+      val copies = perCopy.count()
       val ok = mism == 0 && nN == n1 * factor && badCopies == 0 &&
         copies == factor.toLong
       if (!ok) fail = true
