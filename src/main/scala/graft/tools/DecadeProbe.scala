@@ -672,17 +672,16 @@ object DecadeProbe {
     // is the candidate join volume and the confirm kernel, which is the
     // class under test.
     //
-    // ×9700 arithmetic (measured ×970 run: 757M candidates / 861 s): the
-    // blocker is NOT the kernel (×10 ≈ 2.2 h of intersect work, runnable)
-    // but the per-(copy, pair) `distinct` — 7.6B rows ≈ 180 GB of
-    // sort-spill, past this box. The recorded scale path: the range side
-    // is partitioned BY COPY and both joins broadcast, so rows never
-    // leave their copy's task — a mapPartitions in-task HashSet dedup
-    // (~780k pairs/copy ≈ 25 MB/task at one copy per task) plus the
-    // jw-probe grouping-sets single-pass aggregation would run ×9700
-    // with no corpus-sized shuffle at all; ~2.4 h kernel-bound on this
-    // box, not run this round for time. (jw_pairs below IS run at ×9700
-    // — its kernel consumes the lazy join with no distinct stage.)
+    // ×9700 (RUN, r16 — DECADEPROBE_x9700cont_r16.json: 7.573B
+    // candidates / 3.732B confirmed / 4,802 s, per-copy exact): the
+    // historical blocker was never the kernel but the per-(copy, pair)
+    // `distinct` — 7.6B rows ≈ 180 GB of sort-spill at ×9700. The shape
+    // below removes it: both joins broadcast, so candidate rows never
+    // leave their copy's range task, and a per-copy-reset in-task
+    // HashSet (see candDedup) dedups with ~30 MB of task state and ZERO
+    // corpus-sized shuffle; verification is the jw-probe grouping-sets
+    // single kernel pass. (jw_pairs below also runs ×9700 — its kernel
+    // consumes the lazy join with no dedup stage at all.)
     if (keys.contains("containment_pairs")) timed("containment_pairs") {
       import graft.engine.Dedup
       import graft.functions.GraftExpressions
