@@ -613,38 +613,75 @@ object DecadeProbe {
         .where(lit(5) * least(col("__n_a"), col("__n_b")) >=
           lit(4) * greatest(col("__n_a"), col("__n_b")))
         .select(col("__copy"), col("id_a"), col("id_b"))
-        .distinct() // once per (copy, pair) across shared bands
-        .localCheckpoint()
+      // In-task per-copy dedup + single-pass verification — the same two
+      // moves that took containment_pairs to ×9700 (full rationale and
+      // the contiguity guard's justification at that probe): the
+      // broadcast-join chain keeps every candidate row in its copy's
+      // range task and streams copies contiguously, so a per-copy-reset
+      // HashSet replaces the global distinct (the ×9700 sort-spill
+      // blocker), and grouping sets derive the per-pair AND per-copy
+      // counts from ONE kernel pass with no confirmed-frame checkpoint.
+      val candDedup = {
+        import spark.implicits._
+        cand.as[(Long, Long, Long)]
+          .mapPartitions { it =>
+            val seen = new java.util.HashSet[Long]()
+            val closedCopies = new java.util.HashSet[Long]()
+            var cur = Long.MinValue
+            it.flatMap { case (c, a, b) =>
+              if (c != cur) {
+                require(!closedCopies.contains(c),
+                  s"copy $c reappeared after its contiguous run — in-task dedup unsound here")
+                if (cur != Long.MinValue) closedCopies.add(cur)
+                cur = c; seen.clear()
+              }
+              require(a < (1L << 31) && b < (1L << 31), s"id pack overflow: $a,$b")
+              if (seen.add((a << 31) | b)) Some((c, a, b)) else None
+            }
+          }
+          .toDF("__copy", "id_a", "id_b")
+      }
       // Exact confirm at N× volume, dict attached from the broadcast 1×
       // frame (ids are copy-invariant; the arrays exist once).
       def dict(sfx: String) = sigs1.select(col("doc_id").as(s"id_$sfx"),
         col("grams").as(s"grams_$sfx"), col("__n").as(s"__n_$sfx"))
-      val confirmed = cand
+      val confirmed = candDedup
         .join(broadcast(dict("a")), "id_a").join(broadcast(dict("b")), "id_b")
         .withColumn("inter", GraftExpressions.intersectSize(
           col("grams_a"), col("grams_b"), barrier = true))
-        .withColumn("jaccard", round(col("inter").cast("double") /
+        .withColumn("__j", round(col("inter").cast("double") /
           (col("__n_a") + col("__n_b") - col("inter")).cast("double"), 6))
-        .where(col("jaccard") >= 0.8)
+        .withColumn("__isCand", lit(1L))
+        .withColumn("__isConf", when(col("__j") >= 0.8, 1L).otherwise(0L))
         .select(col("__copy"), col("id_a").as("doc_a"), col("id_b").as("doc_b"),
-          col("jaccard"))
+          when(col("__isConf") === 1L, col("__j")).as("jaccard"),
+          col("__isCand"), col("__isConf"))
+      val agg = confirmed
+        .groupingSets(
+          Seq(Seq(col("doc_a"), col("doc_b"), col("jaccard")), Seq(col("__copy"))),
+          col("doc_a"), col("doc_b"), col("jaccard"), col("__copy"))
+        .agg(sum(col("__isConf")).as("__cN"), sum(col("__isCand")).as("__candN"),
+          grouping_id().as("__gid"))
         .localCheckpoint()
+      val perPair = agg.where(col("__gid") === 1 && col("jaccard").isNotNull)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"), col("__cN"))
+      val perCopy = agg.where(col("__gid") =!= 1)
+        .select(col("__copy"), col("__cN"), col("__candN")).localCheckpoint()
       // Closed form: the graded 1× output (DuckDB-pinned), N times each.
       val exp1 = Dedup.queries("q_ngram_jaccard")(spark, src)
         .select(col("doc_a"), col("doc_b"), col("jaccard")).localCheckpoint()
-      val perPair = confirmed.groupBy(col("doc_a"), col("doc_b"), col("jaccard"))
-        .agg(count(lit(1)).as("__cN"))
       val mism = exp1.withColumn("__c1", lit(factor.toLong))
         .join(perPair, Seq("doc_a", "doc_b", "jaccard"), "full_outer")
         .where(coalesce(col("__cN"), lit(0L)) =!= coalesce(col("__c1"), lit(0L)))
         .count()
-      val (n1, nN) = (exp1.count(), confirmed.count())
+      val n1 = exp1.count()
+      val copyTotals = perCopy.agg(
+        coalesce(sum(col("__cN")), lit(0L)), coalesce(sum(col("__candN")), lit(0L))).head()
+      val (nN, candN) = (copyTotals.getLong(0), copyTotals.getLong(1))
       // Every copy must confirm EXACTLY the 1× pair count — a copy whose
       // count drifts pinpoints nondeterminism in the kernel path.
-      val badCopies = confirmed.groupBy(col("__copy")).count()
-        .where(col("count") =!= n1).count()
-      val copies = confirmed.select(col("__copy")).distinct().count()
-      val candN = cand.count()
+      val badCopies = perCopy.where(col("__cN") =!= n1).count()
+      val copies = perCopy.count()
       val ok = mism == 0 && nN == n1 * factor && badCopies == 0 &&
         copies == factor.toLong
       if (!ok) fail = true
