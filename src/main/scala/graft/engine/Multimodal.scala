@@ -78,13 +78,25 @@ object Multimodal {
   def parseBmp(b: Array[Byte]): Option[ParsedMedia] = {
     if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
     val fileSize = le32(b, 2)
+    val offBits = le32(b, 10)
     val infoSize = le32(b, 14)
     val w = le32(b, 18)
     val h = le32(b, 22)
     val planes = le16(b, 26)
     val bpp = le16(b, 28)
+    // h == Int.MinValue survives math.abs as a NEGATIVE height — reject it
+    // alongside h == 0 (r16 ADVICE low).
     if (fileSize != b.length || infoSize != 40 || planes != 1 ||
-      w <= 0 || h == 0 || !(bpp == 8 || bpp == 24 || bpp == 32)) None
+      w <= 0 || h == 0 || h == Int.MinValue ||
+      !(bpp == 8 || bpp == 24 || bpp == 32)) return None
+    // The payload must actually HOLD the declared pixels: offBits points
+    // past both headers (palettes may widen it) and the data region covers
+    // |h| rows of the 4-byte-aligned stride. Long arithmetic throughout —
+    // a self-consistent 54-byte header declaring huge w/h must fall to the
+    // stub, not report fictitious dimensions (r16 ADVICE low).
+    val stride = ((w.toLong * bpp + 31L) / 32L) * 4L
+    val absH = math.abs(h.toLong)
+    if (offBits < 54 || offBits.toLong + stride * absH > b.length) None
     else Some(ParsedMedia("bmp", w, math.abs(h), bpp / 8, 0, 0L, 0L))
   }
 

@@ -83,11 +83,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * `\r`), so a field VALUE containing a tab/newline/backslash — or the
   * literal two-character string "\N" — round-trips exactly instead of
   * breaking the 6-field frame (r15 ADVICE low). FORMAT NOTE: v1 logs
-  * (pre-escaping writer) stored raw backslashes; a v1 segment whose
-  * string values contain `\` must be re-staged before a v2 reader
-  * touches it (the reader rejects unknown escapes loudly rather than
-  * guessing). The `\N` null marker and all numeric fields are identical
-  * across versions. `value` is staged with `java.lang.Double.toString`,
+  * (pre-escaping writer) stored raw backslashes, which are NOT content-
+  * detectable — a raw `\` before t/n/r/\/N parses as a v2 escape (e.g.
+  * a v1 value `c:\temp` would read back with a real tab); only OTHER
+  * trailing characters throw. The guard is therefore provenance, not
+  * parsing: `stage` stamps a `_FORMAT-v2` marker per segment dir and
+  * readers refuse unmarked dirs outright (r16 ADVICE low). The `\N`
+  * null marker and all numeric fields are identical across versions. `value` is staged with `java.lang.Double.toString`,
   * which round-trips bit-exactly through `parseDouble` — the parity
   * tests are hash-exact, not approximate.
   */
@@ -135,6 +137,14 @@ object ReplaySource {
   val SegmentSuffix = ".tsv"
   private val SegmentName = raw"segment-(\d{6})\.tsv".r
 
+  /** Row-format version stamp, written once per segment dir by [[stage]].
+    * Readers REFUSE dirs that hold segments without it (r16 ADVICE low):
+    * v1 pre-escaping rows whose raw backslashes precede t/n/r/\/N would
+    * otherwise be silently reinterpreted as escapes — only provenance,
+    * not content, can tell the versions apart.
+    */
+  val FormatMarker = "_FORMAT-v2"
+
   /** One listed log segment: the filename-derived index that anchors
     * offsets, the qualified path, and the byte size (statistics).
     */
@@ -145,6 +155,29 @@ object ReplaySource {
     * (e.g. the `_staging` dirs `stage` uses, editor droppings).
     */
   def listSegments(dir: String, conf: Configuration = new Configuration()): Vector[Segment] = {
+    val segs = rawListSegments(dir, conf)
+    if (segs.nonEmpty) {
+      // v1 (pre-escaping) segments are NOT detectable from content — a raw
+      // backslash before t/n/r/\/N parses as a v2 escape and silently
+      // corrupts the value. The only sound guard is provenance: every v2
+      // writer stamps FormatMarker, so segments without it are refused
+      // outright instead of being half-detected.
+      val p = new Path(dir)
+      val fs = p.getFileSystem(conf)
+      require(fs.exists(new Path(p, FormatMarker)),
+        s"replay dir $dir has segments but no $FormatMarker marker — v1 " +
+          "(pre-escaping) or foreign segments must be re-staged through " +
+          "ReplaySource.stage before a v2 reader touches them")
+    }
+    segs
+  }
+
+  /** Segment listing WITHOUT the format-version check — `stage` needs it
+    * to inspect a dir before deciding whether stamping [[FormatMarker]]
+    * is legitimate (stamping over unmarked foreign segments would bless
+    * v1 data the reader must refuse).
+    */
+  private def rawListSegments(dir: String, conf: Configuration): Vector[Segment] = {
     val p = new Path(dir)
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) Vector.empty
@@ -255,9 +288,19 @@ object ReplaySource {
           s(v, (d: Double) => java.lang.Double.toString(d)), s(props, escape)).mkString("\t")
       }
     val hconf = spark.sparkContext.hadoopConfiguration
+    val dirPath = new Path(dir)
+    val dirFs = dirPath.getFileSystem(hconf)
+    val markerPath = new Path(dirPath, FormatMarker)
+    // Appending v2 segments to an UNMARKED dir that already holds
+    // segments would mix escaping regimes under one marker — refuse, the
+    // same provenance rule the reader enforces.
+    require(rawListSegments(dir, hconf).isEmpty || dirFs.exists(markerPath),
+      s"replay dir $dir has segments but no $FormatMarker marker — refusing " +
+        "to append v2 segments over unmarked (possibly v1) data")
     val staging = new Path(dir, s"_staging-${java.util.UUID.randomUUID()}")
     lines.repartition(segments).write.text(staging.toString)
     val fs = staging.getFileSystem(hconf)
+    if (!dirFs.exists(markerPath)) dirFs.create(markerPath, true).close()
     val nextIdx = listSegments(dir, hconf).lastOption.map(_.index + 1).getOrElse(0)
     val parts = fs.listStatus(staging).iterator
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
@@ -305,9 +348,18 @@ class ReplayTable(options: CaseInsensitiveStringMap) extends Table with Supports
       override def build(): Scan = new ReplayScan(path,
         Option(opts.get("maxFilesPerTrigger")).map(_.toInt),
         // Driver-side capture of the session's Hadoop conf (spark.hadoop.*
-        // and cluster defaults included) — shipped to every reader.
-        new SerializableHadoopConf(
-          SparkSession.active.sparkContext.hadoopConfiguration))
+        // and cluster defaults included) — shipped to every reader. The
+        // session is resolved active-then-default (scan builders can run
+        // on planner threads with no thread-local active session), and
+        // the conf is COPIED at capture so later driver-side mutations of
+        // hadoopConfiguration cannot leak into an already-built scan
+        // (r16 ADVICE low).
+        new SerializableHadoopConf(new Configuration(
+          SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+            .getOrElse(throw new IllegalStateException(
+              "graft-replay scan build requires an active or default SparkSession " +
+                "to capture the Hadoop configuration"))
+            .sparkContext.hadoopConfiguration)))
     }
 }
 

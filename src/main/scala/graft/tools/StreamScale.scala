@@ -104,12 +104,22 @@ object StreamScale {
     * FILES into one batch, so callers must stage enough tail files that
     * one lands in a later batch at their trigger setting (StreamJoinScale
     * stages three for maxFilesPerTrigger = 2). Idempotent via the
-    * `_GRAFT_STREAM_INPUT` marker.
+    * `_GRAFT_STREAM_INPUT` marker, which records slice and sentinel
+    * counts — a layout change rebuilds instead of reusing stale input.
     */
   def prepareTsOrderedInput(spark: SparkSession, ev: DataFrame, inputDir: String,
       slices: Int, maxTs: java.sql.Timestamp,
       sentinelFiles: Seq[Seq[(Long, Long, String)]], scratchDir: String): Unit = {
-    if (new java.io.File(s"$inputDir/_GRAFT_STREAM_INPUT").isFile) return
+    // The marker records the LAYOUT (slice and sentinel-file counts), not
+    // just existence: rerunning against the same OUT dir with a different
+    // STREAM_SLICES/sentinel staging must rebuild, not silently reuse the
+    // stale layout (r16 ADVICE low).
+    val markerContent = s"slices=$slices;sentinels=${sentinelFiles.length}"
+    val markerFile = new java.io.File(s"$inputDir/_GRAFT_STREAM_INPUT")
+    if (markerFile.isFile) {
+      if (java.nio.file.Files.readString(markerFile.toPath) == markerContent) return
+      Sources.deleteRecursively(new java.io.File(inputDir))
+    }
     import spark.implicits._
     ev.repartitionByRange(slices, col("ts"), col("event_id"))
       .write.mode("overwrite").parquet(inputDir)
@@ -136,7 +146,7 @@ object StreamScale {
       f.setLastModified(base + (parts.length + 2 * (i + 1)) * 2000L)
     }
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(inputDir, "_GRAFT_STREAM_INPUT"), s"slices=$slices")
+      java.nio.file.Paths.get(inputDir, "_GRAFT_STREAM_INPUT"), markerContent)
   }
 
   def main(args: Array[String]): Unit = {

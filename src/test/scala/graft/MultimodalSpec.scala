@@ -95,6 +95,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert((down.width, down.height) == ((5, 4))) // |biHeight| reported
   }
 
+  test("BMP parser: self-consistent header with undersized payload falls to None (r16 ADVICE)") {
+    // A bare 54-byte header whose fileSize matches its own length but
+    // declares huge dimensions: the old fileSize==length check passed it;
+    // the pixel-coverage guard (Long stride · |h|) must reject it.
+    def header54(w: Int, h: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(54).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte).put('M'.toByte).putInt(54).putShort(0).putShort(0).putInt(54)
+      b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      b.putInt(0).putInt(0).putInt(0).putInt(0).putInt(0).putInt(0)
+      b.array()
+    }
+    assert(Multimodal.parseBmp(header54(100000, 100000)).isEmpty)
+    // Would overflow Int stride arithmetic; Long math must stay sound.
+    assert(Multimodal.parseBmp(header54(Int.MaxValue / 2, 4)).isEmpty)
+    // biHeight == Int.MinValue survives math.abs as negative — rejected.
+    val minH = Multimodal.makeBmp(2, 3, topDown = false, seed = 7L)
+    val patched = minH.clone()
+    java.nio.ByteBuffer.wrap(patched).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(22, Int.MinValue)
+    assert(Multimodal.parseBmp(patched).isEmpty)
+    // Truncated pixel region with a patched-to-match fileSize: rejected.
+    val trunc = minH.take(54 + 10)
+    java.nio.ByteBuffer.wrap(trunc).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(2, trunc.length)
+    assert(Multimodal.parseBmp(trunc).isEmpty)
+    // The real generated payload still parses (guard is not over-strict).
+    assert(Multimodal.parseBmp(minH).nonEmpty)
+  }
+
   test("WAV parser: real chunk walk skips a LIST chunk before data; duration from sample rate") {
     val wav = Multimodal.makeWav(2, 16000, 250, seed = 3L)
     val p = Multimodal.parseWav(wav).get

@@ -43,6 +43,26 @@ class ReplaySourceSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](ReplayOffset.fromJson("""{"rows":3}"""))
   }
 
+  test("unmarked segment dirs are refused by reader AND stager (v1 provenance guard)") {
+    // v1 (pre-escaping) rows are not content-detectable — a raw backslash
+    // before t/n/r/\/N silently reinterprets as an escape. The guard is
+    // provenance: stage stamps _FORMAT-v2; a dir holding segments WITHOUT
+    // the marker is refused outright by listSegments and by stage.
+    val dir = tmp("graft-replay-v1guard")
+    ReplaySource.stage(fixture.limit(50), dir, segments = 1)
+    assert(new java.io.File(dir, ReplaySource.FormatMarker).isFile)
+    assert(ReplaySource.listSegments(dir).size == 1) // marked: reads fine
+    assert(new java.io.File(dir, ReplaySource.FormatMarker).delete())
+    intercept[IllegalArgumentException](ReplaySource.listSegments(dir))
+    intercept[IllegalArgumentException](
+      ReplaySource.stage(fixture.limit(10), dir, segments = 1))
+    // An empty (or segment-free) dir needs no marker — staging bootstraps it.
+    val fresh = tmp("graft-replay-v1guard-fresh")
+    assert(ReplaySource.listSegments(fresh).isEmpty)
+    ReplaySource.stage(fixture.limit(10), fresh, segments = 1)
+    assert(ReplaySource.listSegments(fresh).size == 1)
+  }
+
   test("batch face reads back the staged frame exactly (nulls included)") {
     val dir = tmp("graft-replay-batch")
     // A null in every nullable column exercises the \N codec.
