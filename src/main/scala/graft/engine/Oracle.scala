@@ -777,6 +777,35 @@ object Oracle {
         END)::BIGINT AS n_bytes
       FROM documents ORDER BY media_id""",
 
+    // PNG closed loop (Multimodal.qMultimodalPng): the engine generates
+    // an RGB PNG per doc_id (all five row filters, stored-deflate IDAT)
+    // and decodes it with the real CRC-walk + Inflater + unfilter
+    // pipeline; here every column is predicted arithmetically. n_bytes =
+    // 8 sig + 25 IHDR + 12 IDAT framing + zlib(2 + raw + 5*ceil(raw/
+    // 65535) + 4) + 12 IEND with raw = h*(1+3w). pixel_sum: pixels are
+    // (doc_id + i) mod 256 over n = 3wh bytes — (n div 256) full cycles
+    // of 32640 plus a tail that starts at a = doc_id mod 256 and may
+    // wrap once: split at 256 - a.
+    "q_multimodal_png" -> """
+      WITH px AS (
+        SELECT doc_id,
+          (1 + doc_id % 21)::INT AS w,
+          (1 + doc_id % 17)::INT AS h,
+          3 * (1 + doc_id % 21) * (1 + doc_id % 17) AS n,
+          doc_id % 256 AS a
+        FROM documents
+      )
+      SELECT doc_id AS media_id, 'png' AS format, w AS width, h AS height,
+        3::INT AS n_channels,
+        (57 + 2 + (h * (1 + 3 * w)) + 5 * ((h * (1 + 3 * w) + 65534) // 65535) + 4)::BIGINT AS n_bytes,
+        ((n // 256) * 32640
+         + CASE WHEN a + (n % 256) <= 256
+             THEN (n % 256) * a + ((n % 256) * ((n % 256) - 1)) // 2
+             ELSE (256 - a) * a + ((256 - a) * (255 - a)) // 2
+                  + (((n % 256) - (256 - a)) * ((n % 256) - (256 - a) - 1)) // 2
+           END)::BIGINT AS pixel_sum
+      FROM px ORDER BY media_id""",
+
     // Frame-sampling check twin (Multimodal.qMultimodalFramesCheck):
     // every document yields exactly one media row (index 0 always
     // sampled); the stride/bytes/dims invariants are expected TRUE.

@@ -207,4 +207,96 @@ class MultimodalSpec extends AnyFunSuite {
       }
     }
   }
+
+  // ------------------------------------------------------------- PNG tier
+
+  /** Independent pixel sum: recompute (seed + i) mod 256 directly. */
+  private def expectedPixelSum(w: Int, h: Int, seed: Long): Long =
+    (0 until 3 * w * h).map(i => (seed + i) & 0xff).sum
+
+  test("PNG closed loop: stored and REALLY-compressed multi-IDAT streams decode identically") {
+    for (id <- 0L until 200L) {
+      val (w, h) = ((1 + id % 21).toInt, (1 + id % 17).toInt)
+      val stored = Multimodal.parsePngPixels(Multimodal.makePng(w, h, id)).get
+      val compressed = Multimodal.parsePngPixels(Multimodal.makePngCompressed(w, h, id)).get
+      assert(stored == compressed, s"id=$id")
+      val (p, sum) = stored
+      assert((p.format, p.width, p.height, p.n_channels) == (("png", w, h, 3)), s"id=$id")
+      assert(sum == expectedPixelSum(w, h, id), s"id=$id")
+      // n_bytes closed form the oracle uses: 57 + zlib(2 + raw + 5*blocks + 4).
+      val raw = h * (1 + 3 * w)
+      assert(Multimodal.makePng(w, h, id).length ==
+        57 + 2 + raw + 5 * ((raw + 65534) / 65535) + 4, s"id=$id")
+    }
+  }
+
+  test("PNG decoder vs an independent encoder: javax.imageio round-trip") {
+    // ImageIO is the JDK's own, independently-written PNG encoder — if
+    // our unfilter agreed with our forward filter but not with the spec,
+    // this catches it. (Headless-safe: BufferedImage needs no display.)
+    val (w, h, seed) = (23, 11, 42L)
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val i = 3 * (y * w + x)
+      def c(k: Int) = ((seed + i + k) & 0xff).toInt
+      img.setRGB(x, y, (c(0) << 16) | (c(1) << 8) | c(2)) // RGB order
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val (p, sum) = Multimodal.parsePngPixels(bos.toByteArray).get
+    assert((p.format, p.width, p.height, p.n_channels) == (("png", w, h, 3)))
+    assert(sum == expectedPixelSum(w, h, seed))
+  }
+
+  test("PNG adversarial edges: truncation, bad filter, bad CRC, zip-bomb dims, unsupported profiles") {
+    val good = Multimodal.makePng(9, 7, 5L)
+    def stubbed(b: Array[Byte]): Boolean =
+      Multimodal.decode(MediaRecord(9L, b, "image")) ==
+        Multimodal.decodeStub(MediaRecord(9L, b, "image"))
+    // Truncated IDAT (drop the tail): incomplete zlib stream -> stub.
+    assert(stubbed(good.dropRight(20)))
+    // Bad filter-type byte: patch the first raster byte inside the stored
+    // block (offset: 8 sig + 25 IHDR + 8 IDAT hdr + 2 zlib + 5 stored = 48).
+    val badFilter = good.clone(); badFilter(48) = 7.toByte
+    assert(stubbed(badFilter)) // CRC now wrong too; also rebuild with valid CRC:
+    val rebuilt = {
+      val raw = java.util.Arrays.copyOfRange(good, 41, good.length - 12 - 4) // IDAT data incl zlib
+      raw(2 + 5) = 7.toByte // filter byte inside stored block
+      // adler over modified payload no longer matches -> still must stub, not throw
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(good, 0, 33) // sig + IHDR
+      out.write(raw.length >>> 24); out.write((raw.length >>> 16) & 0xff)
+      out.write((raw.length >>> 8) & 0xff); out.write(raw.length & 0xff)
+      out.write("IDAT".getBytes); out.write(raw)
+      val crc = new java.util.zip.CRC32(); crc.update("IDAT".getBytes); crc.update(raw)
+      out.write((crc.getValue >>> 24).toInt & 0xff); out.write((crc.getValue >>> 16).toInt & 0xff)
+      out.write((crc.getValue >>> 8).toInt & 0xff); out.write(crc.getValue.toInt & 0xff)
+      out.write(good, good.length - 12, 12) // IEND
+      out.toByteArray
+    }
+    assert(stubbed(rebuilt))
+    // Flipped CRC on a chunk -> stub.
+    val badCrc = good.clone(); badCrc(29) = (badCrc(29) ^ 0x55).toByte
+    assert(stubbed(badCrc))
+    // Unsupported profiles fall back: 16-bit depth, palette, interlaced.
+    // (IHDR CRC is recomputed, so the guard under test — not the CRC
+    // check — is what rejects.)
+    def patchIhdr(off: Int, v: Byte): Array[Byte] = {
+      val b = good.clone(); b(off) = v
+      val crc = new java.util.zip.CRC32(); crc.update(b, 12, 17)
+      java.nio.ByteBuffer.wrap(b).putInt(29, crc.getValue.toInt); b
+    }
+    // Declared w*h past the raster cap (zip-bomb header) with a VALID
+    // CRC -> stub, decided from the header BEFORE any inflate call.
+    val bomb = good.clone()
+    java.nio.ByteBuffer.wrap(bomb).putInt(16, Int.MaxValue / 2).putInt(20, Int.MaxValue / 2)
+    val bombCrc = new java.util.zip.CRC32(); bombCrc.update(bomb, 12, 17)
+    java.nio.ByteBuffer.wrap(bomb).putInt(29, bombCrc.getValue.toInt)
+    assert(stubbed(bomb))
+    assert(stubbed(patchIhdr(24, 16.toByte))) // bit depth 16
+    assert(stubbed(patchIhdr(25, 3.toByte)))  // palette color type
+    assert(stubbed(patchIhdr(28, 1.toByte)))  // Adam7 interlace
+    // And the untouched payload still decodes (guards are not over-strict).
+    assert(!stubbed(good))
+  }
 }
