@@ -32,6 +32,12 @@ import graft.streaming.Streams
   *    watermark passes the purchase's match window (the KStream leftJoin
   *    grace-expiry semantics). The sink must hold exactly one row per
   *    unmatched purchase even across the kill/replay seam.
+  *  - `ssjoin_right_outer` / `ssjoin_full_outer` (r17, r16 verdict item
+  *    #2): the click-padded and BOTH-padded faces under the same
+  *    mid-stream kill — full_outer's double-sided null emission is the
+  *    riskiest semantics (each unmatched row on EITHER side exactly once
+  *    across the seam). Closure: every face's matched core ≡ inner, and
+  *    full_outer's per-side null multisets ≡ the single-sided faces'.
   *
   * Sentinels: each side's watermark column sits ABOVE its event_type
   * filter, so the tail must carry one purchase AND one click to advance
@@ -117,9 +123,17 @@ object StreamJoinScale {
           joinType)
         .select(col("l.event_id").as("p_id"), col("r.event_id").as("c_id"))
 
+    // Sentinel rows carry NEGATIVE event_ids on whichever side they
+    // materialize — including as one half of a null-padded outer row —
+    // while REAL null-padded rows must survive: null-preserving filter,
+    // not `p_id >= 0` (whose null comparison silently drops the
+    // right_outer/full_outer null-left rows under test).
+    val nonSentinel = (col("p_id").isNull || col("p_id") >= 0L) &&
+      (col("c_id").isNull || col("c_id") >= 0L)
+
     case class Face(key: String, parity: Boolean, stateBounded: Boolean,
         rowsStream: Long, rowsBatch: Long, onlyS: Long, onlyB: Long,
-        nullRows: Long, peakRows: Long, peakMemMb: Long, dropped: Long,
+        nullLeft: Long, nullRows: Long, peakRows: Long, peakMemMb: Long, dropped: Long,
         batches: Long, crashed: Boolean, rowsBeforeKill: Long, wallSec: Double)
 
     def runFace(key: String, joinType: String): Face = {
@@ -152,42 +166,82 @@ object StreamJoinScale {
       val peakMem = progresses.flatMap(_.stateOperators.map(_.memoryUsedBytes)).maxOption.getOrElse(0L)
       val dropped = progresses.flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
       val batches = progresses.count(_.numInputRows > 0).toLong
-      val streamed = spark.read.parquet(outDir).where(col("p_id") >= 0L).localCheckpoint()
+      val streamed = spark.read.parquet(outDir).where(nonSentinel).localCheckpoint()
       val batch = batchTwin(joinType).localCheckpoint()
       val onlyS = streamed.exceptAll(batch).count()
       val onlyB = batch.exceptAll(streamed).count()
       val (nS, nB) = (streamed.count(), batch.count())
+      val nullLeft = streamed.where(col("p_id").isNull).count()
       val nullRows = streamed.where(col("c_id").isNull).count()
       val wall = (System.nanoTime() - t0) / 1e9
       Face(key, onlyS == 0 && onlyB == 0 && nS == nB,
-        peakRows < evCount / 10, nS, nB, onlyS, onlyB, nullRows,
+        peakRows < evCount / 10, nS, nB, onlyS, onlyB, nullLeft, nullRows,
         peakRows, peakMem / 1000000, dropped, batches, crashed, rowsBeforeKill, wall)
     }
 
-    val faces = Seq(runFace("ssjoin_inner", "inner"),
-      runFace("ssjoin_left_outer", "left_outer"))
+    // r17 (r16 verdict item #2): the remaining outer faces join the gate.
+    // full_outer is the semantically riskiest — null padding on BOTH
+    // sides, each emitted exactly once on watermark expiry, across the
+    // same mid-stream kill; right_outer pads the click side.
+    val faceDefs = Seq("ssjoin_inner" -> "inner", "ssjoin_left_outer" -> "left_outer",
+      "ssjoin_right_outer" -> "right_outer", "ssjoin_full_outer" -> "full_outer")
+    val wanted = sys.env.get("STREAMJOIN_FACES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val faces = faceDefs.filter(fd => wanted.forall(_.contains(fd._2)))
+      .map { case (k, jt) => runFace(k, jt) }
     faces.foreach { f =>
       println(s"""{"key":"${f.key}","parity":${f.parity},"state_bounded":${f.stateBounded},""" +
         s""""rows_stream":${f.rowsStream},"rows_batch":${f.rowsBatch},""" +
-        s""""only_stream":${f.onlyS},"only_batch":${f.onlyB},"null_padded_rows":${f.nullRows},""" +
+        s""""only_stream":${f.onlyS},"only_batch":${f.onlyB},""" +
+        s""""null_padded_left_rows":${f.nullLeft},"null_padded_rows":${f.nullRows},""" +
         s""""peak_state_rows":${f.peakRows},"peak_state_mem_mb":${f.peakMemMb},""" +
         s""""dropped_by_watermark":${f.dropped},"batches":${f.batches},""" +
         s""""crash_injected":${f.crashed},"rows_before_kill":${f.rowsBeforeKill},""" +
         s""""wall_sec":${f"${f.wallSec}%.1f"}}""")
     }
-    // Cross-face consistency: left_outer minus its null rows ≡ inner.
-    val innerOut = spark.read.parquet(s"$out/ssjoin_inner").where(col("p_id") >= 0L)
-    val outerNonNull = spark.read.parquet(s"$out/ssjoin_left_outer")
-      .where(col("p_id") >= 0L && col("c_id").isNotNull)
-    val xOnlyI = innerOut.exceptAll(outerNonNull).count()
-    val xOnlyO = outerNonNull.exceptAll(innerOut).count()
-    val crossOk = xOnlyI == 0 && xOnlyO == 0
+    // Cross-face closure over the MATCHED core: every outer face minus
+    // its null-padded rows must equal the inner face, and full_outer's
+    // per-side null-padded row multisets must equal the single-sided
+    // faces' (all read back from the crash-seamed sinks, sentinels
+    // filtered null-preservingly).
+    val ranKeys = faces.map(_.key).toSet
+    def sink(key: String): DataFrame =
+      spark.read.parquet(s"$out/$key").where(nonSentinel).localCheckpoint()
+    def multisetEq(a: DataFrame, b: DataFrame): Boolean =
+      a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0
+    val crossChecks: Seq[(String, Boolean)] =
+      if (!ranKeys.contains("ssjoin_inner")) Seq.empty
+      else {
+        val inner = sink("ssjoin_inner")
+        def matchedEqInner(key: String): Option[(String, Boolean)] =
+          if (!ranKeys.contains(key)) None
+          else Some(s"${key}_matched_equals_inner" -> multisetEq(
+            sink(key).where(col("p_id").isNotNull && col("c_id").isNotNull), inner))
+        val sides: Seq[(String, Boolean)] =
+          if (!ranKeys.contains("ssjoin_full_outer")) Seq.empty
+          else {
+            val full = sink("ssjoin_full_outer")
+            val leftNulls = Option.when(ranKeys.contains("ssjoin_left_outer"))(
+              "full_right_nulls_equal_left_outer" -> multisetEq(
+                full.where(col("c_id").isNull),
+                sink("ssjoin_left_outer").where(col("c_id").isNull)))
+            val rightNulls = Option.when(ranKeys.contains("ssjoin_right_outer"))(
+              "full_left_nulls_equal_right_outer" -> multisetEq(
+                full.where(col("p_id").isNull),
+                sink("ssjoin_right_outer").where(col("p_id").isNull)))
+            Seq(leftNulls, rightNulls).flatten
+          }
+        Seq("ssjoin_left_outer", "ssjoin_right_outer", "ssjoin_full_outer")
+          .flatMap(matchedEqInner) ++ sides
+      }
+    val crossOk = crossChecks.forall(_._2)
     val crashMissed = crashWanted && faces.exists(!_.crashed)
     val pass = faces.forall(f => f.parity && f.stateBounded && f.dropped == 0) &&
       crossOk && !crashMissed
+    val crossJson = crossChecks.map { case (k, v) => s""""$k":$v""" }.mkString(",")
     println(s"""{"stream_join":{"src":"$src","rows":$evCount,"slices":$slices,""" +
       s""""crash_frac":$crashFrac,"crash_missed":$crashMissed,""" +
-      s""""outer_minus_null_equals_inner":$crossOk,"pass":$pass}}""")
+      s"""$crossJson${if (crossJson.nonEmpty) "," else ""}"pass":$pass}}""")
     spark.stop()
     if (!pass) sys.exit(1)
   }
