@@ -1,0 +1,302 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+
+import graft.engine.Tables
+
+/** Randomized differential gate (r16 verdict item #3): a seeded grammar
+  * generates hundreds of random queries over the TPC-H fixture schemas
+  * and runs EACH ONE on Spark and on DuckDB, comparing exact multisets —
+  * the correctness axis the fixed keys structurally cannot cover
+  * (expression-semantics drift on nulls, three-valued logic, mixed
+  * types, grouping on computed expressions, outer-join null fan-out).
+  *
+  * Dialect discipline — the grammar emits ONLY constructs whose
+  * semantics are bit-identical across Spark and DuckDB, so every
+  * mismatch is a REAL bug, not dialect noise:
+  *  - computed integers are wrapped `CAST(... AS BIGINT)` (DuckDB's
+  *    sum(INT) is HUGEINT, Spark's is BIGINT; int32 arithmetic widths
+  *    differ — a uniform cast removes the entire class);
+  *  - no floating aggregation or division (order-dependent rounding);
+  *    doubles appear as pass-through projections, comparisons, and
+  *    min/max only — all exact. Money sums go through the engine's own
+  *    integer-cents idiom `sum(CAST(round(x*100) AS BIGINT))` (2-decimal
+  *    inputs: the rounding argument is never a .5 tie);
+  *  - no ORDER BY/LIMIT (the compare is multiset-exact already; ties
+  *    under LIMIT are legitimately nondeterministic);
+  *  - string ops restricted to upper/substr/length/concat/LIKE on the
+  *    ASCII fixture columns (no collation surface);
+  *  - timestamps: the fixture stores TIMESTAMP(MICROS), which Spark
+  *    reads as TIMESTAMP_NTZ and DuckDB as naive — comparisons against
+  *    `TIMESTAMP '...'` literals and min/max pass-through are value
+  *    identical under the UTC session.
+  *
+  * The dump is Verify-shaped (result parquet per key + oracle_sql.json
+  * holding THE SAME SQL), so tools/compare.py — the driver's gate — does
+  * the comparison unchanged: one query text, two engines, zero
+  * per-query oracle authorship.
+  *
+  * Env: FUZZ_N (default 500), FUZZ_SEED (default 20260816), FUZZ_SRC
+  * (default /root/testdata/sf0.01), FUZZ_OUT (default target/fuzz).
+  * Prints one summary JSON line; Spark-side errors make the exit
+  * nonzero (grammar queries must be runnable by construction).
+  */
+object FuzzGate {
+
+  private case class Col(name: String, typ: String) // int | dbl | str | ts
+  private case class Table(name: String, cols: Seq[Col]) {
+    def of(t: String): Seq[Col] = cols.filter(_.typ == t)
+  }
+
+  private val tables: Map[String, Table] = Seq(
+    Table("lineitem", Seq(
+      Col("l_orderkey", "int"), Col("l_partkey", "int"), Col("l_suppkey", "int"),
+      Col("l_linenumber", "int"), Col("l_quantity", "dbl"), Col("l_extendedprice", "dbl"),
+      Col("l_discount", "dbl"), Col("l_tax", "dbl"), Col("l_returnflag", "str"),
+      Col("l_linestatus", "str"), Col("l_shipdate", "ts"))),
+    Table("orders", Seq(
+      Col("o_orderkey", "int"), Col("o_custkey", "int"), Col("o_orderstatus", "str"),
+      Col("o_totalprice", "dbl"), Col("o_orderdate", "ts"), Col("o_orderpriority", "str"))),
+    Table("customer", Seq(
+      Col("c_custkey", "int"), Col("c_name", "str"), Col("c_nationkey", "int"),
+      Col("c_acctbal", "dbl"), Col("c_mktsegment", "str"))),
+    Table("part", Seq(
+      Col("p_partkey", "int"), Col("p_name", "str"), Col("p_brand", "str"),
+      Col("p_type", "str"), Col("p_size", "int"), Col("p_retailprice", "dbl"))),
+    Table("supplier", Seq(
+      Col("s_suppkey", "int"), Col("s_name", "str"), Col("s_nationkey", "int"),
+      Col("s_acctbal", "dbl"))),
+    Table("nation", Seq(
+      Col("n_nationkey", "int"), Col("n_name", "str"), Col("n_regionkey", "int"))),
+    Table("region", Seq(Col("r_regionkey", "int"), Col("r_name", "str")))
+  ).map(t => t.name -> t).toMap
+
+  /** FK edges the join chains walk: (fromTable, toTable, fromKey, toKey). */
+  private val fks = Seq(
+    ("lineitem", "orders", "l_orderkey", "o_orderkey"),
+    ("lineitem", "part", "l_partkey", "p_partkey"),
+    ("lineitem", "supplier", "l_suppkey", "s_suppkey"),
+    ("orders", "customer", "o_custkey", "c_custkey"),
+    ("customer", "nation", "c_nationkey", "n_nationkey"),
+    ("supplier", "nation", "s_nationkey", "n_nationkey"),
+    ("nation", "region", "n_regionkey", "r_regionkey"))
+
+  private val likePats = Seq("%a%", "B%", "%5%", "%er%", "_a%", "%ou%", "%1%")
+  private val tsLits = Seq("1993-06-01 00:00:00", "1995-01-15 00:00:00",
+    "1996-09-30 00:00:00", "1997-12-01 00:00:00")
+
+  private class Gen(rng: scala.util.Random) {
+    def pick[A](xs: Seq[A]): A = xs(rng.nextInt(xs.length))
+    def int(lo: Int, hi: Int): Int = lo + rng.nextInt(hi - lo + 1)
+    def chance(p: Double): Boolean = rng.nextDouble() < p
+
+    /** A chain of 1..3 tables joined along FK edges (INNER or LEFT —
+      * LEFT makes the right side's columns null-heavy by construction).
+      */
+    def joinChain(): (Seq[String], String) = {
+      var chain = Vector(pick(tables.keys.toSeq))
+      var sql = chain.head
+      var guard = 0
+      while (chain.length < 3 && guard < 4 && chance(0.55)) {
+        guard += 1
+        val exts = fks.filter(e => chain.contains(e._1) && !chain.contains(e._2))
+        if (exts.nonEmpty) {
+          val (ft, tt, fk, tk) = pick(exts)
+          val jt = if (chance(0.4)) "LEFT JOIN" else "JOIN"
+          sql += s" $jt $tt ON $ft.$fk = $tt.$tk"
+          chain :+= tt
+        }
+      }
+      (chain, sql)
+    }
+
+    def allCols(chain: Seq[String], typ: String): Seq[Col] =
+      chain.flatMap(t => tables(t).of(typ))
+
+    def has(chain: Seq[String], typ: String): Boolean =
+      allCols(chain, typ).nonEmpty
+
+    /** Scalar expression of a given type over the chain's columns.
+      * Computed integers are CAST(... AS BIGINT) — see the dialect
+      * notes in the object scaladoc.
+      */
+    def expr(chain: Seq[String], typ: String): String = typ match {
+      case "int" =>
+        val c = pick(allCols(chain, "int")).name
+        pick[() => String](Seq(
+          () => c,
+          () => s"CAST($c + ${int(1, 50)} AS BIGINT)",
+          () => s"CAST($c * ${int(2, 9)} AS BIGINT)",
+          () => s"CAST($c % ${int(2, 13)} AS BIGINT)",
+          () => s"CAST(NULLIF($c % ${int(2, 7)}, ${int(0, 3)}) AS BIGINT)",
+          () => s"CAST(CASE WHEN $c % ${int(2, 5)} = ${int(0, 1)} THEN $c ELSE NULL END AS BIGINT)",
+          () => {
+            val c2 = pick(allCols(chain, "int")).name
+            s"CAST($c + $c2 AS BIGINT)"
+          },
+          () => s"CAST(COALESCE(NULLIF($c % ${int(2, 5)}, 1), ${int(90, 99)}) AS BIGINT)"
+        ))()
+      case "str" =>
+        val c = pick(allCols(chain, "str")).name
+        pick[() => String](Seq(
+          () => c,
+          () => s"upper($c)",
+          () => s"substr($c, 1, ${int(1, 4)})",
+          () => s"CASE WHEN length($c) > ${int(5, 15)} THEN $c ELSE NULL END",
+          () => s"concat(substr($c, 1, 2), '_', CAST(length($c) AS STRING))",
+          () => s"NULLIF(substr($c, 1, 1), '${pick(Seq("A", "B", "C", "F", "S"))}')"
+        ))()
+      case "dbl" =>
+        pick(allCols(chain, "dbl")).name // pass-through only: exact
+      case _ =>
+        pick(allCols(chain, "ts")).name
+    }
+
+    def predicate(chain: Seq[String]): String = {
+      def one(): String = {
+        val kinds = Seq("int", "str") ++
+          (if (has(chain, "dbl")) Seq("dbl") else Nil) ++
+          (if (has(chain, "ts")) Seq("ts") else Nil)
+        pick(kinds) match {
+          case "int" =>
+            val c = pick(allCols(chain, "int")).name
+            pick[() => String](Seq(
+              () => s"$c % ${int(2, 9)} = ${int(0, 2)}",
+              () => s"$c < ${int(100, 20000)}",
+              () => s"$c >= ${int(1, 500)}",
+              () => s"$c IN (${Seq.fill(int(2, 5))(int(0, 30)).distinct.mkString(", ")})",
+              () => s"NULLIF($c % ${int(2, 5)}, ${int(0, 2)}) IS NULL",
+              () => s"$c IS DISTINCT FROM ${int(0, 20)}"
+            ))()
+          case "dbl" =>
+            val c = pick(allCols(chain, "dbl")).name
+            pick[() => String](Seq(
+              () => s"$c < ${int(1, 90)}.${int(0, 9)}${int(0, 9)}",
+              () => s"$c BETWEEN ${int(0, 20)}.0 AND ${int(30, 5000)}.5",
+              () => s"$c * 100 >= ${int(100, 40000)}"
+            ))()
+          case "str" =>
+            val c = pick(allCols(chain, "str")).name
+            pick[() => String](Seq(
+              () => s"$c LIKE '${pick(likePats)}'",
+              () => s"$c >= '${pick(Seq("A", "B", "C"))}'",
+              () => s"length($c) > ${int(3, 18)}",
+              () => s"substr($c, ${int(1, 3)}, 1) ${pick(Seq("=", "<>", ">="))} '${pick(Seq("a", "e", "r", "1", "B"))}'",
+              () => s"$c IS DISTINCT FROM '${pick(Seq("AIR", "BUILDING", "F", "N"))}'"
+            ))()
+          case _ =>
+            val c = pick(allCols(chain, "ts")).name
+            s"$c ${pick(Seq("<", ">=", "<="))} TIMESTAMP '${pick(tsLits)}'"
+        }
+      }
+      val n = if (chance(0.6)) 1 else 2
+      val parts = Seq.fill(n)(one()).map(p => if (chance(0.15)) s"NOT ($p)" else p)
+      parts.mkString(if (chance(0.4)) " OR " else " AND ")
+    }
+
+    def aggExpr(chain: Seq[String]): String = {
+      def scalarTyp(): String =
+        pick(Seq("int", "str") ++ (if (has(chain, "dbl")) Seq("dbl") else Nil))
+      val base: Seq[() => String] = Seq(
+        () => "CAST(count(*) AS BIGINT)",
+        () => s"CAST(count(${expr(chain, pick(Seq("int", "str")))}) AS BIGINT)",
+        () => s"CAST(count(DISTINCT ${pick(allCols(chain, pick(Seq("int", "str")))).name}) AS BIGINT)",
+        () => s"CAST(sum(CAST(${pick(allCols(chain, "int")).name} AS BIGINT)) AS BIGINT)",
+        () => s"min(${pick(allCols(chain, scalarTyp())).name})",
+        () => s"max(${pick(allCols(chain, scalarTyp())).name})")
+      val dbl: Seq[() => String] = if (!has(chain, "dbl")) Nil else Seq(
+        () => s"CAST(sum(CAST(round(${pick(allCols(chain, "dbl")).name} * 100) AS BIGINT)) AS BIGINT)")
+      pick(base ++ dbl)()
+    }
+
+    def groupKey(chain: Seq[String]): String =
+      pick[() => String](Seq(
+        () => pick(allCols(chain, "str")).name,
+        () => s"substr(${pick(allCols(chain, "str")).name}, 1, ${int(1, 2)})",
+        () => s"CAST(${pick(allCols(chain, "int")).name} % ${int(2, 12)} AS BIGINT)",
+        () => s"CAST(CASE WHEN ${predicate(chain)} THEN 1 ELSE 0 END AS BIGINT)"
+      ))()
+
+    def query(): String = {
+      val (chain, from) = joinChain()
+      val where = if (chance(0.75)) s" WHERE ${predicate(chain)}" else ""
+      if (chance(0.45)) {
+        // aggregate shape
+        val nKeys = int(1, 2)
+        val keys = (0 until nKeys).map(i => s"${groupKey(chain)} AS g$i")
+        val aggs = (0 until int(1, 3)).map(i => s"${aggExpr(chain)} AS a$i")
+        val having = if (chance(0.25)) s" HAVING count(*) > ${int(1, 20)}" else ""
+        s"SELECT ${(keys ++ aggs).mkString(", ")} FROM $from$where " +
+          s"GROUP BY ${(1 to nKeys).mkString(", ")}$having"
+      } else {
+        // projection shape (DISTINCT sometimes; UNION ALL sometimes)
+        val nCols = int(2, 5)
+        val types = Seq("int", "str") ++
+          (if (has(chain, "dbl")) Seq("dbl") else Nil) ++
+          (if (has(chain, "ts") && chance(0.3)) Seq("ts") else Nil)
+        val proj = (0 until nCols).map(i => s"${expr(chain, pick(types))} AS c$i")
+        val distinct = if (chance(0.3)) "DISTINCT " else ""
+        val base = s"SELECT $distinct${proj.mkString(", ")} FROM $from$where"
+        if (chance(0.2)) {
+          val where2 = s" WHERE ${predicate(chain)}"
+          s"$base UNION ALL SELECT $distinct${proj.mkString(", ")} FROM $from$where2"
+        } else base
+      }
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = sys.env.getOrElse("FUZZ_N", "500").toInt
+    val seed = sys.env.getOrElse("FUZZ_SEED", "20260816").toLong
+    val src = sys.env.getOrElse("FUZZ_SRC", "/root/testdata/sf0.01")
+    val out = sys.env.getOrElse("FUZZ_OUT", "target/fuzz")
+
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Tables.configure(spark)
+    tables.keys.foreach(t => Tables.table(spark, src, t).createOrReplaceTempView(t))
+
+    graft.engine.Sources.deleteRecursively(new java.io.File(out))
+    new java.io.File(out).mkdirs()
+
+    val gen = new Gen(new scala.util.Random(seed))
+    val queries = (0 until n).map(i => f"fuzz_$i%04d" -> gen.query())
+
+    var errors = Vector.empty[(String, String)]
+    queries.foreach { case (name, sql) =>
+      try {
+        val df = spark.sql(sql)
+        // NTZ-normalize any instant-typed column before the parquet dump
+        // (fixture reads are NTZ already; this guards computed instants).
+        val ntz = if (!df.schema.exists(_.dataType == TimestampType)) df
+        else df.select(df.schema.fields.map { f =>
+          if (f.dataType == TimestampType) col(f.name).cast("timestamp_ntz").as(f.name)
+          else col(f.name)
+        }.toIndexedSeq: _*)
+        ntz.coalesce(1).write.mode("overwrite").parquet(s"$out/$name")
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          errors :+= (name, s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+      }
+    }
+    // oracle_sql.json: the SAME SQL text compare.py will run in DuckDB.
+    val sb = new StringBuilder("{\n")
+    queries.zipWithIndex.foreach { case ((k, v), i) =>
+      val esc = v.replace("\\", "\\\\").replace("\"", "\\\"")
+      sb.append(s""" "$k": "$esc"""").append(if (i == queries.length - 1) "\n" else ",\n")
+    }
+    sb.append("}\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out, "oracle_sql.json"), sb.toString)
+
+    errors.foreach { case (k, e) => System.err.println(s"[fuzz] $k FAILED on Spark: $e") }
+    println(s"""{"fuzz":{"n":$n,"seed":$seed,"src":"$src","spark_errors":${errors.length}}}""")
+    spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
+  }
+}
