@@ -28,6 +28,20 @@ class GraphSpec extends AnyFunSuite {
     assert(math.abs(r - 1.0) < 1e-9, s"rank mass $r != 1")
   }
 
+  test("pagerank unbounded mode (natural partitioning) equals the bounded graded shape") {
+    // bounded=false drops the model-state coalesce(1) and runs every
+    // per-iteration materialization distributed — same loop body, so the
+    // ranks must match the bounded form bit-for-bit (incl. the dangling
+    // node's uniform redistribution). GraphScale proves this mode at 97M
+    // nodes; this pins the two shapes against each other at fixture size.
+    val e = edges(("a", "b", 1.0), ("b", "c", 1.0), ("a", "c", 3.0), ("c", "a", 1.0),
+      ("d", "a", 2.0)) // e dangles nothing; add an isolated-ish feeder
+    val ns = nodes("a", "b", "c", "d", "e") // e is dangling (no out-edges)
+    val b = Graph.pagerank(e, ns).orderBy("node").collect().toSeq
+    val u = Graph.pagerank(e, ns, bounded = false).orderBy("node").collect().toSeq
+    assert(b == u)
+  }
+
   test("pagerank ranks a pure sink above its feeders in a star graph") {
     // a, b, d all point at hub; hub is dangling (redistributes uniformly).
     val r = Graph.pagerank(
