@@ -901,6 +901,54 @@ object DecadeProbe {
           s""""mismatched_groups":$mism,"bad_copies":$badCopies,"ok":$ok}"""))
     }
 
+    // ---------------------------------------------------------- kll_sketch
+    // The KLL equi-depth route at the fifth decade (r16 verdict item #7 —
+    // the arbitrary-precision half of the percentile story, next to the
+    // PercentileSpec buffer-bound proof): the ENGINE's sketch pipeline
+    // (Sketches.kllSketchBytes — real per-partition KllDoublesSketch
+    // updates, driver merge of the bounded byte artifacts) ingests the
+    // lazily-inflated l_quantity column at N× volume, then the 9 decile
+    // bin edges it reports are graded against the CLOSED-FORM quantiles
+    // of the inflated distribution: uniform N× replication leaves every
+    // value's normalized rank identical to the 1× frame's, so the exact
+    // rank of each reported edge — and each equi-depth bin's exact mass —
+    // is computable on the 1× frame while the sketch itself did the
+    // full N× ingest. Gate: every |rank(edge_q) − q| ≤ ε and every bin
+    // mass within [0.1 − 2ε, 0.1 + 2ε], ε = 1.65%·2 (the published
+    // two-sided k=200 band the graded _check twin pins at sf0.01).
+    if (keys.contains("kll_sketch")) timed("kll_sketch") {
+      import graft.engine.Sketches
+      import org.apache.datasketches.kll.KllDoublesSketch
+      val li1 = Tables.lineitem(spark, src)
+        .select(col("l_quantity").cast("double").as("v")).na.drop.localCheckpoint()
+      val n1 = li1.count()
+      val inflated = spark.range(0, factor, 1, parts).crossJoin(broadcast(li1))
+      val bytes = Sketches.kllSketchBytes(inflated, "v")
+      val sk = KllDoublesSketch.heapify(
+        org.apache.datasketches.memory.Memory.wrap(bytes))
+      val qs = (1 to 9).map(_ / 10.0)
+      val edges = qs.map(sk.getQuantile)
+      val eps = 0.0165 * 2
+      // Exact normalized ranks of the 9 edges in ONE 1×-frame pass.
+      val rankCols = edges.zipWithIndex.map { case (e, i) =>
+        avg(when(col("v") <= e, 1.0).otherwise(0.0)).as(s"__r$i")
+      }
+      val r = li1.agg(rankCols.head, rankCols.tail: _*).head()
+      val ranks = edges.indices.map(r.getDouble)
+      val binMass = (0.0 +: ranks :+ 1.0).sliding(2).map(p => p(1) - p(0)).toSeq
+      val edgeOk = qs.zip(ranks).forall { case (q, rk) => math.abs(rk - q) <= eps }
+      val binsOk = binMass.forall(m => m >= 0.1 - 2 * eps && m <= 0.1 + 2 * eps)
+      val nOk = sk.getN == n1 * factor
+      val ok = edgeOk && binsOk && nOk
+      if (!ok) fail = true
+      (n1 * factor, Seq(
+        s"""{"probe":"kll_equidepth_x$factor","check":"bin_edges_within_eps",""" +
+          s""""sketch_n":${sk.getN},"rows_1x":$n1,"eps":$eps,""" +
+          s""""edges":[${edges.mkString(",")}],"edge_ranks":[${ranks.mkString(",")}],""" +
+          s""""bin_mass":[${binMass.map(m => f"$m%.6f").mkString(",")}],""" +
+          s""""edge_ok":$edgeOk,"bins_ok":$binsOk,"n_ok":$nOk,"ok":$ok}"""))
+    }
+
     spark.stop()
     if (fail) sys.exit(1)
   }
