@@ -180,6 +180,26 @@ object Bench {
       val c = java.lang.management.ManagementFactory.getCompilationMXBean
       if (c != null && c.isCompilationTimeMonitoringSupported) c.getTotalCompilationTime else 0L
     }
+    // JIT settle (r16 verdict item #4): the driver's graded r16 run came
+    // in 9% over the builder's sweeps with zero GC excess and large
+    // positive jitMs on untouched keys — C2 compile threads spill CPU
+    // into whichever key happens to run while they drain. Wait for the
+    // compiler to go quiescent (compilation-time counter stable for a
+    // full second) before the timed passes and at each pass boundary, so
+    // the min-of-N a key reports was measured on a settled JVM. Bounded:
+    // a busy compiler forfeits after maxWaitMs (~the cost of one noisy
+    // key) rather than stalling the sweep.
+    def settleJit(maxWaitMs: Long = 15000): Unit = {
+      val deadline = System.nanoTime() + maxWaitMs * 1000000L
+      var last = jitMs()
+      var stable = 0
+      while (stable < 2 && System.nanoTime() < deadline) {
+        Thread.sleep(500)
+        val now = jitMs()
+        if (now - last < 25) stable += 1 else stable = 0
+        last = now
+      }
+    }
     val passMeta = scala.collection.mutable.LinkedHashMap[String, List[(Double, Long, Long)]]()
 
     def runOnce(name: String,
@@ -203,8 +223,15 @@ object Bench {
     for ((name, fn) <- queries if NoisePinned(name))
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
-    for (_ <- 1 to passes; (name, fn) <- queries if !errors.contains(name))
-      runOnce(name, fn)
+    for (p <- 1 to passes) {
+      // Settled JVM at every pass boundary — see settleJit. Pass 1 pays
+      // first-touch codegen per key by design (min-of-N discards it);
+      // the boundary settle keeps those compiles from bleeding into the
+      // NEXT pass's timings.
+      settleJit()
+      for ((name, fn) <- queries if !errors.contains(name))
+        runOnce(name, fn)
+    }
     // Third timed pass for the pinned keys: min-of-3 on the known
     // drifters, a few hundred ms total.
     for ((name, fn) <- queries if NoisePinned(name) && !errors.contains(name))
