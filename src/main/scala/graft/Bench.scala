@@ -233,12 +233,16 @@ object Bench {
         runOnce(name, fn)
     }
     // Third timed pass for the pinned keys: min-of-3 on the known
-    // drifters, a few hundred ms total.
+    // drifters, a few hundred ms total — settled first (these passes
+    // exist to DE-noise; timing them against a draining compiler would
+    // reproduce the symptom they fix).
+    settleJit()
     for ((name, fn) <- queries if NoisePinned(name) && !errors.contains(name))
       runOnce(name, fn)
     // Defense passes: a key far above its own record gets more serial
     // attempts — min-of-all is the reported number either way.
     val reruns = scala.collection.mutable.LinkedHashMap[String, Int]()
+    settleJit() // defense reruns time against a quiescent JVM too
     for ((name, fn) <- queries if !errors.contains(name); record <- prev.get(name)) {
       var extra = 0
       while (extra < MaxReruns && !errors.contains(name) &&

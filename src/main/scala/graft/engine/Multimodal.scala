@@ -476,9 +476,15 @@ object Multimodal {
     val raster = pngFilteredRaster(w, h, 3, seed)
     val defl = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_COMPRESSION)
     defl.setInput(raster); defl.finish()
-    val buf = new Array[Byte](raster.length + 64)
+    // Grow on demand: zlib worst case EXCEEDS the input for incompressible
+    // data, and deflate() returns 0 forever once the buffer is full
+    // without finishing (review finding r17 — a fixed +64 would hang).
+    var buf = new Array[Byte](raster.length + 64)
     var n = 0
-    while (!defl.finished()) n += defl.deflate(buf, n, buf.length - n)
+    while (!defl.finished()) {
+      if (n == buf.length) buf = java.util.Arrays.copyOf(buf, buf.length * 2)
+      n += defl.deflate(buf, n, buf.length - n)
+    }
     defl.end()
     val z = java.util.Arrays.copyOf(buf, n)
     val out = new java.io.ByteArrayOutputStream()

@@ -104,8 +104,17 @@ object FuzzGate {
         val exts = fks.filter(e => chain.contains(e._1) && !chain.contains(e._2))
         if (exts.nonEmpty) {
           val (ft, tt, fk, tk) = pick(exts)
-          val jt = if (chance(0.4)) "LEFT JOIN" else "JOIN"
-          sql += s" $jt $tt ON $ft.$fk = $tt.$tk"
+          val left = chance(0.4)
+          // TPC-H FKs are referentially intact, so a LEFT JOIN on the raw
+          // PK side would never null-pad (review finding r17): FILTER the
+          // right side so a real fraction of probe rows has no match and
+          // the null fan-out actually reaches projections/predicates/aggs.
+          val rhs =
+            if (left && chance(0.7)) {
+              val key = tables(tt).of("int").head.name
+              s"(SELECT * FROM $tt WHERE $key % ${int(2, 5)} = 0) $tt"
+            } else tt
+          sql += s" ${if (left) "LEFT JOIN" else "JOIN"} $rhs ON $ft.$fk = $tt.$tk"
           chain :+= tt
         }
       }
@@ -145,7 +154,10 @@ object FuzzGate {
           () => s"upper($c)",
           () => s"substr($c, 1, ${int(1, 4)})",
           () => s"CASE WHEN length($c) > ${int(5, 15)} THEN $c ELSE NULL END",
-          () => s"concat(substr($c, 1, 2), '_', CAST(length($c) AS STRING))",
+          // || not concat(): DuckDB's concat SKIPS null args while
+          // Spark's returns NULL; the || operator null-propagates in both
+          // (review finding r17 — nulls reach here via left-join padding).
+          () => s"(substr($c, 1, 2) || '_' || CAST(length($c) AS STRING))",
           () => s"NULLIF(substr($c, 1, 1), '${pick(Seq("A", "B", "C", "F", "S"))}')"
         ))()
       case "dbl" =>
