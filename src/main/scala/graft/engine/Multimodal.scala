@@ -293,6 +293,146 @@ object Multimodal {
 
   def parsePng(b: Array[Byte]): Option[ParsedMedia] = parsePngPixels(b).map(_._1)
 
+  // ---------------------------------------------------------- GIF (real)
+
+  /** REAL GIF decode — the second COMPRESSED format behind the seam: a
+    * full variable-width LZW decoder (dictionary growth 9→12 bits, clear
+    * and EOI codes, the cScSc code==next edge case, deferred-clear
+    * tolerance at a full table), driven by a spec-faithful container walk
+    * (header + logical screen descriptor, global/local color tables,
+    * extension sub-block skipping, multi-frame image descriptors,
+    * trailer). Returns the parsed dims plus the SUM OF DECODED PIXEL
+    * INDICES across all frames — the quantity that makes the LZW decode
+    * oracle-observable (a wrong dictionary entry anywhere shifts it).
+    * Outside the supported profile (interlaced frames, truncated
+    * streams, index count ≠ w·h per frame, raster over [[PngRasterCap]])
+    * → None → the caller's stub fallback; never throws on foreign bytes.
+    */
+  def parseGifPixels(b: Array[Byte]): Option[(ParsedMedia, Long)] = {
+    if (b.length < 14) return None
+    val hdr = new String(b, 0, 6, java.nio.charset.StandardCharsets.US_ASCII)
+    if (hdr != "GIF87a" && hdr != "GIF89a") return None
+    try {
+      val w = le16(b, 6)
+      val h = le16(b, 8)
+      if (w <= 0 || h <= 0) return None
+      var o = 13
+      if ((b(10) & 0x80) != 0) o += 3 * (1 << ((b(10) & 7) + 1)) // global color table
+      var pixelSum = 0L
+      var nFrames = 0
+      var done = false
+      while (!done) {
+        if (o >= b.length) return None // ran off the end before the trailer
+        (b(o) & 0xff) match {
+          case 0x3b => done = true // trailer
+          case 0x21 => // extension: label byte + sub-blocks to a 0 terminator
+            o += 2
+            while ({ if (o >= b.length) return None; (b(o) & 0xff) != 0 }) o += 1 + (b(o) & 0xff)
+            o += 1
+          case 0x2c => // image descriptor
+            if (o + 10 > b.length) return None
+            val (iw, ih) = (le16(b, o + 5), le16(b, o + 7))
+            val packed = b(o + 9) & 0xff
+            // Interlace (packed & 0x40) is accepted: it permutes ROW
+            // PLACEMENT of the same LZW stream, and every output this
+            // parser reports (dims, index sum, count) is row-order
+            // invariant — ImageIO writes interlaced GIFs by default.
+            if (iw <= 0 || ih <= 0) return None
+            if (iw.toLong * ih > PngRasterCap) return None // declared-raster cap, pre-decode
+            o += 10
+            if ((packed & 0x80) != 0) o += 3 * (1 << ((packed & 7) + 1)) // local color table
+            if (o >= b.length) return None
+            val minCodeSize = b(o) & 0xff
+            if (minCodeSize < 2 || minCodeSize > 11) return None
+            o += 1
+            // Collect the LZW sub-blocks into one stream.
+            val lzw = new java.io.ByteArrayOutputStream()
+            while ({ if (o >= b.length) return None; (b(o) & 0xff) != 0 }) {
+              val n = b(o) & 0xff
+              if (o + 1 + n > b.length) return None
+              lzw.write(b, o + 1, n)
+              o += 1 + n
+            }
+            o += 1
+            pixelSum += lzwDecodeSum(lzw.toByteArray, minCodeSize, iw.toLong * ih).getOrElse(return None)
+            nFrames += 1
+          case _ => return None // unknown block type
+        }
+      }
+      if (nFrames == 0) return None
+      Some((ParsedMedia("gif", w, h, 1, 0, 0L, 0L), pixelSum))
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    }
+  }
+
+  def parseGif(b: Array[Byte]): Option[ParsedMedia] = parseGifPixels(b).map(_._1)
+
+  /** GIF LZW decode with O(1)-per-code accounting: instead of
+    * materializing each emitted string, every dictionary entry caches its
+    * (length, byte-sum, first-byte), so emitting an entry is three array
+    * reads — the decode of a w·h raster is O(codes), not O(codes·depth).
+    * Enforces the exact expected index count (a stream decoding to more
+    * or fewer than w·h indices is rejected) and tolerates deferred-clear
+    * encoders (at 4096 entries, codes keep flowing at 12 bits with no new
+    * entries until a clear). Returns the sum of all decoded indices.
+    */
+  private def lzwDecodeSum(data: Array[Byte], minCodeSize: Int, expected: Long): Option[Long] = {
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    val prefix = new Array[Int](4096)
+    val lenOf = new Array[Int](4096)
+    val sumOf = new Array[Long](4096)
+    val firstOf = new Array[Int](4096)
+    var i = 0
+    while (i < clear) { prefix(i) = -1; lenOf(i) = 1; sumOf(i) = i; firstOf(i) = i; i += 1 }
+    var codeSize = minCodeSize + 1
+    var next = eoi + 1
+    var prev = -1
+    var bitPos = 0
+    val totalBits = data.length * 8
+    var emitted = 0L
+    var sum = 0L
+    var sawEoi = false
+    while (!sawEoi) {
+      if (bitPos + codeSize > totalBits) return None // truncated before EOI
+      // LSB-first code extraction across up to three bytes.
+      val byteOff = bitPos >> 3
+      var v = data(byteOff) & 0xff
+      if (byteOff + 1 < data.length) v |= (data(byteOff + 1) & 0xff) << 8
+      if (byteOff + 2 < data.length) v |= (data(byteOff + 2) & 0xff) << 16
+      val code = (v >> (bitPos & 7)) & ((1 << codeSize) - 1)
+      bitPos += codeSize
+      if (code == clear) {
+        codeSize = minCodeSize + 1; next = eoi + 1; prev = -1
+      } else if (code == eoi) {
+        sawEoi = true
+      } else if (prev == -1) {
+        if (code >= clear) return None // first post-clear code must be a root
+        sum += code; emitted += 1; prev = code
+      } else {
+        if (code < next) {
+          sum += sumOf(code); emitted += lenOf(code)
+          if (next < 4096) {
+            prefix(next) = prev; lenOf(next) = lenOf(prev) + 1
+            sumOf(next) = sumOf(prev) + firstOf(code); firstOf(next) = firstOf(prev)
+            next += 1
+          }
+        } else if (code == next && next < 4096) {
+          // cScSc: the new entry is prev + first(prev), emitted as created.
+          prefix(next) = prev; lenOf(next) = lenOf(prev) + 1
+          sumOf(next) = sumOf(prev) + firstOf(prev); firstOf(next) = firstOf(prev)
+          sum += sumOf(next); emitted += lenOf(next)
+          next += 1
+        } else return None // code beyond the dictionary
+        prev = code
+        if (next == (1 << codeSize) && codeSize < 12) codeSize += 1
+        if (emitted > expected) return None // overlong stream
+      }
+    }
+    if (emitted != expected) None else Some(sum)
+  }
+
   /** Magic-byte dispatch over the real parsers; None = not a format this
     * build decodes natively (PNG included since r17 — real inflate +
     * unfilter, no codec jar).
@@ -302,6 +442,7 @@ object Multimodal {
     else if (b.length >= 4 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') parseWav(b)
     else if (b.length >= 2 && b(0) == 'P' && b(1) == '6') parsePpm(b)
     else if (b.length >= 8 && b(0) == PngSig(0) && b(1) == PngSig(1)) parsePng(b)
+    else if (b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F') parseGif(b)
     else None
 
   /** The production decode seam: REAL parse for the supported container
@@ -496,6 +637,63 @@ object Multimodal {
     pngChunk(out, "IDAT", java.util.Arrays.copyOfRange(z, 0, split))
     pngChunk(out, "IDAT", java.util.Arrays.copyOfRange(z, split, z.length))
     pngChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Deterministic GIF89a: one full-frame image, 256-entry grayscale
+    * global color table, pixel indices `(seed + i) mod 256`, LZW stream
+    * framed as LITERAL codes at a fixed 9-bit width with a clear code
+    * opening every ≤254-literal segment — spec-valid LZW (the reader
+    * runs the full dictionary decoder over it; resets keep `next` below
+    * 512 so the width never grows) with a CLOSED-FORM byte size:
+    * codes = ceil(n/254) + n + 1, data = ceil(9·codes/8), framed =
+    * data + ceil(data/255), total = 794 + framed. That closed form
+    * is what lets DuckDB predict n_bytes; the really-compressed
+    * dictionary path is proven by the ImageIO cross-check spec (the
+    * JDK's independent GIF encoder → this decoder).
+    */
+  def makeGif(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val n = w * h
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    out.write(w & 0xff); out.write(w >> 8); out.write(h & 0xff); out.write(h >> 8)
+    out.write(0xf7) // GCT present, 8 bits/pixel, 256 entries
+    out.write(0); out.write(0) // background index, aspect
+    var v = 0
+    while (v < 256) { out.write(v); out.write(v); out.write(v); v += 1 }
+    out.write(0x2c) // image descriptor: full frame, no LCT, no interlace
+    out.write(0); out.write(0); out.write(0); out.write(0)
+    out.write(w & 0xff); out.write(w >> 8); out.write(h & 0xff); out.write(h >> 8)
+    out.write(0)
+    out.write(8) // LZW min code size
+    // Pack 9-bit codes LSB-first: clear(256) before every ≤254-literal
+    // segment, literals (seed+i) mod 256, EOI(257) last.
+    val codes = (n + 253) / 254 + n + 1
+    val data = new Array[Byte]((9 * codes + 7) / 8)
+    var bitPos = 0
+    def put(code: Int): Unit = {
+      var acc = code
+      var left = 9
+      while (left > 0) {
+        data(bitPos >> 3) = (data(bitPos >> 3) | ((acc & 1) << (bitPos & 7))).toByte
+        acc >>= 1; left -= 1; bitPos += 1
+      }
+    }
+    var i = 0
+    while (i < n) {
+      if (i % 254 == 0) put(256)
+      put(((seed + i) % 256).toInt)
+      i += 1
+    }
+    put(257)
+    var off = 0
+    while (off < data.length) {
+      val k = math.min(255, data.length - off)
+      out.write(k); out.write(data, off, k)
+      off += k
+    }
+    out.write(0) // sub-block terminator
+    out.write(0x3b) // trailer
     out.toByteArray
   }
 
@@ -725,6 +923,32 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  /** ORACLE-GRADED closed loop for the GIF tier: per document, a GIF is
+    * GENERATED from doc_id formulas (256-entry palette, literal-framed
+    * LZW with per-segment clear codes — closed-form size) and decoded by
+    * the REAL [[parseGifPixels]] pipeline (container walk → full LZW
+    * dictionary decoder). Emitted: dims, the exact payload byte size,
+    * and the SUM OF DECODED PIXEL INDICES — indices are
+    * `(doc_id + i) mod 256`, so DuckDB predicts the sum arithmetically
+    * exactly as for the PNG key. Map-side generation and decode;
+    * payloads never leave the executor.
+    */
+  val qMultimodalGif: Q = (s, d) => {
+    import s.implicits._
+    documents(s, d).select(col("doc_id"))
+      .repartition(s.sessionState.conf.numShufflePartitions)
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val (w, h) = ((1 + id % 19).toInt, (1 + id % 23).toInt)
+        val payload = makeGif(w, h, seed = id)
+        val (p, idxSum) = parseGifPixels(payload).getOrElse(
+          throw new IllegalStateException(s"generated GIF for doc $id failed to parse"))
+        (id, p.format, p.width, p.height, payload.length.toLong, idxSum)
+      })
+      .toDF("media_id", "format", "width", "height", "n_bytes", "index_sum")
+      .orderBy("media_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_multimodal_features" -> qMultimodalFeatures,
     "q_multimodal_decode" -> qMultimodalDecode,
@@ -732,6 +956,7 @@ object Multimodal {
     "q_multimodal_check" -> qMultimodalCheck,
     "q_multimodal_frames_check" -> qMultimodalFramesCheck,
     "q_multimodal_real" -> qMultimodalReal,
-    "q_multimodal_png" -> qMultimodalPng
+    "q_multimodal_png" -> qMultimodalPng,
+    "q_multimodal_gif" -> qMultimodalGif
   )
 }

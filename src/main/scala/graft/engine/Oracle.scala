@@ -806,6 +806,38 @@ object Oracle {
            END)::BIGINT AS pixel_sum
       FROM px ORDER BY media_id""",
 
+    // GIF closed loop (Multimodal.qMultimodalGif): the engine generates
+    // a GIF per doc_id (literal-framed LZW, per-segment clear codes) and
+    // decodes it with the real container-walk + LZW dictionary decoder;
+    // here every column is predicted arithmetically. n_bytes = 794 fixed
+    // bytes (header 6 + LSD 7 + GCT 768 + descriptor 10 + min-code 1 +
+    // terminator 1 + trailer 1) + d + ceil(d/255) sub-block framing with
+    // d = ceil(9·codes/8), codes = ceil(n/254) + n + 1, n = w·h.
+    // index_sum: indices are (doc_id + i) mod 256 — same cycle-split
+    // arithmetic as the PNG pixel_sum.
+    "q_multimodal_gif" -> """
+      WITH px AS (
+        SELECT doc_id,
+          (1 + doc_id % 19)::INT AS w,
+          (1 + doc_id % 23)::INT AS h,
+          (1 + doc_id % 19) * (1 + doc_id % 23) AS n,
+          doc_id % 256 AS a
+        FROM documents
+      ), sz AS (
+        SELECT doc_id, w, h, n, a,
+          (9 * ((n + 253) // 254 + n + 1) + 7) // 8 AS d
+        FROM px
+      )
+      SELECT doc_id AS media_id, 'gif' AS format, w AS width, h AS height,
+        (794 + d + (d + 254) // 255)::BIGINT AS n_bytes,
+        ((n // 256) * 32640
+         + CASE WHEN a + (n % 256) <= 256
+             THEN (n % 256) * a + ((n % 256) * ((n % 256) - 1)) // 2
+             ELSE (256 - a) * a + ((256 - a) * (255 - a)) // 2
+                  + (((n % 256) - (256 - a)) * ((n % 256) - (256 - a) - 1)) // 2
+           END)::BIGINT AS index_sum
+      FROM sz ORDER BY media_id""",
+
     // Frame-sampling check twin (Multimodal.qMultimodalFramesCheck):
     // every document yields exactly one media row (index 0 always
     // sampled); the stride/bytes/dims invariants are expected TRUE.

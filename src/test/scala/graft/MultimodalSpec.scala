@@ -325,4 +325,120 @@ class MultimodalSpec extends AnyFunSuite {
     // And the untouched payload still decodes (guards are not over-strict).
     assert(!stubbed(good))
   }
+
+  // ------------------------------------------------------------- GIF tier
+
+  /** Sum of (seed + i) mod 256 over n indices, recomputed directly. */
+  private def expectedIndexSum(n: Int, seed: Long): Long =
+    (0 until n).map(i => (seed + i) & 0xff).sum
+
+  test("GIF closed loop: parse(make(id)) matches the doc_id formulas for 200 ids") {
+    for (id <- 0L until 200L) {
+      val (w, h) = ((1 + id % 19).toInt, (1 + id % 23).toInt)
+      val payload = Multimodal.makeGif(w, h, id)
+      val (p, sum) = Multimodal.parseGifPixels(payload).get
+      assert((p.format, p.width, p.height) == (("gif", w, h)), s"id=$id")
+      assert(sum == expectedIndexSum(w * h, id), s"id=$id")
+      // n_bytes closed form the oracle uses.
+      val n = w * h
+      val codes = (n + 253) / 254 + n + 1
+      val d = (9 * codes + 7) / 8
+      assert(payload.length == 794 + d + (d + 254) / 255, s"id=$id")
+      // Magic dispatch routes it to the real parser.
+      assert(Multimodal.parseMedia(payload).get.format == "gif", s"id=$id")
+    }
+  }
+
+  test("GIF decoder vs an independent encoder: javax.imageio REALLY-compressed LZW round-trip") {
+    // The closed loop's literal framing never grows the code width; the
+    // JDK's own GIF encoder emits genuinely dictionary-compressed LZW
+    // (growing 9→12-bit codes) — if our dictionary growth, cScSc case,
+    // or width schedule disagreed with the spec, this catches it. The
+    // reference decode is ImageIO's own reader over the same bytes: for
+    // an indexed GIF its raster samples ARE the decoded LZW indices.
+    val (w, h) = (97, 61) // big enough that the dictionary grows past 9 bits
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w) {
+      val i = y * w + x
+      // Long runs + structured texture: drives real dictionary reuse.
+      img.getRaster.setSample(x, y, 0, if ((i / 40) % 2 == 0) 17 else (i % 7) * 31)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "gif", bos))
+    val bytes = bos.toByteArray
+    val (p, ourSum) = Multimodal.parseGifPixels(bytes).get
+    assert((p.format, p.width, p.height) == (("gif", w, h)))
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    var refSum = 0L
+    for (y <- 0 until h; x <- 0 until w) refSum += back.getRaster.getSample(x, y, 0)
+    assert(ourSum == refSum)
+  }
+
+  test("GIF decoder: multi-frame animation sums every frame exactly once") {
+    val (w, h, seed) = (11, 9, 3L)
+    val one = Multimodal.makeGif(w, h, seed)
+    // Frame block = descriptor..sub-block terminator; in makeGif's fixed
+    // layout it spans [781, len-1) (the last byte is the 0x3b trailer).
+    val frame = java.util.Arrays.copyOfRange(one, 781, one.length - 1)
+    val two = new java.io.ByteArrayOutputStream()
+    two.write(one, 0, one.length - 1); two.write(frame); two.write(0x3b)
+    val (p, sum) = Multimodal.parseGifPixels(two.toByteArray).get
+    assert((p.width, p.height) == ((w, h)))
+    assert(sum == 2 * expectedIndexSum(w * h, seed))
+  }
+
+  test("GIF adversarial edges: truncation, bad counts, interlace, bomb dims, bad codes") {
+    val good = Multimodal.makeGif(9, 7, 5L)
+    def stubbed(b: Array[Byte]): Boolean =
+      Multimodal.decode(MediaRecord(9L, b, "image")) ==
+        Multimodal.decodeStub(MediaRecord(9L, b, "image"))
+    assert(!stubbed(good))
+    // Truncated anywhere: mid-GCT, mid-sub-block, missing trailer.
+    assert(stubbed(good.take(400)))
+    assert(stubbed(good.dropRight(1)))
+    assert(stubbed(good.dropRight(10)))
+    // Descriptor height += 1: LZW decodes fewer than w*h indices.
+    val short = good.clone(); short(788) = (short(788) + 1).toByte
+    assert(stubbed(short))
+    // Descriptor height -= 1: stream now over-emits.
+    val long = good.clone(); long(788) = (long(788) - 1).toByte
+    assert(stubbed(long))
+    // Interlace flag: ACCEPTED — same LZW stream, row placement only,
+    // and every reported output is row-order invariant.
+    val inter = good.clone(); inter(790) = (inter(790) | 0x40).toByte
+    assert(Multimodal.parseGifPixels(inter) == Multimodal.parseGifPixels(good))
+    // Zip-bomb dims: 65535x65535 declared raster rejected BEFORE decode.
+    val bomb = good.clone()
+    bomb(786) = 0xff.toByte; bomb(787) = 0xff.toByte
+    bomb(788) = 0xff.toByte; bomb(789) = 0xff.toByte
+    assert(stubbed(bomb))
+    // Invalid LZW min code size.
+    val badMin = good.clone(); badMin(791) = 1.toByte
+    assert(stubbed(badMin))
+    // Unknown top-level block type.
+    val badBlock = good.clone(); badBlock(781) = 0x42.toByte
+    assert(stubbed(badBlock))
+    // Hand-built code stream whose first post-clear code is not a root:
+    // clear(256) then 300 — must be rejected, not dereferenced.
+    val evil = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(good, 0, 792) // header..min-code-size byte
+      val codes = Seq(256, 300, 257)
+      val data = new Array[Byte]((9 * codes.length + 7) / 8)
+      var bit = 0
+      codes.foreach { c =>
+        var acc = c
+        for (_ <- 0 until 9) {
+          data(bit >> 3) = (data(bit >> 3) | ((acc & 1) << (bit & 7))).toByte
+          acc >>= 1; bit += 1
+        }
+      }
+      out.write(data.length); out.write(data); out.write(0); out.write(0x3b)
+      out.toByteArray
+    }
+    assert(stubbed(evil))
+    // GIF87a magic is accepted (the guard is the version pair, not 89a-only).
+    val v87 = good.clone(); v87(4) = '7'.toByte
+    assert(!stubbed(v87))
+  }
 }
