@@ -443,7 +443,253 @@ object Multimodal {
     else if (b.length >= 2 && b(0) == 'P' && b(1) == '6') parsePpm(b)
     else if (b.length >= 8 && b(0) == PngSig(0) && b(1) == PngSig(1)) parsePng(b)
     else if (b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F') parseGif(b)
+    else if (b.length >= 4 && b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C') parseFlac(b)
     else None
+
+  // --------------------------------------------------------- FLAC (real)
+
+  /** MSB-first bit reader over a byte array (FLAC packs bits big-endian,
+    * unlike GIF's LSB-first LZW). Reads past the end throw — the callers
+    * wrap the whole parse in a NonFatal catch, preserving the
+    * decode-never-throws contract.
+    */
+  private final class BitReader(b: Array[Byte], var pos: Int) {
+    def bits(n: Int): Int = bitsLong(n).toInt
+    def bitsLong(n: Int): Long = {
+      var v = 0L
+      var left = n
+      while (left > 0) {
+        val take = math.min(8 - (pos & 7), left)
+        val byte = b(pos >> 3) & 0xff
+        v = (v << take) | ((byte >> (8 - (pos & 7) - take)) & ((1 << take) - 1))
+        pos += take; left -= take
+      }
+      v
+    }
+    /** Signed two's-complement read of n bits. */
+    def signedBits(n: Int): Long = {
+      if (n == 0) return 0L
+      val v = bitsLong(n)
+      if ((v & (1L << (n - 1))) != 0) v - (1L << n) else v
+    }
+    /** Unary: count of 0 bits before the terminating 1. */
+    def unary(): Int = {
+      var q = 0
+      while (bits(1) == 0) q += 1
+      q
+    }
+    def alignByte(): Unit = pos = (pos + 7) & ~7
+    def bytePos: Int = pos >> 3
+  }
+
+  /** CRC-8, poly 0x07, init 0 (the FLAC frame-header CRC). */
+  def crc8(b: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= b(i) & 0xff
+      var k = 0
+      while (k < 8) { crc = if ((crc & 0x80) != 0) ((crc << 1) ^ 0x07) & 0xff else (crc << 1) & 0xff; k += 1 }
+      i += 1
+    }
+    crc
+  }
+
+  /** CRC-16, poly 0x8005, init 0 (the FLAC whole-frame CRC). */
+  def crc16(b: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= (b(i) & 0xff) << 8
+      var k = 0
+      while (k < 8) { crc = if ((crc & 0x8000) != 0) ((crc << 1) ^ 0x8005) & 0xffff else (crc << 1) & 0xffff; k += 1 }
+      i += 1
+    }
+    crc
+  }
+
+  /** REAL FLAC decode — the third COMPRESSED format behind the seam, and
+    * the first AUDIO codec (the r16 stub list named JPEG/FLAC/video):
+    * "fLaC" magic, metadata-block walk to STREAMINFO, then per frame a
+    * CRC-8-verified header (sync, blocking strategy, UTF-8-like coded
+    * number, all blocksize/sample-rate/sample-size code tables), the
+    * subframe tiers CONSTANT / VERBATIM / FIXED order 0–4 (warmups +
+    * partitioned rice residuals incl. 5-bit method, escape partitions,
+    * and wasted-bits shifts, reconstructed through the exact fixed
+    * predictors), byte alignment, and the frame CRC-16 over everything.
+    * Returns parsed stream facts plus the SUM OF ALL DECODED SAMPLES —
+    * the quantity that makes rice decode + predictor reconstruction
+    * oracle-observable. Out of profile (LPC subframes, stereo
+    * decorrelation, reserved codes, CRC mismatch, truncation, sample
+    * count ≠ STREAMINFO total) → None → stub fallback; never throws.
+    * Memory is O(1) per stream: samples are summed on the fly, only the
+    * ≤4-deep predictor history is held.
+    */
+  def parseFlacSamples(b: Array[Byte]): Option[(ParsedMedia, Long)] = {
+    if (b.length < 42 || b(0) != 'f' || b(1) != 'L' || b(2) != 'a' || b(3) != 'C') return None
+    try {
+      var o = 4
+      var streamInfo: Option[(Int, Int, Int, Int, Long)] = None // sr, channels, bps, minBlock, total
+      var last = false
+      while (!last) {
+        if (o + 4 > b.length) return None
+        last = (b(o) & 0x80) != 0
+        val typ = b(o) & 0x7f
+        val len = ((b(o + 1) & 0xff) << 16) | ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+        if (o + 4 + len > b.length) return None
+        if (typ == 0) {
+          if (len != 34 || streamInfo.isDefined) return None
+          val r = new BitReader(b, (o + 4) * 8)
+          val minBlock = r.bits(16); val _ = r.bits(16) // maxBlock
+          r.bits(24); r.bits(24) // min/max frame size (0 = unknown)
+          val sr = r.bits(20)
+          val ch = r.bits(3) + 1
+          val bps = r.bits(5) + 1
+          val total = r.bitsLong(36)
+          if (sr <= 0 || minBlock < 16) return None
+          streamInfo = Some((sr, ch, bps, minBlock, total))
+        }
+        o += 4 + len
+      }
+      val (sr, channels, bps, _, total) = streamInfo.getOrElse(return None)
+      var sum = 0L
+      var count = 0L
+      while (o < b.length) {
+        val frameStart = o
+        val r = new BitReader(b, o * 8)
+        if (r.bits(14) != 0x3ffe || r.bits(1) != 0) return None
+        val variableBlocking = r.bits(1) == 1
+        val bsCode = r.bits(4)
+        val srCode = r.bits(4)
+        val chAsgn = r.bits(4)
+        val ssCode = r.bits(3)
+        if (r.bits(1) != 0) return None
+        if (chAsgn > 7) return None // stereo decorrelation: out of profile
+        if (chAsgn + 1 != channels) return None
+        // UTF-8-like coded frame/sample number (value unused beyond
+        // structure; variable blocking uses up to 7 bytes).
+        val first = r.bits(8)
+        val cont = if (first < 0x80) 0 else {
+          var n = 0
+          var m = first
+          while ((m & 0x80) != 0) { n += 1; m <<= 1 }
+          if (n == 1 || n > (if (variableBlocking) 7 else 6)) return None
+          n - 1
+        }
+        var ci = 0
+        while (ci < cont) { if ((r.bits(8) & 0xc0) != 0x80) return None; ci += 1 }
+        val blocksize = bsCode match {
+          case 0 => return None // reserved
+          case 1 => 192
+          case c if c <= 5 => 576 << (c - 2)
+          case 6 => r.bits(8) + 1
+          case 7 => r.bits(16) + 1
+          case c => 256 << (c - 8)
+        }
+        srCode match {
+          case 12 => r.bits(8)
+          case 13 | 14 => r.bits(16)
+          case 15 => return None
+          case _ => ()
+        }
+        val frameBps = ssCode match {
+          case 0 => bps
+          case 1 => 8
+          case 2 => 12
+          case 4 => 16
+          case 5 => 20
+          case 6 => 24
+          case 7 => 32
+          case _ => return None
+        }
+        if (crc8(b, frameStart, r.bytePos) != r.bits(8)) return None
+        var ch2 = 0
+        while (ch2 < channels) {
+          if (r.bits(1) != 0) return None
+          val typ = r.bits(6)
+          val wasted = if (r.bits(1) == 1) r.unary() + 1 else 0
+          val effBps = frameBps - wasted
+          if (effBps <= 0 || effBps > 32) return None
+          def residualSum(order: Int, warm: Array[Long]): Long = {
+            // Partitioned rice: 2-bit method, 4-bit partition order.
+            val method = r.bits(2)
+            if (method > 1) throw new IllegalArgumentException("reserved residual method")
+            val paramBits = if (method == 0) 4 else 5
+            val escape = (1 << paramBits) - 1
+            val po = r.bits(4)
+            val nPart = 1 << po
+            if (blocksize % nPart != 0 || blocksize / nPart <= order) throw new IllegalArgumentException("bad partitioning")
+            val hist = new Array[Long](4)
+            var hi = 0 // ring index of next write
+            var subSum = 0L
+            var w = 0
+            while (w < order) { hist(w) = warm(w); subSum += warm(w) << wasted; w += 1 }
+            hi = order % 4
+            var p = 0
+            var produced = order
+            while (p < nPart) {
+              val param = r.bits(paramBits)
+              val rawBits = if (param == escape) r.bits(5) else -1
+              val cnt = (if (p == 0) blocksize / nPart - order else blocksize / nPart)
+              var k = 0
+              while (k < cnt) {
+                val res =
+                  if (rawBits >= 0) r.signedBits(rawBits)
+                  else {
+                    val q = r.unary().toLong
+                    val v = (q << param) | r.bitsLong(param)
+                    (v >> 1) ^ -(v & 1) // zigzag
+                  }
+                // Fixed predictor over the last `order` samples.
+                def h(back: Int): Long = hist(((hi - back) % 4 + 4) % 4)
+                val s = order match {
+                  case 0 => res
+                  case 1 => res + h(1)
+                  case 2 => res + 2 * h(1) - h(2)
+                  case 3 => res + 3 * h(1) - 3 * h(2) + h(3)
+                  case _ => res + 4 * h(1) - 6 * h(2) + 4 * h(3) - h(4)
+                }
+                hist(hi) = s; hi = (hi + 1) % 4
+                subSum += s << wasted
+                produced += 1; k += 1
+              }
+              p += 1
+            }
+            if (produced != blocksize) throw new IllegalArgumentException("count drift")
+            subSum
+          }
+          typ match {
+            case 0 => // constant
+              val v = r.signedBits(effBps)
+              sum += (v << wasted) * blocksize
+            case 1 => // verbatim
+              var k = 0
+              while (k < blocksize) { sum += r.signedBits(effBps) << wasted; k += 1 }
+            case t if t >= 8 && t <= 12 => // fixed, order t-8
+              val order = t - 8
+              if (order > blocksize) return None
+              val warm = new Array[Long](order)
+              var w = 0
+              while (w < order) { warm(w) = r.signedBits(effBps); w += 1 }
+              sum += residualSum(order, warm)
+            case _ => return None // LPC and reserved types: out of profile
+          }
+          ch2 += 1
+        }
+        r.alignByte()
+        val crcPos = r.bytePos
+        if (crc16(b, frameStart, crcPos) != r.bits(16)) return None
+        count += blocksize
+        o = r.bytePos
+      }
+      if (count != total || count == 0) return None
+      Some((ParsedMedia("flac", 0, 0, channels, sr, count, count * 1000L / sr), sum))
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    }
+  }
+
+  def parseFlac(b: Array[Byte]): Option[ParsedMedia] = parseFlacSamples(b).map(_._1)
 
   /** The production decode seam: REAL parse for the supported container
     * formats, deterministic stub for the rest. Legacy MediaFeatures
@@ -455,7 +701,7 @@ object Multimodal {
   def decode(r: MediaRecord): MediaFeatures = parseMedia(r.payload) match {
     case Some(p) =>
       val stub = decodeStub(r) // content hash + byte length
-      if (p.format == "wav")
+      if (p.format == "wav" || p.format == "flac")
         stub.copy(width = 0, height = 0,
           n_frames = math.min(p.n_samples, Int.MaxValue.toLong).toInt)
       else stub.copy(width = p.width, height = p.height, n_frames = 1)
@@ -638,6 +884,80 @@ object Multimodal {
     pngChunk(out, "IDAT", java.util.Arrays.copyOfRange(z, split, z.length))
     pngChunk(out, "IEND", Array.emptyByteArray)
     out.toByteArray
+  }
+
+  /** MSB-first bit writer (growable) — the encoder half of the FLAC
+    * closed loop.
+    */
+  private final class BitWriter {
+    private var buf = new Array[Byte](256)
+    private var bitLen = 0
+    def put(v: Long, n: Int): Unit = {
+      var left = n
+      while (left > 0) {
+        if ((bitLen >> 3) >= buf.length) buf = java.util.Arrays.copyOf(buf, buf.length * 2)
+        val take = math.min(8 - (bitLen & 7), left)
+        val chunk = ((v >> (left - take)) & ((1L << take) - 1)).toInt
+        buf(bitLen >> 3) = (buf(bitLen >> 3) | (chunk << (8 - (bitLen & 7) - take))).toByte
+        bitLen += take; left -= take
+      }
+    }
+    def alignByte(): Unit = bitLen = (bitLen + 7) & ~7
+    def toBytes: Array[Byte] = java.util.Arrays.copyOf(buf, (bitLen + 7) / 8)
+  }
+
+  /** Deterministic FLAC: STREAMINFO + ONE frame of `nSamples` 16-bit
+    * samples per channel, each channel a linear ramp `base_c + i` with
+    * `base_c = ((seed + 37c) mod 200) − 100` — encoded as FIXED order-1
+    * subframes whose residuals are the constant +1, rice parameter 0, so
+    * every residual is exactly the 3 bits `001` and the total byte size
+    * is CLOSED-FORM: 42 + ceil((64 + C·(34 + 3(n−1)))/8) + 2. The
+    * decoder runs the REAL rice + predictor reconstruction over it; the
+    * sample sum is an arithmetic series DuckDB predicts. CRC-8/CRC-16
+    * are computed for real (the reader verifies both).
+    */
+  def makeFlac(channels: Int, sampleRate: Int, nSamples: Int, seed: Long): Array[Byte] = {
+    require(nSamples >= 16 && nSamples <= 65535 && channels >= 1 && channels <= 8)
+    val w = new BitWriter
+    w.put('f', 8); w.put('L', 8); w.put('a', 8); w.put('C', 8)
+    // STREAMINFO, marked last metadata block.
+    w.put(0x80, 8); w.put(34, 24)
+    w.put(nSamples, 16); w.put(nSamples, 16) // min/max blocksize
+    w.put(0, 24); w.put(0, 24) // frame sizes unknown
+    w.put(sampleRate, 20); w.put(channels - 1, 3); w.put(15, 5) // bps 16
+    w.put(nSamples, 36)
+    var md5 = 0
+    while (md5 < 16) { w.put(0, 8); md5 += 1 } // MD5 unset (allowed)
+    val head = w.toBytes
+    // Frame: header (sync, fixed blocking, blocksize code 7, sr from
+    // STREAMINFO, independent channels, bps 16) + coded number 0.
+    val f = new BitWriter
+    f.put(0x3ffe, 14); f.put(0, 1); f.put(0, 1)
+    f.put(7, 4); f.put(0, 4) // 16-bit blocksize at end; sr from STREAMINFO
+    f.put(channels - 1, 4); f.put(4, 3); f.put(0, 1) // bps 16
+    f.put(0, 8) // frame number 0
+    f.put(nSamples - 1, 16)
+    val header = f.toBytes
+    f.put(crc8(header, 0, header.length), 8)
+    var c = 0
+    while (c < channels) {
+      val base = ((seed + 37L * c) % 200L) - 100L
+      f.put(0, 1); f.put(9, 6); f.put(0, 1) // fixed order 1, no wasted bits
+      f.put(base & 0xffffL, 16) // warmup s_0
+      f.put(0, 2); f.put(0, 4) // rice method 0, partition order 0
+      f.put(0, 4) // rice parameter 0
+      var i = 1
+      while (i < nSamples) { f.put(1, 3); i += 1 } // zigzag(+1)=2 -> "001"
+      c += 1
+    }
+    f.alignByte()
+    val frameBody = f.toBytes
+    f.put(crc16(frameBody, 0, frameBody.length), 16)
+    val frame = f.toBytes
+    val out = new Array[Byte](head.length + frame.length)
+    System.arraycopy(head, 0, out, 0, head.length)
+    System.arraycopy(frame, 0, out, head.length, frame.length)
+    out
   }
 
   /** Deterministic GIF89a: one full-frame image, 256-entry grayscale
@@ -949,6 +1269,36 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  /** ORACLE-GRADED closed loop for the FLAC tier: per document, a FLAC
+    * stream is GENERATED from doc_id formulas (per-channel linear ramps
+    * as fixed order-1 subframes, constant +1 residuals at rice parameter
+    * 0 — closed-form size) and decoded by the REAL [[parseFlacSamples]]
+    * pipeline (metadata walk → CRC-8 header → rice decode → predictor
+    * reconstruction → CRC-16). Emitted: channels/rate/counts, the exact
+    * payload byte size, and the SUM OF ALL DECODED SAMPLES — arithmetic
+    * series DuckDB predicts, so a wrong rice quotient, zigzag, or
+    * predictor anywhere breaks the hash. Map-side generation and decode.
+    */
+  val qMultimodalFlac: Q = (s, d) => {
+    import s.implicits._
+    documents(s, d).select(col("doc_id"))
+      .repartition(s.sessionState.conf.numShufflePartitions)
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val channels = (1 + id % 2).toInt
+        val sr = (8000 + (id % 4) * 4000).toInt
+        val n = (100 + id % 400).toInt
+        val payload = makeFlac(channels, sr, n, seed = id)
+        val (p, sampleSum) = parseFlacSamples(payload).getOrElse(
+          throw new IllegalStateException(s"generated FLAC for doc $id failed to parse"))
+        (id, p.format, p.n_channels, p.sample_rate, p.n_samples, p.duration_ms,
+          payload.length.toLong, sampleSum)
+      })
+      .toDF("media_id", "format", "n_channels", "sample_rate", "n_samples",
+        "duration_ms", "n_bytes", "sample_sum")
+      .orderBy("media_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_multimodal_features" -> qMultimodalFeatures,
     "q_multimodal_decode" -> qMultimodalDecode,
@@ -957,6 +1307,7 @@ object Multimodal {
     "q_multimodal_frames_check" -> qMultimodalFramesCheck,
     "q_multimodal_real" -> qMultimodalReal,
     "q_multimodal_png" -> qMultimodalPng,
-    "q_multimodal_gif" -> qMultimodalGif
+    "q_multimodal_gif" -> qMultimodalGif,
+    "q_multimodal_flac" -> qMultimodalFlac
   )
 }

@@ -838,6 +838,33 @@ object Oracle {
            END)::BIGINT AS index_sum
       FROM sz ORDER BY media_id""",
 
+    // FLAC closed loop (Multimodal.qMultimodalFlac): the engine
+    // generates a FLAC stream per doc_id (fixed order-1 subframes over
+    // per-channel ramps base_c + i, constant +1 residuals at rice
+    // parameter 0) and decodes it with the real rice + predictor
+    // pipeline; here every column is predicted arithmetically. n_bytes =
+    // 42 header (magic 4 + block header 4 + STREAMINFO 34) +
+    // ceil((64 frame-header bits + C·(34 + 3(n−1)) subframe bits)/8) +
+    // 2 CRC-16 bytes. sample_sum = Σ_c [ n·base_c + n(n−1)/2 ] with
+    // base_c = ((doc_id + 37c) mod 200) − 100.
+    "q_multimodal_flac" -> """
+      WITH px AS (
+        SELECT doc_id,
+          (1 + doc_id % 2)::INT AS c,
+          (8000 + (doc_id % 4) * 4000)::INT AS sr,
+          (100 + doc_id % 400)::BIGINT AS n,
+          (doc_id % 200) - 100 AS b0,
+          ((doc_id + 37) % 200) - 100 AS b1
+        FROM documents
+      )
+      SELECT doc_id AS media_id, 'flac' AS format, c AS n_channels,
+        sr AS sample_rate, n AS n_samples,
+        (n * 1000 // sr)::BIGINT AS duration_ms,
+        (42 + (64 + c * (34 + 3 * (n - 1)) + 7) // 8 + 2)::BIGINT AS n_bytes,
+        (n * b0 + n * (n - 1) // 2
+         + CASE WHEN c = 2 THEN n * b1 + n * (n - 1) // 2 ELSE 0 END)::BIGINT AS sample_sum
+      FROM px ORDER BY media_id""",
+
     // Frame-sampling check twin (Multimodal.qMultimodalFramesCheck):
     // every document yields exactly one media row (index 0 always
     // sampled); the stride/bytes/dims invariants are expected TRUE.

@@ -441,4 +441,168 @@ class MultimodalSpec extends AnyFunSuite {
     val v87 = good.clone(); v87(4) = '7'.toByte
     assert(!stubbed(v87))
   }
+
+  // ------------------------------------------------------------ FLAC tier
+
+  test("FLAC closed loop: parse(make(id)) matches the doc_id formulas for 200 ids") {
+    for (id <- 0L until 200L) {
+      val (c, sr, n) = ((1 + id % 2).toInt, (8000 + (id % 4) * 4000).toInt, (100 + id % 400).toInt)
+      val payload = Multimodal.makeFlac(c, sr, n, id)
+      val (p, sum) = Multimodal.parseFlacSamples(payload).get
+      assert((p.format, p.n_channels, p.sample_rate, p.n_samples) == (("flac", c, sr, n.toLong)), s"id=$id")
+      assert(p.duration_ms == n.toLong * 1000 / sr, s"id=$id")
+      // Sample sum from the ramp design, recomputed directly.
+      val want = (0 until c).map { ch =>
+        val base = ((id + 37L * ch) % 200L) - 100L
+        (0 until n).map(i => base + i).sum
+      }.sum
+      assert(sum == want, s"id=$id")
+      // n_bytes closed form the oracle uses.
+      assert(payload.length == 42 + (64 + c * (34 + 3 * (n - 1)) + 7) / 8 + 2, s"id=$id")
+      assert(Multimodal.parseMedia(payload).get.format == "flac", s"id=$id")
+    }
+  }
+
+  test("FLAC golden bytes: the tiny stream's header layout matches the spec, independent of the parser") {
+    val b = Multimodal.makeFlac(1, 8000, 16, 0L)
+    assert(new String(b, 0, 4, "US-ASCII") == "fLaC")
+    assert((b(4) & 0xff) == 0x80 && b(5) == 0 && b(6) == 0 && b(7) == 34) // last-block STREAMINFO, len 34
+    assert(((b(8) & 0xff) << 8 | (b(9) & 0xff)) == 16)  // min blocksize
+    assert(((b(10) & 0xff) << 8 | (b(11) & 0xff)) == 16) // max blocksize
+    // sample rate 8000 as 20 bits from byte 18: 0000_0001 1111_0100 0000,
+    // then channels-1 = 000, then bps-1 = 01111 (16-bit), then the 36-bit
+    // total = 16 whose last 32 bits fill bytes 22..25.
+    assert((b(18) & 0xff) == 0x01 && (b(19) & 0xff) == 0xf4)
+    assert((b(20) & 0xff) == 0x00) // rate low nibble 0, ch-1 000, bps bit 0
+    assert((b(21) & 0xff) == 0xf0) // bps-1 low bits 1111, total high nibble
+    assert((b(22), b(23), b(24)) == ((0.toByte, 0.toByte, 0.toByte)))
+    assert((b(25) & 0xff) == 0x10) // total = 16
+    // Frame starts at 42 with the 14-bit sync 0b11111111111110 + 0 + 0.
+    assert((b(42) & 0xff) == 0xff && (b(43) & 0xff) == 0xf8)
+    // blocksize code 7, sr code 0 -> byte 0x70; ch 0, bps code 4 -> 0x08.
+    assert((b(44) & 0xff) == 0x70 && (b(45) & 0xff) == 0x08)
+    assert((b(46) & 0xff) == 0x00) // frame number 0
+    assert(((b(47) & 0xff) << 8 | (b(48) & 0xff)) == 15) // blocksize-1
+    assert((b(49) & 0xff) == Multimodal.crc8(b, 42, 49))
+    // Trailing 2 bytes are the frame CRC-16 over everything before them.
+    val got = ((b(b.length - 2) & 0xff) << 8) | (b(b.length - 1) & 0xff)
+    assert(got == Multimodal.crc16(b, 42, b.length - 2))
+  }
+
+  /** Independent MSB-first bit writer — a SECOND implementation, so the
+    * multi-feature stream below is not encoded by the code under test.
+    */
+  private final class TestBits {
+    private val out = scala.collection.mutable.ArrayBuffer[Byte]()
+    private var cur = 0
+    private var nbits = 0
+    def put(v: Long, n: Int): Unit = (n - 1 to 0 by -1).foreach { k =>
+      cur = (cur << 1) | ((v >> k) & 1L).toInt
+      nbits += 1
+      if (nbits == 8) { out += cur.toByte; cur = 0; nbits = 0 }
+    }
+    def rice(res: Long, param: Int): Unit = {
+      val z = if (res >= 0) 2 * res else -2 * res - 1
+      val q = (z >> param).toInt
+      (0 until q).foreach(_ => put(0, 1)); put(1, 1)
+      if (param > 0) put(z & ((1L << param) - 1), param)
+    }
+    def align(): Unit = while (nbits != 0) put(0, 1)
+    def bytes: Array[Byte] = { require(nbits == 0); out.toArray }
+  }
+
+  test("FLAC decoder: constant/verbatim/order-2/partitions/escape/5-bit-rice/wasted-bits/multi-frame") {
+    // Two frames, two channels, bps 16. Frame 0 (blocksize 192, code 1):
+    // ch0 CONSTANT -7; ch1 FIXED order 2 over s_i = (i*i - 40i) mod 501
+    // with partition order 1 and an ESCAPE second partition. Frame 1
+    // (blocksize 32, code 6): ch0 VERBATIM s_i = 1000 - 63i; ch1 FIXED
+    // order 0, rice METHOD 1 (5-bit params), WASTED BITS = 2 (samples
+    // all multiples of 4).
+    val f0ch1 = (0 until 192).map(i => ((i * i - 40 * i) % 501).toLong).toArray
+    val f1ch0 = (0 until 32).map(i => (1000 - 63 * i).toLong).toArray
+    val f1ch1 = (0 until 32).map(i => 4L * ((i * 7) % 100)).toArray
+    val w = new TestBits
+    w.put('f', 8); w.put('L', 8); w.put('a', 8); w.put('C', 8)
+    w.put(0x80, 8); w.put(34, 24)
+    w.put(32, 16); w.put(192, 16) // min/max blocksize
+    w.put(0, 24); w.put(0, 24)
+    w.put(16000, 20); w.put(1, 3); w.put(15, 5); w.put(224, 36)
+    (0 until 16).foreach(_ => w.put(0, 8))
+    val head = w.bytes
+    def frame(num: Int, bsCode: Int, bsExtra: Option[Int], body: TestBits => Unit): Array[Byte] = {
+      val f = new TestBits
+      f.put(0x3ffe, 14); f.put(0, 1); f.put(0, 1)
+      f.put(bsCode, 4); f.put(0, 4); f.put(1, 4); f.put(4, 3); f.put(0, 1)
+      f.put(num, 8)
+      bsExtra.foreach(v => f.put(v, 8))
+      val hdr = f.bytes
+      f.put(Multimodal.crc8(hdr, 0, hdr.length), 8)
+      body(f)
+      f.align()
+      val all = f.bytes
+      f.put(Multimodal.crc16(all, 0, all.length), 16)
+      f.bytes
+    }
+    val frame0 = frame(0, 1, None, { f =>
+      f.put(0, 1); f.put(0, 6); f.put(0, 1) // ch0: constant
+      f.put((-7L) & 0xffff, 16)
+      f.put(0, 1); f.put(10, 6); f.put(0, 1) // ch1: fixed order 2
+      f.put(f0ch1(0) & 0xffff, 16); f.put(f0ch1(1) & 0xffff, 16)
+      f.put(0, 2); f.put(1, 4) // method 0, partition order 1 (2 partitions)
+      val res = (2 until 192).map(i => f0ch1(i) - 2 * f0ch1(i - 1) + f0ch1(i - 2))
+      f.put(6, 4) // partition 0: param 6, holds 96-2 = 94 residuals
+      res.take(94).foreach(r => f.rice(r, 6))
+      f.put(15, 4); f.put(12, 5) // partition 1: ESCAPE, 12-bit raw
+      res.drop(94).foreach(r => f.put(r & 0xfff, 12))
+    })
+    val frame1 = frame(1, 6, Some(31), { f =>
+      f.put(0, 1); f.put(1, 6); f.put(0, 1) // ch0: verbatim
+      f1ch0.foreach(s => f.put(s & 0xffff, 16))
+      f.put(0, 1); f.put(8, 6); f.put(1, 1) // ch1: fixed order 0, wasted flag
+      f.put(0, 1); f.put(1, 1) // wasted = unary 1 + 1 = 2
+      f.put(1, 2); f.put(0, 4) // method 1 (5-bit), partition order 0
+      f.put(3, 5) // rice param 3
+      f1ch1.foreach(s => f.rice(s >> 2, 3)) // effBps=14 samples
+    })
+    val bytes = head ++ frame0 ++ frame1
+    val (p, sum) = Multimodal.parseFlacSamples(bytes).get
+    assert((p.format, p.n_channels, p.sample_rate, p.n_samples) == (("flac", 2, 16000, 224L)))
+    val want = -7L * 192 + f0ch1.sum + f1ch0.sum + f1ch1.sum
+    assert(sum == want)
+    // Order-2 residuals in partition 1 must actually fit the 12-bit raw
+    // window (sanity that the escape path was genuinely exercised).
+    assert((2 until 192).map(i => f0ch1(i) - 2 * f0ch1(i - 1) + f0ch1(i - 2)).drop(94)
+      .forall(r => r >= -2048 && r < 2048))
+  }
+
+  test("FLAC adversarial edges: truncation, CRC flips, LPC, stereo decorrelation, count drift") {
+    val good = Multimodal.makeFlac(2, 16000, 100, 11L)
+    def stubbed(b: Array[Byte]): Boolean =
+      Multimodal.decode(MediaRecord(9L, b, "audio")) ==
+        Multimodal.decodeStub(MediaRecord(9L, b, "audio"))
+    assert(!stubbed(good))
+    assert(stubbed(good.take(30)))        // truncated inside STREAMINFO
+    assert(stubbed(good.dropRight(1)))    // truncated CRC-16
+    assert(stubbed(good.dropRight(40)))   // truncated mid-subframe
+    val badCrc8 = good.clone(); badCrc8(49) = (badCrc8(49) ^ 0x5a).toByte
+    assert(stubbed(badCrc8))
+    val badCrc16 = good.clone()
+    badCrc16(badCrc16.length - 1) = (badCrc16(badCrc16.length - 1) ^ 1).toByte
+    assert(stubbed(badCrc16))
+    // Subframe type -> LPC order 1 (0b100000): out of profile, not a crash.
+    // Subframe header is bits [0..7] of the byte after crc8 (byte 50).
+    val lpc = good.clone(); lpc(50) = 0x40.toByte
+    assert(stubbed(lpc))
+    // Channel assignment 8 (left/side decorrelation): out of profile.
+    // chAsgn is bits 16..19 of the header -> high nibble of byte 45.
+    val decor = good.clone(); decor(45) = ((8 << 4) | (decor(45) & 0x0f)).toByte
+    assert(stubbed(decor))
+    // STREAMINFO total samples != decoded count: byte 25 holds the low
+    // bits of the 36-bit total in makeFlac's layout.
+    val drift = good.clone(); drift(25) = (drift(25) ^ 1).toByte
+    assert(stubbed(drift))
+    // Bad sync on the frame.
+    val sync = good.clone(); sync(42) = 0x7f.toByte
+    assert(stubbed(sync))
+  }
 }
