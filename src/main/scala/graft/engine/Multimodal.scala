@@ -444,6 +444,7 @@ object Multimodal {
     else if (b.length >= 8 && b(0) == PngSig(0) && b(1) == PngSig(1)) parsePng(b)
     else if (b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F') parseGif(b)
     else if (b.length >= 4 && b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C') parseFlac(b)
+    else if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) parseJpeg(b)
     else None
 
   // --------------------------------------------------------- FLAC (real)
@@ -690,6 +691,329 @@ object Multimodal {
   }
 
   def parseFlac(b: Array[Byte]): Option[ParsedMedia] = parseFlacSamples(b).map(_._1)
+
+  // --------------------------------------------------------- JPEG (real)
+
+  /** Zigzag index → natural (row-major) index, per the JPEG spec. DQT
+    * payloads and entropy-coded coefficients are both in zigzag order.
+    */
+  private val Zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** cos((2x+1)·u·π/16) / 2, with the 1/√2 factor folded in for u = 0 —
+    * the separable 8-point IDCT basis.
+    */
+  private val IdctCos: Array[Double] = {
+    val t = new Array[Double](64)
+    for (u <- 0 until 8; x <- 0 until 8) {
+      val c = if (u == 0) 1.0 / math.sqrt(2) else 1.0
+      t(u * 8 + x) = c * math.cos((2 * x + 1) * u * math.Pi / 16) / 2
+    }
+    t
+  }
+
+  /** A decoded Huffman table: canonical codes from the DHT bits/values
+    * lists, searched length-first (the spec's MINCODE/MAXCODE walk).
+    */
+  private final class JpegHuff(counts: Array[Int], val vals: Array[Int]) {
+    val minCode = new Array[Int](17)
+    val maxCode = Array.fill(17)(-1)
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0
+      var k = 0
+      var len = 1
+      while (len <= 16) {
+        if (counts(len) > 0) {
+          valPtr(len) = k; minCode(len) = code
+          code += counts(len); k += counts(len)
+          maxCode(len) = code - 1
+        }
+        code <<= 1; len += 1
+      }
+    }
+  }
+
+  /** Entropy-segment bit reader: MSB-first, 0xFF00 byte-unstuffing, and
+    * restart-marker awareness (RST0–7 reset the stream at a byte
+    * boundary). Reads past the segment throw; the caller's catch turns
+    * that into the stub fallback.
+    */
+  private final class JpegBits(b: Array[Byte], var pos: Int) {
+    def bit(): Int = {
+      val byte = b(pos >> 3) & 0xff
+      if (byte == 0xff && (pos & 7) == 0) {
+        // A stuffed 0x00 follows data 0xFF; anything else is a marker and
+        // must not be consumed as bits.
+        if ((b((pos >> 3) + 1) & 0xff) != 0) throw new IllegalStateException("marker in entropy data")
+      }
+      val v = (byte >> (7 - (pos & 7))) & 1
+      pos += 1
+      if ((pos & 7) == 0 && byte == 0xff) pos += 8 // skip the stuffed 0x00
+      v
+    }
+    def bits(n: Int): Int = { var v = 0; var k = 0; while (k < n) { v = (v << 1) | bit(); k += 1 }; v }
+    /** EXTEND(receive(t)): the signed magnitude coding of DC diffs / AC values. */
+    def extend(t: Int): Int = {
+      if (t == 0) return 0
+      val v = bits(t)
+      if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+    }
+    def decodeHuff(h: JpegHuff): Int = {
+      var code = 0
+      var len = 1
+      while (len <= 16) {
+        code = (code << 1) | bit()
+        if (h.maxCode(len) >= 0 && code <= h.maxCode(len) && code >= h.minCode(len))
+          return h.vals(h.valPtr(len) + code - h.minCode(len))
+        len += 1
+      }
+      throw new IllegalStateException("invalid Huffman code")
+    }
+    /** Byte-align and consume an expected restart marker RST0-7. A
+      * padded final segment byte of 0xFF carries a stuffed 0x00 that the
+      * bit path never consumed — skip it first.
+      */
+    def restart(): Unit = {
+      pos = (pos + 7) & ~7
+      if ((b(pos >> 3) & 0xff) == 0xff && (b((pos >> 3) + 1) & 0xff) == 0) pos += 16
+      val m = ((b(pos >> 3) & 0xff) << 8) | (b((pos >> 3) + 1) & 0xff)
+      if (m < 0xffd0 || m > 0xffd7) throw new IllegalStateException("expected RST marker")
+      pos += 16
+    }
+    def bytePos: Int = (pos + 7) >> 3
+  }
+
+  /** REAL baseline JPEG decode — the marquee compressed format (the r16
+    * stub list led with it): full marker walk (DQT incl. 16-bit
+    * precision, DHT with canonical code reconstruction, SOF0, SOS, DRI +
+    * RST0–7, APPn/COM skip), Huffman entropy decode (DC categories with
+    * EXTEND, AC run-length with EOB/ZRL), dequantization, dezigzag, the
+    * real separable floating-point IDCT, level shift + clamp, and a
+    * generic interleaved-MCU loop over arbitrary sampling factors with
+    * edge-block clipping. Memory is O(1): each 8×8 block is summed and
+    * discarded — no raster is materialized — so the declared-dims cap
+    * only guards CPU. Returns dims/components plus the SUM OF ALL
+    * DECODED COMPONENT SAMPLES (each sample clamped to [0,255], blocks
+    * clipped to the component's true sample grid) — the quantity that
+    * makes the whole pipeline oracle-observable. Out of profile
+    * (progressive/arithmetic/12-bit, >4 components, sampling factors
+    * over 2, malformed or truncated streams, missing EOI) → None; never
+    * throws on foreign bytes.
+    */
+  def parseJpegPixels(b: Array[Byte]): Option[(ParsedMedia, Long)] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+    try {
+      var o = 2
+      val quant = new Array[Array[Int]](4)
+      val dcTables = new Array[JpegHuff](4)
+      val acTables = new Array[JpegHuff](4)
+      var restartInterval = 0
+      var w = 0
+      var h = 0
+      // Per component: id, H, V, quant table id.
+      var comps: Array[(Int, Int, Int, Int)] = null
+      def be16(p: Int) = ((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)
+      while (true) {
+        if (o + 4 > b.length) return None
+        if ((b(o) & 0xff) != 0xff) return None
+        val marker = b(o + 1) & 0xff
+        o += 2
+        if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) {
+          // SOI repeated / stray RST: invalid here
+          return None
+        } else if (marker == 0xd9) {
+          return None // EOI before any scan
+        } else {
+          val len = be16(o)
+          if (len < 2 || o + len > b.length) return None
+          marker match {
+            case 0xdb => // DQT: one or more tables
+              var p = o + 2
+              while (p < o + len) {
+                val pq = (b(p) & 0xff) >> 4
+                val tq = b(p) & 0x0f
+                if (pq > 1 || tq > 3) return None
+                val t = new Array[Int](64)
+                p += 1
+                var k = 0
+                while (k < 64) {
+                  t(Zigzag(k)) = if (pq == 0) b(p) & 0xff else be16(p)
+                  p += (if (pq == 0) 1 else 2); k += 1
+                }
+                quant(tq) = t
+              }
+              if (p != o + len) return None
+            case 0xc4 => // DHT: one or more tables
+              var p = o + 2
+              while (p < o + len) {
+                val tc = (b(p) & 0xff) >> 4
+                val th = b(p) & 0x0f
+                if (tc > 1 || th > 3) return None
+                val counts = new Array[Int](17)
+                var total = 0
+                var k = 1
+                while (k <= 16) { counts(k) = b(p + k) & 0xff; total += counts(k); k += 1 }
+                if (total > 256 || p + 17 + total > o + len) return None
+                val vals = new Array[Int](total)
+                k = 0
+                while (k < total) { vals(k) = b(p + 17 + k) & 0xff; k += 1 }
+                val tbl = new JpegHuff(counts, vals)
+                if (tc == 0) dcTables(th) = tbl else acTables(th) = tbl
+                p += 17 + total
+              }
+              if (p != o + len) return None
+            case 0xc0 => // SOF0 baseline
+              if (comps != null) return None
+              val precision = b(o + 2) & 0xff
+              h = be16(o + 3); w = be16(o + 5)
+              val nc = b(o + 7) & 0xff
+              if (precision != 8 || w <= 0 || h <= 0 || nc < 1 || nc > 4) return None
+              if (w.toLong * h * nc > PngRasterCap) return None
+              comps = Array.tabulate(nc) { i =>
+                val p = o + 8 + 3 * i
+                val (hi, vi) = ((b(p + 1) & 0xff) >> 4, b(p + 1) & 0x0f)
+                if (hi < 1 || hi > 2 || vi < 1 || vi > 2) return None
+                (b(p) & 0xff, hi, vi, b(p + 2) & 0xff)
+              }
+            case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+              return None // extended/progressive/lossless/arithmetic: out of profile
+            case 0xdd => // DRI
+              if (len != 4) return None
+              restartInterval = be16(o + 2)
+            case 0xda => // SOS — decode the scan and finish
+              if (comps == null) return None
+              val ns = b(o + 2) & 0xff
+              if (ns != comps.length) return None // interleaved scans only
+              // Map scan components to (comp, dcTable, acTable, quantTable).
+              val scan = Array.tabulate(ns) { i =>
+                val p = o + 3 + 2 * i
+                val cs = b(p) & 0xff
+                val ci = comps.indexWhere(_._1 == cs)
+                if (ci < 0) return None
+                val (td, ta) = ((b(p + 1) & 0xff) >> 4, b(p + 1) & 0x0f)
+                val (_, hi, vi, tq) = comps(ci)
+                if (dcTables(td) == null || acTables(ta) == null || quant(tq) == null) return None
+                (hi, vi, dcTables(td), acTables(ta), quant(tq))
+              }
+              val hMax = scan.map(_._1).max
+              val vMax = scan.map(_._2).max
+              val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+              val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+              val r = new JpegBits(b, (o + len) * 8)
+              val pred = new Array[Int](ns)
+              val coef = new Array[Int](64)
+              val tmp = new Array[Double](64) // separable-IDCT intermediate
+              var sum = 0L
+              var mcu = 0
+              var my = 0
+              while (my < mcusY) {
+                var mx = 0
+                while (mx < mcusX) {
+                  if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+                    r.restart()
+                    java.util.Arrays.fill(pred, 0)
+                  }
+                  var ci = 0
+                  while (ci < ns) {
+                    val (hi, vi, dcT, acT, q) = scan(ci)
+                    val compW = (w * hi + hMax - 1) / hMax
+                    val compH = (h * vi + vMax - 1) / vMax
+                    var by = 0
+                    while (by < vi) {
+                      var bx = 0
+                      while (bx < hi) {
+                        // --- entropy-decode one block into natural order
+                        java.util.Arrays.fill(coef, 0)
+                        val t = r.decodeHuff(dcT)
+                        if (t > 15) throw new IllegalStateException("bad DC category")
+                        pred(ci) += r.extend(t)
+                        coef(0) = pred(ci) * q(0)
+                        var k = 1
+                        while (k < 64) {
+                          val rs = r.decodeHuff(acT)
+                          val run = rs >> 4
+                          val size = rs & 0x0f
+                          if (size == 0) {
+                            if (run == 15) k += 16 // ZRL
+                            else k = 64 // EOB
+                          } else {
+                            k += run
+                            if (k > 63) throw new IllegalStateException("AC run past block")
+                            coef(Zigzag(k)) = r.extend(size) * q(Zigzag(k))
+                            k += 1
+                          }
+                        }
+                        // --- IDCT + clamp + clipped sum (no raster kept)
+                        val x0 = (mx * hi + bx) * 8
+                        val y0 = (my * vi + by) * 8
+                        val xLim = math.min(8, compW - x0)
+                        val yLim = math.min(8, compH - y0)
+                        if (xLim > 0 && yLim > 0) {
+                          // Separable IDCT: columns first (tmp(u,x) = Σ_v
+                          // F(u,v)·cosx), then rows — 2·512 multiplies per
+                          // block instead of 4096, which matters at mirror
+                          // scale.
+                          var u = 0
+                          while (u < 8) {
+                            var x = 0
+                            while (x < 8) {
+                              var s = 0.0
+                              var v = 0
+                              while (v < 8) { s += coef(u * 8 + v) * IdctCos(v * 8 + x); v += 1 }
+                              tmp(u * 8 + x) = s
+                              x += 1
+                            }
+                            u += 1
+                          }
+                          var y = 0
+                          while (y < yLim) {
+                            var x = 0
+                            while (x < xLim) {
+                              var s = 0.0
+                              var u2 = 0
+                              while (u2 < 8) { s += tmp(u2 * 8 + x) * IdctCos(u2 * 8 + y); u2 += 1 }
+                              sum += math.max(0, math.min(255, math.round(s).toInt + 128))
+                              x += 1
+                            }
+                            y += 1
+                          }
+                        }
+                        bx += 1
+                      }
+                      by += 1
+                    }
+                    ci += 1
+                  }
+                  mcu += 1
+                  mx += 1
+                }
+                my += 1
+              }
+              // After the last MCU: align; skip a stuffed 0x00 from a
+              // padded 0xFF tail byte and any fill FFs; then EOI.
+              var p = r.bytePos
+              if (p + 1 < b.length && (b(p) & 0xff) == 0xff && (b(p + 1) & 0xff) == 0) p += 2
+              while (p + 1 < b.length && (b(p) & 0xff) == 0xff && (b(p + 1) & 0xff) == 0xff) p += 1
+              if (p + 2 > b.length || (b(p) & 0xff) != 0xff || (b(p + 1) & 0xff) != 0xd9) return None
+              return Some((ParsedMedia("jpeg", w, h, ns, 0, 0L, 0L), sum))
+            case m if m >= 0xe0 && m <= 0xef => () // APPn
+            case 0xfe => () // COM
+            case _ => return None
+          }
+          o += len
+        }
+      }
+      None
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    }
+  }
+
+  def parseJpeg(b: Array[Byte]): Option[ParsedMedia] = parseJpegPixels(b).map(_._1)
 
   /** The production decode seam: REAL parse for the supported container
     * formats, deterministic stub for the rest. Legacy MediaFeatures
@@ -1017,6 +1341,119 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** JPEG Annex K standard luminance Huffman tables (counts(1..16) then
+    * the value list) — what the generator writes into DHT and therefore
+    * what the decoder's canonical reconstruction is exercised against.
+    */
+  private val StdDcLumCounts = Array(0, 0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val StdDcLumVals = (0 to 11).toArray
+  private val StdAcLumCounts = Array(0, 0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+  private val StdAcLumVals = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08, 0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79, 0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5, 0xa6, 0xa7,
+    0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5,
+    0xc6, 0xc7, 0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+    0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
+    0xf9, 0xfa)
+
+  /** Canonical (code, length) per value — the encoder half of DHT. */
+  private def canonCodes(counts: Array[Int], vals: Array[Int]): Map[Int, (Int, Int)] = {
+    var code = 0
+    var k = 0
+    val out = Map.newBuilder[Int, (Int, Int)]
+    var len = 1
+    while (len <= 16) {
+      var i = 0
+      while (i < counts(len)) { out += vals(k) -> ((code, len)); code += 1; k += 1; i += 1 }
+      code <<= 1; len += 1
+    }
+    out.result()
+  }
+
+  /** Deterministic baseline JPEG: grayscale, dimensions multiples of 8,
+    * each 8×8 block FLAT at value `(seed + blockIndex) mod 256` — i.e.
+    * DC-only blocks. With the uniform quant table of 8s the coded DC is
+    * exactly `v − 128` (F(0,0) = 8(v̄−128); 8/8 = 1), the IDCT of a
+    * DC-only block is exactly flat, and the decode is bit-exact integer
+    * arithmetic end-to-end — which is what makes the decoded pixel sum
+    * CLOSED-FORM: 64·Σ_b (seed+b) mod 256. DC diffs walk the full
+    * category range at the 256-wrap (diff −255 = category 8), the scan
+    * uses the real Annex K tables, and 0xFF bytes get genuinely stuffed.
+    * The AC/run-length and sampling paths the flat blocks cannot reach
+    * are covered by the ImageIO cross-implementation specs.
+    */
+  def makeJpeg(w: Int, h: Int, seed: Long, restartEvery: Int = 0): Array[Byte] = {
+    require(w > 0 && h > 0 && w % 8 == 0 && h % 8 == 0)
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int, payload: Array[Byte]): Unit = {
+      out.write(0xff); out.write(m)
+      out.write((payload.length + 2) >> 8); out.write((payload.length + 2) & 0xff)
+      out.write(payload)
+    }
+    out.write(0xff); out.write(0xd8) // SOI
+    marker(0xdb, Array[Byte](0) ++ Array.fill(64)(8.toByte)) // DQT: all 8s
+    marker(0xc0, Array[Byte](8, (h >> 8).toByte, (h & 0xff).toByte,
+      (w >> 8).toByte, (w & 0xff).toByte, 1, 1, 0x11, 0)) // SOF0, 1 comp 1x1
+    marker(0xc4, Array[Byte](0x00) ++ StdDcLumCounts.drop(1).map(_.toByte) ++
+      StdDcLumVals.map(_.toByte))
+    marker(0xc4, Array[Byte](0x10) ++ StdAcLumCounts.drop(1).map(_.toByte) ++
+      StdAcLumVals.map(_.toByte))
+    if (restartEvery > 0)
+      marker(0xdd, Array[Byte]((restartEvery >> 8).toByte, (restartEvery & 0xff).toByte)) // DRI
+    marker(0xda, Array[Byte](1, 1, 0x00, 0, 63, 0)) // SOS
+    // Entropy segment: MSB-first bits with 0xFF00 stuffing.
+    val dcCodes = canonCodes(StdDcLumCounts, StdDcLumVals)
+    val (eobCode, eobLen) = canonCodes(StdAcLumCounts, StdAcLumVals)(0x00)
+    var acc = 0
+    var nbits = 0
+    def putBits(v: Int, n: Int): Unit = {
+      var k = n - 1
+      while (k >= 0) {
+        acc = (acc << 1) | ((v >> k) & 1)
+        nbits += 1
+        if (nbits == 8) {
+          out.write(acc)
+          if (acc == 0xff) out.write(0x00)
+          acc = 0; nbits = 0
+        }
+        k -= 1
+      }
+    }
+    def flushBits(): Unit = if (nbits > 0) putBits((1 << (8 - nbits)) - 1, 8 - nbits) // pad 1s
+    val nBlocks = (w / 8) * (h / 8)
+    var predDc = 0
+    var rst = 0
+    var b = 0
+    while (b < nBlocks) {
+      if (restartEvery > 0 && b > 0 && b % restartEvery == 0) {
+        // Restart: byte-align, emit RSTm (m cycles 0-7), reset the DC
+        // predictor — the decoder must do the same or every later block
+        // drifts.
+        flushBits()
+        out.write(0xff); out.write(0xd0 + rst)
+        rst = (rst + 1) % 8
+        predDc = 0
+      }
+      val dc = (((seed + b) % 256) - 128).toInt
+      val diff = dc - predDc
+      predDc = dc
+      val t = 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+      val (code, len) = dcCodes(t)
+      putBits(code, len)
+      if (t > 0) putBits(if (diff >= 0) diff else diff + (1 << t) - 1, t)
+      putBits(eobCode, eobLen)
+      b += 1
+    }
+    flushBits()
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
   /** Deterministic binary PPM (P6, maxval 255). */
   def makePpm(w: Int, h: Int, seed: Long): Array[Byte] = {
     val header = s"P6\n$w $h\n255\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
@@ -1299,6 +1736,33 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  /** ORACLE-GRADED closed loop for the JPEG tier: per document, a
+    * baseline JPEG is GENERATED from doc_id formulas (DC-only flat 8×8
+    * blocks, uniform quant 8, Annex K Huffman tables — exact integer
+    * decode by construction) and decoded by the REAL [[parseJpegPixels]]
+    * pipeline (marker walk → canonical Huffman → dequant → dezigzag →
+    * separable IDCT → clamp). Emitted: dims/channels and the SUM OF ALL
+    * DECODED PIXELS = 64·Σ_b (doc_id + b) mod 256 — DuckDB predicts it
+    * with the same cycle-split arithmetic as the PNG/GIF keys, so a
+    * wrong Huffman code, category EXTEND, DC predictor, dequant, or
+    * IDCT scale anywhere breaks the hash. Map-side generation + decode.
+    */
+  val qMultimodalJpeg: Q = (s, d) => {
+    import s.implicits._
+    documents(s, d).select(col("doc_id"))
+      .repartition(s.sessionState.conf.numShufflePartitions)
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val (w, h) = ((8 * (1 + id % 12)).toInt, (8 * (1 + id % 10)).toInt)
+        val payload = makeJpeg(w, h, seed = id)
+        val (p, pixelSum) = parseJpegPixels(payload).getOrElse(
+          throw new IllegalStateException(s"generated JPEG for doc $id failed to parse"))
+        (id, p.format, p.width, p.height, p.n_channels, pixelSum)
+      })
+      .toDF("media_id", "format", "width", "height", "n_channels", "pixel_sum")
+      .orderBy("media_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_multimodal_features" -> qMultimodalFeatures,
     "q_multimodal_decode" -> qMultimodalDecode,
@@ -1308,6 +1772,7 @@ object Multimodal {
     "q_multimodal_real" -> qMultimodalReal,
     "q_multimodal_png" -> qMultimodalPng,
     "q_multimodal_gif" -> qMultimodalGif,
-    "q_multimodal_flac" -> qMultimodalFlac
+    "q_multimodal_flac" -> qMultimodalFlac,
+    "q_multimodal_jpeg" -> qMultimodalJpeg
   )
 }

@@ -865,6 +865,32 @@ object Oracle {
          + CASE WHEN c = 2 THEN n * b1 + n * (n - 1) // 2 ELSE 0 END)::BIGINT AS sample_sum
       FROM px ORDER BY media_id""",
 
+    // JPEG closed loop (Multimodal.qMultimodalJpeg): the engine
+    // generates a baseline JPEG per doc_id (DC-only flat blocks, quant
+    // 8, Annex K tables — exact integer decode by construction) and
+    // decodes it with the real Huffman + dequant + IDCT pipeline; here
+    // the decoded pixel sum is 64 * sum_b (doc_id + b) mod 256 over
+    // n = (w/8)*(h/8) blocks — the same cycle-split arithmetic as the
+    // PNG/GIF keys, scaled by the 64 pixels of each flat block.
+    "q_multimodal_jpeg" -> """
+      WITH px AS (
+        SELECT doc_id,
+          (8 * (1 + doc_id % 12))::INT AS w,
+          (8 * (1 + doc_id % 10))::INT AS h,
+          (1 + doc_id % 12) * (1 + doc_id % 10) AS n,
+          doc_id % 256 AS a
+        FROM documents
+      )
+      SELECT doc_id AS media_id, 'jpeg' AS format, w AS width, h AS height,
+        1::INT AS n_channels,
+        (64 * ((n // 256) * 32640
+         + CASE WHEN a + (n % 256) <= 256
+             THEN (n % 256) * a + ((n % 256) * ((n % 256) - 1)) // 2
+             ELSE (256 - a) * a + ((256 - a) * (255 - a)) // 2
+                  + (((n % 256) - (256 - a)) * ((n % 256) - (256 - a) - 1)) // 2
+           END))::BIGINT AS pixel_sum
+      FROM px ORDER BY media_id""",
+
     // Frame-sampling check twin (Multimodal.qMultimodalFramesCheck):
     // every document yields exactly one media row (index 0 always
     // sampled); the stride/bytes/dims invariants are expected TRUE.

@@ -605,4 +605,117 @@ class MultimodalSpec extends AnyFunSuite {
     val sync = good.clone(); sync(42) = 0x7f.toByte
     assert(stubbed(sync))
   }
+
+  // ------------------------------------------------------------ JPEG tier
+
+  test("JPEG closed loop: parse(make(id)) matches the doc_id formulas for 200 ids") {
+    for (id <- 0L until 200L) {
+      val (w, h) = ((8 * (1 + id % 12)).toInt, (8 * (1 + id % 10)).toInt)
+      val payload = Multimodal.makeJpeg(w, h, id)
+      val (p, sum) = Multimodal.parseJpegPixels(payload).get
+      assert((p.format, p.width, p.height, p.n_channels) == (("jpeg", w, h, 1)), s"id=$id")
+      val nBlocks = (w / 8) * (h / 8)
+      val want = 64L * (0 until nBlocks).map(b => (id + b) % 256).sum
+      assert(sum == want, s"id=$id")
+      assert(Multimodal.parseMedia(payload).get.format == "jpeg", s"id=$id")
+    }
+  }
+
+  test("JPEG restart markers: RSTn + DC predictor reset decode to the identical pixel sum") {
+    for (id <- Seq(0L, 7L, 200L, 255L)) {
+      val (w, h) = (64, 56) // 56 blocks -> several restart intervals
+      val plain = Multimodal.makeJpeg(w, h, id)
+      val rst = Multimodal.makeJpeg(w, h, id, restartEvery = 5)
+      // The restart stream genuinely contains RST markers and a DRI.
+      assert(rst.length > plain.length)
+      assert(rst.sliding(2).exists(p => (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xdd))
+      assert(rst.sliding(2).count(p => (p(0) & 0xff) == 0xff && ((p(1) & 0xff) & 0xf8) == 0xd0) >= 10)
+      assert(Multimodal.parseJpegPixels(rst).get == Multimodal.parseJpegPixels(plain).get, s"id=$id")
+    }
+  }
+
+  test("JPEG decoder vs an independent encoder: ImageIO grayscale gradient (real AC coefficients)") {
+    // The closed loop's flat blocks are DC-only; the JDK's JPEG encoder
+    // (libjpeg under ImageIO) produces real quant tables and dense AC
+    // runs. Reference = ImageIO's own decode of the same bytes; IDCT
+    // implementations may legally differ by ~1/sample, so the sums are
+    // compared within 1 per pixel.
+    val (w, h) = (120, 88)
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, (x * 2 + y * 3 + (x * y) % 31) % 256)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val bytes = bos.toByteArray
+    val (p, ourSum) = Multimodal.parseJpegPixels(bytes).get
+    assert((p.format, p.width, p.height, p.n_channels) == (("jpeg", w, h, 1)))
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    var refSum = 0L
+    for (y <- 0 until h; x <- 0 until w) refSum += back.getRaster.getSample(x, y, 0)
+    assert(math.abs(ourSum - refSum) <= w.toLong * h,
+      s"ourSum=$ourSum refSum=$refSum diff=${ourSum - refSum}")
+  }
+
+  test("JPEG decoder: ImageIO color (YCbCr, subsampled MCU loop) lands on the predicted component sums") {
+    // A flat RGB color: every Y/Cb/Cr sample should decode to the
+    // rounded YCbCr transform of (200, 120, 40) within quantization
+    // noise. This exercises the 3-component interleaved MCU walk with
+    // the JDK encoder's default chroma subsampling.
+    val (w, h) = (32, 32)
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, (200 << 16) | (120 << 8) | 40)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val (p, sum) = Multimodal.parseJpegPixels(bos.toByteArray).get
+    assert((p.format, p.width, p.height, p.n_channels) == (("jpeg", w, h, 3)))
+    // Component grids: Y at w*h; Cb/Cr at ceil(w/hs)*ceil(h/vs) for the
+    // encoder's chosen subsampling - recover the grid size from the SOF
+    // the encoder actually wrote rather than assuming 4:2:0.
+    val (yN, cN) = {
+      val b = bos.toByteArray
+      var o = 2
+      var dims: Option[(Int, Int)] = None
+      while (dims.isEmpty) {
+        val m = b(o + 1) & 0xff
+        val len = ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+        if (m == 0xc0) {
+          val hs = (b(o + 11) & 0xff) >> 4; val vs = b(o + 11) & 0x0f
+          val hMax = (0 until 3).map(i => (b(o + 11 + 3 * i) & 0xff) >> 4).max
+          val vMax = (0 until 3).map(i => b(o + 11 + 3 * i) & 0x0f).max
+          val cW = (w * ((b(o + 14) & 0xff) >> 4) + hMax - 1) / hMax
+          val cH = (h * (b(o + 14) & 0x0f) + vMax - 1) / vMax
+          dims = Some((w * hs / hMax * (h * vs / vMax), cW * cH))
+        }
+        o += 2 + len
+      }
+      dims.get
+    }
+    val expY = math.round(0.299 * 200 + 0.587 * 120 + 0.114 * 40)
+    val expCb = math.round(128 - 0.168736 * 200 - 0.331264 * 120 + 0.5 * 40)
+    val expCr = math.round(128 + 0.5 * 200 - 0.418688 * 120 - 0.081312 * 40)
+    val expected = yN.toLong * expY + cN.toLong * (expCb + expCr)
+    val tol = 4L * (yN + 2L * cN)
+    assert(math.abs(sum - expected) <= tol, s"sum=$sum expected=$expected tol=$tol")
+  }
+
+  test("JPEG adversarial edges: progressive, 12-bit, bomb dims, truncation, missing EOI") {
+    val good = Multimodal.makeJpeg(24, 16, 3L)
+    def stubbed(b: Array[Byte]): Boolean =
+      Multimodal.decode(MediaRecord(9L, b, "image")) ==
+        Multimodal.decodeStub(MediaRecord(9L, b, "image"))
+    assert(!stubbed(good))
+    // Fixed layout: SOI 2 + DQT 69 -> SOF0 marker at 71, payload at 75.
+    assert((good(71) & 0xff) == 0xff && (good(72) & 0xff) == 0xc0)
+    val prog = good.clone(); prog(72) = 0xc2.toByte // SOF2 progressive
+    assert(stubbed(prog))
+    val deep = good.clone(); deep(75) = 12.toByte // 12-bit precision
+    assert(stubbed(deep))
+    val bomb = good.clone() // 65535x65535 declared: rejected before decode
+    bomb(76) = 0xff.toByte; bomb(77) = 0xff.toByte
+    bomb(78) = 0xff.toByte; bomb(79) = 0xff.toByte
+    assert(stubbed(bomb))
+    assert(stubbed(good.dropRight(2)))  // missing EOI
+    assert(stubbed(good.dropRight(12))) // truncated scan
+    assert(stubbed(good.take(80)))      // truncated headers
+  }
 }
