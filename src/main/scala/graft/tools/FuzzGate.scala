@@ -231,7 +231,78 @@ object FuzzGate {
         () => s"CAST(CASE WHEN ${predicate(chain)} THEN 1 ELSE 0 END AS BIGINT)"
       ))()
 
+    /** Per-table unique key (the ORDER BY tiebreak that makes
+      * row_number/lag/frames deterministic). Every FK edge is N:1, so a
+      * chain's BASE table key stays unique across the whole join — LEFT
+      * or INNER. NOTE the synthetic fixture does NOT keep TPC-H's
+      * (l_orderkey, l_linenumber) unique — measured: 11,785 duplicate
+      * pairs at sf0.01, and even the 4-col extension collides at
+      * sf0.001 — so lineitem's tiebreak is the 6-tuple, verified
+      * duplicate-free at sf0.001/0.01/0.1. Full-row duplicates would be
+      * harmless (the multiset compare can't see which twin got which
+      * rank) but rows equal on the tiebreak while differing elsewhere
+      * make ranks legitimately nondeterministic — the r17 first window
+      * run failed exactly this way.
+      */
+    val uniqueKeys: Map[String, Seq[String]] = Map(
+      "lineitem" -> Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice"),
+      "orders" -> Seq("o_orderkey"), "customer" -> Seq("c_custkey"),
+      "part" -> Seq("p_partkey"), "supplier" -> Seq("s_suppkey"),
+      "nation" -> Seq("n_nationkey"), "region" -> Seq("r_regionkey"))
+
+    /** Window-function shape (r17 axis): ranking / analytic / framed
+      * aggregates over the join chain. Dialect discipline on top of the
+      * object scaladoc's rules:
+      *  - EVERY order spec carries an explicit NULLS FIRST/LAST — Spark
+      *    defaults to NULLS FIRST on ASC, DuckDB to NULLS LAST, and
+      *    left-join padding makes null order keys REAL here;
+      *  - row_number/lag/ntile/ROWS frames order by the base table's
+      *    unique key (ties would otherwise be legitimately
+      *    nondeterministic); rank/dense_rank tolerate ties by
+      *    definition;
+      *  - ranking outputs are CAST(... AS BIGINT) (Spark emits INT,
+      *    DuckDB BIGINT).
+      */
+    def windowShape(): String = {
+      val (chain, from) = joinChain()
+      val ukOrder = uniqueKeys(chain.head).map(k => s"$k ASC NULLS FIRST").mkString(", ")
+      val p = pick[() => String](Seq(
+        () => pick(allCols(chain, "str")).name,
+        () => s"substr(${pick(allCols(chain, "str")).name}, 1, ${int(1, 2)})",
+        () => s"CAST(${pick(allCols(chain, "int")).name} % ${int(2, 8)} AS BIGINT)"
+      ))()
+      def orderSpec(): String = {
+        val kinds = Seq("int") ++ (if (has(chain, "dbl")) Seq("dbl") else Nil) ++
+          (if (has(chain, "ts")) Seq("ts") else Nil)
+        val c = pick(allCols(chain, pick(kinds))).name
+        s"$c ${pick(Seq("ASC", "DESC"))} ${pick(Seq("NULLS FIRST", "NULLS LAST"))}"
+      }
+      def winFn(rankFirst: Boolean): String = {
+        val fns: Seq[() => String] = Seq(
+          () => s"CAST(row_number() OVER (PARTITION BY $p ORDER BY ${orderSpec()}, $ukOrder) AS BIGINT)",
+          () => s"CAST(rank() OVER (PARTITION BY $p ORDER BY ${orderSpec()}) AS BIGINT)",
+          () => s"CAST(dense_rank() OVER (PARTITION BY $p ORDER BY ${orderSpec()}) AS BIGINT)",
+          () => s"CAST(count(*) OVER (PARTITION BY $p) AS BIGINT)",
+          () => s"CAST(sum(CAST(${pick(allCols(chain, "int")).name} AS BIGINT)) OVER (PARTITION BY $p) AS BIGINT)",
+          () => s"min(${pick(allCols(chain, pick(Seq("int", "str")))).name}) OVER (PARTITION BY $p)",
+          () => s"max(${pick(allCols(chain, pick(Seq("int", "str")))).name}) OVER (PARTITION BY $p)",
+          () => s"lag(${pick(allCols(chain, pick(Seq("int", "str")))).name}, ${int(1, 3)}) OVER (PARTITION BY $p ORDER BY $ukOrder)",
+          () => s"CAST(sum(CAST(${pick(allCols(chain, "int")).name} % ${int(2, 9)} AS BIGINT)) OVER " +
+            s"(PARTITION BY $p ORDER BY $ukOrder ROWS BETWEEN ${int(1, 5)} PRECEDING AND CURRENT ROW) AS BIGINT)",
+          () => s"CAST(ntile(${int(2, 7)}) OVER (PARTITION BY $p ORDER BY $ukOrder) AS BIGINT)")
+        if (rankFirst) fns.head() else pick(fns)()
+      }
+      val where = if (chance(0.6)) s" WHERE ${predicate(chain)}" else ""
+      val qualify = chance(0.3) // filter ON a window value via subquery
+      val wins = (0 until int(1, 3)).map(i => s"${winFn(rankFirst = qualify && i == 0)} AS w$i")
+      val sel = (uniqueKeys(chain.head) ++ Seq(s"$p AS pkey") ++ wins).mkString(", ")
+      val inner = s"SELECT $sel FROM $from$where"
+      if (qualify) s"SELECT * FROM ($inner) q WHERE w0 <= ${int(2, 20)}" else inner
+    }
+
     def query(): String = {
+      if (chance(0.3)) return windowShape()
       val (chain, from) = joinChain()
       val where = if (chance(0.75)) s" WHERE ${predicate(chain)}" else ""
       if (chance(0.45)) {
