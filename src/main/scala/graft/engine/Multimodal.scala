@@ -439,6 +439,8 @@ object Multimodal {
     */
   def parseMedia(b: Array[Byte]): Option[ParsedMedia] =
     if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') parseBmp(b)
+    else if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' ') parseAvi(b)
     else if (b.length >= 4 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') parseWav(b)
     else if (b.length >= 2 && b(0) == 'P' && b(1) == '6') parsePpm(b)
     else if (b.length >= 8 && b(0) == PngSig(0) && b(1) == PngSig(1)) parsePng(b)
@@ -1015,6 +1017,76 @@ object Multimodal {
 
   def parseJpeg(b: Array[Byte]): Option[ParsedMedia] = parseJpegPixels(b).map(_._1)
 
+  // --------------------------------------------------- AVI/MJPEG (real)
+
+  /** REAL video decode — AVI (RIFF) container walk + Motion-JPEG frames,
+    * each decoded by the full [[parseJpegPixels]] pipeline. Completes
+    * the r16 stub list (JPEG/FLAC/video): with this tier image, audio,
+    * AND video are real behind the seam. The walk validates the RIFF
+    * size envelope, reads `avih` (dims, frame count, frame duration)
+    * inside the `hdrl` LIST, then iterates the `movi` LIST's `00dc`
+    * chunks — every frame must JPEG-decode and match the declared dims,
+    * and the frame count must equal avih's dwTotalFrames. Returns the
+    * dims plus the SUM OVER ALL FRAMES of decoded pixel sums; per-frame
+    * decode is streaming (no frame buffer list), so memory stays O(1)
+    * in the frame count. Out of profile (non-MJPEG streams, interlaced
+    * index chunks mid-movi, truncation, dim drift) → None; never throws.
+    */
+  def parseAviPixels(b: Array[Byte]): Option[(ParsedMedia, Long)] = {
+    def tag(o: Int) = new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (b.length < 24 || tag(0) != "RIFF" || tag(8) != "AVI ") return None
+    if (le32(b, 4) != b.length - 8) return None
+    try {
+      var w, h, totalFrames, usPerFrame = 0
+      var seenAvih = false
+      var frames = 0
+      var channels = 0
+      var pixelSum = 0L
+      def walk(from: Int, until: Int, inMovi: Boolean): Unit = {
+        var o = from
+        while (o + 8 <= until) {
+          val id = tag(o)
+          val size = le32(b, o + 4)
+          if (size < 0 || o.toLong + 8L + size > until) throw new IllegalStateException("chunk overruns parent")
+          if (id == "LIST") {
+            val listType = tag(o + 8)
+            walk(o + 12, o + 8 + size, inMovi = listType == "movi")
+          } else if (id == "avih") {
+            if (seenAvih || size < 56) throw new IllegalStateException("bad avih")
+            seenAvih = true
+            usPerFrame = le32(b, o + 8)
+            totalFrames = le32(b, o + 24)
+            w = le32(b, o + 40)
+            h = le32(b, o + 44)
+            if (w <= 0 || h <= 0 || totalFrames <= 0 || usPerFrame <= 0)
+              throw new IllegalStateException("bad avih fields")
+            if (w.toLong * h * totalFrames > PngRasterCap) throw new IllegalStateException("raster cap")
+          } else if (inMovi && (id == "00dc" || id == "00db")) {
+            if (!seenAvih) throw new IllegalStateException("frame before avih")
+            val frame = java.util.Arrays.copyOfRange(b, o + 8, o + 8 + size)
+            val (p, s) = parseJpegPixels(frame).getOrElse(
+              throw new IllegalStateException("frame is not a decodable JPEG"))
+            if (p.width != w || p.height != h) throw new IllegalStateException("frame dim drift")
+            if (channels == 0) channels = p.n_channels
+            else if (channels != p.n_channels) throw new IllegalStateException("channel drift")
+            pixelSum += s
+            frames += 1
+          } // strh/strf/idx1/JUNK/...: validated by envelope, skipped
+          o += 8 + size + (size & 1) // RIFF chunks are word-aligned
+        }
+        if (o != until) throw new IllegalStateException("ragged list")
+      }
+      walk(12, b.length, inMovi = false)
+      if (!seenAvih || frames == 0 || frames != totalFrames) return None
+      Some((ParsedMedia("avi", w, h, channels, 0, frames.toLong,
+        frames.toLong * usPerFrame / 1000L), pixelSum))
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    }
+  }
+
+  def parseAvi(b: Array[Byte]): Option[ParsedMedia] = parseAviPixels(b).map(_._1)
+
   /** The production decode seam: REAL parse for the supported container
     * formats, deterministic stub for the rest. Legacy MediaFeatures
     * mapping for real formats: images report (width, height, 1 frame);
@@ -1027,6 +1099,9 @@ object Multimodal {
       val stub = decodeStub(r) // content hash + byte length
       if (p.format == "wav" || p.format == "flac")
         stub.copy(width = 0, height = 0,
+          n_frames = math.min(p.n_samples, Int.MaxValue.toLong).toInt)
+      else if (p.format == "avi") // video: n_samples carries the frame count
+        stub.copy(width = p.width, height = p.height,
           n_frames = math.min(p.n_samples, Int.MaxValue.toLong).toInt)
       else stub.copy(width = p.width, height = p.height, n_frames = 1)
     case None => decodeStub(r)
@@ -1387,7 +1462,7 @@ object Multimodal {
     * The AC/run-length and sampling paths the flat blocks cannot reach
     * are covered by the ImageIO cross-implementation specs.
     */
-  def makeJpeg(w: Int, h: Int, seed: Long, restartEvery: Int = 0): Array[Byte] = {
+  def makeJpeg(w: Int, h: Int, seed: Long, restartEvery: Int = 0, flat: Boolean = false): Array[Byte] = {
     require(w > 0 && h > 0 && w % 8 == 0 && h % 8 == 0)
     val out = new java.io.ByteArrayOutputStream()
     def marker(m: Int, payload: Array[Byte]): Unit = {
@@ -1439,7 +1514,7 @@ object Multimodal {
         rst = (rst + 1) % 8
         predDc = 0
       }
-      val dc = (((seed + b) % 256) - 128).toInt
+      val dc = ((if (flat) seed % 256 else (seed + b) % 256) - 128).toInt
       val diff = dc - predDc
       predDc = dc
       val t = 32 - Integer.numberOfLeadingZeros(math.abs(diff))
@@ -1452,6 +1527,35 @@ object Multimodal {
     flushBits()
     out.write(0xff); out.write(0xd9) // EOI
     out.toByteArray
+  }
+
+  /** Deterministic AVI/MJPEG: `nFrames` grayscale Motion-JPEG frames
+    * (frame f FLAT at value `(seed + f) mod 256` — DC-only, exact
+    * decode), 25 fps (40000 µs/frame), standard hdrl (avih + strl with
+    * 'vids'/'MJPG' strh and a BITMAPINFOHEADER strf) and a movi LIST of
+    * word-aligned `00dc` chunks. The decoded pixel total is CLOSED-FORM:
+    * 64·blocks·Σ_f (seed+f) mod 256.
+    */
+  def makeAvi(w: Int, h: Int, nFrames: Int, seed: Long): Array[Byte] = {
+    def le32b(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def chunk(id: String, body: Array[Byte]): Array[Byte] =
+      id.getBytes("US-ASCII") ++ le32b(body.length) ++ body ++
+        (if (body.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray)
+    def list(typ: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", typ.getBytes("US-ASCII") ++ body)
+    val avih = le32b(40000) ++ le32b(0) ++ le32b(0) ++ le32b(0) ++ le32b(nFrames) ++
+      le32b(0) ++ le32b(1) ++ le32b(0) ++ le32b(w) ++ le32b(h) ++ new Array[Byte](16)
+    val strh = "vids".getBytes("US-ASCII") ++ "MJPG".getBytes("US-ASCII") ++
+      le32b(0) ++ le32b(0) ++ le32b(0) ++ le32b(1) ++ le32b(25) ++ le32b(0) ++
+      le32b(nFrames) ++ le32b(0) ++ le32b(0) ++ le32b(0) ++ new Array[Byte](8)
+    val strf = le32b(40) ++ le32b(w) ++ le32b(h) ++ Array[Byte](1, 0, 24, 0) ++
+      "MJPG".getBytes("US-ASCII") ++ le32b(0) ++ new Array[Byte](16)
+    val hdrl = list("hdrl", chunk("avih", avih) ++
+      list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi",
+      (0 until nFrames).toArray.flatMap(f => chunk("00dc", makeJpeg(w, h, seed + f, flat = true))))
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    "RIFF".getBytes("US-ASCII") ++ le32b(body.length) ++ body
   }
 
   /** Deterministic binary PPM (P6, maxval 255). */
@@ -1763,6 +1867,35 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  /** ORACLE-GRADED closed loop for the VIDEO tier: per document, an
+    * AVI/MJPEG file is GENERATED from doc_id formulas (flat DC-only
+    * grayscale frames at 25 fps) and decoded by the REAL
+    * [[parseAviPixels]] pipeline — RIFF walk, avih validation, then the
+    * full JPEG decoder per `00dc` frame. Emitted: dims, frame count,
+    * duration, and the TOTAL DECODED PIXEL SUM over all frames =
+    * 64·blocks·Σ_f (doc_id+f) mod 256, which DuckDB predicts — so a
+    * dropped/duplicated/reordered frame, a dim drift, or any JPEG
+    * decode error breaks the hash. Map-side generation and decode.
+    */
+  val qMultimodalVideo: Q = (s, d) => {
+    import s.implicits._
+    documents(s, d).select(col("doc_id"))
+      .repartition(s.sessionState.conf.numShufflePartitions)
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val (w, h) = ((8 * (1 + id % 9)).toInt, (8 * (1 + id % 7)).toInt)
+        val nf = (1 + id % 3).toInt
+        val payload = makeAvi(w, h, nf, seed = id)
+        val (p, pixelSum) = parseAviPixels(payload).getOrElse(
+          throw new IllegalStateException(s"generated AVI for doc $id failed to parse"))
+        (id, p.format, p.width, p.height, p.n_channels, p.n_samples,
+          p.duration_ms, pixelSum)
+      })
+      .toDF("media_id", "format", "width", "height", "n_channels", "n_frames",
+        "duration_ms", "pixel_sum")
+      .orderBy("media_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_multimodal_features" -> qMultimodalFeatures,
     "q_multimodal_decode" -> qMultimodalDecode,
@@ -1773,6 +1906,7 @@ object Multimodal {
     "q_multimodal_png" -> qMultimodalPng,
     "q_multimodal_gif" -> qMultimodalGif,
     "q_multimodal_flac" -> qMultimodalFlac,
-    "q_multimodal_jpeg" -> qMultimodalJpeg
+    "q_multimodal_jpeg" -> qMultimodalJpeg,
+    "q_multimodal_video" -> qMultimodalVideo
   )
 }

@@ -891,6 +891,33 @@ object Oracle {
            END))::BIGINT AS pixel_sum
       FROM px ORDER BY media_id""",
 
+    // Video (AVI/MJPEG) closed loop (Multimodal.qMultimodalVideo): the
+    // engine generates an AVI per doc_id (nf flat DC-only MJPEG frames
+    // at 25 fps) and decodes it with the real RIFF walk + per-frame
+    // JPEG pipeline; here every column is predicted arithmetically.
+    // pixel_sum = 64 * blocks * sum_f (doc_id+f) mod 256 with nf <= 3,
+    // so only the wrap-split tail of the cycle formula applies.
+    "q_multimodal_video" -> """
+      WITH px AS (
+        SELECT doc_id,
+          (8 * (1 + doc_id % 9))::INT AS w,
+          (8 * (1 + doc_id % 7))::INT AS h,
+          (1 + doc_id % 9) * (1 + doc_id % 7) AS nb,
+          (1 + doc_id % 3)::BIGINT AS nf,
+          doc_id % 256 AS a
+        FROM documents
+      )
+      SELECT doc_id AS media_id, 'avi' AS format, w AS width, h AS height,
+        1::INT AS n_channels, nf AS n_frames,
+        (nf * 40)::BIGINT AS duration_ms,
+        (64 * nb *
+         CASE WHEN a + nf <= 256
+           THEN nf * a + (nf * (nf - 1)) // 2
+           ELSE (256 - a) * a + ((256 - a) * (255 - a)) // 2
+                + ((nf - (256 - a)) * (nf - (256 - a) - 1)) // 2
+         END)::BIGINT AS pixel_sum
+      FROM px ORDER BY media_id""",
+
     // Frame-sampling check twin (Multimodal.qMultimodalFramesCheck):
     // every document yields exactly one media row (index 0 always
     // sampled); the stride/bytes/dims invariants are expected TRUE.

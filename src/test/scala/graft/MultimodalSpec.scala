@@ -718,4 +718,73 @@ class MultimodalSpec extends AnyFunSuite {
     assert(stubbed(good.dropRight(12))) // truncated scan
     assert(stubbed(good.take(80)))      // truncated headers
   }
+
+  // ------------------------------------------------------ AVI/MJPEG tier
+
+  test("AVI closed loop: parse(make(id)) matches the doc_id formulas for 200 ids") {
+    for (id <- 0L until 200L) {
+      val (w, h) = ((8 * (1 + id % 9)).toInt, (8 * (1 + id % 7)).toInt)
+      val nf = (1 + id % 3).toInt
+      val payload = Multimodal.makeAvi(w, h, nf, id)
+      val (p, sum) = Multimodal.parseAviPixels(payload).get
+      assert((p.format, p.width, p.height, p.n_channels) == (("avi", w, h, 1)), s"id=$id")
+      assert((p.n_samples, p.duration_ms) == ((nf.toLong, nf * 40L)), s"id=$id")
+      val nb = (w / 8) * (h / 8)
+      val want = 64L * nb * (0 until nf).map(f => (id + f) % 256).sum
+      assert(sum == want, s"id=$id")
+      // RIFF dispatch: AVI routes to the video parser, WAV still to audio.
+      assert(Multimodal.parseMedia(payload).get.format == "avi", s"id=$id")
+      assert(Multimodal.parseMedia(Multimodal.makeWav(1, 8000, 100, id)).get.format == "wav")
+    }
+  }
+
+  test("AVI decoder: dropped, duplicated, and dim-drifted frames are all rejected") {
+    val (w, h, nf, seed) = (32, 24, 3, 9L)
+    val good = Multimodal.makeAvi(w, h, nf, seed)
+    assert(Multimodal.parseAviPixels(good).isDefined)
+    // Frame-count drift: splice avih's dwTotalFrames (avih body starts
+    // at 32 in makeAvi's fixed layout — RIFF 12 + LIST header 12 + chunk
+    // header 8; dwTotalFrames = body+16 = 48) to claim more/fewer frames
+    // than movi holds.
+    assert((good(48) & 0xff) == nf) // layout sanity before splicing
+    val claim4 = good.clone(); claim4(48) = 4.toByte
+    assert(Multimodal.parseAviPixels(claim4).isEmpty)
+    val claim2 = good.clone(); claim2(48) = 2.toByte
+    assert(Multimodal.parseAviPixels(claim2).isEmpty)
+    // Dim drift: a movi whose frames disagree with avih (dwWidth at
+    // body+32 = 64, dwHeight at body+36 = 68). Frames are 16x16; avih
+    // is patched to claim 24x24.
+    val drift = Multimodal.makeAvi(16, 16, 2, seed)
+    assert((drift(64) & 0xff) == 16 && (drift(68) & 0xff) == 16)
+    val patched = drift.clone()
+    patched(64) = 24.toByte
+    patched(68) = 24.toByte
+    assert(Multimodal.parseAviPixels(patched).isEmpty)
+  }
+
+  test("AVI adversarial edges: truncation, envelope mismatch, non-JPEG frames, bomb headers") {
+    val good = Multimodal.makeAvi(24, 16, 2, 5L)
+    def stubbed(b: Array[Byte]): Boolean =
+      Multimodal.decode(MediaRecord(9L, b, "video")) ==
+        Multimodal.decodeStub(MediaRecord(9L, b, "video"))
+    assert(!stubbed(good))
+    assert(stubbed(good.take(100)))     // truncated inside hdrl/movi
+    assert(stubbed(good.dropRight(7)))  // truncated final frame
+    // RIFF size envelope mismatch.
+    val env = good.clone(); env(4) = (env(4) ^ 1).toByte
+    assert(stubbed(env))
+    // Corrupt a frame's JPEG SOI (first 00dc payload) -> frame not a JPEG.
+    val soi = good.indexOfSlice(Seq[Byte]('0', '0', 'd', 'c'))
+    assert(soi > 0)
+    val badFrame = good.clone(); badFrame(soi + 8) = 0.toByte
+    assert(stubbed(badFrame))
+    // avih declaring a raster-cap-busting frame volume with a valid
+    // envelope: rejected before any frame decode (dwTotalFrames at 48).
+    val bomb = good.clone()
+    bomb(48) = 0xff.toByte; bomb(49) = 0xff.toByte; bomb(50) = 0xff.toByte
+    assert(stubbed(bomb))
+    // decode() maps video: n_frames carries the frame count.
+    val f = Multimodal.decode(MediaRecord(1L, good, "video"))
+    assert((f.width, f.height, f.n_frames) == ((24, 16, 2)))
+  }
 }
