@@ -775,16 +775,29 @@ object Multimodal {
       }
       throw new IllegalStateException("invalid Huffman code")
     }
-    /** Byte-align and consume an expected restart marker RST0-7. A
-      * padded final segment byte of 0xFF carries a stuffed 0x00 that the
-      * bit path never consumed — skip it first.
+    /** Byte-align past the entropy segment and return the byte offset
+      * where the next MARKER starts. The subtlety (review finding r17):
+      * when the final segment byte is a padded 0xFF, the encoder emits
+      * the mandatory stuffed 0x00 after it, and the bit path never
+      * consumed either — aligning lands ON the 0x00. The previous byte
+      * being an (entropy) 0xFF identifies it unambiguously: markers
+      * never start with 0x00, and if the 0xFF was fully consumed as
+      * data, bit() already skipped its stuffed 0x00 (so the byte before
+      * the aligned position would be that 0x00, not 0xFF).
       */
-    def restart(): Unit = {
+    def alignToMarker(): Int = {
       pos = (pos + 7) & ~7
-      if ((b(pos >> 3) & 0xff) == 0xff && (b((pos >> 3) + 1) & 0xff) == 0) pos += 16
-      val m = ((b(pos >> 3) & 0xff) << 8) | (b((pos >> 3) + 1) & 0xff)
+      var p = pos >> 3
+      if (p > 0 && (b(p - 1) & 0xff) == 0xff && p < b.length && b(p) == 0) p += 1
+      pos = p << 3
+      p
+    }
+    /** Consume an expected restart marker RST0-7 at a segment boundary. */
+    def restart(): Unit = {
+      val p = alignToMarker()
+      val m = ((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)
       if (m < 0xffd0 || m > 0xffd7) throw new IllegalStateException("expected RST marker")
-      pos += 16
+      pos = (p + 2) << 3
     }
     def bytePos: Int = (pos + 7) >> 3
   }
@@ -995,10 +1008,10 @@ object Multimodal {
                 }
                 my += 1
               }
-              // After the last MCU: align; skip a stuffed 0x00 from a
-              // padded 0xFF tail byte and any fill FFs; then EOI.
-              var p = r.bytePos
-              if (p + 1 < b.length && (b(p) & 0xff) == 0xff && (b(p + 1) & 0xff) == 0) p += 2
+              // After the last MCU: align past the segment (incl. the
+              // stuffed 0x00 of a padded 0xFF tail byte), skip fill FFs,
+              // then EOI.
+              var p = r.alignToMarker()
               while (p + 1 < b.length && (b(p) & 0xff) == 0xff && (b(p + 1) & 0xff) == 0xff) p += 1
               if (p + 2 > b.length || (b(p) & 0xff) != 0xff || (b(p + 1) & 0xff) != 0xd9) return None
               return Some((ParsedMedia("jpeg", w, h, ns, 0, 0L, 0L), sum))
@@ -1436,7 +1449,13 @@ object Multimodal {
     0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
     0xf9, 0xfa)
 
-  /** Canonical (code, length) per value — the encoder half of DHT. */
+  /** Canonical (code, length) per value — the encoder half of DHT.
+    * The two Annex K maps are hoisted ([[DcLumCodes]], [[AcLumEob]]):
+    * makeJpeg runs once per payload (and once per FRAME via makeAvi),
+    * so rebuilding 174 boxed map entries per call would put millions of
+    * redundant allocations in the ×970 sweep's hot path (review
+    * finding r17).
+    */
   private def canonCodes(counts: Array[Int], vals: Array[Int]): Map[Int, (Int, Int)] = {
     var code = 0
     var k = 0
@@ -1449,6 +1468,9 @@ object Multimodal {
     }
     out.result()
   }
+
+  private lazy val DcLumCodes: Map[Int, (Int, Int)] = canonCodes(StdDcLumCounts, StdDcLumVals)
+  private lazy val AcLumEob: (Int, Int) = canonCodes(StdAcLumCounts, StdAcLumVals)(0x00)
 
   /** Deterministic baseline JPEG: grayscale, dimensions multiples of 8,
     * each 8×8 block FLAT at value `(seed + blockIndex) mod 256` — i.e.
@@ -1482,8 +1504,8 @@ object Multimodal {
       marker(0xdd, Array[Byte]((restartEvery >> 8).toByte, (restartEvery & 0xff).toByte)) // DRI
     marker(0xda, Array[Byte](1, 1, 0x00, 0, 63, 0)) // SOS
     // Entropy segment: MSB-first bits with 0xFF00 stuffing.
-    val dcCodes = canonCodes(StdDcLumCounts, StdDcLumVals)
-    val (eobCode, eobLen) = canonCodes(StdAcLumCounts, StdAcLumVals)(0x00)
+    val dcCodes = DcLumCodes
+    val (eobCode, eobLen) = AcLumEob
     var acc = 0
     var nbits = 0
     def putBits(v: Int, n: Int): Unit = {

@@ -698,6 +698,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(math.abs(sum - expected) <= tol, s"sum=$sum expected=$expected tol=$tol")
   }
 
+  test("JPEG padded-0xFF tail: a valid scan ending FF 00 FF D9 decodes (review finding r17)") {
+    // When the final entropy byte is a padded 0xFF the encoder must
+    // stuff 0x00 after it; aligning to the EOI then lands ON the 0x00.
+    // The pre-fix decoder rejected exactly this class of valid JPEG.
+    // Seed 402 deterministically makes ImageIO produce the tail
+    // (searched offline; ImageIO encode is deterministic).
+    val (w, h, seed) = (24, 16, 402)
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, (x * 3 + y * 7 + seed * 13 + (x * y + seed) % 29) % 256)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val b = bos.toByteArray
+    val n = b.length
+    // The premise: the file really ends FF 00 FF D9 (else the test tests
+    // nothing — fail loudly so the seed gets re-searched).
+    assert((b(n - 4) & 0xff, b(n - 3) & 0xff, b(n - 2) & 0xff, b(n - 1) & 0xff) ==
+      ((0xff, 0x00, 0xff, 0xd9)), "premise: scan must end FF 00 FF D9")
+    val (p, ourSum) = Multimodal.parseJpegPixels(b).get
+    assert((p.width, p.height) == ((w, h)))
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+    var refSum = 0L
+    for (y <- 0 until h; x <- 0 until w) refSum += back.getRaster.getSample(x, y, 0)
+    assert(math.abs(ourSum - refSum) <= w.toLong * h)
+  }
+
   test("JPEG adversarial edges: progressive, 12-bit, bomb dims, truncation, missing EOI") {
     val good = Multimodal.makeJpeg(24, 16, 3L)
     def stubbed(b: Array[Byte]): Boolean =
