@@ -166,12 +166,39 @@ object FuzzGate {
         pick(allCols(chain, "ts")).name
     }
 
-    def predicate(chain: Seq[String]): String = {
+    /** FK edges touching the chain from OUTSIDE it, as
+      * (subTable, subKey, qualified outer key) — the subquery-predicate
+      * surface (EXISTS walks child→parent AND parent→child).
+      */
+    def subEdges(chain: Seq[String]): Seq[(String, String, String)] =
+      fks.flatMap { case (ft, tt, fk, tk) =>
+        (if (chain.contains(tt) && !chain.contains(ft)) Seq((ft, fk, s"$tt.$tk")) else Nil) ++
+          (if (chain.contains(ft) && !chain.contains(tt)) Seq((tt, tk, s"$ft.$fk")) else Nil)
+      }
+
+    def predicate(chain: Seq[String], depth: Int = 0): String = {
       def one(): String = {
         val kinds = Seq("int", "str") ++
           (if (has(chain, "dbl")) Seq("dbl") else Nil) ++
-          (if (has(chain, "ts")) Seq("ts") else Nil)
+          (if (has(chain, "ts")) Seq("ts") else Nil) ++
+          (if (depth == 0 && subEdges(chain).nonEmpty) Seq("sub") else Nil)
         pick(kinds) match {
+          case "sub" =>
+            // Subquery predicates (r17 axis): EXISTS/NOT EXISTS and
+            // IN/NOT IN against an FK neighbor — the semi/anti-join
+            // planner paths. Dialect-safe: subquery keys are the FK
+            // columns (non-null), so IN's 3VL surprises only enter via
+            // the OUTER side's left-join padding, where NULL IN (...)
+            // and NULL NOT IN (...) are both NULL → filtered in both
+            // engines. Depth-capped: sub-predicates never nest another
+            // subquery.
+            val (sub, subKey, outerKey) = pick(subEdges(chain))
+            if (chance(0.5)) {
+              val subPred = if (chance(0.6)) s" AND ${predicate(Seq(sub), depth + 1)}" else ""
+              s"${if (chance(0.4)) "NOT " else ""}EXISTS (SELECT 1 FROM $sub WHERE $sub.$subKey = $outerKey$subPred)"
+            } else
+              s"$outerKey ${if (chance(0.3)) "NOT IN" else "IN"} " +
+                s"(SELECT $subKey FROM $sub WHERE ${predicate(Seq(sub), depth + 1)})"
           case "int" =>
             val c = pick(allCols(chain, "int")).name
             pick[() => String](Seq(
@@ -319,7 +346,14 @@ object FuzzGate {
         val types = Seq("int", "str") ++
           (if (has(chain, "dbl")) Seq("dbl") else Nil) ++
           (if (has(chain, "ts") && chance(0.3)) Seq("ts") else Nil)
-        val proj = (0 until nCols).map(i => s"${expr(chain, pick(types))} AS c$i")
+        val base0 = (0 until nCols).map(i => s"${expr(chain, pick(types))} AS c$i")
+        // Correlated scalar-count subquery column (r17 axis): exercises
+        // decorrelation / left-outer count aggregation in both engines.
+        val proj =
+          if (chance(0.2) && subEdges(chain).nonEmpty) {
+            val (sub, subKey, outerKey) = pick(subEdges(chain))
+            base0 :+ s"(SELECT CAST(count(*) AS BIGINT) FROM $sub WHERE $sub.$subKey = $outerKey) AS csub"
+          } else base0
         val distinct = if (chance(0.3)) "DISTINCT " else ""
         val base = s"SELECT $distinct${proj.mkString(", ")} FROM $from$where"
         if (chance(0.2)) {
