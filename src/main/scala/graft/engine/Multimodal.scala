@@ -520,11 +520,14 @@ object Multimodal {
     * partitioned rice residuals incl. 5-bit method, escape partitions,
     * and wasted-bits shifts, reconstructed through the exact fixed
     * predictors), byte alignment, and the frame CRC-16 over everything.
-    * Returns parsed stream facts plus the SUM OF ALL DECODED SAMPLES —
-    * the quantity that makes rice decode + predictor reconstruction
-    * oracle-observable. Out of profile (LPC subframes, stereo
-    * decorrelation, reserved codes, CRC mismatch, truncation, sample
-    * count ≠ STREAMINFO total) → None → stub fallback; never throws.
+    * Stereo decorrelation (left/side, right/side, mid/side — what real
+    * encoders emit by default for stereo) is decoded, side channels at
+    * their +1-bit width, and undone in SUM SPACE (see the channel-
+    * assignment notes inline). Returns parsed stream facts plus the SUM
+    * OF ALL DECODED SAMPLES — the quantity that makes rice decode +
+    * predictor reconstruction oracle-observable. Out of profile (LPC
+    * subframes, reserved codes, CRC mismatch, truncation, sample count
+    * ≠ STREAMINFO total) → None → stub fallback; never throws.
     * Memory is O(1) per stream: samples are summed on the fly, only the
     * ≤4-deep predictor history is held.
     */
@@ -567,8 +570,16 @@ object Multimodal {
         val chAsgn = r.bits(4)
         val ssCode = r.bits(3)
         if (r.bits(1) != 0) return None
-        if (chAsgn > 7) return None // stereo decorrelation: out of profile
-        if (chAsgn + 1 != channels) return None
+        // 0-7 = independent channels; 8/9/10 = stereo decorrelation
+        // (left/side, right/side, mid/side) — real encoders pick these
+        // by default for stereo. Decorrelation stays O(1) here because
+        // the reported sum needs only per-channel sums plus the side
+        // channel's odd-count: l+r = 2·mid + (side&1) per sample (the
+        // parity of l+r equals the parity of l−r), and the single-sided
+        // modes are linear in the channel sums.
+        if (chAsgn > 10) return None
+        if (chAsgn <= 7 && chAsgn + 1 != channels) return None
+        if (chAsgn >= 8 && channels != 2) return None
         // UTF-8-like coded frame/sample number (value unused beyond
         // structure; variable blocking uses up to 7 bytes).
         val first = r.bits(8)
@@ -606,14 +617,26 @@ object Multimodal {
           case _ => return None
         }
         if (crc8(b, frameStart, r.bytePos) != r.bits(8)) return None
+        val chSum = new Array[Long](channels)
+        val chParity = new Array[Long](channels)
         var ch2 = 0
         while (ch2 < channels) {
           if (r.bits(1) != 0) return None
           val typ = r.bits(6)
           val wasted = if (r.bits(1) == 1) r.unary() + 1 else 0
-          val effBps = frameBps - wasted
-          if (effBps <= 0 || effBps > 32) return None
-          def residualSum(order: Int, warm: Array[Long]): Long = {
+          // The SIDE channel of a decorrelated pair carries one extra
+          // bit (it holds l−r).
+          val sideBit = if ((chAsgn == 8 || chAsgn == 10) && ch2 == 1) 1
+            else if (chAsgn == 9 && ch2 == 0) 1 else 0
+          val effBps = frameBps + sideBit - wasted
+          if (effBps <= 0 || effBps > 33) return None
+          var cSum = 0L
+          var cParity = 0L
+          def emit(s: Long): Unit = {
+            val out = s << wasted
+            cSum += out; cParity += out & 1
+          }
+          def residualSum(order: Int, warm: Array[Long]): Unit = {
             // Partitioned rice: 2-bit method, 4-bit partition order.
             val method = r.bits(2)
             if (method > 1) throw new IllegalArgumentException("reserved residual method")
@@ -624,9 +647,8 @@ object Multimodal {
             if (blocksize % nPart != 0 || blocksize / nPart <= order) throw new IllegalArgumentException("bad partitioning")
             val hist = new Array[Long](4)
             var hi = 0 // ring index of next write
-            var subSum = 0L
             var w = 0
-            while (w < order) { hist(w) = warm(w); subSum += warm(w) << wasted; w += 1 }
+            while (w < order) { hist(w) = warm(w); emit(warm(w)); w += 1 }
             hi = order % 4
             var p = 0
             var produced = order
@@ -653,31 +675,41 @@ object Multimodal {
                   case _ => res + 4 * h(1) - 6 * h(2) + 4 * h(3) - h(4)
                 }
                 hist(hi) = s; hi = (hi + 1) % 4
-                subSum += s << wasted
+                emit(s)
                 produced += 1; k += 1
               }
               p += 1
             }
             if (produced != blocksize) throw new IllegalArgumentException("count drift")
-            subSum
           }
           typ match {
             case 0 => // constant
               val v = r.signedBits(effBps)
-              sum += (v << wasted) * blocksize
+              val out = v << wasted
+              cSum += out * blocksize
+              cParity += (out & 1) * blocksize
             case 1 => // verbatim
               var k = 0
-              while (k < blocksize) { sum += r.signedBits(effBps) << wasted; k += 1 }
+              while (k < blocksize) { emit(r.signedBits(effBps)); k += 1 }
             case t if t >= 8 && t <= 12 => // fixed, order t-8
               val order = t - 8
               if (order > blocksize) return None
               val warm = new Array[Long](order)
               var w = 0
               while (w < order) { warm(w) = r.signedBits(effBps); w += 1 }
-              sum += residualSum(order, warm)
+              residualSum(order, warm)
             case _ => return None // LPC and reserved types: out of profile
           }
+          chSum(ch2) = cSum
+          chParity(ch2) = cParity
           ch2 += 1
+        }
+        // Undo the stereo decorrelation in sum space.
+        chAsgn match {
+          case a if a <= 7 => var c = 0; while (c < channels) { sum += chSum(c); c += 1 }
+          case 8 => sum += 2 * chSum(0) - chSum(1)  // left,side: r = l − s
+          case 9 => sum += chSum(0) + 2 * chSum(1)  // side,right: l = s + r
+          case _ => sum += 2 * chSum(0) + chParity(1) // mid,side: l+r = 2·mid + (s&1)
         }
         r.alignByte()
         val crcPos = r.bytePos

@@ -575,6 +575,52 @@ class MultimodalSpec extends AnyFunSuite {
       .forall(r => r >= -2048 && r < 2048))
   }
 
+  test("FLAC stereo decorrelation: left/side, right/side, and mid/side reconstruct Σ(L+R) exactly") {
+    // Independent test-side encode: L/R are fixed arrays (negatives and
+    // odd sums included — mid/side floors (L+R)>>1 and recovers the lost
+    // bit from side's parity); each mode stores the derived channels
+    // verbatim (side at 17 bits) and the decoder must undo the
+    // decorrelation. Expected = Σ(L+R) computed directly from L and R.
+    val bsz = 32
+    val left = (0 until bsz).map(i => (i * 37 - 400 + (i % 3)).toLong).toArray
+    val right = (0 until bsz).map(i => (251 - i * 29 + (i % 5)).toLong).toArray
+    val want = left.sum + right.sum
+    def stream(chAsgn: Int, ch0: Array[Long], ch0Bits: Int, ch1: Array[Long], ch1Bits: Int): Array[Byte] = {
+      val w = new TestBits
+      w.put('f', 8); w.put('L', 8); w.put('a', 8); w.put('C', 8)
+      w.put(0x80, 8); w.put(34, 24)
+      w.put(bsz, 16); w.put(bsz, 16)
+      w.put(0, 24); w.put(0, 24)
+      w.put(16000, 20); w.put(1, 3); w.put(15, 5); w.put(bsz, 36)
+      (0 until 16).foreach(_ => w.put(0, 8))
+      val head = w.bytes
+      val f = new TestBits
+      f.put(0x3ffe, 14); f.put(0, 1); f.put(0, 1)
+      f.put(6, 4); f.put(0, 4); f.put(chAsgn, 4); f.put(4, 3); f.put(0, 1)
+      f.put(0, 8); f.put(bsz - 1, 8)
+      val hdr = f.bytes
+      f.put(Multimodal.crc8(hdr, 0, hdr.length), 8)
+      for ((ch, bits) <- Seq((ch0, ch0Bits), (ch1, ch1Bits))) {
+        f.put(0, 1); f.put(1, 6); f.put(0, 1) // verbatim
+        ch.foreach(s => f.put(s & ((1L << bits) - 1), bits))
+      }
+      f.align()
+      val body = f.bytes
+      f.put(Multimodal.crc16(body, 0, body.length), 16)
+      head ++ f.bytes
+    }
+    val side = left.zip(right).map { case (l, r) => l - r }
+    val mid = left.zip(right).map { case (l, r) => (l + r) >> 1 }
+    for ((name, bytes) <- Seq(
+      "left/side" -> stream(8, left, 16, side, 17),
+      "right/side" -> stream(9, side, 17, right, 16),
+      "mid/side" -> stream(10, mid, 16, side, 17))) {
+      val (p, sum) = Multimodal.parseFlacSamples(bytes).getOrElse(fail(s"$name did not parse"))
+      assert(p.n_channels == 2, name)
+      assert(sum == want, s"$name: got $sum want $want")
+    }
+  }
+
   test("FLAC adversarial edges: truncation, CRC flips, LPC, stereo decorrelation, count drift") {
     val good = Multimodal.makeFlac(2, 16000, 100, 11L)
     def stubbed(b: Array[Byte]): Boolean =
@@ -593,9 +639,10 @@ class MultimodalSpec extends AnyFunSuite {
     // Subframe header is bits [0..7] of the byte after crc8 (byte 50).
     val lpc = good.clone(); lpc(50) = 0x40.toByte
     assert(stubbed(lpc))
-    // Channel assignment 8 (left/side decorrelation): out of profile.
-    // chAsgn is bits 16..19 of the header -> high nibble of byte 45.
-    val decor = good.clone(); decor(45) = ((8 << 4) | (decor(45) & 0x0f)).toByte
+    // Channel assignment 11 (reserved): rejected by the profile check
+    // before the CRC even runs. (8-10, stereo decorrelation, are now
+    // DECODED - see the dedicated decorrelation spec.)
+    val decor = good.clone(); decor(45) = ((11 << 4) | (decor(45) & 0x0f)).toByte
     assert(stubbed(decor))
     // STREAMINFO total samples != decoded count: byte 25 holds the low
     // bits of the 36-bit total in makeFlac's layout.
