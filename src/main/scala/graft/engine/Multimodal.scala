@@ -516,18 +516,20 @@ object Multimodal {
     * "fLaC" magic, metadata-block walk to STREAMINFO, then per frame a
     * CRC-8-verified header (sync, blocking strategy, UTF-8-like coded
     * number, all blocksize/sample-rate/sample-size code tables), the
-    * subframe tiers CONSTANT / VERBATIM / FIXED order 0–4 (warmups +
-    * partitioned rice residuals incl. 5-bit method, escape partitions,
-    * and wasted-bits shifts, reconstructed through the exact fixed
-    * predictors), byte alignment, and the frame CRC-16 over everything.
+    * subframe tiers CONSTANT / VERBATIM / FIXED order 0–4 / LPC order
+    * 1–32 (warmups + partitioned rice residuals incl. 5-bit method,
+    * escape partitions, and wasted-bits shifts, reconstructed through
+    * the exact fixed predictors or the quantized-coefficient LPC
+    * recurrence), byte alignment, and the frame CRC-16 over everything.
     * Stereo decorrelation (left/side, right/side, mid/side — what real
     * encoders emit by default for stereo) is decoded, side channels at
     * their +1-bit width, and undone in SUM SPACE (see the channel-
     * assignment notes inline). Returns parsed stream facts plus the SUM
     * OF ALL DECODED SAMPLES — the quantity that makes rice decode +
-    * predictor reconstruction oracle-observable. Out of profile (LPC
-    * subframes, reserved codes, CRC mismatch, truncation, sample count
-    * ≠ STREAMINFO total) → None → stub fallback; never throws.
+    * predictor reconstruction oracle-observable. Out of profile
+    * (reserved subframe types and codes, negative LPC shifts, CRC
+    * mismatch, truncation, sample count ≠ STREAMINFO total) → None →
+    * stub fallback; never throws.
     * Memory is O(1) per stream: samples are summed on the fly, only the
     * ≤4-deep predictor history is held.
     */
@@ -636,7 +638,10 @@ object Multimodal {
             val out = s << wasted
             cSum += out; cParity += out & 1
           }
-          def residualSum(order: Int, warm: Array[Long]): Unit = {
+          // Shared residual decode for FIXED and LPC subframes: `pred`
+          // computes the prediction from the history accessor (h(1) =
+          // previous sample, h(2) = the one before, ...).
+          def residualSum(order: Int, warm: Array[Long], pred: (Int => Long) => Long): Unit = {
             // Partitioned rice: 2-bit method, 4-bit partition order.
             val method = r.bits(2)
             if (method > 1) throw new IllegalArgumentException("reserved residual method")
@@ -645,11 +650,12 @@ object Multimodal {
             val po = r.bits(4)
             val nPart = 1 << po
             if (blocksize % nPart != 0 || blocksize / nPart <= order) throw new IllegalArgumentException("bad partitioning")
-            val hist = new Array[Long](4)
+            val hist = new Array[Long](32) // ring over LPC's max order
             var hi = 0 // ring index of next write
             var w = 0
             while (w < order) { hist(w) = warm(w); emit(warm(w)); w += 1 }
-            hi = order % 4
+            hi = order % 32
+            def h(back: Int): Long = hist(((hi - back) % 32 + 32) % 32)
             var p = 0
             var produced = order
             while (p < nPart) {
@@ -665,16 +671,8 @@ object Multimodal {
                     val v = (q << param) | r.bitsLong(param)
                     (v >> 1) ^ -(v & 1) // zigzag
                   }
-                // Fixed predictor over the last `order` samples.
-                def h(back: Int): Long = hist(((hi - back) % 4 + 4) % 4)
-                val s = order match {
-                  case 0 => res
-                  case 1 => res + h(1)
-                  case 2 => res + 2 * h(1) - h(2)
-                  case 3 => res + 3 * h(1) - 3 * h(2) + h(3)
-                  case _ => res + 4 * h(1) - 6 * h(2) + 4 * h(3) - h(4)
-                }
-                hist(hi) = s; hi = (hi + 1) % 4
+                val s = res + pred(h)
+                hist(hi) = s; hi = (hi + 1) % 32
                 emit(s)
                 produced += 1; k += 1
               }
@@ -697,8 +695,34 @@ object Multimodal {
               val warm = new Array[Long](order)
               var w = 0
               while (w < order) { warm(w) = r.signedBits(effBps); w += 1 }
-              residualSum(order, warm)
-            case _ => return None // LPC and reserved types: out of profile
+              residualSum(order, warm, h => order match {
+                case 0 => 0L
+                case 1 => h(1)
+                case 2 => 2 * h(1) - h(2)
+                case 3 => 3 * h(1) - 3 * h(2) + h(3)
+                case _ => 4 * h(1) - 6 * h(2) + 4 * h(3) - h(4)
+              })
+            case t if t >= 32 => // LPC, order (t & 31) + 1
+              val order = (t & 31) + 1
+              if (order > blocksize) return None
+              val warm = new Array[Long](order)
+              var w = 0
+              while (w < order) { warm(w) = r.signedBits(effBps); w += 1 }
+              val precM1 = r.bits(4)
+              if (precM1 == 15) return None // invalid per spec
+              val precision = precM1 + 1
+              val shift = r.signedBits(5).toInt
+              if (shift < 0) return None // negative shift: out of profile
+              val coefs = new Array[Long](order)
+              var c = 0
+              while (c < order) { coefs(c) = r.signedBits(precision); c += 1 }
+              residualSum(order, warm, h => {
+                var acc = 0L
+                var j = 0
+                while (j < order) { acc += coefs(j) * h(j + 1); j += 1 }
+                acc >> shift
+              })
+            case _ => return None // reserved types (2-7, 16-31)
           }
           chSum(ch2) = cSum
           chParity(ch2) = cParity

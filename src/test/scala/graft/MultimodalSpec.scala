@@ -621,6 +621,50 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("FLAC LPC subframes: quantized-coefficient recurrence reconstructs the exact sample sum") {
+    // Order-2 LPC, coefficients [3, -1] at precision 4, shift 2:
+    // s_i = r_i + ((3*s_{i-1} - s_{i-2}) >> 2). Residuals are computed
+    // here (the independent encoder) and the decoder must reproduce the
+    // direct sample sum through the same arithmetic-shift recurrence —
+    // negatives included (floor semantics of >> on negative sums).
+    val bsz = 48
+    val samples = new Array[Long](bsz)
+    samples(0) = 10; samples(1) = -25
+    for (i <- 2 until bsz)
+      samples(i) = ((i * 13) % 200) - 100
+    val w = new TestBits
+    w.put('f', 8); w.put('L', 8); w.put('a', 8); w.put('C', 8)
+    w.put(0x80, 8); w.put(34, 24)
+    w.put(bsz, 16); w.put(bsz, 16)
+    w.put(0, 24); w.put(0, 24)
+    w.put(8000, 20); w.put(0, 3); w.put(15, 5); w.put(bsz, 36)
+    (0 until 16).foreach(_ => w.put(0, 8))
+    val head = w.bytes
+    val f = new TestBits
+    f.put(0x3ffe, 14); f.put(0, 1); f.put(0, 1)
+    f.put(6, 4); f.put(0, 4); f.put(0, 4); f.put(4, 3); f.put(0, 1)
+    f.put(0, 8); f.put(bsz - 1, 8)
+    val hdr = f.bytes
+    f.put(Multimodal.crc8(hdr, 0, hdr.length), 8)
+    f.put(0, 1); f.put(33, 6); f.put(0, 1) // LPC order 2 (0b100001)
+    f.put(samples(0) & 0xffff, 16); f.put(samples(1) & 0xffff, 16) // warmup
+    f.put(3, 4)  // precision-1 = 3 -> 4-bit coefficients
+    f.put(2, 5)  // shift 2
+    f.put(3 & 0xf, 4); f.put(-1 & 0xf, 4) // coefs 3, -1
+    f.put(0, 2); f.put(0, 4) // rice method 0, partition order 0
+    f.put(5, 4) // rice parameter 5
+    for (i <- 2 until bsz) {
+      val pred = (3 * samples(i - 1) - samples(i - 2)) >> 2
+      f.rice(samples(i) - pred, 5)
+    }
+    f.align()
+    val body = f.bytes
+    f.put(Multimodal.crc16(body, 0, body.length), 16)
+    val (p, sum) = Multimodal.parseFlacSamples(head ++ f.bytes).getOrElse(fail("LPC stream did not parse"))
+    assert(p.n_samples == bsz.toLong)
+    assert(sum == samples.sum, s"got $sum want ${samples.sum}")
+  }
+
   test("FLAC adversarial edges: truncation, CRC flips, LPC, stereo decorrelation, count drift") {
     val good = Multimodal.makeFlac(2, 16000, 100, 11L)
     def stubbed(b: Array[Byte]): Boolean =
@@ -635,9 +679,10 @@ class MultimodalSpec extends AnyFunSuite {
     val badCrc16 = good.clone()
     badCrc16(badCrc16.length - 1) = (badCrc16(badCrc16.length - 1) ^ 1).toByte
     assert(stubbed(badCrc16))
-    // Subframe type -> LPC order 1 (0b100000): out of profile, not a crash.
+    // Subframe type 0b000010 (reserved 2-7 band): rejected, not a crash.
     // Subframe header is bits [0..7] of the byte after crc8 (byte 50).
-    val lpc = good.clone(); lpc(50) = 0x40.toByte
+    // (LPC types 32-63 are now DECODED - see the dedicated LPC spec.)
+    val lpc = good.clone(); lpc(50) = 0x04.toByte
     assert(stubbed(lpc))
     // Channel assignment 11 (reserved): rejected by the profile check
     // before the CRC even runs. (8-10, stereo decorrelation, are now
