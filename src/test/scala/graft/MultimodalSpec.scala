@@ -837,6 +837,40 @@ class MultimodalSpec extends AnyFunSuite {
     assert(stubbed(good.take(80)))      // truncated headers
   }
 
+  test("streaming decode parity: the codec seam under MemoryStream microbatches") {
+    // The decode tiers are pure per-record maps, so they must compose
+    // with Structured Streaming unchanged: generate+decode inside
+    // mapPartitions over an unbounded source, results identical to the
+    // batch path regardless of how ids split across microbatches.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ms = MemoryStream[Long](spark)
+    val decoded = ms.toDS().mapPartitions(_.map { id =>
+      val (gp, gSum) = Multimodal.parseGifPixels(
+        Multimodal.makeGif((1 + id % 19).toInt, (1 + id % 23).toInt, id)).get
+      val (jp, jSum) = Multimodal.parseJpegPixels(
+        Multimodal.makeJpeg((8 * (1 + id % 12)).toInt, (8 * (1 + id % 10)).toInt, id)).get
+      (id, gp.width, gp.height, gSum, jp.width, jSum)
+    }).toDF("id", "gw", "gh", "gsum", "jw", "jsum")
+    val q = decoded.writeStream.format("memory").queryName("codec_stream")
+      .outputMode("append").start()
+    ms.addData(0L until 37L: _*) // uneven microbatch split on purpose
+    q.processAllAvailable()
+    ms.addData(37L until 100L: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("codec_stream").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getInt(4), r.getLong(5)))
+      .sortBy(_._1).toSeq
+    val want = (0L until 100L).map { id =>
+      val (gp, gSum) = Multimodal.parseGifPixels(
+        Multimodal.makeGif((1 + id % 19).toInt, (1 + id % 23).toInt, id)).get
+      val (jp, jSum) = Multimodal.parseJpegPixels(
+        Multimodal.makeJpeg((8 * (1 + id % 12)).toInt, (8 * (1 + id % 10)).toInt, id)).get
+      (id, gp.width, gp.height, gSum, jp.width, jSum)
+    }
+    assert(got == want)
+  }
+
   // ------------------------------------------------------ AVI/MJPEG tier
 
   test("AVI closed loop: parse(make(id)) matches the doc_id formulas for 200 ids") {
