@@ -188,14 +188,18 @@ object Multimodal {
   /** REAL PNG decode — the first COMPRESSED format behind the seam (r16
     * verdict item #5; no codec jar: `java.util.zip.Inflater` is the JDK's
     * real zlib). Full pipeline: signature, chunk walk with CRC32 verified
-    * per chunk, IHDR validation (8-bit depth; color types 0 gray / 2 RGB /
-    * 6 RGBA; no interlace), multi-IDAT zlib concatenation, REAL inflate,
-    * and the per-row unfilter over all five PNG filter types (None / Sub /
-    * Up / Average / Paeth). Returns the parsed dims plus the sum of all
-    * unfiltered pixel bytes — the quantity that makes the unfilter
-    * ORACLE-observable (a wrong predictor in any filter type shifts it).
-    * Anything outside the supported profile (palette, 16-bit, interlaced,
-    * truncated, CRC-bad, raster over [[PngRasterCap]]) returns None → the
+    * per chunk, IHDR validation, PLTE capture, multi-IDAT zlib
+    * concatenation, REAL inflate, and the per-row unfilter over all five
+    * PNG filter types (None / Sub / Up / Average / Paeth) at the
+    * spec's byte distance bpp. Profile: color types 0 gray / 2 RGB /
+    * 3 palette (8-bit indices, expanded through PLTE) / 4 gray+alpha /
+    * 6 RGBA, at bit depth 8 everywhere and 16 for the non-palette
+    * types. Returns the parsed dims plus the pixel sum — raster bytes
+    * for 8-bit, expanded R+G+B for palette, big-endian samples for
+    * 16-bit — the quantity that makes the unfilter ORACLE-observable (a
+    * wrong predictor in any filter type shifts it). Outside the profile
+    * (packed 1/2/4-bit rows, interlace, truncation, CRC-bad, missing or
+    * overrun palette, raster over [[PngRasterCap]]) returns None → the
     * caller's stub fallback; the parser itself never throws on foreign
     * bytes.
     */
@@ -205,8 +209,9 @@ object Multimodal {
     while (i < PngSig.length) { if (b(i) != PngSig(i)) return None; i += 1 }
     try {
       var o = PngSig.length
-      var w, h, channels = 0
+      var w, h, channels, depth, colorType = 0
       var seenIhdr, seenIend = false
+      var plte: Array[Byte] = null
       val idat = new java.io.ByteArrayOutputStream()
       val crc = new java.util.zip.CRC32()
       while (!seenIend) {
@@ -223,11 +228,22 @@ object Multimodal {
             seenIhdr = true
             w = be32(b, o + 8)
             h = be32(b, o + 12)
-            val (depth, colorType) = (b(o + 16) & 0xff, b(o + 17) & 0xff)
+            depth = b(o + 16) & 0xff
+            colorType = b(o + 17) & 0xff
             val (comp, filt, interlace) = (b(o + 18) & 0xff, b(o + 19) & 0xff, b(o + 20) & 0xff)
-            channels = colorType match { case 0 => 1; case 2 => 3; case 6 => 4; case _ => return None }
-            if (w <= 0 || h <= 0 || depth != 8 || comp != 0 || filt != 0 || interlace != 0) return None
-            if (h.toLong * (1L + channels.toLong * w) > PngRasterCap) return None
+            channels = colorType match {
+              case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+              case _ => return None
+            }
+            // Supported bit depths: 8 everywhere, 16 for the non-palette
+            // types (palette indices are 8-bit here; 1/2/4-bit packed
+            // rows stay out of profile).
+            if (depth != 8 && !(depth == 16 && colorType != 3)) return None
+            if (w <= 0 || h <= 0 || comp != 0 || filt != 0 || interlace != 0) return None
+            if (h.toLong * (1L + channels.toLong * (depth / 8) * w) > PngRasterCap) return None
+          case "PLTE" =>
+            if (!seenIhdr || plte != null || len == 0 || len % 3 != 0 || len > 768) return None
+            plte = java.util.Arrays.copyOfRange(b, o + 8, o + 8 + len)
           case "IDAT" =>
             if (!seenIhdr) return None
             idat.write(b, o + 8, len)
@@ -237,7 +253,8 @@ object Multimodal {
         o += 12 + len
       }
       if (!seenIhdr) return None
-      val stride = channels * w
+      if (colorType == 3 && plte == null) return None
+      val stride = channels * (depth / 8) * w
       val raw = new Array[Byte](h * (1 + stride))
       val inf = new java.util.zip.Inflater()
       inf.setInput(idat.toByteArray)
@@ -251,9 +268,10 @@ object Multimodal {
       inf.end()
       if (!complete) return None // short, oversized, or adler-bad stream
       // Per-row unfilter, in place: cur[i] recovers raw[i] from the
-      // filtered byte + the spec's predictor over left/up/up-left.
-      var pixelSum = 0L
-      val bpp = channels // 8-bit: bytes per pixel == channels
+      // filtered byte + the spec's predictor over left/up/up-left. The
+      // predictor distance is bpp BYTES (channels × bytes-per-sample)
+      // per spec, so the same loop serves 8- and 16-bit rasters.
+      val bpp = channels * (depth / 8)
       var y = 0
       while (y < h) {
         val rowOff = y * (1 + stride) + 1
@@ -275,14 +293,42 @@ object Multimodal {
               val (pa, pb, pc) = (math.abs(p - left), math.abs(p - up), math.abs(p - upLeft))
               if (pa <= pb && pa <= pc) left else if (pb <= pc) up else upLeft
           }
-          val v = ((raw(rowOff + x) & 0xff) + pred) & 0xff
-          raw(rowOff + x) = v.toByte
-          pixelSum += v
+          raw(rowOff + x) = (((raw(rowOff + x) & 0xff) + pred) & 0xff).toByte
           x += 1
         }
         y += 1
       }
-      Some((ParsedMedia("png", w, h, channels, 0, 0L, 0L), pixelSum))
+      // Sum by profile. 8-bit non-palette: sum of raster bytes (the
+      // original graded contract — unchanged). Palette: sum of the
+      // EXPANDED R+G+B per index (out-of-range indices reject). 16-bit:
+      // sum of the big-endian 16-bit samples.
+      var pixelSum = 0L
+      var y2 = 0
+      while (y2 < h) {
+        val rowOff = y2 * (1 + stride) + 1
+        if (colorType == 3) {
+          var x = 0
+          while (x < stride) {
+            val e = (raw(rowOff + x) & 0xff) * 3
+            if (e + 2 >= plte.length) return None // index past palette
+            pixelSum += (plte(e) & 0xff) + (plte(e + 1) & 0xff) + (plte(e + 2) & 0xff)
+            x += 1
+          }
+        } else if (depth == 8) {
+          var x = 0
+          while (x < stride) { pixelSum += raw(rowOff + x) & 0xff; x += 1 }
+        } else {
+          var x = 0
+          while (x < stride) {
+            pixelSum += ((raw(rowOff + x) & 0xff) << 8) | (raw(rowOff + x + 1) & 0xff)
+            x += 2
+          }
+        }
+        y2 += 1
+      }
+      // Palette images report the EXPANDED channel count (3).
+      val outCh = if (colorType == 3) 3 else channels
+      Some((ParsedMedia("png", w, h, outCh, 0, 0L, 0L), pixelSum))
     } catch {
       // decode-never-throws contract: any structural surprise in foreign
       // bytes (DataFormatException from a corrupt zlib stream included)

@@ -274,6 +274,76 @@ class MultimodalSpec extends AnyFunSuite {
     assert(aSum == (0 until 4 * w * h).map(i => (11 * i + 5) & 0xff).sum)
   }
 
+  test("PNG palette and 16-bit profiles via independent ImageIO encodes; gray+alpha hand-framed") {
+    // Palette (color type 3): TYPE_BYTE_INDEXED with a NON-gray palette
+    // (a gray ramp would let ImageIO legally collapse to color type 0) —
+    // the reported sum is the EXPANDED R+G+B per index.
+    val (w, h) = (21, 14)
+    val cmap = (0 until 256).map(i =>
+      (0xff << 24) | (i << 16) | (((i * 3) & 0xff) << 8) | ((i * 7) & 0xff)).toArray
+    val icm = new java.awt.image.IndexColorModel(8, 256, cmap, 0, false, -1,
+      java.awt.image.DataBuffer.TYPE_BYTE)
+    val idx = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+    for (y <- 0 until h; x <- 0 until w)
+      idx.getRaster.setSample(x, y, 0, (5 * (y * w + x) + 9) & 0xff)
+    val pBos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(idx, "png", pBos))
+    val (pp, pSum) = Multimodal.parsePngPixels(pBos.toByteArray).get
+    assert((pp.format, pp.width, pp.height, pp.n_channels) == (("png", w, h, 3)))
+    assert(pSum == (0 until w * h).map { i =>
+      val v = (5 * i + 9) & 0xff
+      (v + ((v * 3) & 0xff) + ((v * 7) & 0xff)).toLong
+    }.sum)
+    // 16-bit gray (color type 0, depth 16): TYPE_USHORT_GRAY; the sum is
+    // over big-endian 16-bit samples.
+    val g16 = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      g16.getRaster.setSample(x, y, 0, (1021 * (y * w + x) + 7) & 0xffff)
+    val gBos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(g16, "png", gBos))
+    val (gp, gSum) = Multimodal.parsePngPixels(gBos.toByteArray).get
+    assert((gp.format, gp.width, gp.height, gp.n_channels) == (("png", w, h, 1)))
+    assert(gSum == (0 until w * h).map(i => ((1021 * i + 7) & 0xffff).toLong).sum)
+    // Gray+alpha (color type 4): hand-framed — filter type 1 (Sub) rows
+    // so the bpp=2 predictor distance is actually exercised.
+    val (aw, ah) = (9, 6)
+    val px = (0 until aw * ah * 2).map(i => ((7 * i + 3) & 0xff).toByte).toArray
+    val rows = new java.io.ByteArrayOutputStream()
+    for (y <- 0 until ah) {
+      rows.write(1) // Sub filter
+      for (x <- 0 until 2 * aw) {
+        val cur = px(y * 2 * aw + x) & 0xff
+        val left = if (x >= 2) px(y * 2 * aw + x - 2) & 0xff else 0
+        rows.write((cur - left) & 0xff)
+      }
+    }
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def be(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+      out.write(be(data.length)); out.write(typ.getBytes("US-ASCII")); out.write(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+      out.write(be(crc.getValue.toInt))
+      out.toByteArray
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(rows.toByteArray); defl.finish()
+    val zbuf = new Array[Byte](rows.size() * 2 + 64)
+    val zlen = defl.deflate(zbuf); defl.end()
+    val ga = new java.io.ByteArrayOutputStream()
+    ga.write(Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n').map(_.toByte))
+    ga.write(chunk("IHDR", java.nio.ByteBuffer.allocate(13)
+      .putInt(aw).putInt(ah).put(8.toByte).put(4.toByte) // depth 8, gray+alpha
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()))
+    ga.write(chunk("IDAT", java.util.Arrays.copyOf(zbuf, zlen)))
+    ga.write(chunk("IEND", Array.emptyByteArray))
+    val (ap, aSum) = Multimodal.parsePngPixels(ga.toByteArray).get
+    assert((ap.format, ap.width, ap.height, ap.n_channels) == (("png", aw, ah, 2)))
+    assert(aSum == px.map(_ & 0xff).sum.toLong)
+  }
+
   test("PNG adversarial edges: truncation, bad filter, bad CRC, zip-bomb dims, unsupported profiles") {
     val good = Multimodal.makePng(9, 7, 5L)
     def stubbed(b: Array[Byte]): Boolean =
@@ -319,9 +389,9 @@ class MultimodalSpec extends AnyFunSuite {
     val bombCrc = new java.util.zip.CRC32(); bombCrc.update(bomb, 12, 17)
     java.nio.ByteBuffer.wrap(bomb).putInt(29, bombCrc.getValue.toInt)
     assert(stubbed(bomb))
-    assert(stubbed(patchIhdr(24, 16.toByte))) // bit depth 16
-    assert(stubbed(patchIhdr(25, 3.toByte)))  // palette color type
-    assert(stubbed(patchIhdr(28, 1.toByte)))  // Adam7 interlace
+    assert(stubbed(patchIhdr(24, 4.toByte))) // packed 4-bit depth: out of profile
+    assert(stubbed(patchIhdr(25, 3.toByte))) // palette type with NO PLTE chunk
+    assert(stubbed(patchIhdr(28, 1.toByte))) // Adam7 interlace
     // And the untouched payload still decodes (guards are not over-strict).
     assert(!stubbed(good))
   }
