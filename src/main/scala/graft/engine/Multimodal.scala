@@ -933,17 +933,88 @@ object Multimodal {
       var h = 0
       // Per component: id, H, V, quant table id.
       var comps: Array[(Int, Int, Int, Int)] = null
+      // ---- progressive (SOF2) state: coefficients accumulate across
+      // scans in ZIGZAG order per block, padded to the MCU grid; dequant
+      // is deferred to the final IDCT. Buffering forces the stricter
+      // declared-size cap below.
+      var progressive = false
+      var pCoefs: Array[Array[Short]] = null // per comp: bw*bh*64
+      var pBw: Array[Int] = null             // padded grid width (blocks)
+      var pBh: Array[Int] = null
+      var scansSeen = 0
+      val eobrunRef = new Array[Int](1)
       def be16(p: Int) = ((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)
       while (true) {
-        if (o + 4 > b.length) return None
+        // EOI is bare (no length field) and may be the file's last two
+        // bytes — the progressive path reaches it through this walk.
+        if (o + 2 > b.length) return None
         if ((b(o) & 0xff) != 0xff) return None
         val marker = b(o + 1) & 0xff
         o += 2
+        if (marker != 0xd9 && o + 2 > b.length) return None
         if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) {
           // SOI repeated / stray RST: invalid here
           return None
         } else if (marker == 0xd9) {
-          return None // EOI before any scan
+          // EOI: for a progressive image with at least one scan decoded,
+          // this is where decode completes — dequantize + IDCT every
+          // block of every component's UNPADDED grid and sum.
+          if (!progressive || scansSeen == 0) return None
+          val hMax = comps.map(_._2).max
+          val vMax = comps.map(_._3).max
+          var sum = 0L
+          val tmp = new Array[Double](64)
+          val nat = new Array[Int](64)
+          var ci = 0
+          while (ci < comps.length) {
+            val (_, hi, vi, tq) = comps(ci)
+            val q = quant(tq)
+            if (q == null) return None
+            val compW = (w * hi + hMax - 1) / hMax
+            val compH = (h * vi + vMax - 1) / vMax
+            val wBlocks = (compW + 7) / 8
+            val hBlocks = (compH + 7) / 8
+            val coefs = pCoefs(ci)
+            var by = 0
+            while (by < hBlocks) {
+              var bx = 0
+              while (bx < wBlocks) {
+                val base = (by * pBw(ci) + bx) * 64
+                var k = 0
+                while (k < 64) { nat(Zigzag(k)) = coefs(base + k) * q(Zigzag(k)); k += 1 }
+                val xLim = math.min(8, compW - bx * 8)
+                val yLim = math.min(8, compH - by * 8)
+                var u = 0
+                while (u < 8) {
+                  var x = 0
+                  while (x < 8) {
+                    var s = 0.0
+                    var v = 0
+                    while (v < 8) { s += nat(u * 8 + v) * IdctCos(v * 8 + x); v += 1 }
+                    tmp(u * 8 + x) = s
+                    x += 1
+                  }
+                  u += 1
+                }
+                var y = 0
+                while (y < yLim) {
+                  var x = 0
+                  while (x < xLim) {
+                    var s = 0.0
+                    var u2 = 0
+                    while (u2 < 8) { s += tmp(u2 * 8 + x) * IdctCos(u2 * 8 + y); u2 += 1 }
+                    sum += math.max(0, math.min(255, math.round(s).toInt + 128))
+                    x += 1
+                  }
+                  y += 1
+                }
+                bx += 1
+              }
+              by += 1
+            }
+            ci += 1
+          }
+          return Some((ParsedMedia("jpeg", w, h, comps.length, 0, 0L, 0L), sum))
         } else {
           val len = be16(o)
           if (len < 2 || o + len > b.length) return None
@@ -983,24 +1054,204 @@ object Multimodal {
                 p += 17 + total
               }
               if (p != o + len) return None
-            case 0xc0 => // SOF0 baseline
+            case 0xc0 | 0xc2 => // SOF0 baseline / SOF2 progressive
               if (comps != null) return None
+              progressive = marker == 0xc2
               val precision = b(o + 2) & 0xff
               h = be16(o + 3); w = be16(o + 5)
               val nc = b(o + 7) & 0xff
               if (precision != 8 || w <= 0 || h <= 0 || nc < 1 || nc > 4) return None
-              if (w.toLong * h * nc > PngRasterCap) return None
+              // Progressive must BUFFER every coefficient, so its cap is
+              // 32× stricter than the streaming baseline path's.
+              if (w.toLong * h * nc > (if (progressive) PngRasterCap >> 5 else PngRasterCap)) return None
               comps = Array.tabulate(nc) { i =>
                 val p = o + 8 + 3 * i
                 val (hi, vi) = ((b(p + 1) & 0xff) >> 4, b(p + 1) & 0x0f)
                 if (hi < 1 || hi > 2 || vi < 1 || vi > 2) return None
                 (b(p) & 0xff, hi, vi, b(p + 2) & 0xff)
               }
-            case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
-              return None // extended/progressive/lossless/arithmetic: out of profile
+              if (progressive) {
+                val hMax = comps.map(_._2).max
+                val vMax = comps.map(_._3).max
+                val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+                val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+                pBw = comps.map { case (_, hi, _, _) => mcusX * hi }
+                pBh = comps.map { case (_, _, vi, _) => mcusY * vi }
+                pCoefs = Array.tabulate(nc)(i => new Array[Short](pBw(i) * pBh(i) * 64))
+              }
+            case 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+              return None // extended/lossless/arithmetic: out of profile
             case 0xdd => // DRI
               if (len != 4) return None
               restartInterval = be16(o + 2)
+            case 0xda if progressive =>
+              // One progressive scan: spectral band [Ss..Se] of one or
+              // all components at successive-approximation level Ah→Al.
+              // Coefficients land in the zigzag buffers; the walk then
+              // continues to the next marker (more scans, tables, or
+              // EOI, where the image finalizes).
+              val ns = b(o + 2) & 0xff
+              if (ns < 1 || ns > comps.length) return None
+              val scanComps = Array.tabulate(ns) { i =>
+                val p = o + 3 + 2 * i
+                val ci = comps.indexWhere(_._1 == (b(p) & 0xff))
+                if (ci < 0) return None
+                (ci, (b(p + 1) & 0xff) >> 4, b(p + 1) & 0x0f)
+              }
+              val pSs = b(o + 3 + 2 * ns) & 0xff
+              val pSe = b(o + 4 + 2 * ns) & 0xff
+              val ah = (b(o + 5 + 2 * ns) & 0xff) >> 4
+              val al = b(o + 5 + 2 * ns) & 0x0f
+              val isDc = pSs == 0
+              if (isDc && pSe != 0) return None
+              if (!isDc && (ns != 1 || pSe < pSs || pSe > 63)) return None
+              if (ah != 0 && ah != al + 1) return None
+              val r = new JpegBits(b, (o + len) * 8)
+              eobrunRef(0) = 0
+              val preds = new Array[Int](ns)
+              val hMax = comps.map(_._2).max
+              val vMax = comps.map(_._3).max
+              val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+              val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+              def refine(coefs: Array[Short], at: Int, p1: Int, m1: Int): Unit = {
+                val c = coefs(at)
+                if (r.bits(1) == 1 && (c & p1) == 0)
+                  coefs(at) = (if (c >= 0) c + p1 else c + m1).toShort
+              }
+              def blockDc(si: Int, base: Int): Unit = {
+                val coefs = pCoefs(scanComps(si)._1)
+                if (ah == 0) {
+                  val dcT = dcTables(scanComps(si)._2)
+                  if (dcT == null) throw new IllegalStateException("missing DC table")
+                  val t = r.decodeHuff(dcT)
+                  if (t > 15) throw new IllegalStateException("bad DC category")
+                  preds(si) += r.extend(t)
+                  coefs(base) = (preds(si) << al).toShort
+                } else if (r.bits(1) == 1)
+                  coefs(base) = (coefs(base) | (1 << al)).toShort
+              }
+              def blockAc(acT: JpegHuff, coefs: Array[Short], base: Int): Unit = {
+                if (ah == 0) { // first AC pass for this band
+                  if (eobrunRef(0) > 0) { eobrunRef(0) -= 1; return }
+                  var k = pSs
+                  while (k <= pSe) {
+                    val rs = r.decodeHuff(acT)
+                    val run = rs >> 4
+                    val s = rs & 15
+                    if (s == 0) {
+                      if (run < 15) {
+                        eobrunRef(0) = (1 << run) - 1 + (if (run > 0) r.bits(run) else 0)
+                        k = pSe + 1 // EOBn: rest of this block is zero
+                      } else k += 16 // ZRL
+                    } else {
+                      k += run
+                      if (k > pSe) throw new IllegalStateException("AC run past Se")
+                      coefs(base + k) = (r.extend(s) << al).toShort
+                      k += 1
+                    }
+                  }
+                } else { // refinement pass: correction bits + new ±1s
+                  val p1 = 1 << al
+                  val m1 = -1 << al
+                  var k = pSs
+                  if (eobrunRef(0) == 0) {
+                    var inBand = true
+                    while (k <= pSe && inBand) {
+                      val rs = r.decodeHuff(acT)
+                      var run = rs >> 4
+                      val s = rs & 15
+                      var newval = 0
+                      if (s == 0) {
+                        if (run < 15) {
+                          eobrunRef(0) = (1 << run) + (if (run > 0) r.bits(run) else 0)
+                          inBand = false // current block finishes in the EOB branch below
+                        } // run == 15: ZRL — skip 16 zero-history coeffs
+                      } else {
+                        if (s != 1) throw new IllegalStateException("refinement size != 1")
+                        newval = if (r.bits(1) == 1) p1 else m1
+                      }
+                      if (inBand) {
+                        var placed = false
+                        while (k <= pSe && !placed) {
+                          if (coefs(base + k) != 0) refine(coefs, base + k, p1, m1)
+                          else if (run == 0) { if (newval != 0) coefs(base + k) = newval.toShort; placed = true }
+                          else run -= 1
+                          k += 1
+                        }
+                        if (!placed && newval != 0) throw new IllegalStateException("no slot for refined coef")
+                      }
+                    }
+                  }
+                  if (eobrunRef(0) > 0) {
+                    while (k <= pSe) { if (coefs(base + k) != 0) refine(coefs, base + k, p1, m1); k += 1 }
+                    eobrunRef(0) -= 1
+                  }
+                }
+              }
+              def maybeRestart(unit: Int): Unit =
+                if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
+                  r.restart()
+                  java.util.Arrays.fill(preds, 0)
+                  eobrunRef(0) = 0
+                }
+              if (isDc && ns > 1) {
+                // Interleaved DC walk over the padded MCU grid.
+                var mcu = 0
+                var my = 0
+                while (my < mcusY) {
+                  var mx = 0
+                  while (mx < mcusX) {
+                    maybeRestart(mcu)
+                    var si = 0
+                    while (si < ns) {
+                      val (ci, _, _) = scanComps(si)
+                      val (_, hi, vi, _) = comps(ci)
+                      var by = 0
+                      while (by < vi) {
+                        var bx = 0
+                        while (bx < hi) {
+                          blockDc(si, ((my * vi + by) * pBw(ci) + mx * hi + bx) * 64)
+                          bx += 1
+                        }
+                        by += 1
+                      }
+                      si += 1
+                    }
+                    mcu += 1
+                    mx += 1
+                  }
+                  my += 1
+                }
+              } else {
+                // Non-interleaved walk over the single component's
+                // UNPADDED block grid.
+                val (ci, _, ta) = scanComps(0)
+                val (_, hi, vi, _) = comps(ci)
+                val compW = (w * hi + hMax - 1) / hMax
+                val compH = (h * vi + vMax - 1) / vMax
+                val wBlocks = (compW + 7) / 8
+                val hBlocks = (compH + 7) / 8
+                val acT = if (isDc) null else acTables(ta)
+                if (!isDc && acT == null) return None
+                val coefs = pCoefs(ci)
+                var unit = 0
+                var by = 0
+                while (by < hBlocks) {
+                  var bx = 0
+                  while (bx < wBlocks) {
+                    maybeRestart(unit)
+                    val base = (by * pBw(ci) + bx) * 64
+                    if (isDc) blockDc(0, base) else blockAc(acT, coefs, base)
+                    unit += 1
+                    bx += 1
+                  }
+                  by += 1
+                }
+              }
+              scansSeen += 1
+              // Position the walk at the marker that ends this scan's
+              // entropy data (o += len after the match lands there).
+              o = r.alignToMarker() - len
             case 0xda => // SOS — decode the scan and finish
               if (comps == null) return None
               val ns = b(o + 2) & 0xff
@@ -1126,7 +1377,9 @@ object Multimodal {
       }
       None
     } catch {
-      case scala.util.control.NonFatal(_) => None
+      case scala.util.control.NonFatal(e) =>
+        if (sys.env.contains("GRAFT_JPEG_DEBUG")) e.printStackTrace()
+        None
     }
   }
 
@@ -1653,6 +1906,84 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Custom canonical AC table for the progressive generator: the Annex
+    * K AC table has no EOBn values (r ≥ 1), so a real progressive
+    * encoder ships its own DHT — and so does this one, which also
+    * exercises the decoder's canonical reconstruction on a non-standard
+    * table. All eight values at code length 4.
+    */
+  private val ProgAcCounts = Array(0, 0, 0, 0, 8, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val ProgAcVals = Array(0x00, 0x10, 0x20, 0x30, 0x40, 0x50, 0x60, 0xf0)
+  private lazy val ProgAcCodes: Map[Int, (Int, Int)] = canonCodes(ProgAcCounts, ProgAcVals)
+
+  /** Deterministic PROGRESSIVE JPEG (SOF2): same flat DC-only blocks as
+    * [[makeJpeg]] — value `(seed + b) mod 256` — delivered as THREE
+    * scans: (1) DC first pass at successive-approximation Al=1 (codes
+    * the arithmetic-shifted V>>1 diffs), (2) DC refinement Ah=1→Al=0
+    * (one raw bit per block restores V's low bit: (V>>1)<<1 | (V&1) ≡ V
+    * in two's complement), (3) the AC band 1..63 as a single EOBn
+    * spanning every block (custom table above). Decode is exact integer
+    * arithmetic end-to-end, so the graded pixel sum shares the baseline
+    * key's closed form.
+    */
+  def makeJpegProgressive(w: Int, h: Int, seed: Long): Array[Byte] = {
+    require(w > 0 && h > 0 && w % 8 == 0 && h % 8 == 0)
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int, payload: Array[Byte]): Unit = {
+      out.write(0xff); out.write(m)
+      out.write((payload.length + 2) >> 8); out.write((payload.length + 2) & 0xff)
+      out.write(payload)
+    }
+    out.write(0xff); out.write(0xd8)
+    marker(0xdb, Array[Byte](0) ++ Array.fill(64)(8.toByte))
+    marker(0xc2, Array[Byte](8, (h >> 8).toByte, (h & 0xff).toByte,
+      (w >> 8).toByte, (w & 0xff).toByte, 1, 1, 0x11, 0)) // SOF2
+    marker(0xc4, Array[Byte](0x00) ++ StdDcLumCounts.drop(1).map(_.toByte) ++
+      StdDcLumVals.map(_.toByte))
+    marker(0xc4, Array[Byte](0x10) ++ ProgAcCounts.drop(1).map(_.toByte) ++
+      ProgAcVals.map(_.toByte))
+    var acc = 0
+    var nbits = 0
+    def putBits(v: Int, n: Int): Unit = {
+      var k = n - 1
+      while (k >= 0) {
+        acc = (acc << 1) | ((v >> k) & 1)
+        nbits += 1
+        if (nbits == 8) { out.write(acc); if (acc == 0xff) out.write(0x00); acc = 0; nbits = 0 }
+        k -= 1
+      }
+    }
+    def flush(): Unit = if (nbits > 0) putBits((1 << (8 - nbits)) - 1, 8 - nbits)
+    val nBlocks = (w / 8) * (h / 8)
+    def vOf(bl: Int): Int = (((seed + bl) % 256) - 128).toInt
+    // Scan 1: DC first, Al=1.
+    marker(0xda, Array[Byte](1, 1, 0x00, 0, 0, 0x01)) // Ss=0 Se=0 Ah=0 Al=1
+    var pred = 0
+    for (bl <- 0 until nBlocks) {
+      val wv = vOf(bl) >> 1
+      val diff = wv - pred
+      pred = wv
+      val t = 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+      val (code, len) = DcLumCodes(t)
+      putBits(code, len)
+      if (t > 0) putBits(if (diff >= 0) diff else diff + (1 << t) - 1, t)
+    }
+    flush()
+    // Scan 2: DC refinement, Ah=1 Al=0 — one raw low bit per block.
+    marker(0xda, Array[Byte](1, 1, 0x00, 0, 0, 0x10))
+    for (bl <- 0 until nBlocks) putBits(vOf(bl) & 1, 1)
+    flush()
+    // Scan 3: AC band 1..63 first pass — one EOBn spans all blocks.
+    marker(0xda, Array[Byte](1, 1, 0x00, 1, 63, 0x00))
+    val r = 31 - Integer.numberOfLeadingZeros(nBlocks)
+    val (ec, el) = ProgAcCodes(r << 4)
+    putBits(ec, el)
+    if (r > 0) putBits(nBlocks - (1 << r), r)
+    flush()
+    out.write(0xff); out.write(0xd9)
+    out.toByteArray
+  }
+
   /** Deterministic AVI/MJPEG: `nFrames` grayscale Motion-JPEG frames
     * (frame f FLAT at value `(seed + f) mod 256` — DC-only, exact
     * decode), 25 fps (40000 µs/frame), standard hdrl (avih + strl with
@@ -2020,6 +2351,31 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  /** ORACLE-GRADED closed loop for the PROGRESSIVE JPEG tier: per
+    * document, an SOF2 stream is GENERATED from doc_id formulas (three
+    * scans — DC successive approximation Al=1→0 plus an EOBn-spanned AC
+    * band, custom canonical AC table) and decoded by the REAL
+    * progressive pipeline (coefficient accumulation across scans →
+    * deferred dequant → IDCT). Same flat-block exactness as the
+    * baseline key ⇒ the same cycle-split pixel-sum arithmetic, so a
+    * wrong shift, refinement bit, or EOBRUN anywhere breaks the hash.
+    */
+  val qMultimodalJpegProg: Q = (s, d) => {
+    import s.implicits._
+    documents(s, d).select(col("doc_id"))
+      .repartition(s.sessionState.conf.numShufflePartitions)
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val (w, h) = ((8 * (1 + id % 11)).toInt, (8 * (1 + id % 8)).toInt)
+        val payload = makeJpegProgressive(w, h, seed = id)
+        val (p, pixelSum) = parseJpegPixels(payload).getOrElse(
+          throw new IllegalStateException(s"generated progressive JPEG for doc $id failed to parse"))
+        (id, p.format, p.width, p.height, p.n_channels, pixelSum)
+      })
+      .toDF("media_id", "format", "width", "height", "n_channels", "pixel_sum")
+      .orderBy("media_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_multimodal_features" -> qMultimodalFeatures,
     "q_multimodal_decode" -> qMultimodalDecode,
@@ -2031,6 +2387,7 @@ object Multimodal {
     "q_multimodal_gif" -> qMultimodalGif,
     "q_multimodal_flac" -> qMultimodalFlac,
     "q_multimodal_jpeg" -> qMultimodalJpeg,
-    "q_multimodal_video" -> qMultimodalVideo
+    "q_multimodal_video" -> qMultimodalVideo,
+    "q_multimodal_jpeg_prog" -> qMultimodalJpegProg
   )
 }

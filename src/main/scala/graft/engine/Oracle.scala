@@ -891,6 +891,31 @@ object Oracle {
            END))::BIGINT AS pixel_sum
       FROM px ORDER BY media_id""",
 
+    // Progressive JPEG closed loop (Multimodal.qMultimodalJpegProg):
+    // SOF2, three scans (DC successive approximation + EOBn AC band),
+    // decoded by the real coefficient-accumulating pipeline; flat
+    // DC-only blocks keep the decode exact, so the pixel sum is the
+    // same cycle-split arithmetic as the baseline JPEG key over
+    // n = (w/8)*(h/8) blocks.
+    "q_multimodal_jpeg_prog" -> """
+      WITH px AS (
+        SELECT doc_id,
+          (8 * (1 + doc_id % 11))::INT AS w,
+          (8 * (1 + doc_id % 8))::INT AS h,
+          (1 + doc_id % 11) * (1 + doc_id % 8) AS n,
+          doc_id % 256 AS a
+        FROM documents
+      )
+      SELECT doc_id AS media_id, 'jpeg' AS format, w AS width, h AS height,
+        1::INT AS n_channels,
+        (64 * ((n // 256) * 32640
+         + CASE WHEN a + (n % 256) <= 256
+             THEN (n % 256) * a + ((n % 256) * ((n % 256) - 1)) // 2
+             ELSE (256 - a) * a + ((256 - a) * (255 - a)) // 2
+                  + (((n % 256) - (256 - a)) * ((n % 256) - (256 - a) - 1)) // 2
+           END))::BIGINT AS pixel_sum
+      FROM px ORDER BY media_id""",
+
     // Video (AVI/MJPEG) closed loop (Multimodal.qMultimodalVideo): the
     // engine generates an AVI per doc_id (nf flat DC-only MJPEG frames
     // at 25 fps) and decodes it with the real RIFF walk + per-frame

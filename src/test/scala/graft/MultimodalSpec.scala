@@ -886,6 +886,65 @@ class MultimodalSpec extends AnyFunSuite {
     assert(math.abs(ourSum - refSum) <= w.toLong * h)
   }
 
+  test("progressive JPEG closed loop: three-scan successive approximation equals the baseline decode") {
+    for (id <- 0L until 200L) {
+      val (w, h) = ((8 * (1 + id % 11)).toInt, (8 * (1 + id % 8)).toInt)
+      val prog = Multimodal.makeJpegProgressive(w, h, id)
+      // Really SOF2.
+      assert(prog.sliding(2).exists(p => (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc2), s"id=$id")
+      val (p, sum) = Multimodal.parseJpegPixels(prog).get
+      assert((p.format, p.width, p.height, p.n_channels) == (("jpeg", w, h, 1)), s"id=$id")
+      val nBlocks = (w / 8) * (h / 8)
+      assert(sum == 64L * (0 until nBlocks).map(bl => (id + bl) % 256).sum, s"id=$id")
+      // And identical to the baseline encoding of the same image.
+      assert(sum == Multimodal.parseJpegPixels(Multimodal.makeJpeg(w, h, id)).get._2, s"id=$id")
+    }
+  }
+
+  test("progressive JPEG vs an independent encoder: ImageIO MODE_DEFAULT gray and color round-trips") {
+    // libjpeg's default progressive script uses spectral selection AND
+    // successive approximation with EOBRUN-heavy AC scans - the full
+    // refinement path. Reference = ImageIO's own decode of the bytes.
+    def encodeProgressive(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      ios.flush(); writer.dispose()
+      bos.toByteArray
+    }
+    val (w, h) = (72, 56)
+    val gray = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      gray.getRaster.setSample(x, y, 0, (x * 5 + y * 2 + (x * y) % 23) % 256)
+    val gb = encodeProgressive(gray)
+    assert(gb.sliding(2).exists(p => (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc2),
+      "premise: encoder must emit SOF2")
+    val (gp, gSum) = Multimodal.parseJpegPixels(gb).get
+    assert((gp.width, gp.height, gp.n_channels) == ((w, h, 1)))
+    val gBack = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(gb))
+    var gRef = 0L
+    for (y <- 0 until h; x <- 0 until w) gRef += gBack.getRaster.getSample(x, y, 0)
+    assert(math.abs(gSum - gRef) <= w.toLong * h, s"gray: $gSum vs $gRef")
+    // Color: interleaved DC scans + per-component AC scans + subsampling.
+    val rgb = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w)
+      rgb.setRGB(x, y, ((x * 7 % 256) << 16) | ((y * 11 % 256) << 8) | ((x + y) % 256))
+    val cb = encodeProgressive(rgb)
+    assert(cb.sliding(2).exists(p => (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc2))
+    val (cp, cSum) = Multimodal.parseJpegPixels(cb).get
+    assert((cp.width, cp.height, cp.n_channels) == ((w, h, 3)))
+    // No per-component reference decode without color-space inversion;
+    // deterministic + bounded is the structural check here (the gray
+    // case above pins the numeric path).
+    val total = w.toLong * h + 2L * ((w + 1) / 2) * ((h + 1) / 2) * 4 // >= actual sample count
+    assert(cSum > 0 && cSum < 255L * total)
+    assert(Multimodal.parseJpegPixels(cb).get._2 == cSum)
+  }
+
   test("JPEG adversarial edges: progressive, 12-bit, bomb dims, truncation, missing EOI") {
     val good = Multimodal.makeJpeg(24, 16, 3L)
     def stubbed(b: Array[Byte]): Boolean =
@@ -894,7 +953,10 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!stubbed(good))
     // Fixed layout: SOI 2 + DQT 69 -> SOF0 marker at 71, payload at 75.
     assert((good(71) & 0xff) == 0xff && (good(72) & 0xff) == 0xc0)
-    val prog = good.clone(); prog(72) = 0xc2.toByte // SOF2 progressive
+    // SOF0 patched to SOF2: the baseline scan header (Ss=0, Se=63) is
+    // invalid as a progressive scan (DC scans need Se=0) -> stub. (Real
+    // progressive streams are DECODED - see the dedicated specs.)
+    val prog = good.clone(); prog(72) = 0xc2.toByte
     assert(stubbed(prog))
     val deep = good.clone(); deep(75) = 12.toByte // 12-bit precision
     assert(stubbed(deep))
