@@ -41,7 +41,7 @@ object SparkEntry {
       Stats.queries ++ SpanDedup.queries ++ FuzzyJoin.queries ++
       TextClean.queries ++ EventAnalytics.queries ++ Graph.queries ++
       Index.queries ++ SemDedup.queries ++ Linkage.queries ++
-      Pca.queries ++ Privacy.queries).map { case (k, fn) =>
+      Pca.queries ++ Privacy.queries ++ Containers.queries).map { case (k, fn) =>
       k -> ((s: SparkSession, d: String) => ntz(fn(s, d)))
     }
 

@@ -1,0 +1,677 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Archive/container tier: the formats a 100-TB training corpus actually
+  * ships in. Web text arrives as Common Crawl WARC — one gzip member per
+  * record (`.warc.gz`); multimodal samples arrive as WebDataset tar
+  * shards (sibling files `key.jpg` / `key.txt` / `key.json` grouped by
+  * basename key); and everything else is `.jsonl.gz` / multi-member gzip.
+  * This file implements REAL pure-JVM parsers for all three — gzip
+  * member walk over `java.util.zip.Inflater` with per-member CRC-32 and
+  * ISIZE verification, the POSIX ustar header walk with checksum
+  * verification and WebDataset grouping, and the WARC/1.0 record grammar
+  * with the embedded HTTP response parse — no external jar.
+  *
+  * Like the codec tier (Multimodal.scala), each format is graded by an
+  * ORACLE-GRADED CLOSED LOOP: the engine generates payloads from doc_id
+  * formulas (deflate framed as STORED blocks so compressed sizes are
+  * closed-form; content bytes are `(doc_id + i) mod 256` so content sums
+  * are the same cycle-split arithmetic DuckDB already predicts for the
+  * PNG/GIF/JPEG keys), parses them back with the real byte parsers, and
+  * DuckDB independently predicts every emitted column. A bit wrong in
+  * either the writer's layout or the parser's offsets breaks the hash.
+  * The REALLY-compressed path (dynamic-Huffman deflate) is proven in
+  * specs against the JDK's independent GZIPOutputStream/GZIPInputStream.
+  *
+  * Parsers never throw on foreign bytes — every structural violation
+  * (bad magic, reserved FLG bits, CRC/ISIZE mismatch, tar checksum or
+  * non-octal size, short WARC block) returns None, mirroring the decode
+  * seam's never-throws contract.
+  *
+  * Scale notes (100 TB): all three keys are map-only — generation and
+  * parse happen inside mapPartitions, payloads never leave the executor,
+  * no shuffle beyond the initial repartition. Real corpus files would
+  * stream through `spark.sql.files.maxPartitionBytes`-bounded tasks the
+  * same way; per-record gzip members (the WARC convention) are exactly
+  * what makes a 100-TB `.warc.gz` corpus splittable at record granularity.
+  */
+object Containers {
+  import Tables._
+  type Q = (SparkSession, String) => DataFrame
+
+  private def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def le32u(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+
+  // ================================================================ gzip
+
+  /** One inflated gzip member: uncompressed length, sum of uncompressed
+    * byte values, and the optional FNAME header field.
+    */
+  final case class GzipMember(rawLen: Long, byteSum: Long, fname: Option[String])
+
+  /** REAL multi-member gzip walk (RFC 1952): per member a strict header
+    * parse (magic, CM=8, reserved FLG bits zero, FEXTRA/FNAME/FCOMMENT/
+    * FHCRC all honored — FHCRC verified against the low 16 bits of the
+    * header CRC-32), raw-deflate inflation via `Inflater(nowrap)`, then
+    * the 8-byte trailer verified: CRC-32 of the inflated bytes AND
+    * ISIZE ≡ length mod 2^32. Members repeat to end-of-buffer — the
+    * `.warc.gz` / concatenated-`.gz` convention. Any violation → None.
+    */
+  def parseGzipMembers(b: Array[Byte]): Option[Seq[GzipMember]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[GzipMember]
+    var o = 0
+    while (o < b.length) {
+      if (o + 10 > b.length) return None
+      if ((b(o) & 0xff) != 0x1f || (b(o + 1) & 0xff) != 0x8b ||
+        (b(o + 2) & 0xff) != 8) return None
+      val flg = b(o + 3) & 0xff
+      if ((flg & 0xe0) != 0) return None // reserved bits
+      var p = o + 10
+      if ((flg & 4) != 0) { // FEXTRA
+        if (p + 2 > b.length) return None
+        val xlen = le16(b, p)
+        p += 2 + xlen
+        if (p > b.length) return None
+      }
+      var fname: Option[String] = None
+      if ((flg & 8) != 0) { // FNAME (NUL-terminated ISO-8859-1)
+        val start = p
+        while (p < b.length && b(p) != 0) p += 1
+        if (p >= b.length) return None
+        fname = Some(new String(b, start, p - start,
+          java.nio.charset.StandardCharsets.ISO_8859_1))
+        p += 1
+      }
+      if ((flg & 16) != 0) { // FCOMMENT
+        while (p < b.length && b(p) != 0) p += 1
+        if (p >= b.length) return None
+        p += 1
+      }
+      if ((flg & 2) != 0) { // FHCRC = low 16 bits of CRC32(header so far)
+        if (p + 2 > b.length) return None
+        val hc = new java.util.zip.CRC32()
+        hc.update(b, o, p - o)
+        if ((hc.getValue & 0xffffL).toInt != le16(b, p)) return None
+        p += 2
+      }
+      val inf = new java.util.zip.Inflater(true)
+      try {
+        inf.setInput(b, p, b.length - p)
+        val crc = new java.util.zip.CRC32()
+        var rawLen = 0L
+        var sum = 0L
+        val buf = new Array[Byte](8192)
+        while (!inf.finished()) {
+          val n =
+            try inf.inflate(buf)
+            catch { case _: java.util.zip.DataFormatException => return None }
+          if (n == 0) {
+            // A raw-deflate stream that exhausts input without BFINAL is
+            // truncated; needsDictionary cannot legally occur in gzip.
+            if (inf.needsInput() || inf.needsDictionary()) return None
+          } else {
+            crc.update(buf, 0, n)
+            var i = 0
+            while (i < n) { sum += buf(i) & 0xff; i += 1 }
+            rawLen += n
+          }
+        }
+        val trailerAt = p + inf.getBytesRead.toInt
+        if (trailerAt + 8 > b.length) return None
+        if (le32u(b, trailerAt) != crc.getValue) return None
+        if (le32u(b, trailerAt + 4) != (rawLen & 0xffffffffL)) return None
+        out += GzipMember(rawLen, sum, fname)
+        o = trailerAt + 8
+      } finally inf.end()
+    }
+    if (out.isEmpty) None else Some(out.toSeq)
+  }
+
+  /** Raw deflate framed as STORED blocks (RFC 1951 §3.2.4): per
+    * ≤65535-byte block a 5-byte header + the data. Closed-form sized —
+    * `data + 5·ceil(data/65535)` — which is what lets DuckDB predict
+    * whole-archive byte sizes; readers still run the real Inflater
+    * (stored blocks are real deflate). Same framing as the PNG tier's
+    * zlibStored, minus the zlib wrapper gzip doesn't use.
+    */
+  def deflateStored(data: Array[Byte]): Array[Byte] = {
+    val blocks = math.max(1, (data.length + 65534) / 65535)
+    val out = new Array[Byte](data.length + 5 * blocks)
+    var (src, dst) = (0, 0)
+    var blk = 0
+    while (blk < blocks) {
+      val n = math.min(65535, data.length - src)
+      out(dst) = (if (blk == blocks - 1) 1 else 0).toByte // BFINAL
+      out(dst + 1) = (n & 0xff).toByte
+      out(dst + 2) = ((n >> 8) & 0xff).toByte
+      out(dst + 3) = (~n & 0xff).toByte
+      out(dst + 4) = ((~n >> 8) & 0xff).toByte
+      System.arraycopy(data, src, out, dst + 5, n)
+      src += n; dst += 5 + n; blk += 1
+    }
+    out
+  }
+
+  /** One gzip member around `data`: 10-byte header (MTIME 0, XFL 0,
+    * OS 255 "unknown"), optional FNAME, stored-deflate body, CRC-32 +
+    * ISIZE trailer. Size without fname = 23 + data + 5·(ceil(data/65535)−1).
+    */
+  def gzipMember(data: Array[Byte], fname: Option[String] = None): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0x1f); out.write(0x8b); out.write(8)
+    out.write(if (fname.isDefined) 8 else 0)
+    out.write(0); out.write(0); out.write(0); out.write(0) // MTIME
+    out.write(0); out.write(255) // XFL, OS
+    fname.foreach { n =>
+      out.write(n.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)); out.write(0)
+    }
+    val body = deflateStored(data)
+    out.write(body, 0, body.length)
+    val crc = new java.util.zip.CRC32()
+    crc.update(data)
+    val c = crc.getValue
+    out.write((c & 0xff).toInt); out.write(((c >> 8) & 0xff).toInt)
+    out.write(((c >> 16) & 0xff).toInt); out.write(((c >> 24) & 0xff).toInt)
+    val n = data.length.toLong
+    out.write((n & 0xff).toInt); out.write(((n >> 8) & 0xff).toInt)
+    out.write(((n >> 16) & 0xff).toInt); out.write(((n >> 24) & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** Graded gzip document: k = 1 + id%4 members, member m holding
+    * L_m = 50 + (id + 17m) mod 200 content bytes; content bytes continue
+    * the single run `(id + i) mod 256` ACROSS members so the total sum
+    * stays one cycle-split formula. Member size = 23 + L_m (single
+    * stored block, no optional fields) ⇒ file size = 23k + ΣL_m.
+    */
+  def makeGzipDoc(id: Long): Array[Byte] = {
+    val k = (1 + id % 4).toInt
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0L
+    var m = 0
+    while (m < k) {
+      val len = (50 + (id + 17L * m) % 200).toInt
+      val data = new Array[Byte](len)
+      var j = 0
+      while (j < len) { data(j) = ((id + i) % 256).toByte; i += 1; j += 1 }
+      val member = gzipMember(data)
+      out.write(member, 0, member.length)
+      m += 1
+    }
+    out.toByteArray
+  }
+
+  // ================================================================= tar
+
+  /** One regular-file tar entry: full name (ustar prefix applied), size,
+    * and the data offset inside the archive buffer.
+    */
+  final case class TarEntry(name: String, size: Long, dataOff: Int)
+
+  private def octal(b: Array[Byte], off: Int, len: Int): Option[Long] = {
+    // Leading spaces allowed; digits; terminated by NUL/space or field end.
+    // Base-256 (GNU large-size, high bit set) deliberately rejected —
+    // adversarial inputs must fall out, not silently misparse.
+    if ((b(off) & 0x80) != 0) return None
+    var i = off
+    val end = off + len
+    while (i < end && b(i) == ' ') i += 1
+    var v = 0L
+    var digits = 0
+    while (i < end && b(i) >= '0' && b(i) <= '7') { v = v * 8 + (b(i) - '0'); i += 1; digits += 1 }
+    while (i < end && (b(i) == 0 || b(i) == ' ')) i += 1
+    if (digits == 0 || i != end && b(i) != 0) None else Some(v)
+  }
+
+  private def cstr(b: Array[Byte], off: Int, len: Int): String = {
+    var n = 0
+    while (n < len && b(off + n) != 0) n += 1
+    new String(b, off, n, java.nio.charset.StandardCharsets.US_ASCII)
+  }
+
+  /** REAL POSIX ustar walk: 512-byte headers (name / octal size / octal
+    * mtime / checksum / typeflag / magic / prefix), data rounded up to
+    * 512-byte blocks, terminated by two zero blocks (any further zero
+    * padding tolerated — tar blocks archives to a blocking factor). The
+    * header checksum is VERIFIED: unsigned byte sum with the checksum
+    * field read as spaces. Non-regular entries (dirs, links, PAX
+    * headers) are walked but only typeflag '0'/NUL regular files are
+    * returned. Any violation — bad checksum, non-octal size, data past
+    * the buffer, garbage after the terminator — returns None.
+    */
+  def parseTar(b: Array[Byte]): Option[Seq[TarEntry]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[TarEntry]
+    var o = 0
+    def zeroBlock(off: Int): Boolean = {
+      var i = 0
+      while (i < 512) { if (b(off + i) != 0) return false; i += 1 }
+      true
+    }
+    while (true) {
+      if (o + 512 > b.length) return None // no terminator reached
+      if (zeroBlock(o)) {
+        if (o + 1024 > b.length || !zeroBlock(o + 512)) return None
+        var t = o + 1024
+        while (t + 512 <= b.length && zeroBlock(t)) t += 512
+        if (t != b.length) return None
+        return if (out.isEmpty) None else Some(out.toSeq)
+      }
+      // Header checksum: unsigned sum with bytes 148..155 as spaces.
+      val stored = octal(b, o + 148, 8).getOrElse(return None)
+      var sum = 0L
+      var i = 0
+      while (i < 512) {
+        sum += (if (i >= 148 && i < 156) ' '.toInt else b(o + i) & 0xff)
+        i += 1
+      }
+      if (sum != stored) return None
+      val magic = cstr(b, o + 257, 6)
+      if (magic != "ustar" && magic != "ustar ") return None
+      val size = octal(b, o + 124, 12).getOrElse(return None)
+      if (size < 0 || size > Int.MaxValue) return None
+      val dataBlocks = ((size + 511) / 512).toInt
+      if (o + 512 + dataBlocks * 512 > b.length) return None
+      val typeflag = b(o + 156)
+      if (typeflag == '0' || typeflag == 0) {
+        val name = cstr(b, o, 100)
+        val prefix = cstr(b, o + 345, 155)
+        val full = if (prefix.isEmpty) name else prefix + "/" + name
+        if (full.isEmpty) return None
+        out += TarEntry(full, size, o + 512)
+      }
+      o += 512 + dataBlocks * 512
+    }
+    None // unreachable
+  }
+
+  /** WebDataset sample key: the member name up to the LAST dot —
+    * `shard/000017.txt` and `shard/000017.bin` belong to one sample.
+    */
+  def sampleKey(name: String): String = {
+    val dot = name.lastIndexOf('.')
+    if (dot <= 0) name else name.substring(0, dot)
+  }
+
+  /** One ustar header block. Octal fields use the conventional
+    * `%0*o`+NUL layouts; checksum is 6 octal digits, NUL, space.
+    */
+  def tarHeader(name: String, size: Long): Array[Byte] = {
+    require(name.length <= 100, s"name too long: $name")
+    val h = new Array[Byte](512)
+    def put(s: String, off: Int): Unit = {
+      val bytes = s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      System.arraycopy(bytes, 0, h, off, bytes.length)
+    }
+    put(name, 0)
+    put(f"${420}%07o", 100) // mode 0644
+    put(f"${0}%07o", 108) // uid
+    put(f"${0}%07o", 116) // gid
+    put(f"$size%011o", 124)
+    put(f"${0}%011o", 136) // mtime
+    h(156) = '0' // regular file
+    put("ustar", 257)
+    put("00", 263)
+    // checksum over the header with the field as 8 spaces
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+    var sum = 0L
+    var i = 0
+    while (i < 512) { sum += h(i) & 0xff; i += 1 }
+    put(f"$sum%06o", 148)
+    h(154) = 0
+    h(155) = ' '
+    h
+  }
+
+  /** Full archive from (name, bytes) members: headers + 512-padded data
+    * + two zero terminator blocks.
+    */
+  def makeTar(members: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    members.foreach { case (name, data) =>
+      out.write(tarHeader(name, data.length.toLong), 0, 512)
+      out.write(data, 0, data.length)
+      val pad = (512 - data.length % 512) % 512
+      out.write(new Array[Byte](pad), 0, pad)
+    }
+    out.write(new Array[Byte](1024), 0, 1024)
+    out.toByteArray
+  }
+
+  /** Graded WebDataset shard: s = 1 + id%5 samples, each a `.txt`
+    * member of 10 + (id+31m) mod 100 bytes and a `.bin` member of
+    * 400 + (id+53m) mod 300 bytes (spanning the 1-vs-2 data-block
+    * boundary so the 512-rounding is oracle-observable). Content bytes
+    * continue the single `(id + i) mod 256` run across all members in
+    * order. Archive size = Σ_m [1536 + 512·ceil(Lb_m/512)] + 1024.
+    */
+  def makeTarDoc(id: Long): Array[Byte] = {
+    val s = (1 + id % 5).toInt
+    var i = 0L
+    def content(len: Int): Array[Byte] = {
+      val d = new Array[Byte](len)
+      var j = 0
+      while (j < len) { d(j) = ((id + i) % 256).toByte; i += 1; j += 1 }
+      d
+    }
+    val members = (0 until s).flatMap { m =>
+      val la = (10 + (id + 31L * m) % 100).toInt
+      val lb = (400 + (id + 53L * m) % 300).toInt
+      Seq(f"$m%06d.txt" -> content(la), f"$m%06d.bin" -> content(lb))
+    }
+    makeTar(members)
+  }
+
+  // ================================================================ warc
+
+  /** One parsed WARC record: the WARC-Type, the declared Content-Length,
+    * and — for `response` records — the HTTP body length and byte sum
+    * after the status line + headers are stripped.
+    */
+  final case class WarcRecord(warcType: String, contentLength: Long,
+      bodyLen: Long, bodySum: Long)
+
+  private val Ascii = java.nio.charset.StandardCharsets.US_ASCII
+
+  private def indexOfCrlfCrlf(b: Array[Byte], from: Int, until: Int): Int = {
+    var i = from
+    while (i + 3 < until) {
+      if (b(i) == '\r' && b(i + 1) == '\n' && b(i + 2) == '\r' && b(i + 3) == '\n') return i
+      i += 1
+    }
+    -1
+  }
+
+  /** REAL WARC/1.0 walk over an UNCOMPRESSED buffer of concatenated
+    * records (ISO 28500 grammar): version line, `Name: value` header
+    * lines to a blank line, a Content-Length-delimited block, and the
+    * mandatory CRLF CRLF record separator. `response` records must hold
+    * a well-formed HTTP response — status line + headers + CRLFCRLF —
+    * whose own Content-Length must match the remaining body bytes
+    * exactly. Any violation → None.
+    */
+  def parseWarc(b: Array[Byte]): Option[Seq[WarcRecord]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[WarcRecord]
+    var o = 0
+    while (o < b.length) {
+      val hdrEnd = indexOfCrlfCrlf(b, o, b.length)
+      if (hdrEnd < 0) return None
+      val header = new String(b, o, hdrEnd - o, Ascii)
+      val lines = header.split("\r\n", -1)
+      if (lines.isEmpty || lines(0) != "WARC/1.0") return None
+      var warcType: String = null
+      var contentLength = -1L
+      lines.drop(1).foreach { line =>
+        val c = line.indexOf(':')
+        if (c <= 0) return None
+        val (k, v) = (line.substring(0, c).trim, line.substring(c + 1).trim)
+        if (k.equalsIgnoreCase("WARC-Type")) warcType = v
+        else if (k.equalsIgnoreCase("Content-Length")) {
+          if (!v.forall(_.isDigit) || v.isEmpty) return None
+          contentLength = v.toLong
+        }
+      }
+      if (warcType == null || contentLength < 0) return None
+      val blockStart = hdrEnd + 4
+      val blockEnd = blockStart + contentLength
+      if (blockEnd + 4 > b.length) return None
+      if (b(blockEnd.toInt) != '\r' || b(blockEnd.toInt + 1) != '\n' ||
+        b(blockEnd.toInt + 2) != '\r' || b(blockEnd.toInt + 3) != '\n') return None
+      var bodyLen = 0L
+      var bodySum = 0L
+      if (warcType == "response") {
+        val httpHdrEnd = indexOfCrlfCrlf(b, blockStart, blockEnd.toInt)
+        if (httpHdrEnd < 0) return None
+        val statusAndHeaders = new String(b, blockStart, httpHdrEnd - blockStart, Ascii)
+        val hlines = statusAndHeaders.split("\r\n", -1)
+        if (!hlines(0).startsWith("HTTP/1.")) return None
+        val declared = hlines.drop(1).collectFirst {
+          case l if l.toLowerCase.startsWith("content-length:") =>
+            l.substring(l.indexOf(':') + 1).trim
+        }
+        val bodyStart = httpHdrEnd + 4
+        bodyLen = blockEnd - bodyStart
+        if (bodyLen < 0) return None
+        declared match {
+          case Some(v) if !v.forall(_.isDigit) || v.isEmpty || v.toLong != bodyLen => return None
+          case _ => ()
+        }
+        var i = bodyStart
+        while (i < blockEnd) { bodySum += b(i) & 0xff; i += 1 }
+      }
+      out += WarcRecord(warcType, contentLength, bodyLen, bodySum)
+      o = (blockEnd + 4).toInt
+    }
+    if (out.isEmpty) None else Some(out.toSeq)
+  }
+
+  /** The `.warc.gz` convention: ONE gzip member per record (what makes
+    * a 100-TB crawl splittable at record granularity). Each member is
+    * inflated and must parse as exactly one WARC record.
+    */
+  def parseWarcGz(b: Array[Byte]): Option[Seq[WarcRecord]] = {
+    // Inflate member-by-member, then parse each inflated record alone.
+    val members = parseGzipMembersData(b).getOrElse(return None)
+    val recs = members.map { data =>
+      parseWarc(data) match {
+        case Some(Seq(one)) => one
+        case _ => return None
+      }
+    }
+    Some(recs)
+  }
+
+  /** Like [[parseGzipMembers]] but returning the inflated bytes (WARC
+    * needs to re-parse them). Same strict header/trailer contract.
+    */
+  def parseGzipMembersData(b: Array[Byte]): Option[Seq[Array[Byte]]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var o = 0
+    while (o < b.length) {
+      if (o + 10 > b.length) return None
+      if ((b(o) & 0xff) != 0x1f || (b(o + 1) & 0xff) != 0x8b ||
+        (b(o + 2) & 0xff) != 8) return None
+      val flg = b(o + 3) & 0xff
+      if ((flg & 0xe0) != 0) return None
+      var p = o + 10
+      if ((flg & 4) != 0) {
+        if (p + 2 > b.length) return None
+        p += 2 + le16(b, p)
+        if (p > b.length) return None
+      }
+      if ((flg & 8) != 0) {
+        while (p < b.length && b(p) != 0) p += 1
+        if (p >= b.length) return None
+        p += 1
+      }
+      if ((flg & 16) != 0) {
+        while (p < b.length && b(p) != 0) p += 1
+        if (p >= b.length) return None
+        p += 1
+      }
+      if ((flg & 2) != 0) {
+        if (p + 2 > b.length) return None
+        val hc = new java.util.zip.CRC32()
+        hc.update(b, o, p - o)
+        if ((hc.getValue & 0xffffL).toInt != le16(b, p)) return None
+        p += 2
+      }
+      val inf = new java.util.zip.Inflater(true)
+      try {
+        inf.setInput(b, p, b.length - p)
+        val acc = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        while (!inf.finished()) {
+          val n =
+            try inf.inflate(buf)
+            catch { case _: java.util.zip.DataFormatException => return None }
+          if (n == 0) {
+            if (inf.needsInput() || inf.needsDictionary()) return None
+          } else acc.write(buf, 0, n)
+        }
+        val data = acc.toByteArray
+        val trailerAt = p + inf.getBytesRead.toInt
+        if (trailerAt + 8 > b.length) return None
+        val crc = new java.util.zip.CRC32()
+        crc.update(data)
+        if (le32u(b, trailerAt) != crc.getValue) return None
+        if (le32u(b, trailerAt + 4) != (data.length.toLong & 0xffffffffL)) return None
+        out += data
+        o = trailerAt + 8
+      } finally inf.end()
+    }
+    if (out.isEmpty) None else Some(out.toSeq)
+  }
+
+  /** WARC header text for response record m of document id. Record-ID
+    * is 19-digit zero-padded so the header length is CONSTANT for every
+    * Long doc_id — mirror-shifted ids cannot change the closed form.
+    */
+  private def warcResponseRecord(id: Long, m: Int, body: Array[Byte]): Array[Byte] = {
+    val http = f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nContent-Length: ${body.length}%03d\r\n\r\n"
+    val contentLen = http.length + body.length
+    val hdr = f"WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:graft:$id%019d:$m%02d>\r\nWARC-Target-URI: http://graft.invalid/doc\r\nContent-Type: application/http; msgtype=response\r\nContent-Length: $contentLen%03d\r\n\r\n"
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(hdr.getBytes(Ascii))
+    out.write(http.getBytes(Ascii))
+    out.write(body, 0, body.length)
+    out.write('\r'); out.write('\n'); out.write('\r'); out.write('\n')
+    out.toByteArray
+  }
+
+  private def warcInfoRecord(id: Long): Array[Byte] = {
+    val content = "software: graft\r\n"
+    val hdr = f"WARC/1.0\r\nWARC-Type: warcinfo\r\nWARC-Record-ID: <urn:graft:$id%019d:in>\r\nContent-Type: application/warc-fields\r\nContent-Length: ${content.length}%03d\r\n\r\n"
+    (hdr + content + "\r\n\r\n").getBytes(Ascii)
+  }
+
+  /** Record header byte constants the oracle hardcodes; the closed loop
+    * keeps them honest (a drifted header breaks the n_bytes hash).
+    * responseOverhead = record bytes MINUS body bytes (WARC header +
+    * HTTP header + trailing CRLFCRLF); infoRecordLen = the whole
+    * warcinfo record.
+    */
+  def warcResponseOverhead: Int = warcResponseRecord(0L, 0, new Array[Byte](30)).length - 30
+  def warcInfoRecordLen: Int = warcInfoRecord(0L).length
+
+  /** Graded `.warc.gz` document: an optional warcinfo record (id even)
+    * followed by r = 1 + id%3 response records with body lengths
+    * B_m = 30 + (id + 41m) mod 120; body bytes continue the single
+    * `(id + i) mod 256` run across records. EACH record is its own gzip
+    * member (stored deflate, one block) — the splittable crawl layout.
+    */
+  def makeWarcDoc(id: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    if (id % 2 == 0) {
+      val m = gzipMember(warcInfoRecord(id))
+      out.write(m, 0, m.length)
+    }
+    val r = (1 + id % 3).toInt
+    var i = 0L
+    var m = 0
+    while (m < r) {
+      val len = (30 + (id + 41L * m) % 120).toInt
+      val body = new Array[Byte](len)
+      var j = 0
+      while (j < len) { body(j) = ((id + i) % 256).toByte; i += 1; j += 1 }
+      val member = gzipMember(warcResponseRecord(id, m, body))
+      out.write(member, 0, member.length)
+      m += 1
+    }
+    out.toByteArray
+  }
+
+  // ============================================================== queries
+
+  /** ORACLE-GRADED closed loop for the multi-member gzip tier: per
+    * document, k members are GENERATED (stored-deflate framing ⇒
+    * closed-form sizes) and walked back by the REAL header/Inflater/
+    * CRC-32/ISIZE pipeline. Emitted: member count, total raw bytes, the
+    * content byte sum (cycle-split predictable), and the exact archive
+    * size. Map-side generation and parse; payloads never leave the
+    * executor.
+    */
+  val qContainerGzip: Q = (s, d) => {
+    import s.implicits._
+    documents(s, d).select(col("doc_id"))
+      .repartition(s.sessionState.conf.numShufflePartitions)
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val payload = makeGzipDoc(id)
+        val members = parseGzipMembers(payload).getOrElse(
+          throw new IllegalStateException(s"generated gzip for doc $id failed to parse"))
+        (id, "gzip", members.size, members.map(_.rawLen).sum,
+          members.map(_.byteSum).sum, payload.length.toLong)
+      })
+      .toDF("media_id", "format", "n_members", "raw_bytes", "byte_sum", "n_bytes")
+      .orderBy("media_id")
+  }
+
+  /** ORACLE-GRADED closed loop for the WebDataset tar tier: per
+    * document, s samples × {.txt,.bin} members are GENERATED and walked
+    * back by the REAL ustar parser (checksum-verified headers, 512-byte
+    * block rounding — the .bin sizes straddle the 1-vs-2-block boundary
+    * so the rounding is oracle-observable). n_samples comes from the
+    * WebDataset basename-key grouping. Map-side generation and parse.
+    */
+  val qContainerTar: Q = (s, d) => {
+    import s.implicits._
+    documents(s, d).select(col("doc_id"))
+      .repartition(s.sessionState.conf.numShufflePartitions)
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val payload = makeTarDoc(id)
+        val entries = parseTar(payload).getOrElse(
+          throw new IllegalStateException(s"generated tar for doc $id failed to parse"))
+        var byteSum = 0L
+        entries.foreach { e =>
+          var i = e.dataOff
+          val end = e.dataOff + e.size.toInt
+          while (i < end) { byteSum += payload(i) & 0xff; i += 1 }
+        }
+        (id, "tar", entries.size, entries.map(e => sampleKey(e.name)).distinct.size,
+          entries.map(_.size).sum, byteSum, payload.length.toLong)
+      })
+      .toDF("media_id", "format", "n_entries", "n_samples", "data_bytes",
+        "byte_sum", "n_bytes")
+      .orderBy("media_id")
+  }
+
+  /** ORACLE-GRADED closed loop for the WARC tier (the Common Crawl
+    * layout): per document, an optional warcinfo + r response records
+    * are GENERATED, each as its OWN gzip member, and walked back by the
+    * REAL gzip-member + WARC/1.0 + HTTP parse — version line, headers,
+    * Content-Length-delimited block, status-line strip, HTTP
+    * Content-Length cross-checked against the actual body. Emitted:
+    * record/response counts, total body bytes, the body byte sum, and
+    * the exact archive size (header text lengths are doc_id-invariant
+    * by 19-digit zero padding). Map-side generation and parse.
+    */
+  val qContainerWarc: Q = (s, d) => {
+    import s.implicits._
+    documents(s, d).select(col("doc_id"))
+      .repartition(s.sessionState.conf.numShufflePartitions)
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val payload = makeWarcDoc(id)
+        val recs = parseWarcGz(payload).getOrElse(
+          throw new IllegalStateException(s"generated warc for doc $id failed to parse"))
+        val responses = recs.filter(_.warcType == "response")
+        (id, "warc", recs.size, responses.size, responses.map(_.bodyLen).sum,
+          responses.map(_.bodySum).sum, payload.length.toLong)
+      })
+      .toDF("media_id", "format", "n_records", "n_responses", "body_bytes",
+        "body_sum", "n_bytes")
+      .orderBy("media_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_container_gzip" -> qContainerGzip,
+    "q_container_tar" -> qContainerTar,
+    "q_container_warc" -> qContainerWarc
+  )
+}

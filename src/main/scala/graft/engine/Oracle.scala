@@ -943,6 +943,98 @@ object Oracle {
          END)::BIGINT AS pixel_sum
       FROM px ORDER BY media_id""",
 
+    // Multi-member gzip closed loop (Containers.qContainerGzip): the
+    // engine generates k = 1 + id%4 stored-deflate gzip members (member
+    // m holds 50 + (id+17m) mod 200 bytes) and walks them back with the
+    // real header/Inflater/CRC-32/ISIZE pipeline; every column is
+    // predicted here. Member size = 23 + L (10 hdr + 5 stored-block
+    // framing + L + 8 trailer); content bytes are one (doc_id + i) mod
+    // 256 run across members, so byte_sum is the same cycle-split
+    // arithmetic as the PNG/GIF/JPEG keys.
+    "q_container_gzip" -> """
+      WITH px AS (
+        SELECT doc_id, (1 + doc_id % 4)::INT AS k, doc_id % 256 AS a
+        FROM documents
+      ), sz AS (
+        SELECT doc_id, k, a,
+          (list_sum(list_transform(range(k), m -> 50 + (doc_id + 17 * m) % 200)))::BIGINT AS n
+        FROM px
+      )
+      SELECT doc_id AS media_id, 'gzip' AS format, k AS n_members,
+        n AS raw_bytes,
+        ((n // 256) * 32640
+         + CASE WHEN a + (n % 256) <= 256
+             THEN (n % 256) * a + ((n % 256) * ((n % 256) - 1)) // 2
+             ELSE (256 - a) * a + ((256 - a) * (255 - a)) // 2
+                  + (((n % 256) - (256 - a)) * ((n % 256) - (256 - a) - 1)) // 2
+           END)::BIGINT AS byte_sum,
+        (23 * k + n)::BIGINT AS n_bytes
+      FROM sz ORDER BY media_id""",
+
+    // WebDataset tar closed loop (Containers.qContainerTar): the engine
+    // generates s = 1 + id%5 samples, each a .txt member of
+    // 10 + (id+31m) mod 100 bytes and a .bin member of 400 + (id+53m)
+    // mod 300 bytes (straddling the 1-vs-2 data-block boundary), and
+    // walks the archive back with the real checksum-verified ustar
+    // parser; n_samples is the basename-key grouping. Per sample the
+    // archive holds 1536 bytes (txt header+block, bin header) + 512 *
+    // ceil(Lb/512) data blocks; + 1024 terminator. Content bytes are
+    // one (doc_id + i) mod 256 run across members.
+    "q_container_tar" -> """
+      WITH px AS (
+        SELECT doc_id, (1 + doc_id % 5)::INT AS s, doc_id % 256 AS a
+        FROM documents
+      ), sz AS (
+        SELECT doc_id, s, a,
+          (list_sum(list_transform(range(s), m ->
+            10 + (doc_id + 31 * m) % 100 + 400 + (doc_id + 53 * m) % 300)))::BIGINT AS n,
+          (list_sum(list_transform(range(s), m ->
+            1536 + 512 * ((400 + (doc_id + 53 * m) % 300 + 511) // 512))))::BIGINT AS arch
+        FROM px
+      )
+      SELECT doc_id AS media_id, 'tar' AS format, (2 * s)::INT AS n_entries,
+        s AS n_samples, n AS data_bytes,
+        ((n // 256) * 32640
+         + CASE WHEN a + (n % 256) <= 256
+             THEN (n % 256) * a + ((n % 256) * ((n % 256) - 1)) // 2
+             ELSE (256 - a) * a + ((256 - a) * (255 - a)) // 2
+                  + (((n % 256) - (256 - a)) * ((n % 256) - (256 - a) - 1)) // 2
+           END)::BIGINT AS byte_sum,
+        (arch + 1024)::BIGINT AS n_bytes
+      FROM sz ORDER BY media_id""",
+
+    // WARC closed loop (Containers.qContainerWarc): the engine generates
+    // the Common Crawl layout — an optional warcinfo record (id even)
+    // plus r = 1 + id%3 response records of body length 30 + (id+41m)
+    // mod 120, EACH its own gzip member — and walks it back with the
+    // real gzip-member + WARC/1.0 + HTTP parse. Header text lengths are
+    // doc_id-invariant (19-digit zero-padded record ids), so the member
+    // sizes are constants verified by ContainersSpec: response member =
+    // 291 + B (23 gzip + 268 header/separator overhead), warcinfo
+    // member = 189. Body bytes are one (doc_id + i) mod 256 run across
+    // records.
+    "q_container_warc" -> """
+      WITH px AS (
+        SELECT doc_id, (1 + doc_id % 3)::INT AS r,
+          (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS info,
+          doc_id % 256 AS a
+        FROM documents
+      ), sz AS (
+        SELECT doc_id, r, info, a,
+          (list_sum(list_transform(range(r), m -> 30 + (doc_id + 41 * m) % 120)))::BIGINT AS n
+        FROM px
+      )
+      SELECT doc_id AS media_id, 'warc' AS format, (r + info)::INT AS n_records,
+        r AS n_responses, n AS body_bytes,
+        ((n // 256) * 32640
+         + CASE WHEN a + (n % 256) <= 256
+             THEN (n % 256) * a + ((n % 256) * ((n % 256) - 1)) // 2
+             ELSE (256 - a) * a + ((256 - a) * (255 - a)) // 2
+                  + (((n % 256) - (256 - a)) * ((n % 256) - (256 - a) - 1)) // 2
+           END)::BIGINT AS body_sum,
+        (info * 189 + r * 291 + n)::BIGINT AS n_bytes
+      FROM sz ORDER BY media_id""",
+
     // Frame-sampling check twin (Multimodal.qMultimodalFramesCheck):
     // every document yields exactly one media row (index 0 always
     // sampled); the stride/bytes/dims invariants are expected TRUE.

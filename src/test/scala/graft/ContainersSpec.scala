@@ -1,0 +1,282 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.Containers
+import graft.engine.Containers._
+
+/** The container tier's parser contracts: strict walks that either parse
+  * fully or return None (never throw), proven against the JDK's
+  * INDEPENDENT gzip codec where one exists (GZIPOutputStream writes real
+  * dynamic-Huffman deflate — a second implementation the stored-block
+  * generator can't reach), plus golden byte layouts and adversarial
+  * corruption for tar/WARC where the JDK ships no codec.
+  */
+class ContainersSpec extends AnyFunSuite {
+
+  private def ascii(s: String): Array[Byte] =
+    s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+
+  // ------------------------------------------------------------- gzip
+
+  test("oracle constants match the writers (drift breaks q_container_warc)") {
+    assert(warcResponseOverhead == 268)
+    assert(warcInfoRecordLen == 166)
+  }
+
+  test("JDK GZIPOutputStream (real deflate) parses through the member walk") {
+    val data = Array.tabulate[Byte](10000)(i => ((i * 7 + 3) % 256).toByte)
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(data); gz.close()
+    val members = parseGzipMembers(bos.toByteArray).get
+    assert(members.size == 1)
+    assert(members.head.rawLen == data.length.toLong)
+    assert(members.head.byteSum == data.map(_ & 0xff).map(_.toLong).sum)
+  }
+
+  test("concatenated JDK members parse as a multi-member stream") {
+    val bos = new java.io.ByteArrayOutputStream()
+    val parts = Seq("first member", "second, longer member body", "3")
+    parts.foreach { p =>
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(ascii(p)); gz.close()
+    }
+    val members = parseGzipMembers(bos.toByteArray).get
+    assert(members.map(_.rawLen) == parts.map(_.length.toLong))
+  }
+
+  test("gzipMember (stored framing) reads back through the JDK's GZIPInputStream") {
+    val data = Array.tabulate[Byte](70000)(i => (i % 251).toByte) // 2 stored blocks
+    val doc = gzipMember(data) ++ gzipMember(ascii("tail member"))
+    val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(doc))
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    var n = in.read(buf)
+    while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+    // GZIPInputStream concatenates members natively — total must match.
+    assert(out.toByteArray.toSeq == (data ++ ascii("tail member")).toSeq)
+  }
+
+  test("all four optional header fields honored, FHCRC verified") {
+    val data = ascii("payload under a maximal header")
+    val defl = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED, true)
+    defl.setInput(data); defl.finish()
+    val dbuf = new Array[Byte](data.length + 64)
+    val dlen = defl.deflate(dbuf); defl.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0x1f); out.write(0x8b); out.write(8)
+    out.write(2 | 4 | 8 | 16) // FHCRC | FEXTRA | FNAME | FCOMMENT
+    out.write(Array[Byte](0, 0, 0, 0), 0, 4); out.write(0); out.write(255)
+    out.write(4); out.write(0) // XLEN = 4
+    out.write(ascii("ABCD"), 0, 4)
+    out.write(ascii("name.txt"), 0, 8); out.write(0)
+    out.write(ascii("a comment"), 0, 9); out.write(0)
+    val hdr = out.toByteArray
+    val crc = new java.util.zip.CRC32(); crc.update(hdr)
+    out.write((crc.getValue & 0xff).toInt); out.write(((crc.getValue >> 8) & 0xff).toInt)
+    out.write(dbuf, 0, dlen)
+    val dcrc = new java.util.zip.CRC32(); dcrc.update(data)
+    val c = dcrc.getValue
+    out.write((c & 0xff).toInt); out.write(((c >> 8) & 0xff).toInt)
+    out.write(((c >> 16) & 0xff).toInt); out.write(((c >> 24) & 0xff).toInt)
+    val n = data.length
+    out.write(n & 0xff); out.write((n >> 8) & 0xff)
+    out.write((n >> 16) & 0xff); out.write((n >> 24) & 0xff)
+    val members = parseGzipMembers(out.toByteArray).get
+    assert(members.head.fname.contains("name.txt"))
+    assert(members.head.rawLen == data.length.toLong)
+    // ...and a WRONG FHCRC is rejected
+    val bad = out.toByteArray.clone()
+    bad(hdr.length) = (bad(hdr.length) ^ 0x01).toByte
+    assert(parseGzipMembers(bad).isEmpty)
+  }
+
+  test("gzip adversarial edges all fall to None, never throw") {
+    val good = makeGzipDoc(42L)
+    assert(parseGzipMembers(good).isDefined)
+    assert(parseGzipMembers(Array.emptyByteArray).isEmpty)
+    assert(parseGzipMembers(ascii("not gzip at all")).isEmpty)
+    val badMagic = good.clone(); badMagic(0) = 0x1e
+    assert(parseGzipMembers(badMagic).isEmpty)
+    val badCm = good.clone(); badCm(2) = 9 // only deflate (8) is legal
+    assert(parseGzipMembers(badCm).isEmpty)
+    val badFlg = good.clone(); badFlg(3) = 0x40 // reserved bit
+    assert(parseGzipMembers(badFlg).isEmpty)
+    assert(parseGzipMembers(good.dropRight(1)).isEmpty) // truncated trailer
+    assert(parseGzipMembers(good.dropRight(9)).isEmpty) // truncated deflate
+    val badCrc = good.clone() // first member: 10 hdr + 5 stored + L, CRC next
+    val l0 = 50 + (42 % 200)
+    badCrc(10 + 5 + l0) = (badCrc(10 + 5 + l0) ^ 0x55).toByte
+    assert(parseGzipMembers(badCrc).isEmpty)
+    val badIsize = good.clone()
+    badIsize(10 + 5 + l0 + 4) = (badIsize(10 + 5 + l0 + 4) ^ 0x55).toByte
+    assert(parseGzipMembers(badIsize).isEmpty)
+    val trailingGarbage = good ++ ascii("x")
+    assert(parseGzipMembers(trailingGarbage).isEmpty)
+    // corrupt a CONTENT byte: stored blocks carry it verbatim, so only
+    // the CRC-32 check can catch it — this is what the trailer is FOR.
+    val badByte = good.clone(); badByte(10 + 5) = (badByte(10 + 5) ^ 0x01).toByte
+    assert(parseGzipMembers(badByte).isEmpty)
+  }
+
+  test("empty member is legal gzip") {
+    val members = parseGzipMembers(gzipMember(Array.emptyByteArray)).get
+    assert(members.head.rawLen == 0L && members.head.byteSum == 0L)
+  }
+
+  // -------------------------------------------------------------- tar
+
+  test("tar round trip: sizes at the block edges, WebDataset grouping") {
+    val members = Seq(
+      "s/000.txt" -> Array.emptyByteArray, // 0 bytes → 0 data blocks
+      "s/000.bin" -> Array.fill[Byte](512)(7), // exactly one block
+      "s/001.txt" -> Array.fill[Byte](513)(8), // spills into a second
+      "s/001.bin" -> ascii("x"))
+    val arch = makeTar(members)
+    assert(arch.length == 512 * (4 + 0 + 1 + 2 + 1) + 1024)
+    val entries = parseTar(arch).get
+    assert(entries.map(_.name) == members.map(_._1))
+    assert(entries.map(_.size) == members.map(_._2.length.toLong))
+    assert(entries.map(e => sampleKey(e.name)).distinct == Seq("s/000", "s/001"))
+    // content round-trips at the reported offsets
+    entries.zip(members).foreach { case (e, (_, data)) =>
+      assert(arch.slice(e.dataOff, e.dataOff + e.size.toInt).toSeq == data.toSeq)
+    }
+  }
+
+  test("golden ustar header layout") {
+    val h = tarHeader("a.txt", 5L)
+    assert(new String(h, 0, 5, "US-ASCII") == "a.txt")
+    assert(h(5) == 0)
+    assert(new String(h, 100, 7, "US-ASCII") == "0000644") // mode
+    assert(new String(h, 124, 11, "US-ASCII") == "00000000005") // size octal
+    assert(h(135) == 0)
+    assert(h(156) == '0') // regular file
+    assert(new String(h, 257, 5, "US-ASCII") == "ustar")
+    assert(h(262) == 0 && h(263) == '0' && h(264) == '0')
+    // checksum: 6 octal digits, NUL, space — and arithmetically right
+    var sum = 0L
+    (0 until 512).foreach(i => sum += (if (i >= 148 && i < 156) ' '.toInt else h(i) & 0xff))
+    assert(new String(h, 148, 6, "US-ASCII") == f"$sum%06o")
+    assert(h(154) == 0 && h(155) == ' ')
+  }
+
+  test("ustar prefix field joins onto the name") {
+    val arch = makeTar(Seq("f.bin" -> ascii("abc")))
+    // hand-patch a prefix and re-checksum
+    val prefix = ascii("deep/dir")
+    System.arraycopy(prefix, 0, arch, 345, prefix.length)
+    java.util.Arrays.fill(arch, 148, 156, ' '.toByte)
+    var sum = 0L
+    (0 until 512).foreach(i => sum += arch(i) & 0xff)
+    System.arraycopy(ascii(f"$sum%06o"), 0, arch, 148, 6)
+    arch(154) = 0; arch(155) = ' '
+    assert(parseTar(arch).get.head.name == "deep/dir/f.bin")
+  }
+
+  test("non-regular entries are walked but not returned") {
+    val arch = makeTar(Seq("d/x.txt" -> ascii("hello")))
+    // turn the entry into a directory typeflag and re-checksum
+    arch(156) = '5'
+    java.util.Arrays.fill(arch, 148, 156, ' '.toByte)
+    var sum = 0L
+    (0 until 512).foreach(i => sum += arch(i) & 0xff)
+    System.arraycopy(ascii(f"$sum%06o"), 0, arch, 148, 6)
+    arch(154) = 0; arch(155) = ' '
+    assert(parseTar(arch).isEmpty) // no regular files left → None
+  }
+
+  test("tar adversarial edges all fall to None, never throw") {
+    val good = makeTarDoc(9L)
+    assert(parseTar(good).isDefined)
+    assert(parseTar(Array.emptyByteArray).isEmpty)
+    assert(parseTar(new Array[Byte](511)).isEmpty) // short of one block
+    val badSum = good.clone(); badSum(0) = (badSum(0) ^ 0x7f).toByte
+    assert(parseTar(badSum).isEmpty) // checksum now wrong
+    val badSize = good.clone(); badSize(124) = '9' // non-octal digit
+    assert(parseTar(badSize).isEmpty)
+    val base256 = good.clone(); base256(124) = 0x80.toByte // GNU large-size
+    assert(parseTar(base256).isEmpty)
+    assert(parseTar(good.dropRight(1)).isEmpty) // ragged tail
+    assert(parseTar(good.dropRight(1024)).isEmpty) // missing terminator
+    assert(parseTar(good ++ ascii("junk")).isEmpty) // garbage after terminator
+    assert(parseTar(good ++ new Array[Byte](512 * 3)).isDefined) // zero padding OK
+    val onlyTerminator = new Array[Byte](1024)
+    assert(parseTar(onlyTerminator).isEmpty) // empty archive → None
+  }
+
+  // ------------------------------------------------------------- warc
+
+  private def warcRecord(wtype: String, content: Array[Byte]): Array[Byte] = {
+    val hdr = s"WARC/1.0\r\nWARC-Type: $wtype\r\nWARC-Record-ID: <urn:test:1>\r\n" +
+      s"Content-Length: ${content.length}\r\n\r\n"
+    ascii(hdr) ++ content ++ ascii("\r\n\r\n")
+  }
+
+  private def httpBlock(body: Array[Byte], declared: Option[Int]): Array[Byte] = {
+    val cl = declared.map(v => s"Content-Length: $v\r\n").getOrElse("")
+    ascii(s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n$cl\r\n") ++ body
+  }
+
+  test("plain WARC walk: mixed record types, body strip, sums") {
+    val body = Array.tabulate[Byte](100)(i => (i % 256).toByte)
+    val doc = warcRecord("warcinfo", ascii("software: t\r\n")) ++
+      warcRecord("response", httpBlock(body, Some(100))) ++
+      warcRecord("request", ascii("GET / HTTP/1.1\r\n\r\n"))
+    val recs = parseWarc(doc).get
+    assert(recs.map(_.warcType) == Seq("warcinfo", "response", "request"))
+    assert(recs(1).bodyLen == 100L)
+    assert(recs(1).bodySum == body.map(_ & 0xff).map(_.toLong).sum)
+    assert(recs(0).bodyLen == 0L) // only responses strip a body
+  }
+
+  test("HTTP Content-Length is cross-checked against the actual body") {
+    val body = ascii("0123456789")
+    val ok = warcRecord("response", httpBlock(body, Some(10)))
+    assert(parseWarc(ok).isDefined)
+    val lied = warcRecord("response", httpBlock(body, Some(9)))
+    assert(parseWarc(lied).isEmpty)
+    val undeclared = warcRecord("response", httpBlock(body, None))
+    assert(parseWarc(undeclared).get.head.bodyLen == 10L) // CL optional
+  }
+
+  test("WARC adversarial edges all fall to None, never throw") {
+    val body = ascii("abc")
+    val good = warcRecord("response", httpBlock(body, Some(3)))
+    assert(parseWarc(good).isDefined)
+    assert(parseWarc(Array.emptyByteArray).isEmpty)
+    assert(parseWarc(ascii("WARC/0.9\r\n\r\nxx")).isEmpty) // bad version
+    assert(parseWarc(good.dropRight(1)).isEmpty) // missing separator byte
+    assert(parseWarc(ascii(
+      "WARC/1.0\r\nWARC-Type: response\r\n\r\n")).isEmpty) // no Content-Length
+    assert(parseWarc(ascii(
+      "WARC/1.0\r\nWARC-Type: x\r\nContent-Length: 999\r\n\r\nshort\r\n\r\n")).isEmpty)
+    assert(parseWarc(ascii(
+      "WARC/1.0\r\nnocolonline\r\nContent-Length: 0\r\n\r\n\r\n\r\n")).isEmpty)
+    assert(parseWarc(ascii(
+      "WARC/1.0\r\nContent-Length: -1\r\n\r\n\r\n\r\n")).isEmpty)
+    // response whose block isn't HTTP at all
+    assert(parseWarc(warcRecord("response", ascii("not http"))).isEmpty)
+  }
+
+  test("warc.gz: one record per member enforced; non-gzip rejected") {
+    val doc = makeWarcDoc(11L)
+    assert(parseWarcGz(doc).isDefined)
+    assert(parseWarcGz(warcRecord("warcinfo", ascii("x: y\r\n"))).isEmpty) // plain, not gz
+    val two = warcRecord("warcinfo", ascii("a: b\r\n")) ++
+      warcRecord("warcinfo", ascii("c: d\r\n"))
+    assert(parseWarcGz(gzipMember(two)).isEmpty) // two records in one member
+  }
+
+  test("makeWarcDoc inflates through the JDK and holds one WARC/1.0 per member") {
+    val doc = makeWarcDoc(12L) // even id → warcinfo + 1 + 12%3 = 1 response... r = 1 + 12%3 = 1
+    val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(doc))
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    var n = in.read(buf)
+    while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+    val text = new String(out.toByteArray, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val expected = parseWarcGz(doc).get.size
+    assert(text.sliding(8).count(_ == "WARC/1.0") == expected)
+  }
+}
