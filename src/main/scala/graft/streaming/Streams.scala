@@ -158,6 +158,122 @@ object Streams {
       .dropDuplicatesWithinWatermark(Seq("__fp"))
       .drop("__fp")
 
+  // --------------------------------- streaming near-dup (MinHash-LSH) dedup
+
+  /** One streamed document for the near-dup ingest path. */
+  case class StreamDoc(doc_id: Long, text: String, ts: java.sql.Timestamp)
+
+  /** One document fanned out to one of its LSH band buckets. */
+  case class BandedDoc(band_idx: Int, band_hash: Long, doc_id: Long,
+      text: String, ts: java.sql.Timestamp)
+
+  /** Stage-1 output of [[neardupStream]]: one claim verdict per band. */
+  case class BandVerdict(doc_id: Long, text: String, ts: java.sql.Timestamp,
+      collided: Boolean)
+
+  /** Stage 1 of the streaming near-dup: per LSH bucket (band index, band
+    * hash), the FIRST arrival claims the bucket and every later arrival —
+    * same micro-batch (ordered by (ts, doc_id)) or a later one — is
+    * marked collided. Claims are unconditional (a document dropped for a
+    * collision elsewhere still holds the buckets it claimed): the
+    * sequential Bloom-style ingest-dedup semantics, deterministic given
+    * the (ts, doc_id) arrival order. Bucket state is ONE boolean,
+    * evicted `retentionMs` after the watermark passes the claim — the
+    * WindowStore-retention discipline, so state is bounded by the
+    * retention horizon × bucket cardinality, never by stream length.
+    */
+  class BandClaimProcessor(retentionMs: Long)
+      extends StatefulProcessor[(Int, Long), BandedDoc, BandVerdict] {
+    @transient private var claimed: org.apache.spark.sql.streaming.ValueState[Boolean] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      claimed = getHandle.getValueState[Boolean]("claimed", Encoders.scalaBoolean, TTLConfig.NONE)
+
+    override def handleInputRows(key: (Int, Long), rows: Iterator[BandedDoc],
+        timerValues: TimerValues): Iterator[BandVerdict] = {
+      val sorted = rows.toSeq.sortBy(d => (d.ts.getTime, d.doc_id))
+      val already = claimed.exists()
+      if (!already) {
+        claimed.update(true)
+        getHandle.registerTimer(
+          timerValues.getCurrentWatermarkInMs.max(sorted.head.ts.getTime) + retentionMs)
+      }
+      sorted.iterator.zipWithIndex.map { case (d, i) =>
+        BandVerdict(d.doc_id, d.text, d.ts, collided = already || i > 0)
+      }
+    }
+
+    override def handleExpiredTimer(key: (Int, Long), timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[BandVerdict] = {
+      claimed.clear() // retention elapsed — the bucket is claimable again (R5)
+      Iterator.empty
+    }
+  }
+
+  /** Stage 2 of [[neardupStream]]: a document survives iff NONE of its
+    * band buckets collided. Stateless by construction — stage 1 emits
+    * all NumBands verdicts of a document within the micro-batch that
+    * carried it, so after the shuffle they arrive as ONE group in the
+    * SAME batch; nothing is held across batches.
+    */
+  class DocVerdictProcessor extends StatefulProcessor[Long, BandVerdict, StreamDoc] {
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = ()
+
+    override def handleInputRows(key: Long, rows: Iterator[BandVerdict],
+        timerValues: TimerValues): Iterator[StreamDoc] = {
+      var doc: StreamDoc = null
+      var collided = false
+      rows.foreach { r =>
+        if (doc == null) doc = StreamDoc(r.doc_id, r.text, r.ts)
+        collided ||= r.collided
+      }
+      if (collided || doc == null) Iterator.empty else Iterator.single(doc)
+    }
+  }
+
+  /** Streaming MinHash-LSH near-dup dedup — the ingest-time twin of the
+    * batch LSH family (Dedup.scala): a document whose token set
+    * near-duplicates an earlier arrival (any shared LSH band bucket
+    * within the retention horizon) is dropped; first arrival wins.
+    * Identical token sets share ALL bands, so exact dups are caught with
+    * certainty; ≥0.9-Jaccard near-dups with P ≈ 1−3e-12 under the shared
+    * 16×2 banding (Dedup.NumBands scaladoc). The signature/band kernel
+    * is the SAME native expression the batch queries use
+    * (graft.functions.GraftExpressions.minhashBands over
+    * Dedup.normTokens), so a tokenization or banding tweak cannot
+    * silently break stream/batch parity — StreamingParitySpec grades
+    * survivors against a sequential fold over the same band values.
+    *
+    * Scale notes: the band fan-out is map-side (NumBands rows per doc);
+    * both stateful stages key by high-cardinality columns (bucket,
+    * doc_id) so state partitions across executors; bucket state is one
+    * boolean with event-time eviction. At 100 TB/day the shuffled band
+    * rows carry the doc text — project ids+bands first and re-join
+    * survivors if payloads are large (the batch family's ids+bands
+    * salted shape); this ingest shape keeps the payload inline because
+    * survivors must be EMITTED, not just identified.
+    */
+  def neardupStream(docs: Dataset[StreamDoc], delay: String = "1 hour",
+      retentionMs: Long = 3600L * 1000L): Dataset[StreamDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val banded = docs.toDF()
+      .withColumn("__toks", graft.engine.Dedup.normTokens(col("text")))
+      .withColumn("__mb", graft.functions.GraftExpressions.minhashBands(
+        col("__toks"), graft.engine.Dedup.NumHashes, graft.engine.Dedup.NumBands))
+      .select(col("doc_id"), col("text"), col("ts"),
+        posexplode(col("__mb").getField("bands")).as(Seq("band_idx", "band_hash")))
+      .withWatermark("ts", delay)
+      .select(col("band_idx"), col("band_hash"), col("doc_id"), col("text"), col("ts"))
+      .as[BandedDoc]
+    banded
+      .groupByKey(b => (b.band_idx, b.band_hash))
+      .transformWithState(new BandClaimProcessor(retentionMs),
+        TimeMode.EventTime(), OutputMode.Append())
+      .groupByKey(_.doc_id)
+      .transformWithState(new DocVerdictProcessor, TimeMode.None(), OutputMode.Append())
+  }
+
   // ------------------------------------- R2 general form: explicit state
 
   /** Explicit-state first-wins dedup processor (transformWithState):
