@@ -328,8 +328,75 @@ object FuzzGate {
       if (qualify) s"SELECT * FROM ($inner) q WHERE w0 <= ${int(2, 20)}" else inner
     }
 
+    /** Grouping-sets shape (r17 third-session axis): ROLLUP / CUBE /
+      * GROUPING SETS over two computed keys, each disambiguated with
+      * CAST(grouping(key) AS BIGINT) (Spark emits TINYINT, DuckDB
+      * BIGINT — the cast pins it). Keys avoid subquery predicates
+      * (predicate depth 1): a correlated EXISTS inside a grouping
+      * expression is not portable. Super-aggregate NULLs vs real NULL
+      * keys are distinguished by the grouping flags in BOTH engines, so
+      * the multiset compare sees identical rows.
+      *
+      * ENGINE DIVERGENCE FOUND BY THIS AXIS (first run, 10/600): on
+      * EMPTY input, a grouping family containing the grand-total set —
+      * ROLLUP, CUBE, or GROUPING SETS with `()` — emits the () row
+      * (count 0, NULL keys) in DuckDB and Postgres, per the standard's
+      * grand-total ≡ ungrouped-aggregate equivalence, but ZERO rows in
+      * Spark (grouping sets expand to a grouped aggregate over the
+      * Expand output, and a grouped aggregate over empty input has no
+      * groups). Neutralized by construction: every grouping shape
+      * carries `HAVING count(*) > 0` — a no-op on every REAL group
+      * (each aggregates ≥1 row) that removes exactly DuckDB's empty-
+      * input phantom row, keeping ROLLUP/CUBE/() fully exercised on
+      * non-empty inputs.
+      */
+    def groupingShape(): String = {
+      val (chain, from) = joinChain()
+      def gkey(): String = pick[() => String](Seq(
+        () => pick(allCols(chain, "str")).name,
+        () => s"substr(${pick(allCols(chain, "str")).name}, 1, ${int(1, 2)})",
+        () => s"CAST(${pick(allCols(chain, "int")).name} % ${int(2, 12)} AS BIGINT)",
+        () => s"CAST(CASE WHEN ${predicate(chain, depth = 1)} THEN 1 ELSE 0 END AS BIGINT)"
+      ))()
+      val (k0, k1) = (gkey(), gkey())
+      val groupBy = pick(Seq(
+        s"ROLLUP($k0, $k1)",
+        s"CUBE($k0, $k1)",
+        s"GROUPING SETS (($k0), ($k0, $k1), ())",
+        s"GROUPING SETS (($k0, $k1), ($k1))"))
+      val where = if (chance(0.6)) s" WHERE ${predicate(chain)}" else ""
+      val aggs = (0 until int(1, 2)).map(i => s"${aggExpr(chain)} AS a$i")
+      val gcols = Seq(s"$k0 AS g0", s"$k1 AS g1",
+        s"CAST(grouping($k0) AS BIGINT) AS gf0",
+        s"CAST(grouping($k1) AS BIGINT) AS gf1")
+      val having = s" HAVING count(*) > ${if (chance(0.2)) int(1, 10) else 0}"
+      s"SELECT ${(gcols ++ aggs).mkString(", ")} FROM $from$where GROUP BY $groupBy$having"
+    }
+
+    /** Set-operation shape (r17 third-session axis): INTERSECT /
+      * INTERSECT ALL / EXCEPT / EXCEPT ALL / UNION (distinct) between
+      * two predicates over the SAME projection on the SAME chain —
+      * column types match by construction, and set-op NULL equality
+      * (NULL groups WITH null, unlike = ) is identical in both engines.
+      * One operator per query: mixed-operator precedence differs across
+      * dialects, so it stays out of the grammar.
+      */
+    def setOpShape(): String = {
+      val (chain, from) = joinChain()
+      val nCols = int(2, 4)
+      val types = Seq("int", "str") ++
+        (if (has(chain, "dbl")) Seq("dbl") else Nil) ++
+        (if (has(chain, "ts") && chance(0.3)) Seq("ts") else Nil)
+      val proj = (0 until nCols).map(i => s"${expr(chain, pick(types))} AS c$i").mkString(", ")
+      val op = pick(Seq("INTERSECT", "INTERSECT ALL", "EXCEPT", "EXCEPT ALL", "UNION"))
+      s"SELECT $proj FROM $from WHERE ${predicate(chain)} " +
+        s"$op SELECT $proj FROM $from WHERE ${predicate(chain)}"
+    }
+
     def query(): String = {
-      if (chance(0.3)) return windowShape()
+      if (chance(0.25)) return windowShape()
+      if (chance(0.2)) return groupingShape()
+      if (chance(0.18)) return setOpShape()
       val (chain, from) = joinChain()
       val where = if (chance(0.75)) s" WHERE ${predicate(chain)}" else ""
       if (chance(0.45)) {
