@@ -669,9 +669,65 @@ object Containers {
       .orderBy("media_id")
   }
 
+  /** ORACLE-GRADED end-to-end shard ingest — the actual 100-TB corpus
+    * shape: REAL `.warc.gz` FILES on storage, read back through Spark's
+    * `binaryFile` source (one task per file — exactly how a crawl
+    * ingests: per-record gzip members make each shard independently
+    * decodable), walked by the real gzip+WARC+HTTP parse, aggregated
+    * per shard. The write side is DISTRIBUTED: each mapGroups task
+    * builds and writes its own shard (doc_id mod 64), the way executor
+    * tasks write shards to DFS in production — nothing funnels through
+    * the driver. Concatenating per-document `.warc.gz` payloads IS a
+    * valid `.warc.gz` file (member concatenation), so DuckDB predicts
+    * every per-shard aggregate by summing the q_container_warc per-doc
+    * closed forms GROUP BY doc_id mod 64. The temp shard dir is deleted
+    * after the (eager, 64-row) localCheckpoint — repeated grading runs
+    * leave no residue. NOTE (bench): this key deliberately times the
+    * FULL round trip — shard build + file write + binaryFile scan +
+    * parse — not just a read.
+    */
+  val qContainerShards: Q = (s, d) => {
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_shards_").toString
+    try {
+      val ids = documents(s, d).select(col("doc_id")).as[Long]
+      val written = ids.groupByKey(_ % 64)
+        .mapGroups { (shard, it) =>
+          val sorted = it.toArray.sorted // deterministic member order per shard
+          val out = new java.io.ByteArrayOutputStream()
+          sorted.foreach { id =>
+            val b = makeWarcDoc(id)
+            out.write(b, 0, b.length)
+          }
+          java.nio.file.Files.write(
+            new java.io.File(dir, f"shard-$shard%03d.warc.gz").toPath, out.toByteArray)
+          shard
+        }
+      written.count() // force the distributed shard write before the scan
+      s.read.format("binaryFile").option("pathGlobFilter", "*.warc.gz").load(dir)
+        .select(col("path"), col("content"))
+        .as[(String, Array[Byte])]
+        .map { case (path, bytes) =>
+          val shard = "shard-(\\d+)".r.findFirstMatchIn(path)
+            .map(_.group(1).toLong)
+            .getOrElse(throw new IllegalStateException(s"unexpected shard path $path"))
+          val recs = parseWarcGz(bytes).getOrElse(
+            throw new IllegalStateException(s"shard $path failed to parse"))
+          val responses = recs.filter(_.warcType == "response")
+          (shard, recs.size.toLong, responses.size.toLong,
+            responses.map(_.bodyLen).sum, responses.map(_.bodySum).sum,
+            bytes.length.toLong)
+        }
+        .toDF("shard", "n_records", "n_responses", "body_bytes", "body_sum", "n_bytes")
+        .orderBy("shard")
+        .localCheckpoint()
+    } finally Sources.deleteRecursively(new java.io.File(dir))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_container_gzip" -> qContainerGzip,
     "q_container_tar" -> qContainerTar,
-    "q_container_warc" -> qContainerWarc
+    "q_container_warc" -> qContainerWarc,
+    "q_container_shards" -> qContainerShards
   )
 }

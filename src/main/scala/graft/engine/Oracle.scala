@@ -1035,6 +1035,39 @@ object Oracle {
         (info * 189 + r * 291 + n)::BIGINT AS n_bytes
       FROM sz ORDER BY media_id""",
 
+    // Shard ingest closed loop (Containers.qContainerShards): the engine
+    // writes REAL .warc.gz shard files (docs grouped by doc_id mod 64,
+    // concatenated per-doc payloads — member concatenation is valid
+    // gzip), reads them back through Spark's binaryFile source, and
+    // parses every record; here each per-shard aggregate is the SUM of
+    // the q_container_warc per-doc closed forms grouped the same way.
+    "q_container_shards" -> """
+      WITH px AS (
+        SELECT doc_id, doc_id % 64 AS shard,
+          (1 + doc_id % 3)::BIGINT AS r,
+          (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS info,
+          doc_id % 256 AS a
+        FROM documents
+      ), sz AS (
+        SELECT doc_id, shard, r, info, a,
+          (list_sum(list_transform(range(r), m -> 30 + (doc_id + 41 * m) % 120)))::BIGINT AS n
+        FROM px
+      ), per_doc AS (
+        SELECT shard, r + info AS recs, r, n,
+          ((n // 256) * 32640
+           + CASE WHEN a + (n % 256) <= 256
+               THEN (n % 256) * a + ((n % 256) * ((n % 256) - 1)) // 2
+               ELSE (256 - a) * a + ((256 - a) * (255 - a)) // 2
+                    + (((n % 256) - (256 - a)) * ((n % 256) - (256 - a) - 1)) // 2
+             END) AS bsum,
+          (info * 189 + r * 291 + n) AS bytes
+        FROM sz
+      )
+      SELECT shard, sum(recs)::BIGINT AS n_records, sum(r)::BIGINT AS n_responses,
+        sum(n)::BIGINT AS body_bytes, sum(bsum)::BIGINT AS body_sum,
+        sum(bytes)::BIGINT AS n_bytes
+      FROM per_doc GROUP BY shard ORDER BY shard""",
+
     // Frame-sampling check twin (Multimodal.qMultimodalFramesCheck):
     // every document yields exactly one media row (index 0 always
     // sampled); the stride/bytes/dims invariants are expected TRUE.
