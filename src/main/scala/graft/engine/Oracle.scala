@@ -160,6 +160,48 @@ object Oracle {
           FROM corpus, q WHERE vec_id <> 7)
       SELECT vec_id, cos_sim FROM sims ORDER BY cos_sim DESC, vec_id LIMIT 15"""
 
+  /** Per-sample SQL terms for q_container_wds, expanded textually over
+    * the sample index m ∈ {0, 1, 2} (s = 1 + doc_id%3 ≤ 3) — the same
+    * cycle-split pixel/byte arithmetic as the PNG key, with per-sample
+    * seed doc_id + 97m and dims (1 + (doc_id+m)%13, 1 + (doc_id+2m)%11).
+    * Kept as Scala helpers so the three expansions cannot drift apart.
+    */
+  private def wdsGuard(m: Int, term: String): String =
+    s"(CASE WHEN 1 + doc_id % 3 > $m THEN $term ELSE 0 END)"
+  private def wdsCycleSum(n: String, a: String): String =
+    s"""(($n // 256) * 32640
+       + CASE WHEN $a + ($n % 256) <= 256
+           THEN ($n % 256) * $a + (($n % 256) * (($n % 256) - 1)) // 2
+           ELSE (256 - $a) * $a + ((256 - $a) * (255 - $a)) // 2
+                + ((($n % 256) - (256 - $a)) * (($n % 256) - (256 - $a) - 1)) // 2
+         END)"""
+  private def wdsPixelTerm(m: Int): String = {
+    val w = s"(1 + (doc_id + $m) % 13)"
+    val h = s"(1 + (doc_id + ${2 * m}) % 11)"
+    wdsGuard(m, wdsCycleSum(s"(3 * $w * $h)", s"((doc_id + ${97 * m}) % 256)"))
+  }
+  private def wdsTxtLenTerm(m: Int): String =
+    wdsGuard(m, s"(20 + (doc_id + ${29 * m}) % 80)")
+  /** Tar bytes of sample m: PNG entry = header + ceil((68 + raw)/512)
+    * data blocks with raw = h(1+3w); txt entry = header + one block
+    * (captions ≤ 99 bytes).
+    */
+  private def wdsTarTerm(m: Int): String = {
+    val w = s"(1 + (doc_id + $m) % 13)"
+    val h = s"(1 + (doc_id + ${2 * m}) % 11)"
+    wdsGuard(m, s"(512 + 512 * ((68 + $h * (1 + 3 * $w) + 511) // 512) + 1024)")
+  }
+  private val WdsSql = s"""
+      SELECT doc_id AS media_id,
+        (2 * (1 + doc_id % 3))::INT AS n_entries,
+        (1 + doc_id % 3)::INT AS n_samples,
+        (1 + doc_id % 3)::INT AS n_png,
+        (${(0 to 2).map(wdsPixelTerm).mkString(" + ")})::BIGINT AS pixel_sum,
+        (${(0 to 2).map(wdsTxtLenTerm).mkString(" + ")})::BIGINT AS txt_bytes,
+        ${wdsCycleSum(s"(${(0 to 2).map(wdsTxtLenTerm).mkString(" + ")})", "(doc_id % 256)")}::BIGINT AS txt_sum,
+        (${(0 to 2).map(wdsTarTerm).mkString(" + ")} + 1024)::BIGINT AS n_bytes
+      FROM documents ORDER BY media_id"""
+
   val sql: Map[String, String] = Map(
     "q_scan_project" -> """
       SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber, l_quantity, l_shipdate
@@ -1067,6 +1109,13 @@ object Oracle {
         sum(n)::BIGINT AS body_bytes, sum(bsum)::BIGINT AS body_sum,
         sum(bytes)::BIGINT AS n_bytes
       FROM per_doc GROUP BY shard ORDER BY shard""",
+
+    // Multimodal WebDataset closed loop (Containers.qContainerWds): tar
+    // shards of real PNG + caption samples, the PNGs decoded by the real
+    // Inflater pipeline; every column predicted from the per-sample
+    // closed forms (built by the wds* helpers above so the m=0..2
+    // expansions cannot drift apart).
+    "q_container_wds" -> WdsSql,
 
     // Frame-sampling check twin (Multimodal.qMultimodalFramesCheck):
     // every document yields exactly one media row (index 0 always
