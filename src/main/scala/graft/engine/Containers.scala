@@ -62,8 +62,21 @@ object Containers {
     * ISIZE ≡ length mod 2^32. Members repeat to end-of-buffer — the
     * `.warc.gz` / concatenated-`.gz` convention. Any violation → None.
     */
-  def parseGzipMembers(b: Array[Byte]): Option[Seq[GzipMember]] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[GzipMember]
+  def parseGzipMembers(b: Array[Byte]): Option[Seq[GzipMember]] =
+    walkGzipMembers(b).map(_.map { case (data, fname) =>
+      var sum = 0L
+      var i = 0
+      while (i < data.length) { sum += data(i) & 0xff; i += 1 }
+      GzipMember(data.length.toLong, sum, fname)
+    })
+
+  /** The ONE member walk both public faces derive from (review finding
+    * r17 third session: two parallel copies of the strict RFC 1952 walk
+    * would silently diverge under future fixes). Returns each member's
+    * inflated bytes + FNAME, or None on any violation.
+    */
+  private def walkGzipMembers(b: Array[Byte]): Option[Seq[(Array[Byte], Option[String])]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Array[Byte], Option[String])]
     var o = 0
     while (o < b.length) {
       if (o + 10 > b.length) return None
@@ -102,9 +115,7 @@ object Containers {
       val inf = new java.util.zip.Inflater(true)
       try {
         inf.setInput(b, p, b.length - p)
-        val crc = new java.util.zip.CRC32()
-        var rawLen = 0L
-        var sum = 0L
+        val acc = new java.io.ByteArrayOutputStream()
         val buf = new Array[Byte](8192)
         while (!inf.finished()) {
           val n =
@@ -114,18 +125,16 @@ object Containers {
             // A raw-deflate stream that exhausts input without BFINAL is
             // truncated; needsDictionary cannot legally occur in gzip.
             if (inf.needsInput() || inf.needsDictionary()) return None
-          } else {
-            crc.update(buf, 0, n)
-            var i = 0
-            while (i < n) { sum += buf(i) & 0xff; i += 1 }
-            rawLen += n
-          }
+          } else acc.write(buf, 0, n)
         }
+        val data = acc.toByteArray
         val trailerAt = p + inf.getBytesRead.toInt
         if (trailerAt + 8 > b.length) return None
+        val crc = new java.util.zip.CRC32()
+        crc.update(data)
         if (le32u(b, trailerAt) != crc.getValue) return None
-        if (le32u(b, trailerAt + 4) != (rawLen & 0xffffffffL)) return None
-        out += GzipMember(rawLen, sum, fname)
+        if (le32u(b, trailerAt + 4) != (data.length.toLong & 0xffffffffL)) return None
+        out += ((data, fname))
         o = trailerAt + 8
       } finally inf.end()
     }
@@ -273,9 +282,13 @@ object Containers {
       val magic = cstr(b, o + 257, 6)
       if (magic != "ustar" && magic != "ustar ") return None
       val size = octal(b, o + 124, 12).getOrElse(return None)
-      if (size < 0 || size > Int.MaxValue) return None
-      val dataBlocks = ((size + 511) / 512).toInt
-      if (o + 512 + dataBlocks * 512 > b.length) return None
+      if (size < 0) return None
+      // Long arithmetic throughout: a checksum-valid header declaring a
+      // ~2 GB size must fall out on the bounds check, not Int-overflow it
+      // into a negative offset and throw (review finding r17 third
+      // session — repro'd as ArrayIndexOutOfBoundsException pre-fix).
+      val dataBlocks = (size + 511) / 512
+      if (o + 512L + dataBlocks * 512L > b.length) return None
       val typeflag = b(o + 156)
       if (typeflag == '0' || typeflag == 0) {
         val name = cstr(b, o, 100)
@@ -284,7 +297,7 @@ object Containers {
         if (full.isEmpty) return None
         out += TarEntry(full, size, o + 512)
       }
-      o += 512 + dataBlocks * 512
+      o += 512 + (dataBlocks * 512).toInt
     }
     None // unreachable
   }
@@ -411,7 +424,10 @@ object Containers {
         val (k, v) = (line.substring(0, c).trim, line.substring(c + 1).trim)
         if (k.equalsIgnoreCase("WARC-Type")) warcType = v
         else if (k.equalsIgnoreCase("Content-Length")) {
-          if (!v.forall(_.isDigit) || v.isEmpty) return None
+          // 19+ digits would overflow toLong into a thrown
+          // NumberFormatException (review finding r17 third session) —
+          // no real record is that long; reject by digit count first.
+          if (!v.forall(_.isDigit) || v.isEmpty || v.length > 18) return None
           contentLength = v.toLong
         }
       }
@@ -437,7 +453,8 @@ object Containers {
         bodyLen = blockEnd - bodyStart
         if (bodyLen < 0) return None
         declared match {
-          case Some(v) if !v.forall(_.isDigit) || v.isEmpty || v.toLong != bodyLen => return None
+          case Some(v) if !v.forall(_.isDigit) || v.isEmpty || v.length > 18 ||
+            v.toLong != bodyLen => return None
           case _ => ()
         }
         var i = bodyStart
@@ -466,66 +483,11 @@ object Containers {
   }
 
   /** Like [[parseGzipMembers]] but returning the inflated bytes (WARC
-    * needs to re-parse them). Same strict header/trailer contract.
+    * needs to re-parse them). Same strict header/trailer contract —
+    * both faces derive from the ONE [[walkGzipMembers]] walk.
     */
-  def parseGzipMembersData(b: Array[Byte]): Option[Seq[Array[Byte]]] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
-    var o = 0
-    while (o < b.length) {
-      if (o + 10 > b.length) return None
-      if ((b(o) & 0xff) != 0x1f || (b(o + 1) & 0xff) != 0x8b ||
-        (b(o + 2) & 0xff) != 8) return None
-      val flg = b(o + 3) & 0xff
-      if ((flg & 0xe0) != 0) return None
-      var p = o + 10
-      if ((flg & 4) != 0) {
-        if (p + 2 > b.length) return None
-        p += 2 + le16(b, p)
-        if (p > b.length) return None
-      }
-      if ((flg & 8) != 0) {
-        while (p < b.length && b(p) != 0) p += 1
-        if (p >= b.length) return None
-        p += 1
-      }
-      if ((flg & 16) != 0) {
-        while (p < b.length && b(p) != 0) p += 1
-        if (p >= b.length) return None
-        p += 1
-      }
-      if ((flg & 2) != 0) {
-        if (p + 2 > b.length) return None
-        val hc = new java.util.zip.CRC32()
-        hc.update(b, o, p - o)
-        if ((hc.getValue & 0xffffL).toInt != le16(b, p)) return None
-        p += 2
-      }
-      val inf = new java.util.zip.Inflater(true)
-      try {
-        inf.setInput(b, p, b.length - p)
-        val acc = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](8192)
-        while (!inf.finished()) {
-          val n =
-            try inf.inflate(buf)
-            catch { case _: java.util.zip.DataFormatException => return None }
-          if (n == 0) {
-            if (inf.needsInput() || inf.needsDictionary()) return None
-          } else acc.write(buf, 0, n)
-        }
-        val data = acc.toByteArray
-        val trailerAt = p + inf.getBytesRead.toInt
-        if (trailerAt + 8 > b.length) return None
-        val crc = new java.util.zip.CRC32()
-        crc.update(data)
-        if (le32u(b, trailerAt) != crc.getValue) return None
-        if (le32u(b, trailerAt + 4) != (data.length.toLong & 0xffffffffL)) return None
-        out += data
-        o = trailerAt + 8
-      } finally inf.end()
-    }
-    if (out.isEmpty) None else Some(out.toSeq)
-  }
+  def parseGzipMembersData(b: Array[Byte]): Option[Seq[Array[Byte]]] =
+    walkGzipMembers(b).map(_.map(_._1))
 
   /** WARC header text for response record m of document id. Record-ID
     * is 19-digit zero-padded so the header length is CONSTANT for every
@@ -699,9 +661,14 @@ object Containers {
     * ingests: per-record gzip members make each shard independently
     * decodable), walked by the real gzip+WARC+HTTP parse, aggregated
     * per shard. The write side is DISTRIBUTED: each mapGroups task
-    * builds and writes its own shard (doc_id mod 64), the way executor
-    * tasks write shards to DFS in production — nothing funnels through
-    * the driver. Concatenating per-document `.warc.gz` payloads IS a
+    * builds and writes its own shard (doc_id mod 64) — nothing funnels
+    * through the driver. NOTE the write targets the task's LOCAL
+    * filesystem via java.nio, which reaches the shared temp dir only
+    * because this harness runs local-mode; a multi-node deployment must
+    * route the same per-task write through the Hadoop FileSystem API to
+    * DFS (the per-task-shard SHAPE is what carries over, not the nio
+    * call — review finding r17 third session).
+    * Concatenating per-document `.warc.gz` payloads IS a
     * valid `.warc.gz` file (member concatenation), so DuckDB predicts
     * every per-shard aggregate by summing the q_container_warc per-doc
     * closed forms GROUP BY doc_id mod 64. The temp shard dir is deleted

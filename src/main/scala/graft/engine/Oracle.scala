@@ -168,7 +168,7 @@ object Oracle {
     */
   private def wdsGuard(m: Int, term: String): String =
     s"(CASE WHEN 1 + doc_id % 3 > $m THEN $term ELSE 0 END)"
-  private def wdsCycleSum(n: String, a: String): String =
+  private def cycleSumSql(n: String, a: String): String =
     s"""(($n // 256) * 32640
        + CASE WHEN $a + ($n % 256) <= 256
            THEN ($n % 256) * $a + (($n % 256) * (($n % 256) - 1)) // 2
@@ -178,7 +178,7 @@ object Oracle {
   private def wdsPixelTerm(m: Int): String = {
     val w = s"(1 + (doc_id + $m) % 13)"
     val h = s"(1 + (doc_id + ${2 * m}) % 11)"
-    wdsGuard(m, wdsCycleSum(s"(3 * $w * $h)", s"((doc_id + ${97 * m}) % 256)"))
+    wdsGuard(m, cycleSumSql(s"(3 * $w * $h)", s"((doc_id + ${97 * m}) % 256)"))
   }
   private def wdsTxtLenTerm(m: Int): String =
     wdsGuard(m, s"(20 + (doc_id + ${29 * m}) % 80)")
@@ -198,7 +198,7 @@ object Oracle {
         (1 + doc_id % 3)::INT AS n_png,
         (${(0 to 2).map(wdsPixelTerm).mkString(" + ")})::BIGINT AS pixel_sum,
         (${(0 to 2).map(wdsTxtLenTerm).mkString(" + ")})::BIGINT AS txt_bytes,
-        ${wdsCycleSum(s"(${(0 to 2).map(wdsTxtLenTerm).mkString(" + ")})", "(doc_id % 256)")}::BIGINT AS txt_sum,
+        ${cycleSumSql(s"(${(0 to 2).map(wdsTxtLenTerm).mkString(" + ")})", "(doc_id % 256)")}::BIGINT AS txt_sum,
         (${(0 to 2).map(wdsTarTerm).mkString(" + ")} + 1024)::BIGINT AS n_bytes
       FROM documents ORDER BY media_id"""
 
@@ -993,7 +993,7 @@ object Oracle {
     // framing + L + 8 trailer); content bytes are one (doc_id + i) mod
     // 256 run across members, so byte_sum is the same cycle-split
     // arithmetic as the PNG/GIF/JPEG keys.
-    "q_container_gzip" -> """
+    "q_container_gzip" -> s"""
       WITH px AS (
         SELECT doc_id, (1 + doc_id % 4)::INT AS k, doc_id % 256 AS a
         FROM documents
@@ -1004,12 +1004,7 @@ object Oracle {
       )
       SELECT doc_id AS media_id, 'gzip' AS format, k AS n_members,
         n AS raw_bytes,
-        ((n // 256) * 32640
-         + CASE WHEN a + (n % 256) <= 256
-             THEN (n % 256) * a + ((n % 256) * ((n % 256) - 1)) // 2
-             ELSE (256 - a) * a + ((256 - a) * (255 - a)) // 2
-                  + (((n % 256) - (256 - a)) * ((n % 256) - (256 - a) - 1)) // 2
-           END)::BIGINT AS byte_sum,
+        ${cycleSumSql("n", "a")}::BIGINT AS byte_sum,
         (23 * k + n)::BIGINT AS n_bytes
       FROM sz ORDER BY media_id""",
 
@@ -1022,7 +1017,7 @@ object Oracle {
     // archive holds 1536 bytes (txt header+block, bin header) + 512 *
     // ceil(Lb/512) data blocks; + 1024 terminator. Content bytes are
     // one (doc_id + i) mod 256 run across members.
-    "q_container_tar" -> """
+    "q_container_tar" -> s"""
       WITH px AS (
         SELECT doc_id, (1 + doc_id % 5)::INT AS s, doc_id % 256 AS a
         FROM documents
@@ -1036,12 +1031,7 @@ object Oracle {
       )
       SELECT doc_id AS media_id, 'tar' AS format, (2 * s)::INT AS n_entries,
         s AS n_samples, n AS data_bytes,
-        ((n // 256) * 32640
-         + CASE WHEN a + (n % 256) <= 256
-             THEN (n % 256) * a + ((n % 256) * ((n % 256) - 1)) // 2
-             ELSE (256 - a) * a + ((256 - a) * (255 - a)) // 2
-                  + (((n % 256) - (256 - a)) * ((n % 256) - (256 - a) - 1)) // 2
-           END)::BIGINT AS byte_sum,
+        ${cycleSumSql("n", "a")}::BIGINT AS byte_sum,
         (arch + 1024)::BIGINT AS n_bytes
       FROM sz ORDER BY media_id""",
 
@@ -1055,7 +1045,7 @@ object Oracle {
     // 291 + B (23 gzip + 268 header/separator overhead), warcinfo
     // member = 189. Body bytes are one (doc_id + i) mod 256 run across
     // records.
-    "q_container_warc" -> """
+    "q_container_warc" -> s"""
       WITH px AS (
         SELECT doc_id, (1 + doc_id % 3)::INT AS r,
           (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS info,
@@ -1068,12 +1058,7 @@ object Oracle {
       )
       SELECT doc_id AS media_id, 'warc' AS format, (r + info)::INT AS n_records,
         r AS n_responses, n AS body_bytes,
-        ((n // 256) * 32640
-         + CASE WHEN a + (n % 256) <= 256
-             THEN (n % 256) * a + ((n % 256) * ((n % 256) - 1)) // 2
-             ELSE (256 - a) * a + ((256 - a) * (255 - a)) // 2
-                  + (((n % 256) - (256 - a)) * ((n % 256) - (256 - a) - 1)) // 2
-           END)::BIGINT AS body_sum,
+        ${cycleSumSql("n", "a")}::BIGINT AS body_sum,
         (info * 189 + r * 291 + n)::BIGINT AS n_bytes
       FROM sz ORDER BY media_id""",
 
@@ -1083,7 +1068,7 @@ object Oracle {
     // gzip), reads them back through Spark's binaryFile source, and
     // parses every record; here each per-shard aggregate is the SUM of
     // the q_container_warc per-doc closed forms grouped the same way.
-    "q_container_shards" -> """
+    "q_container_shards" -> s"""
       WITH px AS (
         SELECT doc_id, doc_id % 64 AS shard,
           (1 + doc_id % 3)::BIGINT AS r,
@@ -1096,12 +1081,7 @@ object Oracle {
         FROM px
       ), per_doc AS (
         SELECT shard, r + info AS recs, r, n,
-          ((n // 256) * 32640
-           + CASE WHEN a + (n % 256) <= 256
-               THEN (n % 256) * a + ((n % 256) * ((n % 256) - 1)) // 2
-               ELSE (256 - a) * a + ((256 - a) * (255 - a)) // 2
-                    + (((n % 256) - (256 - a)) * ((n % 256) - (256 - a) - 1)) // 2
-             END) AS bsum,
+          ${cycleSumSql("n", "a")} AS bsum,
           (info * 189 + r * 291 + n) AS bytes
         FROM sz
       )

@@ -163,115 +163,158 @@ object Streams {
   /** One streamed document for the near-dup ingest path. */
   case class StreamDoc(doc_id: Long, text: String, ts: java.sql.Timestamp)
 
-  /** One document fanned out to one of its LSH band buckets. */
+  /** One document fanned out to one of its LSH band buckets, carrying
+    * its full MinHash signature for claimant verification.
+    */
   case class BandedDoc(band_idx: Int, band_hash: Long, doc_id: Long,
-      text: String, ts: java.sql.Timestamp)
+      text: String, ts: java.sql.Timestamp, sig: Seq[Long])
 
-  /** Stage-1 output of [[neardupStream]]: one claim verdict per band. */
+  /** Stage-1 output of [[neardupStream]]: one verdict per band. `sim` is
+    * the signature agreement with the bucket's claimant (< 0 ⇒ this doc
+    * IS the claimant — no collision).
+    */
   case class BandVerdict(doc_id: Long, text: String, ts: java.sql.Timestamp,
-      collided: Boolean)
+      sim: Double)
+
+  /** Fraction of equal MinHash components — an unbiased Jaccard
+    * estimate (E[agreement] = J), the verification step that keeps a
+    * raw band collision (a CANDIDATE, common at low Jaccard on small
+    * vocabularies) from being treated as a duplicate.
+    */
+  def sigAgreement(a: Seq[Long], b: Seq[Long]): Double = {
+    var eq = 0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { if (a(i) == b(i)) eq += 1; i += 1 }
+    if (n == 0) 0.0 else eq.toDouble / n
+  }
 
   /** Stage 1 of the streaming near-dup: per LSH bucket (band index, band
-    * hash), the FIRST arrival claims the bucket and every later arrival —
-    * same micro-batch (ordered by (ts, doc_id)) or a later one — is
-    * marked collided. Claims are unconditional (a document dropped for a
-    * collision elsewhere still holds the buckets it claimed): the
-    * sequential Bloom-style ingest-dedup semantics, deterministic given
-    * the (ts, doc_id) arrival order. Bucket state is ONE boolean,
-    * evicted `retentionMs` after the watermark passes the claim — the
-    * WindowStore-retention discipline, so state is bounded by the
+    * hash), the FIRST arrival claims the bucket and stores its SIGNATURE;
+    * every later arrival — same micro-batch (ordered by (ts, doc_id)) or
+    * a later one — is emitted with its signature agreement against the
+    * claimant. Claims are permanent for the retention horizon (a
+    * colliding-but-dissimilar document does NOT displace the claimant —
+    * bucket state stays ONE signature, bounded); a document dropped for
+    * a near-match elsewhere still holds the buckets it claimed. The
+    * claim-then-VERIFY split is the streaming twin of the batch LSH
+    * discipline (band buckets generate candidates, an exact kernel
+    * confirms them — Dedup.scala): without it, any single 2-hash band
+    * collision — P ≈ J² per band, so common at J ≈ 0.2 on a small
+    * vocabulary — would drop genuinely distinct documents. Bucket state
+    * is evicted `retentionMs` after the watermark passes the claim —
+    * WindowStore-retention semantics, so state is bounded by the
     * retention horizon × bucket cardinality, never by stream length.
     */
   class BandClaimProcessor(retentionMs: Long)
       extends StatefulProcessor[(Int, Long), BandedDoc, BandVerdict] {
-    @transient private var claimed: org.apache.spark.sql.streaming.ValueState[Boolean] = _
+    @transient private var claimSig: org.apache.spark.sql.streaming.ValueState[Seq[Long]] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      claimed = getHandle.getValueState[Boolean]("claimed", Encoders.scalaBoolean, TTLConfig.NONE)
+      claimSig = getHandle.getValueState[Seq[Long]]("claimSig",
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]](),
+        TTLConfig.NONE)
 
     override def handleInputRows(key: (Int, Long), rows: Iterator[BandedDoc],
         timerValues: TimerValues): Iterator[BandVerdict] = {
       val sorted = rows.toSeq.sortBy(d => (d.ts.getTime, d.doc_id))
-      val already = claimed.exists()
-      if (!already) {
-        claimed.update(true)
-        getHandle.registerTimer(
-          timerValues.getCurrentWatermarkInMs.max(sorted.head.ts.getTime) + retentionMs)
-      }
-      sorted.iterator.zipWithIndex.map { case (d, i) =>
-        BandVerdict(d.doc_id, d.text, d.ts, collided = already || i > 0)
+      // ONE state-store lookup: get() returns null when absent — the
+      // exists()+get() pair would double the per-bucket point-read cost
+      // on the hot stage-1 path (review finding r17 third session).
+      var cur: Seq[Long] = claimSig.get()
+      sorted.iterator.map { d =>
+        if (cur == null) {
+          cur = d.sig
+          claimSig.update(d.sig)
+          getHandle.registerTimer(
+            timerValues.getCurrentWatermarkInMs.max(d.ts.getTime) + retentionMs)
+          BandVerdict(d.doc_id, d.text, d.ts, sim = -1.0)
+        } else BandVerdict(d.doc_id, d.text, d.ts, sim = sigAgreement(cur, d.sig))
       }
     }
 
     override def handleExpiredTimer(key: (Int, Long), timerValues: TimerValues,
         expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[BandVerdict] = {
-      claimed.clear() // retention elapsed — the bucket is claimable again (R5)
+      claimSig.clear() // retention elapsed — the bucket is claimable again (R5)
       Iterator.empty
     }
   }
 
-  /** Stage 2 of [[neardupStream]]: a document survives iff NONE of its
-    * band buckets collided. Stateless by construction — stage 1 emits
-    * all NumBands verdicts of a document within the micro-batch that
-    * carried it, so after the shuffle they arrive as ONE group in the
-    * SAME batch; nothing is held across batches.
+  /** Stage 2 of [[neardupStream]]: a document survives iff NO band
+    * verdict confirmed a near-match (max agreement < the threshold).
+    * Stateless by construction — stage 1 emits all NumBands verdicts of
+    * a document within the micro-batch that carried it, so after the
+    * shuffle they arrive as ONE group in the SAME batch; nothing is held
+    * across batches.
     */
-  class DocVerdictProcessor extends StatefulProcessor[Long, BandVerdict, StreamDoc] {
+  class DocVerdictProcessor(simThreshold: Double)
+      extends StatefulProcessor[Long, BandVerdict, StreamDoc] {
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = ()
 
     override def handleInputRows(key: Long, rows: Iterator[BandVerdict],
         timerValues: TimerValues): Iterator[StreamDoc] = {
       var doc: StreamDoc = null
-      var collided = false
+      var maxSim = -1.0
       rows.foreach { r =>
         if (doc == null) doc = StreamDoc(r.doc_id, r.text, r.ts)
-        collided ||= r.collided
+        maxSim = math.max(maxSim, r.sim)
       }
-      if (collided || doc == null) Iterator.empty else Iterator.single(doc)
+      if (doc == null || maxSim >= simThreshold) Iterator.empty
+      else Iterator.single(doc)
     }
   }
 
   /** Streaming MinHash-LSH near-dup dedup — the ingest-time twin of the
-    * batch LSH family (Dedup.scala): a document whose token set
-    * near-duplicates an earlier arrival (any shared LSH band bucket
-    * within the retention horizon) is dropped; first arrival wins.
-    * Identical token sets share ALL bands, so exact dups are caught with
-    * certainty; ≥0.9-Jaccard near-dups with P ≈ 1−3e-12 under the shared
-    * 16×2 banding (Dedup.NumBands scaladoc). The signature/band kernel
-    * is the SAME native expression the batch queries use
+    * batch LSH family (Dedup.scala): a document is dropped iff some LSH
+    * band bucket within the retention horizon is held by an earlier
+    * arrival whose signature agreement is ≥ `simThreshold`; first
+    * arrival wins. Identical token sets agree on every component
+    * (agreement 1.0) and share all bands, so exact/permuted dups are
+    * caught with certainty; ≥0.9-Jaccard near-dups band-collide with
+    * P ≈ 1−3e-12 under the shared 16×2 banding and then verify at
+    * E[agreement] = J. A band collision alone (common at low J) is only
+    * a candidate — verification keeps distinct documents alive, exactly
+    * like the batch band-then-confirm pipeline. The signature/band
+    * kernel is the SAME native expression the batch queries use
     * (graft.functions.GraftExpressions.minhashBands over
     * Dedup.normTokens), so a tokenization or banding tweak cannot
-    * silently break stream/batch parity — StreamingParitySpec grades
-    * survivors against a sequential fold over the same band values.
+    * silently break stream/batch parity — NeardupStreamSpec grades
+    * survivors against a sequential fold over the same signatures, and
+    * tools/NeardupStreamScale re-grades at the fifth decade with a
+    * mid-stream kill.
     *
     * Scale notes: the band fan-out is map-side (NumBands rows per doc);
     * both stateful stages key by high-cardinality columns (bucket,
     * doc_id) so state partitions across executors; bucket state is one
-    * boolean with event-time eviction. At 100 TB/day the shuffled band
-    * rows carry the doc text — project ids+bands first and re-join
-    * survivors if payloads are large (the batch family's ids+bands
-    * salted shape); this ingest shape keeps the payload inline because
-    * survivors must be EMITTED, not just identified.
+    * signature (NumHashes longs) with event-time eviction. At 100 TB/day
+    * the shuffled band rows carry the doc text — project ids+bands first
+    * and re-join survivors if payloads are large (the batch family's
+    * ids+bands salted shape); this ingest shape keeps the payload inline
+    * because survivors must be EMITTED, not just identified.
     */
   def neardupStream(docs: Dataset[StreamDoc], delay: String = "1 hour",
-      retentionMs: Long = 3600L * 1000L): Dataset[StreamDoc] = {
+      retentionMs: Long = 3600L * 1000L,
+      simThreshold: Double = 0.9): Dataset[StreamDoc] = {
     val spark = docs.sparkSession
     import spark.implicits._
     val banded = docs.toDF()
       .withColumn("__toks", graft.engine.Dedup.normTokens(col("text")))
       .withColumn("__mb", graft.functions.GraftExpressions.minhashBands(
         col("__toks"), graft.engine.Dedup.NumHashes, graft.engine.Dedup.NumBands))
-      .select(col("doc_id"), col("text"), col("ts"),
+      .withColumn("sig", col("__mb").getField("sig"))
+      .select(col("doc_id"), col("text"), col("ts"), col("sig"),
         posexplode(col("__mb").getField("bands")).as(Seq("band_idx", "band_hash")))
       .withWatermark("ts", delay)
-      .select(col("band_idx"), col("band_hash"), col("doc_id"), col("text"), col("ts"))
+      .select(col("band_idx"), col("band_hash"), col("doc_id"), col("text"),
+        col("ts"), col("sig"))
       .as[BandedDoc]
     banded
       .groupByKey(b => (b.band_idx, b.band_hash))
       .transformWithState(new BandClaimProcessor(retentionMs),
         TimeMode.EventTime(), OutputMode.Append())
       .groupByKey(_.doc_id)
-      .transformWithState(new DocVerdictProcessor, TimeMode.None(), OutputMode.Append())
+      .transformWithState(new DocVerdictProcessor(simThreshold),
+        TimeMode.None(), OutputMode.Append())
   }
 
   // ------------------------------------- R2 general form: explicit state

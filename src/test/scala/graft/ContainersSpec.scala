@@ -205,6 +205,21 @@ class ContainersSpec extends AnyFunSuite {
     assert(parseTar(onlyTerminator).isEmpty) // empty archive → None
   }
 
+  test("checksum-valid header declaring a ~2 GB size falls out, never overflows") {
+    // Review finding (r17 third session, repro'd pre-fix as
+    // ArrayIndexOutOfBoundsException): size 017777777777 (Int.MaxValue)
+    // made dataBlocks*512 overflow Int and walk to a negative offset.
+    val arch = makeTar(Seq("big.bin" -> ascii("tiny")))
+    System.arraycopy(ascii("17777777777"), 0, arch, 124, 11)
+    arch(135) = 0
+    java.util.Arrays.fill(arch, 148, 156, ' '.toByte)
+    var sum = 0L
+    (0 until 512).foreach(i => sum += arch(i) & 0xff)
+    System.arraycopy(ascii(f"$sum%06o"), 0, arch, 148, 6)
+    arch(154) = 0; arch(155) = ' '
+    assert(parseTar(arch).isEmpty) // None, not a thrown overflow
+  }
+
   // ------------------------------------------------------------- warc
 
   private def warcRecord(wtype: String, content: Array[Byte]): Array[Byte] = {
@@ -257,7 +272,18 @@ class ContainersSpec extends AnyFunSuite {
       "WARC/1.0\r\nContent-Length: -1\r\n\r\n\r\n\r\n")).isEmpty)
     // response whose block isn't HTTP at all
     assert(parseWarc(warcRecord("response", ascii("not http"))).isEmpty)
+    // Review finding (r17 third session, repro'd pre-fix as
+    // NumberFormatException): 20 digits pass the isDigit guard but
+    // overflow toLong — must reject by digit count, not throw.
+    assert(parseWarc(ascii(
+      "WARC/1.0\r\nWARC-Type: x\r\nContent-Length: 99999999999999999999\r\n\r\nzz\r\n\r\n")).isEmpty)
+    val lyingHttp = warcRecord("response",
+      httpBlockRaw(ascii("abc"), "99999999999999999999"))
+    assert(parseWarc(lyingHttp).isEmpty) // same cap on the HTTP header
   }
+
+  private def httpBlockRaw(body: Array[Byte], declared: String): Array[Byte] =
+    ascii(s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nContent-Length: $declared\r\n\r\n") ++ body
 
   test("warc.gz: one record per member enforced; non-gzip rejected") {
     val doc = makeWarcDoc(11L)

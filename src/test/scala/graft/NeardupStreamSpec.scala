@@ -7,13 +7,13 @@ import graft.streaming.Streams
 import graft.streaming.Streams.StreamDoc
 
 /** Streaming MinHash-LSH near-dup dedup (Streams.neardupStream): two
-  * chained transformWithState stages — per-bucket first-claim, per-doc
-  * verdict — graded against a SEQUENTIAL FOLD over the same band values
-  * (the Bloom-style ingest contract: an arrival is dropped iff any of
-  * its band buckets was seen before; every arrival claims its buckets).
-  * The fold uses the ACTUAL kernel output (Dedup.normTokens →
-  * GraftExpressions.minhashBands), so the spec pins stream semantics,
-  * not hash values.
+  * chained transformWithState stages — per-bucket claim-then-VERIFY,
+  * per-doc verdict — graded against a SEQUENTIAL FOLD over the same
+  * band values and signatures (an arrival is dropped iff some claimed
+  * band bucket's claimant signature agrees at ≥ θ; every arrival claims
+  * its unclaimed buckets). The fold uses the ACTUAL kernel output
+  * (Dedup.normTokens → GraftExpressions.minhashBands), so the spec pins
+  * stream semantics, not hash values.
   */
 class NeardupStreamSpec extends AnyFunSuite {
   private lazy val spark = Streams.sessionConf(TestSpark.spark)
@@ -24,24 +24,33 @@ class NeardupStreamSpec extends AnyFunSuite {
   private def ckpt(): String =
     java.nio.file.Files.createTempDirectory("graft-neardup").toString
 
-  /** (doc_id → band buckets) via the SAME kernel the stream applies. */
-  private def bandsOf(docs: Seq[StreamDoc]): Map[Long, Seq[(Int, Long)]] =
+  /** (doc_id → (band buckets, signature)) via the SAME kernel the stream
+    * applies.
+    */
+  private def bandsOf(docs: Seq[StreamDoc]): Map[Long, (Seq[(Int, Long)], Seq[Long])] =
     spark.createDataset(docs).toDF()
       .withColumn("__toks", graft.engine.Dedup.normTokens(col("text")))
       .withColumn("__mb", graft.functions.GraftExpressions.minhashBands(
         col("__toks"), graft.engine.Dedup.NumHashes, graft.engine.Dedup.NumBands))
-      .select(col("doc_id"), posexplode(col("__mb").getField("bands")).as(Seq("bi", "bh")))
-      .as[(Long, Int, Long)].collect().toSeq
-      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3))).toMap
+      .select(col("doc_id"), col("__mb").getField("sig").as("sig"),
+        posexplode(col("__mb").getField("bands")).as(Seq("bi", "bh")))
+      .as[(Long, Seq[Long], Int, Long)].collect().toSeq
+      .groupBy(_._1).view.mapValues(rs => (rs.map(t => (t._3, t._4)), rs.head._2)).toMap
 
-  /** The sequential ingest fold: survivors in (ts, doc_id) order. */
-  private def foldSurvivors(docs: Seq[StreamDoc]): Seq[Long] = {
+  /** The sequential claim-then-verify ingest fold: survivors in
+    * (ts, doc_id) order. Buckets hold the FIRST claimant's signature;
+    * an arrival is dropped iff some already-claimed band bucket's
+    * claimant agrees at ≥ θ; every arrival then claims its unclaimed
+    * buckets.
+    */
+  private def foldSurvivors(docs: Seq[StreamDoc], theta: Double = 0.9): Seq[Long] = {
     val bands = bandsOf(docs)
-    val seen = scala.collection.mutable.Set.empty[(Int, Long)]
+    val seen = scala.collection.mutable.Map.empty[(Int, Long), Seq[Long]]
     docs.sortBy(d => (d.ts.getTime, d.doc_id)).flatMap { d =>
-      val bs = bands(d.doc_id)
-      val dup = bs.exists(seen.contains)
-      bs.foreach(seen += _)
+      val (bs, sig) = bands(d.doc_id)
+      val dup = bs.exists(b =>
+        seen.get(b).exists(c => Streams.sigAgreement(c, sig) >= theta))
+      bs.foreach(b => if (!seen.contains(b)) seen(b) = sig)
       if (dup) None else Some(d.doc_id)
     }
   }
@@ -61,12 +70,16 @@ class NeardupStreamSpec extends AnyFunSuite {
     StreamDoc(7L, "blue green yellow orange red", ts("2024-01-01 10:12:00"))) // cross-batch perm dup of 4
   private val batch3 = Seq(
     StreamDoc(8L, "amet sit dolor ipsum lorem quack", ts("2024-01-01 10:20:00")), // dup of 6
-    StreamDoc(9L, "totally fresh vocabulary here now", ts("2024-01-01 10:21:00")))
+    StreamDoc(9L, "totally fresh vocabulary here now", ts("2024-01-01 10:21:00")),
+    // Overlapping vocab (J = 3/8 vs doc 1): band buckets COLLIDE with
+    // high probability, but the claimant verification (agreement
+    // ~0.375 ≪ 0.9) keeps it alive — the candidate-vs-confirmed split.
+    StreamDoc(10L, "alpha beta gamma apple pear plum", ts("2024-01-01 10:22:00")))
 
   test("streaming survivors equal the sequential fold over the same bands") {
     val all = batch1 ++ batch2 ++ batch3
     val expected = foldSurvivors(all)
-    assert(expected == Seq(1L, 3L, 4L, 6L, 9L)) // the plant, confirmed by the fold
+    assert(expected == Seq(1L, 3L, 4L, 6L, 9L, 10L)) // the plant, confirmed by the fold
 
     val ms = MemoryStream[StreamDoc](spark)
     val out = Streams.neardupStream(ms.toDS(), delay = "10 minutes")
