@@ -571,6 +571,329 @@ object Containers {
     makeTar(members)
   }
 
+  // ================================================================= zip
+
+  /** One parsed ZIP entry: full name, compression method (0 stored /
+    * 8 deflate), uncompressed size, and the uncompressed byte sum.
+    */
+  final case class ZipEntryP(name: String, method: Int, usize: Long, byteSum: Long)
+
+  /** Combined declared-uncompressed-size cap (same zip-bomb discipline
+    * as the PNG tier's declared-raster cap): a central directory whose
+    * usize total exceeds this is rejected BEFORE any inflate runs.
+    */
+  val ZipUsizeCap: Long = 256L * 1024 * 1024
+
+  /** REAL ZIP walk (PKWARE APPNOTE layout), central-directory-first —
+    * the structure that makes ZIP *random-access* at 100 TB (a reader
+    * seeks to the EOCD, walks the CD, and fetches only the members it
+    * needs; contrast tar's linear scan): backward EOCD scan tolerant of
+    * an archive comment (comment length must match the remaining bytes
+    * exactly — trailing garbage is rejected), disk numbers must be 0,
+    * CD must end exactly at the EOCD, every CD entry's local header is
+    * re-read and its name cross-checked, stored (0) and deflate (8)
+    * members are decoded — deflate through the real `Inflater(nowrap)`
+    * with consumed-bytes == csize and produced-bytes == usize enforced
+    * — and every member's CRC-32 is verified against the CD. Flag bit 3
+    * (streaming data descriptor — what `ZipOutputStream` writes) is
+    * honored: sizes/CRC come from the CD and the trailing descriptor
+    * (with or without its optional signature) must agree. Encrypted
+    * members (bit 0), other methods, any ZIP64 marker (0xFFFFFFFF
+    * sizes/offsets or a ZIP64 EOCD locator), and declared sizes over
+    * [[ZipUsizeCap]] all reject. Any violation → None, never a throw.
+    */
+  def parseZip(b: Array[Byte]): Option[Seq[ZipEntryP]] = {
+    if (b.length < 22) return None
+    // EOCD: last position whose signature AND comment length both fit.
+    var e = b.length - 22
+    val stop = math.max(0, b.length - 22 - 65535)
+    while (e >= stop && !(le32u(b, e) == 0x06054b50L &&
+      le16(b, e + 20) == b.length - e - 22)) e -= 1
+    if (e < stop) return None
+    // A ZIP64 EOCD locator directly precedes the EOCD when present.
+    if (e >= 20 && le32u(b, e - 20) == 0x07064b50L) return None
+    if (le16(b, e + 4) != 0 || le16(b, e + 6) != 0) return None // disk numbers
+    val n = le16(b, e + 8)
+    if (le16(b, e + 10) != n || n == 0xffff) return None
+    val cdSize = le32u(b, e + 12)
+    val cdOff = le32u(b, e + 16)
+    if (cdSize == 0xffffffffL || cdOff == 0xffffffffL) return None // zip64
+    if (cdOff + cdSize != e) return None // CD must end exactly at the EOCD
+    val out = scala.collection.mutable.ArrayBuffer.empty[ZipEntryP]
+    var p = cdOff.toInt
+    var declaredTotal = 0L
+    // First pass: structure + zip-bomb cap, BEFORE any inflate.
+    val entries = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Int, Int, Long, Long, Long, Long)] // name, flags, method, crc, csize, usize, localOff
+    var k = 0
+    while (k < n) {
+      if (p + 46 > e) return None
+      if (le32u(b, p) != 0x02014b50L) return None
+      val flags = le16(b, p + 8)
+      if ((flags & 1) != 0) return None // encrypted
+      val method = le16(b, p + 10)
+      if (method != 0 && method != 8) return None
+      val crc = le32u(b, p + 16)
+      val csize = le32u(b, p + 20)
+      val usize = le32u(b, p + 24)
+      if (csize == 0xffffffffL || usize == 0xffffffffL) return None // zip64
+      val nameLen = le16(b, p + 28)
+      val extraLen = le16(b, p + 30)
+      val commentLen = le16(b, p + 32)
+      if (le16(b, p + 34) != 0) return None // disk-number start
+      val localOff = le32u(b, p + 42)
+      if (localOff == 0xffffffffL) return None
+      if (p + 46 + nameLen + extraLen + commentLen > e) return None
+      val name = new String(b, p + 46, nameLen,
+        java.nio.charset.StandardCharsets.UTF_8)
+      declaredTotal += usize
+      if (declaredTotal > ZipUsizeCap) return None
+      entries += ((name, flags, method, crc, csize, usize, localOff))
+      p += 46 + nameLen + extraLen + commentLen
+      k += 1
+    }
+    if (p != e) return None // CD size drift
+    entries.foreach { case (name, flags, method, crc, csize, usize, localOff) =>
+      val lo = localOff.toInt
+      if (localOff + 30 > cdOff) return None
+      if (le32u(b, lo) != 0x04034b50L) return None
+      val lNameLen = le16(b, lo + 26)
+      val lExtraLen = le16(b, lo + 28)
+      val dataStart = localOff + 30 + lNameLen + lExtraLen
+      if (dataStart + csize > cdOff) return None
+      if (lNameLen != name.getBytes(java.nio.charset.StandardCharsets.UTF_8).length ||
+        new String(b, lo + 30, lNameLen,
+          java.nio.charset.StandardCharsets.UTF_8) != name) return None
+      val hasDescriptor = (flags & 8) != 0
+      if (!hasDescriptor) {
+        // Local sizes/CRC are authoritative copies — must agree with the CD.
+        if (le32u(b, lo + 14) != crc || le32u(b, lo + 18) != csize ||
+          le32u(b, lo + 22) != usize) return None
+      }
+      val ds = dataStart.toInt
+      val data: Array[Byte] =
+        if (method == 0) {
+          if (csize != usize) return None
+          java.util.Arrays.copyOfRange(b, ds, ds + csize.toInt)
+        } else {
+          val inf = new java.util.zip.Inflater(true)
+          try {
+            inf.setInput(b, ds, csize.toInt)
+            val acc = new java.io.ByteArrayOutputStream()
+            val buf = new Array[Byte](8192)
+            // Raw-deflate zlib documents needing one extra "dummy" byte
+            // of lookahead when the stream ends exactly at the input
+            // boundary (Inflater javadoc; the JDK's own ZipFile feeds
+            // it too). Exactly-once: a second demand means truncation.
+            var dummyFed = false
+            while (!inf.finished()) {
+              val m =
+                try inf.inflate(buf)
+                catch { case _: java.util.zip.DataFormatException => return None }
+              if (m == 0) {
+                if (inf.needsDictionary()) return None
+                if (inf.needsInput()) {
+                  if (dummyFed) return None
+                  inf.setInput(Array[Byte](0))
+                  dummyFed = true
+                }
+              } else {
+                acc.write(buf, 0, m)
+                if (acc.size() > usize) return None // lies about usize
+              }
+            }
+            // needsInput before the dummy implies all csize real bytes
+            // were consumed; without it the counter must match exactly.
+            if (!dummyFed && inf.getBytesRead != csize) return None
+            acc.toByteArray
+          } finally inf.end()
+        }
+      if (data.length.toLong != usize) return None
+      val c = new java.util.zip.CRC32()
+      c.update(data)
+      if (c.getValue != crc) return None
+      if (hasDescriptor) {
+        // 12-byte descriptor, optionally preceded by its signature.
+        var dd = (dataStart + csize).toInt
+        if (dd + 4 <= cdOff && le32u(b, dd) == 0x08074b50L) dd += 4
+        if (dd + 12 > cdOff) return None
+        if (le32u(b, dd) != crc || le32u(b, dd + 4) != csize ||
+          le32u(b, dd + 8) != usize) return None
+      }
+      var sum = 0L
+      var i = 0
+      while (i < data.length) { sum += data(i) & 0xff; i += 1 }
+      out += ZipEntryP(name, method, usize, sum)
+    }
+    if (out.isEmpty) None else Some(out.toSeq)
+  }
+
+  private def le16put(o: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    o.write(v & 0xff); o.write((v >> 8) & 0xff)
+  }
+  private def le32put(o: java.io.ByteArrayOutputStream, v: Long): Unit = {
+    o.write((v & 0xff).toInt); o.write(((v >> 8) & 0xff).toInt)
+    o.write(((v >> 16) & 0xff).toInt); o.write(((v >> 24) & 0xff).toInt)
+  }
+
+  /** Whole archive from (name, bytes, deflate?) members: local headers
+    * with exact sizes (no descriptors), stored or stored-deflate-framed
+    * data, the central directory, and the EOCD. Closed-form sized:
+    * member m costs 30 + |name| + csize local + 46 + |name| central,
+    * csize = L (stored) or L + 5·ceil(L/65535) (deflate framing);
+    * + 22 EOCD.
+    */
+  def makeZip(members: Seq[(String, Array[Byte], Boolean)]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val central = new java.io.ByteArrayOutputStream()
+    members.foreach { case (name, data, deflate) =>
+      val nameB = name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val body = if (deflate) deflateStored(data) else data
+      val crcC = new java.util.zip.CRC32()
+      crcC.update(data)
+      val crc = crcC.getValue
+      val localOff = out.size()
+      le32put(out, 0x04034b50L)
+      le16put(out, 20) // version needed
+      le16put(out, 0) // flags
+      le16put(out, if (deflate) 8 else 0)
+      le16put(out, 0); le16put(out, 0) // time, date
+      le32put(out, crc)
+      le32put(out, body.length.toLong)
+      le32put(out, data.length.toLong)
+      le16put(out, nameB.length)
+      le16put(out, 0) // extra
+      out.write(nameB, 0, nameB.length)
+      out.write(body, 0, body.length)
+      le32put(central, 0x02014b50L)
+      le16put(central, 20); le16put(central, 20) // made-by, needed
+      le16put(central, 0) // flags
+      le16put(central, if (deflate) 8 else 0)
+      le16put(central, 0); le16put(central, 0) // time, date
+      le32put(central, crc)
+      le32put(central, body.length.toLong)
+      le32put(central, data.length.toLong)
+      le16put(central, nameB.length)
+      le16put(central, 0); le16put(central, 0) // extra, comment
+      le16put(central, 0) // disk start
+      le16put(central, 0); le32put(central, 0L) // int/ext attrs
+      le32put(central, localOff.toLong)
+      central.write(nameB, 0, nameB.length)
+    }
+    val cdOff = out.size()
+    val cd = central.toByteArray
+    out.write(cd, 0, cd.length)
+    le32put(out, 0x06054b50L)
+    le16put(out, 0); le16put(out, 0) // disk numbers
+    le16put(out, members.size); le16put(out, members.size)
+    le32put(out, cd.length.toLong)
+    le32put(out, cdOff.toLong)
+    le16put(out, 0) // comment
+    out.toByteArray
+  }
+
+  /** Graded ZIP document: e = 1 + id%4 members named `%06d.txt` (10
+    * bytes each), member m holding L_m = 40 + (id + 23m) mod 180
+    * content bytes — DEFLATE-framed when (id + m) is even (single
+    * stored block ⇒ csize = L + 5; L ≤ 219 < 65535), STORED otherwise
+    * (csize = L). Content bytes continue the single `(id + i) mod 256`
+    * run across members. Archive size = Σ(40 + csize_m) + 56e + 22.
+    */
+  def makeZipDoc(id: Long): Array[Byte] = {
+    val e = (1 + id % 4).toInt
+    var i = 0L
+    val members = (0 until e).map { m =>
+      val len = (40 + (id + 23L * m) % 180).toInt
+      val data = new Array[Byte](len)
+      var j = 0
+      while (j < len) { data(j) = ((id + i) % 256).toByte; i += 1; j += 1 }
+      (f"$m%06d.txt", data, (id + m) % 2 == 0)
+    }
+    makeZip(members)
+  }
+
+  // ============================================== compressed text shards
+
+  /** The modern-compression seam: zstd / lz4-frame / xz round-trips via
+    * the codec libraries Spark itself ships on its runtime classpath
+    * for shuffle/Parquet compression (zstd-jni, lz4-java, org.tukaani
+    * xz — all public, no added dependency). `.jsonl.zst` is the shape
+    * large public text corpora actually distribute in; lz4/xz cover the
+    * fast-local and high-ratio ends. Decompress never throws — corrupt
+    * or foreign bytes → None. NOTE zstd frames omit the content
+    * checksum by default, so a flipped payload bit can inflate
+    * "successfully" — detection is the CONTENT's job, which is exactly
+    * what the closed loops' byte/char sums grade.
+    */
+  def codecCompress(codec: String, data: Array[Byte]): Array[Byte] = codec match {
+    case "zstd" => com.github.luben.zstd.Zstd.compress(data)
+    case "lz4" =>
+      val bos = new java.io.ByteArrayOutputStream()
+      val o = new net.jpountz.lz4.LZ4FrameOutputStream(bos)
+      o.write(data); o.close()
+      bos.toByteArray
+    case "xz" =>
+      val bos = new java.io.ByteArrayOutputStream()
+      val o = new org.tukaani.xz.XZOutputStream(bos, new org.tukaani.xz.LZMA2Options())
+      o.write(data); o.close()
+      bos.toByteArray
+    case other => throw new IllegalArgumentException(s"unknown codec $other")
+  }
+
+  /** Streaming decompress of one frame sequence; any codec-layer
+    * violation → None. Output is capped at [[ZipUsizeCap]] (same
+    * decompression-bomb discipline as the ZIP walk).
+    */
+  def codecDecompress(codec: String, b: Array[Byte]): Option[Array[Byte]] =
+    try {
+      val in: java.io.InputStream = codec match {
+        case "zstd" => new com.github.luben.zstd.ZstdInputStream(
+          new java.io.ByteArrayInputStream(b))
+        case "lz4" => new net.jpountz.lz4.LZ4FrameInputStream(
+          new java.io.ByteArrayInputStream(b))
+        case "xz" => new org.tukaani.xz.XZInputStream(
+          new java.io.ByteArrayInputStream(b))
+        case other => throw new IllegalArgumentException(s"unknown codec $other")
+      }
+      try {
+        val acc = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) {
+          acc.write(buf, 0, n)
+          if (acc.size() > ZipUsizeCap) return None
+          n = in.read(buf)
+        }
+        Some(acc.toByteArray)
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Graded `.jsonl.zst` shard: r = 1 + id%5 JSON lines
+    * `{"id":<id>,"seq":<m>,"text":"<t_m>"}` where t_m is
+    * 20 + (id + 13m) mod 60 lowercase letters continuing the single
+    * `'a' + (id + i) mod 26` run across lines — REALLY zstd-compressed
+    * (dictionary-built frames, not stored framing; the compressed size
+    * is NOT closed-form and deliberately not graded).
+    */
+  def makeJsonlZstDoc(id: Long): Array[Byte] = {
+    val r = (1 + id % 5).toInt
+    val sb = new StringBuilder
+    var i = 0L
+    var m = 0
+    while (m < r) {
+      val len = (20 + (id + 13L * m) % 60).toInt
+      sb.append("{\"id\":").append(id).append(",\"seq\":").append(m)
+        .append(",\"text\":\"")
+      var j = 0
+      while (j < len) {
+        sb.append(('a' + ((id + i) % 26).toInt).toChar); i += 1; j += 1
+      }
+      sb.append("\"}\n")
+      m += 1
+    }
+    codecCompress("zstd", sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
   // ============================================================== queries
 
   /** ORACLE-GRADED closed loop for the multi-member gzip tier: per
@@ -759,11 +1082,115 @@ object Containers {
       .orderBy("media_id")
   }
 
+  /** ORACLE-GRADED closed loop for the ZIP tier: per document, e
+    * members are GENERATED ([[makeZipDoc]] — alternating stored /
+    * deflate-framed, closed-form sizes) and walked back by the REAL
+    * EOCD-scan → central-directory → local-header → Inflater → CRC-32
+    * pipeline. Emitted: entry/deflated counts, total raw bytes, the
+    * content byte sum, and the exact archive size. Map-side generation
+    * and parse; payloads never leave the executor.
+    */
+  val qContainerZip: Q = (s, d) => {
+    import s.implicits._
+    documents(s, d).select(col("doc_id"))
+      .repartition(s.sessionState.conf.numShufflePartitions)
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val payload = makeZipDoc(id)
+        val entries = parseZip(payload).getOrElse(
+          throw new IllegalStateException(s"generated zip for doc $id failed to parse"))
+        (id, "zip", entries.size, entries.count(_.method == 8),
+          entries.map(_.usize).sum, entries.map(_.byteSum).sum,
+          payload.length.toLong)
+      })
+      .toDF("media_id", "format", "n_entries", "n_deflated", "raw_bytes",
+        "byte_sum", "n_bytes")
+      .orderBy("media_id")
+  }
+
+  /** ORACLE-GRADED `.jsonl.zst` loop — the shape large public text
+    * corpora ship in: per document a REALLY-zstd-compressed JSONL shard
+    * is generated ([[makeJsonlZstDoc]]), decompressed through the real
+    * codec stream, split to lines, and parsed by Spark's codegen'd
+    * `from_json`; per-line fields then aggregate back to per-document
+    * closed forms (line count, Σseq, text chars, the 26-cycle char
+    * sum via the codegen'd `aggregate`/`ascii` expressions — no UDF).
+    * The compressed size is real-zstd and deliberately ungraded; the
+    * CONTENT sums are what prove the round trip. Map-side decompress;
+    * one shuffle for the per-doc aggregate.
+    */
+  val qContainerZst: Q = (s, d) => {
+    import s.implicits._
+    val lineSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("seq",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    documents(s, d).select(col("doc_id"))
+      .repartition(s.sessionState.conf.numShufflePartitions)
+      .as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val payload = makeJsonlZstDoc(id)
+        val raw = codecDecompress("zstd", payload).getOrElse(
+          throw new IllegalStateException(s"generated zst for doc $id failed to decompress"))
+        new String(raw, java.nio.charset.StandardCharsets.UTF_8)
+          .split("\n").iterator.filter(_.nonEmpty).map(line => (id, line))
+      })
+      .toDF("media_id", "line")
+      .select(col("media_id"), from_json(col("line"), lineSchema).as("j"))
+      .groupBy("media_id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("j.id") === col("media_id"), 1L).otherwise(0L)).as("id_ok"),
+        sum(col("j.seq").cast("long")).as("seq_sum"),
+        sum(length(col("j.text")).cast("long")).as("text_chars"),
+        sum(expr("aggregate(split(j.text, ''), 0L, (acc, c) -> acc + ascii(c))"))
+          .as("char_sum"))
+      .withColumn("codec", lit("zstd"))
+      .orderBy("media_id")
+  }
+
+  /** ORACLE-GRADED round trip across all three modern codecs: document
+    * id picks codec = id mod 3 ∈ {zstd, lz4, xz}; a 300 + id mod 500
+    * byte `(id + i) mod 256` run is REALLY compressed and streamed back
+    * through the codec seam, with in-task byte-for-byte verification
+    * (roundtrip_ok) plus the oracle-predicted raw length and cycle
+    * sum. Map-only — compressed bytes never leave the executor.
+    */
+  val qContainerCodecs: Q = (s, d) => {
+    import s.implicits._
+    documents(s, d).select(col("doc_id"))
+      .repartition(s.sessionState.conf.numShufflePartitions)
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val codec = (id % 3) match {
+          case 0 => "zstd"; case 1 => "lz4"; case _ => "xz"
+        }
+        val len = (300 + id % 500).toInt
+        val data = new Array[Byte](len)
+        var j = 0
+        while (j < len) { data(j) = ((id + j) % 256).toByte; j += 1 }
+        val back = codecDecompress(codec, codecCompress(codec, data)).getOrElse(
+          throw new IllegalStateException(s"$codec round trip for doc $id failed"))
+        var sum = 0L
+        var i = 0
+        while (i < back.length) { sum += back(i) & 0xff; i += 1 }
+        (id, codec, back.length.toLong, sum, java.util.Arrays.equals(data, back))
+      })
+      .toDF("media_id", "codec", "raw_len", "byte_sum", "roundtrip_ok")
+      .orderBy("media_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_container_gzip" -> qContainerGzip,
     "q_container_tar" -> qContainerTar,
     "q_container_warc" -> qContainerWarc,
     "q_container_shards" -> qContainerShards,
-    "q_container_wds" -> qContainerWds
+    "q_container_wds" -> qContainerWds,
+    "q_container_zip" -> qContainerZip,
+    "q_container_zst" -> qContainerZst,
+    "q_container_codecs" -> qContainerCodecs
   )
 }

@@ -168,13 +168,16 @@ object Oracle {
     */
   private def wdsGuard(m: Int, term: String): String =
     s"(CASE WHEN 1 + doc_id % 3 > $m THEN $term ELSE 0 END)"
-  private def cycleSumSql(n: String, a: String): String =
-    s"""(($n // 256) * 32640
-       + CASE WHEN $a + ($n % 256) <= 256
-           THEN ($n % 256) * $a + (($n % 256) * (($n % 256) - 1)) // 2
-           ELSE (256 - $a) * $a + ((256 - $a) * (255 - $a)) // 2
-                + ((($n % 256) - (256 - $a)) * (($n % 256) - (256 - $a) - 1)) // 2
+  private def cycleSumSqlK(n: String, a: String, k: Int): String = {
+    val full = k * (k - 1) / 2
+    s"""(($n // $k) * $full
+       + CASE WHEN $a + ($n % $k) <= $k
+           THEN ($n % $k) * $a + (($n % $k) * (($n % $k) - 1)) // 2
+           ELSE ($k - $a) * $a + (($k - $a) * (${k - 1} - $a)) // 2
+                + ((($n % $k) - ($k - $a)) * (($n % $k) - ($k - $a) - 1)) // 2
          END)"""
+  }
+  private def cycleSumSql(n: String, a: String): String = cycleSumSqlK(n, a, 256)
   private def wdsPixelTerm(m: Int): String = {
     val w = s"(1 + (doc_id + $m) % 13)"
     val h = s"(1 + (doc_id + ${2 * m}) % 11)"
@@ -1096,6 +1099,63 @@ object Oracle {
     // closed forms (built by the wds* helpers above so the m=0..2
     // expansions cannot drift apart).
     "q_container_wds" -> WdsSql,
+
+    // ZIP closed loop (Containers.qContainerZip): the engine generates
+    // e = 1 + id%4 members named %06d.txt (10-byte names), member m
+    // holding L = 40 + (id+23m) mod 180 content bytes, deflate-framed
+    // (csize = L + 5, single stored block) when id+m is even, stored
+    // otherwise — and walks the archive back with the real EOCD/central-
+    // directory/local-header/Inflater/CRC pipeline. Per member the
+    // archive holds 40 + csize local bytes + 56 central bytes; + 22
+    // EOCD. Content bytes are one (doc_id + i) mod 256 run.
+    "q_container_zip" -> s"""
+      WITH px AS (
+        SELECT doc_id, (1 + doc_id % 4)::INT AS e, doc_id % 256 AS a
+        FROM documents
+      ), sz AS (
+        SELECT doc_id, e, a,
+          (list_sum(list_transform(range(e), m -> 40 + (doc_id + 23 * m) % 180)))::BIGINT AS n,
+          (list_sum(list_transform(range(e), m ->
+            CASE WHEN (doc_id + m) % 2 = 0 THEN 1 ELSE 0 END)))::BIGINT AS ndef
+        FROM px
+      )
+      SELECT doc_id AS media_id, 'zip' AS format, e AS n_entries,
+        ndef::INT AS n_deflated, n AS raw_bytes,
+        ${cycleSumSql("n", "a")}::BIGINT AS byte_sum,
+        (n + 5 * ndef + 96 * e + 22)::BIGINT AS n_bytes
+      FROM sz ORDER BY media_id""",
+
+    // .jsonl.zst closed loop (Containers.qContainerZst): r = 1 + id%5
+    // REALLY-zstd-compressed JSON lines, text of line m = 20 + (id+13m)
+    // mod 60 lowercase letters continuing one 'a' + (id+i) mod 26 run;
+    // after the real decompress + from_json parse the per-doc aggregates
+    // are all closed-form (char_sum is the 26-cycle split of the run
+    // plus 97 per char). Compressed size is real zstd — ungraded.
+    "q_container_zst" -> s"""
+      WITH px AS (
+        SELECT doc_id, (1 + doc_id % 5)::INT AS r, doc_id % 26 AS a
+        FROM documents
+      ), sz AS (
+        SELECT doc_id, r, a,
+          (list_sum(list_transform(range(r), m -> 20 + (doc_id + 13 * m) % 60)))::BIGINT AS t
+        FROM px
+      )
+      SELECT doc_id AS media_id, r::BIGINT AS n_lines, r::BIGINT AS id_ok,
+        (r * (r - 1) // 2)::BIGINT AS seq_sum, t AS text_chars,
+        (97 * t + ${cycleSumSqlK("t", "a", 26)})::BIGINT AS char_sum,
+        'zstd' AS codec
+      FROM sz ORDER BY media_id""",
+
+    // Multi-codec round trip (Containers.qContainerCodecs): codec =
+    // id mod 3 in {zstd, lz4, xz}; L = 300 + id mod 500 bytes of the
+    // (doc_id + i) mod 256 run, really compressed and streamed back.
+    "q_container_codecs" -> s"""
+      SELECT doc_id AS media_id,
+        CASE doc_id % 3 WHEN 0 THEN 'zstd' WHEN 1 THEN 'lz4' ELSE 'xz' END AS codec,
+        (300 + doc_id % 500)::BIGINT AS raw_len,
+        ${cycleSumSql("(300 + doc_id % 500)", "(doc_id % 256)")}::BIGINT AS byte_sum,
+        TRUE AS roundtrip_ok
+      FROM documents ORDER BY media_id""",
 
     // Frame-sampling check twin (Multimodal.qMultimodalFramesCheck):
     // every document yields exactly one media row (index 0 always

@@ -294,6 +294,151 @@ class ContainersSpec extends AnyFunSuite {
     assert(parseWarcGz(gzipMember(two)).isEmpty) // two records in one member
   }
 
+  // -------------------------------------------------------------- zip
+
+  test("zip closed loop: makeZipDoc parses, sizes and sums are the closed forms") {
+    for (id <- Seq(0L, 1L, 7L, 103L, 9999L)) {
+      val payload = makeZipDoc(id)
+      val entries = parseZip(payload).get
+      val e = (1 + id % 4).toInt
+      assert(entries.size == e)
+      val lens = (0 until e).map(m => 40 + (id + 23L * m) % 180)
+      assert(entries.map(_.usize) == lens)
+      val ndef = (0 until e).count(m => (id + m) % 2 == 0)
+      assert(entries.count(_.method == 8) == ndef)
+      assert(payload.length.toLong == lens.sum + 5 * ndef + 96L * e + 22)
+      val total = lens.sum.toInt
+      val expectSum = (0 until total).map(i => ((id + i) % 256)).sum
+      assert(entries.map(_.byteSum).sum == expectSum)
+    }
+  }
+
+  test("JDK ZipOutputStream (real deflate + data descriptors) parses through parseZip") {
+    val bos = new java.io.ByteArrayOutputStream()
+    val zo = new java.util.zip.ZipOutputStream(bos)
+    val members = Seq(
+      "a/first.txt" -> Array.tabulate[Byte](10000)(i => ((i * 7 + 3) % 256).toByte),
+      "second.bin" -> Array.tabulate[Byte](333)(i => (i % 11).toByte),
+      "empty.dat" -> Array.emptyByteArray)
+    members.foreach { case (name, data) =>
+      val ze = new java.util.zip.ZipEntry(name)
+      ze.setTime(0L)
+      zo.putNextEntry(ze); zo.write(data); zo.closeEntry()
+    }
+    zo.close()
+    val entries = parseZip(bos.toByteArray).get
+    assert(entries.map(_.name) == members.map(_._1))
+    assert(entries.map(_.usize) == members.map(_._2.length.toLong))
+    assert(entries.map(_.byteSum) ==
+      members.map(_._2.map(b => (b & 0xff).toLong).sum))
+    assert(entries.forall(_.method == 8)) // JDK default is DEFLATED
+  }
+
+  test("JDK ZipOutputStream STORED mode (no descriptor) parses through parseZip") {
+    val data = ascii("stored member, exact local sizes")
+    val bos = new java.io.ByteArrayOutputStream()
+    val zo = new java.util.zip.ZipOutputStream(bos)
+    val ze = new java.util.zip.ZipEntry("s.txt")
+    ze.setMethod(java.util.zip.ZipEntry.STORED)
+    ze.setSize(data.length); ze.setCompressedSize(data.length)
+    val c = new java.util.zip.CRC32(); c.update(data); ze.setCrc(c.getValue)
+    ze.setTime(0L)
+    zo.putNextEntry(ze); zo.write(data); zo.closeEntry(); zo.close()
+    val entries = parseZip(bos.toByteArray).get
+    assert(entries == Seq(ZipEntryP("s.txt", 0, data.length.toLong,
+      data.map(b => (b & 0xff).toLong).sum)))
+  }
+
+  test("makeZip reads back through the JDK's independent ZipInputStream") {
+    val members = Seq(
+      ("one.txt", ascii("first content"), false),
+      ("two.txt", Array.tabulate[Byte](70000)(i => (i % 251).toByte), true)) // 2 stored blocks
+    val zin = new java.util.zip.ZipInputStream(
+      new java.io.ByteArrayInputStream(makeZip(members)))
+    members.foreach { case (name, data, _) =>
+      val ze = zin.getNextEntry
+      assert(ze.getName == name)
+      assert(java.util.Arrays.equals(zin.readAllBytes(), data))
+    }
+    assert(zin.getNextEntry == null)
+  }
+
+  test("zip archive comment is honored; trailing garbage is not") {
+    val z = makeZip(Seq(("a.txt", ascii("hello"), false)))
+    // Append a comment: patch the EOCD comment-length field.
+    val comment = ascii("graft archive comment")
+    val withComment = z ++ comment
+    withComment(z.length - 2) = (comment.length & 0xff).toByte
+    withComment(z.length - 1) = ((comment.length >> 8) & 0xff).toByte
+    assert(parseZip(withComment).isDefined)
+    assert(parseZip(z ++ ascii("garbage")).isEmpty) // length doesn't match
+  }
+
+  test("zip adversarial edges all fall to None, never throw") {
+    val z = makeZip(Seq(("a.txt", ascii("hello zip world"), false),
+      ("b.txt", ascii("deflated here"), true)))
+    assert(parseZip(Array.emptyByteArray).isEmpty)
+    assert(parseZip(z.take(z.length - 3)).isEmpty) // truncated EOCD
+    assert(parseZip(z.take(30)).isEmpty) // no EOCD at all
+    // flip one content byte -> CRC mismatch (content of a.txt starts at 40)
+    val crcBad = z.clone(); crcBad(41) = (crcBad(41) ^ 0x20).toByte
+    assert(parseZip(crcBad).isEmpty)
+    // encrypted flag in the CD entry
+    val eocdAt = z.length - 22
+    val cdOff = (z(eocdAt + 16) & 0xff) | ((z(eocdAt + 17) & 0xff) << 8) |
+      ((z(eocdAt + 18) & 0xff) << 16) | ((z(eocdAt + 19) & 0xff) << 24)
+    val enc = z.clone(); enc(cdOff + 8) = 1
+    assert(parseZip(enc).isEmpty)
+    // unsupported method 12 (bzip2) in CD
+    val m12 = z.clone(); m12(cdOff + 10) = 12
+    assert(parseZip(m12).isEmpty)
+    // zip64 marker: usize = 0xFFFFFFFF in the CD
+    val z64 = z.clone()
+    (0 until 4).foreach(i => z64(cdOff + 24 + i) = 0xff.toByte)
+    assert(parseZip(z64).isEmpty)
+    // local-vs-CD name mismatch
+    val ren = z.clone(); ren(30) = 'x'.toByte // first local name byte
+    assert(parseZip(ren).isEmpty)
+  }
+
+  test("zip-bomb declared sizes are rejected BEFORE any inflate") {
+    // A CD lying that one small member inflates to > cap: patch usize.
+    val z = makeZip(Seq(("a.txt", ascii("tiny"), true)))
+    val eocdAt = z.length - 22
+    val cdOff = (z(eocdAt + 16) & 0xff) | ((z(eocdAt + 17) & 0xff) << 8) |
+      ((z(eocdAt + 18) & 0xff) << 16) | ((z(eocdAt + 19) & 0xff) << 24)
+    val cap = ZipUsizeCap + 1
+    val bomb = z.clone()
+    (0 until 4).foreach(i => bomb(cdOff + 24 + i) = ((cap >> (8 * i)) & 0xff).toByte)
+    assert(parseZip(bomb).isEmpty)
+  }
+
+  // ------------------------------------------- compressed text shards
+
+  test("codec seam round-trips zstd, lz4, and xz; foreign bytes fall to None") {
+    val data = Array.tabulate[Byte](50000)(i => ((i * 13 + 5) % 256).toByte)
+    Seq("zstd", "lz4", "xz").foreach { codec =>
+      val comp = codecCompress(codec, data)
+      assert(!java.util.Arrays.equals(comp, data))
+      assert(java.util.Arrays.equals(codecDecompress(codec, comp).get, data))
+      assert(codecDecompress(codec, ascii("not a frame of any codec")).isEmpty)
+      assert(codecDecompress(codec, comp.take(comp.length / 2)).isEmpty) // truncated
+    }
+  }
+
+  test("jsonl.zst golden: small id decompresses to the exact line text") {
+    val raw = codecDecompress("zstd", makeJsonlZstDoc(1L)).get
+    val text = new String(raw, java.nio.charset.StandardCharsets.UTF_8)
+    // id 1: r = 2 lines; t_0 = 20 + 1%60 = 21 chars from 'a'+1; t_1 =
+    // 20 + (1+13)%60 = 34 chars continuing the run at i = 21.
+    val run = Iterator.from(0).map(i => ('a' + ((1 + i) % 26)).toChar)
+    val t0 = run.take(21).mkString
+    val run2 = Iterator.from(21).map(i => ('a' + ((1 + i) % 26)).toChar)
+    val t1 = run2.take(34).mkString
+    assert(text ==
+      s"""{"id":1,"seq":0,"text":"$t0"}\n{"id":1,"seq":1,"text":"$t1"}\n""")
+  }
+
   test("makeWarcDoc inflates through the JDK and holds one WARC/1.0 per member") {
     val doc = makeWarcDoc(12L) // even id → warcinfo + 1 + 12%3 = 1 response... r = 1 + 12%3 = 1
     val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(doc))
