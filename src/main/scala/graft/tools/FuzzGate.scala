@@ -393,7 +393,96 @@ object FuzzGate {
         s"$op SELECT $proj FROM $from WHERE ${predicate(chain)}"
     }
 
+    /** Scalar-function shape (r17 fourth-session axis): date/time and
+      * string function COMPOSITION — the expression-eval surface the
+      * other axes only graze (their scalars stay at substr/upper/
+      * length). Dialect rules on top of the object scaladoc's:
+      *  - date_trunc units year/quarter/month/day/hour only (same
+      *    argument order and NTZ-value semantics in both engines; week
+      *    stays out — ISO-vs-locale week starts are a known dialect
+      *    split);
+      *  - EXTRACT parts year/quarter/month/day/hour/minute, wrapped
+      *    CAST(... AS BIGINT) (Spark INT vs DuckDB BIGINT); dow/doy
+      *    stay out (Spark 1=Sunday vs DuckDB 0=Sunday);
+      *  - ts + INTERVAL N DAY/HOUR — identical literal grammar;
+      *  - string fns verified value-identical on the ASCII fixture:
+      *    replace/trim/ltrim/rtrim/lpad/rpad/reverse/translate/repeat/
+      *    left/right, position('x' IN s) CAST AS BIGINT;
+      *  - greatest/least stay out (NULL handling differs across
+      *    engine versions); datediff/strftime/date_part shorthand stay
+      *    out (grammar or argument-order divergence).
+      */
+    def scalarShape(): String = {
+      val (chain, from) = joinChain()
+      def strFn(depth: Int = 0): String = {
+        val c =
+          if (depth < 1 && chance(0.3)) strFn(depth + 1)
+          else pick(allCols(chain, "str")).name
+        pick[() => String](Seq(
+          () => s"replace($c, '${pick(Seq("a", "e", "r", "o", "1"))}', '${pick(Seq("#", "", "xy"))}')",
+          () => s"trim($c)", () => s"ltrim($c)", () => s"rtrim($c)",
+          () => s"lpad($c, ${int(3, 20)}, '${pick(Seq("*", "ab"))}')",
+          () => s"rpad($c, ${int(3, 20)}, '${pick(Seq("*", "ab"))}')",
+          () => s"reverse($c)",
+          () => s"translate($c, 'aeiou', 'AEIOU')",
+          () => s"repeat(substr($c, 1, 2), ${int(1, 3)})",
+          () => s"left($c, ${int(1, 6)})",
+          () => s"right($c, ${int(1, 6)})",
+          () => s"upper(left($c, ${int(1, 5)}))",
+          () => s"lower($c)"
+        ))()
+      }
+      def tsFn(): String = {
+        val c = pick(allCols(chain, "ts")).name
+        pick[() => String](Seq(
+          () => s"date_trunc('${pick(Seq("year", "quarter", "month", "day", "hour"))}', $c)",
+          () => s"$c + INTERVAL ${int(1, 400)} ${pick(Seq("DAY", "HOUR"))}",
+          () => s"CAST(EXTRACT(${pick(Seq("year", "quarter", "month", "day", "hour", "minute"))} FROM $c) AS BIGINT)",
+          () => s"CASE WHEN CAST(EXTRACT(month FROM $c) AS BIGINT) % ${int(2, 4)} = 0 THEN date_trunc('month', $c) ELSE NULL END"
+        ))()
+      }
+      def intFn(): String = pick[() => String](Seq(
+        () => s"CAST(position('${pick(Seq("a", "e", "5", "r"))}' IN ${pick(allCols(chain, "str")).name}) AS BIGINT)",
+        () => s"CAST(length(${strFn()}) AS BIGINT)",
+        () => s"CAST(abs(${pick(allCols(chain, "int")).name} - ${int(100, 5000)}) AS BIGINT)",
+        () => s"CAST(ascii(substr(${pick(allCols(chain, "str")).name}, ${int(1, 4)}, 1)) AS BIGINT)"
+      ))()
+      def anyFn(): String = {
+        val kinds = Seq("str", "int") ++ (if (has(chain, "ts")) Seq("ts") else Nil)
+        pick(kinds) match {
+          case "str" => strFn()
+          case "int" => intFn()
+          case _ => tsFn()
+        }
+      }
+      def fnPredicate(): String = pick[() => String](Seq(
+        () => s"${intFn()} ${pick(Seq("=", ">", "<="))} ${int(0, 12)}",
+        () => s"${strFn()} LIKE '${pick(likePats)}'",
+        () => s"${strFn()} ${pick(Seq("=", "<>", ">="))} '${pick(Seq("A", "ab", "x"))}'"
+      ) ++ (if (!has(chain, "ts")) Nil else Seq(
+        () => s"CAST(EXTRACT(${pick(Seq("year", "month", "day"))} FROM ${pick(allCols(chain, "ts")).name}) AS BIGINT) % ${int(2, 5)} = ${int(0, 1)}",
+        () => s"date_trunc('month', ${pick(allCols(chain, "ts")).name}) ${pick(Seq("<", ">="))} TIMESTAMP '${pick(tsLits)}'"
+      )))()
+      val where =
+        if (chance(0.3)) s" WHERE ${fnPredicate()}"
+        else if (chance(0.5)) s" WHERE ${predicate(chain)}" else ""
+      if (chance(0.35)) {
+        // aggregate over function-computed keys and values
+        val keys = (0 until int(1, 2)).map(i => s"${anyFn()} AS g$i")
+        val aggs = Seq(s"CAST(count(*) AS BIGINT) AS a0") ++
+          (if (chance(0.6)) Seq(s"${pick(Seq("min", "max"))}(${anyFn()}) AS a1") else Nil)
+        s"SELECT ${(keys ++ aggs).mkString(", ")} FROM $from$where " +
+          s"GROUP BY ${(1 to keys.length).mkString(", ")}"
+      } else {
+        val nCols = int(2, 5)
+        val proj = (0 until nCols).map(i => s"${anyFn()} AS c$i")
+        val distinct = if (chance(0.25)) "DISTINCT " else ""
+        s"SELECT $distinct${proj.mkString(", ")} FROM $from$where"
+      }
+    }
+
     def query(): String = {
+      if (sys.env.contains("FUZZ_SCALAR_AXIS") && chance(0.45)) return scalarShape()
       if (chance(0.25)) return windowShape()
       if (chance(0.2)) return groupingShape()
       if (chance(0.18)) return setOpShape()
