@@ -399,16 +399,35 @@ object Containers {
     -1
   }
 
+  /** One record's span inside the uncompressed buffer: for `response`
+    * records, [bodyOff, bodyOff + bodyLen) is the HTTP body after the
+    * status line + headers; other record types carry bodyOff = −1.
+    */
+  final case class WarcRecordSpan(warcType: String, contentLength: Long,
+      bodyOff: Int, bodyLen: Int)
+
   /** REAL WARC/1.0 walk over an UNCOMPRESSED buffer of concatenated
     * records (ISO 28500 grammar): version line, `Name: value` header
     * lines to a blank line, a Content-Length-delimited block, and the
     * mandatory CRLF CRLF record separator. `response` records must hold
     * a well-formed HTTP response — status line + headers + CRLFCRLF —
     * whose own Content-Length must match the remaining body bytes
-    * exactly. Any violation → None.
+    * exactly. Any violation → None. ([[parseWarcSpans]] is the offset
+    * face the `graft-warc` connector reads bodies through; this face
+    * derives the summed [[WarcRecord]] view from the same one walk.)
     */
-  def parseWarc(b: Array[Byte]): Option[Seq[WarcRecord]] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[WarcRecord]
+  def parseWarc(b: Array[Byte]): Option[Seq[WarcRecord]] =
+    parseWarcSpans(b).map(_.map { s =>
+      var sum = 0L
+      var i = math.max(s.bodyOff, 0)
+      val end = math.max(s.bodyOff, 0) + s.bodyLen
+      while (i < end) { sum += b(i) & 0xff; i += 1 }
+      WarcRecord(s.warcType, s.contentLength, s.bodyLen.toLong, sum)
+    })
+
+  /** The one strict WARC walk — see [[parseWarc]] for the grammar. */
+  def parseWarcSpans(b: Array[Byte]): Option[Seq[WarcRecordSpan]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[WarcRecordSpan]
     var o = 0
     while (o < b.length) {
       val hdrEnd = indexOfCrlfCrlf(b, o, b.length)
@@ -437,8 +456,8 @@ object Containers {
       if (blockEnd + 4 > b.length) return None
       if (b(blockEnd.toInt) != '\r' || b(blockEnd.toInt + 1) != '\n' ||
         b(blockEnd.toInt + 2) != '\r' || b(blockEnd.toInt + 3) != '\n') return None
+      var bodyOff = -1
       var bodyLen = 0L
-      var bodySum = 0L
       if (warcType == "response") {
         val httpHdrEnd = indexOfCrlfCrlf(b, blockStart, blockEnd.toInt)
         if (httpHdrEnd < 0) return None
@@ -457,10 +476,9 @@ object Containers {
             v.toLong != bodyLen => return None
           case _ => ()
         }
-        var i = bodyStart
-        while (i < blockEnd) { bodySum += b(i) & 0xff; i += 1 }
+        bodyOff = bodyStart
       }
-      out += WarcRecord(warcType, contentLength, bodyLen, bodySum)
+      out += WarcRecordSpan(warcType, contentLength, bodyOff, bodyLen.toInt)
       o = (blockEnd + 4).toInt
     }
     if (out.isEmpty) None else Some(out.toSeq)
@@ -519,6 +537,17 @@ object Containers {
     */
   def warcResponseOverhead: Int = warcResponseRecord(0L, 0, new Array[Byte](30)).length - 30
   def warcInfoRecordLen: Int = warcInfoRecord(0L).length
+
+  /** WARC Content-Length constants the `q_warc_source` oracle hardcodes
+    * (derived from the writer THROUGH the parser, so drift in either
+    * breaks the pinning spec): a response record's Content-Length is the
+    * HTTP status line + headers (this overhead) + the body; a warcinfo
+    * record's Content-Length is its fixed warc-fields block.
+    */
+  def warcResponseContentOverhead: Int =
+    parseWarc(warcResponseRecord(0L, 0, new Array[Byte](30))).get.head.contentLength.toInt - 30
+  def warcInfoContentLen: Int =
+    parseWarc(warcInfoRecord(0L)).get.head.contentLength.toInt
 
   /** Graded `.warc.gz` document: an optional warcinfo record (id even)
     * followed by r = 1 + id%3 response records with body lengths
@@ -1000,24 +1029,35 @@ object Containers {
     * FULL round trip — shard build + file write + binaryFile scan +
     * parse — not just a read.
     */
+  /** Distributed `.warc.gz` shard write (docs grouped by doc_id mod 64,
+    * each mapGroups task builds and writes its own shard) — shared by
+    * the binaryFile loop and the `graft-warc` connector key. See
+    * [[qContainerShards]] for the local-FS caveat.
+    */
+  def writeWarcShards(s: SparkSession, d: String, dir: String): Unit = {
+    import s.implicits._
+    val ids = documents(s, d).select(col("doc_id")).as[Long]
+    ids.groupByKey(_ % 64)
+      .mapGroups { (shard, it) =>
+        val sorted = it.toArray.sorted // deterministic member order per shard
+        val out = new java.io.ByteArrayOutputStream()
+        sorted.foreach { id =>
+          val b = makeWarcDoc(id)
+          out.write(b, 0, b.length)
+        }
+        java.nio.file.Files.write(
+          new java.io.File(dir, f"shard-$shard%03d.warc.gz").toPath, out.toByteArray)
+        shard
+      }
+      .count() // force the distributed shard write before any scan
+    ()
+  }
+
   val qContainerShards: Q = (s, d) => {
     import s.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_warc_shards_").toString
     try {
-      val ids = documents(s, d).select(col("doc_id")).as[Long]
-      val written = ids.groupByKey(_ % 64)
-        .mapGroups { (shard, it) =>
-          val sorted = it.toArray.sorted // deterministic member order per shard
-          val out = new java.io.ByteArrayOutputStream()
-          sorted.foreach { id =>
-            val b = makeWarcDoc(id)
-            out.write(b, 0, b.length)
-          }
-          java.nio.file.Files.write(
-            new java.io.File(dir, f"shard-$shard%03d.warc.gz").toPath, out.toByteArray)
-          shard
-        }
-      written.count() // force the distributed shard write before the scan
+      writeWarcShards(s, d, dir)
       s.read.format("binaryFile").option("pathGlobFilter", "*.warc.gz").load(dir)
         .select(col("path"), col("content"))
         .as[(String, Array[Byte])]
@@ -1183,6 +1223,37 @@ object Containers {
       .orderBy("media_id")
   }
 
+  /** ORACLE-GRADED `graft-warc` CONNECTOR loop — the corpus as a TABLE:
+    * the same distributed shard write as [[qContainerShards]], read back
+    * through the batch DataSourceV2 connector
+    * (graft.sources.WarcDataSource: one partition per shard file,
+    * streaming O(record)-memory member walk, column pruning,
+    * statistics) and aggregated DECLARATIVELY — count/when for record
+    * mix, `length(body)` for body bytes, and the codegen'd
+    * `GraftExpressions.byteSum(body)` checksum; the whole aggregate
+    * stays in whole-stage codegen, no typed lambda. DuckDB predicts
+    * every per-shard value from the q_container_warc closed forms plus
+    * the Content-Length constants pinned by ContainersSpec.
+    */
+  val qWarcSource: Q = (s, d) => {
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_src_").toString
+    try {
+      writeWarcShards(s, d, dir)
+      s.read.format("graft-warc").load(dir)
+        .groupBy(regexp_extract(col("path"), "shard-(\\d+)", 1)
+          .cast("long").as("shard"))
+        .agg(
+          count(lit(1)).as("n_records"),
+          sum(when(col("warc_type") === "response", 1L).otherwise(0L)).as("n_responses"),
+          sum(coalesce(length(col("body")).cast("long"), lit(0L))).as("body_bytes"),
+          sum(coalesce(graft.functions.GraftExpressions.byteSum(col("body")), lit(0L)))
+            .as("body_sum"),
+          sum(col("content_length")).as("content_bytes"))
+        .orderBy("shard")
+        .localCheckpoint()
+    } finally Sources.deleteRecursively(new java.io.File(dir))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_container_gzip" -> qContainerGzip,
     "q_container_tar" -> qContainerTar,
@@ -1191,6 +1262,7 @@ object Containers {
     "q_container_wds" -> qContainerWds,
     "q_container_zip" -> qContainerZip,
     "q_container_zst" -> qContainerZst,
-    "q_container_codecs" -> qContainerCodecs
+    "q_container_codecs" -> qContainerCodecs,
+    "q_warc_source" -> qWarcSource
   )
 }

@@ -1093,6 +1093,34 @@ object Oracle {
         sum(bytes)::BIGINT AS n_bytes
       FROM per_doc GROUP BY shard ORDER BY shard""",
 
+    // graft-warc connector loop (Containers.qWarcSource): the same
+    // distributed shard write read back through the batch DSv2
+    // connector and aggregated declaratively. Per-doc closed forms are
+    // q_container_warc's; Content-Length constants (response = 65-byte
+    // HTTP head + body, warcinfo = 17) are pinned by ContainersSpec
+    // against the writer THROUGH the parser.
+    "q_warc_source" -> s"""
+      WITH px AS (
+        SELECT doc_id, doc_id % 64 AS shard,
+          (1 + doc_id % 3)::BIGINT AS r,
+          (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS info,
+          doc_id % 256 AS a
+        FROM documents
+      ), sz AS (
+        SELECT doc_id, shard, r, info, a,
+          (list_sum(list_transform(range(r), m -> 30 + (doc_id + 41 * m) % 120)))::BIGINT AS n
+        FROM px
+      ), per_doc AS (
+        SELECT shard, r + info AS recs, r, n,
+          ${cycleSumSql("n", "a")} AS bsum,
+          (info * 17 + r * 65 + n) AS content
+        FROM sz
+      )
+      SELECT shard, sum(recs)::BIGINT AS n_records, sum(r)::BIGINT AS n_responses,
+        sum(n)::BIGINT AS body_bytes, sum(bsum)::BIGINT AS body_sum,
+        sum(content)::BIGINT AS content_bytes
+      FROM per_doc GROUP BY shard ORDER BY shard""",
+
     // Multimodal WebDataset closed loop (Containers.qContainerWds): tar
     // shards of real PNG + caption samples, the PNGs decoded by the real
     // Inflater pipeline; every column predicted from the per-sample

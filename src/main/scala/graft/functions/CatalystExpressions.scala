@@ -109,6 +109,12 @@ object GraftExpressions {
   def simhash64(text: Column): Column =
     ExpressionUtils.column(SimHash64(ExpressionUtils.expression(text)))
 
+  /** Unsigned byte sum of a BINARY column (codegen'd) — the checksum
+    * aggregate the `graft-warc` connector key folds per shard.
+    */
+  def byteSum(b: Column): Column =
+    ExpressionUtils.column(GraftByteSum(ExpressionUtils.expression(b)))
+
   /** Jaro–Winkler similarity of two strings (codegen'd; DuckDB
     * `jaro_winkler_similarity` semantics — see GraftOps.jaroWinkler).
     * The per-pair hot path of probabilistic-linkage scoring.
@@ -436,6 +442,14 @@ object GraftOps {
   /** UTF8String entry point for [[simhash64]] (codegen path). */
   def simhash64(text: UTF8String): Long = simhash64(text.toString)
 
+  /** Unsigned byte sum of a binary value — kernel of [[GraftByteSum]]. */
+  def byteSum(b: Array[Byte]): Long = {
+    var sum = 0L
+    var i = 0
+    while (i < b.length) { sum += b(i) & 0xff; i += 1 }
+    sum
+  }
+
   /** Squared-L2 argmin over a flattened k×dim centroid matrix; strict <
     * keeps the FIRST minimal cell, i.e. ties break to the lowest id.
     */
@@ -756,6 +770,24 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.GraftOps.simhash64($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Unsigned byte sum of a BINARY column — the codegen'd checksum the
+  * container/connector keys aggregate (`sum(byteSum(body))` stays fully
+  * inside whole-stage codegen; null binary → null, skipped by sum).
+  */
+case class GraftByteSum(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftOps.byteSum(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GraftOps.byteSum($c);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
