@@ -11,39 +11,53 @@ import graft.streaming.Streams
   * (Streams.neardupStream): 4.85M documents (the ×970 documents mirror)
   * streamed as a ts-ordered file source through BOTH chained
   * transformWithState stages — 77.6M banded rows into per-bucket claim
-  * state — with a mid-stream kill + restart, graded against an
-  * ENGINE-INDEPENDENT distributed ground truth.
+  * state — with a mid-stream kill + restart. TWO faces, because the
+  * gate's own FIRST ×970 run (r17 fourth session) FAILED parity
+  * 670/3.43M and exposed a real semantic boundary the fixture-scale
+  * spec cannot see:
   *
-  * Ground truth: the claim-then-verify ingest fold (drop iff some
-  * claimed band bucket's claimant signature agrees at ≥ 0.9; every
-  * arrival claims its unclaimed buckets) is inherently SEQUENTIAL, so
-  * the gate streams the one-row-per-doc frame, sorted by (ts, doc_id),
-  * through the driver via toLocalIterator and folds it there — an
-  * independent second implementation of the semantics, never touching
-  * the streaming machinery. (A first version factored the fold per
-  * copy, assuming the mirror's letter rotations keep cross-copy
-  * vocabularies disjoint — the gate's own precondition check REFUSED:
-  * 1,837 band buckets ARE shared across copies at ×970, because the
-  * rotation maps letters only and NUMERIC tokens survive it verbatim,
-  * so number-heavy docs can attain minhash minima on shared tokens.
-  * The cross-copy bucket count is kept as a reported diagnostic.)
-  * Driver memory is bounded: the seen-map holds one claimant signature
-  * reference per bucket and survivors are doc_ids.
+  * THE DISCOVERED DIVERGENCE: the original single-face design graded a
+  * 56-day synthetic span (1 s/doc) with 2-day retention against an
+  * EVICTION-BLIND sequential fold, reasoning that cross-copy bucket
+  * sharing couldn't matter. It does: 1,837 band buckets ARE shared
+  * across mirror copies (the letter rotation spares NUMERIC tokens), so
+  * after a shared bucket's ancient claimant is evicted, a NEWER doc
+  * re-claims it, and that doc's time-local near-dups are then dropped
+  * by the stream (correctly, per retention semantics) while the
+  * never-evicting fold kept them — 670 docs, stream-drops only, zero
+  * spurious survivors, exactly the signature of claimant turnover.
+  * Retention is REAL semantics, not just a state bound; a
+  * batch-granular watermark/timer model in the fold would have to pin
+  * engine-internal intra-batch timer ordering, so instead each face
+  * isolates one claim:
   *
-  * Arrival order: ts is re-densified to 1 s per doc in doc_id order
-  * (copy-major), so arrival order == (ts, doc_id) — the fold's order —
-  * and a 1-day watermark delay never drops a row (asserted). Retention
-  * is 2 days: a copy spans ~1.4 h, so no bucket is evicted while its
-  * copy still streams (eviction cannot change survivors — cross-copy
-  * vocab is disjoint — but it BOUNDS state: peak bucket rows ≈ the
-  * ~3-day live horizon ≈ 4M, not the 77.6M total, and the gate asserts
-  * peak < NEARDUP_STATE_CAP).
+  *  - FACE "parity" (default): ts densified to NEARDUP_TS_STEP_MS = 20
+  *    ms/doc ⇒ the whole 4.85M-doc span is ~27 h < the UNCHANGED 2-day
+  *    retention — no timer can fire, the eviction-blind fold is exact,
+  *    and the face grades claim/verify semantics + exactly-once across
+  *    the kill seam against the engine-independent sequential fold
+  *    (driver toLocalIterator over the (ts, doc_id)-sorted frame; the
+  *    seen-map holds one claimant signature per bucket).
+  *  - FACE "selfparity": 1 s/doc (56-day span, 2-day retention ⇒
+  *    eviction is constantly active) — a CLEAN run and a CRASH-INJECTED
+  *    run on fresh checkpoints must produce IDENTICAL survivor
+  *    multisets: batch composition is deterministic (ts-ordered files,
+  *    maxFilesPerTrigger, replay of the uncommitted batch reuses the
+  *    same files), so watermark evolution and timer firings are too,
+  *    and any nondeterminism or crash-seam drift in eviction/replay
+  *    breaks exact equality. State stays horizon-bounded (peak ≈ the
+  *    2-day live bucket set, measured ~85k rows vs 77.6M banded input)
+  *    and the face asserts peak < NEARDUP_STATE_CAP.
+  *
+  * Both faces assert dropped_by_watermark == 0 (arrival order == ts
+  * order by construction, so the 1-day delay never drops a row).
   *
   * Run: NEARDUP_SRC (default target/mirror_docs_x970), NEARDUP_OUT
-  * (default target/neardupscale), NEARDUP_SLICES (default 48),
+  * (default target/neardupscale), NEARDUP_FACE (parity | selfparity),
+  * NEARDUP_SLICES (default 48), NEARDUP_TS_STEP_MS (default by face),
   * NEARDUP_CRASH_FRAC (default 0.5 — kill once that fraction of banded
-  * rows is ingested, restart on the same checkpoint; exactly-once across
-  * the seam is the parity proof). Emits one JSON line.
+  * rows is ingested, restart on the same checkpoint). Emits one JSON
+  * line per run.
   */
 object NeardupStreamScale {
 
@@ -53,6 +67,10 @@ object NeardupStreamScale {
     val slices = sys.env.getOrElse("NEARDUP_SLICES", "48").toInt
     val crashFrac = sys.env.getOrElse("NEARDUP_CRASH_FRAC", "0.5").toDouble
     val stateCap = sys.env.getOrElse("NEARDUP_STATE_CAP", "8000000").toLong
+    val face = sys.env.getOrElse("NEARDUP_FACE", "parity")
+    require(face == "parity" || face == "selfparity", s"unknown NEARDUP_FACE $face")
+    val tsStepMs = sys.env.get("NEARDUP_TS_STEP_MS").map(_.toLong)
+      .getOrElse(if (face == "parity") 20L else 1000L)
     require(crashFrac >= 0 && crashFrac < 1, s"NEARDUP_CRASH_FRAC $crashFrac outside [0, 1)")
 
     val spark = SparkSession.builder().master("local[32]")
@@ -67,18 +85,21 @@ object NeardupStreamScale {
 
     val t0 = System.nanoTime()
 
-    // ---- stage the doc stream: dense 1 s/doc ts in doc_id order --------
+    // ---- stage the doc stream: dense ts in doc_id order ----------------
     // row_number is a one-pass prep-time window; the stream itself never
-    // sees it. Dense ts keeps the synthetic time span physical (56 days)
-    // instead of inheriting the mirror's 1e8-second doc_id stride gaps.
+    // sees it. Dense ts keeps the synthetic time span physical (face
+    // parity: ~27 h at 20 ms/doc, below retention; face selfparity:
+    // 56 days at 1 s/doc, far above it) instead of inheriting the
+    // mirror's 1e8-second doc_id stride gaps.
     val docs = spark.read.parquet(s"$src/documents.parquet")
       .select(col("doc_id"), col("text"))
-      .withColumn("ts", timestamp_seconds(
-        lit(1700000000L) + row_number().over(
-          org.apache.spark.sql.expressions.Window.orderBy("doc_id")).cast("long")))
+      .withColumn("ts", timestamp_millis(
+        lit(1700000000000L) + row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy("doc_id")).cast("long") *
+          lit(tsStepMs)))
     val inputDir = s"$out/input"
     val marker = new java.io.File(s"$inputDir/_GRAFT_NEARDUP_INPUT")
-    val markerContent = s"slices=$slices;src=$src"
+    val markerContent = s"slices=$slices;src=$src;step=$tsStepMs"
     if (!marker.isFile || java.nio.file.Files.readString(marker.toPath) != markerContent) {
       Sources.deleteRecursively(new java.io.File(inputDir))
       docs.repartitionByRange(slices, col("ts"), col("doc_id"))
@@ -91,102 +112,150 @@ object NeardupStreamScale {
       java.nio.file.Files.writeString(marker.toPath, markerContent)
     }
 
-    // ---- engine-independent ground truth --------------------------------
-    // Banded rows via the SAME kernel (normTokens -> minhashBands) the
-    // stream applies — the fold is a SECOND implementation of the claim
-    // semantics, not of the hashing (hash values are pinned by the shared
-    // expression; semantics are what this gate grades).
-    val banded = docs
-      .withColumn("__toks", graft.engine.Dedup.normTokens(col("text")))
-      .withColumn("__mb", graft.functions.GraftExpressions.minhashBands(
-        col("__toks"), graft.engine.Dedup.NumHashes, graft.engine.Dedup.NumBands))
-      .select(col("doc_id"), col("ts"), col("__mb").getField("sig").as("sig"),
-        posexplode(col("__mb").getField("bands")).as(Seq("bi", "bh")))
-      .withColumn("copy", expr(s"doc_id div ${ScaleSmoke.Stride}"))
-      .localCheckpoint()
-
-    // Diagnostic, not precondition: the letter rotation spares numeric
-    // tokens, so some buckets ARE shared across copies (1,837 measured
-    // at x970) — the global fold below handles them exactly.
-    val crossCopyBuckets = banded.groupBy("bi", "bh")
-      .agg(countDistinct(col("copy")).as("nc"))
-      .where(col("nc") > 1).count()
-
-    // The sequential claim-then-verify fold, GLOBAL, streamed through
-    // the driver one doc-row at a time over the sorted frame: buckets
-    // hold the FIRST claimant's signature; drop iff some claimed
-    // bucket's claimant agrees at >= 0.9; every arrival claims its
-    // unclaimed buckets. Mirrors Streams.neardupStream's two stages.
-    val perDoc = banded
-      .groupBy(col("doc_id"), col("ts"))
-      .agg(first(col("sig")).as("sig"), // all 16 band rows carry the same sig
-        collect_list(struct(col("bi"), col("bh"))).as("buckets"))
-      .orderBy(col("ts"), col("doc_id"))
-      .select(col("doc_id"), col("sig"), col("buckets"))
-      .as[(Long, Seq[Long], Seq[(Int, Long)])]
-    val survivors = scala.collection.mutable.ArrayBuffer.empty[Long]
-    val seen = scala.collection.mutable.HashMap.empty[(Int, Long), Seq[Long]]
-    val it = perDoc.toLocalIterator()
-    while (it.hasNext) {
-      val (docId, sig, bs) = it.next()
-      val dup = bs.exists(b => seen.get(b).exists(c => Streams.sigAgreement(c, sig) >= 0.9))
-      bs.foreach(b => if (!seen.contains(b)) seen(b) = sig)
-      if (!dup) survivors += docId
-    }
-    val expected = survivors.toSeq.toDF("doc_id").localCheckpoint()
-    val nExpected = expected.count()
-
-    // ---- the streamed run, with a mid-stream kill -----------------------
-    val outDir = s"$out/survivors"
-    val ckpt = s"$out/ckpt"
-    Seq(outDir, ckpt).foreach(p => Sources.deleteRecursively(new java.io.File(p)))
+    val retentionMs = 2L * 86400 * 1000
+    val nDocs = docs.count()
     val schema = docs.schema
-    def start() = Streams.neardupStream(
+
+    // ---- one streamed run (optionally crash-injected) -------------------
+    def startRun(outDir: String, ckpt: String) = Streams.neardupStream(
         spark.readStream.schema(schema).option("maxFilesPerTrigger", 2)
           .parquet(inputDir).as[Streams.StreamDoc],
-        delay = "1 day", retentionMs = 2L * 86400 * 1000)
+        delay = "1 day", retentionMs = retentionMs)
       .toDF()
       .writeStream.format("parquet")
       .option("path", outDir).option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow()).start()
 
-    val nDocs = docs.count()
-    val crashAtRows = (nDocs * crashFrac).toLong
-    val tracker = new StreamScale.ProgressTracker
-    spark.streams.addListener(tracker)
-    var crashed = false
-    try {
-      if (crashAtRows > 0) {
-        val q1 = start()
-        while (q1.isActive && tracker.rawIngested < crashAtRows) Thread.sleep(500)
-        crashed = q1.isActive
-        q1.stop()
-        tracker.fold(q1.recentProgress.toSeq)
+    /** Runs to completion on fresh out/ckpt dirs; returns (crashed,
+      * peakStateRows, peakStateMemBytes, droppedByWatermark).
+      */
+    def runStream(outDir: String, ckpt: String, crash: Boolean): (Boolean, Long, Long, Long) = {
+      Seq(outDir, ckpt).foreach(p => Sources.deleteRecursively(new java.io.File(p)))
+      val tracker = new StreamScale.ProgressTracker
+      spark.streams.addListener(tracker)
+      var crashed = false
+      try {
+        val crashAtRows = (nDocs * crashFrac).toLong
+        if (crash && crashAtRows > 0) {
+          val q1 = startRun(outDir, ckpt)
+          while (q1.isActive && tracker.rawIngested < crashAtRows) Thread.sleep(500)
+          crashed = q1.isActive
+          q1.stop()
+          tracker.fold(q1.recentProgress.toSeq)
+        }
+        val q = startRun(outDir, ckpt)
+        q.awaitTermination()
+        tracker.fold(q.recentProgress.toSeq)
+      } finally spark.streams.removeListener(tracker)
+      val ps = tracker.progresses
+      (crashed,
+        ps.flatMap(_.stateOperators.map(_.numRowsTotal)).maxOption.getOrElse(0L),
+        ps.flatMap(_.stateOperators.map(_.memoryUsedBytes)).maxOption.getOrElse(0L),
+        ps.flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum)
+    }
+
+    if (face == "parity") {
+      // No timer can fire inside the compressed span, so the
+      // eviction-blind fold below is EXACT — enforced, not assumed.
+      require(nDocs * tsStepMs < retentionMs,
+        s"parity face needs span ${nDocs * tsStepMs} ms < retention $retentionMs ms " +
+          "(shrink NEARDUP_TS_STEP_MS) — otherwise eviction makes the fold wrong " +
+          "(the r17 670-doc divergence)")
+
+      // ---- engine-independent ground truth ------------------------------
+      // Banded rows via the SAME kernel (normTokens -> minhashBands) the
+      // stream applies — the fold is a SECOND implementation of the claim
+      // semantics, not of the hashing (hash values are pinned by the
+      // shared expression; semantics are what this gate grades).
+      val banded = docs
+        .withColumn("__toks", graft.engine.Dedup.normTokens(col("text")))
+        .withColumn("__mb", graft.functions.GraftExpressions.minhashBands(
+          col("__toks"), graft.engine.Dedup.NumHashes, graft.engine.Dedup.NumBands))
+        .select(col("doc_id"), col("ts"), col("__mb").getField("sig").as("sig"),
+          posexplode(col("__mb").getField("bands")).as(Seq("bi", "bh")))
+        .withColumn("copy", expr(s"doc_id div ${ScaleSmoke.Stride}"))
+        .localCheckpoint()
+
+      // Diagnostic: the letter rotation spares numeric tokens, so some
+      // buckets ARE shared across copies (1,837 measured at x970) — the
+      // global fold handles them exactly; under eviction they are the
+      // claimant-turnover mechanism the selfparity face covers.
+      val crossCopyBuckets = banded.groupBy("bi", "bh")
+        .agg(countDistinct(col("copy")).as("nc"))
+        .where(col("nc") > 1).count()
+
+      // The sequential claim-then-verify fold, GLOBAL, streamed through
+      // the driver one doc-row at a time over the sorted frame: buckets
+      // hold the FIRST claimant's signature; drop iff some claimed
+      // bucket's claimant agrees at >= 0.9; every arrival claims its
+      // unclaimed buckets. Mirrors Streams.neardupStream's two stages.
+      val perDoc = banded
+        .groupBy(col("doc_id"), col("ts"))
+        .agg(first(col("sig")).as("sig"), // all 16 band rows carry the same sig
+          collect_list(struct(col("bi"), col("bh"))).as("buckets"))
+        .orderBy(col("ts"), col("doc_id"))
+        .select(col("doc_id"), col("sig"), col("buckets"))
+        .as[(Long, Seq[Long], Seq[(Int, Long)])]
+      val survivors = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val seen = scala.collection.mutable.HashMap.empty[(Int, Long), Seq[Long]]
+      val it = perDoc.toLocalIterator()
+      while (it.hasNext) {
+        val (docId, sig, bs) = it.next()
+        val dup = bs.exists(b => seen.get(b).exists(c => Streams.sigAgreement(c, sig) >= 0.9))
+        bs.foreach(b => if (!seen.contains(b)) seen(b) = sig)
+        if (!dup) survivors += docId
       }
-      val q = start()
-      q.awaitTermination()
-      tracker.fold(q.recentProgress.toSeq)
-    } finally spark.streams.removeListener(tracker)
+      val expected = survivors.toSeq.toDF("doc_id").localCheckpoint()
+      val nExpected = expected.count()
 
-    val progresses = tracker.progresses
-    val peakRows = progresses.flatMap(_.stateOperators.map(_.numRowsTotal)).maxOption.getOrElse(0L)
-    val peakMem = progresses.flatMap(_.stateOperators.map(_.memoryUsedBytes)).maxOption.getOrElse(0L)
-    val dropped = progresses.flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+      val outDir = s"$out/survivors"
+      val (crashed, peakRows, peakMem, dropped) =
+        runStream(outDir, s"$out/ckpt", crash = true)
 
-    val got = spark.read.parquet(outDir).select("doc_id")
-    val onlyS = got.exceptAll(expected).count()
-    val onlyB = expected.exceptAll(got).count()
-    val nGot = got.count()
-    val wall = (System.nanoTime() - t0) / 1e9
-    val parity = onlyS == 0 && onlyB == 0 && nGot == nExpected
-    val stateOk = peakRows < stateCap
-    println(s"""{"gate":"s_neardup_x970","docs":$nDocs,"banded_rows":${nDocs * graft.engine.Dedup.NumBands},""" +
-      s""""crash_injected":$crashed,"survivors_stream":$nGot,"survivors_fold":$nExpected,""" +
-      s""""only_stream":$onlyS,"only_fold":$onlyB,"parity":$parity,""" +
-      s""""cross_copy_buckets":$crossCopyBuckets,"dropped_by_watermark":$dropped,""" +
-      s""""peak_state_rows":$peakRows,"peak_state_mem_mb":${peakMem / 1000000},"state_bounded":$stateOk,""" +
-      s""""wall_sec":${math.round(wall)}}""")
-    spark.stop()
-    if (!parity || dropped != 0 || !stateOk) sys.exit(1)
+      val got = spark.read.parquet(outDir).select("doc_id")
+      val onlyS = got.exceptAll(expected).count()
+      val onlyB = expected.exceptAll(got).count()
+      val nGot = got.count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val parity = onlyS == 0 && onlyB == 0 && nGot == nExpected
+      val stateOk = peakRows < stateCap
+      println(s"""{"gate":"s_neardup_x970_parity","face":"parity","ts_step_ms":$tsStepMs,""" +
+        s""""docs":$nDocs,"banded_rows":${nDocs * graft.engine.Dedup.NumBands},""" +
+        s""""crash_injected":$crashed,"survivors_stream":$nGot,"survivors_fold":$nExpected,""" +
+        s""""only_stream":$onlyS,"only_fold":$onlyB,"parity":$parity,""" +
+        s""""cross_copy_buckets":$crossCopyBuckets,"dropped_by_watermark":$dropped,""" +
+        s""""peak_state_rows":$peakRows,"peak_state_mem_mb":${peakMem / 1000000},"state_bounded":$stateOk,""" +
+        s""""wall_sec":${math.round(wall)}}""")
+      spark.stop()
+      if (!parity || dropped != 0 || !stateOk) sys.exit(1)
+    } else {
+      // ---- selfparity: eviction active; clean vs crash-injected ---------
+      val cleanDir = s"$out/survivors_clean"
+      val crashDir = s"$out/survivors_crash"
+      val (_, peakA, memA, dropA) =
+        runStream(cleanDir, s"$out/ckpt_clean", crash = false)
+      val (crashed, peakB, memB, dropB) =
+        runStream(crashDir, s"$out/ckpt_crash", crash = true)
+
+      val a = spark.read.parquet(cleanDir).select("doc_id")
+      val b = spark.read.parquet(crashDir).select("doc_id")
+      val onlyClean = a.exceptAll(b).count()
+      val onlyCrash = b.exceptAll(a).count()
+      val (nA, nB) = (a.count(), b.count())
+      val wall = (System.nanoTime() - t0) / 1e9
+      val parity = onlyClean == 0 && onlyCrash == 0 && nA == nB
+      val peakRows = math.max(peakA, peakB)
+      val stateOk = peakRows < stateCap
+      println(s"""{"gate":"s_neardup_x970_selfparity","face":"selfparity","ts_step_ms":$tsStepMs,""" +
+        s""""docs":$nDocs,"banded_rows":${nDocs * graft.engine.Dedup.NumBands},""" +
+        s""""crash_injected":$crashed,"survivors_clean":$nA,"survivors_crash":$nB,""" +
+        s""""only_clean":$onlyClean,"only_crash":$onlyCrash,"parity":$parity,""" +
+        s""""dropped_by_watermark":${dropA + dropB},""" +
+        s""""peak_state_rows_clean":$peakA,"peak_state_rows_crash":$peakB,""" +
+        s""""peak_state_mem_mb":${math.max(memA, memB) / 1000000},"state_bounded":$stateOk,""" +
+        s""""wall_sec":${math.round(wall)}}""")
+      spark.stop()
+      if (!parity || !crashed || dropA + dropB != 0 || !stateOk) sys.exit(1)
+    }
   }
 }
