@@ -1223,6 +1223,73 @@ object Containers {
       .orderBy("media_id")
   }
 
+  /** Container-format sniff — the "what is this blob" step every mixed
+    * ingest runs first. Magic-number dispatch: ZIP local header or
+    * empty-archive EOCD, zstd frame, xz stream, lz4 frame, gzip (then a
+    * CONTENT sniff: a gzip whose first member inflates to `WARC/1.0` is
+    * a `.warc.gz` — WARC is not distinguishable at the byte-0 magic
+    * layer), and ustar via the offset-257 magic (tar has no offset-0
+    * magic). Unknown → None.
+    */
+  def detectContainer(b: Array[Byte]): Option[String] = {
+    if (b.length >= 4 && (b(0) & 0xff) == 0x50 && (b(1) & 0xff) == 0x4b &&
+      ((b(2) & 0xff) == 0x03 && (b(3) & 0xff) == 0x04 ||
+        (b(2) & 0xff) == 0x05 && (b(3) & 0xff) == 0x06)) Some("zip")
+    else if (b.length >= 4 && (b(0) & 0xff) == 0x28 && (b(1) & 0xff) == 0xb5 &&
+      (b(2) & 0xff) == 0x2f && (b(3) & 0xff) == 0xfd) Some("zstd")
+    else if (b.length >= 6 && (b(0) & 0xff) == 0xfd && b(1) == '7' && b(2) == 'z' &&
+      b(3) == 'X' && b(4) == 'Z' && b(5) == 0) Some("xz")
+    else if (b.length >= 4 && (b(0) & 0xff) == 0x04 && (b(1) & 0xff) == 0x22 &&
+      (b(2) & 0xff) == 0x4d && (b(3) & 0xff) == 0x18) Some("lz4")
+    else if (b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b) {
+      val isWarc = parseGzipMembersData(b).exists(_.headOption.exists(m =>
+        m.length >= 8 && new String(m, 0, 8, Ascii) == "WARC/1.0"))
+      Some(if (isWarc) "warc" else "gzip")
+    } else if (b.length >= 263 && cstr(b, 257, 6).startsWith("ustar")) Some("tar")
+    else None
+  }
+
+  /** ORACLE-GRADED sniff-and-parse loop over ALL SEVEN container
+    * formats: doc_id picks the format, the matching generator builds a
+    * real payload, [[detectContainer]] must identify it from bytes
+    * alone, and the detected format's REAL parser must accept it.
+    * DuckDB predicts the format label per doc_id; a mis-sniff or a
+    * parser regression breaks the hash.
+    */
+  val qContainerSniff: Q = (s, d) => {
+    import s.implicits._
+    documents(s, d).select(col("doc_id"))
+      .repartition(s.sessionState.conf.numShufflePartitions)
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val payload = (id % 7) match {
+          case 0 => makeGzipDoc(id)
+          case 1 => makeTarDoc(id)
+          case 2 => makeWarcDoc(id)
+          case 3 => makeZipDoc(id)
+          case n =>
+            val codec = n match { case 4 => "zstd"; case 5 => "xz"; case _ => "lz4" }
+            val len = (100 + id % 100).toInt
+            val data = new Array[Byte](len)
+            var j = 0
+            while (j < len) { data(j) = ((id + j) % 256).toByte; j += 1 }
+            codecCompress(codec, data)
+        }
+        val fmt = detectContainer(payload).getOrElse(
+          throw new IllegalStateException(s"doc $id payload failed to sniff"))
+        val parsed = fmt match {
+          case "gzip" => parseGzipMembers(payload).isDefined
+          case "tar" => parseTar(payload).isDefined
+          case "warc" => parseWarcGz(payload).isDefined
+          case "zip" => parseZip(payload).isDefined
+          case c => codecDecompress(c, payload).isDefined
+        }
+        (id, fmt, parsed)
+      })
+      .toDF("media_id", "format", "parse_ok")
+      .orderBy("media_id")
+  }
+
   /** ORACLE-GRADED `graft-warc` CONNECTOR loop — the corpus as a TABLE:
     * the same distributed shard write as [[qContainerShards]], read back
     * through the batch DataSourceV2 connector
@@ -1263,6 +1330,7 @@ object Containers {
     "q_container_zip" -> qContainerZip,
     "q_container_zst" -> qContainerZst,
     "q_container_codecs" -> qContainerCodecs,
+    "q_container_sniff" -> qContainerSniff,
     "q_warc_source" -> qWarcSource
   )
 }

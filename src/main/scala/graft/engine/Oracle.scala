@@ -1174,6 +1174,18 @@ object Oracle {
         'zstd' AS codec
       FROM sz ORDER BY media_id""",
 
+    // Sniff-and-parse loop (Containers.qContainerSniff): doc_id picks
+    // one of the seven container formats, the payload is generated for
+    // real, detectContainer must classify it from bytes alone (warc via
+    // the two-stage gzip+content sniff), and the detected parser must
+    // accept it.
+    "q_container_sniff" -> """
+      SELECT doc_id AS media_id,
+        CASE doc_id % 7 WHEN 0 THEN 'gzip' WHEN 1 THEN 'tar' WHEN 2 THEN 'warc'
+          WHEN 3 THEN 'zip' WHEN 4 THEN 'zstd' WHEN 5 THEN 'xz' ELSE 'lz4' END AS format,
+        TRUE AS parse_ok
+      FROM documents ORDER BY media_id""",
+
     // Multi-codec round trip (Containers.qContainerCodecs): codec =
     // id mod 3 in {zstd, lz4, xz}; L = 300 + id mod 500 bytes of the
     // (doc_id + i) mod 256 run, really compressed and streamed back.

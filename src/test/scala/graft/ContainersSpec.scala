@@ -439,6 +439,21 @@ class ContainersSpec extends AnyFunSuite {
       s"""{"id":1,"seq":0,"text":"$t0"}\n{"id":1,"seq":1,"text":"$t1"}\n""")
   }
 
+  test("detectContainer: magic dispatch across all seven formats; foreign bytes fall out") {
+    assert(detectContainer(makeGzipDoc(4L)).contains("gzip"))
+    assert(detectContainer(makeTarDoc(3L)).contains("tar"))
+    assert(detectContainer(makeWarcDoc(2L)).contains("warc")) // two-stage sniff
+    assert(detectContainer(makeZipDoc(1L)).contains("zip"))
+    assert(detectContainer(codecCompress("zstd", ascii("abc"))).contains("zstd"))
+    assert(detectContainer(codecCompress("xz", ascii("abc"))).contains("xz"))
+    assert(detectContainer(codecCompress("lz4", ascii("abc"))).contains("lz4"))
+    // A gzip whose member is NOT a WARC record stays "gzip".
+    assert(detectContainer(gzipMember(ascii("WARC/0.9 nope"))).contains("gzip"))
+    assert(detectContainer(Array.emptyByteArray).isEmpty)
+    assert(detectContainer(ascii("plain text, no container")).isEmpty)
+    assert(detectContainer(new Array[Byte](600)).isEmpty) // zeros: no ustar magic
+  }
+
   test("makeWarcDoc inflates through the JDK and holds one WARC/1.0 per member") {
     val doc = makeWarcDoc(12L) // even id → warcinfo + 1 + 12%3 = 1 response... r = 1 + 12%3 = 1
     val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(doc))
