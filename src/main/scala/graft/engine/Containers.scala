@@ -73,12 +73,18 @@ object Containers {
   /** The ONE member walk both public faces derive from (review finding
     * r17 third session: two parallel copies of the strict RFC 1952 walk
     * would silently diverge under future fixes). Returns each member's
-    * inflated bytes + FNAME, or None on any violation.
+    * inflated bytes + FNAME, or None on any violation. Total inflated
+    * output is capped at [[ZipUsizeCap]] (decompression-bomb discipline,
+    * same as the ZIP walk — review finding r17 fourth session), and
+    * `maxMembers` lets a sniffer stop after the first member instead of
+    * inflating a whole archive to read 8 bytes.
     */
-  private def walkGzipMembers(b: Array[Byte]): Option[Seq[(Array[Byte], Option[String])]] = {
+  private def walkGzipMembers(b: Array[Byte],
+      maxMembers: Int = Int.MaxValue): Option[Seq[(Array[Byte], Option[String])]] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[(Array[Byte], Option[String])]
+    var total = 0L
     var o = 0
-    while (o < b.length) {
+    while (o < b.length && out.length < maxMembers) {
       if (o + 10 > b.length) return None
       if ((b(o) & 0xff) != 0x1f || (b(o + 1) & 0xff) != 0x8b ||
         (b(o + 2) & 0xff) != 8) return None
@@ -125,7 +131,10 @@ object Containers {
             // A raw-deflate stream that exhausts input without BFINAL is
             // truncated; needsDictionary cannot legally occur in gzip.
             if (inf.needsInput() || inf.needsDictionary()) return None
-          } else acc.write(buf, 0, n)
+          } else {
+            acc.write(buf, 0, n)
+            if (total + acc.size() > ZipUsizeCap) return None // bomb cap
+          }
         }
         val data = acc.toByteArray
         val trailerAt = p + inf.getBytesRead.toInt
@@ -135,6 +144,7 @@ object Containers {
         if (le32u(b, trailerAt) != crc.getValue) return None
         if (le32u(b, trailerAt + 4) != (data.length.toLong & 0xffffffffL)) return None
         out += ((data, fname))
+        total += data.length
         o = trailerAt + 8
       } finally inf.end()
     }
@@ -656,7 +666,11 @@ object Containers {
       .empty[(String, Int, Int, Long, Long, Long, Long)] // name, flags, method, crc, csize, usize, localOff
     var k = 0
     while (k < n) {
-      if (p + 46 > e) return None
+      // Long arithmetic for every CD bound: p near Int.MaxValue plus
+      // three 16-bit field lengths wraps negative in Int and the guard
+      // would wrongly pass, then throw — the tar 2 GB bug class (review
+      // finding r17 fourth session).
+      if (p.toLong + 46L > e) return None
       if (le32u(b, p) != 0x02014b50L) return None
       val flags = le16(b, p + 8)
       if ((flags & 1) != 0) return None // encrypted
@@ -672,7 +686,7 @@ object Containers {
       if (le16(b, p + 34) != 0) return None // disk-number start
       val localOff = le32u(b, p + 42)
       if (localOff == 0xffffffffL) return None
-      if (p + 46 + nameLen + extraLen + commentLen > e) return None
+      if (p.toLong + 46L + nameLen + extraLen + commentLen > e) return None
       val name = new String(b, p + 46, nameLen,
         java.nio.charset.StandardCharsets.UTF_8)
       declaredTotal += usize
@@ -1034,19 +1048,27 @@ object Containers {
     * the binaryFile loop and the `graft-warc` connector key. See
     * [[qContainerShards]] for the local-FS caveat.
     */
+  /** One shard's bytes: the docs' `.warc.gz` payloads concatenated in
+    * ascending doc_id order (member concatenation is valid gzip). The
+    * ONE shard layout the graded keys and their specs all build from.
+    */
+  def warcShardBytes(ids: Seq[Long]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    ids.sorted.foreach { id =>
+      val b = makeWarcDoc(id)
+      out.write(b, 0, b.length)
+    }
+    out.toByteArray
+  }
+
   def writeWarcShards(s: SparkSession, d: String, dir: String): Unit = {
     import s.implicits._
     val ids = documents(s, d).select(col("doc_id")).as[Long]
     ids.groupByKey(_ % 64)
       .mapGroups { (shard, it) =>
-        val sorted = it.toArray.sorted // deterministic member order per shard
-        val out = new java.io.ByteArrayOutputStream()
-        sorted.foreach { id =>
-          val b = makeWarcDoc(id)
-          out.write(b, 0, b.length)
-        }
         java.nio.file.Files.write(
-          new java.io.File(dir, f"shard-$shard%03d.warc.gz").toPath, out.toByteArray)
+          new java.io.File(dir, f"shard-$shard%03d.warc.gz").toPath,
+          warcShardBytes(it.toSeq))
         shard
       }
       .count() // force the distributed shard write before any scan
@@ -1242,8 +1264,12 @@ object Containers {
     else if (b.length >= 4 && (b(0) & 0xff) == 0x04 && (b(1) & 0xff) == 0x22 &&
       (b(2) & 0xff) == 0x4d && (b(3) & 0xff) == 0x18) Some("lz4")
     else if (b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b) {
-      val isWarc = parseGzipMembersData(b).exists(_.headOption.exists(m =>
-        m.length >= 8 && new String(m, 0, 8, Ascii) == "WARC/1.0"))
+      // FIRST member only (maxMembers = 1): the sniff must not inflate
+      // a multi-GB archive — or depend on its later members — to read
+      // 8 bytes (review finding r17 fourth session).
+      val isWarc = walkGzipMembers(b, maxMembers = 1).exists(_.headOption.exists {
+        case (m, _) => m.length >= 8 && new String(m, 0, 8, Ascii) == "WARC/1.0"
+      })
       Some(if (isWarc) "warc" else "gzip")
     } else if (b.length >= 263 && cstr(b, 257, 6).startsWith("ustar")) Some("tar")
     else None

@@ -249,7 +249,6 @@ class WarcPartitionReader(file: String, required: StructType,
     new PushbackInputStream(new BufferedInputStream(fs.open(p), 1 << 16), 1 << 13)
   }
   private val pathUtf8 = UTF8String.fromString(file)
-  private val wantBody = required.fieldNames.contains("body")
   private var memberIndex = -1
   private var row: InternalRow = _
 
@@ -269,7 +268,9 @@ class WarcPartitionReader(file: String, required: StructType,
           case "warc_type" => UTF8String.fromString(span.warcType)
           case "content_length" => span.contentLength
           case "body" =>
-            if (!wantBody || span.bodyOff < 0) null
+            // Only reachable when "body" survived pruning — the map is
+            // over the PRUNED field list, which is what skips the copy.
+            if (span.bodyOff < 0) null
             else java.util.Arrays.copyOfRange(member, span.bodyOff,
               span.bodyOff + span.bodyLen)
           case other => throw new IllegalStateException(s"unknown column $other")

@@ -439,6 +439,22 @@ class ContainersSpec extends AnyFunSuite {
       s"""{"id":1,"seq":0,"text":"$t0"}\n{"id":1,"seq":1,"text":"$t1"}\n""")
   }
 
+  test("gzip decompression bomb is rejected at the cap, not inflated to completion") {
+    // ~280 MiB of zeros deflates to ~280 KB; the walk must stop at
+    // ZipUsizeCap instead of materializing the whole raster.
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    val chunk = new Array[Byte](1 << 20)
+    (0 until 280).foreach(_ => gz.write(chunk))
+    gz.close()
+    val bomb = bos.toByteArray
+    assert(bomb.length < (1 << 20)) // really a bomb, not a big file
+    assert(parseGzipMembers(bomb).isEmpty)
+    // The sniff stays bounded too: the capped first-member walk refuses,
+    // so the blob classifies by magic alone as plain gzip — no OOM.
+    assert(detectContainer(bomb).contains("gzip"))
+  }
+
   test("detectContainer: magic dispatch across all seven formats; foreign bytes fall out") {
     assert(detectContainer(makeGzipDoc(4L)).contains("gzip"))
     assert(detectContainer(makeTarDoc(3L)).contains("tar"))

@@ -18,25 +18,15 @@ import graft.engine.Containers
 class ShardIngestStreamSpec extends AnyFunSuite {
   private lazy val spark = Streams.sessionConf(TestSpark.spark)
 
-  private def writeShard(dir: java.io.File, shard: Int, ids: Seq[Long]): Unit = {
-    val out = new java.io.ByteArrayOutputStream()
-    ids.foreach { id =>
-      val b = Containers.makeWarcDoc(id)
-      out.write(b, 0, b.length)
-    }
+  private def writeShard(dir: java.io.File, shard: Int, ids: Seq[Long]): Unit =
     java.nio.file.Files.write(
-      new java.io.File(dir, f"shard-$shard%03d.warc.gz").toPath, out.toByteArray)
-  }
+      new java.io.File(dir, f"shard-$shard%03d.warc.gz").toPath,
+      Containers.warcShardBytes(ids)) // the production shard layout
 
   private def expectedRows(byShard: Map[Int, Seq[Long]]): Seq[(Long, Int, String, Long, Long)] =
     byShard.toSeq.flatMap { case (shard, ids) =>
-      val out = new java.io.ByteArrayOutputStream()
-      ids.foreach { id =>
-        val b = Containers.makeWarcDoc(id)
-        out.write(b, 0, b.length)
-      }
-      Containers.parseWarcGz(out.toByteArray).get.zipWithIndex.map { case (r, i) =>
-        (shard.toLong, i, r.warcType, r.bodyLen, r.bodySum)
+      Containers.parseWarcGz(Containers.warcShardBytes(ids)).get.zipWithIndex.map {
+        case (r, i) => (shard.toLong, i, r.warcType, r.bodyLen, r.bodySum)
       }
     }
 

@@ -15,14 +15,10 @@ class WarcSourceSpec extends AnyFunSuite {
   private lazy val spark = Streams.sessionConf(TestSpark.spark)
 
   private def writeShard(dir: java.io.File, shard: Int, ids: Seq[Long]): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream()
-    ids.foreach { id =>
-      val b = Containers.makeWarcDoc(id)
-      out.write(b, 0, b.length)
-    }
+    val bytes = Containers.warcShardBytes(ids) // the production shard layout
     java.nio.file.Files.write(
-      new java.io.File(dir, f"shard-$shard%03d.warc.gz").toPath, out.toByteArray)
-    out.toByteArray
+      new java.io.File(dir, f"shard-$shard%03d.warc.gz").toPath, bytes)
+    bytes
   }
 
   test("oracle Content-Length constants match the writer through the parser") {
