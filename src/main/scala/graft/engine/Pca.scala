@@ -39,37 +39,70 @@ object Pca {
 
   private def vec(c: Column): Column = transform(c, x => x.cast("double"))
 
-  /** Upper-triangle sample covariance, 1-based (i ≤ j): one in-row pair
-    * expansion + one (i, j)-keyed aggregate; Σx arrives from a 64-row
-    * broadcast side. cov = (Σxy − Σx·Σy/n) / (n−1), mirrored literally
-    * in the oracle.
-    */
-  def covarianceFrame(embs: DataFrame): DataFrame = {
-    val (xy, sums) = moments(embs)
-    finalize(xy, sums)
+  // -------------------------------------------- single-pass moment kernel
+  // (r17 optimization) The covariance accumulation used to expand each row
+  // in-row to its 2080 (i, j, x·y) structs and push rows × 2080 through a
+  // HashAggregate; the CovMomentsAgg fold produces the same 2145 sums in
+  // one tight per-row loop with a single buffer row per partition crossing
+  // the exchange (guide §2.3: aggregate before you shuffle / shuffle fewer
+  // bytes). Plan shape: 4 stages + 2 exchanges → 2 stages + 1 exchange,
+  // and the per-row work drops from 2080 struct allocations + hash probes
+  // to 2080 multiply-adds. Values land on the same 6-decimal rounding
+  // grid (fold-order float drift ~1e-13, documented in finalize).
+  private val MomentPairs = Dim * (Dim + 1) / 2
+
+  private lazy val covMomentsUdaf =
+    org.apache.spark.sql.functions.udaf(new graft.functions.CovMomentsAgg(Dim))
+
+  /** 0-based (i, j) lookup tables for the flat upper-triangle index. */
+  private lazy val (momI, momJ): (Seq[Int], Seq[Int]) = {
+    val is = new Array[Int](MomentPairs); val js = new Array[Int](MomentPairs)
+    var t = 0
+    for (i <- 0 until Dim; j <- i until Dim) { is(t) = i; js(t) = j; t += 1 }
+    (is.toSeq, js.toSeq)
   }
+
+  /** ONE-row frame holding the flat moment array (Σxy upper-tri, Σx, n) —
+    * the ADDITIVE state behind the covariance: disjoint batches merge by
+    * element-wise addition, so incremental maintenance is an array merge,
+    * never a corpus recompute — how a 100 TB covariance stays fresh under
+    * ingest (the delta key grades exactly that algebra).
+    */
+  private[graft] def momentArray(embs: DataFrame): DataFrame =
+    embs.select(vec(col("embedding")).as("v"))
+      .agg(covMomentsUdaf(col("v")).as("m"))
+
+  /** (i, j, cov) from a flat moment array — all three inputs of
+    * cov = (Σxy − Σx·Σy/n) / (n−1) come out of the SAME array row, so no
+    * join/broadcast is needed (the old moments split re-attached Σx via
+    * two broadcast joins). Rounding identical to the previous finalize:
+    * 6 decimals, −0.0 folded to +0.0.
+    */
+  private def covFromArray(mom: DataFrame): DataFrame = {
+    val iLit = typedLit(momI); val jLit = typedLit(momJ)
+    mom.select(col("m"),
+        posexplode(slice(col("m"), 1, MomentPairs)).as(Seq("t", "sxy")))
+      .select(
+        (element_at(iLit, col("t") + 1) + 1).cast("long").as("i"),
+        (element_at(jLit, col("t") + 1) + 1).cast("long").as("j"),
+        col("sxy"),
+        element_at(col("m"), element_at(iLit, col("t") + 1) + MomentPairs + 1).as("sxi"),
+        element_at(col("m"), element_at(jLit, col("t") + 1) + MomentPairs + 1).as("sxj"),
+        element_at(col("m"), MomentPairs + Dim + 1).as("n"))
+      .select(col("i"), col("j"),
+        (round((col("sxy") - col("sxi") * col("sxj") / col("n")) / (col("n") - 1), 6)
+          + lit(0.0)).as("cov"))
+  }
+
+  /** Upper-triangle sample covariance, 1-based (i ≤ j): one single-pass
+    * moment fold, cov derived in-row from the flat array. cov =
+    * (Σxy − Σx·Σy/n) / (n−1), mirrored literally in the oracle.
+    */
+  def covarianceFrame(embs: DataFrame): DataFrame =
+    covFromArray(momentArray(embs))
 
   val qPcaCovariance: Q = (s, d) =>
     covarianceFrame(Tables.embeddings(s, d)).orderBy("i", "j")
-
-  /** Raw moment frames (Σxy per pair, Σx + n per dim) — the ADDITIVE
-    * state behind the covariance: disjoint batches sum, so incremental
-    * maintenance is a moment-frame merge, never a corpus recompute —
-    * how a 100 TB covariance actually stays fresh under ingest.
-    */
-  private[graft] def moments(embs: DataFrame): (DataFrame, DataFrame) = {
-    val e = embs.select(vec(col("embedding")).as("v"))
-    val sums = e.select(posexplode(col("v")).as(Seq("i0", "x")))
-      .groupBy((col("i0") + 1).as("i"))
-      .agg(sum(col("x")).as("sx"), count(lit(1)).cast("double").as("n"))
-    val xy = e.select(explode(expr(
-      """filter(flatten(transform(v, (x, i) -> transform(v, (y, j) ->
-         struct(i + 1 AS i, j + 1 AS j, x * y AS xy)))), s -> s.i <= s.j)"""))
-      .as("s"))
-      .groupBy(col("s.i").as("i"), col("s.j").as("j"))
-      .agg(sum(col("s.xy")).as("sxy"))
-    (xy, sums)
-  }
 
   /** The moment frames as ONE keyed table — the shape streaming state
     * can hold: (i, j, m) with pair moments at 1 ≤ i ≤ j (m = Σx·y),
@@ -119,9 +152,12 @@ object Pca {
         (round((col("sxy") - col("sxi") * col("sxj") / col("n")) / (col("n") - 1), 6)
           + lit(0.0)).as("cov"))
 
-  /** Graded structural identity: 7/8 snapshot + 1/8 delta moment frames,
-    * sum-merged, finalized — SAME oracle string as q_pca_covariance, so
-    * the merge algebra is hash-gated against the from-scratch frame.
+  /** Graded structural identity: 7/8 snapshot + 1/8 delta moment arrays,
+    * element-wise sum-merged, finalized — SAME oracle string as
+    * q_pca_covariance, so the merge algebra is hash-gated against the
+    * from-scratch frame. (r17: the merge is now a zip_with over the two
+    * one-row moment arrays instead of a union + re-aggregation of the
+    * exploded frames — same additive algebra, two fewer shuffles.)
     *
     * Exact-identity caveat made safe by construction: a float sum over
     * a different grouping order could drift past the rounding grid, so
@@ -130,13 +166,12 @@ object Pca {
     */
   val qPcaCovDelta: Q = (s, d) => {
     val embs = Tables.embeddings(s, d)
-    val (xyA, sumsA) = moments(embs.where(col("vec_id") % 8 =!= 0))
-    val (xyB, sumsB) = moments(embs.where(col("vec_id") % 8 === 0))
-    val xy = xyA.unionByName(xyB).groupBy(col("i"), col("j"))
-      .agg(sum(col("sxy")).as("sxy"))
-    val sums = sumsA.unionByName(sumsB).groupBy(col("i"))
-      .agg(sum(col("sx")).as("sx"), sum(col("n")).as("n"))
-    finalize(xy, sums).orderBy("i", "j")
+    val momA = momentArray(embs.where(col("vec_id") % 8 =!= 0))
+    val momB = momentArray(embs.where(col("vec_id") % 8 === 0))
+      .withColumnRenamed("m", "mb")
+    val merged = momA.crossJoin(momB)
+      .select(zip_with(col("m"), col("mb"), (a, b) => a + b).as("m"))
+    covFromArray(merged).orderBy("i", "j")
   }
 
   /** Deterministic cyclic Jacobi eigendecomposition of a symmetric
@@ -207,40 +242,20 @@ object Pca {
   private[graft] def fitModel(embs: DataFrame): (Array[Double], Array[Double], Array[Array[Double]]) = {
     val cov = Array.ofDim[Double](Dim, Dim)
     // Unrounded covariance for the model fit (the graded frame rounds
-    // for hash stability; the eigensolver wants full precision).
-    val e = embs.select(vec(col("embedding")).as("v"))
-    val sums = e.select(posexplode(col("v")).as(Seq("i", "x")))
-      .groupBy(col("i")).agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
-      .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getLong(2))).toMap
-    val n = sums(0)._2.toDouble
-    val means = Array.tabulate(Dim)(i => sums(i)._1 / n)
-    e.select(explode(expr(
-      """filter(flatten(transform(v, (x, i) -> transform(v, (y, j) ->
-         struct(i AS i, j AS j, x * y AS xy)))), s -> s.i <= s.j)""")).as("s"))
-      .groupBy(col("s.i").as("i"), col("s.j").as("j"))
-      .agg(sum(col("s.xy")).as("sxy"))
-      .collect().foreach { r =>
-        val (i, j) = (r.getInt(0), r.getInt(1))
-        val c = (r.getDouble(2) - n * means(i) * means(j)) / (n - 1)
-        cov(i)(j) = c; cov(j)(i) = c
-      }
+    // for hash stability; the eigensolver wants full precision). ONE
+    // single-pass moment collect (2145 doubles — bounded model state)
+    // instead of the former two collect jobs over exploded frames.
+    val m = momentArray(embs).head().getSeq[Double](0)
+    val n = m(MomentPairs + Dim)
+    val means = Array.tabulate(Dim)(i => m(MomentPairs + i) / n)
+    var t = 0
+    for (i <- 0 until Dim; j <- i until Dim) {
+      val c = (m(t) - n * means(i) * means(j)) / (n - 1)
+      cov(i)(j) = c; cov(j)(i) = c
+      t += 1
+    }
     val (values, vectors) = jacobiEigSym(cov)
     (means, values, vectors)
-  }
-
-  private def basisFrame(s: SparkSession, vectors: Array[Array[Double]],
-      k: Int): DataFrame = {
-    import scala.jdk.CollectionConverters._
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("comp",
-        org.apache.spark.sql.types.LongType, false),
-      org.apache.spark.sql.types.StructField("bv",
-        org.apache.spark.sql.types.ArrayType(
-          org.apache.spark.sql.types.DoubleType, false), false)))
-    val rows = vectors.take(k).zipWithIndex.map { case (b, i) =>
-      Row(i.toLong, b.toSeq)
-    }
-    s.createDataFrame(rows.toSeq.asJava, schema)
   }
 
   /** Top-k principal coordinates of every (mean-centered) vector, long
@@ -252,11 +267,18 @@ object Pca {
     val embs = Tables.embeddings(s, d)
     val (means, _, vectors) = fitModel(embs)
     val mu = typedLit(means.toSeq)
+    // (r17) The k×64 basis folds into the projection as a LITERAL array
+    // of arrays — one map-only posexplode instead of the former
+    // broadcast-cross-join against a 8-row basis frame (same rows, same
+    // rounding; comp ≡ explode position). Still bounded model state:
+    // the basis is k×dim driver data either way.
+    val basis = typedLit(vectors.take(TopK).map(_.toSeq).toSeq)
     embs.select(col("vec_id"),
         zip_with(vec(col("embedding")), mu, (x, m) => x - m).as("v"))
-      .crossJoin(broadcast(basisFrame(s, vectors, TopK)))
-      .select(col("vec_id"), col("comp"),
-        round(dotProduct(col("v"), col("bv")), 6).as("coord"))
+      .select(col("vec_id"),
+        posexplode(transform(basis, bv => round(dotProduct(col("v"), bv), 6)))
+          .as(Seq("comp", "coord")))
+      .select(col("vec_id"), col("comp").cast("long").as("comp"), col("coord"))
       .orderBy("vec_id", "comp")
   }
 
@@ -270,10 +292,16 @@ object Pca {
     val embs = Tables.embeddings(s, d)
     val (_, _, vectors) = fitModel(embs)
     embs.select(col("vec_id"), vec(col("embedding")).as("v"))
-      .crossJoin(broadcast(basisFrame(s, vectors, Dim)))
-      .select(col("vec_id"), dotProduct(col("v"), col("bv")).as("c"))
-      .groupBy(col("vec_id"))
-      .agg(round(sum(col("c") * col("c")), 6).as("norm2"))
+      .select(col("vec_id"),
+        // (r17) Σ_comp (v·b_comp)² as an in-row fold over the LITERAL
+        // 64×64 basis — map-only, replacing the 64× cross-join fan-out +
+        // groupBy shuffle (the fold visits components 0..63 in the same
+        // order the grouped sum consumed them, so the rounded value is
+        // unchanged).
+        round(aggregate(
+          transform(typedLit(vectors.take(Dim).map(_.toSeq).toSeq),
+            bv => dotProduct(col("v"), bv)),
+          lit(0.0), (acc, c) => acc + c * c), 6).as("norm2"))
       .orderBy("vec_id")
   }
 
