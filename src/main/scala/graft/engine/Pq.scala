@@ -75,10 +75,23 @@ object Pq {
     */
   def train(embs: DataFrame, dim: Int, m: Int, ksub: Int = 256,
       iters: Int = 3, sampleFraction: Double = 1.0): PqModel = {
+    val base = embs.select(col("vec_id"), vec(col("embedding")).as("v"))
+    // (r17) sampleFraction = 1.0 keeps every row — skip the filter.
+    val staged = if (sampleFraction >= 1.0) base
+      else base.where(pmod(xxhash64(col("vec_id")), lit(10000)) <
+        lit((sampleFraction * 10000).toLong))
+    trainOn(staged.localCheckpoint(), dim, m, ksub, iters)
+  }
+
+  /** [[train]] over a PRE-STAGED (vec_id, v: array<double>) corpus that is
+    * already cheap to re-scan (checkpointed, or a map-only view over a
+    * checkpoint) — the r17 reuse point that lets qAnnIvfPq feed the SAME
+    * residual frame to training and encoding without materializing it
+    * twice.
+    */
+  private[graft] def trainOn(corpus: DataFrame, dim: Int, m: Int,
+      ksub: Int, iters: Int): PqModel = {
     val subDim = dim / m
-    val corpus = embs.select(col("vec_id"), vec(col("embedding")).as("v"))
-      .where(pmod(xxhash64(col("vec_id")), lit(10000)) < lit((sampleFraction * 10000).toLong))
-      .localCheckpoint() // scanned once per Lloyd iteration
     val seeds = corpus.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(ksub)
       .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
     require(seeds.length == ksub, s"need >= $ksub training vectors, got ${seeds.length}")
@@ -349,10 +362,40 @@ object Pq {
     val corpus = plantedCorpus(s, d)
     val k = 8
     val centroids = Ivf.train(corpus, k = k, iters = 3)
-    val cells = Ivf.assign(corpus, centroids).localCheckpoint()
-    val model = trainResiduals(corpus, cells, centroids, dim = 64, m = 8, ksub = 16, iters = 2)
-    val codes = encodeResiduals(corpus, cells, centroids, model).localCheckpoint()
+    // (r17) ONE residual definition feeds BOTH codebook training and
+    // encoding. The old path materialized the (vec_id, cell) assignment,
+    // then rebuilt the residual frame TWICE (train + encode), each time
+    // re-attaching vectors through a vec_id shuffle join + a broadcast
+    // centroid join. `residualIndex` computes cell + residual in one
+    // map-only projection (assignment is a pure function of the literal
+    // k×dim model state), and the single checkpointed frame is scanned
+    // by every Lloyd iteration and the encode pass. Same cells, same
+    // residual doubles, same model — 3 materializations/2 joins → 1/0.
+    val res = residualIndex(corpus, centroids).localCheckpoint()
+    val model = trainOn(res.select(col("vec_id"), col("v")),
+      dim = 64, m = 8, ksub = 16, iters = 2)
+    // The persisted IVF-PQ index (vec_id, cell, codes) — a map-only
+    // projection over the checkpointed residual frame.
+    val codes = res.select(col("vec_id"), col("cell"),
+      codesCol(col("v"), model.codebooks, model.subDim).as("codes"))
     searchIvfPq(corpus, centroids, model, codes, queryVecId = 7L, nprobe = 2, topK = 15)
+  }
+
+  /** (vec_id, cell, v = embedding − centroid(cell)) in ONE map-only
+    * projection: the cell is the codegen'd argmin over the collected
+    * k×dim centroid matrix (exactly [[Ivf.assign]]'s kernel) and the
+    * centroid subtraction looks the literal matrix up by cell — no
+    * join, no shuffle, at any corpus size.
+    */
+  private[graft] def residualIndex(embs: DataFrame, centroids: DataFrame): DataFrame = {
+    val cents = Ivf.collectCentroids(centroids)
+    val centsLit = typedLit(cents.map(_.toSeq).toSeq)
+    embs.select(col("vec_id"), vec(col("embedding")).as("v0"))
+      .select(col("vec_id"), col("v0"),
+        graft.functions.GraftExpressions.nearestCell(col("v0"), cents).as("cell"))
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("v0"), element_at(centsLit, col("cell") + 1),
+          (x, c) => x - c).as("v"))
   }
 
   val queries: Map[String, Q] = Map(
