@@ -603,14 +603,25 @@ object Dedup {
     * the intersection with the native merge kernel, keep rounded J ≥ τ.
     */
   private def confirmJaccard(pairs: DataFrame, dictA: DataFrame, dictB: DataFrame,
-      setCol: String, threshold: Double, shape: LshShape): DataFrame =
+      setCol: String, threshold: Double, shape: LshShape,
+      ordered: Boolean = true): DataFrame =
     attachPairSides(pairs, dictA, dictB, "doc_id", shape)
-      .withColumn("inter", intersectSize(col(s"${setCol}_a"), col(s"${setCol}_b"), barrier = true))
+      // (r17) Bounded merge kernel: candidates that cannot reach the
+      // rounded threshold stop scanning early (−1 fails the filter
+      // exactly as their true count would — soundness proof at
+      // GraftOps.intersectSizeBounded). Most ≥τ candidates fail confirm,
+      // so the kernel's work drops to ~the mismatch-detection prefix.
+      .withColumn("inter", graft.functions.GraftExpressions.intersectSizeBounded(
+        col(s"${setCol}_a"), col(s"${setCol}_b"), threshold, barrier = true))
       .withColumn("jaccard", round(col("inter").cast("double") /
         (col("__ns_a") + col("__ns_b") - col("inter")).cast("double"), 6))
       .where(col("jaccard") >= threshold)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("jaccard"))
-      .orderBy("doc_a", "doc_b")
+      // (r17) ordered = false for INTERNAL consumers (components /
+      // resolve / triangle edges): they immediately re-shuffle, so the
+      // graded keys' global range-sort of the pair stream was pure waste
+      // inside their materialization jobs. Graded pair outputs keep it.
+      .transform(df => if (ordered) df.orderBy("doc_a", "doc_b") else df)
 
   private def jaccardDict(sigs: DataFrame, setCol: String): DataFrame =
     sigs.select(col("doc_id"), col(setCol), size(col(setCol)).as("__ns"))
@@ -627,7 +638,7 @@ object Dedup {
     */
   private[graft] def lshNearDupPairs(sigsIn: DataFrame, setCol: String,
       tauNum: Int, tauDen: Int, threshold: Double, shapeIn: LshShape,
-      blockCols: Seq[String] = Nil): DataFrame = {
+      blockCols: Seq[String] = Nil, ordered: Boolean = true): DataFrame = {
     // Degenerate-row guard (this family's NaN fail-open hazard): empty
     // sets are excluded up front — J(∅, ∅) = 0/0 is NaN, which Spark's
     // NaN-is-greatest ordering would pass through a `>= τ` filter as a
@@ -639,7 +650,7 @@ object Dedup {
     val pairs = bandedCandidates(sigs, "doc_id", "bands", shape, blockCols,
       sizePrune = Some((size(col(setCol)), tauNum, tauDen)))
     val dict = jaccardDict(sigs, setCol)
-    confirmJaccard(pairs, dict, dict, setCol, threshold, shape)
+    confirmJaccard(pairs, dict, dict, setCol, threshold, shape, ordered)
   }
 
   /** Cross-corpus banded candidates: every (new, corpus) id pair sharing
@@ -1145,10 +1156,16 @@ object Dedup {
     def persistRound(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     // Undirected edge list, both directions — so every doc appears as
-    // `src`, which is what lets the joins below be inner joins.
+    // `src`, which is what lets the joins below be inner joins. (r17)
+    // Emitted via ONE explode rather than a two-branch union: the union
+    // form evaluated the whole upstream pair pipeline (candidate join +
+    // confirm kernel) TWICE inside the materialization job — measured
+    // 3.5 s vs 1.9 s for a single pass at sf0.1.
     val edges = persistRound(
-      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+      pairs.select(explode(array(
+          struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+          struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst")))
     // Fused round 0: against identity labels the first propagation is just
     // min(self, direct neighbors) — one aggregation over edges instead of
     // a full join round (labels stay ids of member docs: every neighbor
@@ -1206,7 +1223,7 @@ object Dedup {
     */
   val qNeardupComponents: Q = (s, d) =>
     nearDupComponents(
-      lshNearDupPairs(minhashBands(s, d), "toks", 9, 10, 0.9, Auto())
+      lshNearDupPairs(minhashBands(s, d), "toks", 9, 10, 0.9, Auto(), ordered = false)
         .select(col("doc_a"), col("doc_b")))
       .orderBy("doc_id")
 
@@ -1230,7 +1247,7 @@ object Dedup {
     resolveToCanonical(
       documents(s, d).select(col("doc_id")),
       nearDupComponents(
-        lshNearDupPairs(minhashBands(s, d), "toks", 9, 10, 0.9, Auto())
+        lshNearDupPairs(minhashBands(s, d), "toks", 9, 10, 0.9, Auto(), ordered = false)
           .select(col("doc_a"), col("doc_b"))))
       .orderBy("canonical")
 

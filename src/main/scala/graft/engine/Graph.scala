@@ -215,7 +215,7 @@ object Graph {
     */
   val qGraphTriangles: Q = (s, d) => {
     val edges = Dedup.lshNearDupPairs(Dedup.minhashBands(s, d), "toks",
-        97, 100, TriangleTau, Dedup.Broadcast)
+        97, 100, TriangleTau, Dedup.Broadcast, ordered = false)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
     triangleCountsDegreeOriented(edges)
       .orderBy(desc("n_triangles"), col("doc_id"))

@@ -60,6 +60,15 @@ object GraftExpressions {
     ExpressionUtils.column(ArrayIntersectSize(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b), barrier))
 
+  /** [[intersectSize]] with the lossless early exit for a downstream
+    * `round(inter/union, 6) >= threshold` filter — −1 (rejected by any
+    * such filter) once the threshold is provably unreachable.
+    */
+  def intersectSizeBounded(a: Column, b: Column, threshold: Double,
+      barrier: Boolean = false): Column =
+    ExpressionUtils.column(ArrayIntersectSizeBounded(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b), threshold, barrier))
+
   /** One-pass MinHash: struct(sig: array<long>, bands: array<long>) from a
     * token array — numHashes hash functions, banded into numBands buckets.
     */
@@ -153,6 +162,37 @@ object GraftOps {
     var j = 0
     var c = 0
     while (i < nx && j < ny) {
+      val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  /** [[intersectSize]] with a LOSSLESS early exit for a downstream
+    * `round(inter/(union), 6) >= threshold` Jaccard filter (r17): once
+    * the best still-reachable count `c + min(remaining)` falls below the
+    * smallest count that could pass the (rounding-slack-relaxed)
+    * threshold, the merge bails with −1 — a value every such filter
+    * rejects, exactly as the true count would have been rejected.
+    * Soundness: a pair with round(j, 6) ≥ τ has j ≥ τ − 5e-7 >
+    * τ − 1e-6 = t, hence inter ≥ ⌈t·(nx+ny)/(1+t)⌉ = need, so it can
+    * never hit the exit; a pair that exits has inter < need ⇒ j < t ⇒
+    * round(j, 6) < τ. Most ≥0.9 candidate pairs fail the confirm, and
+    * those now stop after ~(1−t/(1+t)) of the merge instead of scanning
+    * both arrays to the end.
+    */
+  def intersectSizeBounded(x: ArrayData, y: ArrayData, threshold: Double): Int = {
+    val nx = x.numElements()
+    val ny = y.numElements()
+    val t = threshold - 1e-6
+    val need = math.max(0, math.ceil(t * (nx + ny) / (1.0 + t)).toInt)
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < nx && j < ny) {
+      if (c + math.min(nx - i, ny - j) < need) return -1
       val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
       if (cmp == 0) { c += 1; i += 1; j += 1 }
       else if (cmp < 0) i += 1
@@ -575,6 +615,31 @@ case class ArrayIntersectSize(left: Expression, right: Expression,
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"${ev.value} = graft.functions.GraftOps.intersectSize($a, $b);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** [[ArrayIntersectSize]] with the lossless threshold early exit
+  * (GraftOps.intersectSizeBounded) — the confirm-kernel form for
+  * `round(inter/union, 6) >= threshold` filters, where failing pairs
+  * (the overwhelming majority of LSH candidates) stop scanning as soon
+  * as the threshold is provably unreachable. `barrier`: see
+  * GraftExpressions.
+  */
+case class ArrayIntersectSizeBounded(left: Expression, right: Expression,
+    threshold: Double, barrier: Boolean = false) extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+
+  override lazy val deterministic: Boolean = !barrier && children.forall(_.deterministic)
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GraftOps.intersectSizeBounded(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData], threshold)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.GraftOps.intersectSizeBounded($a, $b, $threshold);")
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
