@@ -1198,13 +1198,26 @@ object Dedup {
   private[graft] def componentsRound(edges: DataFrame, labels: DataFrame,
       merge: Boolean): DataFrame = {
     def h(df: DataFrame): DataFrame = if (merge) df.hint("merge") else df
-    val neighborMin = h(edges)
+    // (r17) Fused propagate: neighbor labels and each doc's OWN label
+    // meet in ONE aggregation — the labels frame itself contributes the
+    // own-label row (flagged), so the former separate neighbor-min
+    // aggregate + label re-attach join collapses into union + groupBy
+    // (one join fewer per round; same min algebra: component =
+    // min(own ∪ neighbor labels), moved ⟺ that min undercuts own).
+    val contrib = h(edges)
       .join(h(labels.select(col("doc_id").as("dst"), col("component").as("nc"))), "dst")
-      .groupBy(col("src").as("doc_id")).agg(min(col("nc")).as("nmin"))
-    val propagated = h(labels).join(h(neighborMin), "doc_id")
-      .select(col("doc_id"), least(col("component"), col("nmin")).as("component"),
-        (col("nmin") < col("component")).as("__moved"))
-    // Pointer jump: component := label(component).
+      .select(col("src").as("doc_id"), col("nc"), lit(false).as("own"))
+      .unionByName(labels.select(col("doc_id"), col("component").as("nc"),
+        lit(true).as("own")))
+    val propagated = contrib.groupBy(col("doc_id"))
+      .agg(min(col("nc")).as("component"),
+        min(when(col("own"), col("nc"))).as("__own"))
+      .select(col("doc_id"), col("component"),
+        (col("component") < col("__own")).as("__moved"))
+    // Pointer jump: component := label(component). (A second jump per
+    // round was tried in r17 and did NOT reduce the round count — the
+    // fixture graph is propagation-limited, not chain-depth-limited —
+    // so the single jump stays.)
     val lookup = propagated.select(col("doc_id").as("component"), col("component").as("__cc"))
     h(propagated).join(h(lookup), "component")
       .select(col("doc_id"), col("__cc").as("component"), col("__moved"))
