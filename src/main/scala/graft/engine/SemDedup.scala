@@ -94,15 +94,22 @@ object SemDedup {
       .select(row_number().over(org.apache.spark.sql.expressions.Window
         .orderBy(col("vec_id"))).cast("long").minus(1L).as("cell"),
         col("v").as("cv"))
+    // (r17) The assignment aggregate CARRIES the vector (first(v) — every
+    // crossJoin row of a vec_id group holds the same v, so the value is
+    // deterministic): the former per-iteration `join(corpus, "vec_id")`
+    // that re-attached v for the centroid update, and the caller's final
+    // corpus re-join, both disappear. Cell values are untouched (same
+    // min_by over the same d2 stream — the oracle replays it unchanged).
     def assignTo(cents: DataFrame): DataFrame =
       corpus.crossJoin(broadcast(cents))
         .withColumn("d2", sqDist(col("v"), col("cv")))
         .groupBy(col("vec_id"))
-        .agg(min_by(col("cell"), struct(col("d2"), col("cell"))).as("cell"))
+        .agg(min_by(col("cell"), struct(col("d2"), col("cell"))).as("cell"),
+          first(col("v")).as("v"))
     var cents = seeds
     var it = 0
     while (it < iters) {
-      cents = assignTo(cents).join(corpus, "vec_id")
+      cents = assignTo(cents)
         .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos"))
         .agg(round(avg(col("x")), CentroidRound).as("m"))
@@ -135,11 +142,15 @@ object SemDedup {
     */
   val qSemdedup: Q = (s, d) => {
     val corpus = plantedCorpus(s, d)
-    val cells = deterministicCells(corpus, K, Iters)
+    // (r17) cells carries v out of the assignment aggregate, so the
+    // former corpus re-join here is gone (one shuffle join fewer); the
+    // checkpoint stops the three consumers below (census, sides, final
+    // output) from re-running the crossJoin assignment + Lloyd update.
+    val cells = deterministicCells(corpus, K, Iters).localCheckpoint()
     val census = cells.groupBy(col("cell"))
       .agg(ceil(count(lit(1)) / lit(TargetCellSize.toDouble))
         .cast("long").as("nsub"))
-    val sides = corpus.join(cells, "vec_id")
+    val sides = cells
       .join(broadcast(census), "cell")
       .withColumn("subcell", (col("vec_id") % PlantOffset) % col("nsub"))
       .withColumn("n2", dotProduct(col("v"), col("v")))
@@ -238,7 +249,9 @@ object SemDedup {
     * never driver-resident). Returns (vec_id, cell = ccell·k2 + sub).
     */
   private def subdivide(corpus: DataFrame, coarse: DataFrame, k2: Int): DataFrame = {
-    val withC = corpus.join(coarse, "vec_id").localCheckpoint()
+    // (r17) v-carrying coarse frames skip the corpus re-join.
+    val withC = (if (coarse.columns.contains("v")) coarse
+      else corpus.join(coarse, "vec_id")).localCheckpoint()
     val byId = org.apache.spark.sql.expressions.Window
       .partitionBy(col("ccell")).orderBy(col("vec_id"))
     val seeds = withC.withColumn("rn", row_number().over(byId))
@@ -318,7 +331,9 @@ object SemDedup {
         "after one update — seed vectors must be distinct")
     val next = new Array[Array[Double]](k)
     updated.foreach(r => next(r.getLong(0).toInt) = r.getSeq[Double](1).toArray)
-    assignTo(next).select(col("vec_id"), col("cell"))
+    // (r17) keep v in the (map-only) assignment so downstream prune /
+    // subdivide skip their corpus re-join.
+    assignTo(next).select(col("vec_id"), col("cell"), col("v"))
   }
 
   /** GRADED scaled flat face: k ∝ n deterministic cells + the shared
@@ -351,7 +366,10 @@ object SemDedup {
     * assignment — the body both scaled modes and the graded key use.
     */
   private def prune(corpus: DataFrame, cells: DataFrame): DataFrame = {
-    val sides = corpus.join(cells, "vec_id")
+    // (r17) a v-carrying cells frame (the deterministic assignments are
+    // map-only projections of the corpus) skips the corpus re-join.
+    val sides = (if (cells.columns.contains("v")) cells
+      else corpus.join(cells, "vec_id"))
       .withColumn("n2", dotProduct(col("v"), col("v")))
       .localCheckpoint()
     val x = sides.select(col("vec_id").as("i"), col("cell"),

@@ -160,7 +160,13 @@ object TextClean {
     * materializes before stripping.
     */
   val qBoilerplateGrams: Q = (s, d) =>
-    boilerplateCensus(gramStream(Tables.documents(s, d), BoilerGramN), 3L)
+    // (r17) censusUpdates is the spec-pinned batch equivalent of
+    // boilerplateCensus (TextCleanSpec "census via in-row distinct ==
+    // census via countDistinct"): per-doc grams dedup IN-ROW
+    // (array_distinct) so a plain count replaces countDistinct's
+    // Expand + double aggregation — one exchange fewer per census.
+    censusUpdates(Tables.documents(s, d), BoilerGramN)
+      .where(col("n_docs") >= 3)
       .orderBy(desc("n_docs"), col("gram"))
 
   /** Graded strip report: per language, how much of the gram stream is
@@ -194,7 +200,8 @@ object TextClean {
 
   val qBoilerplateStrip: Q = (s, d) => {
     val docs = Tables.documents(s, d)
-    val census = boilerplateCensus(gramStream(docs, BoilerGramN), 2L)
+    // (r17) in-row-distinct census — see qBoilerplateGrams.
+    val census = censusUpdates(docs, BoilerGramN).where(col("n_docs") >= 2)
     tagBoilerplate(docs, census)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
@@ -246,9 +253,8 @@ object TextClean {
 
   val qBoilerplateDelta: Q = (s, d) => {
     val docs = Tables.documents(s, d)
-    def census(part: DataFrame): DataFrame =
-      gramStream(part, BoilerGramN).groupBy(col("gram"))
-        .agg(countDistinct(col("doc_id")).as("n_docs"))
+    // (r17) in-row-distinct census per part — see qBoilerplateGrams.
+    def census(part: DataFrame): DataFrame = censusUpdates(part, BoilerGramN)
     val snapshot = census(docs.where(col("doc_id") % 8 =!= 0))
     val delta = census(docs.where(col("doc_id") % 8 === 0))
     mergeCensus(snapshot, delta)
