@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -76,7 +76,8 @@ object Graph {
     // document-level graphs): natural partitioning, the same loop body,
     // every per-iteration materialization distributed — proven at 97M
     // nodes by tools/GraphScale's closed-form cycle probe.
-    def shape(df: DataFrame): DataFrame = if (bounded) df.coalesce(1) else df
+    if (bounded) return pagerankBounded(edgesIn, nodesIn, damping, iters)
+    def shape(df: DataFrame): DataFrame = df
     val edges = shape(edgesIn).localCheckpoint()
     val nodes = shape(nodesIn.select(col("node")).distinct()).localCheckpoint()
     val n = nodes.count().toDouble
@@ -107,6 +108,63 @@ object Graph {
       i += 1
     }
     ranks
+  }
+
+  /** (r17) The bounded (model-state-sized graph) face of [[pagerank]] as
+    * ONE driver loop: `bounded = true` means the node set is
+    * model-state-sized BY CONTRACT (event-type cardinality — the old
+    * form already counted N on the driver and coalesced every frame to
+    * one partition), so the |types|²-bounded edge list is collected once
+    * and the `iters` rounded iterations run driver-side — the
+    * distributed rendering paid ~13 driver-synchronous tiny jobs (edges/
+    * nodes/P checkpoints + one materialization per iteration) to move
+    * ≤|types|²-row frames through full stage machinery. Arithmetic is
+    * the contract's: same explicit dangling redistribution, same
+    * per-iteration HALF_UP round-12 (java.math.BigDecimal — exactly
+    * Spark's `round`), and the iteration contract above already absorbs
+    * sum-order noise at every step, so the unbounded distributed face
+    * stays bit-equal (GraphSpec pins bounded ≡ unbounded).
+    */
+  private def pagerankBounded(edgesIn: DataFrame, nodesIn: DataFrame,
+      damping: Double, iters: Int): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val spark = edgesIn.sparkSession
+    def round12(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(12, java.math.RoundingMode.HALF_UP).doubleValue()
+    val nodeType = nodesIn.schema("node").dataType
+    val nodeRows: Array[Any] = nodesIn.select(col("node")).distinct()
+      .collect().map(_.get(0))
+    val n = nodeRows.length.toDouble
+    val edgeRows = edgesIn.select(col("src"), col("dst"), col("n").cast("double"))
+      .collect().map(r => (r.get(0), r.get(1), r.getDouble(2)))
+    val outw = new java.util.HashMap[Any, Double]()
+    edgeRows.foreach { case (s, _, w) => outw.merge(s, w, (a, b) => a + b) }
+    val nodeSet = nodeRows.toSet
+    val danglingSrcs = nodeRows.filterNot(outw.containsKey(_))
+    var ranks: Map[Any, Double] = nodeRows.map(_ -> round12(1.0 / n)).toMap
+    var i = 0
+    while (i < iters) {
+      val contrib = new java.util.HashMap[Any, Double]()
+      edgeRows.foreach { case (s, dst, w) =>
+        ranks.get(s).foreach { r =>
+          contrib.merge(dst, r * (w / outw.get(s)), (a, b) => a + b)
+        }
+      }
+      // Dangling nodes redistribute uniformly (the explicit 1/n edges).
+      val danglingMass = danglingSrcs.iterator.map(ranks(_)).sum
+      ranks = nodeRows.map { v =>
+        val m = Option(contrib.get(v)).getOrElse(0.0) + danglingMass / n
+        v -> round12((1 - damping) / n + damping * m)
+      }.toMap
+      i += 1
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node", nodeType),
+      org.apache.spark.sql.types.StructField("r",
+        org.apache.spark.sql.types.DoubleType, false)))
+    val rows: java.util.List[Row] =
+      nodeRows.map(v => Row(v, ranks(v))).toSeq.asJava
+    spark.createDataFrame(rows, schema)
   }
 
   /** Graded PageRank over the event-transition type graph: (node, pr),

@@ -62,13 +62,18 @@ object SpanDedup {
     * 0-based. Docs shorter than L contribute nothing (the `when` guard —
     * `sequence(0, negative)` would otherwise generate a DESCENDING range).
     */
+  /** The per-doc L-gram array (empty below L tokens — `sequence(0,
+    * negative)` would otherwise generate a DESCENDING range).
+    */
+  private def gramArray(L: Int): Column =
+    when(size(col("toks")) >= L,
+      transform(sequence(lit(0), size(col("toks")) - L),
+        i => array_join(slice(col("toks"), i + 1, lit(L)), " ")))
+      .otherwise(array().cast("array<string>"))
+
   private[graft] def gramOccurrences(toks: DataFrame, idCol: String, L: Int): DataFrame =
     toks
-      .select(col(idCol), posexplode(
-        when(size(col("toks")) >= L,
-          transform(sequence(lit(0), size(col("toks")) - L),
-            i => array_join(slice(col("toks"), i + 1, lit(L)), " ")))
-          .otherwise(array().cast("array<string>"))))
+      .select(col(idCol), posexplode(gramArray(L)))
       .toDF(idCol, "start", "gram")
 
   /** Per-doc MERGED duplicated spans: (idCol, spans: array<struct<s,e>>),
@@ -80,8 +85,12 @@ object SpanDedup {
     */
   def duplicatedSpans(toks: DataFrame, idCol: String, L: Int): DataFrame = {
     val occs = gramOccurrences(toks, idCol, L)
-    val dup = occs.groupBy(col("gram"))
-      .agg(countDistinct(col(idCol)).as("nd"))
+    // (r17) Census via per-doc IN-ROW distinct grams (array_distinct) +
+    // a plain count — the boilerplate-census discipline: same distinct-
+    // doc frequencies, no countDistinct Expand + double aggregation.
+    val dup = toks.select(explode(array_distinct(gramArray(L))).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("nd"))
       .where(col("nd") >= 2)
       .select("gram")
     val hits = occs.join(dup, Seq("gram"), "left_semi")
