@@ -200,8 +200,13 @@ object TextClean {
 
   val qBoilerplateStrip: Q = (s, d) => {
     val docs = Tables.documents(s, d)
-    // (r17) in-row-distinct census — see qBoilerplateGrams.
-    val census = censusUpdates(docs, BoilerGramN).where(col("n_docs") >= 2)
+    // Census deliberately from the SAME gramStream subtree the tagging
+    // join consumes: the two branches' gram exchanges are identical, so
+    // ReuseExchange materializes the split + gram build once (r17:
+    // switching this census to censusUpdates broke the reuse and made
+    // the key 1.9x slower — reverted; grams/delta, which have no second
+    // consumer, keep the in-row-distinct census).
+    val census = boilerplateCensus(gramStream(docs, BoilerGramN), 2L)
     tagBoilerplate(docs, census)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
