@@ -1078,8 +1078,12 @@ object Dedup {
         col("__nb") * tauDen >= col("__na") * tauNum)
       .select(col("id_a"), col("id_b")).distinct()
     attachPairSides(pairs, docs, "doc_id", shape)
+      // (r17) exact-integer early-exit kernel: a candidate that cannot
+      // reach need = ceil(|A| * tau) stops merging (-1 fails the integer
+      // filter exactly as the true count would).
       .withColumn("inter",
-        intersectSize(col(s"${setCol}_a"), col(s"${setCol}_b"), barrier = true))
+        graft.functions.GraftExpressions.intersectSizeAtLeast(
+          col(s"${setCol}_a"), col(s"${setCol}_b"), tauNum, tauDen, barrier = true))
       .where(col("inter") * tauDen >= col("__ns_a") * tauNum)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
         round(col("inter").cast("double") / col("__ns_a").cast("double"), 6)

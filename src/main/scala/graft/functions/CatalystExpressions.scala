@@ -69,6 +69,14 @@ object GraftExpressions {
     ExpressionUtils.column(ArrayIntersectSizeBounded(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b), threshold, barrier))
 
+  /** [[intersectSize]] with the exact-integer containment early exit for
+    * `inter * tauDen >= |a| * tauNum` filters.
+    */
+  def intersectSizeAtLeast(a: Column, b: Column, tauNum: Int, tauDen: Int,
+      barrier: Boolean = false): Column =
+    ExpressionUtils.column(ArrayIntersectSizeAtLeast(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b), tauNum, tauDen, barrier))
+
   /** One-pass MinHash: struct(sig: array<long>, bands: array<long>) from a
     * token array — numHashes hash functions, banded into numBands buckets.
     */
@@ -188,6 +196,31 @@ object GraftOps {
     val ny = y.numElements()
     val t = threshold - 1e-6
     val need = math.max(0, math.ceil(t * (nx + ny) / (1.0 + t)).toInt)
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < nx && j < ny) {
+      if (c + math.min(nx - i, ny - j) < need) return -1
+      val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  /** [[intersectSize]] with an EXACT-integer early exit for a downstream
+    * `inter * tauDen >= |A| * tauNum` containment filter (r17): need =
+    * ⌈|A|·num/den⌉ in integer arithmetic, so the exit condition
+    * `c + min(remaining) < need` is precisely "the filter cannot pass" —
+    * no rounding slack required. Returns −1 (rejected by the filter
+    * exactly as the true count would be) on exit.
+    */
+  def intersectSizeAtLeast(x: ArrayData, y: ArrayData,
+      tauNum: Int, tauDen: Int): Int = {
+    val nx = x.numElements()
+    val ny = y.numElements()
+    val need = ((nx.toLong * tauNum + tauDen - 1) / tauDen).toInt
     var i = 0
     var j = 0
     var c = 0
@@ -640,6 +673,28 @@ case class ArrayIntersectSizeBounded(left: Expression, right: Expression,
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"${ev.value} = graft.functions.GraftOps.intersectSizeBounded($a, $b, $threshold);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** [[ArrayIntersectSize]] with the exact-integer containment early exit
+  * (GraftOps.intersectSizeAtLeast) for `inter · tauDen ≥ |left| · tauNum`
+  * filters. `barrier`: see GraftExpressions.
+  */
+case class ArrayIntersectSizeAtLeast(left: Expression, right: Expression,
+    tauNum: Int, tauDen: Int, barrier: Boolean = false) extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+
+  override lazy val deterministic: Boolean = !barrier && children.forall(_.deterministic)
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GraftOps.intersectSizeAtLeast(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData], tauNum, tauDen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.GraftOps.intersectSizeAtLeast($a, $b, $tauNum, $tauDen);")
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
