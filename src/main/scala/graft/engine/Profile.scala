@@ -190,9 +190,16 @@ object Profile {
   val qWinsorize: Q = (s, d) => {
     val rows = Tables.lineitem(s, d)
       .select(col("l_returnflag"), col("l_extendedprice").as("x"))
+    // (r17) ONE array-percentile call for both fences: each scalar
+    // percentile() agg builds + sorts its own per-group value buffer;
+    // the array form pays the buffer once and interpolates twice —
+    // the qHistogramEquidepth lesson applied to the 2-fence pair.
+    // Identical values: same buffer, same interpolation, same round-2.
     val fences = rows.groupBy(col("l_returnflag"))
-      .agg(round(percentile(col("x"), lit(0.05)), 2).as("lo"),
-        round(percentile(col("x"), lit(0.95)), 2).as("hi"))
+      .agg(percentile(col("x"), lit(Array(0.05, 0.95))).as("fs"))
+      .select(col("l_returnflag"),
+        round(element_at(col("fs"), 1), 2).as("lo"),
+        round(element_at(col("fs"), 2), 2).as("hi"))
     val w = least(greatest(col("x"), col("lo")), col("hi"))
     rows.join(broadcast(fences), "l_returnflag")
       .groupBy(col("l_returnflag"))

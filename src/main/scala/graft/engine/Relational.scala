@@ -649,20 +649,30 @@ object Relational {
     */
   val qApproxQuantileCheck: Q = (s, d) => {
     val li = lineitem(s, d).select(col("l_returnflag"), col("l_quantity"))
+    // (r17) Array forms for BOTH quantile pairs: each scalar
+    // percentile_approx/percentile agg otherwise accumulates its own
+    // per-group summary/buffer over the same rows — the array call
+    // accumulates once and queries twice. Estimates and exact values
+    // are identical: same summary state, same rank queries (and the
+    // booleans tolerate any merge order by design, see scaladoc).
     val est = li.groupBy(col("l_returnflag"))
-      .agg(percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("__e50"),
-        percentile_approx(col("l_quantity"), lit(0.9), lit(10000)).as("__e90"))
+      .agg(percentile_approx(col("l_quantity"), lit(Array(0.5, 0.9)),
+        lit(10000)).as("__e"))
+      .select(col("l_returnflag"),
+        element_at(col("__e"), 1).as("__e50"),
+        element_at(col("__e"), 2).as("__e90"))
     val eps = 2.0 / 10000
     li.join(broadcast(est), "l_returnflag")
       .groupBy(col("l_returnflag"))
       .agg(
-        round(percentile(col("l_quantity"), lit(0.5)), 6).as("exact_p50"),
-        round(percentile(col("l_quantity"), lit(0.9)), 6).as("exact_p90"),
+        percentile(col("l_quantity"), lit(Array(0.5, 0.9))).as("__px"),
         avg(when(col("l_quantity") <= col("__e50"), 1.0).otherwise(0.0)).as("__le50"),
         avg(when(col("l_quantity") < col("__e50"), 1.0).otherwise(0.0)).as("__lt50"),
         avg(when(col("l_quantity") <= col("__e90"), 1.0).otherwise(0.0)).as("__le90"),
         avg(when(col("l_quantity") < col("__e90"), 1.0).otherwise(0.0)).as("__lt90"))
-      .select(col("l_returnflag"), col("exact_p50"), col("exact_p90"),
+      .select(col("l_returnflag"),
+        round(element_at(col("__px"), 1), 6).as("exact_p50"),
+        round(element_at(col("__px"), 2), 6).as("exact_p90"),
         (col("__le50") >= 0.5 - eps && col("__lt50") <= 0.5 + eps).as("p50_ok"),
         (col("__le90") >= 0.9 - eps && col("__lt90") <= 0.9 + eps).as("p90_ok"))
       .orderBy("l_returnflag")
@@ -689,13 +699,20 @@ object Relational {
     * (q_sketch_kll / q_agg_approx_quantile) at corpus scale.
     */
   val qAggPercentileExact: Q = (s, d) =>
+    // (r17) ONE array-percentile buffer for the three quantiles instead
+    // of three independent per-group buffers (the qHistogramEquidepth
+    // lesson): same buffer, same rank interpolation, same round-6 —
+    // values identical by construction.
     lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(
-        round(percentile(col("l_quantity"), lit(0.25)), 6).as("p25"),
-        round(percentile(col("l_quantity"), lit(0.5)), 6).as("median"),
-        round(percentile(col("l_quantity"), lit(0.95)), 6).as("p95"),
+        percentile(col("l_quantity"), lit(Array(0.25, 0.5, 0.95))).as("__ps"),
         count(lit(1)).as("n_rows"))
+      .select(col("l_returnflag"),
+        round(element_at(col("__ps"), 1), 6).as("p25"),
+        round(element_at(col("__ps"), 2), 6).as("median"),
+        round(element_at(col("__ps"), 3), 6).as("p95"),
+        col("n_rows"))
       .orderBy("l_returnflag")
 
   /** min_by/max_by: each nation's richest and poorest supplier. The

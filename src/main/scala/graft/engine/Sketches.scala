@@ -184,12 +184,18 @@ object Sketches {
     val rankCols = ests.zipWithIndex.map { case ((_, est), i) =>
       avg(when(col("l_quantity") <= est, 1.0).otherwise(0.0)).as(s"__r$i")
     }
-    val exactCols = qs.zipWithIndex.map { case (q, i) =>
-      round(percentile(col("l_quantity"), lit(q)), 6).as(s"__p$i")
-    }
-    val r = li.agg((rankCols ++ exactCols).head, (rankCols ++ exactCols).tail: _*).head()
+    // (r17) ONE array-percentile buffer for the three exact values
+    // instead of three independent buffers over the same column (the
+    // qHistogramEquidepth lesson) — same buffer, same interpolation.
+    val exactCol = percentile(col("l_quantity"), lit(qs.toArray)).as("__ps")
+    val aggs = rankCols :+ exactCol
+    val r = li.agg(aggs.head, aggs.tail: _*).head()
+    // Same HALF_UP round-6 the previous in-plan `round(…, 6)` applied.
+    def round6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val exacts = r.getSeq[Double](qs.size)
     val out = ests.zipWithIndex.map { case ((q, _), i) =>
-      (q, r.getDouble(qs.size + i), math.abs(r.getDouble(i) - q) <= eps)
+      (q, round6(exacts(i)), math.abs(r.getDouble(i) - q) <= eps)
     }
     s.createDataFrame(out).toDF("quantile", "exact_value", "rank_ok")
       .orderBy("quantile")
