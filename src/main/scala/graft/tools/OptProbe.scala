@@ -77,16 +77,18 @@ object OptProbe {
           .select(col("src").as("doc_id"), col("component"))
           .localCheckpoint()
       }
+      var frontier = labels
       var it = 0
       var converged = false
       while (it < 30 && !converged) {
         val next = timed(s"  round${it + 1} ckpt") {
-          Dedup.componentsRound(edges, labels, merge = false).localCheckpoint()
+          Dedup.componentsRound(edges, labels, merge = false, frontier).localCheckpoint()
         }
         converged = timed(s"  round${it + 1} movedcheck") {
           next.where(col("__moved")).limit(1).count() == 0
         }
-        labels = next.drop("__moved")
+        frontier = next.where(col("__changed")).select(col("doc_id"), col("component"))
+        labels = next.drop("__moved", "__changed")
         it += 1
       }
       System.err.println(s"[optprobe] components rounds=$it labels=${labels.count()}")

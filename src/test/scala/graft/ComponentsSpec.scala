@@ -21,6 +21,41 @@ class ComponentsSpec extends AnyFunSuite {
     rows.toMap
   }
 
+  test("frontier-filtered rounds are bit-equal to full-frontier rounds") {
+    // The r17 frontier optimization's equivalence pin: run the loop once
+    // with the production frontier (changed labels only) via
+    // nearDupComponents, and once passing the FULL label set as the
+    // frontier every round — per-round results and the fixpoint must
+    // coincide (the scaladoc's monotonicity proof, checked on a shape
+    // with a long chain, a clique, and a cross-link so late rounds have
+    // a genuinely small frontier).
+    val pairs = (
+      (1L to 9L).map(i => (i, i + 1)) ++            // chain 1..10
+      Seq((20L, 21L), (20L, 22L), (21L, 22L)) ++    // clique
+      Seq((10L, 20L))                               // cross-link
+    ).toDF("doc_a", "doc_b")
+    val prod = Dedup.nearDupComponents(pairs).as[(Long, Long)].collect().toMap
+    // Full-frontier replay of the same loop.
+    val edges = pairs.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst")).localCheckpoint()
+    var labels = edges.groupBy(col("src"))
+      .agg(least(col("src"), min(col("dst"))).as("component"))
+      .select(col("src").as("doc_id"), col("component")).localCheckpoint()
+    var it = 0
+    var converged = false
+    while (it < 30 && !converged) {
+      val next = Dedup.componentsRound(edges, labels, merge = false, labels)
+        .localCheckpoint()
+      converged = next.where(col("__moved")).limit(1).count() == 0
+      labels = next.drop("__moved", "__changed")
+      it += 1
+    }
+    val full = labels.as[(Long, Long)].collect().toMap
+    assert(prod == full, s"frontier=$prod full=$full")
+  }
+
   test("a transitive chain collapses to one component labeled by its min id") {
     // 1-2, 2-3, 3-4 (no direct 1-4): all one cluster.
     val got = components(Seq((1L, 2L), (2L, 3L), (3L, 4L)))

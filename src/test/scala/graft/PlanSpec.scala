@@ -129,7 +129,7 @@ class PlanSpec extends AnyFunSuite {
     val labels = edges.groupBy(col("src"))
       .agg(least(col("src"), min(col("dst"))).as("component"))
       .select(col("src").as("doc_id"), col("component")).localCheckpoint()
-    val round = Dedup.componentsRound(edges, labels, merge = true)
+    val round = Dedup.componentsRound(edges, labels, merge = true, labels)
     val p = round.queryExecution.executedPlan.toString
     assert(!p.contains("Broadcast"), p)
     assert(p.contains("SortMergeJoin"), p)
