@@ -106,16 +106,25 @@ object SemDedup {
         .groupBy(col("vec_id"))
         .agg(min_by(col("cell"), struct(col("d2"), col("cell"))).as("cell"),
           first(col("v")).as("v"))
+    // (r17 second session) Lloyd update as ONE groupBy(cell) with dim
+    // column sums + a count (the Ivf.train form): the posexplode form
+    // pushed rows × dim (cell, pos, x) rows through two chained
+    // aggregations; this shuffles rows (not rows × dim) through one.
+    // The mean is the identical sum/count division Spark's avg
+    // evaluates, and the CentroidRound grid absorbs partial-merge-order
+    // float noise exactly as the module contract documents (the oracle
+    // recomputes the same rounded avg independently).
+    val dim = corpus.select(size(col("v"))).head().getInt(0)
     var cents = seeds
     var it = 0
     while (it < iters) {
+      val sums = (0 until dim).map(i =>
+        sum(element_at(col("v"), i + 1)).as(s"__s$i"))
       cents = assignTo(cents)
-        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy(col("cell"), col("pos"))
-        .agg(round(avg(col("x")), CentroidRound).as("m"))
         .groupBy(col("cell"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          s => s.getField("m")).as("cv"))
+        .agg(count(lit(1)).as("__n"), sums: _*)
+        .select(col("cell"), array((0 until dim).map(i =>
+          round(col(s"__s$i") / col("__n"), CentroidRound)): _*).as("cv"))
       it += 1
     }
     assignTo(cents)
@@ -314,13 +323,19 @@ object SemDedup {
         graft.functions.GraftExpressions.nearestCell(col("v"), cents).cast("long"))
     val seeds: Array[Array[Double]] = corpus.orderBy(col("vec_id")).limit(k)
       .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+    // (r17 second session) Same column-sum Lloyd update as
+    // [[deterministicCells]] / Ivf.train: one groupBy(cell) over rows
+    // instead of a rows × dim posexplode through two aggregations; the
+    // mean is the identical sum/count division, rounded on the same
+    // CentroidRound grid that absorbs merge-order float noise.
+    val dim = seeds.headOption.map(_.length).getOrElse(0)
+    val sums = (0 until dim).map(i =>
+      sum(element_at(col("v"), i + 1)).as(s"__s$i"))
     val updated = assignTo(seeds)
-      .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy(col("cell"), col("pos"))
-      .agg(round(avg(col("x")), CentroidRound).as("m"))
       .groupBy(col("cell"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-        s => s.getField("m")).as("cv"))
+      .agg(count(lit(1)).as("__n"), sums: _*)
+      .select(col("cell"), array((0 until dim).map(i =>
+        round(col(s"__s$i") / col("__n"), CentroidRound)): _*).as("cv"))
       .orderBy("cell").collect()
     // One update from distinct seed vectors cannot empty a cell (each
     // seed is distance-0 to its own centroid; ties break identically in
