@@ -34,8 +34,9 @@ import org.apache.spark.sql.functions._
   * Scale shape: assignment materializes corpus×k rows against a
   * broadcast k-row centroid frame (k is model-state sized; the map-only
   * NearestCell projection is the production alternative when k is
-  * large); the update is the posexplode → (cell, pos) partial-avg shape
-  * from Ivf.train; the within-cell pair join shuffles on the cell key —
+  * large); the update is Ivf.train's one-groupBy column-sum mean (rows,
+  * not rows × dim, cross the exchange, and the CentroidRound grid
+  * absorbs merge-order noise); the within-cell pair join shuffles on the cell key —
   * at corpus scale k is chosen to bound members-per-cell, and a hot
   * cell splits by the Dedup.Salted discipline. Nothing corpus-sized is
   * ever collected or broadcast.
@@ -271,6 +272,17 @@ object SemDedup {
         .withColumn("d2", sqDist(col("v"), col("cv")))
         .groupBy(col("vec_id"), col("ccell"))
         .agg(min_by(col("sub"), struct(col("d2"), col("sub"))).as("sub"))
+    // (r17 second session) Two column-sum variants of this update were
+    // TRIED and REVERTED on measurement: (a) carrying v through
+    // assignSub's aggregate (first(v)) to skip the vec_id re-join — the
+    // sub-assignment input is a corpus × ~k2 fan-out and the 64-double
+    // buffer per group lost every paired A/B (5.2/5.5 vs 3.8/4.6 s);
+    // (b) keeping the re-join but folding the posexplode into one
+    // 64-column-sum groupBy — still lost every paired round (4.8/6.7 vs
+    // 4.3/4.6 s; the wide hash-agg buffer behind the join output beat
+    // the slim exploded stream only on paper). The posexplode form
+    // stays; deterministicCells/deterministicScaledCells, whose update
+    // inputs are NOT join fan-outs, did move to column sums.
     val updated = assignSub(seeds)
       .join(withC.select(col("vec_id"), col("v")), "vec_id")
       .select(col("ccell"), col("sub"), posexplode(col("v")).as(Seq("pos", "x")))
